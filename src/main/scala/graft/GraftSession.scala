@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory pinning the semantics the engine is tested under.
+  *
+  * Mirrors the reference's driver-visible defaults where they still
+  * matter (reference: sql/core/src/main/scala/org/apache/spark/sql/SQLConf.scala:217-243 —
+  * 10 MB autoBroadcastJoinThreshold, adaptive execution), upgraded to
+  * modern Spark: AQE stays ON (coalescing + skew-join + runtime join
+  * re-selection replace the reference's off-by-default
+  * ExchangeCoordinator).
+  *
+  * Shuffle parallelism is sized to the local core count here; on a
+  * real cluster you'd leave AQE's coalescing to shrink
+  * an intentionally-high initial partition count.
+  */
+object GraftSession {
+  def local(threads: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$threads]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

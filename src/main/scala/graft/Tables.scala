@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed accessors for the driver-generated TPC-H-ish test tables
+  * (see /root/repo/TESTDATA.md). Each is a plain parquet scan so
+  * Catalyst keeps full pushdown/pruning freedom — filters and column
+  * selections applied downstream reach the parquet reader
+  * (PushedFilters / ReadSchema in .explain).
+  *
+  * At 100 TB these would be partitioned/bucketed external tables; the
+  * accessor layer is the single seam where that swap happens.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

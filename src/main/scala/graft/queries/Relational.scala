@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface: scan, filter/project, hash & broadcast
+  * joins (all join types), aggregation (partial+final hash agg), sort,
+  * limit/top-k, set ops, distinct.
+  *
+  * Reference semantics: Spark 1.6.1 DataFrame API
+  * (sql/core/src/main/scala/org/apache/spark/sql/DataFrame.scala:386-530 joins,
+  * :755 filter, :813 groupBy; execution/joins and execution/aggregate).
+  * Re-expressed as declarative Spark 4 DataFrame plans so Catalyst keeps
+  * pushdown/pruning and AQE picks broadcast vs SMJ at runtime.
+  *
+  * Numeric policy for oracle parity: monetary math is done in DECIMAL from
+  * the first operation (cast each double column, then combine), so sums are
+  * exact and deterministic under any partitioning / any addition order —
+  * a double SUM would be nondeterministic at 1000 executors.
+  */
+object Relational {
+
+  // dollar-free column helpers (queries take an externally-built session)
+  private def dec2(c: String) = col(c).cast("decimal(18,2)")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg → sort.
+    "q01_pricing_summary" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")) * (lit(1) + dec2("l_tax")))
+            .cast("decimal(38,6)").as("sum_charge"),
+          (sum(dec2("l_quantity")).cast("decimal(18,2)") / count(lit(1)))
+            .cast("decimal(38,6)").as("avg_qty"),
+          (sum(dec2("l_extendedprice")).cast("decimal(18,2)") / count(lit(1)))
+            .cast("decimal(38,6)").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Projection + expression eval + filter pushdown (TPC-H Q6 shape).
+    "q02_forecast_revenue" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec2("l_extendedprice") * dec2("l_discount"))
+          .cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Inner equi-join, small build side: planner should broadcast customer.
+    "q03_top_orders" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(sum(dec2("o_totalprice")).cast("decimal(38,2)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Multi-way star join lineitem⋈orders⋈customer⋈nation⋈region (Q5 shape):
+    // the two big tables meet in one shuffled join; dims broadcast.
+    "q04_local_supplier_volume" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Left outer join + agg preserving unmatched left rows.
+    "q05_customer_order_counts" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("order_count"))
+        .orderBy(col("order_count").desc, col("c_custkey"))
+        .limit(100)
+    },
+
+    // Left semi join (reference: EXEC/joins/LeftSemiJoinHash.scala:31).
+    "q06_customers_with_big_order" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    // Left anti join — 1.6 spelled this NOT IN/except (SURVEY §2.3); the
+    // modern named type gives the same semantics in one shuffle.
+    "q07_customers_without_orders" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Full outer join over two aggregated sides.
+    "q08_nation_customer_supplier" -> { (s, dir) =>
+      val cn = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("customers"))
+      val sn = Tables.supplier(s, dir).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("suppliers"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+        .select(
+          coalesce(cn("c_nationkey"), sn("s_nationkey")).as("nationkey"),
+          coalesce(col("customers"), lit(0L)).as("customers"),
+          coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+        .orderBy("nationkey")
+    },
+
+    // Cross join (reference: EXEC/joins/CartesianProduct.scala:27) — tiny
+    // dims only; a cartesian of big tables would never survive at scale.
+    "q09_region_nation_matrix" -> { (s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    // Non-equi theta join → BroadcastNestedLoopJoin on the small side.
+    "q10_parts_pricier_than_region_avg" -> { (s, dir) =>
+      val p = Tables.part(s, dir)
+      val avgp = p.agg(avg(dec2("p_retailprice")).cast("decimal(38,6)").as("avg_price"))
+      p.join(broadcast(avgp), dec2("p_retailprice") > col("avg_price"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // Set ops: UNION ALL / INTERSECT / EXCEPT (distinct semantics, SURVEY §2.7).
+    "q11_setops_nations" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+      val both = c.intersect(sup).withColumn("tag", lit("both"))
+      val custOnly = c.except(sup).withColumn("tag", lit("cust_only"))
+      both.union(custOnly).orderBy("tag", "nationkey")
+    },
+
+    // Distinct projection (Distinct → Aggregate rewrite, Optimizer.scala:912).
+    "q12_distinct_order_status" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // Top-K: orderBy+limit fuses to TakeOrderedAndProject
+    // (reference EXEC/basicOperators.scala:192) — no global sort shuffle.
+    "q13_top_value_items" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec2("l_extendedprice").as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(25)
+    },
+
+    // GROUP BY + HAVING (analyzer ResolveHaving path in 1.6).
+    "q14_busy_suppliers" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("items"),
+          sum(dec2("l_quantity")).cast("decimal(38,2)").as("qty"))
+        .filter(col("items") > 500)
+        .orderBy(col("items").desc, col("l_suppkey"))
+    },
+
+    // Scalar "subquery": global aggregate joined back (broadcast of 1 row).
+    "q15_above_avg_orders" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val stats = o.agg((sum(dec2("o_totalprice")).cast("decimal(18,2)") / count(lit(1)))
+        .cast("decimal(38,6)").as("avg_total"))
+      o.join(broadcast(stats), dec2("o_totalprice") * 2 > col("avg_total") * 3)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q05_customer_order_counts" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_count
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY order_count DESC, c_custkey
+        |LIMIT 100""".stripMargin,
+
+    "q06_customers_with_big_order" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_customers_without_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_nation_customer_supplier" ->
+      """WITH cn AS (SELECT c_nationkey, COUNT(*) AS customers FROM customer GROUP BY c_nationkey),
+        |     sn AS (SELECT s_nationkey, COUNT(*) AS suppliers FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |       COALESCE(customers, 0) AS customers,
+        |       COALESCE(suppliers, 0) AS suppliers
+        |FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q09_region_nation_matrix" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q10_parts_pricier_than_region_avg" ->
+      """SELECT p_partkey, p_name
+        |FROM part,
+        |  (SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_price FROM part) t
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) > avg_price
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q11_setops_nations" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+        |     b AS (SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)),
+        |     co AS (SELECT nationkey, 'cust_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s))
+        |SELECT * FROM b UNION ALL SELECT * FROM co
+        |ORDER BY tag, nationkey""".stripMargin,
+
+    "q12_distinct_order_status" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q13_top_value_items" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber
+        |LIMIT 25""".stripMargin,
+
+    "q14_busy_suppliers" ->
+      """SELECT l_suppkey, COUNT(*) AS items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING COUNT(*) > 500
+        |ORDER BY items DESC, l_suppkey""".stripMargin,
+
+    "q15_above_avg_orders" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders,
+        |  (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_total FROM orders) t
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 > avg_total * 3
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
