@@ -15,11 +15,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    # normalize for comparison: floats compared exactly via repr;
-    # decimals/ints/strings/timestamps as-is
+    # canonical sortable cell: both sides come through duckdb fetch, so
+    # identical values stringify identically (float via repr for exactness;
+    # None sorts first). Equality on these strings == equality on values.
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
-        return repr(v)
-    return v
+        return (1, repr(v))
+    return (1, str(v))
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Typed accessors for the driver-generated TPC-H-ish test tables
   * (see /root/repo/TESTDATA.md). Each is a plain parquet scan so
@@ -22,7 +23,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "events")
+  /** events.ts is nanosecond-precision parquet, which Spark 4 rejects as a
+    * timestamp by default. Read it as raw nanos and floor-truncate to µs
+    * (integer `div`, not `/`, which would go through double and lose
+    * precision above 2^53) — the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

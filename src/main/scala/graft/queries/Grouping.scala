@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional aggregation surface: ROLLUP / CUBE / GROUPING SETS /
+  * PIVOT / DISTINCT aggregates.
+  *
+  * Reference: logical Expand/GroupingSets/Cube/Rollup nodes
+  * (CAT/plans/logical/basicOperators.scala:308-398), analyzer
+  * ResolveGroupingAnalytics (CAT/analysis/Analyzer.scala:182), ResolvePivot
+  * (:260), physical EXEC/Expand.scala:34. Modern Spark plans the same
+  * Expand; at scale note Expand multiplies input rows by the number of
+  * grouping sets BEFORE the shuffle — keep grouping-set counts small on
+  * wide fact tables, which these queries do (≤4 sets).
+  *
+  * 1.6 allowed only ONE distinct aggregate column-set
+  * (EXEC/aggregate/utils.scala:134); g05 exercises the modern superset
+  * (two distinct sets) deliberately.
+  */
+object Grouping {
+
+  private def dec2(c: String) = col(c).cast("decimal(18,2)")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_rollup_returns" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2("l_quantity")).cast("decimal(38,2)").as("qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    },
+
+    "g02_cube_order_status" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2("o_totalprice")).cast("decimal(38,2)").as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // GROUPING SETS via the SQL entry point (SURVEY §2.11 — temp view +
+    // spark.sql is part of the reference surface too).
+    "g03_grouping_sets_events" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("events_gs")
+      s.sql(
+        """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+          |  COUNT(*) AS n
+          |FROM events_gs
+          |GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+          |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin)
+    },
+
+    // Pivot (reference CORE/GroupedData.scala:301): explicit value list so
+    // the plan never needs the driver-side distinct-value collect.
+    "g04_pivot_priority" -> { (s, dir) =>
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderstatus")
+    },
+
+    // Exact distinct aggregates, two distinct column-sets in one Aggregate.
+    "g05_distinct_aggregates" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("parts"),
+          countDistinct(col("l_suppkey")).as("supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // HyperLogLog++ approximate distinct (reference
+    // CAT/expressions/aggregate/HyperLogLogPlusPlus.scala:51). Algorithms
+    // differ across engines → rows-only check, no oracle; the spec suite
+    // asserts the estimate is within rsd of the exact count.
+    "g06_approx_distinct_users" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g01_rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "g02_cube_order_status" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "g03_grouping_sets_events" ->
+      """SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, COUNT(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        |ORDER BY event_type ASC NULLS FIRST, user_bucket ASC NULLS FIRST""".stripMargin,
+
+    "g04_pivot_priority" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "g05_distinct_aggregates" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS parts,
+        |  COUNT(DISTINCT l_suppkey) AS supps,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}
