@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
       graft.queries.Windows.defs ++
-      graft.queries.Grouping.defs
+      graft.queries.Grouping.defs ++
+      graft.queries.Functions.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
-      graft.queries.Grouping.oracles
+      graft.queries.Grouping.oracles ++
+      graft.queries.Functions.oracles
 }

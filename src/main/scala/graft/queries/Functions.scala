@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY §2.8 — the reference registers 158
+  * functions in CAT/analysis/FunctionRegistry.scala:116-288; implementations
+  * under CAT/expressions/). All are modern built-ins; these queries prove
+  * cross-engine value parity for the deterministic subset. Transcendental
+  * libm functions (exp/log/pow/trig) are deliberately NOT oracle-checked —
+  * last-ulp differences across engines — they're covered by golden-value
+  * ScalaTests instead (FunctionsSpec).
+  *
+  * Everything here is a narrow projection over one scan: whole-stage
+  * codegen keeps each query a single pipelined stage, and ReadSchema
+  * pruning means only the referenced columns are read at 100 TB.
+  */
+object Functions {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // stringExpressions.scala surface.
+    "f01_string_functions" -> { (s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        concat_ws("-", col("c_name"), col("c_mktsegment")).as("joined"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+        rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+        reverse(col("c_name")).as("rev"),
+        repeat(substring(col("c_name"), 1, 2), 3).as("rep"),
+        translate(col("c_name"), "#0", "_x").as("trans"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        ascii(col("c_name")).as("first_ascii"),
+        levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+        trim(lit("  x  ")).as("trimmed"),
+        ltrim(lit("  x")).as("ltrimmed"),
+        rtrim(lit("x  ")).as("rtrimmed"))
+        .orderBy("c_custkey")
+    },
+
+    // regexpExpressions.scala surface (patterns valid in both Java and RE2).
+    "f02_regexp_functions" -> { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("^[a-z]+ (widget|bolt)$").as("is_simple"),
+        col("p_type").like("%ECO%").as("is_eco"),
+        split(col("p_name"), " ").getItem(0).as("first_word"))
+        .orderBy("p_partkey")
+    },
+
+    // datetimeExpressions.scala surface over orders dates.
+    "f03_date_functions" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("wk"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus2mo"),
+        last_day(col("o_orderdate")).as("month_end"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // mathExpressions.scala surface (exact subset).
+    "f04_math_functions" -> { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        ceil(col("l_extendedprice") / 1000.0).as("price_ceil_k"),
+        floor(col("l_extendedprice") / 1000.0).as("price_floor_k"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        signum(col("l_discount") - 0.05).as("disc_sign"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        (col("l_orderkey") % 7).as("key_mod"),
+        hex(col("l_orderkey")).as("key_hex"),
+        bin(col("l_linenumber")).as("line_bin"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    },
+
+    // conditionalExpressions + nullExpressions surface.
+    "f05_conditional_functions" -> { (s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 400000, "platinum")
+          .when(col("o_totalprice") > 250000, "gold")
+          .otherwise("standard").as("tier"),
+        nullif(col("o_orderstatus"), lit("O")).as("non_open_status"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        isnull(nullif(col("o_orderstatus"), lit("O"))).as("is_open"),
+        nvl(nullif(col("o_orderpriority"), lit("5-LOW")), lit("urgent-ish")).as("prio"))
+        .orderBy("o_orderkey")
+    },
+
+    // jsonExpressions.scala surface: JSON path extraction from event props.
+    "f06_json_functions" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+        get_json_object(col("props"), "$.missing").as("absent"))
+        .orderBy("event_id")
+    },
+
+    // Generator surface (CAT/expressions/generators.scala Explode:102 →
+    // EXEC/Generate.scala:49): tokenize documents and count words.
+    "f07_explode_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    },
+
+    // misc.scala hash surface: md5 / sha2 (hex-identical across engines).
+    "f08_hash_functions" -> { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("text_md5"),
+        sha2(col("text"), 256).as("text_sha256"))
+        .orderBy("doc_id")
+    },
+
+    // bitwiseExpressions.scala surface.
+    "f09_bitwise_functions" -> { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        (col("user_id").bitwiseAND(255)).as("low_byte"),
+        (col("user_id").bitwiseOR(1)).as("or1"),
+        (col("user_id").bitwiseXOR(col("event_id"))).as("mix"),
+        shiftleft(col("user_id"), 2).as("shl"),
+        shiftright(col("user_id"), 1).as("shr"))
+        .orderBy("event_id")
+    },
+
+    // complexTypeCreator + collectionOperations surface: build arrays/
+    // structs/maps, then size/sort_array/array_contains.
+    "f10_collection_functions" -> { (s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        array(col("p_brand"), col("p_type")).as("tags"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        sort_array(split(col("p_name"), " ")).as("sorted_words"),
+        array_contains(split(col("p_name"), " "), "widget").as("is_widget"),
+        struct(col("p_brand").as("b"), col("p_size").as("s")).as("meta"))
+        .select(col("p_partkey"), col("tags"), col("n_words"),
+          col("sorted_words"), col("is_widget"),
+          col("meta.b").as("meta_brand"), col("meta.s").as("meta_size"))
+        .orderBy("p_partkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f01_string_functions" ->
+      """SELECT c_custkey,
+        |  length(c_name) AS name_len,
+        |  upper(c_name) AS uname,
+        |  lower(c_mktsegment) AS lseg,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  concat_ws('-', c_name, c_mktsegment) AS joined,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+        |  rpad(c_mktsegment, 12, '.') AS rpadded,
+        |  reverse(c_name) AS rev,
+        |  repeat(substring(c_name, 1, 2), 3) AS rep,
+        |  translate(c_name, '#0', '_x') AS trans,
+        |  strpos(c_name, '#') AS hash_pos,
+        |  ascii(c_name) AS first_ascii,
+        |  levenshtein(c_name, c_mktsegment) AS lev,
+        |  trim('  x  ') AS trimmed,
+        |  ltrim('  x') AS ltrimmed,
+        |  rtrim('x  ') AS rtrimmed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f02_regexp_functions" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '[0-9]+') AS brand_num,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(p_name, '^[a-z]+ (widget|bolt)$') AS is_simple,
+        |  p_type LIKE '%ECO%' AS is_eco,
+        |  string_split(p_name, ' ')[1] AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f03_date_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f04_math_functions" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  abs(l_quantity - 25.0) AS qty_dev,
+        |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0 WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS disc_sign,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate,
+        |  l_orderkey % 7 AS key_mod,
+        |  upper(to_hex(l_orderkey)) AS key_hex,
+        |  bin(l_linenumber) AS line_bin
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+
+    "f05_conditional_functions" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 400000 THEN 'platinum'
+        |       WHEN o_totalprice > 250000 THEN 'gold'
+        |       ELSE 'standard' END AS tier,
+        |  nullif(o_orderstatus, 'O') AS non_open_status,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+        |  nullif(o_orderstatus, 'O') IS NULL AS is_open,
+        |  coalesce(nullif(o_orderpriority, '5-LOW'), 'urgent-ish') AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f06_json_functions" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.missing') AS absent
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f07_explode_tokens" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |) t GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 50""".stripMargin,
+
+    "f08_hash_functions" ->
+      """SELECT doc_id,
+        |  md5(text) AS text_md5,
+        |  sha256(text) AS text_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f09_bitwise_functions" ->
+      """SELECT event_id,
+        |  user_id & 255 AS low_byte,
+        |  user_id | 1 AS or1,
+        |  xor(user_id, event_id) AS mix,
+        |  user_id << 2 AS shl,
+        |  user_id >> 1 AS shr
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f10_collection_functions" ->
+      """SELECT p_partkey,
+        |  [p_brand, p_type] AS tags,
+        |  CAST(length(string_split(p_name, ' ')) AS INT) AS n_words,
+        |  list_sort(string_split(p_name, ' ')) AS sorted_words,
+        |  list_contains(string_split(p_name, ' '), 'widget') AS is_widget,
+        |  p_brand AS meta_brand,
+        |  p_size AS meta_size
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
