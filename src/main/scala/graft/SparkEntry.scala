@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Relational.defs ++
       graft.queries.Windows.defs ++
       graft.queries.Grouping.defs ++
-      graft.queries.Functions.defs
+      graft.queries.Functions.defs ++
+      graft.queries.Dedup.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.Grouping.oracles ++
-      graft.queries.Functions.oracles
+      graft.queries.Functions.oracles ++
+      graft.queries.Dedup.oracles
 }

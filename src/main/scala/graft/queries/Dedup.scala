@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup => D}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over the documents/embeddings tables (harness
+  * extension ops — SURVEY §7.2 step 8). Every query is the Spark pipeline
+  * from graft.ext.Dedup with a line-for-line DuckDB mirror, portable
+  * because all hashing goes through md5 (bit-identical across engines).
+  */
+object Dedup {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on the text digest.
+    "d01_exact_dedup" -> { (s, dir) =>
+      D.exactDedup(Tables.documents(s, dir), "doc_id", "text").orderBy("digest")
+    },
+
+    // MinHash signatures (k=32 over 3-gram shingles), scalar projections of
+    // the signature so the parquet/oracle compare stays scalar-typed.
+    "d02_minhash_signatures" -> { (s, dir) =>
+      D.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_shingles"),
+          expr("element_at(sig, 1)").as("sig_first"),
+          expr("element_at(sig, 32)").as("sig_last"),
+          expr("aggregate(sig, 0L, (a, x) -> a ^ x)").as("sig_xor"))
+        .orderBy("doc_id")
+    },
+
+    // LSH candidate pairs: 16 bands x 2 rows, bucket-capped self-join.
+    "d03_lsh_candidates" -> { (s, dir) =>
+      D.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Candidates verified by exact shingle Jaccard >= 0.5.
+    "d04_neardup_pairs_jaccard" -> { (s, dir) =>
+      D.neardupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // 16-bit SimHash fingerprints (frequency-weighted token hashing).
+    "d05_simhash_fingerprints" -> { (s, dir) =>
+      D.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // SimHash near-dups: 4-banded join, Hamming <= 1.
+    "d06_simhash_neardup_pairs" -> { (s, dir) =>
+      D.simhashNeardupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dups of a broadcast probe set vs the corpus.
+    "d07_embedding_neardup_probe" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      D.embeddingNeardupPairs(e.filter(col("vec_id") % 20 === 0), e,
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("probe_id", "vec_id")
+    }
+  )
+
+  // ---- DuckDB mirrors ----------------------------------------------------
+
+  // Portable hash: same md5-hex-prefix decode as graft.ext.Dedup.portableHash.
+  private def ph(value: String, seed: String): String =
+    s"CAST('0x' || substr(md5($seed || ':' || $value), 1, 15) AS BIGINT)"
+
+  // Shared CTE chain mirroring shingles -> signatures -> bands -> candidates.
+  private val minhashCte: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+       |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, CAST(len(shingles) AS INT) n_shingles,
+       |    list_transform(range(0, 32), i -> list_min(list_transform(shingles, s -> ${ph("s", "CAST(i AS VARCHAR)")}))) AS sig
+       |  FROM sh),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 16),
+       |    b -> CAST(b AS VARCHAR) || ':' || CAST(sig[2*b+1] AS VARCHAR) || ':' || CAST(sig[2*b+2] AS VARCHAR))) AS bkey
+       |  FROM sig),
+       |capped AS (
+       |  SELECT doc_id, bkey FROM (SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) bsize FROM bands) WHERE bsize <= 50),
+       |cands AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_bands
+       |  FROM capped a JOIN capped b USING (bkey) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val simhashCte: String =
+    s"""WITH sims AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN
+       |    list_sum(list_transform(string_split(text,' '), t -> CASE WHEN (${ph("t", "'sim'")} >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN (1 << j) ELSE 0 END)) AS INT) sim
+       |  FROM documents),
+       |nib AS (
+       |  SELECT doc_id, sim, unnest(list_transform(range(0, 4),
+       |    j -> CAST(j AS VARCHAR) || ':' || CAST((sim >> (4*j)) & 15 AS VARCHAR))) nkey
+       |  FROM sims)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "d02_minhash_signatures" ->
+      s"""$minhashCte
+         |SELECT doc_id, n_shingles, sig[1] AS sig_first, sig[32] AS sig_last,
+         |  list_reduce(sig, (a, x) -> xor(a, x)) AS sig_xor
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "d03_lsh_candidates" ->
+      s"""$minhashCte
+         |SELECT doc_a, doc_b, n_bands FROM cands ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d04_neardup_pairs_jaccard" ->
+      s"""$minhashCte
+         |SELECT c.doc_a, c.doc_b,
+         |  round(len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE, 6) AS jaccard
+         |FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d05_simhash_fingerprints" ->
+      s"""$simhashCte
+         |SELECT doc_id, sim FROM sims ORDER BY doc_id""".stripMargin,
+
+    "d06_simhash_neardup_pairs" ->
+      s"""$simhashCte
+         |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, CAST(bit_count(xor(a.sim, b.sim)) AS INT) hamming
+         |FROM nib a JOIN nib b USING (nkey)
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d07_embedding_neardup_probe" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm
+        |  FROM embeddings)
+        |SELECT p.vec_id AS probe_id, q.vec_id AS vec_id,
+        |  round(list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm), 4) AS cosine
+        |FROM n p JOIN n q ON p.vec_id % 20 = 0 AND p.vec_id <> q.vec_id
+        |WHERE list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) >= 0.4
+        |ORDER BY probe_id, vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator correctness beyond the DuckDB oracle: hash portability,
+  * exact-dedup semantics, and — the part an oracle mirror can't prove —
+  * that the banded LSH/SimHash shortcuts lose nothing vs brute force. */
+class DedupSpec extends SparkSpec {
+
+  test("portable hash matches an independent md5 implementation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("0:hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = java.lang.Long.parseLong(hex.take(15), 16)
+    val got = spark.sql(s"SELECT ${Dedup.portableHash("'hello'", "'0'")}")
+      .collect().head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("exact dedup collapses identical texts to the min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text").collect()
+    assert(out.length === 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L)
+  }
+
+  test("LSH near-dup pairs equal brute-force Jaccard pairs (full recall)") {
+    val docs = Tables.documents(spark, sf01)
+    val lsh = Dedup.neardupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), expr(Dedup.shingles("text", 3)).as("sh"))
+    val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("cast(size(array_intersect(sh_a, sh_b)) as double) / size(array_union(sh_a, sh_b)) >= 0.5"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty) // the generator plants near-dup pairs at sf0.01
+    assert(lsh === brute)
+  }
+
+  test("SimHash banded pairs equal brute-force Hamming pairs (full recall)") {
+    val docs = Tables.documents(spark, sf001)
+    val banded = Dedup.simhashNeardupPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = Dedup.simhashFingerprints(docs, "doc_id", "text")
+    val brute = fp.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+      .crossJoin(fp.select(col("doc_id").as("doc_b"), col("sim").as("sim_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr("bit_count(sim_a ^ sim_b) <= 1"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+}
