@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Windows.defs ++
       graft.queries.Grouping.defs ++
       graft.queries.Functions.defs ++
-      graft.queries.Dedup.defs
+      graft.queries.Dedup.defs ++
+      graft.queries.Similarity.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.Grouping.oracles ++
       graft.queries.Functions.oracles ++
-      graft.queries.Dedup.oracles
+      graft.queries.Dedup.oracles ++
+      graft.queries.Similarity.oracles
 }
