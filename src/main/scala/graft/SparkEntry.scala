@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.Grouping.defs ++
       graft.queries.Functions.defs ++
       graft.queries.Dedup.defs ++
-      graft.queries.Similarity.defs
+      graft.queries.Similarity.defs ++
+      graft.queries.TextAnalysis.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.Grouping.oracles ++
       graft.queries.Functions.oracles ++
       graft.queries.Dedup.oracles ++
-      graft.queries.Similarity.oracles
+      graft.queries.Similarity.oracles ++
+      graft.queries.TextAnalysis.oracles
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{TextAnalysis => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the documents table, DuckDB-mirrored. */
+object TextAnalysis {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_quality_scores" -> { (s, dir) =>
+      T.qualityScores(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "t02_token_counts" -> { (s, dir) =>
+      T.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "t03_language_id" -> { (s, dir) =>
+      T.languageId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "t04_fingerprints" -> { (s, dir) =>
+      T.fingerprints(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB mirrors ----------------------------------------------------
+
+  private def lexHits(lex: Seq[String]): String =
+    s"list_sum(list_transform(toks, t -> CASE WHEN list_contains(${lex.map(x => s"'$x'").mkString("[", ", ", "]")}, t) THEN 1 ELSE 0 END))"
+
+  private val toksCte =
+    "WITH d AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)"
+
+  val oracles: Map[String, String] = Map(
+    "t01_quality_scores" ->
+      s"""$toksCte,
+         |q AS (SELECT doc_id,
+         |  CAST(len(toks) AS INT) n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) n_distinct,
+         |  round(list_sum(list_transform(toks, t -> len(t))) / len(toks)::DOUBLE, 6) mean_tok_len,
+         |  round(${lexHits(Seq("the", "a"))} / len(toks)::DOUBLE, 6) stop_ratio,
+         |  CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INT) punct_count
+         |FROM d)
+         |SELECT *, round(least(n_tokens, 100) / 100.0 * 0.4
+         |  + n_distinct / CAST(n_tokens AS DOUBLE) * 0.4
+         |  + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "t02_token_counts" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INT) ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) re_tokens,
+         |  CAST(list_sum(list_transform(toks, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS INT) subword_est,
+         |  CAST(len(text) AS INT) n_chars_measured
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t03_language_id" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |  ${T.lexicons.map { case (lang, lex) => s"CAST(${lexHits(lex)} AS INT) hits_$lang" }.mkString(",\n         |  ")}
+         |FROM d)
+         |SELECT doc_id, ${T.lexicons.map { case (l, _) => s"hits_$l" }.mkString(", ")},
+         |  list_sort([${T.lexicons.map { case (l, _) => s"{'neg': -hits_$l, 'lang': '$l'}" }.mkString(", ")}])[1].lang AS best_lang
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t04_fingerprints" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+         |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id, CAST(len(shingles) AS INT) n_shingles,
+         |    list_reduce(list_slice(list_sort(list_transform(shingles,
+         |      s -> CAST('0x' || substr(md5('fp' || ':' || s), 1, 15) AS BIGINT))), 1, 5),
+         |      (a, x) -> xor(a, x)) AS fp
+         |  FROM sh)
+         |SELECT doc_id, n_shingles, fp, count(*) OVER (PARTITION BY fp) AS fp_bucket_size
+         |FROM fp ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def doc(text: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("quality scores on a known document") {
+    val r = TextAnalysis.qualityScores(doc("the cat sat on the mat !"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Int]("n_tokens") === 7)
+    assert(r.getAs[Int]("n_distinct") === 6) // 'the' twice
+    assert(r.getAs[Double]("mean_tok_len") === math.rint(18.0 / 7.0 * 1e6) / 1e6)
+    assert(r.getAs[Int]("punct_count") === 1) // the '!'
+    assert(r.getAs[Double]("stop_ratio") === math.rint(2.0 / 7.0 * 1e6) / 1e6)
+  }
+
+  test("token counts: regex tokenizer splits glued words and symbols") {
+    val r = TextAnalysis.tokenCounts(doc("abc123 x! y"), "doc_id", "text").collect().head
+    assert(r.getAs[Int]("ws_tokens") === 3)
+    assert(r.getAs[Int]("re_tokens") === 5) // abc, 123, x, !, y
+    // ceil(6/4)+ceil(2/4)+ceil(1/4) = 2+1+1
+    assert(r.getAs[Int]("subword_est") === 4)
+  }
+
+  test("language id picks the lexicon with most hits, ties break alphabetically") {
+    val en = TextAnalysis.languageId(doc("the the value"), "doc_id", "text").collect().head
+    assert(en.getAs[String]("best_lang") === "en")
+    // 'a' hits de/en/es/fr equally -> alphabetical winner 'de'
+    val tie = TextAnalysis.languageId(doc("a value row"), "doc_id", "text").collect().head
+    assert(tie.getAs[String]("best_lang") === "de")
+  }
+
+  test("near-duplicate documents land in the same fingerprint bucket") {
+    val docs = Tables.documents(spark, sf01)
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
+    // the generator plants 25 near-dup pairs; winnowed min-5 fingerprints
+    // should put at least some of them in shared buckets
+    val bucketed = fps.filter(col("fp_bucket_size") >= 2).count()
+    assert(bucketed >= 2, s"expected some shared-fingerprint docs, got $bucketed")
+    assert(fps.count() === 500)
+  }
+}
