@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Functions.defs ++
       graft.queries.Dedup.defs ++
       graft.queries.Similarity.defs ++
-      graft.queries.TextAnalysis.defs
+      graft.queries.TextAnalysis.defs ++
+      graft.queries.Media.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Functions.oracles ++
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
-      graft.queries.TextAnalysis.oracles
+      graft.queries.TextAnalysis.oracles ++
+      graft.queries.Media.oracles
 }
