@@ -22,7 +22,11 @@ object SparkEntry {
       graft.queries.Dedup.defs ++
       graft.queries.Similarity.defs ++
       graft.queries.TextAnalysis.defs ++
-      graft.queries.Media.defs
+      graft.queries.Media.defs ++
+      graft.queries.Typed.defs ++
+      graft.queries.Stats.defs ++
+      graft.queries.IO.defs ++
+      graft.queries.Streams.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +38,9 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++
       graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++
-      graft.queries.Media.oracles
+      graft.queries.Media.oracles ++
+      graft.queries.Typed.oracles ++
+      graft.queries.Stats.oracles ++
+      graft.queries.IO.oracles ++
+      graft.queries.Streams.oracles
 }

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reader/writer surface (SURVEY §2.1: DataFrameReader/DataFrameWriter —
+  * json/csv/text/parquet read+write, partitioned writes, save modes) plus
+  * the temp-view + spark.sql entry point (§2.11).
+  *
+  * Each query does a real write to scratch space and reads its own output
+  * back, then reduces to an aggregate the DuckDB oracle reproduces from
+  * the ORIGINAL parquet — so the round trip itself is what's being
+  * verified. Schemas are passed explicitly on read (json/csv carry no
+  * types), which is also the 100 TB posture: schema-on-read inference over
+  * a lake is a full extra scan you never want.
+  */
+object IO {
+
+  private val scratch = "/tmp/graft_io"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // JSON write -> schema'd read -> aggregate.
+    "i01_json_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/json_orders"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode(SaveMode.Overwrite).json(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType)))
+      s.read.schema(schema).json(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+        .orderBy("o_orderstatus")
+    },
+
+    // CSV (header) write -> schema'd read -> aggregate.
+    "i02_csv_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/csv_customer"
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_nationkey", LongType),
+        StructField("c_mktsegment", StringType), StructField("c_acctbal", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    },
+
+    // text sink/source: one string column named `value`.
+    "i03_text_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/text_docs"
+      Tables.documents(s, dir).select(col("text"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.text(path)
+        .select(size(split(col("value"), " ")).as("n_tokens"))
+        .groupBy("n_tokens").agg(count(lit(1)).as("n_docs"))
+        .orderBy("n_tokens")
+    },
+
+    // Hive-style partitioned parquet write; read back ONE partition — the
+    // filter is satisfied by directory pruning, not data skipping.
+    "i04_partitioned_write" -> { (s, dir) =>
+      val path = s"$scratch/orders_by_status"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderstatus") === "F")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+    },
+
+    // Temp view + pure-SQL entry point over it.
+    "i05_sql_over_view" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  sum(cast(round(l_extendedprice * 100) as bigint)) AS cents
+          |FROM lineitem_v
+          |WHERE l_quantity >= 10
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "i01_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "i02_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "i03_text_roundtrip" ->
+      """SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tokens, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY n_tokens""".stripMargin,
+
+    "i04_partitioned_write" ->
+      """SELECT count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "i05_sql_over_view" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** df.na / df.stat / describe-class surface (SURVEY §2.12:
+  * CORE/DataFrameNaFunctions.scala drop/fill/replace,
+  * CORE/DataFrameStatFunctions.scala cov/corr/crosstab).
+  *
+  * Numeric policy: moments are assembled from EXACT integer sums (unit
+  * cents, decimal(38,0) for squares) and only converted to double for the
+  * final closed-form formula — so corr/stddev/cov are bit-deterministic
+  * under any partitioning, where a naive double sum would drift at 1000
+  * executors.
+  */
+object Stats {
+
+  private val cents = "cast(round(o_totalprice * 100) as bigint)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // na.replace + na.fill over injected nulls.
+    "n01_na_handling" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status"),
+          when(col("o_totalprice") > 300000, col("o_totalprice")).as("big_price"))
+        .na.replace("status", Map("F" -> "FIN"))
+        .na.fill(Map("status" -> "OPEN", "big_price" -> -1.0))
+        .orderBy("o_orderkey")
+    },
+
+    // describe-style summary from exact integer sums.
+    "n02_summary_stats" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          sum(expr(cents)).as("sum_cents"),
+          sum(expr(s"cast($cents as decimal(38,0)) * $cents")).as("sumsq_cents"))
+        .select(col("n"), col("min_price"), col("max_price"),
+          round(col("sum_cents") / col("n"), 4).as("mean_cents"),
+          round(sqrt(
+            (col("sumsq_cents").cast("double") - col("sum_cents").cast("double") * col("sum_cents") / col("n"))
+              / (col("n") - 1)), 4).as("stddev_cents"))
+    },
+
+    // stat.crosstab shape: returnflag x linestatus contingency counts.
+    "n03_crosstab" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag_l_linestatus")
+    },
+
+    // Pearson corr + sample covariance from exact sums.
+    "n04_corr_cov" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(expr("cast(l_quantity as bigint)").as("q"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sx"), sum("c").as("sy"),
+          sum(expr("q * q")).as("sxx"),
+          sum(expr("cast(c as decimal(38,0)) * c")).as("syy"),
+          sum(expr("q * c")).as("sxy"))
+        .select(col("n"),
+          round((col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") - col("sy").cast("double") * col("sy"))), 6)
+            .as("pearson_r"),
+          round((col("sxy") - col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1), 4)
+            .as("cov_samp"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "n01_na_handling" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN nullif(o_orderstatus, 'O') = 'F' THEN 'FIN'
+        |                ELSE nullif(o_orderstatus, 'O') END, 'OPEN') AS status,
+        |  COALESCE(CASE WHEN o_totalprice > 300000 THEN o_totalprice END, -1.0) AS big_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "n02_summary_stats" ->
+      """WITH s AS (SELECT count(*) n, min(o_totalprice) min_price, max(o_totalprice) max_price,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) sum_cents,
+        |  sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(o_totalprice * 100) AS BIGINT)) sumsq_cents
+        |FROM orders)
+        |SELECT n, min_price, max_price,
+        |  round(sum_cents / CAST(n AS DOUBLE), 4) AS mean_cents,
+        |  round(sqrt((CAST(sumsq_cents AS DOUBLE) - CAST(sum_cents AS DOUBLE) * sum_cents / n) / (n - 1)), 4) AS stddev_cents
+        |FROM s""".stripMargin,
+
+    "n03_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "n04_corr_cov" ->
+      """WITH s AS (SELECT count(*) n,
+        |  sum(CAST(l_quantity AS BIGINT)) sx,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) sy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) sxx,
+        |  sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)) syy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) sxy
+        |FROM lineitem)
+        |SELECT n,
+        |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r,
+        |  round((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4) AS cov_samp
+        |FROM s""".stripMargin
+  )
+}

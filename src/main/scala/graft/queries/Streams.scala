@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.{Event, Streaming}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms executed in batch mode over the events table for
+  * the DuckDB oracle (same plan runs incrementally under readStream —
+  * StreamingSpec proves the parity). */
+object Streams {
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_tumbling_windows" -> { (s, dir) =>
+      Streaming.tumblingStats(events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")
+    },
+
+    "v02_sliding_windows" -> { (s, dir) =>
+      Streaming.slidingStats(events(s, dir), "1 hour", "15 minutes")
+        .orderBy("window_start", "event_type")
+    },
+
+    "v03_sessionization" -> { (s, dir) =>
+      import s.implicits._
+      Streaming.sessionize(events(s, dir).as[Event], gapMinutes = 30)
+        .toDF().orderBy("user_id", "session_idx")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v01_tumbling_windows" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "v02_sliding_windows" ->
+      """SELECT ws AS window_start, event_type,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM (SELECT event_type, value,
+        |        unnest(list_transform(range(0, 4),
+        |          i -> time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes')) ws
+        |      FROM events)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "v03_sessionization" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Typed event row for the events table. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** A closed user session: maximal run of a user's events with no gap
+  * larger than the session gap. */
+case class Session(user_id: Long, session_idx: Long, n_events: Long,
+                   session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+/** Streaming surface (SURVEY §2.9). The reference's DStream model
+  * (STRM/dstream/DStream.scala — processing-time micro-batches,
+  * window/reduceByKeyAndWindow, updateStateByKey/mapWithState) maps to
+  * Structured Streaming event-time semantics: `window()` aggregations +
+  * watermarks, and mapGroupsWithState/flatMapGroupsWithState for custom
+  * state (documented deviation: event-time + watermark replaces
+  * processing-time windows).
+  *
+  * Every transform here is unbound: apply it to a static DataFrame for
+  * batch (and the DuckDB oracle), or to `readStream` input for streaming —
+  * the SAME plan runs incrementally. StreamingSpec proves batch/stream
+  * parity with MemoryStream, watermark late-data drop, and cross-batch
+  * state.
+  */
+object Streaming {
+
+  private val cents = "cast(round(value * 100) as bigint)"
+
+  /** Tumbling event-time windows: per (window, event_type) counts + exact
+    * cents sum. Streaming: one shuffle per micro-batch into the state
+    * store, keyed by (window, type) — partial aggregation keeps the
+    * shuffle small at scale. */
+  def tumblingStats(events: DataFrame, size: String): DataFrame =
+    events.groupBy(window(col("ts"), size).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("cents"))
+
+  /** Sliding windows (size divisible by slide): each event lands in
+    * size/slide windows. */
+  def slidingStats(events: DataFrame, size: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr(cents)).as("cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("cents"))
+
+  /** Event-time watermark: bound state retention / late-data acceptance. */
+  def withLateness(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Core sessionization step shared by the batch and streaming paths:
+    * fold time-ordered events into gap-delimited sessions, continuing from
+    * carried-over sessions (streaming state), empty for batch. */
+  def foldSessions(prior: List[Session], uid: Long, events: Seq[Event],
+                   gapMs: Long): List[Session] =
+    events.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(prior) { (acc, e) =>
+      acc match {
+        case last :: rest if e.ts.getTime - last.session_end.getTime <= gapMs =>
+          last.copy(n_events = last.n_events + 1, session_end = e.ts) :: rest
+        case _ =>
+          Session(uid, acc.size + 1L, 1L, e.ts, e.ts) :: acc
+      }
+    }
+
+  /** Batch sessionization: groupByKey + flatMapGroups. At 100 TB the group
+    * sort happens per user in memory — acceptable because per-user event
+    * counts are bounded; the unbounded-user dimension is the shuffle key.
+    * The streaming equivalent keeps the open session in GroupState
+    * (StreamingSpec.statefulSessionCounts). */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id).flatMapGroups { (uid, it) =>
+      foldSessions(Nil, uid, it.toSeq, gapMs).reverseIterator
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Writer semantics the oracle can't see: save modes, partition layout and
+  * partition pruning in the physical plan. */
+class IOSpec extends SparkSpec {
+
+  private def tmp(name: String) = {
+    val d = s"/tmp/graft_io_spec/$name"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val f = new java.io.File(d)
+    if (f.exists()) rm(f)
+    d
+  }
+
+  test("save modes: ErrorIfExists throws, Ignore no-ops, Append doubles, Overwrite resets") {
+    val path = tmp("modes")
+    val df = Tables.nation(spark, sf001)
+    val n = df.count()
+    df.write.parquet(path) // default ErrorIfExists on fresh path
+    intercept[AnalysisException] { df.write.parquet(path) }
+    df.write.mode(SaveMode.Ignore).parquet(path)
+    assert(spark.read.parquet(path).count() === n)
+    df.write.mode(SaveMode.Append).parquet(path)
+    assert(spark.read.parquet(path).count() === 2 * n)
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    assert(spark.read.parquet(path).count() === n)
+  }
+
+  test("partitionBy writes hive-style dirs and the reader prunes them") {
+    val path = tmp("parts")
+    Tables.orders(spark, sf001)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.partitionBy("o_orderstatus").parquet(path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+    val plan = spark.read.parquet(path).filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    // partition filter, not a data filter: scan carries PartitionFilters
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"))
+  }
+
+  test("csv options: delimiter and null handling round-trip") {
+    val path = tmp("csvopt")
+    import spark.implicits._
+    val df = Seq((1L, Option("x")), (2L, None)).toDF("id", "s")
+    df.write.option("delimiter", "|").option("header", "true").csv(path)
+    val back = spark.read.option("delimiter", "|").option("header", "true")
+      .schema(df.schema).csv(path)
+    assert(back.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      === Set((1L, Some("x")), (2L, None)))
+  }
+
+  test("json preserves nested structs and arrays") {
+    val path = tmp("jsonnest")
+    import spark.implicits._
+    val df = Seq((1L, Seq("a", "b"), ("x", 2.5))).toDF("id", "tags", "meta")
+    df.write.json(path)
+    val back = spark.read.schema(df.schema).json(path).collect().head
+    assert(back.getSeq[String](1) === Seq("a", "b"))
+    assert(back.getStruct(2).getDouble(1) === 2.5)
+  }
+}

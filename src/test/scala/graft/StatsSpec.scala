@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stat-helper surface that is approximate or engine-specific (no DuckDB
+  * mirror): freqItems, sampleBy, approxQuantile, describe, seeded sampling
+  * — asserted on structural/deterministic properties instead. */
+class StatsSpec extends SparkSpec {
+
+  private def orders = Tables.orders(spark, sf001)
+  private def lineitem = Tables.lineitem(spark, sf001)
+
+  test("freqItems finds every truly frequent value") {
+    val freq = lineitem.stat.freqItems(Array("l_returnflag"), 0.4)
+      .collect().head.getSeq[String](0).toSet
+    // values with frequency > 40% must be present (N is ~half of lineitem)
+    val truth = lineitem.groupBy("l_returnflag").count()
+      .filter(col("count") > lineitem.count() * 0.4)
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(freq))
+  }
+
+  test("approxQuantile brackets the exact median") {
+    val Array(q50) = orders.stat.approxQuantile("o_totalprice", Array(0.5), 0.01)
+    val exact = orders.select(expr("percentile(o_totalprice, 0.5)"))
+      .collect().head.getDouble(0)
+    val spread = orders.agg(max("o_totalprice") - min("o_totalprice"))
+      .collect().head.getDouble(0)
+    assert(math.abs(q50 - exact) <= spread * 0.05)
+  }
+
+  test("describe emits the five standard rows") {
+    val rows = orders.describe("o_totalprice").collect()
+      .map(_.getString(0)).toSet
+    assert(rows === Set("count", "mean", "stddev", "min", "max"))
+  }
+
+  test("seeded sample and randomSplit are reproducible and sized right") {
+    val n = orders.count()
+    val s1 = orders.sample(withReplacement = false, 0.2, seed = 42).collect()
+    val s2 = orders.sample(withReplacement = false, 0.2, seed = 42).collect()
+    assert(s1.map(_.getLong(0)).toSeq === s2.map(_.getLong(0)).toSeq)
+    assert(s1.length > n * 0.1 && s1.length < n * 0.3)
+    val Array(a, b) = orders.randomSplit(Array(0.7, 0.3), seed = 7)
+    assert(a.count() + b.count() === n)
+    assert(a.intersect(b).count() === 0)
+  }
+
+  test("sampleBy honors per-stratum fractions") {
+    val frac = Map("O" -> 0.5, "F" -> 0.1, "P" -> 1.0)
+    val sampled = orders.stat.sampleBy("o_orderstatus", frac, seed = 11)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = orders.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum present in the sample obeys its ceiling-ish bound
+    sampled.foreach { case (k, c) => assert(c <= totals(k)) }
+    assert(sampled.getOrElse("P", 0L) === totals.getOrElse("P", 0L)) // fraction 1.0 keeps all
+  }
+}
