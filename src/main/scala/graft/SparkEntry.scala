@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Typed.defs ++
       graft.queries.Stats.defs ++
       graft.queries.IO.defs ++
-      graft.queries.Streams.defs
+      graft.queries.Streams.defs ++
+      graft.queries.Graphs.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Typed.oracles ++
       graft.queries.Stats.oracles ++
       graft.queries.IO.oracles ++
-      graft.queries.Streams.oracles
+      graft.queries.Streams.oracles ++
+      graft.queries.Graphs.oracles
 }

@@ -35,6 +35,30 @@ object Dedup {
   def portableHash(value: String, seed: String): String =
     s"cast(conv(substr(md5(concat($seed, ':', $value)), 1, 15), 16, 10) as bigint)"
 
+  /** Unsalted 31-bit base hash — computed ONCE per token/shingle; the k
+    * MinHash permutations are derived from it by an affine universal-hash
+    * family instead of k separate md5 calls (same standard construction,
+    * ~k times less hashing on the hot path). 31-bit so a_i * h stays
+    * below 2^62: every op is plain 64-bit integer arithmetic in any
+    * engine — no 128-bit/decimal slow path. */
+  def baseHash(value: String): String =
+    s"(cast(conv(substr(md5($value), 1, 15), 16, 10) as bigint) % $MersennePrime31)"
+
+  /** Mersenne prime 2^31 - 1: modulus of the affine rehash family. */
+  val MersennePrime31: Long = 2147483647L
+
+  private def md5Long(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** Deterministic affine coefficients (a_i in [1, p-1], b_i in [0, p-1])
+    * for the i-th MinHash permutation h_i(x) = (a_i * x + b_i) mod p. */
+  def affineCoeffs(k: Int): (Seq[Long], Seq[Long]) = (
+    (0 until k).map(i => md5Long(s"mh:a:$i") % (MersennePrime31 - 1) + 1),
+    (0 until k).map(i => md5Long(s"mh:b:$i") % MersennePrime31))
+
   /** Whitespace tokens of a text column (SQL fragment). */
   def tokens(text: String): String = s"split($text, ' ')"
 
@@ -46,11 +70,16 @@ object Dedup {
       s"i -> concat_ws(' ', slice($t, i, $n))))"
   }
 
-  /** k-permutation MinHash signature over a shingle-array fragment: element
-    * i is min over shingles of hash seeded by i. One map pass per doc. */
-  def minhashSignature(shinglesExpr: String, k: Int): String =
-    s"transform(sequence(0, ${k - 1}), i -> array_min(transform($shinglesExpr, " +
-      s"s -> ${portableHash("s", "cast(i as string)")})))"
+  /** k-permutation MinHash signature over a PRE-HASHED array fragment
+    * (31-bit base hashes): element i is min over hashes of the i-th affine
+    * permutation. Fully unrolled with scalar literal coefficients — no
+    * per-element array construction, pure 64-bit arithmetic. */
+  def minhashSignature(hashesExpr: String, k: Int): String = {
+    val (as, bs) = affineCoeffs(k)
+    (0 until k).map(i =>
+      s"array_min(transform($hashesExpr, h -> (${as(i)}L * h + ${bs(i)}L) % $MersennePrime31))")
+      .mkString("array(", ",", ")")
+  }
 
   /** LSH band keys for a signature fragment: `bands` keys, each encoding
     * `rowsPerBand` consecutive signature entries. Two docs collide on a key
@@ -62,14 +91,14 @@ object Dedup {
     s"transform(sequence(0, ${bands - 1}), b -> concat_ws(':', cast(b as string), $parts))"
   }
 
-  /** SimHash fingerprint (`bits` wide, as INT) over a token-array fragment:
-    * bit j is set iff the frequency-weighted sum of token-hash bit j signs
-    * is positive. */
-  def simhash(tokensExpr: String, bits: Int): String =
-    s"cast(aggregate(sequence(0, ${bits - 1}), 0, (acc, j) -> acc + " +
-      s"CASE WHEN aggregate($tokensExpr, 0, (a, t) -> a + " +
-      s"CASE WHEN (shiftright(${portableHash("t", "'sim'")}, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-      s"THEN shiftleft(1, j) ELSE 0 END) as int)"
+  /** SimHash fingerprint (`bits` wide, as BIGINT) over a PRE-HASHED array
+    * fragment: bit j is set iff the frequency-weighted sum of hash-bit-j
+    * signs is positive. Hash once per token, then only bit ops per bit. */
+  def simhash(hashesExpr: String, bits: Int): String =
+    s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + " +
+      s"CASE WHEN aggregate($hashesExpr, 0, (a, h) -> a + " +
+      s"CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
 
   /** Exact dedup: one row per distinct text digest with the smallest id as
     * canonical representative and the copy count. Scales as a plain
@@ -78,12 +107,15 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signature table: (doc_id, n_shingles, sig). */
+  /** Per-document MinHash signature table: (doc_id, n_shingles, sig).
+    * Base-hashes each shingle once, then derives all k permutations. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32): DataFrame =
     df.select(col(idCol).as("doc_id"), expr(shingles(textCol, shingleN)).as("shingles"))
       .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
-        expr(minhashSignature("shingles", k)).as("sig"))
+        expr(s"transform(shingles, s -> ${baseHash("s")})").as("hs"))
+      .select(col("doc_id"), col("n_shingles"),
+        expr(minhashSignature("hs", k)).as("sig"))
 
   /** LSH candidate pairs (doc_a < doc_b, n_bands = how many bands agree).
     * One shuffle on the band key; `maxBucket` caps degenerate buckets. */
@@ -117,17 +149,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Per-document SimHash fingerprints: (doc_id, sim). */
+  /** Per-document SimHash fingerprints: (doc_id, sim). Computed
+    * relationally — explode tokens, hash once each, then `bits` unrolled
+    * conditional SUMs in one codegen'd hash aggregate (the nested-lambda
+    * formulation in [[simhash]] is interpreted per element and ~10x
+    * slower; at scale the explode+partial-agg also combines map-side). */
   def simhashFingerprints(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 16): DataFrame =
-    df.select(col(idCol).as("doc_id"), expr(simhash(tokens(textCol), bits)).as("sim"))
+                          bits: Int = 32): DataFrame = {
+    val th = df
+      .select(col(idCol).as("doc_id"), explode(expr(tokens(textCol))).as("t"))
+      .select(col("doc_id"), expr(portableHash("t", "'sim'")).as("h"))
+    val sums = (0 until bits).map(j =>
+      sum(expr(s"CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+    val simExpr = (0 until bits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN shiftleft(cast(1 as bigint), $j) ELSE 0L END)")
+      .mkString(" + ")
+    th.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(simExpr).as("sim"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= `maxHamming`, found by
     * banding the fingerprint into `bandsCount` equal bit-chunks and joining
     * on chunk equality (pigeonhole: distance <= bandsCount-1 guarantees at
     * least one identical chunk — full recall, no cross join). */
   def simhashNeardupPairs(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 16, bandsCount: Int = 4,
+                          bits: Int = 32, bandsCount: Int = 4,
                           maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= bandsCount - 1, "banding only guarantees recall up to bandsCount-1")
     val chunk = bits / bandsCount

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph thin-slice (SURVEY §2.13: GraphX Pregel.scala:56 BSP loop,
+  * GraphOps.pageRank:371 / connectedComponents:416) re-expressed as
+  * DataFrame-join iterations — each superstep is one shuffled join +
+  * aggregate, the same dataflow Pregel lowers to, with Catalyst/AQE
+  * choosing the physical join.
+  *
+  * Scale: ranks/labels are a (vertex, value) table partitioned by vertex;
+  * each superstep shuffles messages on dst. At 100 TB you'd pre-partition
+  * edges by src and checkpoint every few supersteps to cut lineage —
+  * noted here because the loop below deliberately keeps the plan linear
+  * and small (fixed iteration count) rather than unbounded.
+  */
+object Graph {
+
+  /** Static PageRank (GraphX GraphOps.pageRank semantics: reset 0.15/n +
+    * 0.85 x received mass, dangling mass not redistributed), uniform
+    * start, fixed `iters` supersteps. `edges`: (src, dst) with
+    * multiplicity as weight. Returns (vertex, rank). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val norm = e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+      .cache()
+    val verts = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct().cache()
+    val n = verts.count().toDouble // one-time numVertices action, as in GraphX
+    var ranks = verts.select(col("vertex"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = norm.alias("e")
+        .join(ranks.alias("r"), col("e.src") === col("r.vertex"))
+        .groupBy(col("e.dst").as("vertex"))
+        .agg(sum(col("r.rank") * col("e.p")).as("recv"))
+      ranks = verts.join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("recv"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Connected components by min-label propagation over undirected edges,
+    * `iters` fixed supersteps (converged iff diameter <= iters; the fixed
+    * count keeps the result well-defined for the oracle either way).
+    * Returns (vertex, component) where component is the min reachable
+    * vertex id within `iters` hops. */
+  def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().cache()
+    val verts = und.select(col("a").as("vertex")).distinct().cache()
+    var labels = verts.select(col("vertex"), col("vertex").as("component"))
+    for (_ <- 1 to iters) {
+      val nbrMin = und.alias("u")
+        .join(labels.alias("lb"), col("u.b") === col("lb.vertex"))
+        .groupBy(col("u.a").as("vertex"))
+        .agg(min(col("lb.component")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("vertex"), "left")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+    }
+    labels
+  }
+}

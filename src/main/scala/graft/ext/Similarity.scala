@@ -102,7 +102,10 @@ object Similarity {
       s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
     def banded(df: DataFrame, prefix: String) =
       normed(df, idCol, vecCol, prefix)
-        .withColumn("sig", expr(signatureSql(s"${prefix}_v", planes, bits, dims)))
+        // hoist the plane constants to a once-per-row column: inside the
+        // lambda a literal array would be re-constructed per element
+        .withColumn("pl", expr(planes))
+        .withColumn("sig", expr(signatureSql(s"${prefix}_v", "pl", bits, dims)))
         .select(col(s"${prefix}_id"), explode(expr(bandExpr)).as("nkey"))
     val cands = broadcast(banded(probes, "probe")).join(banded(corpus, "vec"), "nkey")
       .filter(col("probe_id") =!= col("vec_id"))
@@ -120,7 +123,9 @@ object Similarity {
     val anchors = planesLiteral(signPlanes(nClusters, dims, "anc"))
     def withDots(df: DataFrame, prefix: String) =
       normed(df, idCol, vecCol, prefix)
-        .withColumn("dots", expr(anchorDotsSql(s"${prefix}_v", anchors, nClusters, dims)))
+        .withColumn("anc", expr(anchors))
+        .withColumn("dots", expr(anchorDotsSql(s"${prefix}_v", "anc", nClusters, dims)))
+        .drop("anc")
     val corpusC = withDots(corpus, "vec")
       .withColumn("cluster", expr("cast(array_position(dots, array_max(dots)) as int)"))
       .drop("dots")
@@ -140,8 +145,10 @@ object Similarity {
     val planes = planesLiteral(signPlanes(bits, dims, "pl"))
     val anchors = planesLiteral(signPlanes(nClusters, dims, "anc"))
     normed(df, idCol, vecCol, "vec")
-      .withColumn("rp_sig", expr(signatureSql("vec_v", planes, bits, dims)))
-      .withColumn("dots", expr(anchorDotsSql("vec_v", anchors, nClusters, dims)))
+      .withColumn("plc", expr(planes))
+      .withColumn("rp_sig", expr(signatureSql("vec_v", "plc", bits, dims)))
+      .withColumn("ancc", expr(anchors))
+      .withColumn("dots", expr(anchorDotsSql("vec_v", "ancc", nClusters, dims)))
       .withColumn("ivf_cluster", expr("cast(array_position(dots, array_max(dots)) as int)"))
       .select(col("vec_id"), col("rp_sig"), col("ivf_cluster"),
         round(col("vec_norm"), 4).as("norm"))

@@ -68,16 +68,28 @@ object Dedup {
   private def ph(value: String, seed: String): String =
     s"CAST('0x' || substr(md5($seed || ':' || $value), 1, 15) AS BIGINT)"
 
-  // Shared CTE chain mirroring shingles -> signatures -> bands -> candidates.
-  private val minhashCte: String =
+  // Affine MinHash family constants — same coefficients graft.ext.Dedup
+  // embeds in the Spark expression, unrolled the same way.
+  private val (mhA, mhB) = graft.ext.Dedup.affineCoeffs(32)
+  private val P = graft.ext.Dedup.MersennePrime31
+  private val sigList = (0 until 32)
+    .map(i => s"list_min(list_transform(hs, h -> (${mhA(i)} * h + ${mhB(i)}) % $P))")
+    .mkString("[", ", ", "]")
+
+  // Shared CTE chain mirroring shingles -> base hashes -> signatures ->
+  // bands -> candidates (exposed for the graph mirror, p02).
+  private[queries] val minhashCte: String =
     s"""WITH sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
        |  FROM documents),
-       |sig AS (
+       |hsh AS (
        |  SELECT doc_id, CAST(len(shingles) AS INT) n_shingles,
-       |    list_transform(range(0, 32), i -> list_min(list_transform(shingles, s -> ${ph("s", "CAST(i AS VARCHAR)")}))) AS sig
+       |    list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P) AS hs
        |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, n_shingles, $sigList AS sig
+       |  FROM hsh),
        |bands AS (
        |  SELECT doc_id, unnest(list_transform(range(0, 16),
        |    b -> CAST(b AS VARCHAR) || ':' || CAST(sig[2*b+1] AS VARCHAR) || ':' || CAST(sig[2*b+2] AS VARCHAR))) AS bkey
@@ -89,15 +101,27 @@ object Dedup {
        |  FROM capped a JOIN capped b USING (bkey) WHERE a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  private val simSums = (0 until 32)
+    .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) s$j")
+    .mkString(",\n       |    ")
+  private val simRecombine = (0 until 32)
+    .map(j => s"(CASE WHEN s$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+    .mkString(" + ")
+
   private val simhashCte: String =
-    s"""WITH sims AS (
-       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN
-       |    list_sum(list_transform(string_split(text,' '), t -> CASE WHEN (${ph("t", "'sim'")} >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |    THEN (1 << j) ELSE 0 END)) AS INT) sim
-       |  FROM documents),
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text,' ')) t FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${ph("t", "'sim'")} AS h FROM tok),
+       |ss AS (
+       |  SELECT doc_id,
+       |    $simSums
+       |  FROM th GROUP BY doc_id),
+       |sims AS (
+       |  SELECT doc_id, CAST($simRecombine AS BIGINT) sim FROM ss),
        |nib AS (
        |  SELECT doc_id, sim, unnest(list_transform(range(0, 4),
-       |    j -> CAST(j AS VARCHAR) || ':' || CAST((sim >> (4*j)) & 15 AS VARCHAR))) nkey
+       |    j -> CAST(j AS VARCHAR) || ':' || CAST((sim >> (8*j)) & 255 AS VARCHAR))) nkey
        |  FROM sims)""".stripMargin
 
   val oracles: Map[String, String] = Map(

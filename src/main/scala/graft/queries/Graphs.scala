@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup => D, Graph => G}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph thin-slice queries (SURVEY §2.13). p01 ranks the nation trade
+  * network (customer nation -> supplier nation per lineitem); p02 assigns
+  * near-duplicate documents to components — LSH pairs as edges, so the
+  * component id IS the dedup-cluster canonical id. DuckDB mirrors unroll
+  * the fixed supersteps as CTEs. */
+object Graphs {
+
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .select(c("c_nationkey").as("src"), sup("s_nationkey").as("dst"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_trade_pagerank" -> { (s, dir) =>
+      G.pageRank(tradeEdges(s, dir), iters = 3)
+        .select(col("vertex"), round(col("rank"), 6).as("pr"))
+        .orderBy("vertex")
+    },
+
+    "p02_neardup_components" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = D.neardupPairs(docs, "doc_id", "text")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = G.connectedComponents(pairs, iters = 3)
+      // all docs are vertices; isolated docs are their own component
+      docs.select(col("doc_id")).join(labels, col("doc_id") === col("vertex"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }
+  )
+
+  // ---- DuckDB mirrors ----------------------------------------------------
+
+  private val prStep: Int => String = i =>
+    s"""r$i AS (SELECT v.vertex,
+       |  0.15::DOUBLE / (SELECT count(*) FROM verts) +
+       |  0.85::DOUBLE * COALESCE(sum(r.rank * norm.p), 0::DOUBLE) AS rank
+       |  FROM verts v
+       |  LEFT JOIN norm ON norm.dst = v.vertex
+       |  LEFT JOIN r${i - 1} r ON r.vertex = norm.src
+       |  GROUP BY v.vertex)""".stripMargin
+
+  private val ccStep: Int => String = i =>
+    s"""l$i AS (SELECT l.vertex,
+       |  least(l.component, COALESCE(min(lp.component), l.component)) AS component
+       |  FROM l${i - 1} l
+       |  LEFT JOIN und u ON u.a = l.vertex
+       |  LEFT JOIN l${i - 1} lp ON lp.vertex = u.b
+       |  GROUP BY l.vertex, l.component)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "p01_trade_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |e AS (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) out_w FROM e GROUP BY 1),
+         |norm AS (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
+         |verts AS (SELECT DISTINCT src AS vertex FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT vertex, 1.0::DOUBLE / (SELECT count(*) FROM verts) AS rank FROM verts),
+         |${prStep(1)},
+         |${prStep(2)},
+         |${prStep(3)}
+         |SELECT vertex, round(rank, 6) AS pr FROM r3 ORDER BY vertex""".stripMargin,
+
+    "p02_neardup_components" -> {
+      // same candidate/verify chain as d04 (shared CTE), then unrolled
+      // min-label propagation
+      s"""${Dedup.minhashCte},
+         |pairs AS (
+         |  SELECT c.doc_a src, c.doc_b dst
+         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
+         |       UNION SELECT DISTINCT b, b FROM und),
+         |${ccStep(1)},
+         |${ccStep(2)},
+         |${ccStep(3)}
+         |SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN l3 l ON l.vertex = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
+  )
+}

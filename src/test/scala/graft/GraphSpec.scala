@@ -1,0 +1,41 @@
+package graft
+
+import graft.ext.Graph
+import org.apache.spark.sql.functions._
+
+/** Graph ops on a hand-checkable fixture: path 1-2-3 plus isolated pair
+  * 4-5, directed edges 1->2, 2->3, 3->1 (cycle) and 4->5. */
+class GraphSpec extends SparkSpec {
+
+  private def edges = {
+    import spark.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+  }
+
+  test("connected components: cycle and pair resolve to min labels") {
+    val comp = Graph.connectedComponents(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("pagerank: cycle vertices share rank; sink accumulates from source") {
+    val pr = Graph.pageRank(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 3-cycle is symmetric: equal ranks
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-12 && math.abs(pr(2L) - pr(3L)) < 1e-12)
+    // 5 only receives, 4 only gets reset mass: rank(5) > rank(4)
+    assert(pr(5L) > pr(4L))
+    assert(math.abs(pr(4L) - 0.15 / 5) < 1e-12)
+    // all ranks positive, none above 1
+    assert(pr.values.forall(v => v > 0 && v < 1))
+  }
+
+  test("pagerank is deterministic across partitionings") {
+    val a = Graph.pageRank(edges.repartition(5), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges.repartition(2), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+}

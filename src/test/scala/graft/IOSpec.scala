@@ -56,6 +56,15 @@ class IOSpec extends SparkSpec {
       === Set((1L, Some("x")), (2L, None)))
   }
 
+  test("orc write + read round-trips with identical rows") {
+    val path = tmp("orc")
+    val df = Tables.supplier(spark, sf001)
+    df.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema === df.schema)
+    assert(back.collect().toSet === df.collect().toSet)
+  }
+
   test("json preserves nested structs and arrays") {
     val path = tmp("jsonnest")
     import spark.implicits._
