@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the properties that decide whether these
+  * pipelines survive a 100 TB / 1000-executor scale-up: filters reaching
+  * the parquet scan, column pruning, broadcast choices, map-side partial
+  * aggregation, and whole-stage codegen coverage. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter is pushed to parquet and schema is pruned") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf001))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // 7 of 11 lineitem columns read — partkey/suppkey/linenumber/shipdate
+    // are needed, comment-ish ones are not
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"))
+  }
+
+  test("q04: star join broadcasts every dimension, big tables meet once") {
+    val p = plan(SparkEntry.queries("q04_local_supplier_volume")(spark, sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3) // c, n, r broadcast
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    val p = plan(SparkEntry.queries("v01_tumbling_windows")(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("d03: LSH candidate join is an equi-join on the band key, not a cross join") {
+    val p = plan(SparkEntry.queries("d03_lsh_candidates")(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("bkey"))
+  }
+
+  test("s01: probe side is broadcast for the all-pairs scoring join") {
+    val p = plan(SparkEntry.queries("s01_cosine_topk")(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("scalar-function pipelines stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("f04_math_functions")(spark, sf001)
+    df.collect() // finalize THIS df's adaptive plan (count() would plan anew)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("codegen id"))
+  }
+
+  test("i04: reading one partition back prunes by directory, not data filter") {
+    val p = plan(SparkEntry.queries("i04_partitioned_write")(spark, sf001))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus") ||
+      p.contains("PartitionFilters: [o_orderstatus"))
+  }
+}
