@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities for 1000-executor scale. AQE's skew-join
+  * splitting handles most cases at runtime; these are the explicit
+  * patterns for when the skew is known up front (a hot grouping key, a
+  * hot join key) and you want the plan shape guaranteed.
+  */
+object Scale {
+
+  /** Two-phase (salted) aggregation: spread each hot grouping key over
+    * `saltBuckets` partial groups, aggregate, then merge. `partialAggs`
+    * and `mergeAggs` must be an associative pair, e.g.
+    * partial `count(*) as c` merged by `sum(c) as c`.
+    *
+    * Phase 1 shuffles on (key, salt) — hot keys fan out across
+    * `saltBuckets` reducers instead of melting one; phase 2 shuffles the
+    * tiny partial table on key alone. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                      partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(keys.map(col): _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+
+  /** Salted broadcast-replicated join for a skewed LEFT side against a
+    * small right side: the right side is exploded `saltBuckets` times
+    * (one copy per salt) so the left's hot keys spread over
+    * `saltBuckets` reducers. Right side must be small enough to
+    * replicate (it is, or you would broadcast it outright — this is the
+    * pattern for when the join must shuffle, e.g. right side just over
+    * the broadcast cap). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val replicatedRight = right
+      .withColumn("__salt", explode(expr(s"sequence(0, ${saltBuckets - 1})")))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -53,6 +53,17 @@ object Stats {
         .orderBy("l_returnflag_l_linestatus")
     },
 
+    // Exact interpolated percentiles per group.
+    "n05_quantiles" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    },
+
     // Pearson corr + sample covariance from exact sums.
     "n04_corr_cov" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -97,6 +108,13 @@ object Stats {
         |  sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
         |  sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "n05_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "n04_corr_cov" ->
       """WITH s AS (SELECT count(*) n,

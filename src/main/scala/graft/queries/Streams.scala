@@ -28,6 +28,18 @@ object Streams {
       import s.implicits._
       Streaming.sessionize(events(s, dir).as[Event], gapMinutes = 30)
         .toDF().orderBy("user_id", "session_idx")
+    },
+
+    // Native session_window (gap-merged event-time sessions; window end =
+    // last event + gap, per Structured Streaming semantics).
+    "v04_session_windows" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("cents"))
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -60,6 +72,24 @@ object Streams {
         |  FROM g)
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
-        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "v04_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
