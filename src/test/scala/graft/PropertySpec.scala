@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated edge-case inputs (FIXTURES.md plan: null-heavy,
+  * boundary numerics, non-ASCII UTF-8) pushed through the engine and
+  * checked against independently computed expectations. Generators are
+  * seeded so failures reproduce. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // BMP, non-surrogate, printable-ish chars incl. multibyte UTF-8
+  private val utf8Char: Gen[Char] = Gen.frequency(
+    (5, Gen.alphaNumChar),
+    (2, Gen.oneOf('é', 'ü', 'ß', 'λ', '中', '文', 'д', '✓')),
+    (1, Gen.oneOf(' ', '_', '-')))
+  private val utf8String: Gen[String] =
+    Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, utf8Char)).map(_.mkString)
+
+  test("UTF-8 strings: length/upper/substring/concat match JVM semantics") {
+    val strs = samples(utf8String, 60)
+    val rows = strs.toDF("s").select(
+      col("s"), length(col("s")), substring(col("s"), 2, 3),
+      concat(col("s"), lit("|x"))).collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getInt(1) === s.codePointCount(0, s.length))
+      assert(r.getString(2) === (if (s.length >= 1) s.slice(1, 4) else ""))
+      assert(r.getString(3) === s + "|x")
+    }
+  }
+
+  test("split/concat_ws round-trips generated token lists") {
+    val tokens = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)))
+    samples(tokens, 40).foreach { ts =>
+      val back = Seq(ts.mkString(" ")).toDF("s")
+        .select(split(col("s"), " ")).collect().head.getSeq[String](0)
+      assert(back.toSeq === ts)
+    }
+  }
+
+  test("null-heavy aggregation matches independently computed expectations") {
+    val optInts: Gen[List[Option[Int]]] =
+      Gen.listOfN(40, Gen.frequency((1, Gen.const(None)),
+        (2, Gen.chooseNum(-1000000, 1000000).map(Some(_)))))
+    samples(optInts, 12).foreach { xs =>
+      val r = xs.toDF("v")
+        .agg(count(col("v")), sum(col("v")), min(col("v")), max(col("v")))
+        .collect().head
+      val defined = xs.flatten
+      assert(r.getLong(0) === defined.size)
+      if (defined.isEmpty) assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      else {
+        assert(r.getLong(1) === defined.map(_.toLong).sum)
+        assert(r.getInt(2) === defined.min && r.getInt(3) === defined.max)
+      }
+    }
+  }
+
+  test("boundary numerics: long sums near the edges stay exact") {
+    val nearEdge: Gen[Long] = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue / 4, Long.MinValue / 8),
+      Gen.chooseNum(Long.MaxValue / 8, Long.MaxValue / 4),
+      Gen.chooseNum(-100L, 100L))
+    samples(Gen.listOfN(6, nearEdge), 12).foreach { xs =>
+      val expected = xs.map(BigInt(_)).sum
+      if (expected.isValidLong) {
+        val got = xs.toDF("v").agg(sum("v")).collect().head.getLong(0)
+        assert(got === expected.toLong)
+      }
+    }
+  }
+
+  test("exact dedup invariants on generated duplicate-heavy corpora") {
+    val docGen = Gen.listOfN(30,
+      Gen.oneOf("a b", "a b c", "x", "y z w", "q")) // heavy duplication
+    samples(docGen, 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ext.Dedup.exactDedup(df, "doc_id", "text").collect()
+      assert(out.length === texts.distinct.size)
+      assert(out.map(_.getLong(2)).sum === texts.size) // copies partition the corpus
+      // canonical id is the first occurrence's id
+      out.foreach { r =>
+        val canonical = r.getLong(1)
+        assert(texts(canonical.toInt) != null)
+        assert(texts.indexOf(texts(canonical.toInt)).toLong === canonical)
+      }
+    }
+  }
+}
