@@ -145,6 +145,28 @@ object Functions {
         .orderBy("event_id")
     },
 
+    // Generator with position (posexplode — CAT/expressions/generators.scala).
+    "f11_posexplode" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .select(col("p_partkey"), col("pos"), col("col").as("word"))
+        .orderBy("p_partkey", "pos")
+    },
+
+    // MapType creation + access (complexTypeExtractors.scala GetMapValue:240).
+    "f12_map_functions" -> { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type")).as("m"))
+        .select(col("p_partkey"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+          element_at(col("m"), "brand").as("brand_val"),
+          element_at(col("m"), "type").as("type_val"),
+          array_contains(map_keys(col("m")), "brand").as("has_brand"))
+        .orderBy("p_partkey")
+    },
+
     // complexTypeCreator + collectionOperations surface: build arrays/
     // structs/maps, then size/sort_array/array_contains.
     "f10_collection_functions" -> { (s, dir) =>
@@ -260,6 +282,22 @@ object Functions {
         |  user_id << 2 AS shl,
         |  user_id >> 1 AS shr
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f11_posexplode" ->
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+        |  unnest(string_split(p_name, ' ')) AS word
+        |FROM part ORDER BY p_partkey, pos""".stripMargin,
+
+    "f12_map_functions" ->
+      """SELECT p_partkey,
+        |  CAST(cardinality(m) AS INT) AS n_keys,
+        |  array_to_string(map_keys(m), ',') AS keys_csv,
+        |  m['brand'][1] AS brand_val,
+        |  m['type'][1] AS type_val,
+        |  list_contains(map_keys(m), 'brand') AS has_brand
+        |FROM (SELECT p_partkey, map(['brand','type'], [p_brand, p_type]) m FROM part)
+        |ORDER BY p_partkey""".stripMargin,
 
     "f10_collection_functions" ->
       """SELECT p_partkey,

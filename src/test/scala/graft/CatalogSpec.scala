@@ -48,6 +48,28 @@ class CatalogSpec extends SparkSpec {
     assert(d.contains("upper"))
   }
 
+  test("saveAsTable persists to the session catalog and spark.table reads it back") {
+    spark.sql("DROP TABLE IF EXISTS region_saved")
+    Tables.region(spark, sf001).write.saveAsTable("region_saved")
+    try {
+      assert(spark.catalog.tableExists("region_saved"))
+      assert(spark.table("region_saved").count() === Tables.region(spark, sf001).count())
+      spark.table("region_saved").createOrReplaceTempView("rs_v")
+      assert(spark.sql("SELECT count(*) FROM region_saved").collect().head.getLong(0) > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS region_saved")
+    assert(!spark.catalog.tableExists("region_saved"))
+  }
+
+  test("SQL TRANSFORM pipes rows through an external script") {
+    Tables.region(spark, sf001).createOrReplaceTempView("region_t")
+    val out = spark.sql(
+      "SELECT TRANSFORM (r_name) USING 'cat' AS (name) FROM region_t")
+      .collect().map(_.getString(0)).sorted
+    val direct = Tables.region(spark, sf001)
+      .collect().map(_.getAs[String]("r_name")).sorted
+    assert(out.toSeq === direct.toSeq)
+  }
+
   test("1.6 compat shim: unionAll, explodeColumn, renamed functions") {
     import spark.implicits._
     val a = Seq((1, "x y")).toDF("id", "s")
