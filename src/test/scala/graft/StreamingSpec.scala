@@ -100,6 +100,24 @@ class StreamingSpec extends SparkSpec {
       === Streaming.tumblingStats(evs.toDF(), "1 hour").collect().toSet)
   }
 
+  test("foreachBatch sink sees every micro-batch once (foreachRDD parity)") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val ms = MemoryStream[Event](spark)
+    val evs = sampleEvents
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = ms.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Event], id: Long) =>
+        seen.add(id -> batch.count()); ()
+      }.start()
+    try {
+      ms.addData(evs.take(50)); q.processAllAvailable()
+      ms.addData(evs.slice(50, 80)); q.processAllAvailable()
+    } finally q.stop()
+    val sizes = seen.asScala.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes === Seq(50L, 30L))
+  }
+
   test("foldSessions splits on gaps and carries prior state") {
     def ev(id: Long, min: Int) =
       Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 7, "x", 0.0)
