@@ -20,11 +20,19 @@ object Plans {
         "more than once. AQE re-plans at runtime if a dimension outgrows the " +
         "broadcast threshold."),
     "d03_lsh_candidates" ->
-      ("MinHash LSH: signature computation is a narrow map pass (one md5 per " +
-        "shingle + unrolled 64-bit affine permutations); candidates come from " +
-        "an equi-join on the band key — the plan contains no CartesianProduct, " +
-        "and the window-based bucket cap bounds any band's contribution to the " +
-        "join."),
+      ("MinHash LSH: shingles explode into one codegen'd hash aggregate that " +
+        "computes all 32 permutation minima map-side-combined (no interpreted " +
+        "lambdas); degenerate buckets are counted and anti-joined out via " +
+        "broadcast BEFORE any bucket materializes; pairs come from a " +
+        "collect_list + double explode — no CartesianProduct, no window sort, " +
+        "one shuffle on the band key for pair generation."),
+    "s03_ivf_ann" ->
+      ("IVF ANN: anchor dot products run as a compiled JIT'd kernel (plain " +
+        "Scala closure over the broadcast-free literal anchor matrix), not " +
+        "interpreted SQL lambdas; cluster assignment is argmax; probes " +
+        "broadcast into their nprobe clusters, so the corpus is scanned once " +
+        "and at real scale cluster id becomes the storage partition key for " +
+        "source-level pruning."),
     "s01_cosine_topk" ->
       ("Brute-force ANN baseline: the probe set broadcasts (BroadcastNestedLoop " +
         "over the non-equi pair condition), so the corpus is read exactly once " +

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large-scale corpus curation: exact dedup,
@@ -70,17 +69,6 @@ object Dedup {
       s"i -> concat_ws(' ', slice($t, i, $n))))"
   }
 
-  /** k-permutation MinHash signature over a PRE-HASHED array fragment
-    * (31-bit base hashes): element i is min over hashes of the i-th affine
-    * permutation. Fully unrolled with scalar literal coefficients — no
-    * per-element array construction, pure 64-bit arithmetic. */
-  def minhashSignature(hashesExpr: String, k: Int): String = {
-    val (as, bs) = affineCoeffs(k)
-    (0 until k).map(i =>
-      s"array_min(transform($hashesExpr, h -> (${as(i)}L * h + ${bs(i)}L) % $MersennePrime31))")
-      .mkString("array(", ",", ")")
-  }
-
   /** LSH band keys for a signature fragment: `bands` keys, each encoding
     * `rowsPerBand` consecutive signature entries. Two docs collide on a key
     * iff that whole band of their signatures matches. */
@@ -91,15 +79,6 @@ object Dedup {
     s"transform(sequence(0, ${bands - 1}), b -> concat_ws(':', cast(b as string), $parts))"
   }
 
-  /** SimHash fingerprint (`bits` wide, as BIGINT) over a PRE-HASHED array
-    * fragment: bit j is set iff the frequency-weighted sum of hash-bit-j
-    * signs is positive. Hash once per token, then only bit ops per bit. */
-  def simhash(hashesExpr: String, bits: Int): String =
-    s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + " +
-      s"CASE WHEN aggregate($hashesExpr, 0, (a, h) -> a + " +
-      s"CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
-
   /** Exact dedup: one row per distinct text digest with the smallest id as
     * canonical representative and the copy count. Scales as a plain
     * hash-shuffle groupBy on the 128-bit digest. */
@@ -108,29 +87,59 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Per-document MinHash signature table: (doc_id, n_shingles, sig).
-    * Base-hashes each shingle once, then derives all k permutations. */
+    * Base-hashes each shingle once, then derives all k permutations.
+    *
+    * Execution shape (the simhash template): explode shingles, hash each
+    * once, then compute all k permutation minima as UNROLLED `min(...)`
+    * aggregates in ONE codegen'd hash aggregate and regroup per doc. The
+    * earlier `array_min(transform(...))` formulation ran k interpreted
+    * lambda passes per document (non-codegen) and was ~10x slower; the
+    * explode+partial-agg also combines map-side before the shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 32): DataFrame =
-    df.select(col(idCol).as("doc_id"), expr(shingles(textCol, shingleN)).as("shingles"))
-      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
-        expr(s"transform(shingles, s -> ${baseHash("s")})").as("hs"))
+                        shingleN: Int = 3, k: Int = 32): DataFrame = {
+    val (as, bs) = affineCoeffs(k)
+    val hashed = df
+      .select(col(idCol).as("doc_id"), explode(expr(shingles(textCol, shingleN))).as("s"))
+      .select(col("doc_id"), expr(baseHash("s")).as("h"))
+    val mins = (0 until k).map(i =>
+      min(expr(s"(${as(i)}L * h + ${bs(i)}L) % $MersennePrime31")).as(s"m$i"))
+    hashed.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"), mins: _*)
       .select(col("doc_id"), col("n_shingles"),
-        expr(minhashSignature("hs", k)).as("sig"))
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** LSH candidate pairs (doc_a < doc_b, n_bands = how many bands agree).
-    * One shuffle on the band key; `maxBucket` caps degenerate buckets. */
+    *
+    * Shape: (1) a map-side-combined `groupBy(bkey).count` finds degenerate
+    * buckets (> `maxBucket` members — boilerplate bands whose pairs would
+    * be quadratic; dropping them is standard LSH practice); (2) a
+    * broadcast ANTI join removes those rows BEFORE any bucket is
+    * materialized — a mega-bucket never reaches an executor's memory;
+    * (3) surviving buckets (now provably <= maxBucket docs) are assembled
+    * with `collect_list` and pairs emitted by a double explode. This
+    * replaces an earlier window-based cap + self-join, which cost a full
+    * sort pass plus two extra shuffles of the exploded band table.
+    *
+    * The size pre-pass recomputes the signature stage (the two shuffles of
+    * `banded` differ, so no exchange reuse); in a production corpus the
+    * signature table is the thing you persist/bucket once and reuse across
+    * every LSH run, which removes the recompute entirely. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                         maxBucket: Int = 50): DataFrame = {
     val rowsPerBand = k / bands
     val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
       .select(col("doc_id"), explode(expr(bandKeys("sig", bands, rowsPerBand))).as("bkey"))
-    val capped = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bkey")))
-      .filter(col("bsize") <= maxBucket)
-    val a = capped.select(col("doc_id").as("doc_a"), col("bkey"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("bkey"))
-    a.join(b, "bkey").filter(col("doc_a") < col("doc_b"))
+    val oversized = banded.groupBy("bkey").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket).select("bkey")
+    val buckets = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
+      .groupBy("bkey").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    buckets
+      .select(col("docs"), explode(col("docs")).as("doc_a"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
   }
 

@@ -21,7 +21,7 @@ object Graph {
     * 0.85 x received mass, dangling mass not redistributed), uniform
     * start, fixed `iters` supersteps. `edges`: (src, dst) with
     * multiplicity as weight. Returns (vertex, rank). */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 5): DataFrame = {
     val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     val norm = e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
@@ -30,7 +30,7 @@ object Graph {
       .union(edges.select(col("dst").as("vertex"))).distinct().cache()
     val n = verts.count().toDouble // one-time numVertices action, as in GraphX
     var ranks = verts.select(col("vertex"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = norm.alias("e")
         .join(ranks.alias("r"), col("e.src") === col("r.vertex"))
         .groupBy(col("e.dst").as("vertex"))
@@ -38,8 +38,44 @@ object Graph {
       ranks = verts.join(contribs, Seq("vertex"), "left")
         .select(col("vertex"),
           (lit(0.15 / n) + lit(0.85) * coalesce(col("recv"), lit(0.0))).as("rank"))
+      // Truncate lineage every few supersteps: without this the plan depth
+      // (and task deserialization cost) grows linearly with the iteration
+      // count — the GraphX equivalent of Pregel's periodic checkpoint.
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // Materialize before releasing the per-call caches so repeated
+    // invocations (the Bench loop) don't accumulate executor blocks.
+    val out = ranks.localCheckpoint()
+    norm.unpersist(); verts.unpersist()
+    out
+  }
+
+  /** Per-vertex triangle counts (GraphX GraphOps.triangleCount semantics:
+    * dedup to canonical a<b undirected edges, count closed wedges; every
+    * vertex of a triangle is credited once per triangle; vertices in no
+    * triangle report 0).
+    *
+    * Shape: wedge enumeration is a self-join on the shared endpoint, the
+    * closing edge is a semi join — two shuffles on edge endpoints, no
+    * cartesian. Hub vertices make wedge counts quadratic in degree (same
+    * as GraphX's adjacency intersection); at real scale the standard cure
+    * is degree-ordered orientation, which the a<b canonicalization already
+    * approximates. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val verts = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct()
+    val wedges = und.alias("x")
+      .join(und.alias("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("v1"), col("x.b").as("v2"), col("y.b").as("v3"))
+    val tris = wedges.join(und.alias("z"),
+      col("v2") === col("z.a") && col("v3") === col("z.b"), "left_semi")
+    val counts = tris.select(explode(array(col("v1"), col("v2"), col("v3"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("triangles"))
+    verts.join(counts, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
   /** Connected components by min-label propagation over undirected edges,
@@ -53,7 +89,7 @@ object Graph {
       .distinct().cache()
     val verts = und.select(col("a").as("vertex")).distinct().cache()
     var labels = verts.select(col("vertex"), col("vertex").as("component"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val nbrMin = und.alias("u")
         .join(labels.alias("lb"), col("u.b") === col("lb.vertex"))
         .groupBy(col("u.a").as("vertex"))
@@ -61,7 +97,10 @@ object Graph {
       labels = labels.join(nbrMin, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
     }
-    labels
+    val out = labels.localCheckpoint()
+    und.unpersist(); verts.unpersist()
+    out
   }
 }

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -39,42 +39,76 @@ object Similarity {
     (0 until rows).map(j => (0 until dims).map(i =>
       if ((md5Long(s"$seed:$j:$i") & 1L) == 1L) 1 else -1))
 
-  /** Spark SQL literal for a sign matrix: array(array(1,-1,...), ...). */
-  def planesLiteral(planes: Seq[Seq[Int]]): String =
-    planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
-
-  /** DuckDB SQL literal for the same matrix: [[1,-1,...], ...]. */
+  /** DuckDB SQL literal for a sign matrix: [[1,-1,...], ...] (for the
+    * oracle mirrors; the Spark side captures the matrix in UDF closures). */
   def planesLiteralDuck(planes: Seq[Seq[Int]]): String =
     planes.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  /** Signed-projection signature (INT, `bits` wide) of a DOUBLE-array
-    * fragment: bit j set iff dot(plane_j, v) > 0. */
-  def signatureSql(vecExpr: String, planesLit: String, bits: Int, dims: Int): String =
-    s"cast(aggregate(sequence(0, ${bits - 1}), 0, (acc, j) -> acc + " +
-      s"CASE WHEN aggregate(sequence(1, $dims), cast(0 as double), " +
-      s"(a, i) -> a + element_at(element_at($planesLit, j + 1), i) * element_at($vecExpr, i)) > 0 " +
-      s"THEN shiftleft(1, j) ELSE 0 END) as int)"
+  // ---- Compiled kernels ---------------------------------------------------
+  // The per-row vector math (signature bits, anchor dots, norms, cosine)
+  // runs as JIT'd Scala loops, not SQL higher-order lambdas: `transform`/
+  // `aggregate` lambdas are interpreted per element, so an O(bits*dims)
+  // nested lambda costs ~ms per row — at a billion vectors that IS the job.
+  // Each loop accumulates doubles LEFT TO RIGHT, bit-identical to the SQL
+  // `aggregate(sequence(...))` fragments it replaced, so the DuckDB oracle
+  // mirrors are unchanged.
 
-  /** Per-anchor dot products: DOUBLE array of length `n`. */
-  def anchorDotsSql(vecExpr: String, anchorsLit: String, n: Int, dims: Int): String =
-    s"transform(sequence(1, $n), j -> aggregate(sequence(1, $dims), cast(0 as double), " +
-      s"(a, i) -> a + element_at(element_at($anchorsLit, j), i) * element_at($vecExpr, i)))"
+  /** dot(a, b), summed left-to-right in double. */
+  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var acc = 0.0; var i = 0; val n = a.length
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
-  /** (id, vec as DOUBLE array, L2 norm) with `prefix`-namespaced columns. */
+  /** L2 norm, squares summed left-to-right in double. */
+  val l2NormUdf = udf { (v: Seq[Double]) =>
+    var acc = 0.0; var i = 0; val n = v.length
+    while (i < n) { val x = v(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Signed-projection signature (INT, one bit per plane): bit j set iff
+    * dot(plane_j, v) > 0. Planes are captured in the closure once, not
+    * rebuilt per row like a SQL literal array inside a lambda. */
+  def signatureUdf(planes: Seq[Seq[Int]]): UserDefinedFunction = {
+    val p: Array[Array[Int]] = planes.map(_.toArray).toArray
+    udf { (v: Seq[Double]) =>
+      var sig = 0; var j = 0
+      while (j < p.length) {
+        val row = p(j); var acc = 0.0; var i = 0
+        while (i < row.length) { acc += row(i) * v(i); i += 1 }
+        if (acc > 0) sig |= 1 << j
+        j += 1
+      }
+      sig
+    }
+  }
+
+  /** Per-anchor dot products: DOUBLE array of length `anchors.size`. */
+  def anchorDotsUdf(anchors: Seq[Seq[Int]]): UserDefinedFunction = {
+    val p: Array[Array[Int]] = anchors.map(_.toArray).toArray
+    udf { (v: Seq[Double]) =>
+      p.map { row =>
+        var acc = 0.0; var i = 0
+        while (i < row.length) { acc += row(i) * v(i); i += 1 }
+        acc
+      }.toSeq
+    }
+  }
+
+  /** (id, vec as DOUBLE array, L2 norm) with `prefix`-namespaced columns.
+    * The float->double widening is a native array Cast (codegen'd), not a
+    * per-element lambda. */
   private def normed(df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
     df.select(col(idCol).as(s"${prefix}_id"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as(s"${prefix}_v"))
-      .withColumn(s"${prefix}_norm",
-        expr(s"sqrt(aggregate(${prefix}_v, cast(0 as double), (acc, x) -> acc + x * x))"))
-
-  private val cosineExpr =
-    "aggregate(zip_with(probe_v, vec_v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)" +
-      " / (probe_norm * vec_norm)"
+        col(vecCol).cast("array<double>").as(s"${prefix}_v"))
+      .withColumn(s"${prefix}_norm", l2NormUdf(col(s"${prefix}_v")))
 
   /** Rank candidate (probe, vec) pairs by exact cosine, keep top k. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("cosine", expr(cosineExpr))
+      .withColumn("cosine",
+        dotUdf(col("probe_v"), col("vec_v")) / (col("probe_norm") * col("vec_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= k)
@@ -95,17 +129,15 @@ object Similarity {
   def rpLshTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, dims: Int, bits: Int = 16,
                 bandsCount: Int = 4, k: Int = 3): DataFrame = {
-    val planes = planesLiteral(signPlanes(bits, dims, "pl"))
+    val planes = signPlanes(bits, dims, "pl")
     val chunk = bits / bandsCount
     val mask = (1 << chunk) - 1
     val bandExpr = s"transform(sequence(0, ${bandsCount - 1}), " +
       s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
+    val sigOf = signatureUdf(planes)
     def banded(df: DataFrame, prefix: String) =
       normed(df, idCol, vecCol, prefix)
-        // hoist the plane constants to a once-per-row column: inside the
-        // lambda a literal array would be re-constructed per element
-        .withColumn("pl", expr(planes))
-        .withColumn("sig", expr(signatureSql(s"${prefix}_v", "pl", bits, dims)))
+        .withColumn("sig", sigOf(col(s"${prefix}_v")))
         .select(col(s"${prefix}_id"), explode(expr(bandExpr)).as("nkey"))
     val cands = broadcast(banded(probes, "probe")).join(banded(corpus, "vec"), "nkey")
       .filter(col("probe_id") =!= col("vec_id"))
@@ -120,12 +152,10 @@ object Similarity {
   def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dims: Int, nClusters: Int = 8,
               nprobe: Int = 2, k: Int = 3): DataFrame = {
-    val anchors = planesLiteral(signPlanes(nClusters, dims, "anc"))
+    val dotsOf = anchorDotsUdf(signPlanes(nClusters, dims, "anc"))
     def withDots(df: DataFrame, prefix: String) =
       normed(df, idCol, vecCol, prefix)
-        .withColumn("anc", expr(anchors))
-        .withColumn("dots", expr(anchorDotsSql(s"${prefix}_v", "anc", nClusters, dims)))
-        .drop("anc")
+        .withColumn("dots", dotsOf(col(s"${prefix}_v")))
     val corpusC = withDots(corpus, "vec")
       .withColumn("cluster", expr("cast(array_position(dots, array_max(dots)) as int)"))
       .drop("dots")
@@ -142,13 +172,11 @@ object Similarity {
   /** Per-vector index card: RP signature + IVF cluster assignment. */
   def vectorIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                   bits: Int = 16, nClusters: Int = 8): DataFrame = {
-    val planes = planesLiteral(signPlanes(bits, dims, "pl"))
-    val anchors = planesLiteral(signPlanes(nClusters, dims, "anc"))
+    val sigOf = signatureUdf(signPlanes(bits, dims, "pl"))
+    val dotsOf = anchorDotsUdf(signPlanes(nClusters, dims, "anc"))
     normed(df, idCol, vecCol, "vec")
-      .withColumn("plc", expr(planes))
-      .withColumn("rp_sig", expr(signatureSql("vec_v", "plc", bits, dims)))
-      .withColumn("ancc", expr(anchors))
-      .withColumn("dots", expr(anchorDotsSql("vec_v", "ancc", nClusters, dims)))
+      .withColumn("rp_sig", sigOf(col("vec_v")))
+      .withColumn("dots", dotsOf(col("vec_v")))
       .withColumn("ivf_cluster", expr("cast(array_position(dots, array_max(dots)) as int)"))
       .select(col("vec_id"), col("rp_sig"), col("ivf_cluster"),
         round(col("vec_norm"), 4).as("norm"))

@@ -36,9 +36,12 @@ object Multimodal {
     FakeCodec.initCount.incrementAndGet()
     private val md = java.security.MessageDigest.getInstance("MD5")
 
-    /** Fake decode: pixel i is byte (i mod len) of the payload, unsigned. */
+    /** Fake decode: pixel i is byte (i mod len) of the payload, unsigned.
+      * An empty payload decodes to zero pixels (a real codec would reject
+      * the frame) — guards the mod-by-zero on empty documents. */
     def pixels(payload: Array[Byte], n: Int): Iterator[Int] =
-      Iterator.range(0, n).map(i => payload(i % payload.length) & 0xff)
+      if (payload.isEmpty) Iterator.empty
+      else Iterator.range(0, n).map(i => payload(i % payload.length) & 0xff)
 
     def digest(payload: Array[Byte]): String =
       md.digest(payload).map("%02x".format(_)).mkString

@@ -41,7 +41,7 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // 16-bit SimHash fingerprints (frequency-weighted token hashing).
+    // 32-bit SimHash fingerprints (frequency-weighted token hashing).
     "d05_simhash_fingerprints" -> { (s, dir) =>
       D.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")

@@ -145,6 +145,19 @@ object Functions {
         .orderBy("event_id")
     },
 
+    // json_tuple generator (CAT/expressions/jsonExpressions.scala JsonTuple)
+    // + to_json(struct) serialization; null JSON fields are omitted by
+    // to_json, mirrored with a CASE in the oracle.
+    "f13_json_tuple" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          json_tuple(col("props"), "k", "missing"))
+        .toDF("event_id", "event_type", "k_str", "absent")
+        .withColumn("rejson",
+          to_json(struct(col("event_type").as("t"), col("k_str").as("k"))))
+        .orderBy("event_id")
+    },
+
     // Generator with position (posexplode — CAT/expressions/generators.scala).
     "f11_posexplode" -> { (s, dir) =>
       Tables.part(s, dir)
@@ -168,7 +181,10 @@ object Functions {
     },
 
     // complexTypeCreator + collectionOperations surface: build arrays/
-    // structs/maps, then size/sort_array/array_contains.
+    // structs/maps, then size/sort_array/array_contains. Arrays are
+    // flattened to delimited strings in the final projection — the driver's
+    // comparator can't hash array cells — which keeps the array ops
+    // themselves (array/sort_array/array_contains) fully exercised.
     "f10_collection_functions" -> { (s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
@@ -177,8 +193,12 @@ object Functions {
         sort_array(split(col("p_name"), " ")).as("sorted_words"),
         array_contains(split(col("p_name"), " "), "widget").as("is_widget"),
         struct(col("p_brand").as("b"), col("p_size").as("s")).as("meta"))
-        .select(col("p_partkey"), col("tags"), col("n_words"),
-          col("sorted_words"), col("is_widget"),
+        .select(col("p_partkey"),
+          concat_ws(",", col("tags")).as("tags_csv"),
+          element_at(col("tags"), 1).as("first_tag"),
+          col("n_words"),
+          concat_ws(",", col("sorted_words")).as("sorted_csv"),
+          col("is_widget"),
           col("meta.b").as("meta_brand"), col("meta.s").as("meta_size"))
         .orderBy("p_partkey")
     }
@@ -261,6 +281,16 @@ object Functions {
         |  json_extract_string(props, '$.missing') AS absent
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "f13_json_tuple" ->
+      """SELECT event_id, event_type,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS absent,
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |       THEN '{"t":"' || event_type || '"}'
+        |       ELSE '{"t":"' || event_type || '","k":"' || json_extract_string(props, '$.k') || '"}'
+        |  END AS rejson
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "f07_explode_tokens" ->
       """SELECT token, COUNT(*) AS freq FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -301,9 +331,10 @@ object Functions {
 
     "f10_collection_functions" ->
       """SELECT p_partkey,
-        |  [p_brand, p_type] AS tags,
+        |  array_to_string([p_brand, p_type], ',') AS tags_csv,
+        |  [p_brand, p_type][1] AS first_tag,
         |  CAST(length(string_split(p_name, ' ')) AS INT) AS n_words,
-        |  list_sort(string_split(p_name, ' ')) AS sorted_words,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_csv,
         |  list_contains(string_split(p_name, ' '), 'widget') AS is_widget,
         |  p_brand AS meta_brand,
         |  p_size AS meta_size

@@ -39,6 +39,10 @@ object Graphs {
       docs.select(col("doc_id")).join(labels, col("doc_id") === col("vertex"), "left")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .orderBy("doc_id")
+    },
+
+    "p03_trade_triangles" -> { (s, dir) =>
+      G.triangleCount(tradeEdges(s, dir)).orderBy("vertex")
     }
   )
 
@@ -97,6 +101,26 @@ object Graphs {
          |SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
          |FROM documents d LEFT JOIN l3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    }
+    },
+
+    "p03_trade_triangles" ->
+      """WITH edges AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+        |        FROM edges WHERE src <> dst),
+        |verts AS (SELECT DISTINCT src AS vertex FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |tri AS (SELECT x.a v1, x.b v2, y.b v3
+        |        FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+        |        WHERE EXISTS (SELECT 1 FROM und z WHERE z.a = x.b AND z.b = y.b)),
+        |tv AS (SELECT unnest([v1, v2, v3]) AS vertex FROM tri),
+        |cnt AS (SELECT vertex, count(*) AS triangles FROM tv GROUP BY 1)
+        |SELECT v.vertex, COALESCE(c.triangles, 0) AS triangles
+        |FROM verts v LEFT JOIN cnt c ON c.vertex = v.vertex
+        |ORDER BY v.vertex""".stripMargin
   )
 }

@@ -28,7 +28,7 @@ object Grouping {
       Tables.lineitem(s, dir)
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"),
-          sum(dec2("l_quantity")).cast("decimal(38,2)").as("qty"),
+          (sum(dec2("l_quantity")) * 100).cast("bigint").as("qty"),
           grouping(col("l_returnflag")).as("g_flag"),
           grouping(col("l_linestatus")).as("g_status"))
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
@@ -38,7 +38,7 @@ object Grouping {
       Tables.orders(s, dir)
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum(dec2("o_totalprice")).cast("decimal(38,2)").as("total"))
+          (sum(dec2("o_totalprice")) * 100).cast("bigint").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
     },
@@ -93,7 +93,7 @@ object Grouping {
   val oracles: Map[String, String] = Map(
     "g01_rollup_returns" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty,
         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
         |FROM lineitem
@@ -102,7 +102,7 @@ object Grouping {
 
     "g02_cube_order_status" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,

@@ -77,6 +77,21 @@ object IO {
           sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
     },
 
+    // ORC write -> read -> aggregate (columnar sibling of parquet; DuckDB
+    // can't read ORC, so the oracle reproduces the aggregate from the
+    // original table — the round trip is what's verified).
+    "i06_orc_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/orc_supplier"
+      Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(s_acctbal * 100) as bigint)")).as("bal_cents"))
+        .orderBy("s_nationkey")
+    },
+
     // Temp view + pure-SQL entry point over it.
     "i05_sql_over_view" -> { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
@@ -92,12 +107,12 @@ object IO {
   val oracles: Map[String, String] = Map(
     "i01_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "i02_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
-        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "i03_text_roundtrip" ->
@@ -105,12 +120,17 @@ object IO {
         |FROM documents GROUP BY 1 ORDER BY n_tokens""".stripMargin,
 
     "i04_partitioned_write" ->
-      """SELECT count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      """SELECT count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "i06_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
 
     "i05_sql_over_view" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM lineitem WHERE l_quantity >= 10
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )

@@ -5,9 +5,11 @@ import graft.multimodal.{MediaRow, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal surface. m01 is fully SQL-mirrored; m02/m03 exercise the
-  * mapPartitions decode path and binary frame slicing, whose logic lives in
-  * Scala lambdas — the driver records rows-only checks for them. */
+/** Multimodal surface, fully SQL-mirrored: m01 covers the metadata
+  * catalog, m02 the mapPartitions decode path (the deterministic fake
+  * codec's byte arithmetic is reproduced in DuckDB over `ord()` of the
+  * ASCII payload — cycles of the byte list, partial-prefix sums), m03 the
+  * resize plan and binary frame sampling. */
 object Media {
 
   private def media(s: SparkSession, dir: String) =
@@ -55,6 +57,51 @@ object Media {
         |  CAST(16 + (n_chars * 7) % 64 AS INT) AS height,
         |  CAST(8000 + n_chars % 8000 AS INT) AS sample_rate,
         |  CAST(octet_length(encode(text)) * 4 AS INT) AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // Fake-codec mirror: pixel i = payload byte (i mod len); the mean is
+    // (full cycles) * sum(bytes) + sum of the partial prefix, over n_pixels.
+    // Text is ASCII in this corpus, so ord(char) == payload byte.
+    "m02_image_features" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST((16 + n_chars % 64) * (16 + (n_chars * 7) % 64) AS BIGINT) AS np,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT media_id, text, np, len,
+        |    list_transform(range(1, len + 1), i -> ord(text[i])) AS bytes
+        |  FROM img)
+        |SELECT media_id,
+        |  CAST(np AS INT) AS n_pixels,
+        |  round(CASE WHEN len = 0 THEN 0.0::DOUBLE ELSE
+        |    ((np // len) * COALESCE(list_sum(bytes), 0)
+        |     + COALESCE(list_sum(list_slice(bytes, 1, np % len)), 0))::DOUBLE / np END,
+        |    6) AS mean_intensity,
+        |  CAST(CASE WHEN len = 0 THEN 0
+        |       WHEN np >= len THEN list_max(bytes)
+        |       ELSE list_max(list_slice(bytes, 1, np)) END AS INT) AS max_intensity,
+        |  md5(text) AS payload_digest
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "m03_resize_and_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + n_chars % 64 AS INT) AS w,
+        |    CAST(16 + (n_chars * 7) % 64 AS INT) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, 'resize' AS op,
+        |    CAST(greatest(floor(w * least(1.0::DOUBLE, 32.0 / greatest(w, h))), 1) AS BIGINT) AS v1,
+        |    CAST(greatest(floor(h * least(1.0::DOUBLE, 32.0 / greatest(w, h))), 1) AS BIGINT) AS v2
+        |  FROM m WHERE media_id % 2 = 0),
+        |f AS (
+        |  SELECT media_id, 'frames' AS op,
+        |    greatest(CAST(floor((len - 1) / 256.0) AS BIGINT), 0) + 1 AS v1,
+        |    greatest(CAST(floor((len - 1) / 256.0) AS BIGINT), 0) * 256 AS v2
+        |  FROM m WHERE media_id % 2 = 1)
+        |SELECT * FROM r UNION ALL SELECT * FROM f
+        |ORDER BY media_id, op""".stripMargin
   )
 }

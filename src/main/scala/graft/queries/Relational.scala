@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * the first operation (cast each double column, then combine), so sums are
   * exact and deterministic under any partitioning / any addition order —
   * a double SUM would be nondeterministic at 1000 executors.
+  *
+  * Output canonicalization: final projections emit only BIGINT / DOUBLE /
+  * STRING / TIMESTAMP — never DECIMAL. Exact decimal aggregates are scaled
+  * by 10^scale and cast to BIGINT (fixed-point integer units) on BOTH the
+  * Spark and oracle side, because equal decimals stay equal as int64 while
+  * decimal->double conversion paths differ across engines by a ulp.
   */
 object Relational {
 
@@ -31,16 +37,16 @@ object Relational {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec2("l_quantity")).cast("decimal(38,2)").as("sum_qty"),
-          sum(dec2("l_extendedprice")).cast("decimal(38,2)").as("sum_base_price"),
-          sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
-          sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")) * (lit(1) + dec2("l_tax")))
-            .cast("decimal(38,6)").as("sum_charge"),
-          (sum(dec2("l_quantity")).cast("decimal(18,2)") / count(lit(1)))
-            .cast("decimal(38,6)").as("avg_qty"),
-          (sum(dec2("l_extendedprice")).cast("decimal(18,2)") / count(lit(1)))
-            .cast("decimal(38,6)").as("avg_price"),
+          (sum(dec2("l_quantity")) * 100).cast("bigint").as("sum_qty"),
+          (sum(dec2("l_extendedprice")) * 100).cast("bigint").as("sum_base_price"),
+          (sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount"))) * 10000)
+            .cast("bigint").as("sum_disc_price"),
+          (sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")) * (lit(1) + dec2("l_tax"))) * 1000000)
+            .cast("bigint").as("sum_charge"),
+          ((sum(dec2("l_quantity")).cast("decimal(18,2)") / count(lit(1)))
+            .cast("decimal(38,6)") * 1000000).cast("bigint").as("avg_qty"),
+          ((sum(dec2("l_extendedprice")).cast("decimal(18,2)") / count(lit(1)))
+            .cast("decimal(38,6)") * 1000000).cast("bigint").as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -51,8 +57,8 @@ object Relational {
         .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
           col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-        .agg(sum(dec2("l_extendedprice") * dec2("l_discount"))
-          .cast("decimal(38,4)").as("revenue"),
+        .agg((sum(dec2("l_extendedprice") * dec2("l_discount")) * 10000)
+          .cast("bigint").as("revenue"),
           count(lit(1)).as("n"))
     },
 
@@ -62,7 +68,7 @@ object Relational {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(sum(dec2("o_totalprice")).cast("decimal(38,2)").as("revenue"))
+        .agg((sum(dec2("o_totalprice")) * 100).cast("bigint").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
@@ -80,8 +86,8 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount")))
-          .cast("decimal(38,4)").as("revenue"))
+        .agg((sum(dec2("l_extendedprice") * (lit(1) - dec2("l_discount"))) * 10000)
+          .cast("bigint").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
@@ -168,8 +174,8 @@ object Relational {
     "q13_top_value_items" -> { (s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec2("l_extendedprice").as("price"))
-        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+          (dec2("l_extendedprice") * 100).cast("bigint").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(25)
     },
 
@@ -178,7 +184,7 @@ object Relational {
       Tables.lineitem(s, dir)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("items"),
-          sum(dec2("l_quantity")).cast("decimal(38,2)").as("qty"))
+          (sum(dec2("l_quantity")) * 100).cast("bigint").as("qty"))
         .filter(col("items") > 500)
         .orderBy(col("items").desc, col("l_suppkey"))
     },
@@ -197,12 +203,12 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS sum_charge,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS avg_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -211,7 +217,7 @@ object Relational {
 
     "q02_forecast_revenue" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -219,7 +225,7 @@ object Relational {
 
     "q03_top_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
@@ -228,7 +234,7 @@ object Relational {
 
     "q04_local_supplier_volume" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -292,14 +298,15 @@ object Relational {
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q13_top_value_items" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
         |FROM lineitem
-        |ORDER BY price DESC, l_orderkey, l_linenumber
+        |ORDER BY price_cents DESC, l_orderkey, l_linenumber
         |LIMIT 25""".stripMargin,
 
     "q14_busy_suppliers" ->
       """SELECT l_suppkey, COUNT(*) AS items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty
         |FROM lineitem
         |GROUP BY l_suppkey
         |HAVING COUNT(*) > 500

@@ -64,6 +64,48 @@ object Stats {
         .orderBy("o_orderstatus")
     },
 
+    // df.stat.approxQuantile (Greenwald-Khanna sketch): a driver-returning
+    // API by design. The sketch's answers differ across engines, so the
+    // oracle encodes the GK ERROR CONTRACT instead of the values: for each
+    // target p, the exact rank interval covered by the returned quantile
+    // must intersect [(p-eps)*n, (p+eps)*n]. One scan for the sketch, one
+    // aggregate pass for all rank checks.
+    "n06_approx_quantile_bounds" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val eps = 0.01
+      val probs = Array(0.25, 0.5, 0.9)
+      val qs = o.stat.approxQuantile("o_totalprice", probs, eps)
+      val ranks = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= qs(0), 1L).otherwise(0L)).as("le0"),
+        sum(when(col("o_totalprice") < qs(0), 1L).otherwise(0L)).as("lt0"),
+        sum(when(col("o_totalprice") <= qs(1), 1L).otherwise(0L)).as("le1"),
+        sum(when(col("o_totalprice") < qs(1), 1L).otherwise(0L)).as("lt1"),
+        sum(when(col("o_totalprice") <= qs(2), 1L).otherwise(0L)).as("le2"),
+        sum(when(col("o_totalprice") < qs(2), 1L).otherwise(0L)).as("lt2")).head()
+      val n = ranks.getAs[Long]("n").toDouble
+      val checks = probs.zipWithIndex.map { case (p, i) =>
+        val le = ranks.getAs[Long](s"le$i").toDouble
+        val lt = ranks.getAs[Long](s"lt$i").toDouble
+        (p, le >= math.floor((p - eps) * n) && lt <= math.ceil((p + eps) * n))
+      }
+      s.createDataFrame(checks.toSeq).toDF("p", "within_bounds")
+        .orderBy("p")
+    },
+
+    // Seeded Bernoulli sampling (SURVEY §2.2 sample): the drawn subset is
+    // RNG-specific, so the oracle encodes the statistical contract — the
+    // sample size must sit within 6 sigma of Binomial(n, frac).
+    "n07_sample_bounds" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val frac = 0.1
+      val n = o.count()
+      val k = o.sample(withReplacement = false, frac, seed = 42).count()
+      val sd = math.sqrt(n * frac * (1 - frac))
+      val ok = math.abs(k - n * frac) <= 6 * sd
+      s.createDataFrame(Seq((frac, ok))).toDF("fraction", "within_bounds")
+    },
+
     // Pearson corr + sample covariance from exact sums.
     "n04_corr_cov" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -105,8 +147,8 @@ object Stats {
 
     "n03_crosstab" ->
       """SELECT l_returnflag AS l_returnflag_l_linestatus,
-        |  sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-        |  sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "n05_quantiles" ->
@@ -115,6 +157,14 @@ object Stats {
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "n06_approx_quantile_bounds" ->
+      """SELECT * FROM (VALUES (0.25::DOUBLE, TRUE), (0.5::DOUBLE, TRUE),
+        |  (0.9::DOUBLE, TRUE)) t(p, within_bounds)
+        |ORDER BY p""".stripMargin,
+
+    "n07_sample_bounds" ->
+      """SELECT 0.1::DOUBLE AS fraction, TRUE AS within_bounds""".stripMargin,
 
     "n04_corr_cov" ->
       """WITH s AS (SELECT count(*) n,

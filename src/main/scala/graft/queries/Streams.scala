@@ -46,12 +46,12 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "v01_tumbling_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "v02_sliding_windows" ->
       """SELECT ws AS window_start, event_type,
-        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM (SELECT event_type, value,
         |        unnest(list_transform(range(0, 4),
         |          i -> time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes')) ws
@@ -88,7 +88,7 @@ object Streams {
         |  FROM g)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
-        |  count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin
   )

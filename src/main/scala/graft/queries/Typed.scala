@@ -136,7 +136,7 @@ object Typed {
   val oracles: Map[String, String] = Map(
     "y01_typed_aggregator" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "y02_map_groups" ->
@@ -159,13 +159,13 @@ object Typed {
         |  COALESCE(o.sum_cents, 0) AS sum_cents
         |FROM (SELECT c_custkey, count(*) n_cust FROM customer GROUP BY 1) c
         |FULL OUTER JOIN (SELECT o_custkey, count(*) n_orders,
-        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) sum_cents
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) sum_cents
         |  FROM orders GROUP BY 1) o
         |ON c.c_custkey = o.o_custkey ORDER BY custkey""".stripMargin,
 
     "y05_registered_udf" ->
       """SELECT CAST(string_split(o_orderpriority, '-')[1] AS INT) AS prio_num,
-        |  count(*) AS n, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "y06_join_with" ->

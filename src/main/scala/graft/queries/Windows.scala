@@ -49,7 +49,7 @@ object Windows {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          sum(dec2("l_extendedprice")).over(w).cast("decimal(38,2)").as("running_total"))
+          (sum(dec2("l_extendedprice")).over(w) * 100).cast("bigint").as("running_total"))
         .orderBy("l_orderkey", "l_linenumber", "running_total")
     },
 
@@ -72,7 +72,7 @@ object Windows {
       Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"),
-          sum(dec2("l_quantity")).over(w).cast("decimal(38,2)").as("qty_window"))
+          (sum(dec2("l_quantity")).over(w) * 100).cast("bigint").as("qty_window"))
         .orderBy("l_suppkey", "l_quantity", "l_orderkey", "l_linenumber")
     },
 
@@ -97,7 +97,7 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"),
           first_value(col("o_orderkey")).over(full).as("first_order"),
           last_value(col("o_orderkey")).over(full).as("last_order"),
-          max(dec2("o_totalprice")).over(full).cast("decimal(38,2)").as("max_total"),
+          (max(dec2("o_totalprice")).over(full) * 100).cast("bigint").as("max_total"),
           count(lit(1)).over(full).as("n_orders"))
         .orderBy("o_custkey", "o_orderkey")
     }
@@ -119,7 +119,7 @@ object Windows {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS running_total
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, running_total""".stripMargin,
 
@@ -136,7 +136,7 @@ object Windows {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
         |    PARTITION BY l_suppkey ORDER BY l_quantity
-        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS qty_window
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) * 100 AS BIGINT) AS qty_window
         |FROM lineitem
         |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber""".stripMargin,
 
@@ -153,7 +153,7 @@ object Windows {
       """SELECT o_custkey, o_orderkey,
         |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
         |  LAST_VALUE(o_orderkey) OVER w AS last_order,
-        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS max_total,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS max_total,
         |  COUNT(*) OVER w AS n_orders
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

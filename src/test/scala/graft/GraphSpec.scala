@@ -38,4 +38,33 @@ class GraphSpec extends SparkSpec {
     assert(a.keySet === b.keySet)
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
   }
+
+  test("triangle count: cycle closes one triangle, pair closes none") {
+    val tc = Graph.triangleCount(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L))
+    // duplicate + reversed edges must not inflate counts
+    import spark.implicits._
+    val noisy = edges.union(Seq((2L, 1L), (1L, 2L), (3L, 2L)).toDF("src", "dst"))
+    val tc2 = Graph.triangleCount(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc2 === tc)
+  }
+
+  test("checkpoint cadence changes lineage, never results; output plan is flat") {
+    // mid-loop localCheckpoints (every 5 supersteps) truncate lineage so
+    // plan depth stays bounded at real iteration counts; they must be
+    // invisible in the values
+    val a = Graph.pageRank(edges, iters = 12, checkpointEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges, iters = 12, checkpointEvery = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+    // the returned frame is materialized (caches released) — flat lineage
+    val joins = Graph.pageRank(edges, iters = 12).queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+    assert(joins === 0, s"checkpointed result should have flat lineage, found $joins joins")
+  }
 }

@@ -32,10 +32,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"))
   }
 
-  test("d03: LSH candidate join is an equi-join on the band key, not a cross join") {
+  test("d03: LSH candidates come from bucketed hash aggregation, no cross join, no window sort") {
     val p = plan(SparkEntry.queries("d03_lsh_candidates")(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "bucket cap must be an aggregate, not a sort+window pass")
     assert(p.contains("bkey"))
+    assert(p.contains("collect_list"))
   }
 
   test("s01: probe side is broadcast for the all-pairs scoring join") {

@@ -67,6 +67,34 @@ class StreamingSpec extends SparkSpec {
     assert(first.head.getAs[Long]("n") === 2) // late event 4 NOT counted
   }
 
+  test("sliding windows update incrementally per micro-batch (inverse-reduce parity)") {
+    // The reference's ReducedWindowedDStream avoids recomputing whole
+    // sliding windows via an inverse reduce; Structured Streaming gets the
+    // same effect from the state store — a micro-batch only touches the
+    // (window, key) state rows its events fall into. Assert exactly that:
+    // a 5-event second batch updates at most 5 * (size/slide) keys, not
+    // the whole window state.
+    import spark.implicits._
+    val evs = sampleEvents
+    val ms = MemoryStream[Event](spark)
+    val agg = Streaming.slidingStats(ms.toDF(), "1 hour", "15 minutes")
+    val q = agg.writeStream.format("memory").queryName("slide_inc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      ms.addData(evs.dropRight(5)); q.processAllAvailable()
+      ms.addData(evs.takeRight(5)); q.processAllAvailable()
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progs.length === 2)
+      val updated2 = progs.last.stateOperators.head.numRowsUpdated
+      assert(updated2 > 0 && updated2 <= 5 * 4,
+        s"second batch should only update touched (window,type) keys, got $updated2")
+      val total = spark.table("slide_inc").count()
+      assert(updated2 < total, "incremental update must touch fewer keys than total state")
+    } finally q.stop()
+    assert(spark.table("slide_inc").collect().toSet
+      === Streaming.slidingStats(evs.toDF(), "1 hour", "15 minutes").collect().toSet)
+  }
+
   test("mapGroupsWithState carries per-key state across micro-batches") {
     import spark.implicits._
     val evs = sampleEvents

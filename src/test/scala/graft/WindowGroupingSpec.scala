@@ -17,8 +17,8 @@ class WindowGroupingSpec extends SparkSpec {
     val last = df.groupBy("l_orderkey").agg(max("running_total").as("rt"))
     val expected = Tables.lineitem(spark, sf001)
       .groupBy("l_orderkey")
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)").as("total"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint").as("total"))
     assert(last.join(expected, "l_orderkey")
       .filter(col("rt") =!= col("total")).count() === 0)
   }
