@@ -61,13 +61,29 @@ object Dedup {
   /** Whitespace tokens of a text column (SQL fragment). */
   def tokens(text: String): String = s"split($text, ' ')"
 
-  /** Distinct word n-gram shingles of a text column (SQL fragment). Short
-    * texts (< n tokens) yield their full token run as a single shingle. */
-  def shingles(text: String, n: Int): String = {
-    val t = tokens(text)
-    s"array_distinct(transform(sequence(1, greatest(size($t) - ${n - 1}, 1)), " +
-      s"i -> concat_ws(' ', slice($t, i, $n))))"
-  }
+  /** Distinct word n-gram shingles of a text column, as a compiled UDF.
+    * Short texts (< n tokens) yield their full token run as a single
+    * shingle. Byte-for-byte the same set as the SQL formulation
+    * `array_distinct(transform(sequence(1, greatest(size-n+1, 1)),
+    * i -> concat_ws(' ', slice(tokens, i, n))))` — split keeps empty
+    * tokens (Java regex split, limit -1), slices truncate at the end,
+    * distinct keeps first occurrence — but runs as one JIT'd loop per doc
+    * instead of an interpreted lambda per shingle. */
+  def shinglesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val t = text.split(" ", -1)
+        val m = math.max(t.length - (n - 1), 1)
+        val out = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        while (i < m) {
+          out += t.slice(i, math.min(i + n, t.length)).mkString(" ")
+          i += 1
+        }
+        out.toSeq
+      }
+    }
 
   /** LSH band keys for a signature fragment: `bands` keys, each encoding
     * `rowsPerBand` consecutive signature entries. Two docs collide on a key
@@ -99,7 +115,7 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32): DataFrame = {
     val (as, bs) = affineCoeffs(k)
     val hashed = df
-      .select(col(idCol).as("doc_id"), explode(expr(shingles(textCol, shingleN))).as("s"))
+      .select(col(idCol).as("doc_id"), explode(shinglesUdf(shingleN)(col(textCol))).as("s"))
       .select(col("doc_id"), expr(baseHash("s")).as("h"))
     val mins = (0 until k).map(i =>
       min(expr(s"(${as(i)}L * h + ${bs(i)}L) % $MersennePrime31")).as(s"m$i"))
@@ -121,26 +137,35 @@ object Dedup {
     * replaces an earlier window-based cap + self-join, which cost a full
     * sort pass plus two extra shuffles of the exploded band table.
     *
-    * The size pre-pass recomputes the signature stage (the two shuffles of
-    * `banded` differ, so no exchange reuse); in a production corpus the
-    * signature table is the thing you persist/bucket once and reuse across
-    * every LSH run, which removes the recompute entirely. */
+    * The size pre-pass and the bucket assembly both consume the banded
+    * signature table, so it is persisted for the call (computed once) and
+    * released after the candidate pairs — a small table, linear in the
+    * true near-dup count — are materialized via localCheckpoint. At a real
+    * 100 TB corpus the signature table is the artifact you'd persist/
+    * bucket durably and reuse across every LSH run. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-                        maxBucket: Int = 50): DataFrame = {
+                        maxBucket: Int = 50, materialize: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
     val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
       .select(col("doc_id"), explode(expr(bandKeys("sig", bands, rowsPerBand))).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val oversized = banded.groupBy("bkey").agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket).select("bkey")
     val buckets = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
       .groupBy("bkey").agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) >= 2)
-    buckets
+    val pairs = buckets
       .select(col("docs"), explode(col("docs")).as("doc_a"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
+    if (!materialize) pairs // lazy plan, for shape assertions (leaves banded cached)
+    else {
+      val out = pairs.localCheckpoint()
+      banded.unpersist()
+      out
+    }
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle-set
@@ -148,7 +173,7 @@ object Dedup {
   def neardupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                    maxBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"), expr(shingles(textCol, shingleN)).as("shingles"))
+    val sh = df.select(col(idCol).as("doc_id"), shinglesUdf(shingleN)(col(textCol)).as("shingles"))
     minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingles" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingles" -> "sh_b")), "doc_b")

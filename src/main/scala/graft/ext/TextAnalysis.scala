@@ -88,10 +88,11 @@ object TextAnalysis {
     * bucket size is attached via a groupBy on the fingerprint. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(textCol, shingleN)
-    val hashes = s"transform($sh, s -> ${Dedup.portableHash("s", "'fp'")})"
+    val hashes = s"transform(sh, s -> ${Dedup.portableHash("s", "'fp'")})"
     df.select(col(idCol).as("doc_id"),
-        expr(s"size($sh)").as("n_shingles"),
+        Dedup.shinglesUdf(shingleN)(col(textCol)).as("sh"))
+      .select(col("doc_id"),
+        expr("size(sh)").as("n_shingles"),
         expr(s"aggregate(slice(array_sort($hashes), 1, 5), 0L, (a, x) -> a ^ x)").as("fp"))
       .withColumn("fp_bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
   }

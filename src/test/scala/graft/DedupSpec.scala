@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
     val lsh = Dedup.neardupPairs(docs, "doc_id", "text")
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sh = docs.select(col("doc_id"), expr(Dedup.shingles("text", 3)).as("sh"))
+    val sh = docs.select(col("doc_id"), Dedup.shinglesUdf(3)(col("text")).as("sh"))
     val brute = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")))
       .filter(col("doc_a") < col("doc_b"))

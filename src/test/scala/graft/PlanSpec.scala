@@ -33,7 +33,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d03: LSH candidates come from bucketed hash aggregation, no cross join, no window sort") {
-    val p = plan(SparkEntry.queries("d03_lsh_candidates")(spark, sf001))
+    // materialize=false keeps the pipeline lazy so the physical plan is
+    // inspectable (the production path localCheckpoints the small pair set)
+    val lazyPairs = graft.ext.Dedup.minhashCandidates(
+      Tables.documents(spark, sf001), "doc_id", "text", materialize = false)
+    val p = plan(lazyPairs)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("Window"), "bucket cap must be an aggregate, not a sort+window pass")
     assert(p.contains("bkey"))
