@@ -173,14 +173,20 @@ object Dedup {
   def neardupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                    maxBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
+    // the shingle table feeds both sides of the verification join — persist
+    // for the call, release once the (small) verified pair set is real
     val sh = df.select(col(idCol).as("doc_id"), shinglesUdf(shingleN)(col(textCol)).as("shingles"))
-    minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingles" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingles" -> "sh_b")), "doc_b")
       .withColumn("jaccard",
         expr("cast(size(array_intersect(sh_a, sh_b)) as double) / cast(size(array_union(sh_a, sh_b)) as double)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    val out = verified.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Per-document SimHash fingerprints: (doc_id, sim). Computed
@@ -212,36 +218,42 @@ object Dedup {
     require(maxHamming <= bandsCount - 1, "banding only guarantees recall up to bandsCount-1")
     val chunk = bits / bandsCount
     val mask = (1 << chunk) - 1
+    // the banded fingerprint table is both sides of the self-join: persist
+    // for the call so fingerprints are computed once, release after the
+    // (small) pair set is materialized
     val nibbled = simhashFingerprints(df, idCol, textCol, bits)
       .select(col("doc_id"), col("sim"),
         explode(expr(s"transform(sequence(0, ${bandsCount - 1}), " +
           s"j -> concat_ws(':', cast(j as string), cast((shiftright(sim, $chunk * j) & $mask) as string)))")).as("nkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = nibbled.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("nkey"))
     val b = nibbled.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("nkey"))
-    a.join(b, "nkey").filter(col("doc_a") < col("doc_b"))
+    val pairs = a.join(b, "nkey").filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val out = pairs.localCheckpoint()
+    nibbled.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup pairs of `probes` x `corpus` (exact, for a
     * small probe set — the full-corpus scale path is LSH bucketing, see
-    * graft.ext.Similarity). Vectors are summed left-to-right in DOUBLE so
-    * the result is deterministic and engine-portable. */
+    * graft.ext.Similarity). Vectors are summed left-to-right in DOUBLE
+    * (compiled kernels from [[Similarity]]) so the result is deterministic
+    * and engine-portable. */
   def embeddingNeardupPairs(probes: DataFrame, corpus: DataFrame, idCol: String,
                             vecCol: String, threshold: Double): DataFrame = {
     def normed(d: DataFrame, prefix: String) = d
       .select(col(idCol).as(s"${prefix}_id"),
-        expr(s"transform($vecCol, x -> cast(x as double))").as(s"${prefix}_v"))
-      .withColumn(s"${prefix}_norm",
-        expr(s"sqrt(aggregate(${prefix}_v, cast(0 as double), (acc, x) -> acc + x * x))"))
+        col(vecCol).cast("array<double>").as(s"${prefix}_v"))
+      .withColumn(s"${prefix}_norm", Similarity.l2NormUdf(col(s"${prefix}_v")))
     val p = broadcast(normed(probes, "probe"))
     val q = normed(corpus, "vec")
     p.join(q, col("probe_id") =!= col("vec_id"))
       .withColumn("cosine",
-        expr("aggregate(zip_with(probe_v, vec_v, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)" +
-          " / (probe_norm * vec_norm)"))
+        Similarity.dotUdf(col("probe_v"), col("vec_v")) / (col("probe_norm") * col("vec_norm")))
       .filter(col("cosine") >= threshold)
       .select(col("probe_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }

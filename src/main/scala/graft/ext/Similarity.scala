@@ -136,15 +136,23 @@ object Similarity {
       s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
     val sigOf = signatureUdf(planes)
     def banded(df: DataFrame, prefix: String) =
-      normed(df, idCol, vecCol, prefix)
-        .withColumn("sig", sigOf(col(s"${prefix}_v")))
+      df.withColumn("sig", sigOf(col(s"${prefix}_v")))
         .select(col(s"${prefix}_id"), explode(expr(bandExpr)).as("nkey"))
-    val cands = broadcast(banded(probes, "probe")).join(banded(corpus, "vec"), "nkey")
+    // the normed corpus feeds band generation AND the exact re-rank:
+    // persist for the call (at real scale this is the stored vector index),
+    // release once the small top-k result is materialized
+    val q = normed(corpus, idCol, vecCol, "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = broadcast(normed(probes, idCol, vecCol, "probe"))
+    val cands = broadcast(banded(p, "probe")).join(banded(q, "vec"), "nkey")
       .filter(col("probe_id") =!= col("vec_id"))
       .select("probe_id", "vec_id").distinct()
-    val p = broadcast(normed(probes, idCol, vecCol, "probe"))
-    val q = normed(corpus, idCol, vecCol, "vec")
-    rankTopK(cands.join(p, "probe_id").join(q, "vec_id"), k)
+    val topk = rankTopK(
+      cands.join(p.select("probe_id", "probe_v", "probe_norm"), "probe_id")
+        .join(q, "vec_id"), k)
+    val out = topk.localCheckpoint()
+    q.unpersist()
+    out
   }
 
   /** IVF-style ANN: corpus vectors live in their argmax-anchor cluster;

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (whitespace + regex-subword), and winnowing-style document
   * fingerprinting.
   *
-  * Everything is built-in expression work — one narrow map pass per
-  * document, fully whole-stage-codegen'd, no UDFs — so at 100 TB each
+  * Everything is one narrow map pass per document — the token split is
+  * hoisted to a single codegen'd column and the per-token folds (length
+  * sums, lexicon hit counts, subword estimates) run as compiled JIT'd
+  * loops rather than interpreted `aggregate` lambdas — so at 100 TB each
   * operator is a pure scan-shaped pipeline (the only shuffle anywhere is
   * the fingerprint-bucket count, a groupBy on a 64-bit key).
   */
@@ -26,62 +28,79 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "a"),
     "zh" -> Seq("de", "shi", "le"))
 
-  private def arrayLit(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
-
   /** Per-language stopword hit count (with multiplicity) over a token
-    * array fragment. */
-  def lexiconHits(tokensExpr: String, lexicon: Seq[String]): String =
-    s"aggregate($tokensExpr, 0, (a, t) -> a + " +
-      s"CASE WHEN array_contains(${arrayLit(lexicon)}, t) THEN 1 ELSE 0 END)"
+    * array: compiled fold, same result as an `aggregate(tokens, 0,
+    * array_contains ? +1 : +0)` lambda. */
+  def lexiconHitsUdf(lexicon: Seq[String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val set = lexicon.toSet
+    udf { (ts: Seq[String]) =>
+      var a = 0; val it = ts.iterator
+      while (it.hasNext) if (set(it.next())) a += 1
+      a
+    }
+  }
+
+  /** Sum of token lengths (for mean token length), compiled fold. */
+  private val sumTokLenUdf = udf { (ts: Seq[String]) =>
+    var a = 0; val it = ts.iterator
+    while (it.hasNext) a += it.next().length
+    a
+  }
+
+  /** Subword estimate: sum of ceil(len/4) per token, compiled fold with
+    * the same double-ceil arithmetic as the SQL `ceil(length(t) / 4.0)`. */
+  private val subwordUdf = udf { (ts: Seq[String]) =>
+    var a = 0L; val it = ts.iterator
+    while (it.hasNext) a += math.ceil(it.next().length / 4.0).toLong
+    a.toInt
+  }
 
   /** (doc_id, per-language hit counts, argmax language). Ties break
     * alphabetically via struct sort — deterministic in any engine. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(textCol)
     val hits = lexicons.map { case (lang, lex) =>
-      expr(lexiconHits(toks, lex)).as(s"hits_$lang")
+      lexiconHitsUdf(lex)(col("toks")).as(s"hits_$lang")
     }
     val ranked = lexicons.map { case (lang, _) =>
       s"named_struct('neg', -hits_$lang, 'lang', '$lang')"
     }.mkString("array(", ", ", ")")
-    df.select(col(idCol).as("doc_id") +: hits: _*)
+    df.select(col(idCol).as("doc_id"), expr(Dedup.tokens(textCol)).as("toks"))
+      .select(col("doc_id") +: hits: _*)
       .withColumn("best_lang", expr(s"element_at(array_sort($ranked), 1).lang"))
   }
 
   /** Quality scorecard: token counts, type-token ratio, mean token length,
     * stopword ratio, punctuation count, and a composite score in [0,1]. */
-  def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(textCol)
-    df.select(
-      col(idCol).as("doc_id"),
-      expr(s"size($toks)").as("n_tokens"),
-      expr(s"size(array_distinct($toks))").as("n_distinct"),
-      expr(s"round(aggregate($toks, 0, (a, t) -> a + length(t)) / cast(size($toks) as double), 6)")
-        .as("mean_tok_len"),
-      expr(s"round(${lexiconHits(toks, Seq("the", "a"))} / cast(size($toks) as double), 6)")
-        .as("stop_ratio"),
-      expr(s"length(regexp_replace($textCol, '[a-z0-9 ]', ''))").as("punct_count"))
+  def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        expr(Dedup.tokens(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        expr("size(toks)").as("n_tokens"),
+        expr("size(array_distinct(toks))").as("n_distinct"),
+        round(sumTokLenUdf(col("toks")) / expr("cast(size(toks) as double)"), 6)
+          .as("mean_tok_len"),
+        round(lexiconHitsUdf(Seq("the", "a"))(col("toks")) / expr("cast(size(toks) as double)"), 6)
+          .as("stop_ratio"),
+        expr("length(regexp_replace(text, '[a-z0-9 ]', ''))").as("punct_count"))
       .withColumn("quality", expr(
         "round(least(n_tokens, 100) / 100.0 * 0.4" +
           " + n_distinct / cast(n_tokens as double) * 0.4" +
           " + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6)"))
-  }
 
   /** Token-count surface: whitespace tokens, regex word/number/symbol
     * tokens (a BPE-ish first pass), and a subword estimate of
     * ceil(len/4) per token. */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = Dedup.tokens(textCol)
-    df.select(
-      col(idCol).as("doc_id"),
-      expr(s"size($toks)").as("ws_tokens"),
-      expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
-        .as("re_tokens"),
-      expr(s"cast(aggregate($toks, 0L, (a, t) -> a + cast(ceil(length(t) / 4.0) as long)) as int)")
-        .as("subword_est"),
-      length(col(textCol)).as("n_chars_measured"))
-  }
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        expr(Dedup.tokens(textCol)).as("toks"))
+      .select(
+        col("doc_id"),
+        expr("size(toks)").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")
+          .as("re_tokens"),
+        subwordUdf(col("toks")).as("subword_est"),
+        length(col("text")).as("n_chars_measured"))
 
   /** Winnowing-style fingerprint: XOR of the 5 smallest shingle hashes.
     * Identical fingerprints put documents in the same near-dup bucket;
