@@ -22,6 +22,7 @@ object GraftSession {
       .master(s"local[$threads]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")

@@ -248,12 +248,13 @@ object Dedup {
     def normed(d: DataFrame, prefix: String) = d
       .select(col(idCol).as(s"${prefix}_id"),
         col(vecCol).cast("array<double>").as(s"${prefix}_v"))
-      .withColumn(s"${prefix}_norm", Similarity.l2NormUdf(col(s"${prefix}_v")))
+      .withColumn(s"${prefix}_norm", graft.functions.VectorFunctions.l2norm(col(s"${prefix}_v")))
     val p = broadcast(normed(probes, "probe"))
     val q = normed(corpus, "vec")
     p.join(q, col("probe_id") =!= col("vec_id"))
       .withColumn("cosine",
-        Similarity.dotUdf(col("probe_v"), col("vec_v")) / (col("probe_norm") * col("vec_norm")))
+        graft.functions.VectorFunctions.dot(col("probe_v"), col("vec_v"))
+          / (col("probe_norm") * col("vec_norm")))
       .filter(col("cosine") >= threshold)
       .select(col("probe_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }

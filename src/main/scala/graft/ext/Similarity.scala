@@ -46,26 +46,15 @@ object Similarity {
 
   // ---- Compiled kernels ---------------------------------------------------
   // The per-row vector math (signature bits, anchor dots, norms, cosine)
-  // runs as JIT'd Scala loops, not SQL higher-order lambdas: `transform`/
-  // `aggregate` lambdas are interpreted per element, so an O(bits*dims)
-  // nested lambda costs ~ms per row — at a billion vectors that IS the job.
-  // Each loop accumulates doubles LEFT TO RIGHT, bit-identical to the SQL
-  // `aggregate(sequence(...))` fragments it replaced, so the DuckDB oracle
-  // mirrors are unchanged.
-
-  /** dot(a, b), summed left-to-right in double. */
-  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var acc = 0.0; var i = 0; val n = a.length
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    acc
-  }
-
-  /** L2 norm, squares summed left-to-right in double. */
-  val l2NormUdf = udf { (v: Seq[Double]) =>
-    var acc = 0.0; var i = 0; val n = v.length
-    while (i < n) { val x = v(i); acc += x * x; i += 1 }
-    math.sqrt(acc)
-  }
+  // must not run as SQL higher-order lambdas: `transform`/`aggregate`
+  // lambdas are interpreted per element, so an O(bits*dims) nested lambda
+  // costs ~ms per row — at a billion vectors that IS the job. Dot products
+  // and norms are native codegen'd expressions
+  // (graft.functions.{DotProduct, L2Norm} — they stay inside whole-stage
+  // codegen); the plane/anchor projections are JIT'd Scala closures (they
+  // capture a literal matrix). Every kernel accumulates doubles LEFT TO
+  // RIGHT, bit-identical to the SQL `aggregate(sequence(...))` fragments
+  // they replaced, so the DuckDB oracle mirrors are unchanged.
 
   /** Signed-projection signature (INT, one bit per plane): bit j set iff
     * dot(plane_j, v) > 0. Planes are captured in the closure once, not
@@ -102,13 +91,14 @@ object Similarity {
   private def normed(df: DataFrame, idCol: String, vecCol: String, prefix: String): DataFrame =
     df.select(col(idCol).as(s"${prefix}_id"),
         col(vecCol).cast("array<double>").as(s"${prefix}_v"))
-      .withColumn(s"${prefix}_norm", l2NormUdf(col(s"${prefix}_v")))
+      .withColumn(s"${prefix}_norm", graft.functions.VectorFunctions.l2norm(col(s"${prefix}_v")))
 
   /** Rank candidate (probe, vec) pairs by exact cosine, keep top k. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
       .withColumn("cosine",
-        dotUdf(col("probe_v"), col("vec_v")) / (col("probe_norm") * col("vec_norm")))
+        graft.functions.VectorFunctions.dot(col("probe_v"), col("vec_v"))
+          / (col("probe_norm") * col("vec_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rank") <= k)
