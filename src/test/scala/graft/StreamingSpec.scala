@@ -146,6 +146,94 @@ class StreamingSpec extends SparkSpec {
     assert(sizes === Seq(50L, 30L))
   }
 
+  test("stream-static join enriches micro-batches against a dimension table") {
+    // pair-DStream join with a batch RDD went through transform() in the
+    // reference; Structured Streaming joins a streaming frame to a static
+    // frame directly
+    import spark.implicits._
+    val evs = sampleEvents
+    val dim = evs.map(_.user_id).distinct.sorted.map(u => (u, s"tier_${u % 3}"))
+      .toDF("user_id", "tier")
+    val ms = MemoryStream[Event](spark)
+    evs.grouped(100).foreach(ms.addData(_))
+    val joined = ms.toDF().join(dim, "user_id")
+      .select("user_id", "event_id", "tier")
+    runToCompletion(joined, "ss_join", OutputMode.Append())
+    val streamed = spark.table("ss_join").collect().toSet
+    val batch = evs.toDF().join(dim, "user_id")
+      .select("user_id", "event_id", "tier").collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stream-stream inner join joins events within a time bound") {
+    import spark.implicits._
+    // feed both sides in EVENT-TIME order (batches split at the ts median)
+    // with a generous watermark, so no pair is ever late — lateness-drop
+    // semantics are covered by the watermark test above
+    val evs = sampleEvents.take(120).sortBy(e => (e.ts.getTime, e.event_id))
+    val a = MemoryStream[Event](spark)
+    val b = MemoryStream[Event](spark)
+    def sideA(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+      .withWatermark("a_ts", "30 days")
+    def sideB(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+      .withWatermark("b_ts", "30 days")
+    val cond = expr("user_id = b_user AND b_ts BETWEEN a_ts AND a_ts + interval 30 minutes AND a_id < b_id")
+    val joined = sideA(a.toDF()).join(sideB(b.toDF()), cond)
+      .select("user_id", "a_id", "b_id")
+    val q = joined.writeStream.format("memory").queryName("ss2_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      a.addData(evs.take(60)); b.addData(evs.take(60))
+      q.processAllAvailable()
+      a.addData(evs.drop(60)); b.addData(evs.drop(60))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss2_join").collect().toSet
+    val full = evs.toDF()
+    val batch = sideA(full).join(sideB(full), cond)
+      .select("user_id", "a_id", "b_id").collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("GroupStateTimeout expires idle keys when the watermark passes (StateSpec.timeout parity)") {
+    import spark.implicits._
+    def ev(id: Long, uid: Long, minute: Int) = Event(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"),
+      uid, "x", 0.0)
+    val ms = MemoryStream[Event](spark)
+    // event-time timeout: deterministic (fires when the watermark passes
+    // the per-key deadline — no wall clock, processAllAvailable quiesces)
+    val tracked = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); (uid, -1L) }
+          else {
+            val evsB = batch.toSeq
+            val n = state.getOption.getOrElse(0L) + evsB.size
+            state.update(n)
+            state.setTimeoutTimestamp(evsB.map(_.ts.getTime).max + 10 * 60000L)
+            (uid, n)
+          }
+      }
+    val q = tracked.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("timeout_stream").outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(ev(1, 7, 0)); q.processAllAvailable()   // key 7: deadline 10:10
+      ms.addData(ev(2, 8, 120)); q.processAllAvailable() // watermark -> 12:00
+      ms.addData(ev(3, 8, 180)); q.processAllAvailable() // batch sees wm past 10:10
+    } finally q.stop()
+    val rows = spark.table("timeout_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((7L, 1L)), s"live update missing: $rows")
+    assert(rows.contains((7L, -1L)), s"key 7 should have timed out: $rows")
+  }
+
   test("foldSessions splits on gaps and carries prior state") {
     def ev(id: Long, min: Int) =
       Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), 7, "x", 0.0)
