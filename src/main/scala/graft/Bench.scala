@@ -15,12 +15,17 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // noop sink (not count()): forces every output column to be computed —
     // count() lets Catalyst prune the whole projection, which under-times
-    // expression-heavy queries.
+    // expression-heavy queries. Two timed iterations, report the min:
+    // single-shot local timings carry JIT/page-cache variance that would
+    // otherwise dominate cross-round comparisons.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -78,14 +78,21 @@ object Grouping {
     },
 
     // HyperLogLog++ approximate distinct (reference
-    // CAT/expressions/aggregate/HyperLogLogPlusPlus.scala:51). Algorithms
-    // differ across engines → rows-only check, no oracle; the spec suite
-    // asserts the estimate is within rsd of the exact count.
+    // CAT/expressions/aggregate/HyperLogLogPlusPlus.scala:51). Sketch
+    // values differ across engines, so the oracle encodes the accuracy
+    // CONTRACT instead: the estimate must sit within 5 standard errors
+    // (rsd 0.02 -> 10%) of the exact distinct count, which both engines
+    // can agree is TRUE. The estimate itself is additionally rsd-bound in
+    // the spec suite.
     "g06_approx_distinct_users" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.10).as("within_5se"))
         .orderBy("event_type")
     }
   )
@@ -131,6 +138,10 @@ object Grouping {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "g06_approx_distinct_users" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS within_5se
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -93,4 +93,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("shinglesUdf equals the SQL transform/slice/distinct formulation on generated texts") {
+    // texts with runs of spaces, empty tokens and duplication — the exact
+    // semantics the compiled UDF must preserve: regex split keeping
+    // empties, end-truncated slices, first-occurrence distinct
+    val textGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "ab", "", "xy", "a"))).map(_.mkString(" "))
+    val texts = samples(textGen, 80)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(
+      graft.ext.Dedup.shinglesUdf(3)(col("text")).as("udf_sh"),
+      expr("array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))").as("sql_sh"))
+    assert(both.filter(not(col("udf_sh") === col("sql_sh"))).count() === 0)
+  }
+
+  test("native dot/norm equal interpreted lambdas on generated vectors (incl. specials)") {
+    val d = Gen.frequency(
+      (8, Gen.chooseNum(-1e6, 1e6)),
+      (1, Gen.oneOf(0.0, -0.0, 1e-300, -1e300, Double.MaxValue, Double.MinPositiveValue)))
+    val vecGen = Gen.chooseNum(1, 16).flatMap(n => Gen.listOfN(n, d))
+    val pairs = samples(vecGen, 40).map(v => (v, v.reverse))
+    val df = pairs.toDF("a", "b")
+    val checked = df.select(
+      graft.functions.VectorFunctions.dot(col("a"), col("b")).as("dn"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)").as("dl"),
+      graft.functions.VectorFunctions.l2norm(col("a")).as("nn"),
+      expr("sqrt(aggregate(a, cast(0 as double), (acc, x) -> acc + x * x))").as("nl"))
+      .collect()
+    checked.foreach { r =>
+      // bit-exact equality, including NaN/Inf overflow cases
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2))
+        === java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    assert(checked.nonEmpty)
+  }
 }

@@ -31,14 +31,19 @@ class WindowGroupingSpec extends SparkSpec {
   }
 
   test("g06 HLL++ estimate within rsd of exact distinct count") {
-    val approx = SparkEntry.queries("g06_approx_distinct_users")(spark, sf001)
-      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    // raw estimate vs exact (the query itself reduces this to a boolean
+    // the DuckDB oracle can agree on)
+    val approx = Tables.events(spark, sf001).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("a")).toMap
     val exact = Tables.events(spark, sf001).groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("d"))
       .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("d")).toMap
     exact.foreach { case (k, e) =>
       assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: approx=${approx(k)} exact=$e")
     }
+    val gated = SparkEntry.queries("g06_approx_distinct_users")(spark, sf001).collect()
+    assert(gated.forall(_.getAs[Boolean]("within_5se")))
   }
 
   test("events loader truncates nanos to microsecond timestamps") {
