@@ -31,4 +31,41 @@ class ScaleSpec extends SparkSpec {
     // every original row keeps exactly one salt copy
     assert(salted === o.count())
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // one hot key carrying ~all rows of the left side vs a tiny right side:
+    // classic production skew. Lower AQE's thresholds so the local dataset
+    // qualifies, force SMJ so the skew reaches the join, and check the
+    // ADAPTIVE final plan marks the join's scan as skew-split.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // kill both the static AND the AQE runtime broadcast so the join
+      // stays a shuffled SMJ where skew splitting applies
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 60000)
+        .select((col("id") % 1000 === 0).cast("int").as("flag"), col("id"))
+        .select(when(col("flag") === 1, col("id") % 7).otherwise(lit(3L)).as("k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("v"))
+      val right = spark.range(0, 10).select(col("id").as("k"), col("id").as("rv"))
+      val joined = left.hint("merge").join(right, "k")
+      joined.collect() // execute THIS query so its adaptive plan finalizes
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n${plan.take(1200)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
