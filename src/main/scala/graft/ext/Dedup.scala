@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
   * pipeline shape is unchanged.
   *
   * Scale design (100 TB corpus, 1000 executors):
-  *   - Signatures/fingerprints are computed in a single narrow map pass per
-  *     document (whole-stage codegen'd built-in expressions, no UDFs).
-  *   - Candidate generation is a self-equi-join on band keys: ONE shuffle,
-  *     each band bucket holds only colliding docs; never an all-pairs cross
-  *     join.
-  *   - Skew guard: buckets larger than `maxBucket` are dropped (a bucket
-  *     that large means a degenerate band — e.g. boilerplate — whose pairs
-  *     would be quadratic; standard LSH practice).
+  *   - Signatures/fingerprints are computed in a single narrow pass per
+  *     document: shingling is one compiled loop ([[shinglesUdf]]), hashing
+  *     and the k permutation minima are codegen'd built-in expressions in
+  *     one map-side-combined hash aggregate.
+  *   - Candidate generation groups the exploded band table ONCE by band
+  *     key; each bucket holds only colliding docs — never an all-pairs
+  *     cross join.
+  *   - Skew guard: bucket sizes are counted first and buckets larger than
+  *     `maxBucket` anti-joined away BEFORE any bucket materializes (a
+  *     bucket that large means a degenerate band — e.g. boilerplate —
+  *     whose pairs would be quadratic; standard LSH practice).
   *   - Jaccard verification joins shingle sets only for surviving candidate
   *     pairs (tiny relative to the corpus).
+  *   - Tables consumed twice within one call (banded signatures, shingle
+  *     sets, SimHash bands) are persisted for the call and released once
+  *     the small pair/result set is materialized.
   */
 object Dedup {
 
