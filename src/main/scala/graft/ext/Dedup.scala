@@ -153,9 +153,13 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                         maxBucket: Int = 50, materialize: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
-    val banded = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val lazyBanded = minhashSignatures(df, idCol, textCol, shingleN, k)
       .select(col("doc_id"), explode(expr(bandKeys("sig", bands, rowsPerBand))).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only the materialized path persists: the lazy path (shape assertions)
+    // never runs the plan twice and must not leak storage blocks
+    val banded =
+      if (materialize) lazyBanded.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else lazyBanded
     val oversized = banded.groupBy("bkey").agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket).select("bkey")
     val buckets = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
@@ -166,7 +170,7 @@ object Dedup {
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_bands"))
-    if (!materialize) pairs // lazy plan, for shape assertions (leaves banded cached)
+    if (!materialize) pairs // lazy plan, for shape assertions (nothing cached)
     else {
       val out = pairs.localCheckpoint()
       banded.unpersist()

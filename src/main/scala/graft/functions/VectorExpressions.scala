@@ -49,15 +49,22 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Locals must come from ctx.freshName: nullSafeCodeGen inlines this block
+    // without a brace scope when inputs are non-nullable, so two DotProduct
+    // instances in one projection would otherwise declare duplicate names.
+    val n = ctx.freshName("dotN")
+    val acc = ctx.freshName("dotAcc")
+    val i = ctx.freshName("dotI")
     nullSafeCodeGen(ctx, ev, (x, y) => s"""
-      |int graftDotN = java.lang.Math.min($x.numElements(), $y.numElements());
-      |double graftDotAcc = 0.0;
-      |for (int graftDotI = 0; graftDotI < graftDotN; graftDotI++) {
-      |  graftDotAcc += $x.getDouble(graftDotI) * $y.getDouble(graftDotI);
+      |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+      |double $acc = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $acc += $x.getDouble($i) * $y.getDouble($i);
       |}
-      |${ev.value} = graftDotAcc;
+      |${ev.value} = $acc;
       |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
@@ -84,16 +91,23 @@ case class L2Norm(child: Expression)
     math.sqrt(acc)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ctx.freshName for the same reason as DotProduct: duplicate fixed locals
+    // across instances fail janino and silently fall back to interpreted eval.
+    val n = ctx.freshName("normN")
+    val acc = ctx.freshName("normAcc")
+    val i = ctx.freshName("normI")
+    val d = ctx.freshName("normD")
     nullSafeCodeGen(ctx, ev, x => s"""
-      |int graftNormN = $x.numElements();
-      |double graftNormAcc = 0.0;
-      |for (int graftNormI = 0; graftNormI < graftNormN; graftNormI++) {
-      |  double graftNormD = $x.getDouble(graftNormI);
-      |  graftNormAcc += graftNormD * graftNormD;
+      |int $n = $x.numElements();
+      |double $acc = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $d = $x.getDouble($i);
+      |  $acc += $d * $d;
       |}
-      |${ev.value} = java.lang.Math.sqrt(graftNormAcc);
+      |${ev.value} = java.lang.Math.sqrt($acc);
       |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): L2Norm =
     copy(child = newChild)

@@ -285,10 +285,10 @@ object Functions {
       """SELECT event_id, event_type,
         |  json_extract_string(props, '$.k') AS k_str,
         |  json_extract_string(props, '$.missing') AS absent,
-        |  CASE WHEN json_extract_string(props, '$.k') IS NULL
-        |       THEN '{"t":"' || event_type || '"}'
-        |       ELSE '{"t":"' || event_type || '","k":"' || json_extract_string(props, '$.k') || '"}'
-        |  END AS rejson
+        |  -- json_merge_patch('{}', x) drops null fields (RFC 7386), matching
+        |  -- Spark to_json's null-field omission; the serializer handles escaping
+        |  CAST(json_merge_patch('{}', to_json(struct_pack(
+        |    t := event_type, k := json_extract_string(props, '$.k')))) AS VARCHAR) AS rejson
         |FROM events ORDER BY event_id""".stripMargin,
 
     "f07_explode_tokens" ->

@@ -45,6 +45,32 @@ class VectorExprSpec extends SparkSpec {
     assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test("several kernel instances in one projection compile (fresh codegen locals)") {
+    // With non-nullable inputs nullSafeCodeGen inlines each kernel's block
+    // without a brace scope, so locals MUST come from ctx.freshName or the
+    // second instance redeclares them and janino rejects the stage. Disable
+    // the silent interpreted fallback so a compile failure fails the test.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(3).select(col("id").cast("double").as("x"))
+        .select(array(col("x"), col("x") + 1).as("a"),
+                array(col("x") + 2, col("x") + 3).as("b"))
+        .select(
+          V.dot(col("a"), col("a")).as("aa"),
+          V.dot(col("a"), col("b")).as("ab"),
+          V.l2norm(col("a")).as("na"),
+          V.l2norm(col("b")).as("nb"))
+      val rows = df.collect().map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      // x=0: a=(0,1) b=(2,3); x=1: a=(1,2) b=(3,4); x=2: a=(2,3) b=(4,5)
+      assert(rows === Set(
+        (1.0, 3.0, 1.0, math.sqrt(13.0)),
+        (5.0, 11.0, math.sqrt(5.0), 5.0),
+        (13.0, 23.0, math.sqrt(13.0), math.sqrt(41.0))))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SQL registration: graft_dot / graft_norm callable from SQL") {
     V.registrations.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, id, info, builder)
