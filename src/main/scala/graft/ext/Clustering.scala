@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Relational Lloyd k-means over an embedding column — the MLlib-slice
+  * analog done Spark-first (reference satellite:
+  * mllib/src/main/scala/org/apache/spark/mllib/clustering/KMeans.scala:48
+  * runs the same assign/recompute loop over RDDs with collected centers).
+  *
+  * Scale + determinism design:
+  *   - Vectors are quantized ONCE to exact integer units
+  *     (`round(x * 2^20) as bigint`), so every centroid is derived from
+  *     exact integer sums — bit-identical under any partitioning or
+  *     engine, where a naive double mean would drift at 1000 executors.
+  *   - Centroids are k x dims doubles — tiny — so each Lloyd iteration is
+  *     ONE narrow scan (a compiled argmin kernel over broadcast-captured
+  *     centroids) plus ONE map-side-combined groupBy(cluster) of per-dim
+  *     integer sums. No joins, no explode: 2 stages per iteration at any
+  *     corpus size, the same shape MLlib's implementation shuffles.
+  *   - Ties (equal distance) break toward the lowest cluster label;
+  *     clusters that lose all members are dropped (both rules mirrored in
+  *     the DuckDB oracle).
+  */
+object Clustering {
+
+  /** Quantization scale: 2^20 integer units per 1.0. */
+  val QuantScale: Long = 1L << 20
+
+  /** Argmin-distance assignment over a fixed (label, centroid) set; the
+    * centroid matrix is captured in the closure, the loop is JIT'd, and
+    * doubles accumulate left-to-right (engine-portable). */
+  def assignUdf(centers: Seq[(Long, Array[Double])]): UserDefinedFunction = {
+    val labels = centers.map(_._1).toArray
+    val cs = centers.map(_._2).toArray
+    udf { (vq: Seq[Long]) =>
+      if (vq == null) None
+      else {
+        val x = vq.toArray
+        var best = 0; var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j); val n = math.min(c.length, x.length)
+          var d = 0.0; var i = 0
+          while (i < n) { val t = x(i) - c(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j } // strict: ties keep lowest label
+          j += 1
+        }
+        Some(labels(best))
+      }
+    }
+  }
+
+  /** (vec_id, vq) table: vectors quantized to exact integer units. The
+    * lambda is interpreted but runs once per pipeline over 64 elements —
+    * and `round` here must be SQL round (half away from zero) to stay
+    * engine-portable, which a JVM `math.round` would not be. */
+  def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+      expr(s"transform(cast($vecCol as array<double>), x -> cast(round(x * $QuantScale) as bigint))").as("vq"))
+
+  /** Full Lloyd run: returns the per-cluster summary
+    * (cluster, n_members, min_member, mean_sqnorm) after `iters`
+    * assign/recompute rounds seeded by the `k` smallest-id vectors. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+             k: Int = 4, iters: Int = 2): DataFrame =
+    kmeansFrom(quantized(df, idCol, vecCol), dims, k, iters)
+
+  /** Lloyd over an already-quantized (vec_id, vq) table. */
+  def kmeansFrom(vq: DataFrame, dims: Int, k: Int, iters: Int): DataFrame = {
+    val q = vq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed: the k smallest ids, centroid = the quantized vector itself
+    var centers: Seq[(Long, Array[Double])] = q.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toArray)).toSeq
+    val sumAggs = (0 until dims).map(d =>
+      sum(expr(s"element_at(vq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
+    for (_ <- 1 to iters) {
+      val rows = q.withColumn("cluster", assignUdf(centers)(col("vq")))
+        .groupBy("cluster").agg(sumAggs.head, sumAggs.tail: _*)
+        .collect()
+      // recomputed centroid = exact integer sums / count; emptied clusters drop
+      centers = rows.map { r =>
+        val cnt = r.getLong(dims + 1).toDouble
+        (r.getLong(0), (0 until dims).map(d => r.getLong(d + 1).toDouble / cnt).toArray)
+      }.sortBy(_._1).toSeq
+    }
+    val out = q.withColumn("cluster", assignUdf(centers)(col("vq")))
+      .withColumn("sqnorm", expr("aggregate(vq, 0L, (a, x) -> a + x * x)"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_member"),
+        sum("sqnorm").as("ssq"))
+      .select(col("cluster"), col("n_members"), col("min_member"),
+        round(col("ssq").cast("double") / col("n_members") / (QuantScale.toDouble * QuantScale), 4)
+          .as("mean_sqnorm"))
+      .localCheckpoint()
+    q.unpersist()
+    out
+  }
+}

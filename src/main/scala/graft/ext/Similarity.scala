@@ -61,15 +61,24 @@ object Similarity {
     * rebuilt per row like a SQL literal array inside a lambda. */
   def signatureUdf(planes: Seq[Seq[Int]]): UserDefinedFunction = {
     val p: Array[Array[Int]] = planes.map(_.toArray).toArray
+    // null vector => null signature, and a vector shorter than dims only
+    // contributes its present elements — matching the element_at-based SQL
+    // this kernel replaced (null element => bit not set), instead of
+    // NPE/IndexOutOfBounds.
     udf { (v: Seq[Double]) =>
-      var sig = 0; var j = 0
-      while (j < p.length) {
-        val row = p(j); var acc = 0.0; var i = 0
-        while (i < row.length) { acc += row(i) * v(i); i += 1 }
-        if (acc > 0) sig |= 1 << j
-        j += 1
+      if (v == null) None
+      else {
+        val x = v.toArray
+        var sig = 0; var j = 0
+        while (j < p.length) {
+          val row = p(j); val n = math.min(row.length, x.length)
+          var acc = 0.0; var i = 0
+          while (i < n) { acc += row(i) * x(i); i += 1 }
+          if (acc > 0) sig |= 1 << j
+          j += 1
+        }
+        Some(sig)
       }
-      sig
     }
   }
 
@@ -77,11 +86,16 @@ object Similarity {
   def anchorDotsUdf(anchors: Seq[Seq[Int]]): UserDefinedFunction = {
     val p: Array[Array[Int]] = anchors.map(_.toArray).toArray
     udf { (v: Seq[Double]) =>
-      p.map { row =>
-        var acc = 0.0; var i = 0
-        while (i < row.length) { acc += row(i) * v(i); i += 1 }
-        acc
-      }.toSeq
+      if (v == null) None
+      else {
+        val x = v.toArray
+        Some(p.map { row =>
+          val n = math.min(row.length, x.length)
+          var acc = 0.0; var i = 0
+          while (i < n) { acc += row(i) * x(i); i += 1 }
+          acc
+        }.toSeq)
+      }
     }
   }
 
@@ -141,6 +155,44 @@ object Similarity {
       cands.join(p.select("probe_id", "probe_v", "probe_norm"), "probe_id")
         .join(q, "vec_id"), k)
     val out = topk.localCheckpoint()
+    q.unpersist()
+    out
+  }
+
+  /** Corpus-scale embedding near-dup pairs: RP-LSH banded SELF-join
+    * generates candidates (one equi-join shuffle on the band key — never
+    * all-pairs), exact cosine verifies survivors. The full-corpus analog
+    * of [[Dedup.embeddingNeardupPairs]]'s probe-set scan: at a billion
+    * vectors the candidate set is linear in the true near-dup count, so
+    * this is the shape that shards to 100 TB. Recall is the standard LSH
+    * tradeoff (pairs must agree on at least one band); the banding is
+    * deterministic, so results are engine-portable. */
+  def rpNeardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, bits: Int = 16, bandsCount: Int = 4,
+                     threshold: Double = 0.4): DataFrame = {
+    val planes = signPlanes(bits, dims, "pl")
+    val chunk = bits / bandsCount
+    val mask = (1 << chunk) - 1
+    val bandExpr = s"transform(sequence(0, ${bandsCount - 1}), " +
+      s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
+    // the normed corpus feeds band generation (twice, via the self-join)
+    // and both sides of the verification join: persist for the call
+    val q = normed(corpus, idCol, vecCol, "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = q.withColumn("sig", signatureUdf(planes)(col("vec_v")))
+      .select(col("vec_id"), explode(expr(bandExpr)).as("nkey"))
+    val cands = banded.select(col("vec_id").as("id_a"), col("nkey"))
+      .join(banded.select(col("vec_id").as("id_b"), col("nkey")), "nkey")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cands
+      .join(q.select(col("vec_id").as("id_a"), col("vec_v").as("va"), col("vec_norm").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"), col("vec_v").as("vb"), col("vec_norm").as("nb")), "id_b")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+    val out = pairs.localCheckpoint()
     q.unpersist()
     out
   }

@@ -33,26 +33,37 @@ object TextAnalysis {
     * array_contains ? +1 : +0)` lambda. */
   def lexiconHitsUdf(lexicon: Seq[String]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val set = lexicon.toSet
+    // null token array (split of a null text) => null, like the SQL
+    // aggregate lambda this fold replaced
     udf { (ts: Seq[String]) =>
-      var a = 0; val it = ts.iterator
-      while (it.hasNext) if (set(it.next())) a += 1
-      a
+      if (ts == null) None
+      else {
+        var a = 0; val it = ts.iterator
+        while (it.hasNext) if (set(it.next())) a += 1
+        Some(a)
+      }
     }
   }
 
   /** Sum of token lengths (for mean token length), compiled fold. */
   private val sumTokLenUdf = udf { (ts: Seq[String]) =>
-    var a = 0; val it = ts.iterator
-    while (it.hasNext) a += it.next().length
-    a
+    if (ts == null) None
+    else {
+      var a = 0; val it = ts.iterator
+      while (it.hasNext) a += it.next().length
+      Some(a)
+    }
   }
 
   /** Subword estimate: sum of ceil(len/4) per token, compiled fold with
     * the same double-ceil arithmetic as the SQL `ceil(length(t) / 4.0)`. */
   private val subwordUdf = udf { (ts: Seq[String]) =>
-    var a = 0L; val it = ts.iterator
-    while (it.hasNext) a += math.ceil(it.next().length / 4.0).toLong
-    a.toInt
+    if (ts == null) None
+    else {
+      var a = 0L; val it = ts.iterator
+      while (it.hasNext) a += math.ceil(it.next().length / 4.0).toLong
+      Some(a.toInt)
+    }
   }
 
   /** (doc_id, per-language hit counts, argmax language). Ties break
@@ -101,6 +112,52 @@ object TextAnalysis {
           .as("re_tokens"),
         subwordUdf(col("toks")).as("subword_est"),
         length(col("text")).as("n_chars_measured"))
+
+  /** End-to-end corpus curation — the pipeline a training-data run
+    * composes from the pieces above: language-ID + quality scoring in ONE
+    * scan (no joins between the stages; every per-doc column derives from
+    * the same hoisted token array), exact dedup keeping the smallest
+    * doc_id per content digest, a quality-floor filter, then a per-language
+    * rollup. Two shuffles total at any scale: the digest window and the
+    * final groupBy. Mean quality is aggregated from exact micro-unit
+    * integers so the rollup is deterministic under any partitioning. */
+  def curateCorpus(df: DataFrame, idCol: String, textCol: String,
+                   minQuality: Double = 0.5): DataFrame = {
+    val hits = lexicons.map { case (lang, lex) =>
+      lexiconHitsUdf(lex)(col("toks")).as(s"hits_$lang")
+    }
+    val ranked = lexicons.map { case (lang, _) =>
+      s"named_struct('neg', -hits_$lang, 'lang', '$lang')"
+    }.mkString("array(", ", ", ")")
+    val perDoc = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        expr(Dedup.tokens(textCol)).as("toks"))
+      .select(Seq(col("doc_id"), col("text"), col("toks")) ++ hits: _*)
+      .withColumn("best_lang", expr(s"element_at(array_sort($ranked), 1).lang"))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("n_distinct", expr("size(array_distinct(toks))"))
+      .withColumn("stop_ratio",
+        round(lexiconHitsUdf(Seq("the", "a"))(col("toks")) / expr("cast(size(toks) as double)"), 6))
+      .withColumn("quality", expr(
+        "round(least(n_tokens, 100) / 100.0 * 0.4" +
+          " + n_distinct / cast(n_tokens as double) * 0.4" +
+          " + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6)"))
+      .withColumn("subword_est", subwordUdf(col("toks")))
+    perDoc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .filter(col("quality") >= minQuality)
+      .groupBy("best_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("subword_est").cast("long")).as("total_subwords"),
+        sum(expr("cast(round(quality * 1e6) as bigint)")).as("q_micro"))
+      .select(col("best_lang"), col("n_docs"), col("total_tokens"),
+        col("total_subwords"),
+        round(col("q_micro").cast("double") / col("n_docs") / 1e6, 6).as("mean_quality"))
+  }
 
   /** Winnowing-style fingerprint: XOR of the 5 smallest shingle hashes.
     * Identical fingerprints put documents in the same near-dup bucket;

@@ -59,6 +59,14 @@ object Dedup {
       D.embeddingNeardupPairs(e.filter(col("vec_id") % 20 === 0), e,
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("probe_id", "vec_id")
+    },
+
+    // Corpus-wide embedding near-dups: RP-LSH banded self-join candidates
+    // (an equi-join on the band key, never all-pairs), exact cosine verify.
+    "d08_embedding_neardup_corpus" -> { (s, dir) =>
+      graft.ext.Similarity.rpNeardupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -167,6 +175,20 @@ object Dedup {
         |  round(list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm), 4) AS cosine
         |FROM n p JOIN n q ON p.vec_id % 20 = 0 AND p.vec_id <> q.vec_id
         |WHERE list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) >= 0.4
-        |ORDER BY probe_id, vec_id""".stripMargin
+        |ORDER BY probe_id, vec_id""".stripMargin,
+
+    "d08_embedding_neardup_corpus" ->
+      s"""${Similarity.normCte},
+         |sigs AS (SELECT vec_id, ${Similarity.sigExpr("v")} sig FROM n),
+         |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
+         |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
+         |cands AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM bands a JOIN bands b USING (nkey) WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(c_raw, 4) AS cosine FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) c_raw
+         |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
+         |WHERE c_raw >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

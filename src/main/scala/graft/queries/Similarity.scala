@@ -41,6 +41,13 @@ object Similarity {
     "s04_vector_index" -> { (s, dir) =>
       S.vectorIndex(Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
         .orderBy("vec_id")
+    },
+
+    // Relational Lloyd k-means (k=4, 2 iterations, exact-integer
+    // quantization): the MLlib-slice analog, 2 stages per iteration.
+    "s05_kmeans" -> { (s, dir) =>
+      graft.ext.Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
+        .orderBy("cluster")
     }
   )
 
@@ -49,7 +56,7 @@ object Similarity {
   private val pl = S.planesLiteralDuck(S.signPlanes(16, Dims, "pl"))
   private val anc = S.planesLiteralDuck(S.signPlanes(8, Dims, "anc"))
 
-  private val normCte =
+  private[queries] val normCte =
     """WITH n AS (
       |  SELECT vec_id, embedding::DOUBLE[] v,
       |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) nrm
@@ -57,7 +64,7 @@ object Similarity {
 
   private val dot = "list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i]))"
 
-  private def sigExpr(v: String) =
+  private[queries] def sigExpr(v: String) =
     s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
       s"list_sum(list_transform(range(1, ${Dims + 1}), i -> $pl[j+1][i] * $v[i])) > 0 " +
       s"THEN (1 << j) ELSE 0 END)) AS INT)"
@@ -65,7 +72,41 @@ object Similarity {
   private def dotsExpr(v: String) =
     s"list_transform(range(1, 9), j -> list_sum(list_transform(range(1, ${Dims + 1}), i -> $anc[j][i] * $v[i])))"
 
+  // ---- k-means CTE builders (unrolled Lloyd iterations) -------------------
+
+  /** Assignment CTE: argmin squared distance, ties to the lowest label. */
+  private def kmAssign(name: String, cTbl: String) =
+    s"""$name AS (SELECT vec_id, cl FROM (
+       |  SELECT v.vec_id, $cTbl.cl,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - $cTbl.c[i]) * (v.vq[i] - $cTbl.c[i]))), $cTbl.cl) rn
+       |  FROM v, $cTbl) WHERE rn = 1)""".stripMargin
+
+  /** Centroid-recompute CTE: per-dim exact integer sums / member count. */
+  private def kmCent(name: String, aTbl: String) =
+    s"""$name AS (SELECT cl, list(sd ORDER BY i) c FROM (
+       |  SELECT $aTbl.cl, i.i, sum(v.vq[i.i])::DOUBLE / count(*) sd
+       |  FROM v JOIN $aTbl USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) i(i)
+       |  GROUP BY $aTbl.cl, i.i) GROUP BY cl)""".stripMargin
+
+  private val QS = graft.ext.Clustering.QuantScale
+
   val oracles: Map[String, String] = Map(
+    "s05_kmeans" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM v WHERE vec_id < 4),
+         |${kmAssign("a1", "c0")},
+         |${kmCent("c1", "a1")},
+         |${kmAssign("a2", "c1")},
+         |${kmCent("c2", "a2")},
+         |${kmAssign("af", "c2")}
+         |SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  min(v.vec_id) AS min_member,
+         |  round(sum(list_sum(list_transform(v.vq, q -> q * q)))::DOUBLE / count(*) / ${QS.toDouble * QS}, 4) AS mean_sqnorm
+         |FROM v JOIN af USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
+
     "s01_cosine_topk" ->
       s"""$normCte
          |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (

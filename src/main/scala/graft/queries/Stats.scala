@@ -106,6 +106,67 @@ object Stats {
       s.createDataFrame(Seq((frac, ok))).toDF("fraction", "within_bounds")
     },
 
+    // df.stat.countMinSketch (CORE/DataFrameStatFunctions.scala): the CMS
+    // point estimates are hash-seed-specific, so the oracle encodes the
+    // sketch's one-sided error CONTRACT: for any key,
+    // true <= estimate <= true + eps * N (the upper bound holding with
+    // prob >= confidence per key; three independent keys at 99% -> safe).
+    "n08_cms_bounds" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val eps = 0.001
+      val cms = o.stat.countMinSketch(col("o_custkey"), eps, 0.99, 42)
+      val keys = Seq(1L, 7L, 101L)
+      val truth = o.filter(col("o_custkey").isin(keys: _*))
+        .groupBy("o_custkey").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = cms.totalCount().toDouble
+      val checks = keys.map { k =>
+        val est = cms.estimateCount(k)
+        val t = truth.getOrElse(k, 0L)
+        (k, est >= t && est <= t + eps * n)
+      }
+      s.createDataFrame(checks).toDF("key", "within_bounds").orderBy("key")
+    },
+
+    // df.stat.bloomFilter: membership contract — ZERO false negatives over
+    // every present order key, and the false-positive rate on 10k absent
+    // keys within 3x the configured fpp.
+    "n09_bloom_contract" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val fpp = 0.01
+      val bf = o.stat.bloomFilter(col("o_orderkey"), 200000L, fpp)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf { (k: Long) => bfB.value.mightContainLong(k) }
+      val noFalseNeg = o.select(col("o_orderkey"))
+        .filter(!mightContain(col("o_orderkey"))).count() == 0L
+      // order keys are < 10^7 at every test SF; probe a disjoint range
+      val falsePos = s.range(20000000L, 20010000L)
+        .filter(mightContain(col("id"))).count()
+      val fpOk = falsePos <= (3 * fpp * 10000).toLong
+      s.createDataFrame(Seq(("fp_rate_within_3x", fpOk), ("no_false_negatives", noFalseNeg)))
+        .toDF("check", "ok").orderBy("check")
+    },
+
+    // df.stat.freqItems (a Karp/Misra-Gries style sweep): its possible-
+    // false-positive extras are partition-order-specific, but its GUARANTEE
+    // is no false negatives — every value with frequency > support*n is in
+    // the result. The query emits exactly the truly-frequent values found,
+    // which the oracle recomputes exactly.
+    "n10_freq_items_contract" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val support = 0.3
+      val found = li.stat.freqItems(Array("l_returnflag"), support)
+        .head().getSeq[String](0).toSet
+      val n = li.count()
+      import s.implicits._
+      li.groupBy("l_returnflag").count()
+        .filter(col("count") > support * n)
+        .select(col("l_returnflag"))
+        .map(r => (r.getString(0), found(r.getString(0))))
+        .toDF("l_returnflag", "found")
+        .orderBy("l_returnflag")
+    },
+
     // Pearson corr + sample covariance from exact sums.
     "n04_corr_cov" -> { (s, dir) =>
       Tables.lineitem(s, dir)
@@ -165,6 +226,22 @@ object Stats {
 
     "n07_sample_bounds" ->
       """SELECT 0.1::DOUBLE AS fraction, TRUE AS within_bounds""".stripMargin,
+
+    "n08_cms_bounds" ->
+      """SELECT * FROM (VALUES (1::BIGINT, TRUE), (7::BIGINT, TRUE),
+        |  (101::BIGINT, TRUE)) t(key, within_bounds)
+        |ORDER BY key""".stripMargin,
+
+    "n09_bloom_contract" ->
+      """SELECT * FROM (VALUES ('fp_rate_within_3x', TRUE),
+        |  ('no_false_negatives', TRUE)) t("check", ok)
+        |ORDER BY "check"""".stripMargin,
+
+    "n10_freq_items_contract" ->
+      """SELECT l_returnflag, TRUE AS found FROM lineitem
+        |GROUP BY l_returnflag
+        |HAVING count(*) > 0.3 * (SELECT count(*) FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "n04_corr_cov" ->
       """WITH s AS (SELECT count(*) n,

@@ -20,6 +20,12 @@ object TextAnalysis {
     },
     "t04_fingerprints" -> { (s, dir) =>
       T.fingerprints(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // End-to-end curation pipeline: language-ID + quality in one scan,
+    // exact dedup (min doc_id per digest), quality floor, per-language rollup.
+    "t05_corpus_curation" -> { (s, dir) =>
+      T.curateCorpus(Tables.documents(s, dir), "doc_id", "text").orderBy("best_lang")
     }
   )
 
@@ -63,6 +69,27 @@ object TextAnalysis {
          |SELECT doc_id, ${T.lexicons.map { case (l, _) => s"hits_$l" }.mkString(", ")},
          |  list_sort([${T.lexicons.map { case (l, _) => s"{'neg': -hits_$l, 'lang': '$l'}" }.mkString(", ")}])[1].lang AS best_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t05_corpus_curation" ->
+      s"""$toksCte,
+         |q AS (SELECT doc_id, text, toks,
+         |  list_sort([${T.lexicons.map { case (l, lex) => s"{'neg': -(${lexHits(lex)}), 'lang': '$l'}" }.mkString(", ")}])[1].lang AS best_lang,
+         |  CAST(len(toks) AS INT) n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) n_distinct,
+         |  round(${lexHits(Seq("the", "a"))} / len(toks)::DOUBLE, 6) stop_ratio,
+         |  CAST(list_sum(list_transform(toks, t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS INT) subword_est
+         |FROM d),
+         |scored AS (SELECT *, round(least(n_tokens, 100) / 100.0 * 0.4
+         |    + n_distinct / CAST(n_tokens AS DOUBLE) * 0.4
+         |    + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6) AS quality,
+         |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |FROM q)
+         |SELECT best_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(subword_est) AS BIGINT) AS total_subwords,
+         |  round(sum(CAST(round(quality * 1e6) AS BIGINT))::DOUBLE / count(*) / 1000000.0, 6) AS mean_quality
+         |FROM scored WHERE rn = 1 AND quality >= 0.5
+         |GROUP BY best_lang ORDER BY best_lang""".stripMargin,
 
     "t04_fingerprints" ->
       s"""WITH sh AS (

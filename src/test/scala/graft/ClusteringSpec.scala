@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Clustering
+import org.apache.spark.sql.functions._
+
+/** Relational Lloyd k-means: partitioning invariants plus value parity
+  * with an independent driver-side reimplementation of the same spec
+  * (quantized integers, mean centroids, ties to lowest label). */
+class ClusteringSpec extends SparkSpec {
+
+  test("k-means clusters partition the corpus; labels come from the seed set") {
+    val out = Clustering.kmeans(
+      Tables.embeddings(spark, sf001), "vec_id", "embedding", 64).collect()
+    assert(out.map(_.getLong(1)).sum === 500L)
+    assert(out.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    out.foreach(r => assert(r.getLong(2) >= 0L))
+  }
+
+  test("distributed assignment equals a driver-side Lloyd reimplementation") {
+    val vq = Clustering.quantized(
+        Tables.embeddings(spark, sf001), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    // independent reference: same seed (ids < k), mean centroids, 2 iters
+    val k = 4
+    var centers: Seq[(Long, Array[Double])] =
+      vq.take(k).map { case (id, v) => (id, v.map(_.toDouble)) }.toSeq
+    def assign(v: Array[Long]): Long =
+      centers.minBy { case (_, c) =>
+        c.zip(v).map { case (ci, xi) => val d = xi - ci; d * d }.sum
+      }._1 // minBy keeps the FIRST minimum = lowest label (centers sorted)
+    for (_ <- 1 to 2) {
+      val byCluster = vq.groupBy { case (_, v) => assign(v) }
+      centers = byCluster.toSeq.sortBy(_._1).map { case (cl, members) =>
+        val n = members.length.toDouble
+        (cl, (0 until 64).map(d => members.map(_._2(d)).sum.toDouble / n).toArray)
+      }
+    }
+    val expected = vq.groupBy { case (_, v) => assign(v) }
+      .map { case (cl, ms) => (cl, ms.length.toLong, ms.map(_._1).min) }
+      .toSet
+    val got = Clustering.kmeans(
+        Tables.embeddings(spark, sf001), "vec_id", "embedding", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
+  test("corpus-wide rp-lsh near-dup pairs are verified and symmetric-free") {
+    val e = Tables.embeddings(spark, sf001)
+    val pairs = graft.ext.Similarity
+      .rpNeardupPairs(e, "vec_id", "embedding", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(c >= 0.4, s"pair ($a,$b) cosine $c below threshold")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
+  }
+}

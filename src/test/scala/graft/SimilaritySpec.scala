@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("vector kernels degrade gracefully on null / short vectors") {
+    import spark.implicits._
+    val planes = Similarity.signPlanes(4, 4, "t")
+    val df = Seq(
+      (1L, Some(Seq(1.0, -2.0, 3.0, 4.0))),
+      (2L, Some(Seq(1.0))), // shorter than dims: only present elements count
+      (3L, Option.empty[Seq[Double]])
+    ).toDF("id", "v")
+    val rows = df.select(col("id"),
+        Similarity.signatureUdf(planes)(col("v")).as("sig"),
+        Similarity.anchorDotsUdf(planes)(col("v")).as("dots"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    // short vector: bit j set iff sign of plane_j(0) * v(0) > 0
+    val expectedSig = planes.zipWithIndex
+      .filter { case (p, _) => p.head * 1.0 > 0 }.map(1 << _._2).sum
+    assert(rows(1).getInt(1) === expectedSig)
+    assert(rows(1).getSeq[Double](2) === planes.map(_.head * 1.0))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
   test("ANN recall@3 against exact top-3 clears the floor") {
     val exact3 = topSet(
       Similarity.bruteForceTopK(probeSet, emb, "vec_id", "embedding", 3), 3)

@@ -37,6 +37,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie.getAs[String]("best_lang") === "de")
   }
 
+  test("null text yields null fold results, like the SQL lambdas replaced") {
+    import spark.implicits._
+    val df = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(col("doc_id"), expr("split(text, ' ')").as("toks"))
+    val r = df.select(
+      TextAnalysis.lexiconHitsUdf(Seq("the"))(col("toks")).as("hits")).head()
+    assert(r.isNullAt(0))
+    // the full scorecards must also survive a null text row
+    val q = TextAnalysis.qualityScores(Seq((1L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    val t = TextAnalysis.tokenCounts(Seq((1L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(q.length === 1 && t.length === 1)
+    assert(t.head.isNullAt(t.head.fieldIndex("subword_est")))
+  }
+
   test("near-duplicate documents land in the same fingerprint bucket") {
     val docs = Tables.documents(spark, sf01)
     val fps = TextAnalysis.fingerprints(docs, "doc_id", "text")
