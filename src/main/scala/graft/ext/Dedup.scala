@@ -117,11 +117,23 @@ object Dedup {
     * earlier `array_min(transform(...))` formulation ran k interpreted
     * lambda passes per document (non-codegen) and was ~10x slower; the
     * explode+partial-agg also combines map-side before the shuffle. */
+  /** (doc_id, shingles) table — THE artifact every MinHash stage consumes.
+    * Callers that run several stages (signatures + candidates + verify)
+    * compute it once, persist it, and pass it down, instead of re-shingling
+    * the corpus per stage. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), shinglesUdf(shingleN)(col(textCol)).as("shingles"))
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 32): DataFrame = {
+                        shingleN: Int = 3, k: Int = 32): DataFrame =
+    minhashSignaturesFrom(shingleTable(df, idCol, textCol, shingleN), k)
+
+  /** Signatures from a prebuilt (doc_id, shingles) table. */
+  def minhashSignaturesFrom(sh: DataFrame, k: Int): DataFrame = {
     val (as, bs) = affineCoeffs(k)
-    val hashed = df
-      .select(col(idCol).as("doc_id"), explode(shinglesUdf(shingleN)(col(textCol))).as("s"))
+    val hashed = sh
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr(baseHash("s")).as("h"))
     val mins = (0 until k).map(i =>
       min(expr(s"(${as(i)}L * h + ${bs(i)}L) % $MersennePrime31")).as(s"m$i"))
@@ -151,9 +163,16 @@ object Dedup {
     * bucket durably and reuse across every LSH run. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-                        maxBucket: Int = 50, materialize: Boolean = true): DataFrame = {
+                        maxBucket: Int = 50, materialize: Boolean = true): DataFrame =
+    minhashCandidatesFrom(shingleTable(df, idCol, textCol, shingleN),
+      k, bands, maxBucket, materialize)
+
+  /** Candidates from a prebuilt (doc_id, shingles) table — see
+    * [[minhashCandidates]] for the shape rationale. */
+  def minhashCandidatesFrom(sh: DataFrame, k: Int = 32, bands: Int = 16,
+                            maxBucket: Int = 50, materialize: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
-    val lazyBanded = minhashSignatures(df, idCol, textCol, shingleN, k)
+    val lazyBanded = minhashSignaturesFrom(sh, k)
       .select(col("doc_id"), explode(expr(bandKeys("sig", bands, rowsPerBand))).as("bkey"))
     // only the materialized path persists: the lazy path (shape assertions)
     // never runs the plan twice and must not leak storage blocks
@@ -183,11 +202,12 @@ object Dedup {
   def neardupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 32, bands: Int = 16,
                    maxBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
-    // the shingle table feeds both sides of the verification join — persist
-    // for the call, release once the (small) verified pair set is real
-    val sh = df.select(col(idCol).as("doc_id"), shinglesUdf(shingleN)(col(textCol)).as("shingles"))
+    // the shingle table feeds candidate generation AND both sides of the
+    // verification join — shingle once, persist for the call, release once
+    // the (small) verified pair set is real
+    val sh = shingleTable(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucket)
+    val verified = minhashCandidatesFrom(sh, k, bands, maxBucket)
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_a", "shingles" -> "sh_a")), "doc_a")
       .join(sh.withColumnsRenamed(Map("doc_id" -> "doc_b", "shingles" -> "sh_b")), "doc_b")
       .withColumn("jaccard",

@@ -22,12 +22,16 @@ object Graph {
     * start, fixed `iters` supersteps. `edges`: (src, dst) with
     * multiplicity as weight. Returns (vertex, rank). */
   def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 5): DataFrame = {
-    val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+    // ONE pass over the (potentially expensive) edge input: the grouped
+    // weight table is tiny (distinct src-dst pairs) and everything else —
+    // out-weights, normalized probabilities, the vertex set — derives from
+    // it, instead of re-running the upstream joins per derived table.
+    val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w")).cache()
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     val norm = e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
       .cache()
-    val verts = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex"))).distinct().cache()
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct().cache()
     val n = verts.count().toDouble // one-time numVertices action, as in GraphX
     var ranks = verts.select(col("vertex"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
@@ -46,7 +50,7 @@ object Graph {
     // Materialize before releasing the per-call caches so repeated
     // invocations (the Bench loop) don't accumulate executor blocks.
     val out = ranks.localCheckpoint()
-    norm.unpersist(); verts.unpersist()
+    norm.unpersist(); verts.unpersist(); e.unpersist()
     out
   }
 
@@ -62,11 +66,16 @@ object Graph {
     * is degree-ordered orientation, which the a<b canonicalization already
     * approximates. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("src") =!= col("dst"))
+    // und (canonical a<b edges) feeds three join sides and the vertex set
+    // must also see self-loop-only endpoints, so the edge input would be
+    // recomputed four times if left lazy: distinct the endpoint pairs once
+    // (tiny — the upstream joins run once), derive everything from that.
+    val ep = edges.select(col("src"), col("dst")).distinct().cache()
+    val und = ep.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val verts = edges.select(col("src").as("vertex"))
-      .union(edges.select(col("dst").as("vertex"))).distinct()
+    val verts = ep.select(col("src").as("vertex"))
+      .union(ep.select(col("dst").as("vertex"))).distinct()
     val wedges = und.alias("x")
       .join(und.alias("y"), col("x.a") === col("y.a") && col("x.b") < col("y.b"))
       .select(col("x.a").as("v1"), col("x.b").as("v2"), col("y.b").as("v3"))
@@ -74,8 +83,11 @@ object Graph {
       col("v2") === col("z.a") && col("v3") === col("z.b"), "left_semi")
     val counts = tris.select(explode(array(col("v1"), col("v2"), col("v3"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("triangles"))
-    verts.join(counts, Seq("vertex"), "left")
+    val out = verts.join(counts, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint()
+    ep.unpersist()
+    out
   }
 
   /** Connected components by min-label propagation over undirected edges,

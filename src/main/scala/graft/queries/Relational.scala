@@ -197,6 +197,52 @@ object Relational {
       o.join(broadcast(stats), dec2("o_totalprice") * 2 > col("avg_total") * 3)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // Correlated EXISTS (TPC-H Q4 shape): Catalyst decorrelates the
+    // subquery into a left-semi join on the correlation key.
+    "q16_exists_returned" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("q16_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q16_lineitem")
+      s.sql("""SELECT o_orderpriority, count(*) AS n FROM q16_orders o
+              |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND EXISTS (
+              |  SELECT 1 FROM q16_lineitem l
+              |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape): per-part average
+    // decorrelates into an aggregate + equi-join. The quantity sums stay
+    // exact in double (small integers), so the 0.5*avg threshold is
+    // engine-portable.
+    "q17_below_avg_quantity" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("q17_lineitem")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+              |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+              |FROM q17_lineitem l1
+              |WHERE l1.l_quantity < 0.5 * (
+              |  SELECT avg(l2.l_quantity) FROM q17_lineitem l2
+              |  WHERE l2.l_partkey = l1.l_partkey)
+              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // IN-subquery with HAVING (TPC-H Q18 shape): big-quantity orders
+    // found by a grouped subquery, re-joined to customer + lineitem.
+    "q18_big_quantity_orders" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("q18_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q18_lineitem")
+      Tables.customer(s, dir).createOrReplaceTempView("q18_customer")
+      s.sql("""SELECT c_custkey, o_orderkey,
+              |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+              |FROM q18_customer c
+              |JOIN q18_orders o ON c.c_custkey = o.o_custkey
+              |JOIN q18_lineitem l ON o.o_orderkey = l.l_orderkey
+              |WHERE o.o_orderkey IN (
+              |  SELECT l_orderkey FROM q18_lineitem
+              |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+              |GROUP BY c_custkey, o_orderkey
+              |ORDER BY total_qty DESC, o_orderkey
+              |LIMIT 100""".stripMargin)
     }
   )
 
@@ -317,6 +363,35 @@ object Relational {
         |FROM orders,
         |  (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(38,6)) AS avg_total FROM orders) t
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 > avg_total * 3
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_exists_returned" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_below_avg_quantity" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem l1
+        |WHERE l1.l_quantity < 0.5 * (
+        |  SELECT avg(l2.l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_big_quantity_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }
