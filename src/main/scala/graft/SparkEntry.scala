@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Stats.defs ++
       graft.queries.IO.defs ++
       graft.queries.Streams.defs ++
-      graft.queries.Graphs.defs
+      graft.queries.Graphs.defs ++
+      graft.queries.Joins.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Stats.oracles ++
       graft.queries.IO.oracles ++
       graft.queries.Streams.oracles ++
-      graft.queries.Graphs.oracles
+      graft.queries.Graphs.oracles ++
+      graft.queries.Joins.oracles
 }

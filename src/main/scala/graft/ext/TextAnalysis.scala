@@ -172,4 +172,33 @@ object TextAnalysis {
         expr(s"aggregate(slice(array_sort($hashes), 1, 5), 0L, (a, x) -> a ^ x)").as("fp"))
       .withColumn("fp_bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
   }
+
+  /** Per-document top-k terms by smoothed TF-IDF
+    * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen
+    * terms never hit ln(0)).
+    *
+    * Scale shape: term frequencies are ONE shuffle on (doc, term) with
+    * map-side partial counts; document frequency derives from the tf
+    * table (terms are unique per doc there — a plain count, no distinct)
+    * and is a small term-vocabulary table joined back by term; the
+    * corpus size N is a broadcast scalar; top-k is a per-doc window.
+    * Every arithmetic step is the same IEEE op sequence the DuckDB
+    * mirror runs, so scores are bit-identical cross-engine. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct("doc_id").as("n"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rn") <= topK)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
 }

@@ -26,6 +26,12 @@ object TextAnalysis {
     // exact dedup (min doc_id per digest), quality floor, per-language rollup.
     "t05_corpus_curation" -> { (s, dir) =>
       T.curateCorpus(Tables.documents(s, dir), "doc_id", "text").orderBy("best_lang")
+    },
+
+    // Top-3 terms per document by smoothed TF-IDF.
+    "t06_tfidf_terms" -> { (s, dir) =>
+      T.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", topK = 3)
+        .orderBy("doc_id", "term")
     }
   )
 
@@ -103,6 +109,24 @@ object TextAnalysis {
          |      (a, x) -> xor(a, x)) AS fp
          |  FROM sh)
          |SELECT doc_id, n_shingles, fp, count(*) OVER (PARTITION BY fp) AS fp_bucket_size
-         |FROM fp ORDER BY doc_id""".stripMargin
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // Same IEEE op sequence as the Spark side: bigint counts -> double
+    // division -> ln -> +1 -> * tf, so scores hash-match bit-for-bit.
+    "t06_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf::DOUBLE * (ln((nn.n + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE) + 1.0::DOUBLE) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf::DOUBLE * (ln((nn.n + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE) + 1.0::DOUBLE) DESC,
+        |        tf.term) AS rn
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
   )
 }

@@ -62,4 +62,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus") ||
       p.contains("PartitionFilters: [o_orderstatus"))
   }
+
+  test("j01: as-of join is union+window — no join node, no match amplification") {
+    val p = plan(SparkEntry.queries("j01_asof_last_purchase")(spark, sf001))
+    assert(!p.contains("Join"), "asofJoin must not produce any join operator")
+    assert(p.contains("Window") && p.contains("Union"))
+  }
+
+  test("j02: range join is a bucketed equi-join, never a nested loop") {
+    val p = plan(SparkEntry.queries("j02_attribution_window")(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("__bkt"))
+  }
 }

@@ -62,4 +62,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bucketed >= 2, s"expected some shared-fingerprint docs, got $bucketed")
     assert(fps.count() === 500)
   }
+
+  test("tfidf: ubiquitous terms score below rare terms at equal tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2"),
+      (3L, "common rare3")).toDF("doc_id", "text")
+    val scored = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topK = 10)
+    val byTerm = scored.filter($"doc_id" === 2L)
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    // df(common)=3 (every doc) vs df(rare2)=1: same tf=1 within doc 2
+    assert(byTerm("rare2") > byTerm("common"))
+    // smoothed idf of an every-doc term is ln(4/4)+1 = 1.0 exactly
+    assert(byTerm("common") === 1.0)
+    // top-1 per doc is the doc's rare term, never the ubiquitous one
+    val top1 = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", topK = 1)
+      .select("term").as[String].collect().toSet
+    assert(top1 === Set("rare1", "rare2", "rare3"))
+  }
 }
