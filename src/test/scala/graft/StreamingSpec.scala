@@ -244,4 +244,31 @@ class StreamingSpec extends SparkSpec {
     val continued = Streaming.foldSessions(closed, 7, Seq(ev(4, 70)), 30 * 60000L)
     assert(continued.head.n_events === 2L) // joined session 2
   }
+
+  test("streaming dedup: duplicates across micro-batches emit once, batch parity") {
+    import spark.implicits._
+    def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val batches = Seq(
+      Seq(Event(1, at(0), 1, "a", 1.0), Event(2, at(1), 1, "a", 1.0)),
+      // event 1 replayed in a later micro-batch (at-least-once delivery),
+      // inside the watermark window — state still remembers it
+      Seq(Event(1, at(0), 1, "a", 1.0), Event(3, at(2), 1, "a", 1.0)),
+      Seq(Event(2, at(1), 1, "a", 1.0), Event(4, at(3), 1, "a", 1.0)))
+    val ms = MemoryStream[Event](spark)
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    import org.apache.spark.sql.functions.col
+    val streamed = spark.table("dedup_stream")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val batch = batches.flatten.toDF().dropDuplicates("event_id")
+      .select(col("event_id")).as[Long].collect().sorted.toSeq
+    assert(streamed === Seq(1L, 2L, 3L, 4L))
+    assert(streamed === batch)
+  }
 }
