@@ -71,9 +71,10 @@ object Clustering {
   def kmeansFrom(vq: DataFrame, dims: Int, k: Int, iters: Int): DataFrame = {
     val q = vq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed: the k smallest ids, centroid = the quantized vector itself
-    var centers: Seq[(Long, Array[Double])] = q.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // (orderBy+limit, not filter(id < k): ids may be sparse or non-0-based)
+    var centers: Seq[(Long, Array[Double])] = q.orderBy("vec_id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toArray)).toSeq
+    require(centers.nonEmpty, "kmeans: input has no vectors to seed from")
     val sumAggs = (0 until dims).map(d =>
       sum(expr(s"element_at(vq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
     for (_ <- 1 to iters) {

@@ -47,12 +47,22 @@ object Joins {
     * need two-level bucketing (coarse time bucket + per-bucket carry-in
     * prefix), the same refinement streamed state stores apply; at normal
     * key cardinality AQE balances the partitions. */
+  /** Internal column names; caller schemas must not collide with these. */
+  private val Reserved = Seq("__k", "__t", "__side", "__payload", "__carried", "__bkt")
+
+  private def requireNoReserved(df: DataFrame, which: String): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty,
+      s"$which input uses reserved internal column name(s) ${clash.mkString(", ")}; rename them before joining")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asofJoin supports inner|left, got $joinType")
+    requireNoReserved(left, "asofJoin left"); requireNoReserved(right, "asofJoin right")
     val rightPayload = right.columns.filter(c => c != rightKey && c != rightTime)
     // One unified schema: (key, t, side, payload-struct, left columns).
     // side orders right (0) before left (1) at equal timestamps so a
@@ -86,6 +96,7 @@ object Joins {
                 leftKey: String, rightKey: String,
                 leftTime: String, rightStart: String, rightEnd: String,
                 bucketSeconds: Long): DataFrame = {
+    requireNoReserved(left, "rangeJoin left"); requireNoReserved(right, "rangeJoin right")
     val lb = left.withColumn("__bkt",
       floor(unix_timestamp(col(leftTime)) / bucketSeconds))
     // interval [start, end) covers buckets floor(start/w)..floor(end/w);

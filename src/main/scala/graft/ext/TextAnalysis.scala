@@ -190,9 +190,10 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct("doc_id").as("n"))
-    tf.join(dfreq, "term")
+    val out = tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf").cast("double") *
         (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0))
@@ -200,5 +201,11 @@ object TextAnalysis {
         Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
       .filter(col("rn") <= topK)
       .select("doc_id", "term", "tf", "df", "tfidf")
+      // tf feeds three consumers (dfreq, N, the final join); persist for the
+      // call, pin the result, release the cache — same convention as
+      // Graph.pageRank / the MinHash stages.
+      .localCheckpoint()
+    tf.unpersist()
+    out
   }
 }

@@ -109,8 +109,12 @@ object Stats {
     // df.stat.countMinSketch (CORE/DataFrameStatFunctions.scala): the CMS
     // point estimates are hash-seed-specific, so the oracle encodes the
     // sketch's one-sided error CONTRACT: for any key,
-    // true <= estimate <= true + eps * N (the upper bound holding with
-    // prob >= confidence per key; three independent keys at 99% -> safe).
+    // true <= estimate <= true + eps * N. NOTE the upper bound is
+    // probabilistic (holds with prob >= confidence per key, ~3% combined
+    // failure odds over three keys for an ARBITRARY seed): seed=42 is
+    // load-bearing — it is a verified-passing draw, making the query
+    // deterministic. Changing eps/confidence/seed requires re-verifying
+    // the bound holds, or the oracle's hardcoded TRUE goes permanently red.
     "n08_cms_bounds" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val eps = 0.001
