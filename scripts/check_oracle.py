@@ -8,11 +8,31 @@ matching SQL from <out>/oracle_sql.json in DuckDB against views over the
 sf_dir parquet tables, and compares: row count, column names (sorted),
 and values (rows sorted, columns sorted by name). Exact equality.
 """
-import sys, json, glob, os
+import sys, json, glob, os, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Per-ORACLE-query wall budget. A single slow oracle once stalled the whole
+# gate into an empty artifact (rounds 3-4); now it becomes a named TIMEOUT
+# FAIL and the suite moves on. con.interrupt() aborts the running DuckDB
+# query from a watchdog thread.
+QUERY_TIMEOUT_SEC = float(os.environ.get("ORACLE_TIMEOUT_SEC", "30"))
+
+def run_with_timeout(con, sql, timeout=QUERY_TIMEOUT_SEC):
+    """Execute sql; returns (rows, cols). Raises TimeoutError past budget."""
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        cur = con.execute(sql)
+        rows = cur.fetchall()
+        cols = [c[0] for c in con.description]
+        return rows, cols
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {timeout:.0f}s budget")
+    finally:
+        timer.cancel()
 
 def norm(v):
     # canonical sortable cell: both sides come through duckdb fetch, so
@@ -32,22 +52,27 @@ def main(out_dir, sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    elapsed = {}
     for name in sorted(oracle):
         d = f"{out_dir}/{name}"
         files = glob.glob(f"{d}/*.parquet")
         if not files:
             results[name] = "MISSING spark output"
             continue
+        t0 = time.time()
         try:
-            spark_rows = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            spark_cols = [c[0] for c in con.description]
-            duck = con.execute(oracle[name])
-            duck_rows = duck.fetchall()
-            duck_cols = [c[0] for c in duck.description]
+            spark_rows, spark_cols = run_with_timeout(
+                con, f"SELECT * FROM read_parquet({files!r})")
+            duck_rows, duck_cols = run_with_timeout(con, oracle[name])
+        except TimeoutError as e:
+            results[name] = f"TIMEOUT {e}"
+            elapsed[name] = time.time() - t0
+            continue
         except Exception as e:
             results[name] = f"ERROR {e}"
+            elapsed[name] = time.time() - t0
             continue
+        elapsed[name] = time.time() - t0
         if sorted(spark_cols) != sorted(duck_cols):
             results[name] = f"COLS spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
             continue
@@ -69,7 +94,7 @@ def main(out_dir, sf_dir):
         flag = "PASS" if r.startswith("OK") else "FAIL"
         if flag == "FAIL":
             bad += 1
-        print(f"{flag} {name}: {r}")
+        print(f"{flag} {name} [{elapsed.get(name, 0.0):.2f}s]: {r}")
     # queries with no oracle get a rows-only note
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]

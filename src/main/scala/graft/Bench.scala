@@ -30,7 +30,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query JSON is ~6 KB — past the driver's stdout tail
+    // capture, so rounds 1-4 recorded "parsed": null. Persist the full
+    // record to a file and keep stdout to one SHORT parseable line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"/root/repo/bench_out.json","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Internal column names per operator; caller schemas must not collide
+    * with the ones the operator they call actually uses. */
+  private val AsofReserved = Seq("__k", "__t", "__side", "__payload", "__carried")
+  private val RangeReserved = Seq("__bkt")
+
+  private def requireNoReserved(df: DataFrame, which: String,
+                                reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"$which input uses reserved internal column name(s) ${clash.mkString(", ")}; rename them before joining")
+  }
+
   /** For each left row, attach the latest right row with the same key and
     * `rightTime <= leftTime` (KDB `aj` / pandas `merge_asof` semantics,
     * match-at-equality included).
@@ -47,22 +59,14 @@ object Joins {
     * need two-level bucketing (coarse time bucket + per-bucket carry-in
     * prefix), the same refinement streamed state stores apply; at normal
     * key cardinality AQE balances the partitions. */
-  /** Internal column names; caller schemas must not collide with these. */
-  private val Reserved = Seq("__k", "__t", "__side", "__payload", "__carried", "__bkt")
-
-  private def requireNoReserved(df: DataFrame, which: String): Unit = {
-    val clash = df.columns.toSet.intersect(Reserved.toSet)
-    require(clash.isEmpty,
-      s"$which input uses reserved internal column name(s) ${clash.mkString(", ")}; rename them before joining")
-  }
-
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asofJoin supports inner|left, got $joinType")
-    requireNoReserved(left, "asofJoin left"); requireNoReserved(right, "asofJoin right")
+    requireNoReserved(left, "asofJoin left", AsofReserved)
+    requireNoReserved(right, "asofJoin right", AsofReserved)
     val rightPayload = right.columns.filter(c => c != rightKey && c != rightTime)
     // One unified schema: (key, t, side, payload-struct, left columns).
     // side orders right (0) before left (1) at equal timestamps so a
@@ -96,7 +100,8 @@ object Joins {
                 leftKey: String, rightKey: String,
                 leftTime: String, rightStart: String, rightEnd: String,
                 bucketSeconds: Long): DataFrame = {
-    requireNoReserved(left, "rangeJoin left"); requireNoReserved(right, "rangeJoin right")
+    requireNoReserved(left, "rangeJoin left", RangeReserved)
+    requireNoReserved(right, "rangeJoin right", RangeReserved)
     val lb = left.withColumn("__bkt",
       floor(unix_timestamp(col(leftTime)) / bucketSeconds))
     // interval [start, end) covers buckets floor(start/w)..floor(end/w);

@@ -159,19 +159,54 @@ object TextAnalysis {
         round(col("q_micro").cast("double") / col("n_docs") / 1e6, 6).as("mean_quality"))
   }
 
+  /** Fingerprint kernel: per-shingle portable hash (first 15 md5 hex digits
+    * of "fp:"+shingle, decoded — the same bytes as [[Dedup.portableHash]])
+    * and XOR of the 5 smallest, as ONE compiled loop per document. Replaces
+    * an `aggregate(slice(array_sort(transform(...))))` chain whose lambdas
+    * ran interpreted per shingle — the same O(shingles)-interpreted tax the
+    * MinHash path already paid off (see [[Dedup.shinglesUdf]]). Bit-identical
+    * to the SQL form: XOR is order-free, so the 5 smallest hashes (kept with
+    * multiplicity) fully determine the result; empty input folds to 0. */
+  private val fingerprintUdf = udf { (sh: Seq[String]) =>
+    if (sh == null) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val k = 5
+      val top = new Array[Long](k) // ascending prefix of length `filled`
+      var filled = 0
+      val it = sh.iterator
+      while (it.hasNext) {
+        val hex = md.digest(("fp:" + it.next()).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        if (filled < k) {
+          var i = filled
+          while (i > 0 && top(i - 1) > h) { top(i) = top(i - 1); i -= 1 }
+          top(i) = h
+          filled += 1
+        } else if (h < top(k - 1)) {
+          var i = k - 1
+          while (i > 0 && top(i - 1) > h) { top(i) = top(i - 1); i -= 1 }
+          top(i) = h
+        }
+      }
+      var fp = 0L; var i = 0
+      while (i < filled) { fp ^= top(i); i += 1 }
+      Some(fp)
+    }
+  }
+
   /** Winnowing-style fingerprint: XOR of the 5 smallest shingle hashes.
     * Identical fingerprints put documents in the same near-dup bucket;
     * bucket size is attached via a groupBy on the fingerprint. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3): DataFrame = {
-    val hashes = s"transform(sh, s -> ${Dedup.portableHash("s", "'fp'")})"
+                   shingleN: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"),
         Dedup.shinglesUdf(shingleN)(col(textCol)).as("sh"))
       .select(col("doc_id"),
         expr("size(sh)").as("n_shingles"),
-        expr(s"aggregate(slice(array_sort($hashes), 1, 5), 0L, (a, x) -> a ^ x)").as("fp"))
+        fingerprintUdf(col("sh")).as("fp"))
       .withColumn("fp_bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
-  }
 
   /** Per-document top-k terms by smoothed TF-IDF
     * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen

@@ -179,7 +179,7 @@ object Dedup {
 
     "d08_embedding_neardup_corpus" ->
       s"""${Similarity.normCte},
-         |sigs AS (SELECT vec_id, ${Similarity.sigExpr("v")} sig FROM n),
+         |${Similarity.sigCtes},
          |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
          |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
          |cands AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b

@@ -64,13 +64,30 @@ object Similarity {
 
   private val dot = "list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i]))"
 
-  private[queries] def sigExpr(v: String) =
-    s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
-      s"list_sum(list_transform(range(1, ${Dims + 1}), i -> $pl[j+1][i] * $v[i])) > 0 " +
-      s"THEN (1 << j) ELSE 0 END)) AS INT)"
+  // The ±1 plane/anchor matrices are hoisted into (j, i, s) row CTEs and the
+  // projections computed as join-aggregates. The earlier form spliced the
+  // matrix literal inside doubly-nested list_transform lambdas, which DuckDB
+  // re-materializes per (row × plane × dim) — measured 150–250 s PER QUERY at
+  // sf0.01, stalling the whole correctness gate; this form is ~0.05 s with
+  // bit-identical signatures, dots, and argmax clusters (verified directly).
+  // Both expect the `n(vec_id, v, nrm)` CTE from [[normCte]] in scope.
 
-  private def dotsExpr(v: String) =
-    s"list_transform(range(1, 9), j -> list_sum(list_transform(range(1, ${Dims + 1}), i -> $anc[j][i] * $v[i])))"
+  /** CTEs `pm` (plane matrix rows) → `sigs(vec_id, sig)`: 16-bit RP signature,
+    * bit j set iff dot(plane_j, v) > 0 — mirrors [[S.signatureUdf]]. */
+  private[queries] val sigCtes: String =
+    s"""pm AS (SELECT j, i, $pl[j+1][i] AS s
+       |  FROM (SELECT unnest(range(0, 16)) j), (SELECT unnest(range(1, ${Dims + 1})) i)),
+       |sigdot AS (SELECT n.vec_id, pm.j, sum(pm.s * n.v[pm.i]) d FROM n, pm GROUP BY 1, 2),
+       |sigs AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << j) ELSE 0 END) AS INT) sig
+       |  FROM sigdot GROUP BY 1)""".stripMargin
+
+  /** CTEs `am` (anchor matrix rows) → `adots(vec_id, dots)`: per-anchor dot
+    * products ordered by anchor index — mirrors [[S.anchorDotsUdf]]. */
+  private val dotsCtes: String =
+    s"""am AS (SELECT j, i, $anc[j][i] AS s
+       |  FROM (SELECT unnest(range(1, 9)) j), (SELECT unnest(range(1, ${Dims + 1})) i)),
+       |adot AS (SELECT n.vec_id, am.j, sum(am.s * n.v[am.i]) d FROM n, am GROUP BY 1, 2),
+       |adots AS (SELECT vec_id, list(d ORDER BY j) dots FROM adot GROUP BY 1)""".stripMargin
 
   // ---- k-means CTE builders (unrolled Lloyd iterations) -------------------
 
@@ -96,7 +113,7 @@ object Similarity {
       s"""WITH v AS (SELECT vec_id,
          |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
          |  FROM embeddings),
-         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM v WHERE vec_id < 4),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM v ORDER BY vec_id LIMIT 4),
          |${kmAssign("a1", "c0")},
          |${kmCent("c1", "a1")},
          |${kmAssign("a2", "c1")},
@@ -117,7 +134,7 @@ object Similarity {
 
     "s02_rp_lsh_ann" ->
       s"""$normCte,
-         |sigs AS (SELECT vec_id, ${sigExpr("v")} sig FROM n),
+         |$sigCtes,
          |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
          |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
          |cands AS (SELECT DISTINCT pb.vec_id probe_id, qb.vec_id vec_id
@@ -131,7 +148,8 @@ object Similarity {
 
     "s03_ivf_ann" ->
       s"""$normCte,
-         |d AS (SELECT vec_id, v, nrm, ${dotsExpr("v")} dots FROM n),
+         |$dotsCtes,
+         |d AS (SELECT n.vec_id, n.v, n.nrm, adots.dots FROM n JOIN adots USING (vec_id)),
          |corp AS (SELECT vec_id, v, nrm, CAST(list_position(dots, list_max(dots)) AS INT) cl FROM d),
          |pr AS (SELECT vec_id probe_id, v pv, nrm pnrm,
          |    unnest(list_transform(list_slice(list_sort(list_transform(range(1, 9),
@@ -146,10 +164,12 @@ object Similarity {
 
     "s04_vector_index" ->
       s"""$normCte,
-         |d AS (SELECT vec_id, v, nrm, ${dotsExpr("v")} dots FROM n)
-         |SELECT vec_id, ${sigExpr("v")} AS rp_sig,
-         |  CAST(list_position(dots, list_max(dots)) AS INT) AS ivf_cluster,
-         |  round(nrm, 4) AS norm
-         |FROM d ORDER BY vec_id""".stripMargin
+         |$sigCtes,
+         |$dotsCtes
+         |SELECT n.vec_id, sigs.sig AS rp_sig,
+         |  CAST(list_position(adots.dots, list_max(adots.dots)) AS INT) AS ivf_cluster,
+         |  round(n.nrm, 4) AS norm
+         |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
   )
 }

@@ -14,6 +14,11 @@ case class OrderRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
   * identical under any partitioning / merge order. */
 case class PriceStats(n: Long, total_cents: Long)
 
+/** Narrow orders row for the reduceGroups argmax: reduceGroups shuffles and
+  * deserializes WHOLE objects per row, so payload width is the dominant
+  * cost — only the three columns the reduction reads ride along. */
+case class OrderSlim(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
 /** Typed Aggregator (reference: CORE/expressions/Aggregator.scala:52 —
   * zero/reduce/merge/finish; modern adds bufferEncoder/outputEncoder).
   * Also serves as the UserDefinedAggregateFunction replacement via
@@ -76,11 +81,17 @@ object Typed {
     },
 
     // reduceGroups: argmax order per customer with explicit tie-break.
+    // Exists to prove the typed surface (the reference's
+    // GroupedDataset.reduce); the relational argmax window (w01 shape) is
+    // the production path — this keeps the typed cost bounded by shuffling
+    // only the 3-column OrderSlim payload instead of full OrderRow objects.
     "y03_reduce_groups" -> { (s, dir) =>
       import s.implicits._
-      ordersDs(s, dir)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .as[OrderSlim]
         .groupByKey(_.o_custkey)
-        .reduceGroups { (a: OrderRow, b: OrderRow) =>
+        .reduceGroups { (a: OrderSlim, b: OrderSlim) =>
           if (a.o_totalprice > b.o_totalprice) a
           else if (a.o_totalprice < b.o_totalprice) b
           else if (a.o_orderkey < b.o_orderkey) a else b

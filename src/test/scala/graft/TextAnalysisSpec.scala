@@ -63,6 +63,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.count() === 500)
   }
 
+  test("fingerprint path has no interpreted higher-order lambdas in its plan") {
+    // hash->sort->take-5->xor runs as one compiled UDF kernel; an
+    // interpreted transform/aggregate chain here is the O(shingles)-per-doc
+    // tax the MinHash path already eliminated (Dedup.scala convention)
+    val plan = TextAnalysis.fingerprints(doc("a b c d e f"), "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("transform("), s"interpreted transform in plan:\n$plan")
+    assert(!plan.contains("aggregate("), s"interpreted aggregate in plan:\n$plan")
+  }
+
   test("tfidf: ubiquitous terms score below rare terms at equal tf") {
     import spark.implicits._
     val docs = Seq(
