@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.IO.defs ++
       graft.queries.Streams.defs ++
       graft.queries.Graphs.defs ++
-      graft.queries.Joins.defs
+      graft.queries.Joins.defs ++
+      graft.queries.Scale.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.IO.oracles ++
       graft.queries.Streams.oracles ++
       graft.queries.Graphs.oracles ++
-      graft.queries.Joins.oracles
+      graft.queries.Joins.oracles ++
+      graft.queries.Scale.oracles
 }

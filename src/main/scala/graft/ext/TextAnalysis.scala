@@ -176,9 +176,13 @@ object TextAnalysis {
       var filled = 0
       val it = sh.iterator
       while (it.hasNext) {
-        val hex = md.digest(("fp:" + it.next()).getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        val d = md.digest(("fp:" + it.next()).getBytes("UTF-8"))
+        // value of the first 15 hex digits = first 7 bytes + the high
+        // nibble of byte 7, read big-endian — computed straight from the
+        // digest bytes (hex-formatting per byte costs more than the md5)
+        var h = 0L; var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((d(7) & 0xffL) >> 4)
         if (filled < k) {
           var i = filled
           while (i > 0 && top(i - 1) > h) { top(i) = top(i - 1); i -= 1 }

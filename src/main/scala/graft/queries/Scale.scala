@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Scale => S}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew-utility queries: the salted two-phase aggregate and the salted
+  * replicated join from [[graft.ext.Scale]], run over real tables and
+  * gated on RESULT TRANSPARENCY — the whole point of salting is that the
+  * answer is identical to the unsalted plan, so each DuckDB oracle is the
+  * plain (unsalted) formulation. All sums go through exact integer cents
+  * (cast(round(x*100) as bigint)) so partial/merge order can't drift.
+  */
+object Scale {
+
+  private val qtyCents = "cast(round(l_quantity * 100) as bigint)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Two-phase salted aggregation over the biggest fact table: hot
+    // (returnflag, linestatus) keys fan out over 8 salt buckets in phase
+    // 1, the tiny partial table merges on the true key in phase 2.
+    "x01_salted_aggregate" -> { (s, dir) =>
+      S.saltedAggregate(Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag", "l_linestatus"), saltBuckets = 8,
+          partialAggs = Seq(count(lit(1)).as("pc"),
+            sum(expr(qtyCents)).as("pq")),
+          mergeAggs = Seq(sum("pc").as("n_rows"), sum("pq").as("qty_cents")))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Salted replicated join: skewed lineitem fans its hot supplier keys
+    // over 8 salts; the small supplier side is replicated once per salt.
+    // Rolled up per nation so the gate compares a compact exact result.
+    "x02_salted_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("suppkey"), expr(qtyCents).as("cents"))
+      val supp = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      S.saltedJoin(li, supp, "suppkey", saltBuckets = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("item_cents"))
+        .orderBy("s_nationkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Unsalted formulations: salting must be invisible in the result.
+    "x01_salted_aggregate" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "x02_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS item_cents
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+  )
+}
