@@ -45,7 +45,13 @@ object Plans {
     "p01_trade_pagerank" ->
       ("Pregel-style superstep: each iteration is one join (messages) + one " +
         "aggregate (combine) + one left join (apply); the plan stays linear in " +
-        "the iteration count and every shuffle is keyed by vertex."))
+        "the iteration count and every shuffle is keyed by vertex."),
+    "x01_salted_aggregate" ->
+      ("Salted two-phase aggregation: phase 1 shuffles on (key, salt) so a " +
+        "hot key fans out over 8 reducers instead of melting one; phase 2 " +
+        "merges the tiny partial table on the true key. Two HashAggregate " +
+        "pairs, two shuffles, result identical to the unsalted plan (the " +
+        "DuckDB oracle IS the unsalted formulation)."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
