@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling utilities for 1000-executor scale. AQE's skew-join
@@ -43,5 +43,30 @@ object Scale {
       .withColumn("__salt", explode(expr(s"sequence(0, ${saltBuckets - 1})")))
       .withColumn("__salt", col("__salt").cast("long"))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Co-located fact-fact join via bucketed storage: both sides are
+    * written bucketed (and sorted) by their join key with the same bucket
+    * count into the session catalog, so the sort-merge join reads
+    * pre-partitioned, pre-sorted buckets with NO shuffle exchange on
+    * either side (BucketingSpec pins the exchange-free plan). This is the
+    * storage-level lever for the 100 TB fact-fact join: pay the shuffle
+    * once at write time and every subsequent join over the stored tables
+    * is exchange-free.
+    *
+    * `.hint("merge")` pins SMJ so the bucketed layout — not a broadcast —
+    * carries the join: at real scale neither fact side fits a broadcast.
+    * Size `buckets` so one bucket of the bigger side fits an executor
+    * core (buckets ~ table_bytes / 128 MB at write time). */
+  def bucketedJoin(spark: SparkSession,
+                   left: DataFrame, leftKey: String, leftTable: String,
+                   right: DataFrame, rightKey: String, rightTable: String,
+                   buckets: Int): DataFrame = {
+    left.write.bucketBy(buckets, leftKey).sortBy(leftKey)
+      .mode("overwrite").saveAsTable(leftTable)
+    right.write.bucketBy(buckets, rightKey).sortBy(rightKey)
+      .mode("overwrite").saveAsTable(rightTable)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
   }
 }

@@ -197,25 +197,66 @@ object Similarity {
     out
   }
 
-  /** IVF-style ANN: corpus vectors live in their argmax-anchor cluster;
-    * each probe scans its `nprobe` best clusters only. */
-  def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, dims: Int, nClusters: Int = 8,
-              nprobe: Int = 2, k: Int = 3): DataFrame = {
+  /** Corpus side of IVF: each vector assigned to its argmax-anchor
+    * cluster — (vec_id, vec_v, vec_norm, cluster). */
+  private def ivfCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, nClusters: Int): DataFrame = {
     val dotsOf = anchorDotsUdf(signPlanes(nClusters, dims, "anc"))
-    def withDots(df: DataFrame, prefix: String) =
-      normed(df, idCol, vecCol, prefix)
-        .withColumn("dots", dotsOf(col(s"${prefix}_v")))
-    val corpusC = withDots(corpus, "vec")
+    normed(corpus, idCol, vecCol, "vec")
+      .withColumn("dots", dotsOf(col("vec_v")))
       .withColumn("cluster", expr("cast(array_position(dots, array_max(dots)) as int)"))
       .drop("dots")
-    val probeC = withDots(probes, "probe")
+  }
+
+  /** Probe side of IVF: one row per (probe, cluster) for its `nprobe`
+    * best clusters. */
+  private def ivfProbes(probes: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, nClusters: Int, nprobe: Int): DataFrame = {
+    val dotsOf = anchorDotsUdf(signPlanes(nClusters, dims, "anc"))
+    normed(probes, idCol, vecCol, "probe")
+      .withColumn("dots", dotsOf(col("probe_v")))
       .withColumn("ranked", expr(
         s"array_sort(transform(sequence(1, $nClusters), j -> named_struct('nd', -element_at(dots, j), 'idx', j)))"))
       .withColumn("cluster", explode(expr(
         s"transform(slice(ranked, 1, $nprobe), r -> cast(r.idx as int))")))
       .drop("dots", "ranked")
+  }
+
+  /** IVF-style ANN: corpus vectors live in their argmax-anchor cluster;
+    * each probe scans its `nprobe` best clusters only. */
+  def ivfTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, dims: Int, nClusters: Int = 8,
+              nprobe: Int = 2, k: Int = 3): DataFrame = {
+    val corpusC = ivfCorpus(corpus, idCol, vecCol, dims, nClusters)
+    val probeC = ivfProbes(probes, idCol, vecCol, dims, nClusters, nprobe)
     rankTopK(broadcast(probeC).join(corpusC, Seq("cluster"))
+      .filter(col("probe_id") =!= col("vec_id")), k)
+  }
+
+  /** IVF ANN with the cluster as the STORAGE partition key — the scale
+    * shape [[ivfTopK]]'s design note promises: the indexed corpus is
+    * written `partitionBy(cluster)` once, and a probe batch reads ONLY
+    * the directories of its probed clusters. The probed set is an
+    * explicit `cluster IN (...)` predicate, so pruning is static — the
+    * scan's PartitionFilters eliminate every other cluster at the source
+    * (SimilaritySpec asserts it), which at a billion vectors means a
+    * probe touches nprobe/nClusters of the corpus bytes instead of all
+    * of them. The collected probed-cluster list is bounded by nClusters
+    * (not by data size), so the driver-side collect is safe by
+    * construction. Results are identical to [[ivfTopK]]. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         probes: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, dims: Int,
+                         indexPath: String, nClusters: Int = 8,
+                         nprobe: Int = 2, k: Int = 3): DataFrame = {
+    ivfCorpus(corpus, idCol, vecCol, dims, nClusters)
+      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+    val stored = spark.read.parquet(indexPath)
+    val probeC = ivfProbes(probes, idCol, vecCol, dims, nClusters, nprobe)
+    val probed = probeC.select("cluster").distinct()
+      .collect().map(_.getInt(0)).sorted // <= nClusters values, tiny
+    val pruned = stored.filter(col("cluster").isin(probed.map(Int.box): _*))
+    rankTopK(broadcast(probeC).join(pruned, Seq("cluster"))
       .filter(col("probe_id") =!= col("vec_id")), k)
   }
 

@@ -41,6 +41,21 @@ object Scale {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"), sum("cents").as("item_cents"))
         .orderBy("s_nationkey")
+    },
+
+    // Bucketed co-located fact-fact join: lineitem and orders are stored
+    // bucketed by orderkey so the sort-merge join reads both sides with
+    // no shuffle exchange (BucketingSpec pins the plan shape). Gated on
+    // result transparency: the oracle is the plain unbucketed join.
+    "x03_bucketed_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), expr(qtyCents).as("cents"))
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      S.bucketedJoin(s, li, "l_orderkey", "x03_li_bkt",
+          ord, "o_orderkey", "x03_ord_bkt", buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("qty_cents"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -55,6 +70,12 @@ object Scale {
       """SELECT s_nationkey, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS item_cents
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    "x03_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -43,6 +43,18 @@ object Similarity {
         .orderBy("vec_id")
     },
 
+    // IVF ANN over a cluster-PARTITIONED stored index: same algorithm as
+    // s03, but the corpus is written partitionBy(cluster) and the probe
+    // scan reads only the probed clusters' directories (static partition
+    // pruning, asserted in SimilaritySpec). Same oracle as s03 — the
+    // storage layout must be invisible in the result.
+    "x04_ivf_partition_pruned" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.ivfTopKPartitioned(s, probes(e), e, "vec_id", "embedding", Dims,
+          indexPath = s"/tmp/graft_scale/ivf_${dir.split('/').filter(_.nonEmpty).last}")
+        .orderBy("probe_id", "rank")
+    },
+
     // Relational Lloyd k-means (k=4, 2 iterations, exact-integer
     // quantization): the MLlib-slice analog, 2 stages per iteration.
     "s05_kmeans" -> { (s, dir) =>
@@ -146,8 +158,25 @@ object Similarity {
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
-    "s03_ivf_ann" ->
+    "s03_ivf_ann" -> ivfOracle,
+
+    // Identical result contract: partitioned storage must not change the
+    // answer, so x04 shares s03's oracle SQL verbatim.
+    "x04_ivf_partition_pruned" -> ivfOracle,
+
+    "s04_vector_index" ->
       s"""$normCte,
+         |$sigCtes,
+         |$dotsCtes
+         |SELECT n.vec_id, sigs.sig AS rp_sig,
+         |  CAST(list_position(adots.dots, list_max(adots.dots)) AS INT) AS ivf_cluster,
+         |  round(n.nrm, 4) AS norm
+         |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+  )
+
+  private lazy val ivfOracle: String =
+    s"""$normCte,
          |$dotsCtes,
          |d AS (SELECT n.vec_id, n.v, n.nrm, adots.dots FROM n JOIN adots USING (vec_id)),
          |corp AS (SELECT vec_id, v, nrm, CAST(list_position(dots, list_max(dots)) AS INT) cl FROM d),
@@ -160,16 +189,5 @@ object Similarity {
          |  FROM pr p JOIN corp q ON p.cl = q.cl AND p.probe_id <> q.vec_id)
          |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
-         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
-
-    "s04_vector_index" ->
-      s"""$normCte,
-         |$sigCtes,
-         |$dotsCtes
-         |SELECT n.vec_id, sigs.sig AS rp_sig,
-         |  CAST(list_position(adots.dots, list_max(adots.dots)) AS INT) AS ivf_cluster,
-         |  round(n.nrm, 4) AS norm
-         |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
-  )
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 }

@@ -11,23 +11,19 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkSpec {
 
   test("bucketed fact-fact join plans without a shuffle exchange") {
-    val db = spark.catalog.currentDatabase
     spark.sql("DROP TABLE IF EXISTS l_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
-    Tables.lineitem(spark, sf001)
-      .select("l_orderkey", "l_extendedprice", "l_quantity")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("l_bucketed")
-    Tables.orders(spark, sf001)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_bucketed")
-    // force SMJ so the bucketed layout (not a broadcast) carries the join;
-    // assert on the join-only plan — the downstream agg legitimately adds
-    // its own exchange on the grouping key
-    val joined = spark.table("l_bucketed")
-      .hint("merge")
-      .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+    // the production helper: writes both sides bucketed+sorted by the
+    // join key, returns the SMJ over the stored tables. Assert on the
+    // join-only plan — the downstream agg legitimately adds its own
+    // exchange on the grouping key.
+    val joined = graft.ext.Scale.bucketedJoin(spark,
+      Tables.lineitem(spark, sf001)
+        .select("l_orderkey", "l_extendedprice", "l_quantity"),
+      "l_orderkey", "l_bucketed",
+      Tables.orders(spark, sf001)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey", "o_bucketed", buckets = 8)
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), plan.take(800))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size

@@ -84,4 +84,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rpRecall >= 0.2, s"rp-lsh recall too low: $rpRecall")
     assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
   }
+
+  test("partitioned IVF index: probe scan prunes to the probed clusters, same answer") {
+    val path = "/tmp/graft_scale/ivf_spec"
+    val part = Similarity.ivfTopKPartitioned(spark, probeSet, emb,
+      "vec_id", "embedding", Dims, indexPath = path)
+    // identical to the in-flight IVF path: storage layout is invisible
+    val inflight = Similarity.ivfTopK(probeSet, emb, "vec_id", "embedding", Dims)
+    assert(part.collect().toSet === inflight.collect().toSet)
+    // and the stored-index scan is partition-pruned: the cluster predicate
+    // becomes a PartitionFilter (directory pruning at the source), not a
+    // pushed data filter
+    val probedRead = spark.read.parquet(path).filter(col("cluster").isin(1, 2))
+    val scan = probedRead.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, scan.toString.take(800))
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "cluster")),
+      "cluster must prune directories, not filter rows")
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"pruned scan selects $selected of $total partitions — nothing was pruned")
+  }
 }
