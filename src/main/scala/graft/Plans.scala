@@ -51,7 +51,21 @@ object Plans {
         "hot key fans out over 8 reducers instead of melting one; phase 2 " +
         "merges the tiny partial table on the true key. Two HashAggregate " +
         "pairs, two shuffles, result identical to the unsalted plan (the " +
-        "DuckDB oracle IS the unsalted formulation)."))
+        "DuckDB oracle IS the unsalted formulation)."),
+    "x03_bucketed_join" ->
+      ("Bucketed co-located join: both fact sides are stored bucketBy(8, " +
+        "orderkey) sortBy(orderkey), so the SortMergeJoin consumes the " +
+        "buckets directly — NO Exchange on either join input (the only " +
+        "shuffle in the plan is the downstream groupBy). At 100 TB the " +
+        "write-time shuffle is paid once; every later join on the bucket " +
+        "key is exchange-free."),
+    "x04_ivf_partition_pruned" ->
+      ("IVF over a cluster-partitioned stored index: the corpus scan lists " +
+        "only the probed clusters' directories (`PartitionFilters: [cluster " +
+        "IN (...)]`, no pushed data filter), so a probe batch reads " +
+        "nprobe/nClusters of the corpus bytes — the s03 design note made " +
+        "physical. Same oracle as s03: storage layout is invisible in the " +
+        "result."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
