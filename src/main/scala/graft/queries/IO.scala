@@ -101,6 +101,55 @@ object IO {
           |FROM lineitem_v
           |WHERE l_quantity >= 10
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // JDBC write -> partitioned range read (4 key-range partitions, the
+    // reference's JDBCRelation split model) -> aggregate, against embedded
+    // Derby. Exact cents go through the database as BIGINT; the oracle
+    // reproduces the aggregate from the original parquet, so the JDBC
+    // round trip is what's verified. Derby reports stored identifiers in
+    // its own case, so the final projection pins the exact output names.
+    "i07_jdbc_roundtrip" -> { (s, dir) =>
+      System.setProperty("derby.system.home", "/tmp/graft_derby")
+      val url = "jdbc:derby:memory:graft_i07;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          expr("cast(round(s_acctbal * 100) as bigint)").as("bal_cents"))
+        .write.mode(SaveMode.Overwrite).jdbc(url, "i07_supplier", props)
+      s.read.jdbc(url, "i07_supplier", "s_suppkey",
+          lowerBound = 1L, upperBound = 100000L, numPartitions = 4, props)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum("bal_cents").as("bal_cents"))
+        .select(col("s_nationkey").as("s_nationkey"), col("n"), col("bal_cents"))
+        .orderBy("s_nationkey")
+    },
+
+    // In-memory columnar cache scan (the reference's
+    // InMemoryColumnarTableScan): the aggregate reads from a cache()'d
+    // projection — an InMemoryTableScan, not a parquet scan (CatalogSpec
+    // pins the plan) — and caching must be invisible in the result.
+    "i08_cached_scan" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"),
+          expr("cast(round(l_discount * 100) as bigint)").as("disc_cents"))
+        .cache()
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("disc_cents").as("disc_cents"))
+        .orderBy("l_linestatus")
+    },
+
+    // SQL TRANSFORM through an external process (reference:
+    // HIVE/execution/ScriptTransformation.scala): rows stream through
+    // /bin/cat and come back as tab-split strings.
+    "i09_script_transform" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("nation_i09")
+      s.sql(
+        """SELECT k AS n_nationkey, v AS n_name FROM (
+          |  SELECT TRANSFORM (n_nationkey, n_name) USING 'cat' AS (k, v)
+          |  FROM nation_i09)
+          |ORDER BY CAST(k AS BIGINT)""".stripMargin)
     }
   )
 
@@ -132,6 +181,20 @@ object IO {
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM lineitem WHERE l_quantity >= 10
-        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "i07_jdbc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+        |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    "i08_cached_scan" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_cents
+        |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "i09_script_transform" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
+        |FROM nation ORDER BY nation.n_nationkey""".stripMargin
   )
 }
