@@ -150,6 +150,36 @@ object IO {
           |  SELECT TRANSFORM (n_nationkey, n_name) USING 'cat' AS (k, v)
           |  FROM nation_i09)
           |ORDER BY CAST(k AS BIGINT)""".stripMargin)
+    },
+
+    // saveAsTable persists through the session catalog (reference:
+    // CORE/DataFrameWriter.scala:220); SQL reads it back by table name.
+    // Catalog persistence must be invisible in the result.
+    "i10_save_as_table" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .write.mode(SaveMode.Overwrite).saveAsTable("i10_orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n, sum(cents) AS cents
+          |FROM i10_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // The 1.6 compat shim end-to-end: unionAll (bag union by position) +
+    // registerTempTable + DataFrame.explode + rowNumber, each delegating
+    // to the modern call with an identical plan (graft.compat.Legacy).
+    "i11_legacy_api" -> { (s, dir) =>
+      import graft.compat.Legacy._
+      val r = Tables.region(s, dir).select("r_regionkey", "r_name")
+      r.unionAll(r).registerTempTable("i11_region_v")
+      s.table("i11_region_v")
+        .explodeColumn("r_name", "variant")(n => Seq(n, n.toLowerCase))
+        .withColumn("rn", graft.compat.Legacy.rowNumber().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("variant").orderBy("r_regionkey")))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), max(col("rn").cast("long")).as("max_rn"))
+        .orderBy("variant")
     }
   )
 
@@ -195,6 +225,20 @@ object IO {
 
     "i09_script_transform" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
-        |FROM nation ORDER BY nation.n_nationkey""".stripMargin
+        |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+
+    "i10_save_as_table" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+
+    "i11_legacy_api" ->
+      """WITH doubled AS (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL SELECT r_regionkey, r_name FROM region),
+        |ex AS (SELECT r_regionkey, unnest([r_name, lower(r_name)]) AS variant FROM doubled)
+        |SELECT variant, count(*) AS n, CAST(max(rn) AS BIGINT) AS max_rn FROM (
+        |  SELECT variant, ROW_NUMBER() OVER (PARTITION BY variant ORDER BY r_regionkey) rn FROM ex)
+        |GROUP BY 1 ORDER BY variant""".stripMargin
   )
 }
