@@ -62,11 +62,32 @@ object Scale {
                    left: DataFrame, leftKey: String, leftTable: String,
                    right: DataFrame, rightKey: String, rightTable: String,
                    buckets: Int): DataFrame = {
+    dropManagedTable(spark, leftTable)
+    dropManagedTable(spark, rightTable)
     left.write.bucketBy(buckets, leftKey).sortBy(leftKey)
       .mode("overwrite").saveAsTable(leftTable)
     right.write.bucketBy(buckets, rightKey).sortBy(rightKey)
       .mode("overwrite").saveAsTable(rightTable)
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
+
+  /** DROP TABLE IF EXISTS plus removal of any orphaned managed location:
+    * the default in-memory catalog forgets tables across JVMs while their
+    * warehouse directories survive on disk, and CTAS then refuses the
+    * non-empty location (LOCATION_ALREADY_EXISTS). Every managed-table
+    * writer in the query surface calls this first so re-runs in a fresh
+    * session succeed. */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = java.nio.file.Paths.get(
+      if (wh.startsWith("file:")) new java.net.URI(wh).getPath else wh)
+    val loc = base.resolve(table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }

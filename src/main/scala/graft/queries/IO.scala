@@ -156,6 +156,7 @@ object IO {
     // CORE/DataFrameWriter.scala:220); SQL reads it back by table name.
     // Catalog persistence must be invisible in the result.
     "i10_save_as_table" -> { (s, dir) =>
+      graft.ext.Scale.dropManagedTable(s, "i10_orders")
       Tables.orders(s, dir)
         .select(col("o_orderstatus"),
           expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
