@@ -40,6 +40,24 @@ object Streams {
         .select(col("user_id"), col("w.start").as("session_start"),
           col("w.end").as("session_end"), col("n_events"), col("cents"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Kafka wire-format roundtrip in batch: every event is encoded to the
+    // sink record shape (key = user_id, value = microsecond-lossless JSON),
+    // wrapped in the connector's fixed record schema, and decoded back.
+    // The oracle is the identity projection of the source table — the
+    // codec must be lossless, including timestamp microseconds (the
+    // default ms format would silently truncate and fail this gate).
+    "v05_kafka_wire_roundtrip" -> { (s, dir) =>
+      val records = graft.streaming.KafkaSource.encodeEvents(events(s, dir))
+        .withColumn("topic", lit("events"))
+        .withColumn("partition", lit(0))
+        .withColumn("offset", monotonically_increasing_id())
+        .withColumn("timestamp", lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("timestampType", lit(0))
+      graft.streaming.KafkaSource.decodeEvents(records)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
     }
   )
 
@@ -90,6 +108,10 @@ object Streams {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM s GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "v05_kafka_wire_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
