@@ -65,7 +65,21 @@ object Plans {
         "IN (...)]`, no pushed data filter), so a probe batch reads " +
         "nprobe/nClusters of the corpus bytes — the s03 design note made " +
         "physical. Same oracle as s03: storage layout is invisible in the " +
-        "result."))
+        "result."),
+    "x05_global_row_index" ->
+      ("Global row numbering without the single-partition sort a bare " +
+        "`row_number() OVER (ORDER BY key)` collapses to: range repartition " +
+        "gives a total order ACROSS partitions, per-partition counts (a " +
+        "handful of longs) become broadcast offsets, and the window runs " +
+        "per-partition — every stage parallel in numPartitions. The " +
+        "zipWithIndex two-pass, DataFrame-shaped."),
+    "s06_pq_adc" ->
+      ("Product quantization: the probe scan reads the 8-byte CODE table, " +
+        "never the raw vectors — a BroadcastNestedLoopJoin of the tiny probe " +
+        "side against a corpus scan whose width is m codes, with one " +
+        "compiled ADC kernel per pair. At a billion vectors the code table " +
+        "is ~30x smaller than the float corpus; codebook training cost is " +
+        "bounded (m x k x subDims doubles on the driver)."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

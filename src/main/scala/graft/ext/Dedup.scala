@@ -268,6 +268,59 @@ object Dedup {
     out
   }
 
+  /** Deletion-variant set of a string: the string itself plus every
+    * single-character deletion, distinct (one JIT'd loop per row). If
+    * ed(a, b) <= 1 then variants(a) and variants(b) intersect — equal
+    * strings share themselves; a substitution at position i means deleting
+    * position i from both yields the same string; an insertion means
+    * deleting the inserted character recovers the other string — so the
+    * variant equi-join has FULL recall for edit distance <= 1. */
+  private val deletionVariantsUdf = udf { (s: String) =>
+    if (s == null) Seq.empty[String]
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      out += s
+      var i = 0
+      while (i < s.length) {
+        out += (s.substring(0, i) + s.substring(i + 1))
+        i += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Fuzzy-match pairs within Levenshtein distance 1, by deletion-
+    * neighborhood blocking: explode each string's |s|+1 deletion variants,
+    * equi-join on the variant, verify candidates with an exact
+    * `levenshtein` (candidates include some distance-2 pairs — delete in
+    * one string, insert in the other — which the verify filters out).
+    *
+    * Scale shape (the PassJoin/SymDelete family): the variant table is
+    * linear in total string length, candidate generation is an EQUI-join
+    * on the variant key — never an all-pairs cross join — and the exact
+    * Levenshtein runs only on candidate pairs, which are linear in the
+    * true fuzzy-match count for id-like keys. The variant table feeds both
+    * sides of the self-join, so it is persisted for the call and released
+    * once the small verified pair set materializes (the LSH convention).
+    * Output: (id_a < id_b, edit_dist). */
+  def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val v = df
+      .select(col(idCol).as("fid"), col(strCol).as("fstr"))
+      .select(col("fid"), col("fstr"),
+        explode(deletionVariantsUdf(col("fstr"))).as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = v.select(col("fid").as("id_a"), col("fstr").as("str_a"), col("variant"))
+    val b = v.select(col("fid").as("id_b"), col("fstr").as("str_b"), col("variant"))
+    val pairs = a.join(b, "variant").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "str_a", "str_b").distinct()
+      .withColumn("edit_dist", levenshtein(col("str_a"), col("str_b")).cast("int"))
+      .filter(col("edit_dist") <= 1)
+      .select("id_a", "id_b", "edit_dist")
+    val out = pairs.localCheckpoint()
+    v.unpersist()
+    out
+  }
+
   /** Embedding-cosine near-dup pairs of `probes` x `corpus` (exact, for a
     * small probe set — the full-corpus scale path is LSH bucketing, see
     * graft.ext.Similarity). Vectors are summed left-to-right in DOUBLE

@@ -90,6 +90,41 @@ object Graph {
     out
   }
 
+  /** Single-source BFS hop distances by min-hop propagation over
+    * undirected edges, `iters` fixed supersteps: hop(v) = min hops from
+    * `source` within `iters`, or -1 if unreached in the budget (converged
+    * iff the component diameter <= iters — fixed count keeps the result
+    * well-defined for the oracle either way). Each superstep is ONE
+    * shuffled join + aggregate — the frontier-expansion dataflow Pregel's
+    * BSP loop (reference: graphx/Pregel.scala:56) lowers to; at scale
+    * the frontier-only optimization (join the delta, not all labels)
+    * applies once labels stabilize, but the full-label join keeps the
+    * plan shape identical across supersteps. */
+  def bfsHops(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val INF = 1000000000L
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().cache()
+    val verts = und.select(col("a").as("vertex")).distinct().cache()
+    var hops = verts.select(col("vertex"),
+      when(col("vertex") === source, 0L).otherwise(INF).as("hop"))
+    for (i <- 1 to iters) {
+      val nbr = und.alias("u")
+        .join(hops.alias("h"), col("u.b") === col("h.vertex"))
+        .groupBy(col("u.a").as("vertex"))
+        .agg(min(col("h.hop")).as("nbr_min"))
+      hops = hops.join(nbr, Seq("vertex"), "left")
+        .select(col("vertex"),
+          least(col("hop"), coalesce(col("nbr_min") + 1L, col("hop"))).as("hop"))
+      if (i % 5 == 0 && i < iters) hops = hops.localCheckpoint()
+    }
+    val out = hops.select(col("vertex"),
+      when(col("hop") >= INF, -1L).otherwise(col("hop")).as("hop"))
+      .localCheckpoint()
+    und.unpersist(); verts.unpersist()
+    out
+  }
+
   /** Connected components by min-label propagation over undirected edges,
     * `iters` fixed supersteps (converged iff diameter <= iters; the fixed
     * count keeps the result well-defined for the oracle either way).

@@ -72,6 +72,46 @@ object Scale {
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
   }
 
+  /** Global 1-based row index in `keyCol` order WITHOUT the single-
+    * partition window a naive `row_number().over(orderBy(key))` collapses
+    * to (Spark warns WindowExec "No Partition Defined" — one task sorts
+    * the world). The scalable shape: range-repartition on the key (total
+    * order across partitions, equal keys co-located), count rows per
+    * partition (numPartitions longs collected to the driver — bounded by
+    * construction), broadcast the cumulative offsets back as a map
+    * literal, then number rows with a PER-partition window and add the
+    * partition's offset. Every stage is parallel in numPartitions; this
+    * is the DataFrame analog of RDD.zipWithIndex (reference:
+    * core/src/main/scala/org/apache/spark/rdd/ZippedWithIndexRDD.scala:37,
+    * same count-then-offset two-pass).
+    *
+    * The ranged table is persisted for the call: the count pass and the
+    * numbering pass must see the SAME partitioning (range boundaries come
+    * from a sample; recomputation could re-draw them). */
+  def globalRowIndex(df: DataFrame, keyCol: String, numPartitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, col(keyCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      (0 until numPartitions).map { p =>
+        val o = p -> acc; acc += counts.getOrElse(p, 0L); o
+      }
+    }
+    val offCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(keyCol))
+    val out = withPid
+      .withColumn("global_index", row_number().over(w).cast("bigint") + offCol)
+      .drop("__pid")
+      .localCheckpoint()
+    ranged.unpersist()
+    out
+  }
+
   /** DROP TABLE IF EXISTS plus removal of any orphaned managed location:
     * the default in-memory catalog forgets tables across JVMs while their
     * warehouse directories survive on disk, and CTAS then refuses the

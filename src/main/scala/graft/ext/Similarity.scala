@@ -260,6 +260,169 @@ object Similarity {
       .filter(col("probe_id") =!= col("vec_id")), k)
   }
 
+  // ---- Product quantization (compressed-domain ANN) -----------------------
+  // PQ is the memory lever the other ANN paths don't have: a 64-dim float
+  // vector (256 B) compresses to `m` one-byte codes (8 B here), so at a
+  // billion vectors the scan side of search shrinks ~30x and fits the page
+  // cache where raw vectors would not. Codebooks are per-subspace k-means
+  // with the same exact-integer determinism design as Clustering.kmeans
+  // (quantized inputs, integer centroid sums, ties to the lowest label),
+  // so every stage — training, encoding, the ADC scan — hash-matches the
+  // DuckDB mirror.
+
+  /** PQ codebooks: for each of `m` subspaces of `subDims` dims, `k`
+    * centroids labeled by seed vec_id (seeds = the k smallest-id vectors'
+    * subvectors), refined by `iters` Lloyd rounds. Driver holds
+    * m x k x subDims doubles — bounded by construction. */
+  def pqTrain(sub: DataFrame, quant: DataFrame, m: Int, subDims: Int,
+              k: Int, iters: Int): Array[Seq[(Long, Array[Double])]] = {
+    val seedRows = quant.orderBy("vec_id").limit(k).collect()
+    require(seedRows.nonEmpty, "pqTrain: input has no vectors to seed from")
+    var cbs: Array[Seq[(Long, Array[Double])]] = Array.tabulate(m) { mi =>
+      seedRows.map { r =>
+        val vq = r.getSeq[Long](1)
+        (r.getLong(0), vq.slice(mi * subDims, (mi + 1) * subDims).map(_.toDouble).toArray)
+      }.sortBy(_._1).toSeq
+    }
+    val sumAggs = (0 until subDims).map(d =>
+      sum(expr(s"element_at(sq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
+    for (_ <- 1 to iters) {
+      val rows = sub.withColumn("code", pqAssignUdf(cbs)(col("m"), col("sq")))
+        .groupBy("m", "code").agg(sumAggs.head, sumAggs.tail: _*)
+        .collect() // <= m*k rows of integer sums — tiny
+      cbs = Array.tabulate(m) { mi =>
+        rows.filter(_.getInt(0) == mi).map { r =>
+          val cnt = r.getLong(subDims + 2).toDouble
+          (r.getLong(1), (0 until subDims).map(d => r.getLong(d + 2).toDouble / cnt).toArray)
+        }.sortBy(_._1).toSeq
+      }
+    }
+    cbs
+  }
+
+  /** (vec_id, m, sq): the quantized subvector table. */
+  def pqSubvectors(quant: DataFrame, m: Int, subDims: Int): DataFrame =
+    quant.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), mi -> slice(vq, mi * $subDims + 1, $subDims))")))
+      .toDF("vec_id", "m", "sq")
+
+  /** Argmin-centroid code for one subspace; ties to the lowest label
+    * (strict `<`, labels pre-sorted ascending — mirrors the oracle's
+    * ROW_NUMBER ... ORDER BY dist, cl). */
+  private def pqAssignUdf(cbs: Array[Seq[(Long, Array[Double])]]): UserDefinedFunction = {
+    val labels = cbs.map(_.map(_._1).toArray)
+    val cents = cbs.map(_.map(_._2).toArray)
+    udf { (mi: Int, sq: Seq[Long]) =>
+      if (sq == null) None
+      else {
+        val x = sq.toArray
+        val cs = cents(mi)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cs.length) {
+          val c = cs(j); val n = math.min(c.length, x.length)
+          var d = 0.0; var i = 0
+          while (i < n) { val t = x(i) - c(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        Some(labels(mi)(best))
+      }
+    }
+  }
+
+  /** Full-vector encoder: the m argmin codes in subspace order, one
+    * compiled pass per row — the production encode kernel (8 bytes out
+    * per vector; no explode, no shuffle). */
+  private def pqEncodeUdf(cbs: Array[Seq[(Long, Array[Double])]],
+                          subDims: Int): UserDefinedFunction = {
+    val labels = cbs.map(_.map(_._1).toArray)
+    val cents = cbs.map(_.map(_._2).toArray)
+    udf { (vq: Seq[Long]) =>
+      if (vq == null) None
+      else {
+        val x = vq.toArray
+        Some((0 until cents.length).map { mi =>
+          val cs = cents(mi); val off = mi * subDims
+          var best = 0; var bestD = Double.PositiveInfinity
+          var j = 0
+          while (j < cs.length) {
+            val c = cs(j); val n = math.min(c.length, math.max(x.length - off, 0))
+            var d = 0.0; var i = 0
+            while (i < n) { val t = x(off + i) - c(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          labels(mi)(best)
+        }.toSeq)
+      }
+    }
+  }
+
+  /** Asymmetric-distance kernel: squared L2 between a probe's exact
+    * (quantized) vector and a corpus vector's RECONSTRUCTION from its m
+    * codes. Per-subspace subtotals accumulate first, then add in subspace
+    * order — bit-identical to the oracle's
+    * `list_sum(list(d ORDER BY m))` over per-m `list_sum`s. */
+  private def pqAdcUdf(cbs: Array[Seq[(Long, Array[Double])]],
+                       subDims: Int): UserDefinedFunction = {
+    val lut: Array[Map[Long, Array[Double]]] = cbs.map(_.toMap)
+    udf { (pvq: Seq[Long], codes: Seq[Long]) =>
+      if (pvq == null || codes == null) None
+      else {
+        val x = pvq.toArray
+        var total = 0.0
+        var mi = 0
+        while (mi < codes.length) {
+          val c = lut(mi).getOrElse(codes(mi), Array.empty[Double])
+          val off = mi * subDims
+          val n = math.min(c.length, math.max(x.length - off, 0))
+          var dm = 0.0; var i = 0
+          while (i < n) { val t = x(off + i) - c(i); dm += t * t; i += 1 }
+          total += dm
+          mi += 1
+        }
+        Some(total)
+      }
+    }
+  }
+
+  /** PQ-ADC top-k: train codebooks, encode the corpus to m codes, scan
+    * the CODES (not the vectors) per probe with the asymmetric-distance
+    * kernel, keep the k closest. The scan is PQ's design point: it reads
+    * the 8-byte code table, never the raw corpus vectors — at a billion
+    * vectors that is the difference between an in-memory scan and an I/O
+    * bound one. Probes are broadcast; distances rank ascending with
+    * vec_id tie-break. Output: (probe_id, rank, vec_id, adc_dist in
+    * original vector units², rounded 1e-4). */
+  def pqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, dims: Int, m: Int = 8, k: Int = 16,
+             iters: Int = 1, topK: Int = 5): DataFrame = {
+    require(dims % m == 0, s"pqTopK: dims=$dims not divisible by m=$m")
+    val subDims = dims / m
+    val quant = Clustering.quantized(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = pqSubvectors(quant, m, subDims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = pqTrain(sub, quant, m, subDims, k, iters)
+    val codes = quant.withColumn("codes", pqEncodeUdf(cbs, subDims)(col("vq")))
+      .select("vec_id", "codes")
+    val p = broadcast(probes
+      .transform(Clustering.quantized(_, idCol, vecCol))
+      .select(col("vec_id").as("probe_id"), col("vq").as("pvq")))
+    val qs2 = Clustering.QuantScale.toDouble * Clustering.QuantScale
+    val out = p.join(codes, col("probe_id") =!= col("vec_id"))
+      .withColumn("adc_q", pqAdcUdf(cbs, subDims)(col("pvq"), col("codes")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adc_q"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id"),
+        round(col("adc_q") / qs2, 4).as("adc_dist"))
+      .localCheckpoint()
+    sub.unpersist(); quant.unpersist()
+    out
+  }
+
   /** Per-vector index card: RP signature + IVF cluster assignment. */
   def vectorIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                   bits: Int = 16, nClusters: Int = 8): DataFrame = {

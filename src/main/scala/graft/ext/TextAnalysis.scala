@@ -212,6 +212,53 @@ object TextAnalysis {
         fingerprintUdf(col("sh")).as("fp"))
       .withColumn("fp_bucket_size", count(lit(1)).over(Window.partitionBy("fp")))
 
+  /** Canonical text normalization — the first stage of any curation run:
+    * lowercase, fold every non-alphanumeric to a space, collapse space
+    * runs, trim. Pure narrow map pass (three codegen'd regexp/string ops
+    * per row, no UDF, no shuffle): at 100 TB this pipelines inside the
+    * scan stage. Emits before/after sizes so the downstream quality gate
+    * can filter on shrinkage. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("norm_text",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")))
+      .select(col("doc_id"), col("norm_text"),
+        length(col("text")).as("n_chars_raw"),
+        length(col("norm_text")).as("n_chars_norm"),
+        when(col("norm_text") === "", 0)
+          .otherwise(expr("size(split(norm_text, ' '))")).as("n_tokens_norm"))
+
+  /** Corpus vocabulary coverage: build the top-`vocabSize` token
+    * vocabulary (count desc, term asc — deterministic at the cutoff),
+    * then score every document's out-of-vocabulary rate against it.
+    *
+    * Scale shape: term counts are ONE map-side-combined shuffle on term;
+    * the vocabulary is bounded by `vocabSize` so the coverage join is a
+    * BROADCAST hash join against the exploded token table, and the per-doc
+    * rollup is the second (and last) shuffle. The token table feeds both
+    * the vocabulary build and the coverage join — persisted per call,
+    * released when the small per-doc result materializes. */
+  def vocabOov(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int = 50): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    val perDoc = tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0))).cast("bigint").as("in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("in_vocab"),
+        round(lit(1.0) - col("in_vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+    val out = perDoc.localCheckpoint()
+    tok.unpersist()
+    out
+  }
+
   /** Per-document top-k terms by smoothed TF-IDF
     * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen
     * terms never hit ln(0)).

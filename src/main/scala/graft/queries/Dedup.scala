@@ -67,6 +67,15 @@ object Dedup {
       graft.ext.Similarity.rpNeardupPairs(
           Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
         .orderBy("id_a", "id_b")
+    },
+
+    // Fuzzy-match pairs (edit distance <= 1) over customer names:
+    // deletion-neighborhood blocking (an equi-join on |s|+1 variants per
+    // string, full recall for ed<=1), exact levenshtein verify. The oracle
+    // is the brute-force formulation the blocking must reproduce exactly.
+    "d09_fuzzy_name_pairs" -> { (s, dir) =>
+      D.fuzzyPairsEd1(Tables.customer(s, dir), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -189,6 +198,17 @@ object Dedup {
          |    list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) c_raw
          |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
          |WHERE c_raw >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force ground truth (with the safe length prefilter): the
+    // deletion-neighborhood blocking must be invisible in the result.
+    "d09_fuzzy_name_pairs" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE abs(len(a.c_name) - len(b.c_name)) <= 1
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -43,6 +43,23 @@ object Graphs {
 
     "p03_trade_triangles" -> { (s, dir) =>
       G.triangleCount(tradeEdges(s, dir)).orderBy("vertex")
+    },
+
+    // Single-source BFS over the near-dup graph: hop distance from the
+    // smallest document participating in any verified near-dup pair;
+    // documents outside its reach (or in no pair) report -1. The pair set
+    // is already materialized (localCheckpoint) so the driver-side min and
+    // the superstep loop reuse it without recomputing LSH.
+    "p04_neardup_bfs_hops" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = D.neardupPairs(docs, "doc_id", "text")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val srcId = pairs.agg(min(col("src"))).head().getLong(0)
+      val hops = G.bfsHops(pairs, srcId, iters = 3)
+      docs.select(col("doc_id"))
+        .join(hops, col("doc_id") === col("vertex"), "left")
+        .select(col("doc_id"), coalesce(col("hop"), lit(-1L)).as("hop"))
+        .orderBy("doc_id")
     }
   )
 
@@ -56,6 +73,14 @@ object Graphs {
        |  LEFT JOIN norm ON norm.dst = v.vertex
        |  LEFT JOIN r${i - 1} r ON r.vertex = norm.src
        |  GROUP BY v.vertex)""".stripMargin
+
+  private val bfsStep: Int => String = i =>
+    s"""h$i AS (SELECT h.vertex,
+       |  least(h.hop, COALESCE(min(hp.hop) + 1, h.hop)) AS hop
+       |  FROM h${i - 1} h
+       |  LEFT JOIN und u ON u.a = h.vertex
+       |  LEFT JOIN h${i - 1} hp ON hp.vertex = u.b
+       |  GROUP BY h.vertex, h.hop)""".stripMargin
 
   private val ccStep: Int => String = i =>
     s"""l$i AS (SELECT l.vertex,
@@ -102,6 +127,27 @@ object Graphs {
          |FROM documents d LEFT JOIN l3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // Same candidate/verify chain as p02, then unrolled min-hop
+    // propagation from the smallest paired document.
+    "p04_neardup_bfs_hops" ->
+      s"""${Dedup.minhashCte},
+         |pairs AS (
+         |  SELECT c.doc_a src, c.doc_b dst
+         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |verts AS (SELECT DISTINCT a AS vertex FROM und),
+         |h0 AS (SELECT vertex,
+         |  CASE WHEN vertex = (SELECT min(src) FROM pairs)
+         |       THEN 0::BIGINT ELSE 1000000000::BIGINT END AS hop FROM verts),
+         |${bfsStep(1)},
+         |${bfsStep(2)},
+         |${bfsStep(3)}
+         |SELECT d.doc_id,
+         |  COALESCE(CASE WHEN l.hop >= 1000000000 THEN -1 ELSE l.hop END, -1)::BIGINT AS hop
+         |FROM documents d LEFT JOIN h3 l ON l.vertex = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "p03_trade_triangles" ->
       """WITH edges AS (

@@ -56,6 +56,14 @@ object Scale {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"), sum("cents").as("qty_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // Global row numbering without a single-partition sort: range
+    // repartition + per-partition counts + broadcast offsets. The oracle
+    // is the plain ORDER BY row_number the parallel plan must equal.
+    "x05_global_row_index" -> { (s, dir) =>
+      S.globalRowIndex(Tables.orders(s, dir).select("o_orderkey"), "o_orderkey")
+        .orderBy("o_orderkey")
     }
   )
 
@@ -76,6 +84,11 @@ object Scale {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "x05_global_row_index" ->
+      """SELECT o_orderkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_index
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

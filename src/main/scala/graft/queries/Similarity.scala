@@ -60,6 +60,15 @@ object Similarity {
     "s05_kmeans" -> { (s, dir) =>
       graft.ext.Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
         .orderBy("cluster")
+    },
+
+    // Product quantization: 8 subspaces x 16 codes (1 Lloyd round),
+    // corpus encoded to 8 small codes, probes scan the CODE table with
+    // the asymmetric-distance kernel — the memory-compression ANN path.
+    "s06_pq_adc" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.pqTopK(probes(e), e, "vec_id", "embedding", Dims)
+        .orderBy("probe_id", "rank")
     }
   )
 
@@ -120,6 +129,25 @@ object Similarity {
 
   private val QS = graft.ext.Clustering.QuantScale
 
+  // ---- PQ CTE builders (per-subspace assign / centroid recompute) ---------
+  // Same determinism rules as the k-means CTEs: distances over quantized
+  // integers vs DOUBLE centroids, left-to-right list_sum, ties to the
+  // lowest label, centroids from exact integer sums.
+
+  private def pqAssign(name: String, cTbl: String) =
+    s"""$name AS (SELECT vec_id, m, cl FROM (
+       |  SELECT s.vec_id, s.m, $cTbl.cl,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |      list_sum(list_transform(range(1, 9), i -> (s.sq[i] - $cTbl.c[i]) * (s.sq[i] - $cTbl.c[i]))), $cTbl.cl) rn
+       |  FROM sub s JOIN $cTbl ON s.m = $cTbl.m) WHERE rn = 1)""".stripMargin
+
+  private def pqCent(name: String, aTbl: String) =
+    s"""$name AS (SELECT m, cl, list(sd ORDER BY i) c FROM (
+       |  SELECT a.m, a.cl, i.i, sum(s.sq[i.i])::DOUBLE / count(*) sd
+       |  FROM sub s JOIN $aTbl a ON s.vec_id = a.vec_id AND s.m = a.m
+       |  CROSS JOIN range(1, 9) i(i)
+       |  GROUP BY a.m, a.cl, i.i) GROUP BY m, cl)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s05_kmeans" ->
       s"""WITH v AS (SELECT vec_id,
@@ -172,7 +200,29 @@ object Similarity {
          |  CAST(list_position(adots.dots, list_max(adots.dots)) AS INT) AS ivf_cluster,
          |  round(n.nrm, 4) AS norm
          |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    "s06_pq_adc" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, m.m, list_slice(vq, m.m * 8 + 1, m.m * 8 + 8) sq
+         |  FROM v CROSS JOIN range(0, 8) m(m)),
+         |c0 AS (SELECT sub.m, sub.vec_id cl, list_transform(sq, q -> q::DOUBLE) c
+         |  FROM sub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)),
+         |${pqAssign("a1", "c0")},
+         |${pqCent("c1", "a1")},
+         |${pqAssign("codes", "c1")},
+         |pd AS (SELECT p.vec_id probe_id, q.vec_id, p.m,
+         |    list_sum(list_transform(range(1, 9), i -> (p.sq[i] - c.c[i]) * (p.sq[i] - c.c[i]))) d
+         |  FROM sub p
+         |  JOIN codes q ON p.m = q.m AND p.vec_id % 50 = 0 AND p.vec_id <> q.vec_id
+         |  JOIN c1 c ON c.m = q.m AND c.cl = q.cl),
+         |adc AS (SELECT probe_id, vec_id, list_sum(list(d ORDER BY m)) adc_q
+         |  FROM pd GROUP BY 1, 2)
+         |SELECT probe_id, rank, vec_id, round(adc_q / ($QS::DOUBLE * $QS), 4) AS adc_dist FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_q, vec_id) AS INT) rank FROM adc)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
   )
 
   private lazy val ivfOracle: String =

@@ -188,6 +188,28 @@ object Stats {
             .as("pearson_r"),
           round((col("sxy") - col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1), 4)
             .as("cov_samp"))
+    },
+
+    // df.stat.sampleBy (stratified sampling — class-balancing a training
+    // corpus): per-stratum fractions, gated on the binomial 6-sigma
+    // CONTRACT per stratum (the draw itself is seed/partitioning-specific;
+    // the guarantee is the expected rate). Same contract style as n07.
+    "n11_stratified_sample" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val fractions = Map("O" -> 0.05, "F" -> 0.15, "P" -> 0.30)
+      val sampled = o.stat.sampleBy("o_orderstatus", fractions, seed = 42L)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totals = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      import s.implicits._
+      fractions.toSeq.sortBy(_._1).map { case (st, f) =>
+        val n = totals.getOrElse(st, 0L)
+        val k = sampled.getOrElse(st, 0L)
+        val sd = math.sqrt(n * f * (1 - f))
+        (st, f, math.abs(k - n * f) <= 6 * sd)
+      }.toDF("o_orderstatus", "fraction", "within_bounds")
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -261,6 +283,11 @@ object Stats {
         |    (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
         |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r,
         |  round((sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1), 4) AS cov_samp
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "n11_stratified_sample" ->
+      """SELECT * FROM (VALUES ('F', 0.15::DOUBLE, TRUE), ('O', 0.05::DOUBLE, TRUE),
+        |  ('P', 0.30::DOUBLE, TRUE)) t(o_orderstatus, fraction, within_bounds)
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

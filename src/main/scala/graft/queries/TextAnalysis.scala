@@ -32,6 +32,18 @@ object TextAnalysis {
     "t06_tfidf_terms" -> { (s, dir) =>
       T.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", topK = 3)
         .orderBy("doc_id", "term")
+    },
+
+    // Canonical normalization pass: lowercase, punct -> space, collapse,
+    // trim — pure narrow map, no shuffle.
+    "t07_normalize" -> { (s, dir) =>
+      T.normalize(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // Top-50 vocabulary + per-document out-of-vocabulary rate.
+    "t08_vocab_oov" -> { (s, dir) =>
+      T.vocabOov(Tables.documents(s, dir), "doc_id", "text", vocabSize = 50)
+        .orderBy("doc_id")
     }
   )
 
@@ -127,6 +139,32 @@ object TextAnalysis {
         |      ORDER BY tf.tf::DOUBLE * (ln((nn.n + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE) + 1.0::DOUBLE) DESC,
         |        tf.term) AS rn
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
-        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    "t07_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(text) AS INT) AS n_chars_raw,
+        |  CAST(len(norm_text) AS INT) AS n_chars_norm,
+        |  CAST(CASE WHEN norm_text = '' THEN 0
+        |       ELSE len(string_split(norm_text, ' ')) END AS INT) AS n_tokens_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // Same cutoff rule (count desc, term asc) and the same IEEE op order
+    // (1.0 - in/total, rounded) as the Spark side.
+    "t08_vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, t AS term FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents)
+        |  WHERE len(t) > 0),
+        |vocab AS (SELECT term, 1 AS in_v FROM
+        |    (SELECT term, count(*) cnt FROM tok GROUP BY 1)
+        |  ORDER BY cnt DESC, term LIMIT 50)
+        |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(coalesce(v.in_v, 0)) AS BIGINT) AS in_vocab,
+        |  round(1.0 - sum(coalesce(v.in_v, 0))::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.term = v.term
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin
   )
 }

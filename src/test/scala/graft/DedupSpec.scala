@@ -42,6 +42,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("deletion-neighborhood fuzzy pairs equal brute-force levenshtein (full recall)") {
+    import spark.implicits._
+    // substitutions, inserts, deletes, distance-2 decoys, an exact-dup id pair
+    val names = Seq(1L -> "abc", 2L -> "abd", 3L -> "ab", 4L -> "abcd",
+      5L -> "xyz", 6L -> "abc", 7L -> "bbcc").toDF("id", "name")
+    val got = Dedup.fuzzyPairsEd1(names, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = names.as("a").join(names.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("d") <= 1)
+      .select(col("a.id"), col("b.id"), col("d").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 6L, 0)))   // identical strings, distance 0
+    assert(got.contains((1L, 3L, 1)))   // deletion
+    assert(got.contains((1L, 4L, 1)))   // insertion
+    assert(!got.exists { case (a, b, _) => a == 5L || b == 5L }) // no decoy
+  }
+
   test("SimHash banded pairs equal brute-force Hamming pairs (full recall)") {
     val docs = Tables.documents(spark, sf001)
     val banded = Dedup.simhashNeardupPairs(docs, "doc_id", "text")

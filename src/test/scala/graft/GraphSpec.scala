@@ -18,6 +18,21 @@ class GraphSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("bfs hops: distances within the component, -1 beyond reach") {
+    val hops = Graph.bfsHops(edges, source = 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // undirected view of the 3-cycle: 2 and 3 are both one hop from 1
+    assert(hops === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("bfs hops: iteration budget caps reach on a path graph") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val hops = Graph.bfsHops(path, source = 1L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> -1L))
+  }
+
   test("pagerank: cycle vertices share rank; sink accumulates from source") {
     val pr = Graph.pageRank(edges, iters = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -32,6 +32,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted === o.count())
   }
 
+  test("global row index equals the single-partition row_number, in parallel") {
+    import spark.implicits._
+    val keys = scala.util.Random.shuffle((1L to 997L).toList)
+    val df = keys.toDF("k").repartition(7) // arbitrary incoming layout
+    val got = Scale.globalRowIndex(df, "k", numPartitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 997L).map(k => k -> k).toMap) // keys are 1..n in order
+  }
+
+  test("global row index survives more partitions than rows (empty ranges)") {
+    import spark.implicits._
+    val df = Seq(30L, 10L, 20L).toDF("k")
+    val got = Scale.globalRowIndex(df, "k", numPartitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 20L -> 2L, 30L -> 3L))
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import spark.implicits._
     // one hot key carrying ~all rows of the left side vs a tiny right side:

@@ -85,6 +85,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
   }
 
+  test("PQ self-recovery: probes identical to codebook seeds reconstruct at distance 0") {
+    import spark.implicits._
+    // 16 distinct vectors = exactly the k seeds, so after one Lloyd round
+    // every vector IS its own (per-subspace) centroid: a probe copy must
+    // rank its original first at ADC distance exactly 0.
+    def vec(i: Int): Seq[Double] = (0 until Dims).map(d => (i * Dims + d) / 1000.0)
+    val corpus = (0 until 16).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val probesDf = (0 until 16).map(i => (100L + i, vec(i))).toDF("vec_id", "embedding")
+    val top1 = Similarity.pqTopK(probesDf, corpus, "vec_id", "embedding", Dims, topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(top1.length === 16)
+    top1.foreach { case (pid, vid, d) =>
+      assert(vid === pid - 100L)
+      assert(d === 0.0)
+    }
+  }
+
+  test("PQ ADC ranking matches exact distances when reconstruction is exact") {
+    import spark.implicits._
+    // same 16-seed corpus: reconstruction is lossless, so ADC distance =
+    // exact squared L2 and the full ranking equals the exact ranking
+    def vec(i: Int): Seq[Double] = (0 until Dims).map(d => ((i * 7 + d) % 31) / 10.0)
+    val corpus = (0 until 16).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val probe = Seq((200L, vec(0))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(probe, corpus, "vec_id", "embedding", Dims, topK = 16)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toList
+    val exact = (0 until 16).map { i =>
+      val (a, b) = (vec(0), vec(i))
+      val d = (0 until 8).map { m =>
+        (8 * m until 8 * m + 8).map(j => (a(j) - b(j)) * (a(j) - b(j))).sum
+      }.sum
+      (d, i.toLong)
+    }.sorted.zipWithIndex.map { case ((_, vid), r) => (r + 1, vid) }.toList
+    assert(got === exact)
+  }
+
   test("partitioned IVF index: probe scan prunes to the probed clusters, same answer") {
     val path = "/tmp/graft_scale/ivf_spec"
     val part = Similarity.ivfTopKPartitioned(spark, probeSet, emb,

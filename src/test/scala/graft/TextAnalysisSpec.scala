@@ -73,6 +73,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("aggregate("), s"interpreted aggregate in plan:\n$plan")
   }
 
+  test("normalize folds case/punct, collapses runs, and is idempotent") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  World!! 42"), (2L, "already clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // uppercase letters are punct-class here (pipeline lowercases first)
+    assert(out(1L) === "hello world 42")
+    assert(out(2L) === "already clean")
+    val again = TextAnalysis.normalize(
+      TextAnalysis.normalize(df, "doc_id", "text"), "doc_id", "norm_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out)
+  }
+
+  test("vocab coverage: full-vocab docs score 0 OOV; rare tokens raise it exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabOov(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // vocab = {a, b} (counts 3 and 3); zzz is the one OOV token
+    assert(out(1L) === ((4L, 4L, 0.0)))
+    assert(out(2L) === ((3L, 2L, 0.333333)))
+  }
+
   test("tfidf: ubiquitous terms score below rare terms at equal tf") {
     import spark.implicits._
     val docs = Seq(
