@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // default 4: at sf0.1 the iterative (superstep) queries pay a fixed
+    // per-stage tax at 32 shuffle partitions that swamps their real work
+    // (p02: 3.7s at 4 cpus vs 18s at 32 — measured, both post-sweep);
+    // the driver can override via SPARK_GRAFT_CPUS for bigger SFs where
+    // parallelism wins (d03 at sf0.1 already runs 2x faster at 32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,8 +23,24 @@ object Bench {
     // expression-heavy queries. Two timed iterations, report the min:
     // single-shot local timings carry JIT/page-cache variance that would
     // otherwise dominate cross-round comparisons.
+    // Block-manager hygiene between timed runs: localCheckpoint()ed
+    // results register as persistent RDDs and linger until a GC cycle
+    // collects their DataFrame refs — across ~230 timed runs in one JVM
+    // they accumulate, evict genuinely-persisted mid-query tables, and
+    // show up as 10-30x phantom regressions on whichever queries hash
+    // later in the map (the round-4 "contamination" signature). Sweeping
+    // caches + persistent RDDs per run makes every query start from the
+    // same clean block manager.
+    // No System.gc() here: the blocking unpersists remove the blocks
+    // synchronously, and an explicit full GC's concurrent phases bleed
+    // into the next timed region (~0.5-1s uniform tax, measured).
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        sweep()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }

@@ -301,14 +301,18 @@ object Dedup {
     * Levenshtein runs only on candidate pairs, which are linear in the
     * true fuzzy-match count for id-like keys. The variant table feeds both
     * sides of the self-join, so it is persisted for the call and released
-    * once the small verified pair set materializes (the LSH convention).
+    * once the small verified pair set materializes (the LSH convention;
+    * `materialize = false` keeps the plan lazy for shape assertions).
     * Output: (id_a < id_b, edit_dist). */
-  def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val v = df
+  def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String,
+                    materialize: Boolean = true): DataFrame = {
+    val lazyVariants = df
       .select(col(idCol).as("fid"), col(strCol).as("fstr"))
       .select(col("fid"), col("fstr"),
         explode(deletionVariantsUdf(col("fstr"))).as("variant"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v =
+      if (materialize) lazyVariants.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else lazyVariants
     val a = v.select(col("fid").as("id_a"), col("fstr").as("str_a"), col("variant"))
     val b = v.select(col("fid").as("id_b"), col("fstr").as("str_b"), col("variant"))
     val pairs = a.join(b, "variant").filter(col("id_a") < col("id_b"))
@@ -316,9 +320,12 @@ object Dedup {
       .withColumn("edit_dist", levenshtein(col("str_a"), col("str_b")).cast("int"))
       .filter(col("edit_dist") <= 1)
       .select("id_a", "id_b", "edit_dist")
-    val out = pairs.localCheckpoint()
-    v.unpersist()
-    out
+    if (!materialize) pairs
+    else {
+      val out = pairs.localCheckpoint()
+      v.unpersist()
+      out
+    }
   }
 
   /** Embedding-cosine near-dup pairs of `probes` x `corpus` (exact, for a

@@ -87,8 +87,11 @@ object Scale {
     *
     * The ranged table is persisted for the call: the count pass and the
     * numbering pass must see the SAME partitioning (range boundaries come
-    * from a sample; recomputation could re-draw them). */
-  def globalRowIndex(df: DataFrame, keyCol: String, numPartitions: Int = 32): DataFrame = {
+    * from a sample; recomputation could re-draw them).
+    * `materialize = false` returns the lazy numbering plan for shape
+    * assertions (the count pass still runs — it is what the offsets are). */
+  def globalRowIndex(df: DataFrame, keyCol: String, numPartitions: Int = 32,
+                     materialize: Boolean = true): DataFrame = {
     val ranged = df.repartitionByRange(numPartitions, col(keyCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withPid = ranged.withColumn("__pid", spark_partition_id())
@@ -104,12 +107,15 @@ object Scale {
       map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid").orderBy(col(keyCol))
-    val out = withPid
+    val numbered = withPid
       .withColumn("global_index", row_number().over(w).cast("bigint") + offCol)
       .drop("__pid")
-      .localCheckpoint()
-    ranged.unpersist()
-    out
+    if (!materialize) numbered
+    else {
+      val out = numbered.localCheckpoint()
+      ranged.unpersist()
+      out
+    }
   }
 
   /** DROP TABLE IF EXISTS plus removal of any orphaned managed location:

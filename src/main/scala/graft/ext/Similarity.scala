@@ -397,9 +397,14 @@ object Similarity {
     * original vector units², rounded 1e-4). */
   def pqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, dims: Int, m: Int = 8, k: Int = 16,
-             iters: Int = 1, topK: Int = 5): DataFrame = {
+             iters: Int = 1, topK: Int = 5,
+             materialize: Boolean = true): DataFrame = {
     require(dims % m == 0, s"pqTopK: dims=$dims not divisible by m=$m")
     val subDims = dims / m
+    // training is eager (driver-side codebooks) even on the lazy
+    // (materialize = false, shape-assertion) path, so the persists below
+    // are load-bearing for it either way; the lazy path releases them
+    // after training and lets the returned plan recompute lazily
     val quant = Clustering.quantized(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sub = pqSubvectors(quant, m, subDims)
@@ -411,16 +416,21 @@ object Similarity {
       .transform(Clustering.quantized(_, idCol, vecCol))
       .select(col("vec_id").as("probe_id"), col("vq").as("pvq")))
     val qs2 = Clustering.QuantScale.toDouble * Clustering.QuantScale
-    val out = p.join(codes, col("probe_id") =!= col("vec_id"))
+    val ranked = p.join(codes, col("probe_id") =!= col("vec_id"))
       .withColumn("adc_q", pqAdcUdf(cbs, subDims)(col("pvq"), col("codes")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("adc_q"), col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("rank"), col("vec_id"),
         round(col("adc_q") / qs2, 4).as("adc_dist"))
-      .localCheckpoint()
-    sub.unpersist(); quant.unpersist()
-    out
+    if (!materialize) {
+      sub.unpersist(); quant.unpersist()
+      ranked
+    } else {
+      val out = ranked.localCheckpoint()
+      sub.unpersist(); quant.unpersist()
+      out
+    }
   }
 
   /** Per-vector index card: RP signature + IVF cluster assignment. */

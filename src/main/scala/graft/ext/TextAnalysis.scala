@@ -259,6 +259,77 @@ object TextAnalysis {
     out
   }
 
+  /** (total, distinct) 3-gram shingle counts in ONE compiled pass per
+    * document — same windows as [[Dedup.shinglesUdf]] (split keeps empty
+    * tokens, short docs yield their full run as one shingle) but KEEPING
+    * multiplicity, which the dedup path deliberately drops. */
+  private def shingleStatsUdf(n: Int) = udf { (text: String) =>
+    if (text == null) None
+    else {
+      val t = text.split(" ", -1)
+      val m = math.max(t.length - (n - 1), 1)
+      val seen = new scala.collection.mutable.HashSet[String]
+      var i = 0
+      while (i < m) {
+        seen += t.slice(i, math.min(i + n, t.length)).mkString(" ")
+        i += 1
+      }
+      Some(Array(m, seen.size))
+    }
+  }
+
+  /** Boilerplate detector: per-document repeated-shingle ratio
+    * `1 - distinct/total` over 3-gram shingles — near 0 for natural prose,
+    * high for template/repeated text. Pure narrow map pass (one compiled
+    * kernel per row, no shuffle); a curation run filters on the ratio the
+    * same way it filters on [[qualityScores]]. */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), shingleStatsUdf(shingleN)(col(textCol)).as("st"))
+      .select(col("doc_id"),
+        expr("element_at(st, 1)").as("n_total"),
+        expr("element_at(st, 2)").as("n_distinct"),
+        round(lit(1.0) - expr("element_at(st, 2)").cast("double")
+          / expr("element_at(st, 1)").cast("double"), 6).as("repeat_ratio"))
+
+  /** Adjacent-bigram list of a token array, one compiled pass (the
+    * tuple array encodes as array<struct<_1,_2>> — explode-ready). */
+  private val bigramsUdf = udf { (ts: Seq[String]) =>
+    if (ts == null) Seq.empty[(String, String)]
+    else {
+      val n = math.max(ts.length - 1, 0)
+      val out = new Array[(String, String)](n)
+      var i = 0
+      while (i < n) { out(i) = (ts(i), ts(i + 1)); i += 1 }
+      out.toSeq
+    }
+  }
+
+  /** Corpus bigram language model, top-`topK` bigrams: count(w1 w2),
+    * count(w1 *) and the conditional probability P(w2|w1).
+    *
+    * Scale shape: ONE map-side-combined shuffle counts the bigrams; the
+    * w1 marginals derive from the (much smaller) bigram-count table — no
+    * second corpus scan; top-k is a TakeOrdered, never a global sort
+    * materialization. */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+               topK: Int = 20): DataFrame = {
+    val bg = df
+      .select(explode(bigramsUdf(expr(Dedup.tokens(textCol)))).as("b"))
+      .select(col("b._1").as("w1"), col("b._2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = bg.groupBy("w1").agg(sum("c12").as("c1"))
+    val out = bg.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1").cast("double"), 6).as("p"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
+
   /** Per-document top-k terms by smoothed TF-IDF
     * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen
     * terms never hit ln(0)).

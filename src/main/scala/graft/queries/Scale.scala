@@ -64,6 +64,23 @@ object Scale {
     "x05_global_row_index" -> { (s, dir) =>
       S.globalRowIndex(Tables.orders(s, dir).select("o_orderkey"), "o_orderkey")
         .orderBy("o_orderkey")
+    },
+
+    // Deterministic balanced sharding for a training-data export: global
+    // index -> round-robin shard id (shard sizes differ by at most one,
+    // assignment reproducible under any partitioning). In production the
+    // exploded assignment feeds write.partitionBy(shard); the query rolls
+    // up per-shard doc and token counts so the gate compares a compact
+    // exact result.
+    "x06_deterministic_shards" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("size(split(text, ' '))").as("n_tokens"))
+      S.globalRowIndex(d, "doc_id")
+        .withColumn("shard", (col("global_index") - 1) % 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("shard")
     }
   )
 
@@ -89,6 +106,14 @@ object Scale {
     "x05_global_row_index" ->
       """SELECT o_orderkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_index
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x06_deterministic_shards" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) rn
+        |  FROM documents)
+        |SELECT (rn - 1) % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

@@ -44,6 +44,18 @@ object TextAnalysis {
     "t08_vocab_oov" -> { (s, dir) =>
       T.vocabOov(Tables.documents(s, dir), "doc_id", "text", vocabSize = 50)
         .orderBy("doc_id")
+    },
+
+    // Boilerplate detection: per-doc repeated 3-gram shingle ratio.
+    "t09_boilerplate_ratio" -> { (s, dir) =>
+      T.boilerplateRatio(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Corpus bigram LM: top-20 bigrams with conditional P(w2|w1).
+    "t10_bigram_lm" -> { (s, dir) =>
+      T.bigramLm(Tables.documents(s, dir), "doc_id", "text", topK = 20)
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
     }
   )
 
@@ -165,6 +177,31 @@ object TextAnalysis {
         |  CAST(sum(coalesce(v.in_v, 0)) AS BIGINT) AS in_vocab,
         |  round(1.0 - sum(coalesce(v.in_v, 0))::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate
         |FROM tok LEFT JOIN vocab v ON tok.term = v.term
-        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY tok.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same windows as the engine kernel: multiplicity kept, short docs
+    // yield one full-run shingle.
+    "t09_boilerplate_ratio" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS all_sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(all_sh) AS INT) AS n_total,
+        |  CAST(len(list_distinct(all_sh)) AS INT) AS n_distinct,
+        |  round(1.0 - len(list_distinct(all_sh))::DOUBLE / len(all_sh)::DOUBLE, 6) AS repeat_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "t10_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') t FROM documents),
+        |bg AS (SELECT x.w1 w1, x.w2 w2 FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) x FROM toks)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM c12 GROUP BY 1)
+        |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+        |  round(c12.c12::DOUBLE / c1.c1::DOUBLE, 6) AS p
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12.c12 DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

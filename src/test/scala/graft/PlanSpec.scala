@@ -44,6 +44,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_list"))
   }
 
+  test("d09: fuzzy candidates come from a variant equi-join, never a cross join") {
+    // materialize=false keeps the pipeline lazy so the plan is inspectable
+    val p = plan(graft.ext.Dedup.fuzzyPairsEd1(
+      Tables.customer(spark, sf001), "c_custkey", "c_name", materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("variant"))
+  }
+
+  test("s06: PQ probes scan the code table via a broadcast join, corpus unshuffled") {
+    val e = Tables.embeddings(spark, sf001)
+    val p = plan(graft.ext.Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e,
+      "vec_id", "embedding", 64, materialize = false))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "the compressed-domain scan must not shuffle the corpus")
+  }
+
+  test("x05: the numbering window is partitioned, never the global-sort shape") {
+    // a naive row_number() OVER (ORDER BY key) is a Window with an EMPTY
+    // partition spec — one task sorts the world; globalRowIndex must
+    // always partition its window by __pid
+    val d = Tables.orders(spark, sf001).select("o_orderkey")
+    val p = plan(graft.ext.Scale.globalRowIndex(d, "o_orderkey",
+      numPartitions = 8, materialize = false))
+    assert(p.contains("windowspecdefinition(__pid"))
+    assert(!"windowspecdefinition\\(o_orderkey ASC".r.findFirstIn(p).isDefined,
+      "window spec must lead with the partition column, not a bare global order")
+  }
+
   test("s01: probe side is broadcast for the all-pairs scoring join") {
     val p = plan(SparkEntry.queries("s01_cosine_topk")(spark, sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -49,6 +49,18 @@ class ScaleSpec extends SparkSpec {
     assert(got === Map(10L -> 1L, 20L -> 2L, 30L -> 3L))
   }
 
+  test("round-robin shards off the global index balance to within one row") {
+    import spark.implicits._
+    val df = (1L to 103L).map(k => (k, k * 10)).toDF("k", "payload")
+    val sizes = Scale.globalRowIndex(df, "k", numPartitions = 8)
+      .withColumn("shard", (col("global_index") - 1) % 8)
+      .groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 8)
+    assert(sizes.sum === 103L)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import spark.implicits._
     // one hot key carrying ~all rows of the left side vs a tiny right side:

@@ -97,6 +97,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, 0.333333)))
   }
 
+  test("boilerplate ratio: repeated template text scores high, unique prose zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // shingles: 7 total, 3 distinct
+      (2L, "one two three four")   // 2 total, 2 distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateRatio(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((7, 3, 0.571429)))
+    assert(out(2L) === ((2, 2, 0.0)))
+  }
+
+  test("bigram LM: conditional probabilities from known counts") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(df, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("the", "cat")) === ((2L, 3L, 0.666667)))
+    assert(out(("the", "dog")) === ((1L, 3L, 0.333333)))
+    assert(out(("cat", "sat")) === ((1L, 2L, 0.5)))
+    assert(out.size === 5)
+  }
+
   test("tfidf: ubiquitous terms score below rare terms at equal tf") {
     import spark.implicits._
     val docs = Seq(
