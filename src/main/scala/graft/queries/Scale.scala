@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   private val qtyCents = "cast(round(l_quantity * 100) as bigint)"
+  private val qtyCents2 = "cast(round(o_totalprice * 100) as bigint)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase salted aggregation over the biggest fact table: hot
@@ -66,6 +67,18 @@ object Scale {
         .orderBy("o_orderkey")
     },
 
+    // Small-files compaction: fragment orders into 64 files, compact to 4
+    // range-partitioned key-sorted files, scan the compacted copy. Gated
+    // on result transparency (oracle = the plain table); ScaleSpec pins
+    // the file counts and the disjoint per-file key ranges.
+    "x07_compacted_scan" -> { (s, dir) =>
+      val base = s"/tmp/graft_scale/compact_${dir.split('/').filter(_.nonEmpty).last}"
+      Tables.orders(s, dir).select(col("o_orderkey"), expr(qtyCents2).as("cents"))
+        .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      S.compact(s, s.read.parquet(s"$base/frag"), "o_orderkey", 4, s"$base/tidy")
+        .orderBy("o_orderkey")
+    },
+
     // Deterministic balanced sharding for a training-data export: global
     // index -> round-robin shard id (shard sizes differ by at most one,
     // assignment reproducible under any partitioning). In production the
@@ -106,6 +119,10 @@ object Scale {
     "x05_global_row_index" ->
       """SELECT o_orderkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS global_index
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x07_compacted_scan" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "x06_deterministic_shards" ->

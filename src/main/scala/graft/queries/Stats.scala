@@ -210,6 +210,19 @@ object Stats {
         (st, f, math.abs(k - n * f) <= 6 * sd)
       }.toDF("o_orderstatus", "fraction", "within_bounds")
         .orderBy("o_orderstatus")
+    },
+
+    // Equal-width histogram (the groupBy-bucket shape that scales to any
+    // row count) in pure integer arithmetic — bucket edges computed in
+    // cents with integer division, so both engines bin identically with
+    // no float-edge ambiguity.
+    "n12_price_histogram" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(expr(cents).as("c"))
+        .withColumn("bucket", least(expr("(c * 10) div 60000000"), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), sum("c").as("sum_cents"))
+        .orderBy("bucket")
     }
   )
 
@@ -288,6 +301,13 @@ object Stats {
     "n11_stratified_sample" ->
       """SELECT * FROM (VALUES ('F', 0.15::DOUBLE, TRUE), ('O', 0.05::DOUBLE, TRUE),
         |  ('P', 0.30::DOUBLE, TRUE)) t(o_orderstatus, fraction, within_bounds)
-        |ORDER BY o_orderstatus""".stripMargin
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "n12_price_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) c FROM orders)
+        |SELECT least((c * 10) // 60000000, 9) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -42,6 +42,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("incremental dedup drops corpus dups and in-batch dups, keeps the rest") {
+    import spark.implicits._
+    val existing = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "aa"), (11L, "cc"), (12L, "cc"), (13L, "dd"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(11L, 13L))
+  }
+
   test("deletion-neighborhood fuzzy pairs equal brute-force levenshtein (full recall)") {
     import spark.implicits._
     // substitutions, inserts, deletes, distance-2 decoys, an exact-dup id pair

@@ -61,6 +61,26 @@ class ScaleSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("compaction: 64 fragments become 4 sorted files with disjoint key ranges") {
+    import spark.implicits._
+    val base = "/tmp/graft_scale/compact_spec"
+    (1L to 5000L).map(k => (k, k % 97)).toDF("k", "v")
+      .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files(s"$base/frag").length === 64)
+    val tidy = Scale.compact(spark, spark.read.parquet(s"$base/frag"), "k", 4, s"$base/tidy")
+    assert(files(s"$base/tidy").length === 4)
+    // same rows, and each compacted file covers a disjoint key range
+    assert(tidy.count() === 5000L)
+    assert(tidy.agg(sum("k")).head.getLong(0) === (1L to 5000L).sum)
+    val ranges = files(s"$base/tidy").map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath).agg(min("k"), max("k")).head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import spark.implicits._
     // one hot key carrying ~all rows of the left side vs a tiny right side:
