@@ -9,5 +9,6 @@ import org.apache.spark.sql.SparkSessionExtensions
   * use [[graft.functions.VectorFunctions]] directly with no setup. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    graft.functions.VectorFunctions.registrations.foreach(ext.injectFunction)
+    (graft.functions.VectorFunctions.registrations ++
+      graft.functions.StringFunctions.registrations).foreach(ext.injectFunction)
 }

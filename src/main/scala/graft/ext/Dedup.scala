@@ -349,6 +349,29 @@ object Dedup {
       .select(col("doc_id"), col("digest"))
   }
 
+  /** Jaro-Winkler top-k name matching: each (broadcast) probe scores the
+    * whole corpus with the native [[graft.functions.JaroWinkler]]
+    * expression and keeps the k best matches — the scoring stage of
+    * record linkage. The corpus is scanned ONCE with the probe side
+    * broadcast (the s01 brute-force shape); the kernel call stays inside
+    * whole-stage codegen, so at scale this is a single fused narrow pass
+    * plus the per-probe top-k window. Blocking variants (d09's deletion
+    * neighborhood, LSH) bound the candidate set when the corpus is too
+    * big for even a fused scan per probe. */
+  def jaroWinklerTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+                      strCol: String, k: Int = 3): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(strCol).as("probe_str")))
+    val q = corpus.select(col(idCol).as("cand_id"), col(strCol).as("cand_str"))
+    p.join(q, col("probe_id") =!= col("cand_id"))
+      .withColumn("s", graft.functions.StringFunctions.jaroWinkler(col("probe_str"), col("cand_str")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(col("s").desc, col("cand_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("cand_id"),
+        round(col("s"), 6).as("jw"))
+  }
+
   /** Embedding-cosine near-dup pairs of `probes` x `corpus` (exact, for a
     * small probe set — the full-corpus scale path is LSH bucketing, see
     * graft.ext.Similarity). Vectors are summed left-to-right in DOUBLE

@@ -80,6 +80,16 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Jaro-Winkler top-3 name matches per probe via the native codegen
+    // expression; oracle = DuckDB's jaro_winkler_similarity (semantics
+    // pinned to the same classic definition).
+    "d11_jaro_winkler_topk" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+      D.jaroWinklerTopK(c.filter(col("c_custkey") % 300 === 0), c,
+          "c_custkey", "c_name")
+        .orderBy("probe_id", "rank")
+    },
+
     // Fuzzy-match pairs (edit distance <= 1) over customer names:
     // deletion-neighborhood blocking (an equi-join on |s|+1 variants per
     // string, full recall for ed<=1), exact levenshtein verify. The oracle
@@ -210,6 +220,17 @@ object Dedup {
          |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
          |WHERE c_raw >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "d11_jaro_winkler_topk" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer),
+        |p AS (SELECT * FROM c WHERE c_custkey % 300 = 0),
+        |scored AS (SELECT p.c_custkey probe_id, q.c_custkey cand_id,
+        |    jaro_winkler_similarity(p.c_name, q.c_name) s
+        |  FROM p JOIN c q ON p.c_custkey <> q.c_custkey)
+        |SELECT probe_id, rank, cand_id, round(s, 6) AS jw FROM (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, cand_id) AS INT) rank
+        |  FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     "d10_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT md5(text) digest FROM documents WHERE doc_id < 250),
