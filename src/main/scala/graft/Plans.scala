@@ -79,7 +79,19 @@ object Plans {
         "side against a corpus scan whose width is m codes, with one " +
         "compiled ADC kernel per pair. At a billion vectors the code table " +
         "is ~30x smaller than the float corpus; codebook training cost is " +
-        "bounded (m x k x subDims doubles on the driver)."))
+        "bounded (m x k x subDims doubles on the driver)."),
+    "d11_jaro_winkler_topk" ->
+      ("Record-linkage scoring with the native graft_jaro_winkler " +
+        "expression: the generated code is one static kernel call, so the " +
+        "probe-broadcast scoring scan is a single fused WholeStageCodegen " +
+        "span (a Scala UDF here would break the stage at every call site) " +
+        "followed only by the per-probe top-k window."),
+    "x07_compacted_scan" ->
+      ("Small-files compaction: 64 fragments rewritten as 4 range-" +
+        "partitioned, key-sorted parquet files. The compacted scan reads 4 " +
+        "files instead of 64 (per-file open/footer cost is the small-files " +
+        "tax at scale), and because per-file key ranges are disjoint, " +
+        "footer min/max stats prune a key lookup to ONE file."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
