@@ -118,6 +118,22 @@ object Scale {
     }
   }
 
+  /** CDC merge (upsert/delete apply) — the nightly shape for a mutable
+    * 100 TB table without a lakehouse format: `changes` carries one row
+    * per key with `opCol` in {I, U, D}; the new snapshot keeps every
+    * snapshot row whose key has no change (LEFT ANTI join — the only
+    * shuffle touching the big side, and zero-shuffle when the snapshot
+    * is stored bucketed by key, cf. [[bucketedJoin]]) plus the I/U
+    * payloads. Changes are typically <<1% of the snapshot, so Catalyst
+    * broadcasts them both times; the snapshot's payload is never
+    * re-read for unchanged keys. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+                   keyCol: String, opCol: String): DataFrame = {
+    val survivors = snapshot.join(changes.select(keyCol), Seq(keyCol), "left_anti")
+    survivors.unionByName(
+      changes.filter(col(opCol) =!= "D").drop(opCol))
+  }
+
   /** Small-files compaction — the table-maintenance pass every long-lived
     * 100 TB dataset needs: streaming ingestion and per-partition writers
     * leave thousands of small files whose per-file open/footer cost comes

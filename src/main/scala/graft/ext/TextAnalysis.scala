@@ -330,6 +330,27 @@ object TextAnalysis {
     out
   }
 
+  /** Rule-chain redaction — the PII-scrubbing stage of corpus curation:
+    * apply (regex -> placeholder) rules IN ORDER (order matters: a phone
+    * pattern must fire before a bare digit-run pattern eats its digits),
+    * emitting per-rule hit counts alongside the scrubbed text. Pure
+    * narrow map pass of codegen'd regexp ops — no UDF, no shuffle; at
+    * 100 TB this fuses into the scan like [[normalize]]. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String, String)]): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val (out, _) = rules.foldLeft((base, "text")) {
+      case ((d, cur), (name, re, placeholder)) =>
+        val next = s"__red_$name"
+        (d.withColumn(s"n_$name",
+            expr(s"size(regexp_extract_all($cur, '$re', 0))"))
+          .withColumn(next, regexp_replace(col(cur), re, placeholder)), next)
+    }
+    val lastCol = s"__red_${rules.last._1}"
+    out.select(Seq(col("doc_id"), col(lastCol).as("red_text")) ++
+      rules.map { case (name, _, _) => col(s"n_$name") }: _*)
+  }
+
   /** Per-document top-k terms by smoothed TF-IDF
     * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen
     * terms never hit ln(0)).

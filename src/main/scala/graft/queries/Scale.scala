@@ -79,6 +79,23 @@ object Scale {
         .orderBy("o_orderkey")
     },
 
+    // CDC merge: a deterministic change feed derived from orders itself
+    // (keys %11==0 delete, else %7==0 update price +1.00, plus inserts at
+    // key+20000000 for %13==0) applied to the snapshot. Oracle = the same
+    // set algebra in SQL; the merge must be exactly the declarative spec.
+    "x08_cdc_merge" -> { (s, dir) =>
+      val snap = Tables.orders(s, dir).select(col("o_orderkey"), expr(qtyCents2).as("cents"))
+      val upd = snap.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), (col("cents") + 100).as("cents"), lit("U").as("op"))
+      val del = snap.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("cents"), lit("D").as("op"))
+      val ins = snap.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("cents"), lit("I").as("op"))
+      S.applyChanges(snap, upd.unionByName(del).unionByName(ins), "o_orderkey", "op")
+        .orderBy("o_orderkey")
+    },
+
     // Deterministic balanced sharding for a training-data export: global
     // index -> round-robin shard id (shard sizes differ by at most one,
     // assignment reproducible under any partitioning). In production the
@@ -124,6 +141,19 @@ object Scale {
     "x07_compacted_scan" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x08_cdc_merge" ->
+      """WITH snap AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, cents + 100 AS cents, 'U' AS op FROM snap
+        |    WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+        |  UNION ALL SELECT o_orderkey, cents, 'D' FROM snap WHERE o_orderkey % 11 = 0
+        |  UNION ALL SELECT o_orderkey + 20000000, cents, 'I' FROM snap WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderkey, cents FROM (
+        |  SELECT s.o_orderkey, s.cents FROM snap s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL SELECT o_orderkey, cents FROM changes WHERE op <> 'D')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x06_deterministic_shards" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) n_tokens,

@@ -56,6 +56,21 @@ object TextAnalysis {
     "t10_bigram_lm" -> { (s, dir) =>
       T.bigramLm(Tables.documents(s, dir), "doc_id", "text", topK = 20)
         .orderBy(col("c12").desc, col("w1"), col("w2"))
+    },
+
+    // PII-style redaction over a synthetic composite record (name with an
+    // id run, a phone-like field, account cents): ordered rule chain —
+    // phone pattern must fire before the bare digit-run rule.
+    "t11_redact" -> { (s, dir) =>
+      val src = Tables.customer(s, dir).select(col("c_custkey"),
+        concat(col("c_name"), lit(" ph "),
+          format_string("%03d-%04d", col("c_custkey") % 1000, col("c_custkey") % 10000),
+          lit(" acct "),
+          expr("cast(cast(round(c_acctbal * 100) as bigint) as string)")).as("rec"))
+      T.redact(src, "c_custkey", "rec", Seq(
+          ("phone", "[0-9]{3}-[0-9]{4}", "<phone>"),
+          ("num", "[0-9]{3,}", "<num>")))
+        .orderBy("doc_id")
     }
   )
 
@@ -202,6 +217,21 @@ object TextAnalysis {
         |SELECT c12.w1, c12.w2, c12.c12, c1.c1,
         |  round(c12.c12::DOUBLE / c1.c1::DOUBLE, 6) AS p
         |FROM c12 JOIN c1 USING (w1)
-        |ORDER BY c12.c12 DESC, w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY c12.c12 DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "t11_redact" ->
+      """WITH src AS (SELECT c_custkey AS doc_id,
+        |    c_name || ' ph ' || printf('%03d-%04d', c_custkey % 1000, c_custkey % 10000)
+        |      || ' acct ' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS rec
+        |  FROM customer),
+        |p1 AS (SELECT doc_id, rec,
+        |    CAST(len(regexp_extract_all(rec, '[0-9]{3}-[0-9]{4}')) AS INT) n_phone,
+        |    regexp_replace(rec, '[0-9]{3}-[0-9]{4}', '<phone>', 'g') r1
+        |  FROM src)
+        |SELECT doc_id,
+        |  regexp_replace(r1, '[0-9]{3,}', '<num>', 'g') AS red_text,
+        |  n_phone,
+        |  CAST(len(regexp_extract_all(r1, '[0-9]{3,}')) AS INT) AS n_num
+        |FROM p1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -61,6 +61,15 @@ class ScaleSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("cdc merge: deletes drop, updates replace, inserts append, rest untouched") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "b2", "U"), (3L, "c", "D"), (4L, "d", "I")).toDF("k", "v", "op")
+    val got = Scale.applyChanges(snap, changes, "k", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+  }
+
   test("compaction: 64 fragments become 4 sorted files with disjoint key ranges") {
     import spark.implicits._
     val base = "/tmp/graft_scale/compact_spec"

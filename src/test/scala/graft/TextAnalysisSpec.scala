@@ -121,6 +121,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("redact: ordered rules — phone fires before the digit-run rule") {
+    import spark.implicits._
+    val df = Seq((1L, "call 555-1234 or 555-4321 id 98765 ok 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(df, "doc_id", "text", Seq(
+      ("phone", "[0-9]{3}-[0-9]{4}", "<phone>"),
+      ("num", "[0-9]{3,}", "<num>"))).head()
+    assert(r.getString(1) === "call <phone> or <phone> id <num> ok 42")
+    assert(r.getInt(2) === 2) // phones
+    assert(r.getInt(3) === 1) // digit runs AFTER phones were consumed
+  }
+
   test("tfidf: ubiquitous terms score below rare terms at equal tf") {
     import spark.implicits._
     val docs = Seq(
