@@ -59,6 +59,30 @@ object Scale {
         .orderBy("o_orderpriority")
     },
 
+    // Skew diagnostic report — the observability pass you run BEFORE
+    // choosing salting buckets or trusting AQE: key-count distribution
+    // stats plus the hottest key, in two small aggregations over the
+    // per-key count table (itself one map-side-combined shuffle of the
+    // fact table).
+    "x09_skew_report" -> { (s, dir) =>
+      val counts = Tables.lineitem(s, dir)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+        .withColumn("skew_ratio",
+          round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4))
+      val top = counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(1)
+        .select(col("l_suppkey").as("top_key"), col("cnt").as("top_cnt"))
+      val out = stats.crossJoin(top).localCheckpoint()
+      counts.unpersist()
+      out
+    },
+
     // Global row numbering without a single-partition sort: range
     // repartition + per-partition counts + broadcast offsets. The oracle
     // is the plain ORDER BY row_number the parallel plan must equal.
@@ -132,6 +156,19 @@ object Scale {
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "x09_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) n_keys, CAST(sum(cnt) AS BIGINT) n_rows,
+        |    CAST(max(cnt) AS BIGINT) max_cnt,
+        |    round(quantile_cont(cnt, 0.5), 4) p50_cnt,
+        |    round(quantile_cont(cnt, 0.99), 4) p99_cnt
+        |  FROM c),
+        |t AS (SELECT l_suppkey top_key, CAST(cnt AS BIGINT) top_cnt FROM c
+        |  ORDER BY cnt DESC, l_suppkey LIMIT 1)
+        |SELECT n_keys, n_rows, max_cnt, p50_cnt, p99_cnt,
+        |  round(max_cnt::DOUBLE * n_keys / n_rows, 4) AS skew_ratio, top_key, top_cnt
+        |FROM s, t""".stripMargin,
 
     "x05_global_row_index" ->
       """SELECT o_orderkey,
