@@ -23,24 +23,12 @@ object Bench {
     // expression-heavy queries. Two timed iterations, report the min:
     // single-shot local timings carry JIT/page-cache variance that would
     // otherwise dominate cross-round comparisons.
-    // Block-manager hygiene between timed runs: localCheckpoint()ed
-    // results register as persistent RDDs and linger until a GC cycle
-    // collects their DataFrame refs — across ~230 timed runs in one JVM
-    // they accumulate, evict genuinely-persisted mid-query tables, and
-    // show up as 10-30x phantom regressions on whichever queries hash
-    // later in the map (the round-4 "contamination" signature). Sweeping
-    // caches + persistent RDDs per run makes every query start from the
-    // same clean block manager.
-    // No System.gc() here: the blocking unpersists remove the blocks
-    // synchronously, and an explicit full GC's concurrent phases bleed
-    // into the next timed region (~0.5-1s uniform tax, measured).
-    def sweep(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    }
+    // Block-manager hygiene between timed runs (GraftSession.sweepBlocks
+    // scaladoc has the full rationale): every query starts from the same
+    // clean block manager.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
-        sweep()
+        GraftSession.sweepBlocks(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }

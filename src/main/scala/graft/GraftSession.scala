@@ -32,4 +32,17 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Block-manager sweep shared by the Bench and Verify runners:
+    * localCheckpoint()ed results register as persistent RDDs and linger
+    * until GC collects their DataFrame refs; across a ~120-query run in
+    * one JVM they accumulate and evict genuinely-persisted mid-query
+    * tables (the round-4 phantom-regression signature). Blocking
+    * unpersist removes the blocks synchronously; deliberately NO
+    * System.gc() — a forced full GC's concurrent phases bleed ~0.5-1s
+    * into the next timed region (measured). */
+  def sweepBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  }
 }

@@ -21,11 +21,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      // same block-manager sweep as Bench: localCheckpoint()ed results
-      // linger as persistent RDDs until GC and would otherwise accumulate
-      // across the ~116-query run, evicting mid-query persisted tables
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      GraftSession.sweepBlocks(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

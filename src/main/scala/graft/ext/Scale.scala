@@ -110,8 +110,14 @@ object Scale {
     val numbered = withPid
       .withColumn("global_index", row_number().over(w).cast("bigint") + offCol)
       .drop("__pid")
-    if (!materialize) numbered
-    else {
+    if (!materialize) {
+      // lazy (shape-assertion) path: release the persist now — the plan
+      // recomputes lazily (range boundaries re-sample deterministically
+      // from the same input, but treat this path as shape-only; the
+      // value-correct path is materialize = true)
+      ranged.unpersist()
+      numbered
+    } else {
       val out = numbered.localCheckpoint()
       ranged.unpersist()
       out

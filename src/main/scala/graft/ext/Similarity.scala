@@ -374,7 +374,11 @@ object Similarity {
         var total = 0.0
         var mi = 0
         while (mi < codes.length) {
-          val c = lut(mi).getOrElse(codes(mi), Array.empty[Double])
+          // unknown code = codebook/encoding mismatch: fail loudly — a
+          // silent zero subtotal would rank the vector as a false near
+          // neighbor with no error
+          val c = lut(mi).getOrElse(codes(mi), throw new IllegalStateException(
+            s"pqAdc: code ${codes(mi)} absent from subspace-$mi codebook"))
           val off = mi * subDims
           val n = math.min(c.length, math.max(x.length - off, 0))
           var dm = 0.0; var i = 0

@@ -338,12 +338,18 @@ object TextAnalysis {
     * 100 TB this fuses into the scan like [[normalize]]. */
   def redact(df: DataFrame, idCol: String, textCol: String,
              rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "redact: need at least one (name, regex, placeholder) rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"redact: duplicate rule names in ${rules.map(_._1)}")
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // count and replace must see the SAME pattern: both go through the
+    // Column DSL (lit(re)), never an expr() SQL literal whose string
+    // escaping would silently diverge for regexes with backslashes
     val (out, _) = rules.foldLeft((base, "text")) {
       case ((d, cur), (name, re, placeholder)) =>
         val next = s"__red_$name"
         (d.withColumn(s"n_$name",
-            expr(s"size(regexp_extract_all($cur, '$re', 0))"))
+            size(regexp_extract_all(col(cur), lit(re), lit(0))))
           .withColumn(next, regexp_replace(col(cur), re, placeholder)), next)
     }
     val lastCol = s"__red_${rules.last._1}"

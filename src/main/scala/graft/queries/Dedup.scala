@@ -235,8 +235,9 @@ object Dedup {
     "d10_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT md5(text) digest FROM documents WHERE doc_id < 250),
         |fresh AS (
-        |  SELECT doc_id, md5(text) digest FROM documents
-        |  WHERE doc_id >= 250 AND md5(text) NOT IN (SELECT digest FROM seen))
+        |  SELECT doc_id, md5(text) digest FROM documents d
+        |  WHERE doc_id >= 250
+        |    AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = md5(d.text)))
         |SELECT doc_id, digest FROM (
         |  SELECT doc_id, digest,
         |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn FROM fresh)

@@ -54,8 +54,12 @@ object Graphs {
       val docs = Tables.documents(s, dir)
       val pairs = D.neardupPairs(docs, "doc_id", "text")
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      val srcId = pairs.agg(min(col("src"))).head().getLong(0)
-      val hops = G.bfsHops(pairs, srcId, iters = 3)
+      // empty pair set => min is a NULL aggregate => every doc is -1,
+      // like the oracle's NULL scalar subquery (no source to hop from)
+      val srcRow = pairs.agg(min(col("src"))).head()
+      val hops =
+        if (srcRow.isNullAt(0)) pairs.select(col("src").as("vertex"), col("dst").as("hop"))
+        else G.bfsHops(pairs, srcRow.getLong(0), iters = 3)
       docs.select(col("doc_id"))
         .join(hops, col("doc_id") === col("vertex"), "left")
         .select(col("doc_id"), coalesce(col("hop"), lit(-1L)).as("hop"))

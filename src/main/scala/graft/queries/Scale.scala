@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object Scale {
 
   private val qtyCents = "cast(round(l_quantity * 100) as bigint)"
-  private val qtyCents2 = "cast(round(o_totalprice * 100) as bigint)"
+  private val priceCents = "cast(round(o_totalprice * 100) as bigint)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase salted aggregation over the biggest fact table: hot
@@ -97,7 +97,7 @@ object Scale {
     // the file counts and the disjoint per-file key ranges.
     "x07_compacted_scan" -> { (s, dir) =>
       val base = s"/tmp/graft_scale/compact_${dir.split('/').filter(_.nonEmpty).last}"
-      Tables.orders(s, dir).select(col("o_orderkey"), expr(qtyCents2).as("cents"))
+      Tables.orders(s, dir).select(col("o_orderkey"), expr(priceCents).as("cents"))
         .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       S.compact(s, s.read.parquet(s"$base/frag"), "o_orderkey", 4, s"$base/tidy")
         .orderBy("o_orderkey")
@@ -108,7 +108,7 @@ object Scale {
     // key+20000000 for %13==0) applied to the snapshot. Oracle = the same
     // set algebra in SQL; the merge must be exactly the declarative spec.
     "x08_cdc_merge" -> { (s, dir) =>
-      val snap = Tables.orders(s, dir).select(col("o_orderkey"), expr(qtyCents2).as("cents"))
+      val snap = Tables.orders(s, dir).select(col("o_orderkey"), expr(priceCents).as("cents"))
       val upd = snap.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
         .select(col("o_orderkey"), (col("cents") + 100).as("cents"), lit("U").as("op"))
       val del = snap.filter(col("o_orderkey") % 11 === 0)
