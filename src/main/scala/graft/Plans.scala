@@ -91,7 +91,22 @@ object Plans {
         "partitioned, key-sorted parquet files. The compacted scan reads 4 " +
         "files instead of 64 (per-file open/footer cost is the small-files " +
         "tax at scale), and because per-file key ranges are disjoint, " +
-        "footer min/max stats prune a key lookup to ONE file."))
+        "footer min/max stats prune a key lookup to ONE file."),
+    "t12_decontaminate" ->
+      ("Benchmark decontamination: the (tiny) benchmark shingle set is " +
+        "distinct'd and BROADCAST, so the corpus is scanned ONCE and its " +
+        "exploded shingles hash-probe the broadcast set with no shuffle — " +
+        "the only shuffle is the per-doc hit-count rollup. At 100 TB the " +
+        "eval set is a few MB of n-grams; a shuffle join here would move " +
+        "the corpus to move kilobytes."),
+    "x10_token_packing" ->
+      ("Token-budget packing (training-data sequence packing): the " +
+        "exclusive running token total comes from a range repartition + " +
+        "per-partition sums broadcast back as offsets + a PER-partition " +
+        "window — the weighted zipWithIndex two-pass, never the " +
+        "single-partition sort a bare `sum() OVER (ORDER BY key)` " +
+        "collapses to. Pack ids are exact integer division of the running " +
+        "total, identical under any partition count."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

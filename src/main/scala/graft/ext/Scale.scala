@@ -124,6 +124,61 @@ object Scale {
     }
   }
 
+  /** Token-budget packing — the sequence-packing step of a training-data
+    * export: walk the corpus in `keyCol` order, keep a running total of
+    * `weightCol` (token counts), and assign each row to pack
+    * `floor(running_total_before_row / budget)` — a pack accepts rows
+    * until its budget is crossed, and the straddling row stays in the
+    * pack it started in. Emits the exclusive running total (`cum_before`)
+    * alongside the pack id so the assignment is auditable.
+    *
+    * Scale shape: the weighted generalization of [[globalRowIndex]] — a
+    * naive `sum().over(orderBy(key))` collapses to ONE task sorting the
+    * world, so instead: range-repartition on the key (global order across
+    * partitions), aggregate ONE weight sum per partition (numPartitions
+    * longs to the driver — bounded by construction), broadcast the
+    * cumulative offsets back, then a PER-partition exclusive prefix sum
+    * plus the partition's offset. Every stage is parallel in
+    * numPartitions; pack ids come from exact integer division, so results
+    * are identical under any partition count. The ranged table is
+    * persisted for the call: the sum pass and the numbering pass must see
+    * the same sampled range boundaries. */
+  def packByTokenBudget(df: DataFrame, keyCol: String, weightCol: String,
+                        budget: Long, numPartitions: Int = 32,
+                        materialize: Boolean = true): DataFrame = {
+    require(budget > 0, s"packByTokenBudget: budget must be positive, got $budget")
+    val ranged = df.repartitionByRange(numPartitions, col(keyCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val sums = withPid.groupBy("__pid")
+      .agg(sum(col(weightCol).cast("bigint")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = {
+      var acc = 0L
+      (0 until numPartitions).map { p =>
+        val o = p -> acc; acc += sums.getOrElse(p, 0L); o
+      }
+    }
+    val offCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), col("__pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = withPid
+      .withColumn("cum_before",
+        coalesce(sum(col(weightCol).cast("bigint")).over(w), lit(0L)) + offCol)
+      .withColumn("pack_id", expr(s"cum_before div ${budget}L"))
+      .drop("__pid")
+    if (!materialize) {
+      ranged.unpersist()
+      packed
+    } else {
+      val out = packed.localCheckpoint()
+      ranged.unpersist()
+      out
+    }
+  }
+
   /** CDC merge (upsert/delete apply) — the nightly shape for a mutable
     * 100 TB table without a lakehouse format: `changes` carries one row
     * per key with `opCol` in {I, U, D}; the new snapshot keeps every

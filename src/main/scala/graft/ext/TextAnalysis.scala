@@ -357,6 +357,92 @@ object TextAnalysis {
       rules.map { case (name, _, _) => col(s"n_$name") }: _*)
   }
 
+  /** Benchmark decontamination — flag corpus documents whose shingle sets
+    * overlap a held-out benchmark/eval set, the standard pre-training
+    * hygiene pass that keeps test questions out of the training corpus.
+    *
+    * A document is contaminated when at least `minOverlap` of its distinct
+    * `shingleN`-gram shingles appear anywhere in the benchmark. The flag is
+    * decided in exact integer arithmetic (`n_hit * 1e6 >= tau_micro *
+    * n_shingles`) so the threshold comparison never rides on a rounded
+    * double.
+    *
+    * Scale shape (100 TB corpus, benchmark = a few MB of n-grams): the
+    * benchmark shingle set is distinct'd and BROADCAST — the corpus is
+    * scanned ONCE, its exploded shingles hash-probe the broadcast set with
+    * no shuffle, and the only shuffle anywhere is the per-doc hit-count
+    * rollup on doc_id. Never a corpus-side distinct, never a shuffle join
+    * against the (tiny) benchmark side. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleN: Int = 3, minOverlap: Double = 0.5): DataFrame = {
+    val tauMicro = math.round(minOverlap * 1e6)
+    val bench = benchmark
+      .select(explode(Dedup.shinglesUdf(shingleN)(col(textCol))).as("s"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val perDoc = corpus
+      .select(col(idCol).as("doc_id"), Dedup.shinglesUdf(shingleN)(col(textCol)).as("sh"))
+      .select(col("doc_id"), expr("size(sh)").as("n_shingles"), col("sh"))
+    val hits = perDoc
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    perDoc.drop("sh")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      // a null-text doc has zero shingles: ratio undefined (null, never a
+      // double NaN) and never contaminated — 0 >= tau*0 must not flag it
+      .withColumn("overlap_ratio",
+        when(col("n_shingles") > 0,
+          round(col("n_hit").cast("double") / col("n_shingles").cast("double"), 6)))
+      .withColumn("contaminated",
+        when(col("n_shingles") > 0,
+          (col("n_hit") * lit(1000000L) >= lit(tauMicro) * col("n_shingles"))
+            .cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Per-document language-model score under the corpus bigram LM: the
+    * count of scored bigrams, the sum of per-bigram ln P(w2|w1) in exact
+    * micro-nat integers, and the per-bigram average log-probability — the
+    * perplexity-style quality signal a curation run thresholds on (low
+    * average log-prob = surprising/noisy text).
+    *
+    * The LM is built from the same corpus being scored ([[bigramLm]]'s
+    * count tables), so every document bigram joins a model row and no
+    * smoothing branch is needed. Each bigram's ln P is quantized to an
+    * integer BEFORE the per-doc sum, making the aggregate independent of
+    * partitioning and summation order — the same determinism trick as
+    * [[curateCorpus]]'s mean quality.
+    *
+    * Scale shape: the exploded bigram table is computed once and persisted
+    * for its two consumers (model counts, per-doc scoring); the model is a
+    * map-side-combined groupBy on (w1,w2); the scoring join shuffles on the
+    * same (w1,w2) key; the per-doc rollup is the final shuffle. No corpus
+    * rescan, no driver-side model. */
+  def docLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df
+      .select(col(idCol).as("doc_id"),
+        explode(bigramsUdf(expr(Dedup.tokens(textCol)))).as("b"))
+      .select(col("doc_id"), col("b._1").as("w1"), col("b._2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = c12.join(c1, "w1")
+    val out = bg.join(lm, Seq("w1", "w2"))
+      .withColumn("lp_micro",
+        expr("cast(round(ln(cast(c12 as double) / cast(c1 as double)) * 1e6) as bigint)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("sum_logp_micro"))
+      .withColumn("avg_logp",
+        round(col("sum_logp_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
+      .localCheckpoint()
+    bg.unpersist()
+    out
+  }
+
   /** Per-document top-k terms by smoothed TF-IDF
     * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so unseen
     * terms never hit ln(0)).

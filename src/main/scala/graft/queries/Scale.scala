@@ -91,6 +91,18 @@ object Scale {
         .orderBy("o_orderkey")
     },
 
+    // Token-budget packing for a training-data export: exclusive running
+    // token total in doc_id order (range repartition + broadcast offsets,
+    // never a single-partition window), pack id by exact integer division.
+    // The oracle is the plain global-window formulation the parallel plan
+    // must equal.
+    "x10_token_packing" -> { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+      S.packByTokenBudget(d, "doc_id", "n_tokens", budget = 512L)
+        .orderBy("doc_id")
+    },
+
     // Small-files compaction: fragment orders into 64 files, compact to 4
     // range-partitioned key-sorted files, scan the compacted copy. Gated
     // on result transparency (oracle = the plain table); ScaleSpec pins
@@ -178,6 +190,16 @@ object Scale {
     "x07_compacted_scan" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x10_token_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum_before
+        |  FROM d)
+        |SELECT doc_id, n_tokens, cum_before, cum_before // 512 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "x08_cdc_merge" ->
       """WITH snap AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) cents FROM orders),

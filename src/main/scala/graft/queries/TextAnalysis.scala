@@ -71,6 +71,25 @@ object TextAnalysis {
           ("phone", "[0-9]{3}-[0-9]{4}", "<phone>"),
           ("num", "[0-9]{3,}", "<num>")))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: every 20th document plays the held-out
+    // eval set; the rest of the corpus is scored for shingle overlap
+    // against it (broadcast benchmark, one corpus scan).
+    "t12_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      T.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Per-document bigram-LM score: average ln P(w2|w1) under the corpus
+    // LM, micro-nat-quantized before summing for order-independence.
+    "t13_doc_lm_score" -> { (s, dir) =>
+      T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -232,6 +251,43 @@ object TextAnalysis {
         |  regexp_replace(r1, '[0-9]{3,}', '<num>', 'g') AS red_text,
         |  n_phone,
         |  CAST(len(regexp_extract_all(r1, '[0-9]{3,}')) AS INT) AS n_num
-        |FROM p1 ORDER BY doc_id""".stripMargin
+        |FROM p1 ORDER BY doc_id""".stripMargin,
+
+    // Same shingle windows as t04/t09; contamination flag decided in exact
+    // integer micro-units, mirroring the engine's arithmetic.
+    "t12_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(shingles) s FROM sh WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, shingles FROM sh WHERE doc_id % 20 <> 0),
+        |e AS (SELECT doc_id, unnest(shingles) s FROM c),
+        |h AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) n_hit
+        |  FROM e JOIN b USING (s) GROUP BY 1)
+        |SELECT c.doc_id, CAST(len(c.shingles) AS INT) AS n_shingles,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  round(coalesce(h.n_hit, 0)::DOUBLE / len(c.shingles)::DOUBLE, 6) AS overlap_ratio,
+        |  CAST(CASE WHEN coalesce(h.n_hit, 0) * 1000000 >= 500000 * len(c.shingles)
+        |       THEN 1 ELSE 0 END AS INT) AS contaminated
+        |FROM c LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Per-bigram ln P quantized to micro-nats BEFORE the per-doc sum, so
+    // the aggregate matches the engine under any summation order.
+    "t13_doc_lm_score" ->
+      """WITH bg AS (SELECT doc_id, x.w1 w1, x.w2 w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) x
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+        |lm AS (SELECT c12.w1, c12.w2, c12.c12, c1.c1 FROM c12 JOIN c1 USING (w1)),
+        |s AS (SELECT bg.doc_id,
+        |    CAST(round(ln(lm.c12::DOUBLE / lm.c1::DOUBLE) * 1e6) AS BIGINT) lp
+        |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
+        |  round(sum(lp)::DOUBLE / 1e6 / count(*), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -61,6 +61,30 @@ class ScaleSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("token packing equals the single-partition running sum, in parallel") {
+    import spark.implicits._
+    val rows = scala.util.Random.shuffle(
+      (1L to 500L).map(k => (k, (k % 7) + 1)).toList) // weights 1..7
+    val df = rows.toDF("k", "w").repartition(5)
+    val got = Scale.packByTokenBudget(df, "k", "w", budget = 40L, numPartitions = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    var acc = 0L
+    (1L to 500L).foreach { k =>
+      val w = (k % 7) + 1
+      assert(got(k) === ((acc, acc / 40L)), s"key $k")
+      acc += w
+    }
+  }
+
+  test("token packing: a straddling row stays in the pack it started in") {
+    import spark.implicits._
+    // weights 30, 30: second row starts at cum 30 < 40 -> pack 0 despite overflow
+    val df = Seq((1L, 30L), (2L, 30L), (3L, 30L)).toDF("k", "w")
+    val got = Scale.packByTokenBudget(df, "k", "w", budget = 40L, numPartitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L)) // cum_before 0, 30, 60
+  }
+
   test("cdc merge: deletes drop, updates replace, inserts append, rest untouched") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")

@@ -132,6 +132,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(3) === 1) // digit runs AFTER phones were consumed
   }
 
+  test("decontaminate: overlap counted against the benchmark shingle set exactly") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),     // identical: 3/3 shingles hit
+      (2L, "the quick brown dog barks"),     // shares only 'the quick brown': 1/3
+      (3L, "totally unrelated text here")    // 0/2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(1L) === ((3, 3L, 1.0, 1)))
+    assert(out(2L) === ((3, 1L, 0.333333, 0)))
+    assert(out(3L) === ((2, 0L, 0.0, 0)))
+  }
+
+  test("decontaminate: threshold compares in integer micro-units, not rounded doubles") {
+    import spark.implicits._
+    // 1 of 2 shingles hit = exactly the 0.5 default threshold -> contaminated
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c x")).toDF("doc_id", "text") // shingles: 'a b c', 'b c x'
+    val r = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text").head()
+    assert(r.getLong(2) === 1L && r.getInt(4) === 1)
+  }
+
+  test("decontaminate: benchmark side is broadcast, corpus scanned once") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val plan = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$plan")
+  }
+
+  test("decontaminate: a null-text doc has null ratio and is never contaminated") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq((1L, null: String)).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text").head()
+    assert(r.getInt(1) === 0 && r.getLong(2) === 0L)
+    assert(r.isNullAt(3) && r.getInt(4) === 0)
+  }
+
+  test("doc LM score: known corpus gives exact micro-nat sums") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    // LM: P(cat|the)=2/2=1 -> 0 micro-nats; P(sat|cat)=1/2, P(ran|cat)=1/2
+    val halfMicro = math.rint(math.log(0.5) * 1e6).toLong // -693147
+    val out = TextAnalysis.docLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, halfMicro, math.rint(halfMicro / 1e6 / 2 * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, halfMicro, math.rint(halfMicro / 1e6 / 2 * 1e6) / 1e6)))
+  }
+
+  test("doc LM score: docs with fewer than two tokens drop out") {
+    import spark.implicits._
+    val df = Seq((1L, "single"), (2L, "two tokens")).toDF("doc_id", "text")
+    val out = TextAnalysis.docLmScore(df, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("tfidf: ubiquitous terms score below rare terms at equal tf") {
     import spark.implicits._
     val docs = Seq(
