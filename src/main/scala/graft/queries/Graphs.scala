@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Dedup => D, Graph => G}
+import graft.ext.{Dedup => D, Graph => G, TextAnalysis => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,31 @@ object Graphs {
 
     "p03_trade_triangles" -> { (s, dir) =>
       G.triangleCount(tradeEdges(s, dir)).orderBy("vertex")
+    },
+
+    // Dedup-cluster canonical selection — the ACTION step after p02: per
+    // near-dup component keep the highest-quality member (quality desc,
+    // doc_id asc at ties — quality values are oracle-exact per t01, so the
+    // argmax is deterministic cross-engine). One row per component with
+    // the canonical doc, its quality, and the cluster size. At scale this
+    // is the components join plus ONE window shuffle on component.
+    "p05_neardup_canonicals" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = D.neardupPairs(docs, "doc_id", "text")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = G.connectedComponents(pairs, iters = 3)
+      val comp = docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("vertex"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      val quality = T.qualityScores(docs, "doc_id", "text").select("doc_id", "quality")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      comp.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_id"),
+          col("quality").as("canonical_quality"), col("n_members"))
+        .orderBy("component")
     },
 
     // Single-source BFS over the near-dup graph: hop distance from the
@@ -130,6 +155,40 @@ object Graphs {
          |SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
          |FROM documents d LEFT JOIN l3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // p02's component chain + t01's quality formula, then a per-component
+    // argmax window — canonical pick must match the engine exactly.
+    "p05_neardup_canonicals" -> {
+      s"""${Dedup.minhashCte},
+         |pairs AS (
+         |  SELECT c.doc_a src, c.doc_b dst
+         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
+         |       UNION SELECT DISTINCT b, b FROM und),
+         |${ccStep(1)},
+         |${ccStep(2)},
+         |${ccStep(3)},
+         |comp AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN l3 l ON l.vertex = d.doc_id),
+         |tok AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+         |q AS (SELECT doc_id,
+         |    round(least(len(toks), 100) / 100.0 * 0.4
+         |      + len(list_distinct(toks)) / len(toks)::DOUBLE * 0.4
+         |      + (1.0 - abs(round(list_sum(list_transform(toks,
+         |          t -> CASE WHEN list_contains(['the', 'a'], t) THEN 1 ELSE 0 END))
+         |          / len(toks)::DOUBLE, 6) - 0.1)) * 0.2, 6) AS quality
+         |  FROM tok),
+         |r AS (SELECT comp.component, comp.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY comp.component
+         |      ORDER BY q.quality DESC, comp.doc_id) rn,
+         |    count(*) OVER (PARTITION BY comp.component) n_members
+         |  FROM comp JOIN q USING (doc_id))
+         |SELECT component, doc_id AS canonical_id, quality AS canonical_quality,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin
     },
 
     // Same candidate/verify chain as p02, then unrolled min-hop
