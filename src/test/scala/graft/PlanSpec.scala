@@ -73,6 +73,19 @@ class PlanSpec extends SparkSpec {
       "window spec must lead with the partition column, not a bare global order")
   }
 
+  test("x10: the packing prefix-sum window is partitioned, never the global-sort shape") {
+    // a naive sum() OVER (ORDER BY key) is a Window with an EMPTY
+    // partition spec — one task sorts the world; packByTokenBudget must
+    // always partition its window by __pid (the x05 rule, weighted)
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), expr("cast(size(split(text, ' ')) as bigint)").as("n_tokens"))
+    val p = plan(graft.ext.Scale.packByTokenBudget(d, "doc_id", "n_tokens",
+      budget = 512L, numPartitions = 8, materialize = false))
+    assert(p.contains("windowspecdefinition(__pid"))
+    assert(!"windowspecdefinition\\(doc_id ASC".r.findFirstIn(p).isDefined,
+      "window spec must lead with the partition column, not a bare global order")
+  }
+
   test("s01: probe side is broadcast for the all-pairs scoring join") {
     val p = plan(SparkEntry.queries("s01_cosine_topk")(spark, sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
