@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Headline benchmark. Contention-proof by construction (round-5 verdict
+  * item 1): `bench_out.json` is rewritten after EVERY query, so a
+  * timeout-killed run still leaves a parseable artifact with per-query
+  * times for everything that completed, plus explicit per-query error
+  * markers (never a swallowed Throwable timed as near-zero). stdout keeps
+  * exactly ONE parseable JSON line — the final summary — with `#`-prefixed
+  * progress lines per query so a killed run's tail still shows where it
+  * died and how long each query took.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,6 +27,41 @@ object Bench {
     // JVM/codegen warmup outside the timed loop so the first measured
     // query isn't charged for classloading and compiler ramp-up
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
+    // SPARK_GRAFT_ONLY=q01,s0 — prefix-filtered subset (local iteration /
+    // the sf1 headline run; the driver sets no filter and gets everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def summaryJson(): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_done":${results.size + errors.size},"n_total":${queries.size},"sf":"$sfDir"}"""
+    }
+    // Atomic rewrite-in-place: tmp + move, so a kill mid-write can't leave
+    // a truncated (unparseable) artifact — the previous complete snapshot
+    // survives instead.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    def flush(): Unit = {
+      val tmp = outPath.resolveSibling(outPath.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp, summaryJson())
+      java.nio.file.Files.move(tmp, outPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
     // noop sink (not count()): forces every output column to be computed —
     // count() lets Catalyst prune the whole projection, which under-times
     // expression-heavy queries. Two timed iterations, report the min:
@@ -26,26 +70,38 @@ object Bench {
     // Block-manager hygiene between timed runs (GraftSession.sweepBlocks
     // scaladoc has the full rationale): every query starts from the same
     // clean block manager.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        GraftSession.sweepBlocks(spark)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    queries.foreach { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (1 to 2).flatMap { _ =>
+        if (err.isDefined) None // don't re-run a query that already failed
+        else {
+          GraftSession.sweepBlocks(spark)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+              None
+          }
+        }
       }
-      name -> times.min
+      err match {
+        case Some(msg) =>
+          errors(name) = msg
+          println(s"# $name ERROR $msg")
+        case None =>
+          results(name) = times.min
+          println(f"# $name ${times.min}%.3fs (${results.size + errors.size}/${queries.size})")
+      }
+      flush()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The full per-query JSON is ~6 KB — past the driver's stdout tail
-    // capture, so rounds 1-4 recorded "parsed": null. Persist the full
-    // record to a file and keep stdout to one SHORT parseable line.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"), full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"/root/repo/bench_out.json","n_queries":${results.size}}""")
+    // capture, so rounds 1-4 recorded "parsed": null. The full record
+    // lives in bench_out.json; stdout's single JSON line stays SHORT.
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"$outPath","n_queries":${results.size},"n_errors":${errors.size}}""")
     spark.stop()
   }
 }

@@ -18,14 +18,38 @@ object Verify {
     // SPARK_GRAFT_ONLY=j01,j02 — run a comma-separated subset (local
     // iteration aid; the driver sets no filter and gets every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Per-query wall budget (round-5 verdict item 7): round 4's verify
+    // stall was ONE slow oracle-side query hanging the whole artifact.
+    // Each query runs on a worker thread with its own Spark job group; on
+    // budget overrun the group is cancelled and the query records a named
+    // TIMEOUT row in verify_errors.json instead of hanging every query
+    // after it.
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "300").toLong * 1000L
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
       GraftSession.sweepBlocks(spark)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val group = s"verify-$name"
+      val worker = new Thread(() => {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          errors.synchronized {
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }, s"verify-$name")
+      worker.start()
+      worker.join(budgetMs)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroup(group)
+        worker.interrupt()
+        errors.synchronized { errors(name) = s"TIMEOUT after ${budgetMs / 1000}s" }
+        System.err.println(s"[verify] $name TIMEOUT after ${budgetMs / 1000}s — cancelled")
+        worker.join(30000) // let the cancelled job unwind before the next query
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +67,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.synchronized {
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * choosing the physical join.
   *
   * Scale: ranks/labels are a (vertex, value) table partitioned by vertex;
-  * each superstep shuffles messages on dst. At 100 TB you'd pre-partition
-  * edges by src and checkpoint every few supersteps to cut lineage —
-  * noted here because the loop below deliberately keeps the plan linear
-  * and small (fixed iteration count) rather than unbounded.
+  * each superstep shuffles messages on dst. The label-propagation loops
+  * (BFS, components) pre-partition the edge table once, checkpoint each
+  * label generation (constant plan depth), and join only the frontier —
+  * the vertices that changed last superstep — so the steady-state
+  * superstep cost is O(frontier), not O(V), and the loop drains early on
+  * convergence. PageRank has no frontier (every rank moves every
+  * superstep), so it keeps the full-join shape with periodic lineage
+  * truncation.
   */
 object Graph {
 
@@ -94,34 +98,56 @@ object Graph {
     * undirected edges, `iters` fixed supersteps: hop(v) = min hops from
     * `source` within `iters`, or -1 if unreached in the budget (converged
     * iff the component diameter <= iters — fixed count keeps the result
-    * well-defined for the oracle either way). Each superstep is ONE
-    * shuffled join + aggregate — the frontier-expansion dataflow Pregel's
-    * BSP loop (reference: graphx/Pregel.scala:56) lowers to; at scale
-    * the frontier-only optimization (join the delta, not all labels)
-    * applies once labels stabilize, but the full-label join keeps the
-    * plan shape identical across supersteps. */
+    * well-defined for the oracle either way).
+    *
+    * Frontier-delta supersteps (Pregel's activation semantics, reference
+    * graphx/Pregel.scala:56 `activeMessages`): superstep i joins only the
+    * FRONTIER — vertices whose hop changed in superstep i-1 — against the
+    * edge table, not the full label table. Result-identical to the
+    * full-label join the DuckDB oracle unrolls, because hop updates are
+    * monotonic minima: an unchanged neighbor u has hop_{i-1}(u) =
+    * hop_{i-2}(u), so its message hop(u)+1 was already folded into
+    * hop_{i-1}(v) by the previous superstep. The edge table is hash-
+    * partitioned ONCE on the probe key and cached, so each superstep
+    * shuffles only the (shrinking) frontier plus the per-destination min
+    * — at 100 TB the steady-state superstep moves O(frontier), not
+    * O(vertices). Each superstep materializes via localCheckpoint, which
+    * keeps plan depth constant and preserves the label table's hash
+    * partitioning, so the label<-messages merge join is exchange-free.
+    * The loop exits early once the frontier drains (no further superstep
+    * can change anything — same monotonicity argument). */
   def bfsHops(edges: DataFrame, source: Long, iters: Int): DataFrame = {
     val INF = 1000000000L
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().cache()
-    val verts = und.select(col("a").as("vertex")).distinct().cache()
-    var hops = verts.select(col("vertex"),
-      when(col("vertex") === source, 0L).otherwise(INF).as("hop"))
-    for (i <- 1 to iters) {
+      .distinct()
+      .repartition(col("b"))
+      .cache()
+    var hops = und.select(col("a").as("vertex")).distinct()
+      .select(col("vertex"),
+        when(col("vertex") === source, 0L).otherwise(INF).as("hop"))
+      .localCheckpoint()
+    // Only the source carries information at step 0: INF vertices message
+    // INF+1, which can never win a least() against an INF label.
+    var frontier = hops.filter(col("hop") === 0L)
+    var i = 1
+    while (i <= iters && !frontier.isEmpty) {
       val nbr = und.alias("u")
-        .join(hops.alias("h"), col("u.b") === col("h.vertex"))
+        .join(frontier.alias("h"), col("u.b") === col("h.vertex"))
         .groupBy(col("u.a").as("vertex"))
         .agg(min(col("h.hop")).as("nbr_min"))
-      hops = hops.join(nbr, Seq("vertex"), "left")
+      val upd = hops.join(nbr, Seq("vertex"), "left")
         .select(col("vertex"),
-          least(col("hop"), coalesce(col("nbr_min") + 1L, col("hop"))).as("hop"))
-      if (i % 5 == 0 && i < iters) hops = hops.localCheckpoint()
+          least(col("hop"), coalesce(col("nbr_min") + 1L, col("hop"))).as("hop"),
+          coalesce(col("nbr_min") + 1L < col("hop"), lit(false)).as("changed"))
+        .localCheckpoint()
+      hops = upd.select("vertex", "hop")
+      frontier = upd.filter(col("changed")).select("vertex", "hop")
+      i += 1
     }
     val out = hops.select(col("vertex"),
       when(col("hop") >= INF, -1L).otherwise(col("hop")).as("hop"))
-      .localCheckpoint()
-    und.unpersist(); verts.unpersist()
+    und.unpersist()
     out
   }
 
@@ -129,25 +155,42 @@ object Graph {
     * `iters` fixed supersteps (converged iff diameter <= iters; the fixed
     * count keeps the result well-defined for the oracle either way).
     * Returns (vertex, component) where component is the min reachable
-    * vertex id within `iters` hops. */
+    * vertex id within `iters` hops.
+    *
+    * Same frontier-delta superstep shape as [[bfsHops]] (the proof there
+    * applies verbatim with `component` in place of `hop` and no +1):
+    * superstep i joins only vertices whose label changed in i-1 against
+    * the once-partitioned cached edge table, checkpoints each label
+    * generation to pin plan depth and partitioning, and drains early when
+    * a superstep changes nothing. Every vertex starts changed (its own id
+    * is fresh information), so superstep 1 degenerates to the full join —
+    * exactly the oracle's l1. */
   def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().cache()
-    val verts = und.select(col("a").as("vertex")).distinct().cache()
-    var labels = verts.select(col("vertex"), col("vertex").as("component"))
-    for (i <- 1 to iters) {
+      .distinct()
+      .repartition(col("b"))
+      .cache()
+    var labels = und.select(col("a").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("component"))
+      .localCheckpoint()
+    var frontier = labels
+    var i = 1
+    while (i <= iters && !frontier.isEmpty) {
       val nbrMin = und.alias("u")
-        .join(labels.alias("lb"), col("u.b") === col("lb.vertex"))
+        .join(frontier.alias("lb"), col("u.b") === col("lb.vertex"))
         .groupBy(col("u.a").as("vertex"))
         .agg(min(col("lb.component")).as("nbr_min"))
-      labels = labels.join(nbrMin, Seq("vertex"), "left")
+      val upd = labels.join(nbrMin, Seq("vertex"), "left")
         .select(col("vertex"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-      if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          coalesce(col("nbr_min") < col("component"), lit(false)).as("changed"))
+        .localCheckpoint()
+      labels = upd.select("vertex", "component")
+      frontier = upd.filter(col("changed")).select("vertex", "component")
+      i += 1
     }
-    val out = labels.localCheckpoint()
-    und.unpersist(); verts.unpersist()
-    out
+    und.unpersist()
+    labels
   }
 }
