@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Streams.defs ++
       graft.queries.Graphs.defs ++
       graft.queries.Joins.defs ++
-      graft.queries.Scale.defs
+      graft.queries.Scale.defs ++
+      graft.queries.HiveDialect.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Streams.oracles ++
       graft.queries.Graphs.oracles ++
       graft.queries.Joins.oracles ++
-      graft.queries.Scale.oracles
+      graft.queries.Scale.oracles ++
+      graft.queries.HiveDialect.oracles
 }

@@ -305,21 +305,38 @@ object Dedup {
     * `materialize = false` keeps the plan lazy for shape assertions).
     * Output: (id_a < id_b, edit_dist). */
   def fuzzyPairsEd1(df: DataFrame, idCol: String, strCol: String,
-                    materialize: Boolean = true): DataFrame = {
-    val lazyVariants = df
-      .select(col(idCol).as("fid"), col(strCol).as("fstr"))
-      .select(col("fid"), col("fstr"),
-        explode(deletionVariantsUdf(col("fstr"))).as("variant"))
+                    materialize: Boolean = true): DataFrame =
+    ed1VerifiedPairs(df, idCol, strCol, materialize)
+      .select("id_a", "id_b", "edit_dist")
+
+  /** Shared ed<=1 candidate chain behind [[fuzzyPairsEd1]] and
+    * [[jaroWinklerBlocked]]: deletion-variant equi-join, pair-key dedup,
+    * string re-attach, exact-Levenshtein verify. Returns verified pairs
+    * (id_a < id_b) WITH both strings so scorers can run on top.
+    *
+    * The variant self-join and the candidate `.distinct()` carry ONLY
+    * (id, variant) / (id_a, id_b) — never the strings (they'd ride the
+    * dedup shuffle as dead weight in the key). Strings re-attach from the
+    * base table via two equi-joins on id, which touch only the (small)
+    * deduped candidate set — at 100 TB the wide payload moves once, for
+    * candidates, not |s|+1 times per string through the variant shuffle. */
+  private def ed1VerifiedPairs(df: DataFrame, idCol: String, strCol: String,
+                               materialize: Boolean): DataFrame = {
+    val base = df.select(col(idCol).as("fid"), col(strCol).as("fstr"))
+    val lazyVariants = base
+      .select(col("fid"), explode(deletionVariantsUdf(col("fstr"))).as("variant"))
     val v =
       if (materialize) lazyVariants.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else lazyVariants
-    val a = v.select(col("fid").as("id_a"), col("fstr").as("str_a"), col("variant"))
-    val b = v.select(col("fid").as("id_b"), col("fstr").as("str_b"), col("variant"))
-    val pairs = a.join(b, "variant").filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "str_a", "str_b").distinct()
+    val keys = v.select(col("fid").as("id_a"), col("variant"))
+      .join(v.select(col("fid").as("id_b"), col("variant")), "variant")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = keys
+      .join(base.select(col("fid").as("id_a"), col("fstr").as("str_a")), "id_a")
+      .join(base.select(col("fid").as("id_b"), col("fstr").as("str_b")), "id_b")
       .withColumn("edit_dist", levenshtein(col("str_a"), col("str_b")).cast("int"))
       .filter(col("edit_dist") <= 1)
-      .select("id_a", "id_b", "edit_dist")
     if (!materialize) pairs
     else {
       val out = pairs.localCheckpoint()
@@ -327,6 +344,22 @@ object Dedup {
       out
     }
   }
+
+  /** Blocked Jaro-Winkler pair matching: the d09 deletion-neighborhood
+    * bounds the candidate set (full recall for ed<=1), then the native
+    * codegen [[graft.functions.JaroWinkler]] kernel scores ONLY the
+    * verified candidates and keeps pairs at or above `threshold` — the
+    * corpus-scale complement to [[jaroWinklerTopK]]'s probe-broadcast
+    * scan. Candidate generation is an equi-join on the variant key (never
+    * probe x corpus, never a nested loop); the scorer is a narrow pass
+    * over the candidate pairs. Output: (id_a < id_b, jw rounded to 6). */
+  def jaroWinklerBlocked(df: DataFrame, idCol: String, strCol: String,
+                         threshold: Double, materialize: Boolean = true): DataFrame =
+    ed1VerifiedPairs(df, idCol, strCol, materialize)
+      .withColumn("jw_raw",
+        graft.functions.StringFunctions.jaroWinkler(col("str_a"), col("str_b")))
+      .filter(col("jw_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jw_raw"), 6).as("jw"))
 
   /** Incremental dedup — the daily-ingestion shape: keep an `incoming`
     * row iff its content digest appears neither in the `existing` corpus
@@ -357,7 +390,8 @@ object Dedup {
     * whole-stage codegen, so at scale this is a single fused narrow pass
     * plus the per-probe top-k window. Blocking variants (d09's deletion
     * neighborhood, LSH) bound the candidate set when the corpus is too
-    * big for even a fused scan per probe. */
+    * big for even a fused scan per probe — [[jaroWinklerBlocked]] is the
+    * built blocked variant. */
   def jaroWinklerTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
                       strCol: String, k: Int = 3): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(strCol).as("probe_str")))

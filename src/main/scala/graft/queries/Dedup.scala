@@ -97,6 +97,17 @@ object Dedup {
     "d09_fuzzy_name_pairs" -> { (s, dir) =>
       D.fuzzyPairsEd1(Tables.customer(s, dir), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")
+    },
+
+    // Blocked Jaro-Winkler matching: deletion-neighborhood candidates
+    // (equi-join, full ed<=1 recall) scored by the native JW kernel. The
+    // oracle is the BRUTE-FORCE all-pairs formulation — proving the
+    // blocking reproduces it exactly while never materializing the cross
+    // join the oracle writes down.
+    "d12_jaro_winkler_blocked" -> { (s, dir) =>
+      D.jaroWinklerBlocked(Tables.customer(s, dir), "c_custkey", "c_name",
+          threshold = 0.9)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -231,6 +242,14 @@ object Dedup {
         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, cand_id) AS INT) rank
         |  FROM scored)
         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "d12_jaro_winkler_blocked" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d10_incremental_dedup" ->
       """WITH seen AS (SELECT DISTINCT md5(text) digest FROM documents WHERE doc_id < 250),

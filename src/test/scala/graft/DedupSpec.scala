@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 5L || b == 5L }) // no decoy
   }
 
+  test("blocked Jaro-Winkler pairs equal the brute-force formulation") {
+    val c = Tables.customer(spark, sf001)
+    val blocked = Dedup.jaroWinklerBlocked(c, "c_custkey", "c_name", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = c.as("a").join(c.as("b"), col("a.c_custkey") < col("b.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .withColumn("jw_raw", graft.functions.StringFunctions.jaroWinkler(
+        col("a.c_name"), col("b.c_name")))
+      .filter(col("jw_raw") >= 0.9)
+      .select(col("a.c_custkey"), col("b.c_custkey"), round(col("jw_raw"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked.nonEmpty)
+    assert(blocked === brute)
+  }
+
   test("SimHash banded pairs equal brute-force Hamming pairs (full recall)") {
     val docs = Tables.documents(spark, sf001)
     val banded = Dedup.simhashNeardupPairs(docs, "doc_id", "text")

@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("variant"))
   }
 
+  test("d12: blocked JW candidates come from a variant equi-join, never a nested loop") {
+    val p = plan(graft.ext.Dedup.jaroWinklerBlocked(
+      Tables.customer(spark, sf001), "c_custkey", "c_name",
+      threshold = 0.9, materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("variant"))
+    assert(p.contains("jarowinkler") || p.contains("jaro_winkler") || p.contains("JaroWinkler"))
+  }
+
   test("s06: PQ probes scan the code table via a broadcast join, corpus unshuffled") {
     val e = Tables.embeddings(spark, sf001)
     val p = plan(graft.ext.Similarity.pqTopK(e.filter(col("vec_id") % 50 === 0), e,
