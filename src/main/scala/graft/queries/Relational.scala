@@ -95,9 +95,17 @@ object Relational {
     "q05_customer_order_counts" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
-        .groupBy("c_custkey", "c_name")
-        .agg(count(col("o_orderkey")).as("order_count"))
+      // Pre-aggregate BELOW the outer join (Catalyst won't push an agg
+      // through a join on its own): the join's big side shrinks from one
+      // row per order to one row per customer — map-side combined, and at
+      // sf1 the difference between shuffling the fact table and
+      // broadcasting a count table. Unmatched customers coalesce to 0,
+      // exactly count(o_orderkey)'s null handling in the joined-first form.
+      val oc = o.groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("cnt"))
+      c.join(oc, c("c_custkey") === oc("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("cnt"), lit(0L)).as("order_count"))
         .orderBy(col("order_count").desc, col("c_custkey"))
         .limit(100)
     },

@@ -71,6 +71,32 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 5L || b == 5L }) // no decoy
   }
 
+  test("neardup pairs on a dup-heavy corpus equal brute-force shingle Jaccard") {
+    import spark.implicits._
+    // exact-dup groups (1,2,5), (4,6); near-dup 3 of the first group; 7 unrelated
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep green forest before sunset tonight"
+    val docs = Seq(
+      1L -> base, 2L -> base, 5L -> base,
+      3L -> base.replace("sunset", "sunrise"),
+      4L -> "completely different text about distributed query engines and shuffles",
+      6L -> "completely different text about distributed query engines and shuffles",
+      7L -> "nothing in common with anything else whatsoever here at all today"
+    ).toDF("doc_id", "text")
+    val got = Dedup.neardupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", expr(
+        "cast(size(array_intersect(a.shingles, b.shingles)) as double) / cast(size(array_union(a.shingles, b.shingles)) as double)"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("jaccard"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L, 1.0)) && got.contains((2L, 5L, 1.0)) && got.contains((4L, 6L, 1.0)))
+    assert(got.exists { case (a, b, j) => (a, b) == (1L, 3L) && j < 1.0 }) // near-dup, not exact
+    assert(!got.exists { case (a, b, _) => a == 7L || b == 7L })
+  }
+
   test("blocked Jaro-Winkler pairs equal the brute-force formulation") {
     val c = Tables.customer(spark, sf001)
     val blocked = Dedup.jaroWinklerBlocked(c, "c_custkey", "c_name", threshold = 0.9)
