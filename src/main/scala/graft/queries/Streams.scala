@@ -13,6 +13,35 @@ object Streams {
   private def events(s: SparkSession, dir: String) =
     Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** A FRESH readStream over the events parquet (each call its own source
+    * so stream-stream joins are two independent streams, not a self-join).
+    * Mirrors graft.Tables.events' ns-as-long read + µs truncation. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming plan to completion into a memory sink and return the
+    * (complete, deterministic) result table. processAllAvailable drains
+    * the file source; the single-file listing arrives as one micro-batch,
+    * so no row can be watermark-dropped and the result equals the batch
+    * relation — the driver's oracle gates exactly that equality while the
+    * plan still executes through the streaming engine's stateful
+    * operators (state store, symmetric hash join, dedup state). */
+  private def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_tumbling_windows" -> { (s, dir) =>
       Streaming.tumblingStats(events(s, dir), "1 hour")
@@ -58,6 +87,44 @@ object Streams {
       graft.streaming.KafkaSource.decodeEvents(records)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
+    },
+
+    // Stream-stream interval join THROUGH the streaming engine: two
+    // independent file streams (clicks, purchases), watermarks on both
+    // sides, event-time range condition — the plan runs as a
+    // StreamingSymmetricHashJoin with watermark-bounded state, and the
+    // oracle is the plain relational interval join it must equal. The
+    // batch complement (bucketed, 100 TB shape) is j02.
+    "v06_stream_stream_join" -> { (s, dir) =>
+      val clicks = eventStream(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      runToMemory(joined, "v06_sink")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+        .orderBy("click_id", "purchase_id")
+    },
+
+    // Streaming dedup THROUGH the engine: dropDuplicates over a stream
+    // runs as StreamingDeduplicate with per-key state. Projecting ONLY the
+    // key columns keeps the emitted set deterministic (which physical row
+    // wins per key is arbitrary; the key set is not) — the cross-batch
+    // emit-once behavior is StreamingSpec's job, the complete-result
+    // equality to DISTINCT is the oracle's.
+    "v07_streaming_dedup" -> { (s, dir) =>
+      val dd = eventStream(s, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(dd, "v07_sink")
+        .orderBy("user_id", "event_type")
     }
   )
 
@@ -112,6 +179,18 @@ object Streams {
 
     "v05_kafka_wire_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "v06_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "v07_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin
   )
 }
