@@ -34,12 +34,26 @@ object Streams {
     * so no row can be watermark-dropped and the result equals the batch
     * relation — the driver's oracle gates exactly that equality while the
     * plan still executes through the streaming engine's stateful
-    * operators (state store, symmetric hash join, dedup state). */
-  private def runToMemory(df: DataFrame, name: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    df.sparkSession.table(name)
+    * operators (state store, symmetric hash join, dedup state).
+    *
+    * State partition sizing: a streaming query's shuffle-partition count
+    * is CHECKPOINT-PINNED at first start (state can never be re-split),
+    * so production jobs size it to expected state volume explicitly
+    * rather than inheriting the session's relational default — at 100 TB
+    * you size UP; for the events table's state (tens of MB) a handful of
+    * state stores is right, and inheriting local[32]'s 32 costs ~5 s of
+    * pure per-store open/commit tax per run. Purely physical: the result
+    * the oracle hashes is identical under any partition count. */
+  private def runToMemory(df: DataFrame, name: String, statePartitions: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
