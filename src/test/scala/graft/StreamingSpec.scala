@@ -245,6 +245,42 @@ class StreamingSpec extends SparkSpec {
     assert(continued.head.n_events === 2L) // joined session 2
   }
 
+  // Receiver-style source (reference STRM/StreamingContext.scala:327
+  // socketTextStream): the socket source over a LOOPBACK server — no
+  // network egress, no display, so "headless" does not exclude it. The
+  // writer thread feeds lines after the source connects; the poll loop
+  // bounds the receive wait (socket delivery is asynchronous — there is
+  // no processAllAvailable guarantee for un-arrived bytes).
+  test("socket source streams lines from a loopback server (receiver parity)") {
+    val server = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val lines = Seq("alpha", "beta", "gamma", "delta")
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val w = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(w.println)
+      w.flush() // keep the socket open until the test closes the server:
+      // the source treats disconnect as stream end and would stop the query
+      Thread.sleep(30000)
+    }, "socket-feeder")
+    writer.setDaemon(true)
+    writer.start()
+    val df = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort).load()
+    val q = df.writeStream.format("memory").queryName("sock_sink")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("sock_sink").count() < lines.size &&
+             System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = spark.table("sock_sink").collect().map(_.getString(0)).toSet
+      assert(got === lines.toSet)
+    } finally {
+      q.stop()
+      server.close()
+      writer.interrupt()
+    }
+  }
+
   test("streaming dedup: duplicates across micro-batches emit once, batch parity") {
     import spark.implicits._
     def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
