@@ -67,18 +67,20 @@ object Clustering {
              k: Int = 4, iters: Int = 2): DataFrame =
     kmeansFrom(quantized(df, idCol, vecCol), dims, k, iters)
 
-  /** Lloyd over an already-quantized (vec_id, vq) table. */
-  def kmeansFrom(vq: DataFrame, dims: Int, k: Int, iters: Int): DataFrame = {
-    val q = vq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed: the k smallest ids, centroid = the quantized vector itself
-    // (orderBy+limit, not filter(id < k): ids may be sparse or non-0-based)
-    var centers: Seq[(Long, Array[Double])] = q.orderBy("vec_id").limit(k).collect()
+  /** Lloyd training loop: returns the final (label, centroid) set after
+    * `iters` assign/recompute rounds over `train`, seeded by the k
+    * smallest-id vectors (orderBy+limit, not filter(id < k): ids may be
+    * sparse or non-0-based). Each round is one narrow scan + one
+    * map-side-combined groupBy — the collected table is k rows. */
+  private def lloydCenters(train: DataFrame, dims: Int, k: Int,
+                           iters: Int): Seq[(Long, Array[Double])] = {
+    var centers: Seq[(Long, Array[Double])] = train.orderBy("vec_id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toDouble).toArray)).toSeq
     require(centers.nonEmpty, "kmeans: input has no vectors to seed from")
     val sumAggs = (0 until dims).map(d =>
       sum(expr(s"element_at(vq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
     for (_ <- 1 to iters) {
-      val rows = q.withColumn("cluster", assignUdf(centers)(col("vq")))
+      val rows = train.withColumn("cluster", assignUdf(centers)(col("vq")))
         .groupBy("cluster").agg(sumAggs.head, sumAggs.tail: _*)
         .collect()
       // recomputed centroid = exact integer sums / count; emptied clusters drop
@@ -87,7 +89,13 @@ object Clustering {
         (r.getLong(0), (0 until dims).map(d => r.getLong(d + 1).toDouble / cnt).toArray)
       }.sortBy(_._1).toSeq
     }
-    val out = q.withColumn("cluster", assignUdf(centers)(col("vq")))
+    centers
+  }
+
+  /** Final assignment + per-cluster summary of `q` under `centers`. */
+  private def summarize(q: DataFrame,
+                        centers: Seq[(Long, Array[Double])]): DataFrame =
+    q.withColumn("cluster", assignUdf(centers)(col("vq")))
       .withColumn("sqnorm", expr("aggregate(vq, 0L, (a, x) -> a + x * x)"))
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_member"),
@@ -95,7 +103,29 @@ object Clustering {
       .select(col("cluster"), col("n_members"), col("min_member"),
         round(col("ssq").cast("double") / col("n_members") / (QuantScale.toDouble * QuantScale), 4)
           .as("mean_sqnorm"))
-      .localCheckpoint()
+
+  /** Lloyd over an already-quantized (vec_id, vq) table. */
+  def kmeansFrom(vq: DataFrame, dims: Int, k: Int, iters: Int): DataFrame = {
+    val q = vq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = summarize(q, lloydCenters(q, dims, k, iters)).localCheckpoint()
+    q.unpersist()
+    out
+  }
+
+  /** Sample-trained k-means — the 100 TB recipe: Lloyd iterates over a
+    * deterministic hash sample (`vec_id % sampleMod == 0`), then the FULL
+    * corpus is assigned exactly once. Full-corpus Lloyd reads the corpus
+    * iters+1 times; this reads sample x iters + corpus x 1 — at a billion
+    * vectors the training passes shrink by sampleMod while centroid
+    * quality (k tiny, sample still huge) is statistically unchanged. The
+    * hash sample (not Bernoulli) keeps the result engine-exact for the
+    * oracle. */
+  def kmeansSampled(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                    k: Int = 4, iters: Int = 2, sampleMod: Int = 4): DataFrame = {
+    val q = quantized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centers = lloydCenters(q.filter(col("vec_id") % sampleMod === 0), dims, k, iters)
+    val out = summarize(q, centers).localCheckpoint()
     q.unpersist()
     out
   }

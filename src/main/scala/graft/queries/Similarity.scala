@@ -62,6 +62,16 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // Sample-trained k-means — the 100 TB centroid-training recipe:
+    // Lloyd iterates over the deterministic hash sample (vec_id % 4 == 0),
+    // the full corpus is assigned exactly once. The oracle runs the SAME
+    // sampled training, so the equality is exact, not statistical.
+    "s07_kmeans_sampled" -> { (s, dir) =>
+      graft.ext.Clustering.kmeansSampled(
+          Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
+        .orderBy("cluster")
+    },
+
     // Product quantization: 8 subspaces x 16 codes (1 Lloyd round),
     // corpus encoded to 8 small codes, probes scan the CODE table with
     // the asymmetric-distance kernel — the memory-compression ANN path.
@@ -113,18 +123,18 @@ object Similarity {
   // ---- k-means CTE builders (unrolled Lloyd iterations) -------------------
 
   /** Assignment CTE: argmin squared distance, ties to the lowest label. */
-  private def kmAssign(name: String, cTbl: String) =
+  private def kmAssign(name: String, cTbl: String, vTbl: String = "v") =
     s"""$name AS (SELECT vec_id, cl FROM (
-       |  SELECT v.vec_id, $cTbl.cl,
-       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-       |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - $cTbl.c[i]) * (v.vq[i] - $cTbl.c[i]))), $cTbl.cl) rn
-       |  FROM v, $cTbl) WHERE rn = 1)""".stripMargin
+       |  SELECT $vTbl.vec_id, $cTbl.cl,
+       |    ROW_NUMBER() OVER (PARTITION BY $vTbl.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, ${Dims + 1}), i -> ($vTbl.vq[i] - $cTbl.c[i]) * ($vTbl.vq[i] - $cTbl.c[i]))), $cTbl.cl) rn
+       |  FROM $vTbl, $cTbl) WHERE rn = 1)""".stripMargin
 
   /** Centroid-recompute CTE: per-dim exact integer sums / member count. */
-  private def kmCent(name: String, aTbl: String) =
+  private def kmCent(name: String, aTbl: String, vTbl: String = "v") =
     s"""$name AS (SELECT cl, list(sd ORDER BY i) c FROM (
-       |  SELECT $aTbl.cl, i.i, sum(v.vq[i.i])::DOUBLE / count(*) sd
-       |  FROM v JOIN $aTbl USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) i(i)
+       |  SELECT $aTbl.cl, i.i, sum($vTbl.vq[i.i])::DOUBLE / count(*) sd
+       |  FROM $vTbl JOIN $aTbl USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) i(i)
        |  GROUP BY $aTbl.cl, i.i) GROUP BY cl)""".stripMargin
 
   private val QS = graft.ext.Clustering.QuantScale
@@ -158,6 +168,22 @@ object Similarity {
          |${kmCent("c1", "a1")},
          |${kmAssign("a2", "c1")},
          |${kmCent("c2", "a2")},
+         |${kmAssign("af", "c2")}
+         |SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  min(v.vec_id) AS min_member,
+         |  round(sum(list_sum(list_transform(v.vq, q -> q * q)))::DOUBLE / count(*) / ${QS.toDouble * QS}, 4) AS mean_sqnorm
+         |FROM v JOIN af USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "s07_kmeans_sampled" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |t AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM t ORDER BY vec_id LIMIT 4),
+         |${kmAssign("a1", "c0", "t")},
+         |${kmCent("c1", "a1", "t")},
+         |${kmAssign("a2", "c1", "t")},
+         |${kmCent("c2", "a2", "t")},
          |${kmAssign("af", "c2")}
          |SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
          |  min(v.vec_id) AS min_member,

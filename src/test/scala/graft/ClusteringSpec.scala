@@ -16,6 +16,14 @@ class ClusteringSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) >= 0L))
   }
 
+  test("sampled k-means assigns the FULL corpus from sample-trained centroids") {
+    val e = Tables.embeddings(spark, sf001)
+    val out = Clustering.kmeansSampled(e, "vec_id", "embedding", 64).collect()
+    assert(out.map(_.getLong(1)).sum === e.count()) // every vector assigned
+    // cluster labels are seed ids, and seeds come from the vec_id % 4 sample
+    assert(out.forall(_.getLong(0) % 4 == 0))
+  }
+
   test("distributed assignment equals a driver-side Lloyd reimplementation") {
     val vq = Clustering.quantized(
         Tables.embeddings(spark, sf001), "vec_id", "embedding")
