@@ -122,7 +122,18 @@ object Plans {
         "window — the weighted zipWithIndex two-pass, never the " +
         "single-partition sort a bare `sum() OVER (ORDER BY key)` " +
         "collapses to. Pack ids are exact integer division of the running " +
-        "total, identical under any partition count."))
+        "total, identical under any partition count."),
+    "d13_dup_spans" ->
+      ("Span-level substring dedup (suffix-array approximation): window " +
+        "strings come from ONE compiled loop per document and are hashed by " +
+        "a top-level codegen'd md5 (no interpreted lambdas — measured 3x on " +
+        "the window stage); duplicated hashes are a single map-side-combined " +
+        "min/max aggregate (min(doc)!=max(doc) replaces countDistinct's " +
+        "two-phase dedup shuffle); the mark step is an equi-join of the " +
+        "window table against that small hash set — a window shared by a " +
+        "million docs costs a million marked rows, never a trillion pairs; " +
+        "span assembly is a window partitioned per doc_id. Every stage " +
+        "linear in corpus tokens."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

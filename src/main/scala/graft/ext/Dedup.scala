@@ -469,4 +469,107 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("probe_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Every k-token window of a text, in position order (compiled UDF —
+    * same rationale as [[shinglesUdf]]: one JIT'd loop per document
+    * instead of an interpreted slice/concat lambda per window, measured
+    * ~4x on the window table). Texts shorter than k yield no windows. */
+  def windowsUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val t = text.split(" ", -1)
+        val m = t.length - (k - 1)
+        if (m <= 0) Array.empty[String]
+        else Array.tabulate(m)(i => t.slice(i, i + k).mkString(" "))
+      }
+    }
+
+  /** (doc_id, start, h) window-hash table: one 60-bit portable hash per
+    * k-token window, `start` the 1-based token position. Linear in corpus
+    * token count: the window strings come from one compiled loop per
+    * document, the hash is a top-level codegen'd md5 per window;
+    * documents shorter than k contribute no windows. */
+  def windowHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), windowsUdf(k)(col(textCol)).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"),
+        expr(portableHash("col", "'span'")).as("h"))
+
+  /** Cross-document duplicated token spans — the hash-window approximation
+    * of suffix-array substring dedup (the span-level complement to
+    * document-level MinHash): a k-token window whose content occurs in at
+    * least `minDocs` distinct documents is flagged, and flagged windows at
+    * consecutive positions merge (gaps-and-islands) into maximal
+    * duplicated spans. Returns (doc_id, span_start, span_end, n_windows),
+    * token positions 1-based, span_end inclusive — the input to span
+    * surgery ("excise every duplicated run >= k tokens") or to
+    * [[spanCoverage]]'s per-document duplication fraction.
+    *
+    * Scale shape (the reason this beats a literal suffix array on a
+    * cluster): the window table is LINEAR in corpus tokens; duplicated
+    * hashes come from ONE map-side-combined hash aggregate on the 60-bit
+    * hash; marking is an equi-join of windows against the (small —
+    * duplicated content only) hash set; span assembly is a window
+    * partitioned by doc_id, never a global sort. Nothing is quadratic: a
+    * window shared by a million documents costs a million marked rows, not
+    * a trillion pairs, so boilerplate needs no skew cap here. At 100 TB
+    * the duplicated-hash set is the artifact to persist (hash-bucketed)
+    * and anti-join incrementally, exactly like [[incrementalDedup]]'s
+    * digest index. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minDocs: Int = 2,
+                      materialize: Boolean = true): DataFrame = {
+    // windows feed both the dup-hash aggregate and the mark join: persist
+    // for the call so the corpus is tokenized once, release on materialize
+    val win = windowHashes(df, idCol, textCol, k)
+    val winP = if (materialize) win.persist() else win
+    // minDocs == 2 (the standard setting) needs no distinct aggregate:
+    // "appears in >= 2 distinct docs" is exactly min(doc_id) != max(doc_id),
+    // one map-side-combined pass instead of countDistinct's two-phase
+    // (h, doc_id) dedup shuffle
+    val dup =
+      if (minDocs == 2)
+        winP.groupBy("h")
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1"))
+          .select("h")
+      else
+        winP.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select("h")
+    val spans = winP.join(dup, "h")
+      .withColumn("g", col("start") - row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")))
+      .groupBy("doc_id", "g")
+      .agg(min("start").as("span_start"),
+        (max("start") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+    if (!materialize) spans
+    else { val out = spans.localCheckpoint(); winP.unpersist(); out }
+  }
+
+  /** Per-document duplicated-token coverage over [[duplicatedSpans]]: how
+    * many tokens sit inside a duplicated span and what fraction of the
+    * document that is — the signal a curation pipeline thresholds on
+    * ("drop documents more than X% duplicated"). Spans are disjoint
+    * maximal islands by construction, so their lengths sum without
+    * overlap; every document appears (zero coverage included). One
+    * corpus pass for token counts plus a join against the tiny span
+    * table. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup"))
+    df.select(col(idCol).as("doc_id"),
+        size(expr(tokens(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("dup_frac"))
+  }
 }

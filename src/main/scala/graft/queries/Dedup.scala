@@ -108,6 +108,21 @@ object Dedup {
       D.jaroWinklerBlocked(Tables.customer(s, dir), "c_custkey", "c_name",
           threshold = 0.9)
         .orderBy("id_a", "id_b")
+    },
+
+    // Span-level dedup (hash-window approximation of suffix-array
+    // substring dedup): maximal runs of 8-token windows shared by >= 2
+    // distinct documents.
+    "d13_dup_spans" -> { (s, dir) =>
+      D.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    },
+
+    // Per-document duplicated-token coverage over the d13 spans — the
+    // threshold signal for span-level corpus filtering.
+    "d14_dup_span_coverage" -> { (s, dir) =>
+      D.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -173,7 +188,41 @@ object Dedup {
        |    j -> CAST(j AS VARCHAR) || ':' || CAST((sim >> (8*j)) & 255 AS VARCHAR))) nkey
        |  FROM sims)""".stripMargin
 
+  // Window-hash CTE chain shared by the span-dedup oracles: positions and
+  // 8-token window hashes (aligned unnests zip in DuckDB), cross-doc
+  // duplicated hashes, marked positions, gaps-and-islands span grouping.
+  private val spanCte: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS start,
+       |    unnest(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+       |      i -> ${ph("array_to_string(list_slice(ts, i, i + 7), ' ')", "'span'")})) AS h
+       |  FROM tok),
+       |dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |isl AS (
+       |  SELECT doc_id, start,
+       |    start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS g
+       |  FROM win JOIN dup USING (h)),
+       |spans AS (
+       |  SELECT doc_id, min(start) AS span_start, max(start) + 7 AS span_end,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM isl GROUP BY doc_id, g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d13_dup_spans" ->
+      s"""$spanCte
+         |SELECT doc_id, span_start, span_end, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "d14_dup_span_coverage" ->
+      s"""$spanCte,
+         |cov AS (SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(c.dup_tokens, 0) AS dup_tokens,
+         |  round(coalesce(c.dup_tokens, 0)::DOUBLE / len(t.ts), 6) AS dup_frac
+         |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

@@ -71,6 +71,29 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 5L || b == 5L }) // no decoy
   }
 
+  test("duplicated spans find shared runs, merge windows, and skip short/unique docs") {
+    import spark.implicits._
+    // doc 1 and 2 share tokens 1-10 exactly ("w1".."w10"), then diverge;
+    // doc 3 is unique; doc 4 is shorter than the window width
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$shared alpha beta gamma delta epsilon zeta eta theta",
+      2L -> s"$shared one two three four five six seven eight",
+      3L -> "totally different words that appear nowhere else in this corpus at all",
+      4L -> "too short").toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // shared run = 10 tokens -> windows at starts 1,2,3 merge into ONE
+    // span [1,10] of 3 windows, in each of the two sharing docs
+    assert(spans === Set((1L, 1L, 10L, 3L), (2L, 1L, 10L, 3L)))
+
+    val cov = Dedup.spanCoverage(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cov(1L) === ((18L, 10L, math.round(10.0 / 18 * 1e6) / 1e6)))
+    assert(cov(3L) === ((12L, 0L, 0.0)))  // unique doc: present, zero coverage
+    assert(cov(4L) === ((2L, 0L, 0.0)))   // short doc: no windows, zero coverage
+  }
+
   test("neardup pairs on a dup-heavy corpus equal brute-force shingle Jaccard") {
     import spark.implicits._
     // exact-dup groups (1,2,5), (4,6); near-dup 3 of the first group; 7 unrelated
