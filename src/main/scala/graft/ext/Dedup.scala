@@ -551,6 +551,41 @@ object Dedup {
     else { val out = spans.localCheckpoint(); winP.unpersist(); out }
   }
 
+  /** Span surgery over [[duplicatedSpans]]: excise every duplicated span
+    * and reassemble the residual text — (doc_id, clean_text, n_tokens,
+    * kept_tokens). The symmetric policy (remove the span from EVERY
+    * holder) is the standard conservative cut for cross-doc boilerplate;
+    * keep-one-copy composes by exempting [[exactDedup]]/`p05` canonical
+    * holders upstream. Shape: tokens posexplode once; covered positions
+    * leave via a LEFT ANTI join against the per-doc span list (equi on
+    * doc_id + BETWEEN on position — spans per doc are few, so the range
+    * predicate rides the equi-join); reassembly is one sort_array over
+    * (pos, token) structs per doc — grouped, never a global sort. Docs
+    * with no surviving tokens keep an empty clean_text. */
+  def spanExcise(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val base = df.select(col(idCol).as("doc_id"), expr(tokens(textCol)).as("ts"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("t"))
+    val kept = toks.join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("p") >= col("span_start") && col("p") <= col("span_end"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(p, t))), s -> s.t)"))
+          .as("clean"))
+    // reattach: a fully-excised doc has NO surviving token rows but must
+    // still appear, with an empty clean_text
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean"), lit("")).as("clean_text"),
+        col("n_tokens"), coalesce(col("kept"), lit(0L)).as("kept_tokens"))
+  }
+
   /** Per-document duplicated-token coverage over [[duplicatedSpans]]: how
     * many tokens sit inside a duplicated span and what fraction of the
     * document that is — the signal a curation pipeline thresholds on

@@ -123,6 +123,13 @@ object Dedup {
     "d14_dup_span_coverage" -> { (s, dir) =>
       D.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Span surgery: excise every d13 span and reassemble the residual
+    // text (symmetric removal; keep-one composes with p05 canonicals).
+    "d15_span_excised" -> { (s, dir) =>
+      D.spanExcise(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -223,6 +230,23 @@ object Dedup {
          |  coalesce(c.dup_tokens, 0) AS dup_tokens,
          |  round(coalesce(c.dup_tokens, 0)::DOUBLE / len(t.ts), 6) AS dup_frac
          |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "d15_span_excised" ->
+      s"""$spanCte,
+         |tokpos AS (
+         |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS t FROM tok),
+         |keptrows AS (
+         |  SELECT k.doc_id, k.p, k.t FROM tokpos k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id AND k.p BETWEEN s.span_start AND s.span_end)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+         |    string_agg(t, ' ' ORDER BY p) AS clean
+         |  FROM keptrows GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean, '') AS clean_text,
+         |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(a.kept, 0) AS kept_tokens
+         |FROM tok t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,

@@ -92,6 +92,19 @@ class DedupSpec extends SparkSpec {
     assert(cov(1L) === ((18L, 10L, math.round(10.0 / 18 * 1e6) / 1e6)))
     assert(cov(3L) === ((12L, 0L, 0.0)))  // unique doc: present, zero coverage
     assert(cov(4L) === ((2L, 0L, 0.0)))   // short doc: no windows, zero coverage
+
+    val ex = Dedup.spanExcise(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ex(1L) === (("alpha beta gamma delta epsilon zeta eta theta", 18L, 8L)))
+    assert(ex(2L) === (("one two three four five six seven eight", 18L, 8L)))
+    assert(ex(3L)._3 === 12L)             // unique doc survives whole
+    assert(ex(4L) === (("too short", 2L, 2L)))
+
+    // a doc that is ALL duplicated content still appears, fully excised
+    val twins = Seq(1L -> shared, 2L -> shared).toDF("doc_id", "text")
+    val ex2 = Dedup.spanExcise(twins, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(3)))).toMap
+    assert(ex2(1L) === (("", 0L)) && ex2(2L) === (("", 0L)))
   }
 
   test("neardup pairs on a dup-heavy corpus equal brute-force shingle Jaccard") {
