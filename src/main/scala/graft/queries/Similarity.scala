@@ -72,6 +72,28 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // ANN index evaluation: per-probe recall@3 of the RP-LSH path (s02)
+    // against the brute-force ground truth (s01's ranking at k=3) — the
+    // measure-before-trusting step for any approximate index. Both sides
+    // are deterministic (cosine desc, vec_id tiebreak), so the
+    // intersection is exact; probes the LSH missed entirely report 0.
+    // At scale: ground truth runs on a probe SAMPLE (it is the expensive
+    // side); the semi-join and per-probe counts are tiny.
+    "s08_ann_recall" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      val truth = S.bruteForceTopK(probes(e), e, "vec_id", "embedding", k = 3)
+        .select(col("probe_id"), col("vec_id"))
+      val ann = S.rpLshTopK(probes(e), e, "vec_id", "embedding", Dims)
+        .select(col("probe_id"), col("vec_id"))
+      val hits = truth.join(ann, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("hits"))
+      truth.select("probe_id").distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / 3, 6).as("recall_at_3"))
+        .orderBy("probe_id")
+    },
+
     // Product quantization: 8 subspaces x 16 codes (1 Lloyd round),
     // corpus encoded to 8 small codes, probes scan the CODE table with
     // the asymmetric-distance kernel — the memory-compression ANN path.
@@ -211,6 +233,37 @@ object Similarity {
          |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
          |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
          |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Recall@3 of the s02 LSH chain vs the s01 brute-force chain — the
+    // two formulations above, intersected.
+    "s08_ann_recall" ->
+      s"""$normCte,
+         |$sigCtes,
+         |truth AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.vec_id probe_id, q.vec_id vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $dot / (p.nrm*q.nrm) DESC, q.vec_id) AS INT) rank
+         |    FROM n p JOIN n q ON p.vec_id % 50 = 0 AND p.vec_id <> q.vec_id)
+         |  WHERE rank <= 3),
+         |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
+         |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
+         |cands AS (SELECT DISTINCT pb.vec_id probe_id, qb.vec_id vec_id
+         |  FROM bands pb JOIN bands qb USING (nkey)
+         |  WHERE pb.vec_id % 50 = 0 AND pb.vec_id <> qb.vec_id),
+         |annr AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT c.probe_id, c.vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY c.probe_id ORDER BY $dot / (p.nrm*q.nrm) DESC, c.vec_id) AS INT) rank
+         |    FROM cands c JOIN n p ON c.probe_id = p.vec_id JOIN n q ON c.vec_id = q.vec_id)
+         |  WHERE rank <= 3),
+         |hits AS (
+         |  SELECT t.probe_id, CAST(count(*) AS BIGINT) hits
+         |  FROM truth t JOIN annr a ON t.probe_id = a.probe_id AND t.vec_id = a.vec_id
+         |  GROUP BY 1)
+         |SELECT p.probe_id, coalesce(h.hits, 0) AS hits,
+         |  round(coalesce(h.hits, 0)::DOUBLE / 3, 6) AS recall_at_3
+         |FROM (SELECT DISTINCT probe_id FROM truth) p
+         |LEFT JOIN hits h USING (probe_id) ORDER BY probe_id""".stripMargin,
 
     "s03_ivf_ann" -> ivfOracle,
 
