@@ -478,4 +478,38 @@ object TextAnalysis {
     tf.unpersist()
     out
   }
+
+  /** Temperature-based mixture resampling (the training-mix step every
+    * LLM pipeline runs): sample documents so the language shares follow
+    * n_g^alpha renormalized, at alpha = 0.5 — sqrt specifically, because
+    * IEEE sqrt is correctly rounded in every engine while pow(x, alpha)
+    * is not, so the oracle can reproduce the rates bit-for-bit. Keep
+    * probability per language g: rate_g = min(1, sqrt(n_g) * Ntarget /
+    * S / n_g) with S = sum of sqrt(n_h) added in LANGUAGE-SORTED order
+    * (deterministic double summation) and Ntarget = floor(total * frac);
+    * the per-document coin is the portable md5 hash mod 1e6 compared to
+    * the rate in INTEGER ppm — no float comparison anywhere near a row.
+    *
+    * Scale: the per-language count table is bounded by the lexicon set
+    * (driver-side by construction, like the k-means centroids); the keep
+    * decision is a broadcast join + one narrow filter over the corpus —
+    * one shuffle (the language-ID aggregation) end to end. */
+  def mixtureSample(df: DataFrame, idCol: String, textCol: String,
+                    frac: Double = 0.5): DataFrame = {
+    val langs = languageId(df, idCol, textCol).select(col("doc_id"), col("best_lang"))
+    val counts = langs.groupBy("best_lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val nt = math.floor(total * frac)
+    val s = counts.foldLeft(0.0) { case (a, (_, n)) => a + math.sqrt(n.toDouble) }
+    val ratePpm = counts.map { case (l, n) =>
+      (l, math.round(math.min(1.0, math.sqrt(n.toDouble) * nt / s / n) * 1e6))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    langs.join(broadcast(ratePpm.toSeq.toDF("best_lang", "rate_ppm")), "best_lang")
+      .filter(expr(s"${Dedup.portableHash("cast(doc_id as string)", "'mix'")} % 1000000")
+        < col("rate_ppm"))
+      .select(col("doc_id"), col("best_lang"), col("rate_ppm"))
+  }
 }

@@ -90,6 +90,14 @@ object TextAnalysis {
     "t13_doc_lm_score" -> { (s, dir) =>
       T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Temperature (alpha=0.5) mixture resampling over language domains:
+    // keep rates from sqrt-renormalized shares, per-doc md5 coin in
+    // integer ppm.
+    "t14_mixture_sample" -> { (s, dir) =>
+      T.mixtureSample(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -288,6 +296,28 @@ object TextAnalysis {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
         |  round(sum(lp)::DOUBLE / 1e6 / count(*), 6) AS avg_logp
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mixture resampling mirror: same sqrt (IEEE-exact, unlike pow),
+    // same language-sorted deterministic sum for the denominator, same
+    // left-associated rate arithmetic, same integer-ppm coin.
+    "t14_mixture_sample" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |  ${T.lexicons.map { case (lang, lex) => s"CAST(${lexHits(lex)} AS INT) hits_$lang" }.mkString(",\n         |  ")}
+         |FROM d),
+         |lng AS (SELECT doc_id,
+         |  list_sort([${T.lexicons.map { case (l, _) => s"{'neg': -hits_$l, 'lang': '$l'}" }.mkString(", ")}])[1].lang AS best_lang
+         |FROM h),
+         |cnt AS (SELECT best_lang, CAST(count(*) AS BIGINT) n FROM lng GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) total FROM cnt),
+         |sden AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY best_lang)) s FROM cnt),
+         |rates AS (SELECT best_lang,
+         |    CAST(round(least(1.0, sqrt(CAST(n AS DOUBLE)) * floor(total * 0.5) / s / n) * 1e6) AS BIGINT) rate_ppm
+         |  FROM cnt, tot, sden)
+         |SELECT l.doc_id, l.best_lang, r.rate_ppm
+         |FROM lng l JOIN rates r USING (best_lang)
+         |WHERE CAST('0x' || substr(md5('mix:' || CAST(l.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < r.rate_ppm
+         |ORDER BY doc_id""".stripMargin
   )
 }

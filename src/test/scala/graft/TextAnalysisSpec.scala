@@ -211,4 +211,22 @@ class TextAnalysisSpec extends SparkSpec {
       .select("term").as[String].collect().toSet
     assert(top1 === Set("rare1", "rare2", "rare3"))
   }
+
+  test("mixture sampling upweights minority languages and hits the target size") {
+    import spark.implicits._
+    // 90:10 en:fr imbalance; alpha=0.5 should pull keep RATES toward parity
+    val docs = ((1 to 90).map(i => (i.toLong, "the of and value")) ++
+      (91 to 100).map(i => (i.toLong, "le la et les"))).toDF("doc_id", "text")
+    val kept = TextAnalysis.mixtureSample(docs, "doc_id", "text", frac = 0.5)
+    val rates = kept.select("best_lang", "rate_ppm").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // sqrt weights: S = sqrt(90)+sqrt(10); rate_en = sqrt(90)*50/S/90 < rate_fr = sqrt(10)*50/S/10
+    assert(rates("fr") > rates("en"))
+    val s = math.sqrt(90.0) + math.sqrt(10.0)
+    assert(rates("en") === math.round(math.min(1.0, math.sqrt(90.0) * 50 / s / 90) * 1e6))
+    assert(rates("fr") === math.round(math.min(1.0, math.sqrt(10.0) * 50 / s / 10) * 1e6))
+    // the md5 coin keeps roughly rate * n per language (binomial, loose bound)
+    val n = kept.count()
+    assert(n > 20 && n < 80, s"kept $n of 100 for target 50")
+  }
 }
