@@ -479,6 +479,65 @@ object TextAnalysis {
     out
   }
 
+  /** BM25 ranked retrieval for a fixed multi-term query (Robertson k1/b
+    * form) — the corpus-curation retrieval step TF-IDF ([[tfidfTopTerms]])
+    * doesn't give: query-conditioned ranking with length normalization.
+    * Cross-engine determinism: idf_t = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * is quantized to integer MICRO-nats immediately (the t13 convention —
+    * a 6-dp round is the only place libm ln rounding could ever show),
+    * per-term scores then run in one fixed left-to-right double chain
+    * (micro_idf * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl)) / 1e6), and
+    * the total adds the terms in WRITTEN order, never via an aggregate.
+    *
+    * Scale: tf for all query terms comes from one compiled pass per
+    * document; N / avgdl / df are ONE tiny aggregate row (driver-bounded
+    * by construction, like the k-means centroids); scoring is a narrow
+    * codegen'd projection over the corpus; top-k is a single ordered
+    * limit (TakeOrderedAndProject — no global sort materialized). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): DataFrame = {
+    val termsArr = terms.toArray
+    val tfUdf = udf { (ts: Seq[String]) =>
+      if (ts == null) termsArr.map(_ => 0L)
+      else termsArr.map(t => ts.count(_ == t).toLong)
+    }
+    val base = df
+      .select(col(idCol).as("doc_id"), expr(Dedup.tokens(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        tfUdf(col("ts")).as("tf"))
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col("tf")(i).as(s"tf$i")): _*)
+      .persist()
+    // one bounded stats row: N, total length, per-term document frequency
+    val statsAggs = sum(col("dl")).as("sumdl") +: terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val statsRow = base.agg(count(lit(1)).as("n"), statsAggs: _*)
+      .collect().head
+    val n = statsRow.getAs[Long]("n")
+    val avgdl = statsRow.getAs[Long]("sumdl").toDouble / n
+    val idfMicro = terms.indices.map { i =>
+      val dft = statsRow.getAs[Long](s"df$i")
+      math.round(math.log((n - dft + 0.5) / (dft + 0.5) + 1.0) * 1e6)
+    }
+    val perTerm = terms.indices.map { i =>
+      lit(idfMicro(i)) * col(s"tf$i") * lit(k1 + 1) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))) /
+        lit(1e6)
+    }
+    val scored = base
+      .withColumn("s_raw", perTerm.reduceLeft(_ + _))
+      .orderBy(col("s_raw").desc, col("doc_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("s_raw").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("dl"),
+        round(col("s_raw"), 6).as("bm25"))
+    val out = scored.localCheckpoint()
+    base.unpersist()
+    out
+  }
+
   /** Temperature-based mixture resampling (the training-mix step every
     * LLM pipeline runs): sample documents so the language shares follow
     * n_g^alpha renormalized, at alpha = 0.5 — sqrt specifically, because

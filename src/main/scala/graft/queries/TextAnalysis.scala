@@ -98,6 +98,14 @@ object TextAnalysis {
     "t14_mixture_sample" -> { (s, dir) =>
       T.mixtureSample(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // BM25 top-20 for a fixed 3-term query — length-normalized ranked
+    // retrieval (k1=1.2, b=0.75), micro-quantized idf.
+    "t15_bm25_topk" -> { (s, dir) =>
+      T.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "filter"))
+        .orderBy("rank")
     }
   )
 
@@ -318,6 +326,42 @@ object TextAnalysis {
          |SELECT l.doc_id, l.best_lang, r.rate_ppm
          |FROM lng l JOIN rates r USING (best_lang)
          |WHERE CAST('0x' || substr(md5('mix:' || CAST(l.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 < r.rate_ppm
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // BM25 mirror: identical micro-nat idf quantization (the 6-dp round
+    // is the only place libm ln rounding can show), identical
+    // left-associated per-term chains, terms added in written order.
+    "t15_bm25_topk" -> {
+      val terms = Seq("hash", "join", "filter")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS BIGINT) tf$i"
+      }.mkString(",\n         |  ")
+      val dfCols = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) df$i")
+        .mkString(",\n         |  ")
+      val idfCols = terms.indices.map(i =>
+        s"CAST(round(ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * 1e6) AS BIGINT) i$i")
+        .mkString(",\n         |  ")
+      val scoreSum = terms.indices.map(i =>
+        s"i.i$i * b.tf$i * 2.2 / (b.tf$i + 1.2 * (0.25 + 0.75 * b.dl / (i.sumdl::DOUBLE / i.n))) / 1e6")
+        .mkString("\n         |    + ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+         |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) dl,
+         |  $tfCols
+         |FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) sumdl,
+         |  $dfCols
+         |FROM base),
+         |idf AS (SELECT *,
+         |  $idfCols
+         |FROM st),
+         |scored AS (SELECT b.doc_id, b.dl,
+         |    $scoreSum AS s_raw
+         |  FROM base b, idf i)
+         |SELECT doc_id, rank, dl, round(s_raw, 6) AS bm25 FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s_raw DESC, doc_id) AS INT) rank
+         |  FROM scored)
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    }
   )
 }

@@ -212,6 +212,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 === Set("rare1", "rare2", "rare3"))
   }
 
+  test("bm25 ranks by tf, penalizes length, and weights rare terms over common ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash hash hash pad pad pad"),        // tf(hash)=3
+      (2L, "hash pad pad pad pad pad"),          // tf(hash)=1, same length
+      (3L, "hash " + Seq.fill(50)("pad").mkString(" ")), // tf=1 but much longer
+      (4L, "rare pad pad pad pad pad"),          // rare term, df=1
+      (5L, "pad pad pad pad pad pad")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("hash", "rare"), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) > out(2L))            // more occurrences, same length
+    assert(out(2L) > out(3L))            // same tf, longer doc penalized
+    assert(out(4L) > out(2L))            // df=1 term outweighs df=3 term
+    assert(out(5L) === 0.0)              // no query term -> zero
+  }
+
   test("mixture sampling upweights minority languages and hits the target size") {
     import spark.implicits._
     // 90:10 en:fr imbalance; alpha=0.5 should pull keep RATES toward parity
