@@ -230,4 +230,24 @@ object Scale {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  /** Fixed-SIZE deterministic per-group sample: exactly min(m, |group|)
+    * rows per group, picked by md5-hash order with an id tiebreak — the
+    * eval-set construction primitive. Rate-based samplers (`sampleBy`,
+    * the t14 mixture coin) give binomially-distributed group sizes;
+    * benchmark/eval sets need EXACT counts, reproducible regardless of
+    * ingestion order or partitioning — which is what hash order (a
+    * deterministic shuffle of each group) provides. One shuffle: the
+    * per-group window; at 100 TB the window partitions by the group key,
+    * never globally, and m rows per group stream out of each partition's
+    * top-m heap. */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  m: Int): DataFrame =
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"))
+      .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'gs'")))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("h"), col("id"))).cast("int"))
+      .filter(col("pick") <= m)
+      .select(col("grp"), col("id"), col("pick"))
 }

@@ -479,6 +479,31 @@ object TextAnalysis {
     out
   }
 
+  /** Inverted-index construction — the artifact behind [[bm25TopK]] at
+    * scale: per term, document frequency, total term frequency, and the
+    * doc-ordered posting list (`doc:tf` pairs flattened to a string —
+    * the repo's comparator policy for list-valued outputs). `topN` terms
+    * by df (term tiebreak) bound the demo output; the build itself is
+    * the full-vocabulary shape you'd write to storage. Two shuffles:
+    * the (term, doc) count and the per-term group; the hot path
+    * (explode + both counts) is codegen'd, only the per-term posting
+    * render walks a collected list — bounded by a term's df, the same
+    * bound a real posting file has. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    topN: Int = 20): DataFrame = {
+    val td = df
+      .select(col(idCol).as("doc_id"), explode(expr(Dedup.tokens(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(doc_id, tf))), " +
+            "s -> concat(cast(s.doc_id as string), ':', cast(s.tf as string)))"))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
+  }
+
   /** BM25 ranked retrieval for a fixed multi-term query (Robertson k1/b
     * form) — the corpus-curation retrieval step TF-IDF ([[tfidfTopTerms]])
     * doesn't give: query-conditioned ranking with length normalization.

@@ -147,6 +147,14 @@ object Scale {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"))
         .orderBy("shard")
+    },
+
+    // Fixed-size deterministic per-group sample: exactly 40 events per
+    // event_type by md5-hash order — the eval-set construction primitive
+    // (exact counts, unlike rate-based sampleBy).
+    "x11_group_sample" -> { (s, dir) =>
+      S.groupSample(Tables.events(s, dir), "event_type", "event_id", m = 40)
+        .orderBy("grp", "pick")
     }
   )
 
@@ -220,6 +228,14 @@ object Scale {
         |  FROM documents)
         |SELECT (rn - 1) % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "x11_group_sample" ->
+      """SELECT grp, id, pick FROM (
+        |  SELECT event_type AS grp, event_id AS id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST('0x' || substr(md5('gs:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT), event_id) AS INT) pick
+        |  FROM events)
+        |WHERE pick <= 40 ORDER BY grp, pick""".stripMargin
   )
 }

@@ -106,6 +106,13 @@ object TextAnalysis {
       T.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           Seq("hash", "join", "filter"))
         .orderBy("rank")
+    },
+
+    // Inverted index: top-20 terms by df with doc-ordered doc:tf
+    // posting lists (flattened per comparator policy).
+    "t16_inverted_index" -> { (s, dir) =>
+      T.invertedIndex(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("df").desc, col("term"))
     }
   )
 
@@ -362,6 +369,15 @@ object TextAnalysis {
          |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY s_raw DESC, doc_id) AS INT) rank
          |  FROM scored)
          |WHERE rank <= 20 ORDER BY rank""".stripMargin
-    }
+    },
+
+    "t16_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+        |td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+        |idx AS (SELECT term, CAST(count(*) AS BIGINT) df, CAST(sum(tf) AS BIGINT) total_tf,
+        |    string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ',' ORDER BY doc_id) postings
+        |  FROM td GROUP BY term)
+        |SELECT term, df, total_tf, postings FROM idx
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin
   )
 }

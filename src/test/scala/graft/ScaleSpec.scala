@@ -114,6 +114,20 @@ class ScaleSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
   }
 
+  test("group sample: exact sizes, partition-independent picks, small groups whole") {
+    import spark.implicits._
+    val rows = ((1 to 50).map(i => ("big", i.toLong)) ++
+      (1 to 3).map(i => ("tiny", 100L + i))).toDF("g", "id")
+    val picked = Scale.groupSample(rows, "g", "id", m = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(picked.count(_._1 == "big") === 10)   // exactly m from a big group
+    assert(picked.count(_._1 == "tiny") === 3)   // whole group when |g| < m
+    // the pick is a function of ids, not of physical layout
+    val reparted = Scale.groupSample(rows.repartition(7), "g", "id", m = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(picked.toSet === reparted.toSet)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import spark.implicits._
     // one hot key carrying ~all rows of the left side vs a tiny right side:

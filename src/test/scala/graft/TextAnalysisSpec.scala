@@ -212,6 +212,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 === Set("rare1", "rare2", "rare3"))
   }
 
+  test("inverted index: df/tf counts and doc-ordered posting strings") {
+    import spark.implicits._
+    val docs = Seq((2L, "b a b"), (1L, "a b b"), (3L, "c")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id", "text", topN = 10)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(idx("a") === ((2L, 2L, "1:1,2:1")))
+    assert(idx("b") === ((2L, 4L, "1:2,2:2")))  // postings doc-ordered, tf exact
+    assert(idx("c") === ((1L, 1L, "3:1")))
+  }
+
   test("bm25 ranks by tf, penalizes length, and weights rare terms over common ones") {
     import spark.implicits._
     val docs = Seq(
