@@ -586,6 +586,54 @@ object Dedup {
         col("n_tokens"), coalesce(col("kept"), lit(0L)).as("kept_tokens"))
   }
 
+  /** Containment (subset-duplication) pairs: C(A->B) = |A n B| / |A| >=
+    * `t` over 3-gram shingle sets — the ASYMMETRIC near-dup case
+    * (a document quoted or embedded inside a larger one) that symmetric
+    * Jaccard misses: a short doc fully contained in a long one has low
+    * Jaccard but containment 1.0.
+    *
+    * Blocking is the classic prefix filter with a pigeonhole recall
+    * GUARANTEE: if C(A->B) >= t then |A \ B| <= (1-t)|A|, so among any
+    * floor((1-t)|A|)+1 shingles of A at least one lands in B — joining
+    * that prefix of A against B's full posting list finds every
+    * qualifying pair. The prefix picks each doc's globally RAREST
+    * shingles (df ascending, shingle tiebreak), the standard choice that
+    * minimizes candidate fan-out; candidates then verify with the exact
+    * intersection. Equi-joins only — prefix x posting, never all-pairs —
+    * and the posting list of a boilerplate shingle fans out linearly,
+    * never quadratically, because only PREFIX occurrences pair with it.
+    * Returns (id_a, id_b, containment) with id_a the contained side. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       t: Double = 0.8, shingleN: Int = 3,
+                       materialize: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+      .withColumn("asize", size(col("shingles")).cast("long"))
+    val shP = if (materialize) sh.persist() else sh
+    val posting = shP.select(col("doc_id"), col("asize"),
+      explode(col("shingles")).as("s"))
+    val dfreq = posting.groupBy("s").agg(count(lit(1)).as("sdf"))
+    val prefix = posting.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("sdf"), col("s"))))
+      .filter(col("rn") <= floor(col("asize") * (1 - t)) + 1)
+      .select(col("doc_id").as("id_a"), col("s"))
+    val cands = prefix
+      .join(posting.select(col("doc_id").as("id_b"), col("s")), "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = cands
+      .join(shP.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+        col("asize")), "id_a")
+      .join(shP.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") >= col("asize") * t)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("asize"), 6).as("containment"))
+    if (!materialize) pairs
+    else { val out = pairs.localCheckpoint(); shP.unpersist(); out }
+  }
+
   /** Per-document duplicated-token coverage over [[duplicatedSpans]]: how
     * many tokens sit inside a duplicated span and what fraction of the
     * document that is — the signal a curation pipeline thresholds on

@@ -130,6 +130,14 @@ object Dedup {
     "d15_span_excised" -> { (s, dir) =>
       D.spanExcise(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Containment (subset-duplication) pairs at t=0.8: prefix-filter
+    // blocking with pigeonhole recall, exact verify; the oracle is the
+    // brute-force all-pairs formulation the blocking must reproduce.
+    "d16_containment_pairs" -> { (s, dir) =>
+      D.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -334,6 +342,16 @@ object Dedup {
         |  SELECT doc_id, digest,
         |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn FROM fresh)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Brute-force containment ground truth: the prefix-filter blocking
+    // must be invisible in the result.
+    "d16_containment_pairs" ->
+      s"""$minhashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE / len(a.shingles), 6) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles)) >= len(a.shingles) * 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Brute-force ground truth (with the safe length prefilter): the
     // deletion-neighborhood blocking must be invisible in the result.

@@ -107,6 +107,34 @@ class DedupSpec extends SparkSpec {
     assert(ex2(1L) === (("", 0L)) && ex2(2L) === (("", 0L)))
   }
 
+  test("containment pairs catch subset-duplication Jaccard misses, match brute force") {
+    import spark.implicits._
+    val core = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> core,                                        // short doc
+      2L -> (core + " " + (13 to 60).map(i => s"x$i").mkString(" ")), // contains doc 1
+      3L -> "entirely unrelated words about nothing shared with others at all").toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1 is fully contained in 2 (containment 1.0) though their Jaccard is
+    // ~10/58 — far below any symmetric near-dup threshold; 2 is NOT
+    // contained in 1, and 3 pairs with nothing
+    assert(got === Set((1L, 2L, 1.0)))
+
+    // full-recall parity vs brute force on the sf0.01 corpus
+    val corpus = Tables.documents(spark, sf01)
+    val blocked = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = corpus.select(col("doc_id"), Dedup.shinglesUdf(3)(col("text")).as("sh"))
+    val brute = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(expr("size(array_intersect(sh_a, sh_b)) >= size(sh_a) * 0.8"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(blocked === brute)
+  }
+
   test("neardup pairs on a dup-heavy corpus equal brute-force shingle Jaccard") {
     import spark.implicits._
     // exact-dup groups (1,2,5), (4,6); near-dup 3 of the first group; 7 unrelated
