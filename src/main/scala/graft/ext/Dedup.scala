@@ -607,31 +607,54 @@ object Dedup {
                        t: Double = 0.8, shingleN: Int = 3,
                        materialize: Boolean = true): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val sh = shingleTable(df, idCol, textCol, shingleN)
+    // Exact-dedup-first (the d04 lesson, measured 7x at sf1): the prefix/
+    // posting machinery runs once per DISTINCT text keyed by digest —
+    // on a dup-heavy corpus n copies of a text would otherwise multiply
+    // every candidate n x n — and exact copies re-enter afterwards
+    // through digest equi-join expansions.
+    val docs = df.select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"),
+      col(textCol).as("txt"))
+    val groups = docs.select("doc_id", "digest")
+    val groupsP = if (materialize) groups.persist() else groups
+    // all txt within a digest are identical, so first() is deterministic
+    val reps = docs.groupBy("digest").agg(first(col("txt")).as("txt"))
+    val sh = shingleTable(reps, "digest", "txt", shingleN)
+      .withColumnRenamed("doc_id", "dig")
       .withColumn("asize", size(col("shingles")).cast("long"))
     val shP = if (materialize) sh.persist() else sh
-    val posting = shP.select(col("doc_id"), col("asize"),
-      explode(col("shingles")).as("s"))
+    val posting = shP.select(col("dig"), col("asize"), explode(col("shingles")).as("s"))
     val dfreq = posting.groupBy("s").agg(count(lit(1)).as("sdf"))
     val prefix = posting.join(dfreq, "s")
       .withColumn("rn", row_number().over(
-        w.partitionBy("doc_id").orderBy(col("sdf"), col("s"))))
+        w.partitionBy("dig").orderBy(col("sdf"), col("s"))))
       .filter(col("rn") <= floor(col("asize") * (1 - t)) + 1)
-      .select(col("doc_id").as("id_a"), col("s"))
+      .select(col("dig").as("dig_a"), col("s"))
     val cands = prefix
-      .join(posting.select(col("doc_id").as("id_b"), col("s")), "s")
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val pairs = cands
-      .join(shP.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
-        col("asize")), "id_a")
-      .join(shP.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(posting.select(col("dig").as("dig_b"), col("s")), "s")
+      .filter(col("dig_a") =!= col("dig_b"))
+      .select("dig_a", "dig_b").distinct()
+    val repPairs = cands
+      .join(shP.select(col("dig").as("dig_a"), col("shingles").as("sh_a"),
+        col("asize")), "dig_a")
+      .join(shP.select(col("dig").as("dig_b"), col("shingles").as("sh_b")), "dig_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(col("inter") >= col("asize") * t)
-      .select(col("id_a"), col("id_b"),
+      .select(col("dig_a"), col("dig_b"),
         round(col("inter").cast("double") / col("asize"), 6).as("containment"))
+    // cross-digest expansion: every copy of A pairs with every copy of B
+    val cross = repPairs
+      .join(groupsP.select(col("digest").as("dig_a"), col("doc_id").as("id_a")), "dig_a")
+      .join(groupsP.select(col("digest").as("dig_b"), col("doc_id").as("id_b")), "dig_b")
+      .select(col("id_a"), col("id_b"), col("containment"))
+    // within-digest pairs: identical texts contain each other exactly
+    val within = groupsP.alias("x")
+      .join(groupsP.alias("y"),
+        col("x.digest") === col("y.digest") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("containment"))
+    val pairs = cross.union(within)
     if (!materialize) pairs
-    else { val out = pairs.localCheckpoint(); shP.unpersist(); out }
+    else { val out = pairs.localCheckpoint(); shP.unpersist(); groupsP.unpersist(); out }
   }
 
   /** Per-document duplicated-token coverage over [[duplicatedSpans]]: how
