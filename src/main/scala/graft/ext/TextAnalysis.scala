@@ -479,6 +479,26 @@ object TextAnalysis {
     out
   }
 
+  /** Fixed-size chunking — context-window preprocessing: each document's
+    * token run splits into ceil(n/L) order-preserving chunks of at most
+    * L tokens (final chunk ragged). The complement to the x10 packer
+    * (which BINS whole short docs, while this SPLITS long ones — real
+    * pipelines chain them). Entirely narrow: one projection + generate
+    * per document, NO shuffle at any scale; the per-chunk lambda runs
+    * n/L times per doc, two orders below the per-token hot paths. */
+  def fixedChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 64): DataFrame = {
+    val L = chunkTokens
+    df.select(col(idCol).as("doc_id"), expr(Dedup.tokens(textCol)).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+        posexplode(expr(
+          s"""transform(sequence(1, cast(ceil(size(ts) / $L.0) as int)),
+             |  i -> concat_ws(' ', slice(ts, (i - 1) * $L + 1, $L)))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        least(lit(L.toLong), col("n") - col("pos") * L).as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
+
   /** Inverted-index construction — the artifact behind [[bm25TopK]] at
     * scale: per term, document frequency, total term frequency, and the
     * doc-ordered posting list (`doc:tf` pairs flattened to a string —

@@ -113,6 +113,13 @@ object TextAnalysis {
     "t16_inverted_index" -> { (s, dir) =>
       T.invertedIndex(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("df").desc, col("term"))
+    },
+
+    // Fixed 64-token chunking (context-window preprocessing) — narrow,
+    // shuffle-free; final chunk ragged.
+    "t17_fixed_chunks" -> { (s, dir) =>
+      T.fixedChunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
@@ -378,6 +385,17 @@ object TextAnalysis {
         |    string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ',' ORDER BY doc_id) postings
         |  FROM td GROUP BY term)
         |SELECT term, df, total_tf, postings FROM idx
-        |ORDER BY df DESC, term LIMIT 20""".stripMargin
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "t17_fixed_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) n,
+        |    unnest(range(1, CAST(ceil(len(ts) / 64.0) AS BIGINT) + 1)) AS chunk_idx,
+        |    unnest(list_transform(range(1, CAST(ceil(len(ts) / 64.0) AS BIGINT) + 1),
+        |      i -> array_to_string(list_slice(ts, (i - 1) * 64 + 1, i * 64), ' '))) AS chunk_text
+        |  FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  least(64, n - (chunk_idx - 1) * 64) AS n_chunk_tokens, chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -212,6 +212,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top1 === Set("rare1", "rare2", "rare3"))
   }
 
+  test("fixed chunks: sizes, ragged tail, and lossless reassembly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens, L=4 -> 4+4+2
+      (2L, "single")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.fixedChunks(docs, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3).toList === List(4L, 4L, 2L))   // ragged tail
+    // order-preserving and lossless: chunks reassemble the original text
+    assert(d1.map(_._4).mkString(" ") === (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(chunks.filter(_._1 == 2L).toList === List((2L, 1L, 1L, "single")))
+  }
+
   test("inverted index: df/tf counts and doc-ordered posting strings") {
     import spark.implicits._
     val docs = Seq((2L, "b a b"), (1L, "a b b"), (3L, "c")).toDF("doc_id", "text")
