@@ -504,7 +504,10 @@ object Dedup {
     * duplicated spans. Returns (doc_id, span_start, span_end, n_windows),
     * token positions 1-based, span_end inclusive — the input to span
     * surgery ("excise every duplicated run >= k tokens") or to
-    * [[spanCoverage]]'s per-document duplication fraction.
+    * [[spanCoverage]]'s per-document duplication fraction. Spans are
+    * disjoint in window-START space; their token EXTENTS overlap when
+    * two islands sit closer than k tokens (consumers that need a token
+    * union — coverage, excision — merge or anti-join accordingly).
     *
     * Scale shape (the reason this beats a literal suffix array on a
     * cluster): the window table is LINEAR in corpus tokens; duplicated
@@ -658,18 +661,31 @@ object Dedup {
   }
 
   /** Per-document duplicated-token coverage over [[duplicatedSpans]]: how
-    * many tokens sit inside a duplicated span and what fraction of the
-    * document that is — the signal a curation pipeline thresholds on
-    * ("drop documents more than X% duplicated"). Spans are disjoint
-    * maximal islands by construction, so their lengths sum without
-    * overlap; every document appears (zero coverage included). One
-    * corpus pass for token counts plus a join against the tiny span
-    * table. */
+    * many DISTINCT tokens sit inside at least one duplicated span and
+    * what fraction of the document that is — the signal a curation
+    * pipeline thresholds on ("drop documents more than X% duplicated").
+    * Islands are disjoint in window-START space, but their token extents
+    * overlap when two islands sit closer than k tokens (e.g. marked
+    * starts {1,2,3} and {5} at k=4 cover [1,6] and [5,8]), so the spans
+    * are interval-MERGED per document before summing — dup_tokens is the
+    * true union length and dup_frac is guaranteed in [0,1], consistent
+    * with [[spanExcise]]'s kept_tokens (n - dup = kept). Two windowed
+    * passes over the tiny span table plus one corpus pass for token
+    * counts; every document appears (zero coverage included). */
   def spanCoverage(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val perDoc = duplicatedSpans(df, idCol, textCol, k, minDocs)
-      .groupBy("doc_id")
-      .agg(sum(col("span_end") - col("span_start") + 1).as("dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("span_start")
+    val merged = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .withColumn("prev_e", max("span_end").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("ng",
+        when(col("span_start") > coalesce(col("prev_e"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum("ng").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg((max("span_end") - min("span_start") + 1).as("len"))
+    val perDoc = merged.groupBy("doc_id").agg(sum(col("len")).as("dup"))
     df.select(col(idCol).as("doc_id"),
         size(expr(tokens(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")

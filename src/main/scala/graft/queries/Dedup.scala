@@ -230,10 +230,21 @@ object Dedup {
          |SELECT doc_id, span_start, span_end, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
+    // Interval-merge before summing: islands closer than k tokens overlap
+    // in token space, and coverage counts DISTINCT covered tokens.
     "d14_dup_span_coverage" ->
       s"""$spanCte,
-         |cov AS (SELECT doc_id, CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
-         |  FROM spans GROUP BY doc_id)
+         |mg AS (SELECT doc_id, span_start, span_end,
+         |    CASE WHEN span_start > coalesce(max(span_end) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng
+         |  FROM spans),
+         |mg2 AS (SELECT doc_id, span_start, span_end,
+         |    sum(ng) OVER (PARTITION BY doc_id ORDER BY span_start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM mg),
+         |u AS (SELECT doc_id, max(span_end) - min(span_start) + 1 AS len
+         |  FROM mg2 GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens FROM u GROUP BY doc_id)
          |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
          |  coalesce(c.dup_tokens, 0) AS dup_tokens,
          |  round(coalesce(c.dup_tokens, 0)::DOUBLE / len(t.ts), 6) AS dup_frac

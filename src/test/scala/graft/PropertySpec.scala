@@ -109,6 +109,59 @@ class PropertySpec extends SparkSpec {
     assert(both.filter(not(col("udf_sh") === col("sql_sh"))).count() === 0)
   }
 
+  test("span dedup invariants on generated duplicate-heavy corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val text = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = samples(text, 40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = corpus.toDF("doc_id", "text")
+    val k = 4
+    val spans = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = corpus.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    spans.foreach { case (id, s, e, nw) =>
+      assert(s >= 1 && e <= lens(id))              // spans inside the doc
+      assert(e - s + 1 >= k && nw === e - s + 1 - (k - 1)) // island arithmetic
+    }
+    // islands are disjoint and non-adjacent in window-START space (token
+    // extents MAY overlap when islands sit closer than k — by design)
+    spans.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 - (k - 1) + 1)
+        case _ => ()
+      }
+    }
+    // coverage = TOKEN-UNION of span extents (not the raw extent sum),
+    // zero-coverage docs included, and consistent with excision:
+    // n_tokens - dup_tokens == kept_tokens for every doc
+    val cov = graft.ext.Dedup.spanCoverage(docs, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(cov.keySet === lens.keySet)
+    val union = spans.groupBy(_._1).view.mapValues(
+      _.flatMap(x => x._2 to x._3).toSet.size.toLong).toMap
+    cov.foreach { case (id, (_, dup)) => assert(dup === union.getOrElse(id, 0L)) }
+    val kept = graft.ext.Dedup.spanExcise(docs, "doc_id", "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    cov.foreach { case (id, (n, dup)) => assert(kept(id) === n - dup) }
+  }
+
+  test("chunking reassembles generated docs losslessly at every chunk size") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = samples(text, 25).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = corpus.toDF("doc_id", "text")
+    for (l <- Seq(1, 3, 7, 64)) {
+      val byDoc = graft.ext.TextAnalysis.fixedChunks(docs, "doc_id", "text", chunkTokens = l)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      corpus.foreach { case (id, t) =>
+        val chunks = byDoc(id).sortBy(_._2)
+        assert(chunks.map(_._4).mkString(" ") === t)          // lossless
+        assert(chunks.forall(_._3 <= l))                      // size bound
+        assert(chunks.init.forall(_._3 === l.toLong))         // only the tail ragged
+      }
+    }
+  }
+
   test("native dot/norm equal interpreted lambdas on generated vectors (incl. specials)") {
     val d = Gen.frequency(
       (8, Gen.chooseNum(-1e6, 1e6)),
