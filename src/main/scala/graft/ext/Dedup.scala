@@ -542,7 +542,17 @@ object Dedup {
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= minDocs)
           .select("h")
-    val spans = winP.join(dup, "h")
+    val spans = islandSpans(winP.join(dup, "h"), k)
+    if (!materialize) spans
+    else { val out = spans.localCheckpoint(); winP.unpersist(); out }
+  }
+
+  /** Gaps-and-islands over MARKED window starts (doc_id, start): maximal
+    * runs of consecutive starts become (doc_id, span_start, span_end,
+    * n_windows) with span_end = last start + k - 1. One window pass
+    * partitioned per doc. */
+  private def islandSpans(marked: DataFrame, k: Int): DataFrame =
+    marked
       .withColumn("g", col("start") - row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("start")))
       .groupBy("doc_id", "g")
@@ -550,9 +560,6 @@ object Dedup {
         (max("start") + (k - 1)).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "n_windows")
-    if (!materialize) spans
-    else { val out = spans.localCheckpoint(); winP.unpersist(); out }
-  }
 
   /** Span surgery over [[duplicatedSpans]]: excise every duplicated span
     * and reassemble the residual text — (doc_id, clean_text, n_tokens,
@@ -566,9 +573,35 @@ object Dedup {
     * (pos, token) structs per doc — grouped, never a global sort. Docs
     * with no surviving tokens keep an empty clean_text. */
   def spanExcise(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = duplicatedSpans(df, idCol, textCol, k, minDocs)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+                 k: Int = 8, minDocs: Int = 2): DataFrame =
+    exciseWith(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, k, minDocs))
+
+  /** Span-level decontamination — the surgical form of [[TextAnalysis]]'
+    * doc-level `decontaminate`: any k-token window of a `train` document
+    * whose content appears ANYWHERE in the `benchmark` set is excised
+    * (consecutive hits merge into spans first), and the residual text
+    * reassembles. The [[duplicatedSpans]] machinery with an asymmetric
+    * marking rule: the dup-hash set is the benchmark's distinct window
+    * hashes instead of cross-corpus counts. Scale shape matches
+    * [[incrementalDedup]]: the benchmark side reduces to a distinct
+    * digest-like hash index (persist it once, reuse per training batch);
+    * the train corpus streams through two narrow passes plus the
+    * per-doc span window. */
+  def spanDecontaminate(train: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val benchH = windowHashes(benchmark, idCol, textCol, k).select("h").distinct()
+    val marked = windowHashes(train, idCol, textCol, k)
+      .join(benchH, "h").select("doc_id", "start")
+    exciseWith(train, idCol, textCol, islandSpans(marked, k))
+  }
+
+  /** Excise `spans` (doc_id, span_start, span_end) from `df`'s token
+    * runs and reassemble — shared tail of [[spanExcise]] /
+    * [[spanDecontaminate]]. */
+  private def exciseWith(df: DataFrame, idCol: String, textCol: String,
+                         spansIn: DataFrame): DataFrame = {
+    val spans = spansIn.select(col("doc_id"), col("span_start"), col("span_end"))
     val base = df.select(col(idCol).as("doc_id"), expr(tokens(textCol)).as("ts"))
     val toks = base
       .select(col("doc_id"), posexplode(col("ts")))

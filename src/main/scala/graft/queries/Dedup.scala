@@ -138,6 +138,17 @@ object Dedup {
     "d16_containment_pairs" -> { (s, dir) =>
       D.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
+    },
+
+    // Span-level decontamination: every 20th doc plays the benchmark
+    // (t12's split); training docs lose any 8-token window that appears
+    // anywhere in the benchmark, spans merged before excision.
+    "d17_span_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      D.spanDecontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -353,6 +364,35 @@ object Dedup {
         |  SELECT doc_id, digest,
         |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn FROM fresh)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "d17_span_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+         |tr AS (SELECT doc_id, ts FROM tok WHERE doc_id % 20 <> 0),
+         |bwin AS (SELECT DISTINCT h FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+         |    i -> ${ph("array_to_string(list_slice(ts, i, i + 7), ' ')", "'span'")})) AS h
+         |  FROM tok WHERE doc_id % 20 = 0)),
+         |twin AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS start,
+         |    unnest(list_transform(range(1, greatest(len(ts) - 7, 0) + 1),
+         |      i -> ${ph("array_to_string(list_slice(ts, i, i + 7), ' ')", "'span'")})) AS h
+         |  FROM tr),
+         |isl AS (SELECT doc_id, start,
+         |    start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS g
+         |  FROM twin JOIN bwin USING (h)),
+         |spans AS (SELECT doc_id, min(start) AS s, max(start) + 7 AS e FROM isl GROUP BY doc_id, g),
+         |tokpos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS t FROM tr),
+         |keptrows AS (SELECT k.doc_id, k.p, k.t FROM tokpos k
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = k.doc_id AND k.p BETWEEN s.s AND s.e)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+         |    string_agg(t, ' ' ORDER BY p) AS clean
+         |  FROM keptrows GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.clean, '') AS clean_text,
+         |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  coalesce(a.kept, 0) AS kept_tokens
+         |FROM tr t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Brute-force containment ground truth: the prefix-filter blocking
     // must be invisible in the result.

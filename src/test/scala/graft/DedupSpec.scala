@@ -107,6 +107,24 @@ class DedupSpec extends SparkSpec {
     assert(ex2(1L) === (("", 0L)) && ex2(2L) === (("", 0L)))
   }
 
+  test("span decontamination excises benchmark passages from training docs only") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"b$i").mkString(" ")   // 10-token benchmark run
+    val train = Seq(
+      1L -> s"intro words here then $passage and a closing tail remains",
+      2L -> "completely clean training document with no leaked content at all").toDF("doc_id", "text")
+    val bench = Seq(100L -> s"$passage plus unrelated benchmark framing").toDF("doc_id", "text")
+    val out = Dedup.spanDecontaminate(train, bench, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: the 10 leaked tokens (windows merged into one span) are gone,
+    // surrounding text survives intact
+    assert(out(1L)._1 === "intro words here then and a closing tail remains")
+    assert(out(1L)._2 - out(1L)._3 === 10L)
+    // doc 2 untouched; benchmark docs never appear in the output
+    assert(out(2L)._1 === "completely clean training document with no leaked content at all")
+    assert(out.keySet === Set(1L, 2L))
+  }
+
   test("containment pairs catch subset-duplication Jaccard misses, match brute force") {
     import spark.implicits._
     val core = (1 to 12).map(i => s"w$i").mkString(" ")
