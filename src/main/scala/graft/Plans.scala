@@ -123,6 +123,20 @@ object Plans {
         "single-partition sort a bare `sum() OVER (ORDER BY key)` " +
         "collapses to. Pack ids are exact integer division of the running " +
         "total, identical under any partition count."),
+    "d17_span_decontaminate" ->
+      ("Span-level decontamination, dedup-first: the benchmark reduces to " +
+        "a distinct window-hash index; marking and excision run once per " +
+        "DISTINCT train text (17s -> 1.9s at the 10x-tiled sf1) and every " +
+        "copy inherits its digest's cleaned text via one equi-join. Token " +
+        "excision is a LEFT ANTI range-join against the per-doc span " +
+        "list; reassembly is a grouped sort_array per document — " +
+        "partitioned, never a global sort."),
+    "x11_group_sample" ->
+      ("Fixed-size per-group sampling: ONE window shuffle keyed by the " +
+        "group column; the md5-hash order makes the pick a pure function " +
+        "of ids (partition- and ingestion-order-independent), and each " +
+        "partition streams its group's top-m — no global sort, no " +
+        "collect."),
     "d16_containment_pairs" ->
       ("Containment (subset-duplication) join, exact-dedup-first: the " +
         "prefix-filter/posting machinery runs per DISTINCT text (digest-" +
