@@ -26,6 +26,18 @@ object Verify {
     // after it.
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "300").toLong * 1000L
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def qj(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -47,28 +59,36 @@ object Verify {
       if (worker.isAlive) {
         spark.sparkContext.cancelJobGroup(group)
         worker.interrupt()
+        // Streaming queries (v06/v07) execute on StreamExecution threads
+        // OUTSIDE the job group — cancelJobGroup can't reach them, so stop
+        // any active stream directly (runToMemory's finally also stops on
+        // interrupt, but only once its thread next wakes).
+        spark.streams.active.foreach { sq =>
+          try sq.stop() catch { case _: Throwable => () }
+        }
         errors.synchronized { errors(name) = s"TIMEOUT after ${budgetMs / 1000}s" }
         System.err.println(s"[verify] $name TIMEOUT after ${budgetMs / 1000}s — cancelled")
         worker.join(30000) // let the cancelled job unwind before the next query
+        if (worker.isAlive) {
+          // A cancelled query that survives the grace period would run
+          // CONCURRENTLY with subsequent queries on the shared session,
+          // skewing their results and timings — abort the run and let the
+          // partial artifacts + error map tell the story.
+          errors.synchronized { errors(name) += " (worker did not unwind in 30s — aborting run)" }
+          System.err.println(s"[verify] $name worker still alive after 30s grace — aborting")
+          val errJsonNow = errors.synchronized {
+            errors.map { case (k, v) => s"${qj(k)}: ${qj(v)}" }.mkString("{", ",", "}")
+          }
+          Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJsonNow)
+          sys.exit(3)
+        }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${qj(k)}: ${qj(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.synchronized {
-      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      errors.map { case (k, v) => s"${qj(k)}: ${qj(v)}" }.mkString("{", ",", "}")
     }
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()

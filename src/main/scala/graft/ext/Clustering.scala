@@ -129,4 +129,22 @@ object Clustering {
     q.unpersist()
     out
   }
+
+  /** Sampled-Lloyd centroid TRAINING only — the training half of
+    * [[kmeansSampled]], exposed for index builds (IVF coarse quantizers,
+    * PQ-style codebooks) that need the centers without the summary pass.
+    * Returns the k-or-fewer (label, centroid) rows in quantized units;
+    * the sampled train table is persisted for the iters+1 training passes
+    * and released before returning. At production scale these centers are
+    * what you'd persist as a centroid table (the x04 storage convention)
+    * and reuse across every query against the index. */
+  def sampledCenters(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                     k: Int, iters: Int, sampleMod: Int): Seq[(Long, Array[Double])] = {
+    val t = quantized(df, idCol, vecCol)
+      .filter(col("vec_id") % sampleMod === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centers = lloydCenters(t, dims, k, iters)
+    t.unpersist()
+    centers
+  }
 }

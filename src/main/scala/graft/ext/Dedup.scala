@@ -201,10 +201,19 @@ object Dedup {
     * DISTINCT texts only, then expand digest-group members back into id
     * pairs. Output: (doc_a < doc_b, jaccard rounded 1e-6).
     *
-    * Result-identical to running LSH over the raw corpus (exact copies
-    * have identical signatures, so they land in exactly the buckets their
-    * representative does, and identical shingle sets verify at
-    * jaccard = 1.0) — but the cost is radically different on a dup-heavy
+    * SEMANTICS: the `maxBucket` skew cap is counted over DISTINCT texts
+    * (one representative per md5 digest), and within-digest pairs (exact
+    * copies) are always emitted at jaccard 1.0. This is deliberately NOT
+    * raw-corpus LSH when a bucket straddles the cap only because exact
+    * copies inflate it — a bucket holding 6 distinct texts with 10 copies
+    * each is 6 "real" members, not 60, and exact copies are duplicates by
+    * definition, not candidates a skew heuristic may drop. (When no
+    * bucket straddles the cap the two formulations coincide: exact copies
+    * share all their representative's buckets and verify at 1.0.) The
+    * DuckDB oracle (`queries.Dedup.neardupPairsCte`) mirrors these
+    * dedup-first semantics exactly.
+    *
+    * The cost argument vs raw-corpus LSH on a dup-heavy
     * corpus: raw LSH puts every copy of a text in every one of its
     * buckets, so candidate pairs (and the shingle-array verify join) grow
     * QUADRATICALLY in group size, while here LSH and the verify run once
@@ -640,10 +649,15 @@ object Dedup {
     * Jaccard but containment 1.0.
     *
     * Blocking is the classic prefix filter with a pigeonhole recall
-    * GUARANTEE: if C(A->B) >= t then |A \ B| <= (1-t)|A|, so among any
-    * floor((1-t)|A|)+1 shingles of A at least one lands in B — joining
-    * that prefix of A against B's full posting list finds every
-    * qualifying pair. The prefix picks each doc's globally RAREST
+    * GUARANTEE: the verifier admits a pair iff |A∩B| >= ceil(|A|·t)
+    * (`inter >= asize*t` on integers), i.e. |A \ B| <= |A| - ceil(|A|·t),
+    * so among any |A| - ceil(|A|·t) + 1 shingles of A at least one lands
+    * in B — joining that prefix of A against B's full posting list finds
+    * every qualifying pair. The prefix length is derived from the SAME
+    * integer product the verifier uses (not floor((1-t)|A|)+1, whose
+    * floating-point (1-t) under-computes the bound exactly at integer
+    * boundaries — e.g. t=0.8, |A|=5: 5*0.19999… floors to 0 → prefix 1,
+    * but the verifier admits inter=4, i.e. |A\B|=1, requiring prefix 2). The prefix picks each doc's globally RAREST
     * shingles (df ascending, shingle tiebreak), the standard choice that
     * minimizes candidate fan-out; candidates then verify with the exact
     * intersection. Equi-joins only — prefix x posting, never all-pairs —
@@ -674,7 +688,7 @@ object Dedup {
     val prefix = posting.join(dfreq, "s")
       .withColumn("rn", row_number().over(
         w.partitionBy("dig").orderBy(col("sdf"), col("s"))))
-      .filter(col("rn") <= floor(col("asize") * (1 - t)) + 1)
+      .filter(col("rn") <= col("asize") - ceil(col("asize") * t) + 1)
       .select(col("dig").as("dig_a"), col("s"))
     val cands = prefix
       .join(posting.select(col("dig").as("dig_b"), col("s")), "s")

@@ -167,12 +167,13 @@ object Dedup {
     .mkString("[", ", ", "]")
 
   // Shared CTE chain mirroring shingles -> base hashes -> signatures ->
-  // bands -> candidates (exposed for the graph mirror, p02).
-  private[queries] val minhashCte: String =
-    s"""WITH sh AS (
+  // bands -> candidates, parameterized over the source relation (must
+  // expose doc_id, text).
+  private def minhashChain(src: String): String =
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
        |    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
-       |  FROM documents),
+       |  FROM $src),
        |hsh AS (
        |  SELECT doc_id, CAST(len(shingles) AS INT) n_shingles,
        |    list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P) AS hs
@@ -190,6 +191,35 @@ object Dedup {
        |  SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_bands
        |  FROM capped a JOIN capped b USING (bkey) WHERE a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  // Raw-corpus chain (d02/d03 mirror minhashSignatures/minhashCandidates,
+  // which run on the corpus as given).
+  private[queries] val minhashCte: String = s"WITH ${minhashChain("documents")}"
+
+  // Dedup-first near-dup chain mirroring graft.ext.Dedup.neardupPairs'
+  // semantics exactly: the bucket-size cap counts DISTINCT texts (one rep
+  // per md5 digest), LSH + Jaccard verify run over reps only, verified rep
+  // pairs expand through digest-group membership, and within-digest pairs
+  // are emitted unconditionally at jaccard 1.0. Shared by d04 and the
+  // near-dup graph mirrors (p02/p04/p05), whose Spark side builds on
+  // neardupPairs.
+  private[queries] val neardupPairsCte: String =
+    s"""WITH memb AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+       |udocs AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN memb m ON m.doc_id = d.doc_id AND m.rep = d.doc_id),
+       |${minhashChain("udocs")},
+       |vreps AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE AS jac
+       |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
+       |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+       |vpairs AS (
+       |  SELECT least(ga.doc_id, gb.doc_id) AS doc_a, greatest(ga.doc_id, gb.doc_id) AS doc_b, vr.jac
+       |  FROM vreps vr JOIN memb ga ON ga.rep = vr.doc_a JOIN memb gb ON gb.rep = vr.doc_b
+       |  UNION ALL
+       |  SELECT x.doc_id, y.doc_id, 1.0::DOUBLE
+       |  FROM memb x JOIN memb y ON x.rep = y.rep AND x.doc_id < y.doc_id)""".stripMargin
 
   private val simSums = (0 until 32)
     .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) s$j")
@@ -292,12 +322,9 @@ object Dedup {
          |SELECT doc_a, doc_b, n_bands FROM cands ORDER BY doc_a, doc_b""".stripMargin,
 
     "d04_neardup_pairs_jaccard" ->
-      s"""$minhashCte
-         |SELECT c.doc_a, c.doc_b,
-         |  round(len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE, 6) AS jaccard
-         |FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""$neardupPairsCte
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM vpairs ORDER BY doc_a, doc_b""".stripMargin,
 
     "d05_simhash_fingerprints" ->
       s"""$simhashCte

@@ -139,13 +139,10 @@ object Graphs {
          |SELECT vertex, round(rank, 6) AS pr FROM r3 ORDER BY vertex""".stripMargin,
 
     "p02_neardup_components" -> {
-      // same candidate/verify chain as d04 (shared CTE), then unrolled
+      // same dedup-first pair chain as d04 (shared CTE), then unrolled
       // min-label propagation
-      s"""${Dedup.minhashCte},
-         |pairs AS (
-         |  SELECT c.doc_a src, c.doc_b dst
-         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+      s"""${Dedup.neardupPairsCte},
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
          |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
          |       UNION SELECT DISTINCT b, b FROM und),
@@ -160,11 +157,8 @@ object Graphs {
     // p02's component chain + t01's quality formula, then a per-component
     // argmax window — canonical pick must match the engine exactly.
     "p05_neardup_canonicals" -> {
-      s"""${Dedup.minhashCte},
-         |pairs AS (
-         |  SELECT c.doc_a src, c.doc_b dst
-         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+      s"""${Dedup.neardupPairsCte},
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
          |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
          |       UNION SELECT DISTINCT b, b FROM und),
@@ -194,11 +188,8 @@ object Graphs {
     // Same candidate/verify chain as p02, then unrolled min-hop
     // propagation from the smallest paired document.
     "p04_neardup_bfs_hops" ->
-      s"""${Dedup.minhashCte},
-         |pairs AS (
-         |  SELECT c.doc_a src, c.doc_b dst
-         |  FROM cands c JOIN sh x ON c.doc_a = x.doc_id JOIN sh y ON c.doc_b = y.doc_id
-         |  WHERE len(list_intersect(x.shingles, y.shingles))::DOUBLE / len(list_distinct(x.shingles || y.shingles))::DOUBLE >= 0.5),
+      s"""${Dedup.neardupPairsCte},
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
          |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |verts AS (SELECT DISTINCT a AS vertex FROM und),
          |h0 AS (SELECT vertex,
