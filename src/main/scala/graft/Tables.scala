@@ -23,15 +23,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark 4 rejects as a
-    * timestamp by default. Read it as raw nanos and floor-truncate to µs
-    * (integer `div`, not `/`, which would go through double and lose
-    * precision above 2^53) — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP, so oracle comparisons line up. */
+  /** events.ts normalized to a UTC-instant TimestampType regardless of the
+    * file's physical layout — read the schema the footer declares, don't
+    * assume last month's. Three layouts seen in the wild:
+    *   - TIMESTAMP_NANOS surfaced as raw Long (nanosAsLong): floor-truncate
+    *     to µs with integer `div` (not `/`, which would round through
+    *     double and lose precision above 2^53) — the same truncation DuckDB
+    *     applies casting TIMESTAMP_NS → TIMESTAMP, so oracles line up;
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=false (TimestampNTZ): cast
+    *     to TimestampType — the session is pinned to UTC, so the wall-clock
+    *     reinterpretation is the identity on the stored µs value;
+    *   - already-instant TIMESTAMP: pass through. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Harmless when the file is µs; required to read a ns-precision file at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

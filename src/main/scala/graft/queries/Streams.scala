@@ -15,17 +15,17 @@ object Streams {
 
   /** A FRESH readStream over the events parquet (each call its own source
     * so stream-stream joins are two independent streams, not a self-join).
-    * Mirrors graft.Tables.events' ns-as-long read + µs truncation. */
+    * readStream requires an explicit schema, so probe it from a batch read
+    * of the same file — never pin a hand-written one, which silently
+    * reinterprets values when the upstream writer changes physical type —
+    * then apply the same schema-adaptive ts normalization as
+    * graft.Tables.events. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sch = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream.schema(sch)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sch = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeTs(
+      s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Run a streaming plan to completion into a memory sink and return the
