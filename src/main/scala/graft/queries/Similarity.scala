@@ -72,6 +72,20 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // IVF ANN over the SAMPLE-TRAINED Lloyd coarse quantizer — the index
+    // build a production deployment runs (s03's fixed sign-plane anchors
+    // measured superlinear at sf1: probe work grows with corpus × probe
+    // count). Training reads only the vec_id % 4 hash sample; the corpus
+    // is touched by exactly one assignment pass; nClusters=16 / nprobe=2
+    // bounds each probe's scan to 12.5% of the corpus with Lloyd keeping
+    // the cluster sizes balanced. The oracle unrolls the SAME sampled
+    // training, so equality is exact, not statistical.
+    "s09_ivf_sampled_ann" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.ivfSampledTopK(probes(e), e, "vec_id", "embedding", Dims)
+        .orderBy("probe_id", "rank")
+    },
+
     // ANN index evaluation: per-probe recall@3 of the RP-LSH path (s02)
     // against the brute-force ground truth (s01's ranking at k=3) — the
     // measure-before-trusting step for any approximate index. Both sides
@@ -266,6 +280,37 @@ object Similarity {
          |LEFT JOIN hits h USING (probe_id) ORDER BY probe_id""".stripMargin,
 
     "s03_ivf_ann" -> ivfOracle,
+
+    // Sampled-Lloyd IVF: unrolls the SAME training as s07 (hash sample,
+    // 16 seeds, 2 assign/recompute rounds), assigns the corpus once, takes
+    // each probe's 2 nearest centroids (squared-L2 over quantized units,
+    // ties to the lowest label — the nearestClustersUdf contract), and
+    // exact-cosine-ranks within the probed clusters.
+    "s09_ivf_sampled_ann" ->
+      s"""$normCte,
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |t AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM t ORDER BY vec_id LIMIT 16),
+         |${kmAssign("a1", "c0", "t")},
+         |${kmCent("c1", "a1", "t")},
+         |${kmAssign("a2", "c1", "t")},
+         |${kmCent("c2", "a2", "t")},
+         |${kmAssign("af", "c2")},
+         |pa AS (SELECT vec_id, cl FROM (
+         |  SELECT v.vec_id, c2.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - c2.c[i]) * (v.vq[i] - c2.c[i]))), c2.cl) rn
+         |  FROM v, c2 WHERE v.vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (SELECT pa.vec_id probe_id, af.vec_id vec_id,
+         |    list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) c_raw
+         |  FROM pa JOIN af ON pa.cl = af.cl AND pa.vec_id <> af.vec_id
+         |  JOIN n p ON pa.vec_id = p.vec_id
+         |  JOIN n q ON af.vec_id = q.vec_id)
+         |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
+         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
 
     // Identical result contract: partitioned storage must not change the
     // answer, so x04 shares s03's oracle SQL verbatim.

@@ -40,7 +40,8 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     Seq(
       Similarity.rpLshTopK(probeSet, emb, "vec_id", "embedding", Dims),
-      Similarity.ivfTopK(probeSet, emb, "vec_id", "embedding", Dims)
+      Similarity.ivfTopK(probeSet, emb, "vec_id", "embedding", Dims),
+      Similarity.ivfSampledTopK(probeSet, emb, "vec_id", "embedding", Dims)
     ).foreach { ann =>
       val got = ann.select("probe_id", "vec_id", "cosine").collect()
       assert(got.nonEmpty)
@@ -83,6 +84,33 @@ class SimilaritySpec extends SparkSpec {
     // pipelines work and beat random chance (3/499 ~ 0.006) by far
     assert(rpRecall >= 0.2, s"rp-lsh recall too low: $rpRecall")
     assert(ivfRecall >= 0.2, s"ivf recall too low: $ivfRecall")
+  }
+
+  test("sampled-IVF agrees with scanning the probed Lloyd clusters exhaustively") {
+    import spark.implicits._
+    // recompute the same sampled training directly and verify the operator
+    // equals brute force restricted to each probe's 2 nearest clusters —
+    // the whole approximation is the cluster restriction, nothing else
+    val centers = graft.ext.Clustering.sampledCenters(
+      emb, "vec_id", "embedding", Dims, k = 16, iters = 2, sampleMod = 4)
+    val quant = graft.ext.Clustering.quantized(emb, "vec_id", "embedding")
+    val corpusCl = quant
+      .withColumn("cluster", graft.ext.Clustering.assignUdf(centers)(col("vq")))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val probeCl = quant.filter(col("vec_id") % 50 === 0)
+      .withColumn("cls", Similarity.nearestClustersUdf(centers, 2)(col("vq")))
+      .select("vec_id", "cls").as[(Long, Seq[Long])].collect().toMap
+    val exact = Similarity.bruteForceTopK(probeSet, emb, "vec_id", "embedding", 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = exact
+      .filter { case (p, v, _) => probeCl(p).contains(corpusCl(v)) }
+      .groupBy(_._1).flatMap { case (p, g) =>
+        g.toSeq.sortBy { case (_, v, c) => (-c, v) }.take(3).zipWithIndex
+          .map { case ((_, v, c), i) => (p, i + 1, v, c) }
+      }.toSet
+    val got = Similarity.ivfSampledTopK(probeSet, emb, "vec_id", "embedding", Dims)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
   }
 
   test("PQ self-recovery: probes identical to codebook seeds reconstruct at distance 0") {
