@@ -434,6 +434,147 @@ object Dedup {
       .select(col("doc_id"), col("digest"))
   }
 
+  /** Write the standing NEAR-dup index of `corpus` under `path` — the
+    * artifact [[incrementalNeardupPairs]] probes so a daily batch never
+    * rereads (or re-shingles, or re-hashes) the 100 TB corpus:
+    *   - `members/`  (digest, rep, doc_id): digest-group membership,
+    *     rep = min id per distinct text ([[neardupPairs]]' dedup-first rule);
+    *   - `shingles/` (doc_id, shingles): shingle sets of the reps only —
+    *     the Jaccard-verify side;
+    *   - `bands/`    (doc_id, bkey): the exploded LSH band table of the
+    *     rep MinHash signatures — the candidate-generation side.
+    * At production scale `bands/` is additionally bucketed BY bkey so the
+    * probe's band equi-join co-locates without a corpus-side shuffle. */
+  def writeNeardupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleN: Int = 3, k: Int = 32,
+                        bands: Int = 16): Unit = {
+    val members = corpus
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .select("digest", "rep", "doc_id")
+    members.write.mode("overwrite").parquet(s"$path/members")
+    val reps = corpus.join(
+      members.filter(col("rep") === col("doc_id")).select(col("doc_id").as("__rep")),
+      corpus(idCol) === col("__rep")).drop("__rep")
+    val sh = shingleTable(reps, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.write.mode("overwrite").parquet(s"$path/shingles")
+    minhashSignaturesFrom(sh, k)
+      .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    sh.unpersist()
+  }
+
+  /** Incremental NEAR-dup — the daily-crawl probe: all near-dup pairs
+    * TOUCHING the batch, exactly as recomputing [[neardupPairs]] over
+    * corpus+batch and keeping pairs with a batch member, but with work
+    * proportional to the BATCH: signatures/shingles are computed for new
+    * distinct batch texts only, candidates come from a band equi-join of
+    * those against the stored index, and every corpus-side input (members,
+    * bands, shingles) is read from the index — the corpus text is never
+    * touched.
+    *
+    * Recompute-faithfulness is the subtle part, and drives the shape:
+    *   - A batch doc whose digest exists in the corpus joins the standing
+    *     group (its rep stays the corpus rep); one with a new digest reps
+    *     at its batch-min id — so group membership equals the full
+    *     recompute's.
+    *   - The active reps re-scored are the NEW reps plus corpus reps whose
+    *     group gained a batch copy: every recomputed pair touching the
+    *     batch has an active endpoint (a batch member is in some group ⇒
+    *     that group's rep is active), so probing only active reps loses
+    *     nothing.
+    *   - The `maxBucket` skew cap counts corpus + new reps per bucket
+    *     (index bands ∪ new bands), because a new rep can push a standing
+    *     bucket over the cap in the full recompute — counted on the union,
+    *     the incremental candidates match it exactly.
+    * Output: (doc_a < doc_b, jaccard) — within-digest pairs at 1.0,
+    * cross-group pairs at their verified rep jaccard. */
+  def incrementalNeardupPairs(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+                              maxBucket: Int = 50, threshold: Double = 0.5,
+                              materialize: Boolean = true): DataFrame = {
+    // only the materialized path persists/checkpoints: the lazy path
+    // (plan-shape assertions) must not leak storage blocks
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val members = spark.read.parquet(s"$indexPath/members")
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    // batch rep assignment: corpus rep when the digest is standing (ids in
+    // the corpus are smaller by contract), else the batch-min id
+    val assigned = pin(batch
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"),
+        col(textCol).as("__text"))
+      .withColumn("batch_rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .join(members.select(col("digest"), col("rep").as("corpus_rep")).distinct(),
+        Seq("digest"), "left")
+      .withColumn("rep", coalesce(col("corpus_rep"), col("batch_rep"))))
+    val batchMembers = assigned.select("digest", "rep", "doc_id")
+    val allMembers = members.select("digest", "rep", "doc_id").union(batchMembers)
+    // within-digest pairs touching the batch: exact copies, jaccard 1.0
+    val exact = allMembers
+      .join(batchMembers.select(col("digest"), col("doc_id").as("bid")), "digest")
+      .filter(col("doc_id") =!= col("bid"))
+      .select(least(col("doc_id"), col("bid")).as("doc_a"),
+        greatest(col("doc_id"), col("bid")).as("doc_b"))
+      .distinct()
+      .withColumn("jaccard", lit(1.0))
+    // new distinct texts: the ONLY rows shingled/hashed this run
+    val newSh = pin(assigned
+      .filter(col("corpus_rep").isNull && col("doc_id") === col("batch_rep"))
+      .select(col("doc_id"), shinglesUdf(shingleN)(col("__text")).as("shingles")))
+    val newBands = pin(minhashSignaturesFrom(newSh, k)
+      .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey")))
+    // active = new reps + corpus reps whose group gained a batch copy
+    val affected = assigned.filter(col("corpus_rep").isNotNull)
+      .select(col("corpus_rep").as("doc_id")).distinct()
+    val activeBands = newBands.union(idxBands.join(affected, Seq("doc_id"), "left_semi"))
+    val allBands = idxBands.union(newBands)
+    // skew cap over COMBINED bucket sizes, anti-joined away before any
+    // bucket pair materializes (same discipline as minhashCandidatesFrom)
+    val oversized = allBands.groupBy("bkey").agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket).select("bkey")
+    val candPairs = activeBands.join(broadcast(oversized), Seq("bkey"), "left_anti")
+      .select(col("doc_id").as("x"), col("bkey"))
+      .join(allBands.join(broadcast(oversized), Seq("bkey"), "left_anti")
+        .select(col("doc_id").as("y"), col("bkey")), "bkey")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("rep_a"), greatest(col("x"), col("y")).as("rep_b"))
+      .distinct()
+    // Jaccard verify: corpus shingles come from the index, new from newSh
+    val allSh = idxSh.union(newSh)
+    val verified = candPairs
+      .join(allSh.select(col("doc_id").as("rep_a"), col("shingles").as("sh_a")), "rep_a")
+      .join(allSh.select(col("doc_id").as("rep_b"), col("shingles").as("sh_b")), "rep_b")
+      .withColumn("jaccard",
+        expr("cast(size(array_intersect(sh_a, sh_b)) as double) / cast(size(array_union(sh_a, sh_b)) as double)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("rep_a"), col("rep_b"), round(col("jaccard"), 6).as("jaccard"))
+    // expansion restricted to batch-touching pairs: one side expands
+    // through batch members, the other through all members (both ways)
+    val bm = batchMembers.select(col("rep"), col("doc_id"))
+    val am = allMembers.select(col("rep"), col("doc_id"))
+    def expand(aSide: DataFrame, bSide: DataFrame) = verified
+      .join(aSide.select(col("rep").as("rep_a"), col("doc_id").as("id_a")), "rep_a")
+      .join(bSide.select(col("rep").as("rep_b"), col("doc_id").as("id_b")), "rep_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    val cross = expand(bm, am).union(expand(am, bm)).distinct()
+    val result = cross.union(exact)
+    if (!materialize) result // lazy plan, for shape assertions (nothing cached)
+    else {
+      val out = result.localCheckpoint()
+      newBands.unpersist(); newSh.unpersist(); assigned.unpersist()
+      out
+    }
+  }
+
   /** Jaro-Winkler top-k name matching: each (broadcast) probe scores the
     * whole corpus with the native [[graft.functions.JaroWinkler]]
     * expression and keeps the k best matches — the scoring stage of

@@ -140,6 +140,20 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental NEAR-dup: the corpus (doc_id < 250, d10's split) is
+    // indexed ONCE (members + rep shingles + rep band table); the batch
+    // probes the index with a band equi-join, shingling/hashing only its
+    // own new distinct texts. The oracle is the full d04 recompute over
+    // corpus+batch restricted to pairs touching the batch — the probe
+    // must be indistinguishable from recomputation.
+    "d18_incremental_neardup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val idx = s"/tmp/graft_scale/neardup_idx_${dir.split('/').filter(_.nonEmpty).last}"
+      D.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+      D.incrementalNeardupPairs(s, idx, docs.filter(col("doc_id") >= 250), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Span-level decontamination: every 20th doc plays the benchmark
     // (t12's split); training docs lose any 8-token window that appears
     // anywhere in the benchmark, spans merged before excision.
@@ -325,6 +339,14 @@ object Dedup {
       s"""$neardupPairsCte
          |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
          |FROM vpairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The incremental probe must equal the full recompute restricted to
+    // pairs touching the batch; batch ids (>= 250) are the largest, so
+    // "touches the batch" is exactly doc_b >= 250.
+    "d18_incremental_neardup" ->
+      s"""$neardupPairsCte
+         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard
+         |FROM vpairs WHERE doc_b >= 250 ORDER BY doc_a, doc_b""".stripMargin,
 
     "d05_simhash_fingerprints" ->
       s"""$simhashCte

@@ -52,6 +52,67 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(11L, 13L))
   }
 
+  test("incremental near-dup probe equals the full recompute restricted to the batch") {
+    import spark.implicits._
+    // corpus: two near-dup texts (share most 3-shingles), one exact pair,
+    // one loner. batch: an exact copy of a corpus text (joins a standing
+    // group whose rep has standing near-dup links), a near-dup of a corpus
+    // text, an in-batch exact pair with a NEW text, and a loner.
+    val t1 = "a b c d e f g h i j"
+    val t1near = "a b c d e f g h i k" // near-dup of t1
+    val corpus = Seq(1L -> t1, 2L -> t1near, 3L -> t1, 4L -> "z y x w v u t s r q")
+      .toDF("doc_id", "text")
+    val batch = Seq(10L -> t1, 11L -> "a b c d e f g h j k",
+      12L -> "m n o p q r s t u v", 13L -> "m n o p q r s t u v",
+      14L -> "completely different words here nothing shared at all ok")
+      .toDF("doc_id", "text")
+    val idx = "/tmp/graft_scale/neardup_idx_spec"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    val got = Dedup.incrementalNeardupPairs(spark, idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.neardupPairs(corpus.union(batch), "doc_id", "text")
+      .filter(col("doc_b") >= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === full)
+    assert(got.contains((1L, 10L, 1.0)))  // batch copy joins the standing group
+    assert(got.exists(p => p._1 == 2L && p._2 == 10L && p._3 < 1.0),
+      "standing near-dup link must expand to the batch copy") // (1,2) was corpus near-dup; 10 copies 1
+    assert(got.contains((12L, 13L, 1.0))) // in-batch exact pair, new digest
+    assert(!got.exists { case (a, b, _) => a == 14L || b == 14L }) // batch loner
+    assert(!got.exists { case (a, b, _) => b < 10L }) // nothing corpus-only
+  }
+
+  test("incremental near-dup probe on sf0.01 matches the restricted recompute") {
+    val docs = Tables.documents(spark, sf01)
+    val idx = "/tmp/graft_scale/neardup_idx_spec_sf"
+    Dedup.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+    val got = Dedup.incrementalNeardupPairs(
+        spark, idx, docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.neardupPairs(docs, "doc_id", "text")
+      .filter(col("doc_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === full)
+  }
+
+  test("incremental near-dup probe reads only the index, never the corpus text") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "a b c d e", 2L -> "f g h i j").toDF("doc_id", "text")
+    val batch = Seq(10L -> "a b c d e", 11L -> "k l m n o").toDF("doc_id", "text")
+    val idx = "/tmp/graft_scale/neardup_idx_spec_plan"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    // the batch is an in-memory relation, so every file scan in the probe
+    // plan must be an index read — the corpus parquet/text is untouched
+    val probe = Dedup.incrementalNeardupPairs(spark, idx, batch, "doc_id", "text",
+      materialize = false)
+    val p = probe.queryExecution.executedPlan.toString
+    val locations = p.linesIterator.filter(_.contains("Location:")).toSeq
+    assert(locations.nonEmpty)
+    locations.foreach { loc =>
+      assert(loc.contains("neardup_idx_spec_plan"), s"non-index scan: $loc")
+    }
+  }
+
   test("deletion-neighborhood fuzzy pairs equal brute-force levenshtein (full recall)") {
     import spark.implicits._
     // substitutions, inserts, deletes, distance-2 decoys, an exact-dup id pair
