@@ -9,23 +9,85 @@ import org.apache.spark.sql.functions._
   * aggregate, the same dataflow Pregel lowers to, with Catalyst/AQE
   * choosing the physical join.
   *
+  * The BSP machinery lives in ONE generic [[pregel]] operator
+  * (vprog/sendMsg/mergeMsg hooks, GraphX's exact parameterization);
+  * PageRank, connected components, BFS, and SSSP are each a handful of
+  * expression definitions over it. Triangle counting is not a superstep
+  * loop (one wedge join + one closing semi-join) and stays direct.
+  *
   * Scale: ranks/labels are a (vertex, value) table partitioned by vertex;
-  * each superstep shuffles messages on dst. The label-propagation loops
-  * (BFS, components) pre-partition the edge table once, checkpoint each
-  * label generation (constant plan depth), and join only the frontier —
-  * the vertices that changed last superstep — so the steady-state
-  * superstep cost is O(frontier), not O(V), and the loop drains early on
-  * convergence. PageRank has no frontier (every rank moves every
-  * superstep), so it keeps the full-join shape with periodic lineage
-  * truncation.
+  * each superstep shuffles messages on dst. The frontier-delta activation
+  * makes the steady-state superstep cost O(frontier), not O(V), with
+  * early drain on convergence; PageRank has no frontier (every rank moves
+  * every superstep) and runs the fixed budget.
   */
 object Graph {
 
+  /** Generic Pregel (reference graphx/Pregel.scala:56 exposes exactly
+    * these hooks as Scala closures over RDDs): BSP supersteps over a
+    * `(vertex, state)` table and a `(src, dst [, edge attrs])` table,
+    * parameterized by the three GraphX hooks re-expressed as Catalyst
+    * expressions so every superstep stays a declarative join + aggregate
+    * the optimizer (and AQE) can re-plan:
+    *   - `sendMsg`: the message an ACTIVE src sends along each edge —
+    *     a Column over the joined edge attrs + the src's `state`;
+    *   - `mergeMsg`: the commutative-associative aggregate combining all
+    *     messages to one dst (min/sum/...), which Spark executes as a
+    *     map-side-combined hash aggregate — Pregel's combiner for free;
+    *   - `vprog`: the new state from (old state, merged msg); the msg
+    *     Column is null when the vertex received nothing this superstep.
+    *
+    * Machinery every algorithm then inherits (previously hand-rolled per
+    * loop): the edge table hash-partitioned ONCE on `src` (the message
+    * join's probe key) and cached; each label generation localCheckpointed
+    * so plan depth and task size stay constant across supersteps and the
+    * state table keeps its hash partitioning (label<-message merge joins
+    * exchange-free); and `frontierDelta` activation — only vertices whose
+    * state CHANGED last superstep send — which is exact for monotonic
+    * vprogs (an unchanged u's message was already folded into every
+    * neighbor: the bfsHops proof), and which drains the loop early when a
+    * superstep changes nothing. Algorithms whose every vertex re-sends
+    * each superstep (PageRank) pass `frontierDelta = false` and run the
+    * fixed budget. `vertex`/`state` are reserved column names; edge attrs
+    * must not collide with them.
+    *
+    * At 100 TB: state is a (vertex, state) table shuffled on vertex, the
+    * per-superstep cost is O(frontier ⋈ edges) + one message shuffle —
+    * the same dataflow GraphX lowers to, with Catalyst picking joins. */
+  def pregel(vertices: DataFrame, edges: DataFrame,
+             sendMsg: org.apache.spark.sql.Column,
+             mergeMsg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             vprog: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+             maxIter: Int, frontierDelta: Boolean = true): DataFrame = {
+    val e = edges.repartition(col("src")).cache()
+    var state = vertices.select(col("vertex"), col("state")).localCheckpoint()
+    var frontier = state
+    var i = 1
+    while (i <= maxIter && (!frontierDelta || !frontier.isEmpty)) {
+      val msgs = e.join(frontier.withColumnRenamed("vertex", "src"), "src")
+        .select(col("dst").as("vertex"), sendMsg.as("__msg"))
+        .groupBy("vertex").agg(mergeMsg(col("__msg")).as("__m"))
+      val upd = state.join(msgs, Seq("vertex"), "left")
+        .select(col("vertex"), col("state").as("__old"),
+          vprog(col("state"), col("__m")).as("state"))
+        .withColumn("__chg", !(col("state") <=> col("__old")))
+        .localCheckpoint()
+      state = upd.select("vertex", "state")
+      frontier =
+        if (frontierDelta) upd.filter(col("__chg")).select("vertex", "state")
+        else state
+      i += 1
+    }
+    e.unpersist()
+    state
+  }
+
   /** Static PageRank (GraphX GraphOps.pageRank semantics: reset 0.15/n +
     * 0.85 x received mass, dangling mass not redistributed), uniform
-    * start, fixed `iters` supersteps. `edges`: (src, dst) with
+    * start, fixed `iters` supersteps over [[pregel]] (all vertices
+    * re-send every superstep — no frontier). `edges`: (src, dst) with
     * multiplicity as weight. Returns (vertex, rank). */
-  def pageRank(edges: DataFrame, iters: Int, checkpointEvery: Int = 5): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     // ONE pass over the (potentially expensive) edge input: the grouped
     // weight table is tiny (distinct src-dst pairs) and everything else —
     // out-weights, normalized probabilities, the vertex set — derives from
@@ -33,28 +95,20 @@ object Graph {
     val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w")).cache()
     val outW = e.groupBy("src").agg(sum("w").as("out_w"))
     val norm = e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
-      .cache()
     val verts = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct().cache()
     val n = verts.count().toDouble // one-time numVertices action, as in GraphX
-    var ranks = verts.select(col("vertex"), lit(1.0 / n).as("rank"))
-    for (i <- 1 to iters) {
-      val contribs = norm.alias("e")
-        .join(ranks.alias("r"), col("e.src") === col("r.vertex"))
-        .groupBy(col("e.dst").as("vertex"))
-        .agg(sum(col("r.rank") * col("e.p")).as("recv"))
-      ranks = verts.join(contribs, Seq("vertex"), "left")
-        .select(col("vertex"),
-          (lit(0.15 / n) + lit(0.85) * coalesce(col("recv"), lit(0.0))).as("rank"))
-      // Truncate lineage every few supersteps: without this the plan depth
-      // (and task deserialization cost) grows linearly with the iteration
-      // count — the GraphX equivalent of Pregel's periodic checkpoint.
-      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
-    }
+    val ranks = pregel(
+      verts.select(col("vertex"), lit(1.0 / n).as("state")), norm,
+      sendMsg = col("state") * col("p"),
+      mergeMsg = sum,
+      vprog = (_, m) => lit(0.15 / n) + lit(0.85) * coalesce(m, lit(0.0)),
+      maxIter = iters, frontierDelta = false)
+      .select(col("vertex"), col("state").as("rank"))
     // Materialize before releasing the per-call caches so repeated
     // invocations (the Bench loop) don't accumulate executor blocks.
     val out = ranks.localCheckpoint()
-    norm.unpersist(); verts.unpersist(); e.unpersist()
+    verts.unpersist(); e.unpersist()
     out
   }
 
@@ -118,38 +172,50 @@ object Graph {
     * can change anything — same monotonicity argument). */
   def bfsHops(edges: DataFrame, source: Long, iters: Int): DataFrame = {
     val INF = 1000000000L
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .repartition(col("b"))
-      .cache()
-    var hops = und.select(col("a").as("vertex")).distinct()
-      .select(col("vertex"),
-        when(col("vertex") === source, 0L).otherwise(INF).as("hop"))
-      .localCheckpoint()
-    // Only the source carries information at step 0: INF vertices message
-    // INF+1, which can never win a least() against an INF label.
-    var frontier = hops.filter(col("hop") === 0L)
-    var i = 1
-    while (i <= iters && !frontier.isEmpty) {
-      val nbr = und.alias("u")
-        .join(frontier.alias("h"), col("u.b") === col("h.vertex"))
-        .groupBy(col("u.a").as("vertex"))
-        .agg(min(col("h.hop")).as("nbr_min"))
-      val upd = hops.join(nbr, Seq("vertex"), "left")
+    val und = undirected(edges)
+    pregel(
+      und.select(col("src").as("vertex")).distinct()
         .select(col("vertex"),
-          least(col("hop"), coalesce(col("nbr_min") + 1L, col("hop"))).as("hop"),
-          coalesce(col("nbr_min") + 1L < col("hop"), lit(false)).as("changed"))
-        .localCheckpoint()
-      hops = upd.select("vertex", "hop")
-      frontier = upd.filter(col("changed")).select("vertex", "hop")
-      i += 1
-    }
-    val out = hops.select(col("vertex"),
-      when(col("hop") >= INF, -1L).otherwise(col("hop")).as("hop"))
-    und.unpersist()
-    out
+          when(col("vertex") === source, 0L).otherwise(INF).as("state")),
+      und,
+      sendMsg = col("state") + 1L,
+      mergeMsg = min,
+      vprog = (s, m) => least(s, coalesce(m, s)),
+      maxIter = iters)
+      .select(col("vertex"),
+        when(col("state") >= INF, -1L).otherwise(col("state")).as("hop"))
   }
+
+  /** Single-source shortest paths (min-plus relaxation) over DIRECTED
+    * weighted edges (src, dst, w: BIGINT), `iters` supersteps — the new
+    * algorithm the generic [[pregel]] makes a ~10-line definition:
+    * dist(v) = min total weight from `source` reachable within `iters`
+    * relaxation rounds, -1 if unreached in the budget. Integer weights
+    * keep the arithmetic exact and engine-portable for the oracle;
+    * frontier-delta applies (min-plus is monotonic, same proof as
+    * [[bfsHops]]). */
+  def sssp(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val INF = 1000000000000000L // far above any path sum; INF + w cannot wrap
+    val verts = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct()
+    pregel(
+      verts.select(col("vertex"),
+        when(col("vertex") === source, 0L).otherwise(INF).as("state")),
+      edges.select(col("src"), col("dst"), col("w")),
+      sendMsg = col("state") + col("w"),
+      mergeMsg = min,
+      vprog = (s, m) => least(s, coalesce(m, s)),
+      maxIter = iters)
+      .select(col("vertex"),
+        when(col("state") >= INF, -1L).otherwise(col("state")).as("dist"))
+  }
+
+  /** Canonical symmetric (both-directions, deduped) edge table — the
+    * message graph for the undirected label-propagation algorithms. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
 
   /** Connected components by min-label propagation over undirected edges,
     * `iters` fixed supersteps (converged iff diameter <= iters; the fixed
@@ -166,31 +232,15 @@ object Graph {
     * is fresh information), so superstep 1 degenerates to the full join —
     * exactly the oracle's l1. */
   def connectedComponents(edges: DataFrame, iters: Int): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-      .repartition(col("b"))
-      .cache()
-    var labels = und.select(col("a").as("vertex")).distinct()
-      .select(col("vertex"), col("vertex").as("component"))
-      .localCheckpoint()
-    var frontier = labels
-    var i = 1
-    while (i <= iters && !frontier.isEmpty) {
-      val nbrMin = und.alias("u")
-        .join(frontier.alias("lb"), col("u.b") === col("lb.vertex"))
-        .groupBy(col("u.a").as("vertex"))
-        .agg(min(col("lb.component")).as("nbr_min"))
-      val upd = labels.join(nbrMin, Seq("vertex"), "left")
-        .select(col("vertex"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          coalesce(col("nbr_min") < col("component"), lit(false)).as("changed"))
-        .localCheckpoint()
-      labels = upd.select("vertex", "component")
-      frontier = upd.filter(col("changed")).select("vertex", "component")
-      i += 1
-    }
-    und.unpersist()
-    labels
+    val und = undirected(edges)
+    pregel(
+      und.select(col("src").as("vertex")).distinct()
+        .select(col("vertex"), col("vertex").as("state")),
+      und,
+      sendMsg = col("state"),
+      mergeMsg = min,
+      vprog = (s, m) => least(s, coalesce(m, s)),
+      maxIter = iters)
+      .select(col("vertex"), col("state").as("component"))
   }
 }

@@ -45,6 +45,14 @@ object Graphs {
       G.triangleCount(tradeEdges(s, dir)).orderBy("vertex")
     },
 
+    // Single-source shortest paths over the generic Pregel operator:
+    // cheapest trade route from nation 0, edge weight = trade count per
+    // directed nation pair (integer min-plus — exact cross-engine).
+    "p06_trade_sssp" -> { (s, dir) =>
+      val e = tradeEdges(s, dir).groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      G.sssp(e, source = 0L, iters = 3).orderBy("vertex")
+    },
+
     // Dedup-cluster canonical selection — the ACTION step after p02: per
     // near-dup component keep the highest-quality member (quality desc,
     // doc_id asc at ties — quality values are oracle-exact per t01, so the
@@ -110,6 +118,14 @@ object Graphs {
        |  LEFT JOIN und u ON u.a = h.vertex
        |  LEFT JOIN h${i - 1} hp ON hp.vertex = u.b
        |  GROUP BY h.vertex, h.hop)""".stripMargin
+
+  private val ssspStep: Int => String = i =>
+    s"""s$i AS (SELECT s.vertex,
+       |  least(s.dist, COALESCE(min(sp.dist + e.w), s.dist)) AS dist
+       |  FROM s${i - 1} s
+       |  LEFT JOIN e ON e.dst = s.vertex
+       |  LEFT JOIN s${i - 1} sp ON sp.vertex = e.src
+       |  GROUP BY s.vertex, s.dist)""".stripMargin
 
   private val ccStep: Int => String = i =>
     s"""l$i AS (SELECT l.vertex,
@@ -202,6 +218,29 @@ object Graphs {
          |  COALESCE(CASE WHEN l.hop >= 1000000000 THEN -1 ELSE l.hop END, -1)::BIGINT AS hop
          |FROM documents d LEFT JOIN h3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Unrolled min-plus relaxation — the full-join formulation the
+    // frontier-delta Pregel loop must equal (monotonicity argument in
+    // graft.ext.Graph.bfsHops).
+    "p06_trade_sssp" ->
+      s"""WITH edges AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |e AS (SELECT src, dst, count(*)::BIGINT w FROM edges GROUP BY 1, 2),
+         |verts AS (SELECT DISTINCT src AS vertex FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |s0 AS (SELECT vertex,
+         |  CASE WHEN vertex = 0 THEN 0::BIGINT ELSE 1000000000000000::BIGINT END AS dist
+         |  FROM verts),
+         |${ssspStep(1)},
+         |${ssspStep(2)},
+         |${ssspStep(3)}
+         |SELECT vertex,
+         |  CAST(CASE WHEN dist >= 1000000000000000 THEN -1 ELSE dist END AS BIGINT) AS dist
+         |FROM s3 ORDER BY vertex""".stripMargin,
 
     "p03_trade_triangles" ->
       """WITH edges AS (

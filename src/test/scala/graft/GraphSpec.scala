@@ -66,20 +66,42 @@ class GraphSpec extends SparkSpec {
     assert(tc2 === tc)
   }
 
-  test("checkpoint cadence changes lineage, never results; output plan is flat") {
-    // mid-loop localCheckpoints (every 5 supersteps) truncate lineage so
-    // plan depth stays bounded at real iteration counts; they must be
-    // invisible in the values
-    val a = Graph.pageRank(edges, iters = 12, checkpointEvery = 5)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = Graph.pageRank(edges, iters = 12, checkpointEvery = 100)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(a.keySet === b.keySet)
-    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  test("pregel checkpoints each generation: deep iteration keeps a flat output plan") {
     // the returned frame is materialized (caches released) — flat lineage
+    // even at real iteration counts
     val joins = Graph.pageRank(edges, iters = 12).queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.size
     assert(joins === 0, s"checkpointed result should have flat lineage, found $joins joins")
+  }
+
+  test("sssp: min-plus distances over directed weighted edges, -1 unreached") {
+    import spark.implicits._
+    // 1->3 direct costs 10, via 2 costs 6; edges are DIRECTED so nothing
+    // reaches back to 1's component from 4-5 or vice versa
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (4L, 5L, 2L))
+      .toDF("src", "dst", "w")
+    val d = Graph.sssp(we, source = 1L, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> -1L, 5L -> -1L))
+  }
+
+  test("sssp iteration budget: the cheaper two-edge route needs two relaxations") {
+    import spark.implicits._
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L)).toDF("src", "dst", "w")
+    val d1 = Graph.sssp(we, source = 1L, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1(3L) === 10L) // only the direct edge relaxed so far
+    val d2 = Graph.sssp(we, source = 1L, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(3L) === 6L)
+  }
+
+  test("pregel frontier drains early: converged loop stops before the budget") {
+    // a 3-cycle converges its components in 1 superstep; a huge budget
+    // must not change the answer (the frontier empties and the loop exits)
+    val comp = Graph.connectedComponents(edges, iters = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 }
