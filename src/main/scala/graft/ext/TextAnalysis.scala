@@ -534,25 +534,27 @@ object TextAnalysis {
     * (micro_idf * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl)) / 1e6), and
     * the total adds the terms in WRITTEN order, never via an aggregate.
     *
-    * Scale: tf for all query terms comes from one compiled pass per
-    * document; N / avgdl / df are ONE tiny aggregate row (driver-bounded
-    * by construction, like the k-means centroids); scoring is a narrow
-    * codegen'd projection over the corpus; top-k is a single ordered
-    * limit (TakeOrderedAndProject — no global sort materialized). */
+    * Scale: per-term tf comes from explode + conditional SUMs in ONE
+    * map-side-combined hash aggregate — every stage whole-stage-codegen'd
+    * (a per-row Scala UDF or a higher-order `filter` lambda would drop
+    * out of codegen and pay per-row interpretation); N / avgdl / df are
+    * ONE tiny aggregate row (driver-bounded by construction, like the
+    * k-means centroids); scoring is a narrow codegen'd projection over
+    * the corpus; top-k is a single ordered limit (TakeOrderedAndProject
+    * — no global sort materialized). */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                topK: Int = 20): DataFrame = {
-    val termsArr = terms.toArray
-    val tfUdf = udf { (ts: Seq[String]) =>
-      if (ts == null) termsArr.map(_ => 0L)
-      else termsArr.map(t => ts.count(_ == t).toLong)
-    }
+    val tfAggs = terms.indices.map(i =>
+      sum(when(col("t") === terms(i), 1L).otherwise(0L)).as(s"tf$i"))
     val base = df
       .select(col(idCol).as("doc_id"), expr(Dedup.tokens(textCol)).as("ts"))
+      // dl rides the explode as a grouping column (size(null) = -1 kept,
+      // matching the pre-explode projection this aggregate replaced)
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-        tfUdf(col("ts")).as("tf"))
-      .select(col("doc_id") +: col("dl") +:
-        terms.indices.map(i => col("tf")(i).as(s"tf$i")): _*)
+        explode_outer(col("ts")).as("t"))
+      .groupBy("doc_id", "dl")
+      .agg(tfAggs.head, tfAggs.tail: _*)
       .persist()
     // one bounded stats row: N, total length, per-term document frequency
     val statsAggs = sum(col("dl")).as("sumdl") +: terms.indices.map(i =>
