@@ -60,22 +60,20 @@ object HiveDialect {
     // TABLESAMPLE (10 PERCENT) REPEATABLE(42): the drawn subset is
     // engine-RNG-specific even seeded, so assert the 6σ binomial bound
     // (n07's contract); TABLESAMPLE (500 ROWS) caps exactly 500 rows and
-    // is checked exactly. Both sampling actions are driver-bounded single
-    // counts — nothing here collects data rows.
+    // is checked exactly. All three counts and the bound check are
+    // cross-joined 1-row aggregates INSIDE the returned plan — no driver
+    // action in the query.
     "h03_tablesample" -> { (s, dir) =>
       Tables.orders(s, dir).createOrReplaceTempView("hq_orders")
-      val frac = 0.1
-      val n = Tables.orders(s, dir).count()
-      val k = s.sql(
-        "SELECT count(*) AS k FROM hq_orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
-        .head().getLong(0)
-      val sd = math.sqrt(n * frac * (1 - frac))
-      val withinBounds = math.abs(k - n * frac) <= 6 * sd
-      val rowsClause = s.sql(
-        "SELECT count(*) AS k FROM hq_orders TABLESAMPLE (500 ROWS)")
-        .head().getLong(0)
-      s.createDataFrame(Seq((frac, withinBounds, rowsClause)))
-        .toDF("fraction", "within_bounds", "rows_clause")
+      s.sql(
+        """SELECT CAST(0.1 AS DOUBLE) AS fraction,
+          |  abs(p.k - t.n * 0.1) <= 6 * sqrt(t.n * 0.1 * 0.9) AS within_bounds,
+          |  r.k AS rows_clause
+          |FROM (SELECT count(*) AS k FROM hq_orders
+          |      TABLESAMPLE (10 PERCENT) REPEATABLE (42)) p
+          |CROSS JOIN (SELECT count(*) AS n FROM hq_orders) t
+          |CROSS JOIN (SELECT count(*) AS k FROM hq_orders
+          |            TABLESAMPLE (500 ROWS)) r""".stripMargin)
     }
   )
 

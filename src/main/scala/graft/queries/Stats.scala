@@ -95,15 +95,18 @@ object Stats {
 
     // Seeded Bernoulli sampling (SURVEY §2.2 sample): the drawn subset is
     // RNG-specific, so the oracle encodes the statistical contract — the
-    // sample size must sit within 6 sigma of Binomial(n, frac).
+    // sample size must sit within 6 sigma of Binomial(n, frac). Both
+    // counts and the bound check live in the returned plan (two 1-row
+    // aggregates cross-joined) — no driver action inside the query.
     "n07_sample_bounds" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val frac = 0.1
-      val n = o.count()
-      val k = o.sample(withReplacement = false, frac, seed = 42).count()
-      val sd = math.sqrt(n * frac * (1 - frac))
-      val ok = math.abs(k - n * frac) <= 6 * sd
-      s.createDataFrame(Seq((frac, ok))).toDF("fraction", "within_bounds")
+      val k = o.sample(withReplacement = false, frac, seed = 42)
+        .agg(count(lit(1)).as("k"))
+      val n = o.agg(count(lit(1)).as("n"))
+      k.crossJoin(n).select(lit(frac).as("fraction"),
+        (abs(col("k") - col("n") * frac) <=
+          lit(6.0) * sqrt(col("n") * frac * (1 - frac))).as("within_bounds"))
     },
 
     // df.stat.countMinSketch (CORE/DataFrameStatFunctions.scala): the CMS
@@ -118,18 +121,21 @@ object Stats {
     "n08_cms_bounds" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val eps = 0.001
+      // the sketch itself is a driver object by API design (reference
+      // CORE/DataFrameStatFunctions) — building it is the one inherent
+      // action; the truth counts and bound checks stay in the plan
       val cms = o.stat.countMinSketch(col("o_custkey"), eps, 0.99, 42)
       val keys = Seq(1L, 7L, 101L)
-      val truth = o.filter(col("o_custkey").isin(keys: _*))
-        .groupBy("o_custkey").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val n = cms.totalCount().toDouble
-      val checks = keys.map { k =>
-        val est = cms.estimateCount(k)
-        val t = truth.getOrElse(k, 0L)
-        (k, est >= t && est <= t + eps * n)
-      }
-      s.createDataFrame(checks).toDF("key", "within_bounds").orderBy("key")
+      import s.implicits._
+      val ests = keys.map(k => (k, cms.estimateCount(k))).toDF("key", "est")
+      val truth = o.filter(col("o_custkey").isin(keys: _*))
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("t"))
+      ests.join(truth, Seq("key"), "left")
+        .select(col("key"),
+          (col("est") >= coalesce(col("t"), lit(0L)) &&
+            col("est") <= coalesce(col("t"), lit(0L)) + eps * n).as("within_bounds"))
+        .orderBy("key")
     },
 
     // df.stat.bloomFilter: membership contract — ZERO false negatives over
@@ -138,17 +144,20 @@ object Stats {
     "n09_bloom_contract" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val fpp = 0.01
+      // the filter is a driver object by API design — building it is the
+      // one inherent action; both membership checks run in the plan
       val bf = o.stat.bloomFilter(col("o_orderkey"), 200000L, fpp)
       val bfB = s.sparkContext.broadcast(bf)
       val mightContain = udf { (k: Long) => bfB.value.mightContainLong(k) }
-      val noFalseNeg = o.select(col("o_orderkey"))
-        .filter(!mightContain(col("o_orderkey"))).count() == 0L
+      val nfn = o
+        .agg((count(when(!mightContain(col("o_orderkey")), lit(1))) === 0L).as("ok"))
+        .select(lit("no_false_negatives").as("check"), col("ok"))
       // order keys are < 10^7 at every test SF; probe a disjoint range
-      val falsePos = s.range(20000000L, 20010000L)
-        .filter(mightContain(col("id"))).count()
-      val fpOk = falsePos <= (3 * fpp * 10000).toLong
-      s.createDataFrame(Seq(("fp_rate_within_3x", fpOk), ("no_false_negatives", noFalseNeg)))
-        .toDF("check", "ok").orderBy("check")
+      val fp = s.range(20000000L, 20010000L)
+        .agg((count(when(mightContain(col("id")), lit(1))) <=
+          lit((3 * fpp * 10000).toLong)).as("ok"))
+        .select(lit("fp_rate_within_3x").as("check"), col("ok"))
+      fp.union(nfn).orderBy("check")
     },
 
     // df.stat.freqItems (a Karp/Misra-Gries style sweep): its possible-
@@ -159,15 +168,17 @@ object Stats {
     "n10_freq_items_contract" -> { (s, dir) =>
       val li = Tables.lineitem(s, dir)
       val support = 0.3
+      // the sweep's 1-row result joins the truly-frequent values inside
+      // the plan — no driver action anywhere in this query
       val found = li.stat.freqItems(Array("l_returnflag"), support)
-        .head().getSeq[String](0).toSet
-      val n = li.count()
-      import s.implicits._
-      li.groupBy("l_returnflag").count()
-        .filter(col("count") > support * n)
-        .select(col("l_returnflag"))
-        .map(r => (r.getString(0), found(r.getString(0))))
-        .toDF("l_returnflag", "found")
+        .select(explode(col("l_returnflag_freqItems")).as("l_returnflag"))
+        .withColumn("hit", lit(true))
+      val tot = li.agg(count(lit(1)).as("n"))
+      li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .crossJoin(tot)
+        .filter(col("cnt") > col("n") * support)
+        .join(found, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), coalesce(col("hit"), lit(false)).as("found"))
         .orderBy("l_returnflag")
     },
 
@@ -195,20 +206,21 @@ object Stats {
     // CONTRACT per stratum (the draw itself is seed/partitioning-specific;
     // the guarantee is the expected rate). Same contract style as n07.
     "n11_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
       val o = Tables.orders(s, dir)
       val fractions = Map("O" -> 0.05, "F" -> 0.15, "P" -> 0.30)
+      // per-stratum counts and the 6-sigma checks all join inside the
+      // plan (the fraction table is 3 literal rows) — no driver action
+      val fracDf = fractions.toSeq.sortBy(_._1).toDF("o_orderstatus", "fraction")
       val sampled = o.stat.sampleBy("o_orderstatus", fractions, seed = 42L)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("k"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val totals = o.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      import s.implicits._
-      fractions.toSeq.sortBy(_._1).map { case (st, f) =>
-        val n = totals.getOrElse(st, 0L)
-        val k = sampled.getOrElse(st, 0L)
-        val sd = math.sqrt(n * f * (1 - f))
-        (st, f, math.abs(k - n * f) <= 6 * sd)
-      }.toDF("o_orderstatus", "fraction", "within_bounds")
+      fracDf.join(totals, Seq("o_orderstatus"), "left")
+        .join(sampled, Seq("o_orderstatus"), "left")
+        .select(col("o_orderstatus"), col("fraction"),
+          (abs(coalesce(col("k"), lit(0L)) - coalesce(col("n"), lit(0L)) * col("fraction")) <=
+            lit(6.0) * sqrt(coalesce(col("n"), lit(0L)) * col("fraction") * (lit(1.0) - col("fraction"))))
+            .as("within_bounds"))
         .orderBy("o_orderstatus")
     },
 
