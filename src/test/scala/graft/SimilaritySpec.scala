@@ -113,6 +113,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("rp near-dup pairs: dedup-first expansion equals the raw banded self-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, expr, round}
+    // duplicate-heavy corpus: sf0.001 embeddings tiled 3x under shifted ids
+    val base = Tables.embeddings(spark, sf001)
+    val tiled = (0 until 3).map(k =>
+      base.select((col("vec_id") + k * 100000L).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val got = Similarity.rpNeardupPairs(tiled, "vec_id", "embedding", Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the raw (pre-dedup-first) formulation, reconstructed inline
+    val planes = Similarity.signPlanes(16, Dims, "pl")
+    val bandExpr = "transform(sequence(0, 3), " +
+      "j -> concat_ws(':', cast(j as string), cast((shiftright(sig, 4 * j) & 15) as string)))"
+    val q = tiled.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2norm(col("v")))
+    val banded = q.withColumn("sig", Similarity.signatureUdf(planes)(col("v")))
+      .select(col("vec_id"), explode(expr(bandExpr)).as("nkey"))
+    val raw = banded.select(col("vec_id").as("id_a"), col("nkey"))
+      .join(banded.select(col("vec_id").as("id_b"), col("nkey")), "nkey")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+      .join(q.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(raw.nonEmpty)
+    assert(got === raw)
+  }
+
   test("PQ self-recovery: probes identical to codebook seeds reconstruct at distance 0") {
     import spark.implicits._
     // 16 distinct vectors = exactly the k seeds, so after one Lloyd round
