@@ -53,29 +53,45 @@ object Graph {
     *
     * At 100 TB: state is a (vertex, state) table shuffled on vertex, the
     * per-superstep cost is O(frontier ⋈ edges) + one message shuffle —
-    * the same dataflow GraphX lowers to, with Catalyst picking joins. */
+    * the same dataflow GraphX lowers to, with Catalyst picking joins.
+    *
+    * `initialFrontier` seeds superstep 1's senders (GraphX's initialMsg
+    * analog): single-source algorithms pass the source row only, so the
+    * first superstep joins O(deg(source)) edges instead of shipping one
+    * useless can-never-win message per edge of the graph. `checkpointEvery`
+    * applies on the no-frontier path only — frontier-delta supersteps must
+    * materialize each generation anyway (the drain probe reads it); a
+    * fixed-budget loop like PageRank checkpoints every few supersteps,
+    * letting Catalyst fuse the ones between. */
   def pregel(vertices: DataFrame, edges: DataFrame,
              sendMsg: org.apache.spark.sql.Column,
              mergeMsg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
              vprog: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
-             maxIter: Int, frontierDelta: Boolean = true): DataFrame = {
+             maxIter: Int, frontierDelta: Boolean = true,
+             initialFrontier: DataFrame => DataFrame = identity,
+             checkpointEvery: Int = 1): DataFrame = {
     val e = edges.repartition(col("src")).cache()
     var state = vertices.select(col("vertex"), col("state")).localCheckpoint()
-    var frontier = state
+    var frontier = initialFrontier(state)
     var i = 1
     while (i <= maxIter && (!frontierDelta || !frontier.isEmpty)) {
       val msgs = e.join(frontier.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst").as("vertex"), sendMsg.as("__msg"))
         .groupBy("vertex").agg(mergeMsg(col("__msg")).as("__m"))
-      val upd = state.join(msgs, Seq("vertex"), "left")
+      val joined = state.join(msgs, Seq("vertex"), "left")
         .select(col("vertex"), col("state").as("__old"),
           vprog(col("state"), col("__m")).as("state"))
-        .withColumn("__chg", !(col("state") <=> col("__old")))
-        .localCheckpoint()
-      state = upd.select("vertex", "state")
-      frontier =
-        if (frontierDelta) upd.filter(col("__chg")).select("vertex", "state")
-        else state
+      if (frontierDelta) {
+        val upd = joined
+          .select(col("vertex"), col("state"), (!(col("state") <=> col("__old"))).as("__chg"))
+          .localCheckpoint()
+        state = upd.select("vertex", "state")
+        frontier = upd.filter(col("__chg")).select("vertex", "state")
+      } else {
+        state = joined.select("vertex", "state")
+        if (i % checkpointEvery == 0 && i < maxIter) state = state.localCheckpoint()
+        frontier = state
+      }
       i += 1
     }
     e.unpersist()
@@ -103,7 +119,7 @@ object Graph {
       sendMsg = col("state") * col("p"),
       mergeMsg = sum,
       vprog = (_, m) => lit(0.15 / n) + lit(0.85) * coalesce(m, lit(0.0)),
-      maxIter = iters, frontierDelta = false)
+      maxIter = iters, frontierDelta = false, checkpointEvery = 5)
       .select(col("vertex"), col("state").as("rank"))
     // Materialize before releasing the per-call caches so repeated
     // invocations (the Bench loop) don't accumulate executor blocks.
@@ -181,7 +197,11 @@ object Graph {
       sendMsg = col("state") + 1L,
       mergeMsg = min,
       vprog = (s, m) => least(s, coalesce(m, s)),
-      maxIter = iters)
+      maxIter = iters,
+      // only the source carries information at step 0: an INF vertex's
+      // INF+1 message can never win a least() — seeding the frontier keeps
+      // superstep 1 at O(deg(source)) instead of O(E)
+      initialFrontier = _.filter(col("state") === 0L))
       .select(col("vertex"),
         when(col("state") >= INF, -1L).otherwise(col("state")).as("hop"))
   }
@@ -205,7 +225,8 @@ object Graph {
       sendMsg = col("state") + col("w"),
       mergeMsg = min,
       vprog = (s, m) => least(s, coalesce(m, s)),
-      maxIter = iters)
+      maxIter = iters,
+      initialFrontier = _.filter(col("state") === 0L)) // see bfsHops
       .select(col("vertex"),
         when(col("state") >= INF, -1L).otherwise(col("state")).as("dist"))
   }

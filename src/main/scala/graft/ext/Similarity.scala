@@ -170,14 +170,18 @@ object Similarity {
     *
     * Dedup-first (graft.ext.Dedup.neardupPairs' cost argument applied to
     * vectors): signatures and cosines are pure functions of the VECTOR,
-    * so banding/verification run once per DISTINCT vector and exact
-    * copies re-enter through two membership equi-joins — within-group
-    * pairs at cosine 1.0 (self-cosine rounds to 1.0 at 4 dp: the ratio
-    * is within 1 ulp of 1), cross-group pairs inheriting the rep cosine.
-    * On a dup-heavy corpus (web-crawl embeddings) the raw self-join
-    * grows quadratically in copy count — measured 65.6 s on the
-    * 10x-tiled sf1 corpus before this. No bucket cap exists here, so the
-    * formulations are exactly equivalent on any input. */
+    * so banding/verification run once per DISTINCT vector (grouped by an
+    * injective to_json digest — element order and nulls preserved; a
+    * null vector never groups, matching the raw formulation where it
+    * produces no band rows) and exact copies re-enter through two
+    * membership equi-joins. Within-group pairs are verified by the
+    * ACTUAL self-cosine of the rep vector — identical to what the raw
+    * self-join computes for the copy pair; zero-norm vectors have no
+    * defined cosine and never pair (null-safe division, both paths).
+    * On a dup-heavy corpus (web-crawl embeddings) the raw
+    * self-join grows quadratically in copy count — measured 65.6 s on
+    * the 10x-tiled sf1 corpus before this. No bucket cap exists here, so
+    * the formulations are exactly equivalent on any input. */
   def rpNeardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dims: Int, bits: Int = 16, bandsCount: Int = 4,
                      threshold: Double = 0.4): DataFrame = {
@@ -186,21 +190,14 @@ object Similarity {
     val mask = (1 << chunk) - 1
     val bandExpr = s"transform(sequence(0, ${bandsCount - 1}), " +
       s"j -> concat_ws(':', cast(j as string), cast((shiftright(sig, $chunk * j) & $mask) as string)))"
-    // membership: rep = min id per distinct vector value (the digest is a
-    // Spark-side grouping key only — never compared to an oracle)
-    val members = corpus
-      .select(col(idCol).as("vec_id"),
-        md5(concat_ws(",", col(vecCol).cast("array<string>"))).as("digest"))
-      .withColumn("rep", min(col("vec_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
-      .select("rep", "vec_id")
+    val members = Dedup.digestMembership(
+        corpus, idCol, md5(to_json(col(vecCol))), groupNulls = false)
+      .select("rep", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repIds = members.filter(col("rep") === col("vec_id"))
-      .select(col("vec_id").as("__rep_id"))
-    val uniq = corpus.join(repIds, corpus(idCol) === col("__rep_id")).drop("__rep_id")
     // the normed rep corpus feeds band generation (twice, via the
-    // self-join) and both sides of the verification join: persist
-    val q = normed(uniq, idCol, vecCol, "vec")
+    // self-join), the verification join, and the within-group
+    // self-cosine: persist until every consumer is materialized
+    val q = normed(Dedup.repRows(corpus, idCol, members), idCol, vecCol, "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = q.withColumn("sig", signatureUdf(planes)(col("vec_v")))
       .select(col("vec_id"), explode(expr(bandExpr)).as("nkey"))
@@ -208,26 +205,31 @@ object Similarity {
       .join(banded.select(col("vec_id").as("id_b"), col("nkey")), "nkey")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // zero-norm vectors have no defined cosine and never pair: the norm
+    // product goes through nullif so the division yields null (filtered by
+    // the threshold) instead of an ANSI divide-by-zero error — applied on
+    // BOTH the rep-pair and the within-group path so the two agree
+    def cosineOf(dot: org.apache.spark.sql.Column, normProd: org.apache.spark.sql.Column) =
+      dot / when(normProd === 0.0, lit(null)).otherwise(normProd)
     val repPairs = cands
       .join(q.select(col("vec_id").as("id_a"), col("vec_v").as("va"), col("vec_norm").as("na")), "id_a")
       .join(q.select(col("vec_id").as("id_b"), col("vec_v").as("vb"), col("vec_norm").as("nb")), "id_b")
-      .withColumn("cosine",
-        graft.functions.VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cosine", cosineOf(
+        graft.functions.VectorFunctions.dot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
       .localCheckpoint()
-    q.unpersist()
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("vec_id").as("va_id")), "id_a")
-      .join(members.select(col("rep").as("id_b"), col("vec_id").as("vb_id")), "id_b")
-      .select(least(col("va_id"), col("vb_id")).as("id_a"),
-        greatest(col("va_id"), col("vb_id")).as("id_b"), col("cosine"))
-    val within = members.alias("x")
-      .join(members.alias("y"),
-        col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        lit(1.0).as("cosine"))
+    val cross = Dedup.expandCross(repPairs, members, "id_a", "id_b")
+      .select("id_a", "id_b", "cosine")
+    val within = Dedup.withinGroupPairs(members, "id_a", "id_b")
+      .join(q.select(col("vec_id").as("rep"), col("vec_v"), col("vec_norm")), "rep")
+      .withColumn("cosine", cosineOf(
+        graft.functions.VectorFunctions.dot(col("vec_v"), col("vec_v")),
+        col("vec_norm") * col("vec_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
     val out = cross.union(within).localCheckpoint()
+    q.unpersist()
     members.unpersist()
     out
   }

@@ -148,7 +148,10 @@ object Dedup {
     // must be indistinguishable from recomputation.
     "d18_incremental_neardup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val idx = s"/tmp/graft_scale/neardup_idx_${dir.split('/').filter(_.nonEmpty).last}"
+      // key the index path by the FULL data dir (sanitized), so two
+      // datasets sharing a leaf name (or parallel harness runs over
+      // different roots) can never overwrite each other's index mid-query
+      val idx = s"/tmp/graft_scale/neardup_idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       D.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
       D.incrementalNeardupPairs(s, idx, docs.filter(col("doc_id") >= 250), "doc_id", "text")
         .orderBy("doc_a", "doc_b")

@@ -113,6 +113,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("null texts: simhash never pairs them (raw-oracle semantics); minhash groups them (dedup-first-oracle semantics)") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "a b c d"), (4L, "a b c d")).toDF("doc_id", "text")
+    // d06's oracle is the raw banded formulation: a null text yields no
+    // token rows, no fingerprint, no bands — it can never pair
+    val sim = Dedup.simhashNeardupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim === Set((3L, 4L)))
+    // d04's oracle windows PARTITION BY md5(text), which groups nulls into
+    // one digest group — they pair at jaccard 1.0
+    val mh = Dedup.neardupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh === Set((1L, 2L, 1.0), (3L, 4L, 1.0)))
+  }
+
   test("deletion-neighborhood fuzzy pairs equal brute-force levenshtein (full recall)") {
     import spark.implicits._
     // substitutions, inserts, deletes, distance-2 decoys, an exact-dup id pair

@@ -145,6 +145,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got === raw)
   }
 
+  test("rp near-dup pairs: zero-norm and null vectors never pair; copies verify by real self-cosine") {
+    import spark.implicits._
+    val v = (0 until Dims).map(_ * 0.01)
+    val corpus = Seq(
+      (1L, Some(v)), (2L, Some(v)),                          // exact copies
+      (3L, Some(Seq.fill(Dims)(0.0))), (4L, Some(Seq.fill(Dims)(0.0))), // zero-norm copies: cosine NaN
+      (5L, Option.empty[Seq[Double]])                        // null vector
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.rpNeardupPairs(corpus, "vec_id", "embedding", Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // zero vectors share every band in the raw formulation but 0/0 = NaN
+    // fails the threshold there too; null vectors produce no band rows
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
   test("PQ self-recovery: probes identical to codebook seeds reconstruct at distance 0") {
     import spark.implicits._
     // 16 distinct vectors = exactly the k seeds, so after one Lloyd round
