@@ -44,6 +44,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_list"))
   }
 
+  test("d18: incremental probe candidates come from a band equi-join, never a cross join") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "a b c d e f", 2L -> "g h i j k l").toDF("doc_id", "text")
+    val batch = Seq(10L -> "a b c d e f", 11L -> "m n o p q r").toDF("doc_id", "text")
+    val idx = "/tmp/graft_scale/neardup_idx_planspec"
+    graft.ext.Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    val p = plan(graft.ext.Dedup.incrementalNeardupPairs(
+      spark, idx, batch, "doc_id", "text", materialize = false))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("bkey"), "candidates must join on the band key")
+  }
+
+  test("s09: sampled-IVF probes broadcast into the cluster join, corpus unshuffled by it") {
+    val e = Tables.embeddings(spark, sf001)
+    val p = plan(graft.ext.Similarity.ivfSampledTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", 64))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "probe side must broadcast into the cluster join")
+  }
+
   test("d09: fuzzy candidates come from a variant equi-join, never a cross join") {
     // materialize=false keeps the pipeline lazy so the plan is inspectable
     val p = plan(graft.ext.Dedup.fuzzyPairsEd1(
