@@ -95,6 +95,30 @@ class DedupSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("incremental near-dup: bucket caps bind identically in probe and recompute") {
+    import spark.implicits._
+    // near-identical texts force heavy band collisions; tightening
+    // maxBucket makes cap decisions depend on the COMBINED corpus+new
+    // bucket sizes — a new batch rep must be able to push a standing
+    // bucket over the cap exactly like the full recompute would
+    def t(x: String) = s"the quick brown fox jumps over the lazy dog $x end"
+    val corpus = (1L to 8L).map(i => (i, t(s"c$i"))).toDF("doc_id", "text")
+    val batch = ((20L to 23L).map(i => (i, t(s"b$i"))) :+ ((24L, t("c3"))))
+      .toDF("doc_id", "text")
+    val idx = "/tmp/graft_scale/neardup_idx_spec_cap"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    for (cap <- Seq(2, 3, 50)) {
+      val got = Dedup.incrementalNeardupPairs(spark, idx, batch, "doc_id", "text",
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = Dedup.neardupPairs(corpus.union(batch), "doc_id", "text",
+          maxBucket = cap)
+        .filter(col("doc_b") >= 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === full, s"probe diverges from restricted recompute at maxBucket=$cap")
+    }
+  }
+
   test("incremental near-dup probe reads only the index, never the corpus text") {
     import spark.implicits._
     val corpus = Seq(1L -> "a b c d e", 2L -> "f g h i j").toDF("doc_id", "text")
