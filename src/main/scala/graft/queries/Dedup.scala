@@ -163,8 +163,11 @@ object Dedup {
       // datasets sharing a leaf name (or parallel harness runs over
       // different roots) can never overwrite each other's index mid-query
       val idx = s"/tmp/graft_scale/neardup_idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (builtNeardupIndexes.add(idx)) {
+      if (!builtNeardupIndexes.contains(idx)) {
+        // mark built only AFTER the write succeeds — a failed/cancelled
+        // build must retry next invocation, not leave a half-index behind
         D.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+        builtNeardupIndexes.add(idx)
       }
       D.incrementalNeardupPairs(s, idx, docs.filter(col("doc_id") >= 250), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
