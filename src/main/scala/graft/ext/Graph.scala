@@ -128,6 +128,35 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank: the reset mass (1-d) teleports to the SOURCE
+    * only, giving proximity-to-source scores rather than global
+    * centrality — the standard PPR shape used for graph-proximity
+    * retrieval (reference GraphX carries the personalized variant inside
+    * PageRank.scala's runWithOptions `srcId` parameter). Same conventions
+    * as [[pageRank]]: edge multiplicity as weight, dangling mass not
+    * redistributed, fixed supersteps, every vertex re-sends each
+    * superstep (no frontier). */
+  def personalizedPageRank(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w")).cache()
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val norm = e.join(outW, "src").select(col("src"), col("dst"), (col("w") / col("out_w")).as("p"))
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+    val ranks = pregel(
+      verts.select(col("vertex"),
+        when(col("vertex") === source, lit(1.0)).otherwise(lit(0.0)).as("state")),
+      norm,
+      sendMsg = col("state") * col("p"),
+      mergeMsg = sum,
+      vprog = (_, m) => when(col("vertex") === source, lit(0.15)).otherwise(lit(0.0))
+        + lit(0.85) * coalesce(m, lit(0.0)),
+      maxIter = iters, frontierDelta = false, checkpointEvery = 5)
+      .select(col("vertex"), col("state").as("rank"))
+    val out = ranks.localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Per-vertex triangle counts (GraphX GraphOps.triangleCount semantics:
     * dedup to canonical a<b undirected edges, count closed wedges; every
     * vertex of a triangle is credited once per triangle; vertices in no

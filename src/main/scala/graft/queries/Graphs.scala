@@ -45,6 +45,15 @@ object Graphs {
       G.triangleCount(tradeEdges(s, dir)).orderBy("vertex")
     },
 
+    // Personalized PageRank from nation 0 over the generic Pregel
+    // operator: reset mass teleports to the source only — the
+    // graph-proximity score for "which nations trade closest to 0".
+    "p07_trade_ppr" -> { (s, dir) =>
+      G.personalizedPageRank(tradeEdges(s, dir), source = 0L, iters = 3)
+        .select(col("vertex"), round(col("rank"), 6).as("ppr"))
+        .orderBy("vertex")
+    },
+
     // Single-source shortest paths over the generic Pregel operator:
     // cheapest trade route from nation 0, edge weight = trade count per
     // directed nation pair (integer min-plus — exact cross-engine).
@@ -118,6 +127,15 @@ object Graphs {
        |  LEFT JOIN und u ON u.a = h.vertex
        |  LEFT JOIN h${i - 1} hp ON hp.vertex = u.b
        |  GROUP BY h.vertex, h.hop)""".stripMargin
+
+  private val pprStep: Int => String = i =>
+    s"""r$i AS (SELECT v.vertex,
+       |  (CASE WHEN v.vertex = 0 THEN 0.15 ELSE 0 END)::DOUBLE +
+       |  0.85::DOUBLE * COALESCE(sum(r.rank * norm.p), 0::DOUBLE) AS rank
+       |  FROM verts v
+       |  LEFT JOIN norm ON norm.dst = v.vertex
+       |  LEFT JOIN r${i - 1} r ON r.vertex = norm.src
+       |  GROUP BY v.vertex)""".stripMargin
 
   private val ssspStep: Int => String = i =>
     s"""s$i AS (SELECT s.vertex,
@@ -218,6 +236,26 @@ object Graphs {
          |  COALESCE(CASE WHEN l.hop >= 1000000000 THEN -1 ELSE l.hop END, -1)::BIGINT AS hop
          |FROM documents d LEFT JOIN h3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Same edge normalization as p01, reset mass pinned to nation 0.
+    "p07_trade_ppr" ->
+      s"""WITH edges AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |e AS (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) out_w FROM e GROUP BY 1),
+         |norm AS (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
+         |verts AS (SELECT DISTINCT src AS vertex FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |r0 AS (SELECT vertex,
+         |  (CASE WHEN vertex = 0 THEN 1.0 ELSE 0.0 END)::DOUBLE AS rank FROM verts),
+         |${pprStep(1)},
+         |${pprStep(2)},
+         |${pprStep(3)}
+         |SELECT vertex, round(rank, 6) AS ppr FROM r3 ORDER BY vertex""".stripMargin,
 
     // Unrolled min-plus relaxation — the full-join formulation the
     // frontier-delta Pregel loop must equal (monotonicity argument in

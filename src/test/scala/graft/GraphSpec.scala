@@ -97,6 +97,21 @@ class GraphSpec extends SparkSpec {
     assert(d2(3L) === 6L)
   }
 
+  test("personalized pagerank: mass stays near the source, unreachable vertices score 0") {
+    // run to convergence (short budgets oscillate as mass circulates the
+    // cycle in waves): fixpoint is r1 = 0.15/(1-0.85^3), r2 = 0.85*r1,
+    // r3 = 0.85*r2
+    val ppr = Graph.personalizedPageRank(edges, source = 1L, iters = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // directed 3-cycle 1->2->3->1 keeps all teleport mass; 4->5 is
+    // unreachable from 1, so both score exactly 0
+    assert(ppr(4L) === 0.0 && ppr(5L) === 0.0)
+    val r1 = 0.15 / (1 - math.pow(0.85, 3))
+    assert(math.abs(ppr(1L) - r1) < 1e-4) // 0.85^60 residual ~6e-5
+    assert(math.abs(ppr(2L) - 0.85 * r1) < 1e-4)
+    assert(math.abs(ppr(3L) - 0.85 * 0.85 * r1) < 1e-4)
+  }
+
   test("pregel frontier drains early: converged loop stops before the budget") {
     // a 3-cycle converges its components in 1 superstep; a huge budget
     // must not change the answer (the frontier empties and the loop exits)
