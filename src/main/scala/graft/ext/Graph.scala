@@ -70,6 +70,9 @@ object Graph {
              maxIter: Int, frontierDelta: Boolean = true,
              initialFrontier: DataFrame => DataFrame = identity,
              checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive, got $checkpointEvery (the self-referencing " +
+        "superstep plan doubles per iteration without periodic truncation)")
     val e = edges.repartition(col("src")).cache()
     var state = vertices.select(col("vertex"), col("state")).localCheckpoint()
     var frontier = initialFrontier(state)

@@ -171,17 +171,21 @@ object Similarity {
     * Dedup-first (graft.ext.Dedup.neardupPairs' cost argument applied to
     * vectors): signatures and cosines are pure functions of the VECTOR,
     * so banding/verification run once per DISTINCT vector (grouped by an
-    * injective to_json digest — element order and nulls preserved; a
-    * null vector never groups, matching the raw formulation where it
-    * produces no band rows) and exact copies re-enter through two
-    * membership equi-joins. Within-group pairs are verified by the
-    * ACTUAL self-cosine of the rep vector — identical to what the raw
-    * self-join computes for the copy pair; zero-norm vectors have no
-    * defined cosine and never pair (null-safe division, both paths).
-    * On a dup-heavy corpus (web-crawl embeddings) the raw
+    * injective to_json digest — element order and nulls preserved) and
+    * exact copies re-enter through two membership equi-joins.
+    * Within-group pairs are verified by the ACTUAL self-cosine of the
+    * rep vector — the same value the raw self-join computes for the copy
+    * pair. Degenerate payloads are defined, not inherited: null vectors
+    * are excluded from banding outright (in the raw formulation they
+    * band-collide on degenerate keys and die later via null cosines — we
+    * skip the O(nulls^2) candidate churn), and zero-norm vectors never
+    * pair (their cosine is undefined; the division is null-guarded where
+    * the raw formulation would raise an ANSI divide-by-zero). For
+    * well-formed vectors — non-null, norm > 0 — the result is exactly
+    * the raw banded self-join's on any input (no bucket cap exists
+    * here). On a dup-heavy corpus (web-crawl embeddings) the raw
     * self-join grows quadratically in copy count — measured 65.6 s on
-    * the 10x-tiled sf1 corpus before this. No bucket cap exists here, so
-    * the formulations are exactly equivalent on any input. */
+    * the 10x-tiled sf1 corpus before this. */
   def rpNeardupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      dims: Int, bits: Int = 16, bandsCount: Int = 4,
                      threshold: Double = 0.4): DataFrame = {
@@ -196,8 +200,11 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the normed rep corpus feeds band generation (twice, via the
     // self-join), the verification join, and the within-group
-    // self-cosine: persist until every consumer is materialized
+    // self-cosine: persist until every consumer is materialized. Null
+    // vectors are excluded here — they could never verify (null cosine)
+    // and their degenerate band keys would otherwise collide pairwise.
     val q = normed(Dedup.repRows(corpus, idCol, members), idCol, vecCol, "vec")
+      .filter(col("vec_v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = q.withColumn("sig", signatureUdf(planes)(col("vec_v")))
       .select(col("vec_id"), explode(expr(bandExpr)).as("nkey"))

@@ -12,9 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Index paths already built in THIS JVM (see d18's note). */
-  private val builtNeardupIndexes =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Index paths already built in THIS JVM (see d18's note). Guarded by
+    * its own monitor so two concurrent first invocations cannot both run
+    * the overwrite-build against the same path. */
+  private val builtNeardupIndexes = new scala.collection.mutable.HashSet[String]()
+
+  /** Collision-free /tmp key for a data dir: readable sanitized prefix +
+    * md5 of the RAW path (sanitizing alone maps /data/sf0.1 and
+    * /data_sf0.1 to the same key). */
+  private[queries] def dirKey(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$h"
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on the text digest.
@@ -159,15 +169,14 @@ object Dedup {
     // regenerated testdata can never answer a query.
     "d18_incremental_neardup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // key the index path by the FULL data dir (sanitized), so two
-      // datasets sharing a leaf name (or parallel harness runs over
-      // different roots) can never overwrite each other's index mid-query
-      val idx = s"/tmp/graft_scale/neardup_idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-      if (!builtNeardupIndexes.contains(idx)) {
-        // mark built only AFTER the write succeeds — a failed/cancelled
-        // build must retry next invocation, not leave a half-index behind
-        D.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
-        builtNeardupIndexes.add(idx)
+      val idx = s"/tmp/graft_scale/neardup_idx_${dirKey(dir)}"
+      builtNeardupIndexes.synchronized {
+        if (!builtNeardupIndexes.contains(idx)) {
+          // mark built only AFTER the write succeeds — a failed/cancelled
+          // build must retry next invocation, not leave a half-index behind
+          D.writeNeardupIndex(docs.filter(col("doc_id") < 250), "doc_id", "text", idx)
+          builtNeardupIndexes.add(idx)
+        }
       }
       D.incrementalNeardupPairs(s, idx, docs.filter(col("doc_id") >= 250), "doc_id", "text")
         .orderBy("doc_a", "doc_b")

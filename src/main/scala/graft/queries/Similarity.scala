@@ -50,10 +50,9 @@ object Similarity {
     // storage layout must be invisible in the result.
     "x04_ivf_partition_pruned" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      // full sanitized dir in the path: two datasets sharing a leaf name
-      // (or parallel runs over different roots) must not share an index
+      // collision-free per-dir key: two datasets must never share an index
       S.ivfTopKPartitioned(s, probes(e), e, "vec_id", "embedding", Dims,
-          indexPath = s"/tmp/graft_scale/ivf_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+          indexPath = s"/tmp/graft_scale/ivf_${Dedup.dirKey(dir)}")
         .orderBy("probe_id", "rank")
     },
 

@@ -155,8 +155,10 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val got = Similarity.rpNeardupPairs(corpus, "vec_id", "embedding", Dims)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // zero vectors share every band in the raw formulation but 0/0 = NaN
-    // fails the threshold there too; null vectors produce no band rows
+    // zero-norm cosine is undefined: the raw formulation would raise an
+    // ANSI divide-by-zero on the colliding zero pair, this operator
+    // DEFINES the behavior as "never pairs" (null-guarded division);
+    // null vectors are excluded from banding outright
     assert(got === Set((1L, 2L, 1.0)))
   }
 
