@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Graphs.defs ++
       graft.queries.Joins.defs ++
       graft.queries.Scale.defs ++
-      graft.queries.HiveDialect.defs
+      graft.queries.HiveDialect.defs ++
+      graft.queries.Ml.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       graft.queries.Graphs.oracles ++
       graft.queries.Joins.oracles ++
       graft.queries.Scale.oracles ++
-      graft.queries.HiveDialect.oracles
+      graft.queries.HiveDialect.oracles ++
+      graft.queries.Ml.oracles
 }

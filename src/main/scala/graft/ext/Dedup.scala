@@ -362,42 +362,74 @@ object Dedup {
     * copy count — measured 22.6 s on the 10x-tiled sf1 corpus before this,
     * where per-rep work is linear in the true near-dup structure. Unlike
     * neardupPairs there is no bucket cap here, so the two formulations are
-    * EXACTLY equivalent on any input (same band keys, same distances). */
+    * EXACTLY equivalent on any input (same band keys, same distances).
+    *
+    * On a LOW-dup corpus dedup-first is pure overhead: reps ≈ rows, so the
+    * digest window plus the two expansion joins buy nothing (r10 verdict:
+    * 4.7x slower at sf0.1 on the real corpus). Exact path equivalence
+    * makes the choice a pure cost decision, so it is GATED on a one-scan
+    * duplicate-rate probe — approx_count_distinct over the text digest —
+    * and the raw banded self-join over all rows runs when the estimated
+    * dup rate is below `dedupFirstMinDupRate`. */
   def simhashNeardupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, bandsCount: Int = 4,
-                          maxHamming: Int = 1): DataFrame = {
+                          maxHamming: Int = 1,
+                          dedupFirstMinDupRate: Double = 0.05): DataFrame = {
     require(maxHamming <= bandsCount - 1, "banding only guarantees recall up to bandsCount-1")
     val chunk = bits / bandsCount
     val mask = (1 << chunk) - 1
-    // groupNulls = false: the d06 oracle is the RAW banded formulation,
-    // where a null text yields no token/fingerprint rows and never pairs
-    val members = digestMembership(df, idCol, md5(col(textCol)), groupNulls = false)
-      .select("rep", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the banded rep-fingerprint table is both sides of the self-join:
-    // persist for the call so fingerprints are computed once, release
-    // after the (small) rep-pair set is materialized
-    val nibbled = simhashFingerprints(repRows(df, idCol, members), idCol, textCol, bits)
-      .select(col("doc_id"), col("sim"),
-        explode(expr(s"transform(sequence(0, ${bandsCount - 1}), " +
-          s"j -> concat_ws(':', cast(j as string), cast((shiftright(sim, $chunk * j) & $mask) as string)))")).as("nkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = nibbled.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("nkey"))
-    val b = nibbled.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("nkey"))
-    val repPairs = a.join(b, "nkey").filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-      .localCheckpoint()
-    nibbled.unpersist()
-    val cross = expandCross(repPairs, members, "doc_a", "doc_b")
-      .select("doc_a", "doc_b", "hamming")
-    val within = withinGroupPairs(members, "doc_a", "doc_b")
-      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
-    val out = cross.union(within).localCheckpoint()
-    members.unpersist()
-    out
+    // banded self-join over a fingerprint table — shared by both paths.
+    // The banded table feeds both sides, so persist for the call and
+    // release once the (small) pair set is materialized.
+    def bandedPairs(fps: DataFrame): DataFrame = {
+      val nibbled = fps
+        .select(col("doc_id"), col("sim"),
+          explode(expr(s"transform(sequence(0, ${bandsCount - 1}), " +
+            s"j -> concat_ws(':', cast(j as string), cast((shiftright(sim, $chunk * j) & $mask) as string)))")).as("nkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = nibbled.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("nkey"))
+      val b = nibbled.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("nkey"))
+      val pairs = a.join(b, "nkey").filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sim_a ^ sim_b)").cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+        .localCheckpoint()
+      nibbled.unpersist()
+      pairs
+    }
+    // Dup-rate probe deciding the path (scaladoc): ONE codegen'd scan,
+    // map-side-combined HLL — no shuffle of rows, no window. Exact path
+    // equivalence makes a misroute (HLL ~2% error near the threshold) a
+    // time cost, never a correctness one.
+    val stats = df.agg(count(lit(1)).as("n"),
+      approx_count_distinct(md5(col(textCol))).as("nd")).head()
+    val n = stats.getLong(0)
+    val dupRate = if (n == 0L) 0.0 else 1.0 - stats.getLong(1).toDouble / n
+    if (dupRate < dedupFirstMinDupRate) {
+      // low-dup corpus: fingerprint every row directly — the digest
+      // window and expansion joins would buy nothing. A null text yields
+      // no token rows, hence no fingerprint, and never pairs (the
+      // raw-oracle semantics, same as groupNulls = false singletons).
+      bandedPairs(simhashFingerprints(df, idCol, textCol, bits))
+    } else {
+      // dup-heavy corpus: decide band collisions once per DISTINCT text,
+      // re-enter exact copies through membership equi-joins.
+      // groupNulls = false: the d06 oracle is the RAW banded formulation,
+      // where a null text yields no token/fingerprint rows and never pairs
+      val members = digestMembership(df, idCol, md5(col(textCol)), groupNulls = false)
+        .select("rep", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val repPairs = bandedPairs(
+        simhashFingerprints(repRows(df, idCol, members), idCol, textCol, bits))
+      val cross = expandCross(repPairs, members, "doc_a", "doc_b")
+        .select("doc_a", "doc_b", "hamming")
+      val within = withinGroupPairs(members, "doc_a", "doc_b")
+        .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+      val out = cross.union(within).localCheckpoint()
+      members.unpersist()
+      out
+    }
   }
 
   /** Deletion-variant set of a string: the string itself plus every
@@ -541,6 +573,12 @@ object Dedup {
       .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
       .write.mode("overwrite").parquet(s"$path/bands")
     sh.unpersist()
+    // One-row build manifest: the max corpus id, so probes can enforce the
+    // ids-are-monotonic contract (see incrementalNeardupPairs) instead of
+    // trusting a comment. Aggregated from the just-written members table —
+    // no extra corpus scan.
+    members.agg(max(col("doc_id")).as("max_corpus_id"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Incremental NEAR-dup — the daily-crawl probe: all near-dup pairs
@@ -580,6 +618,24 @@ object Dedup {
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val members = spark.read.parquet(s"$indexPath/members")
+    // PRECONDITION (enforced, not just documented): every batch id must be
+    // strictly greater than every corpus id. The recompute-equivalence
+    // argument below leans on it — coalesce(corpus_rep, batch_rep) equals
+    // the min-id rep rule only when corpus ids sort first. The build wrote
+    // a one-row manifest with the max corpus id; indexes from older builds
+    // (no meta/) skip the guard, keeping the comment-only contract.
+    if (materialize) {
+      val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+      val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(metaDir)) {
+        val maxCorpus = spark.read.parquet(s"$indexPath/meta").head.getLong(0)
+        val minBatch = batch.agg(min(col(idCol))).head.getLong(0)
+        require(minBatch > maxCorpus,
+          s"incrementalNeardupPairs: batch ids must exceed all corpus ids " +
+            s"(min batch id $minBatch <= max corpus id $maxCorpus); the min-id " +
+            "rep rule would silently diverge from a full recompute")
+      }
+    }
     val idxBands = spark.read.parquet(s"$indexPath/bands")
     val idxSh = spark.read.parquet(s"$indexPath/shingles")
     // batch rep assignment: corpus rep when the digest is standing (ids in

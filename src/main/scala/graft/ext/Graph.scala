@@ -97,6 +97,12 @@ object Graph {
       }
       i += 1
     }
+    // The frontier-delta path materialized every generation above; the
+    // fixed-budget path's final generation is still lazy (the loop never
+    // checkpoints superstep maxIter). Materialize it BEFORE releasing the
+    // edge cache, or the caller's first action would replay the final
+    // supersteps' edge scans against the uncached, unpartitioned input.
+    if (!frontierDelta) state = state.localCheckpoint()
     e.unpersist()
     state
   }
@@ -124,11 +130,11 @@ object Graph {
       vprog = (_, m) => lit(0.15 / n) + lit(0.85) * coalesce(m, lit(0.0)),
       maxIter = iters, frontierDelta = false, checkpointEvery = 5)
       .select(col("vertex"), col("state").as("rank"))
-    // Materialize before releasing the per-call caches so repeated
-    // invocations (the Bench loop) don't accumulate executor blocks.
-    val out = ranks.localCheckpoint()
+    // pregel materialized the final generation, so the per-call caches can
+    // be released immediately without repeated invocations (the Bench
+    // loop) accumulating executor blocks or replaying edge scans.
     verts.unpersist(); e.unpersist()
-    out
+    ranks
   }
 
   /** Personalized PageRank: the reset mass (1-d) teleports to the SOURCE
@@ -155,9 +161,8 @@ object Graph {
         + lit(0.85) * coalesce(m, lit(0.0)),
       maxIter = iters, frontierDelta = false, checkpointEvery = 5)
       .select(col("vertex"), col("state").as("rank"))
-    val out = ranks.localCheckpoint()
-    e.unpersist()
-    out
+    e.unpersist() // final generation already materialized inside pregel
+    ranks
   }
 
   /** Per-vertex triangle counts (GraphX GraphOps.triangleCount semantics:
@@ -245,7 +250,16 @@ object Graph {
     * relaxation rounds, -1 if unreached in the budget. Integer weights
     * keep the arithmetic exact and engine-portable for the oracle;
     * frontier-delta applies (min-plus is monotonic, same proof as
-    * [[bfsHops]]). */
+    * [[bfsHops]]).
+    *
+    * PRECONDITION: edge weights MUST be non-negative. The INF-seeded start
+    * and frontier-delta activation are exact only for non-negative
+    * min-plus (Bellman-Ford with negative edges needs V-1 full relaxation
+    * rounds, and an unreached vertex's INF+w message could surface a bogus
+    * near-INF distance past the `state >= INF` unreached check). Callers
+    * with derived weights (counts, durations) satisfy this for free;
+    * anything else must validate `min(w) >= 0` upstream — the operator
+    * does not scan the edge table a second time just to check. */
   def sssp(edges: DataFrame, source: Long, iters: Int): DataFrame = {
     val INF = 1000000000000000L // far above any path sum; INF + w cannot wrap
     val verts = edges.select(col("src").as("vertex"))
@@ -261,6 +275,70 @@ object Graph {
       initialFrontier = _.filter(col("state") === 0L)) // see bfsHops
       .select(col("vertex"),
         when(col("state") >= INF, -1L).otherwise(col("state")).as("dist"))
+  }
+
+  /** Synchronous label propagation (reference graphx/lib/LabelPropagation
+    * .scala:40): labels start as vertex ids; each superstep every vertex
+    * adopts the MOST FREQUENT label among its distinct neighbors' current
+    * labels (ties to the smallest label), over the deduped undirected
+    * neighbor graph, for a fixed `iters` supersteps (fixed budget keeps
+    * the result well-defined for the oracle — LPA has no convergence
+    * guarantee and can oscillate). Vertices appearing only in self-loops
+    * have no neighbors and keep their own label.
+    *
+    * This is the deliberately NON-min/sum exercise of the generic
+    * [[pregel]] interface, and it surfaces two real properties:
+    *   - LPA is not monotonic — an UNCHANGED neighbor still votes every
+    *     round — so `frontierDelta` must be false (every vertex re-sends
+    *     each superstep, like PageRank). The activation optimization is
+    *     semantically unavailable, not just skipped.
+    *   - The merge is a MODE aggregate, which no single built-in
+    *     commutative aggregate expresses: over the interface the merge
+    *     collects the neighbor labels (`sort_array(collect_list(..))`)
+    *     and vprog computes the mode in one `aggregate` pass over the
+    *     sorted array (strict-> replacement keeps the FIRST, i.e.
+    *     smallest, label on count ties). Per-vertex message size is
+    *     O(distinct neighbors) — GraphX's map-of-counts message has the
+    *     same worst case. INTERFACE FINDING: a hub-heavy production graph
+    *     would want a (dst, label) pre-count hash-aggregate BEFORE the
+    *     per-dst merge (two-level aggregation, so no single reducer sees
+    *     a hub's full neighbor list); [[pregel]]'s single
+    *     sendMsg/mergeMsg grouping cannot express that without adding an
+    *     optional pre-aggregate hook. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    val und = undirected(edges).filter(col("src") =!= col("dst"))
+    val verts = edges.select(col("src").as("vertex"))
+      .union(edges.select(col("dst").as("vertex"))).distinct()
+    // mode of a sorted-ascending array in one fold: track the current run
+    // (cur, curn) and the best run (best, bestn); strict > keeps the
+    // earliest (smallest) label on ties. Codegen'd HOF — no UDF.
+    def modeOfSorted(arr: Column): Column =
+      aggregate(
+        arr,
+        struct(lit(-1L).as("best"), lit(0L).as("bestn"),
+          lit(-1L).as("cur"), lit(0L).as("curn")),
+        (a, x) => {
+          // same-run ⇒ a.cur == x, so `x` is the run label either way
+          val curn = when(x === a.getField("cur"), a.getField("curn") + 1L)
+            .otherwise(lit(1L))
+          struct(
+            when(curn > a.getField("bestn"), x).otherwise(a.getField("best")).as("best"),
+            greatest(curn, a.getField("bestn")).as("bestn"),
+            x.as("cur"), curn.as("curn"))
+        },
+        a => a.getField("best"))
+    pregel(
+      // labels ride as BIGINT regardless of the vertex-id input type: the
+      // mode fold's accumulator struct is bigint-typed, and HOF lambdas
+      // must match it exactly (no implicit widening inside aggregate())
+      verts.select(col("vertex"), col("vertex").cast("long").as("state")),
+      und,
+      sendMsg = col("state"),
+      mergeMsg = m => sort_array(collect_list(m)),
+      vprog = (s, m) => when(m.isNull, s).otherwise(modeOfSorted(m)),
+      maxIter = iters, frontierDelta = false, checkpointEvery = 2)
+      .select(col("vertex"), col("state").as("label"))
   }
 
   /** Canonical symmetric (both-directions, deduped) edge table — the

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib Pipeline thin-slice (reference mllib/src/main/scala/org/apache/
+  * spark/ml/Pipeline.scala:25 — a Pipeline IS an Estimator[PipelineModel]
+  * whose fit() walks the stages, transforming the running frame and
+  * fitting each Estimator on it; Transformer.scala:35 / Estimator.scala:37
+  * define the abstract pair). Same contract re-expressed over plain
+  * DataFrames: fit and transform are SEPARATE, the fitted model is a
+  * reusable Transformer chain, and a model fitted on one frame transforms
+  * any other frame with the SAME learned parameters (the train/apply split
+  * a production curation pipeline needs).
+  *
+  * Everything a stage computes is a Catalyst expression (HOFs over token /
+  * feature arrays — codegen'd, no UDFs); the only driver-side state is the
+  * fitted parameter vector itself (numFeatures doubles), which is the
+  * definition of a fitted model, not a scale concern.
+  */
+object Pipeline {
+
+  /** Reference ml/PipelineStage (Pipeline.scala:35). */
+  sealed trait PipelineStage extends Serializable
+
+  /** Reference ml/Transformer.scala:35 — DataFrame in, DataFrame out. */
+  trait Transformer extends PipelineStage {
+    def transform(df: DataFrame): DataFrame
+  }
+
+  /** Reference ml/Estimator.scala:37 — learns a Transformer from data. */
+  trait Estimator extends PipelineStage {
+    def fit(df: DataFrame): Transformer
+  }
+
+  /** Reference ml/Pipeline.scala:96 fit(): each Transformer stage
+    * transforms the running frame; each Estimator stage is fitted ON the
+    * running frame and its model then transforms it — so a downstream
+    * estimator sees upstream features exactly as the final model will
+    * produce them. */
+  final class Chain(stages: Seq[PipelineStage]) extends Estimator {
+    def fit(df: DataFrame): Model = {
+      var cur = df
+      val fitted = stages.map {
+        case t: Transformer => cur = t.transform(cur); t
+        case e: Estimator   => val m = e.fit(cur); cur = m.transform(cur); m
+      }
+      new Model(fitted)
+    }
+  }
+
+  /** Reference ml/PipelineModel (Pipeline.scala:163): the fitted,
+    * reusable artifact — a pure Transformer chain. */
+  final class Model(val stages: Seq[Transformer]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      stages.foldLeft(df)((d, t) => t.transform(d))
+  }
+
+  /** Whitespace regex tokenizer (reference ml/feature/RegexTokenizer) —
+    * split + drop empties, one codegen'd projection. */
+  final case class Tokenizer(inputCol: String, outputCol: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        expr(s"filter(split($inputCol, '\\\\s+'), t -> length(t) > 0)"))
+  }
+
+  /** Feature hasher + term-frequency vector (reference ml/feature/
+    * HashingTF): token -> bucket by a position-weighted codepoint sum mod
+    * `numFeatures` — deliberately NOT murmur3 (the reference's hash), so
+    * the DuckDB oracle can compute the identical bucket with portable SQL;
+    * the pipeline mechanics (fixed-width indexing by hash, collisions
+    * folded into the same bucket) are the same. Output: dense
+    * array<double> of counts, length `numFeatures`. */
+  final case class HashingTF(inputCol: String, outputCol: String,
+                             numFeatures: Int) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("__idx",
+        expr(s"transform($inputCol, t -> aggregate(sequence(1, length(t)), 0L, " +
+          s"(a, i) -> a + ascii(substring(t, i, 1)) * CAST(i AS BIGINT)) % $numFeatures)"))
+        .withColumn(outputCol,
+          expr(s"transform(sequence(0, ${numFeatures - 1}), " +
+            s"j -> CAST(size(filter(__idx, x -> x = j)) AS DOUBLE))"))
+        .drop("__idx")
+  }
+
+  /** Inverse-document-frequency ESTIMATOR (reference ml/feature/IDF.scala:
+    * fit counts per-feature document frequency, the model rescales tf).
+    * Weight j = (N + 1) / (df_j + 1) — the smoothed reciprocal frequency
+    * WITHOUT the reference's log damping: every arithmetic op here
+    * (integer ratio, multiply) is exactly rounded in IEEE-754, so the
+    * fitted weights and the rescaled vectors are bit-identical across
+    * engines and the oracle equality is exact rather than
+    * last-ulp-of-libm-log lucky. The log is a monotone per-feature
+    * reparameterization a production tuning pass would re-add.
+    *
+    * fit() runs ONE distributed pass (posexplode + count per feature) and
+    * collects exactly `numFeatures` rows — the fitted parameter vector,
+    * bounded by construction. */
+  final case class InverseDocFreq(inputCol: String, outputCol: String,
+                                  numFeatures: Int) extends Estimator {
+    def fit(df: DataFrame): IdfModel = {
+      val n = df.count()
+      val dfreq = df
+        .select(posexplode(col(inputCol)).as(Seq("j", "x")))
+        .filter(col("x") > 0)
+        .groupBy("j").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      IdfModel(inputCol, outputCol,
+        (0 until numFeatures).map(j => (n + 1).toDouble / (dfreq.getOrElse(j, 0L) + 1).toDouble))
+    }
+  }
+
+  /** The fitted IDF artifact: its weights are data, inspectable and
+    * reusable on any frame with the same feature width. */
+  final case class IdfModel(inputCol: String, outputCol: String,
+                            weights: Seq[Double]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        zip_with(col(inputCol), array(weights.map(lit): _*), (x, w) => x * w))
+  }
+
+  /** L2 normalizer (reference ml/feature/Normalizer, p = 2): zero vectors
+    * stay zero (no NaN). */
+  final case class L2Normalizer(inputCol: String, outputCol: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("__nrm",
+        expr(s"sqrt(aggregate($inputCol, 0.0D, (a, x) -> a + x * x))"))
+        .withColumn(outputCol,
+          expr(s"transform($inputCol, x -> CASE WHEN __nrm = 0.0 THEN 0.0 ELSE x / __nrm END)"))
+        .drop("__nrm")
+  }
+}

@@ -14,7 +14,11 @@ object Dedup {
 
   /** Index paths already built in THIS JVM (see d18's note). Guarded by
     * its own monitor so two concurrent first invocations cannot both run
-    * the overwrite-build against the same path. */
+    * the overwrite-build against the same path. The guard is per-JVM ONLY:
+    * two concurrent JVMs pointed at the same data dir could interleave an
+    * overwrite-build with the other's probe. Fine for the single-JVM bench
+    * harness; a multi-process deployment should build to a temp dir and
+    * atomically rename (or key the path by process id). */
   private val builtNeardupIndexes = new scala.collection.mutable.HashSet[String]()
 
   /** Collision-free /tmp key for a data dir: readable sanitized prefix +
@@ -68,9 +72,14 @@ object Dedup {
     },
 
     // Embedding-cosine near-dups of a broadcast probe set vs the corpus.
+    // Fixed-COUNT probe set (<= 50 probes at any corpus size) for the same
+    // reason as d11: the probe side must be a bounded sample, not a corpus
+    // fraction, or the brute-force scoring grows quadratically. Inactive
+    // at sf0.01 (500 vectors).
     "d07_embedding_neardup_probe" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
-      D.embeddingNeardupPairs(e.filter(col("vec_id") % 20 === 0), e,
+      D.embeddingNeardupPairs(
+          e.filter(col("vec_id") % 20 === 0 && col("vec_id") < 1000), e,
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("probe_id", "vec_id")
     },
@@ -99,7 +108,12 @@ object Dedup {
     // pinned to the same classic definition).
     "d11_jaro_winkler_topk" -> { (s, dir) =>
       val c = Tables.customer(s, dir)
-      D.jaroWinklerTopK(c.filter(col("c_custkey") % 300 === 0), c,
+      // fixed-COUNT probe set (<= 10 probes at any corpus size): a
+      // fraction-of-corpus probe made this brute-force baseline quadratic
+      // (102x per 10x rows at sf1); a ground-truth pass at scale runs on a
+      // bounded probe sample. Inactive at sf0.01 (custkeys end at 1500).
+      D.jaroWinklerTopK(
+          c.filter(col("c_custkey") % 300 === 0 && col("c_custkey") <= 3000), c,
           "c_custkey", "c_name")
         .orderBy("probe_id", "rank")
     },
@@ -394,7 +408,7 @@ object Dedup {
         |  FROM embeddings)
         |SELECT p.vec_id AS probe_id, q.vec_id AS vec_id,
         |  round(list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm), 4) AS cosine
-        |FROM n p JOIN n q ON p.vec_id % 20 = 0 AND p.vec_id <> q.vec_id
+        |FROM n p JOIN n q ON p.vec_id % 20 = 0 AND p.vec_id < 1000 AND p.vec_id <> q.vec_id
         |WHERE list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) >= 0.4
         |ORDER BY probe_id, vec_id""".stripMargin,
 
@@ -414,7 +428,7 @@ object Dedup {
 
     "d11_jaro_winkler_topk" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),
-        |p AS (SELECT * FROM c WHERE c_custkey % 300 = 0),
+        |p AS (SELECT * FROM c WHERE c_custkey % 300 = 0 AND c_custkey <= 3000),
         |scored AS (SELECT p.c_custkey probe_id, q.c_custkey cand_id,
         |    jaro_winkler_similarity(p.c_name, q.c_name) s
         |  FROM p JOIN c q ON p.c_custkey <> q.c_custkey)

@@ -62,6 +62,17 @@ object Graphs {
       G.sssp(e, source = 0L, iters = 3).orderBy("vertex")
     },
 
+    // Synchronous label propagation over the generic Pregel operator —
+    // the deliberately NON-min/sum message pattern (mode-of-neighbors
+    // merge, no frontier-delta): community labels on the nation trade
+    // network after 3 fixed supersteps. Ties break to the smallest label,
+    // so the result is exact cross-engine.
+    "p08_trade_lpa" -> { (s, dir) =>
+      G.labelPropagation(tradeEdges(s, dir), iters = 3)
+        .select(col("vertex"), col("label").cast("long").as("label"))
+        .orderBy("vertex")
+    },
+
     // Dedup-cluster canonical selection — the ACTION step after p02: per
     // near-dup component keep the highest-quality member (quality desc,
     // doc_id asc at ties — quality values are oracle-exact per t01, so the
@@ -144,6 +155,15 @@ object Graphs {
        |  LEFT JOIN e ON e.dst = s.vertex
        |  LEFT JOIN s${i - 1} sp ON sp.vertex = e.src
        |  GROUP BY s.vertex, s.dist)""".stripMargin
+
+  // one synchronous LPA round: every und-vertex adopts its neighbors'
+  // most frequent current label, count ties to the smallest label
+  private val lpaStep: Int => String = i =>
+    s"""l$i AS (SELECT vertex, label FROM (
+       |  SELECT u.a AS vertex, lp.label,
+       |    row_number() OVER (PARTITION BY u.a ORDER BY count(*) DESC, lp.label) rn
+       |  FROM und u JOIN l${i - 1} lp ON lp.vertex = u.b
+       |  GROUP BY u.a, lp.label) WHERE rn = 1)""".stripMargin
 
   private val ccStep: Int => String = i =>
     s"""l$i AS (SELECT l.vertex,
@@ -236,6 +256,29 @@ object Graphs {
          |  COALESCE(CASE WHEN l.hop >= 1000000000 THEN -1 ELSE l.hop END, -1)::BIGINT AS hop
          |FROM documents d LEFT JOIN h3 l ON l.vertex = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Mirrors labelPropagation: same und construction as p02's cc (both
+    // directions, deduped, self-loops out), 3 unrolled mode-adoption
+    // rounds; vertices with no neighbors keep their own id.
+    "p08_trade_lpa" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |verts AS (SELECT DISTINCT src AS vertex FROM edges
+         |          UNION SELECT DISTINCT dst FROM edges),
+         |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |    SELECT src a, dst b FROM edges UNION ALL SELECT dst, src FROM edges)
+         |  WHERE a <> b),
+         |l0 AS (SELECT vertex, vertex AS label FROM verts),
+         |${lpaStep(1)},
+         |${lpaStep(2)},
+         |${lpaStep(3)}
+         |SELECT v.vertex, CAST(COALESCE(l.label, v.vertex) AS BIGINT) AS label
+         |FROM verts v LEFT JOIN l3 l ON l.vertex = v.vertex
+         |ORDER BY v.vertex""".stripMargin,
 
     // Same edge normalization as p01, reset mass pinned to nation 0.
     "p07_trade_ppr" ->

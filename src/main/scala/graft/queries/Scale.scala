@@ -108,7 +108,9 @@ object Scale {
     // on result transparency (oracle = the plain table); ScaleSpec pins
     // the file counts and the disjoint per-file key ranges.
     "x07_compacted_scan" -> { (s, dir) =>
-      val base = s"/tmp/graft_scale/compact_${dir.split('/').filter(_.nonEmpty).last}"
+      // collision-free per-dir key (same discipline as x04/d18): two data
+      // dirs sharing a basename must not share a compaction scratch path
+      val base = s"/tmp/graft_scale/compact_${Dedup.dirKey(dir)}"
       Tables.orders(s, dir).select(col("o_orderkey"), expr(priceCents).as("cents"))
         .repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       S.compact(s, s.read.parquet(s"$base/frag"), "o_orderkey", 4, s"$base/tidy")

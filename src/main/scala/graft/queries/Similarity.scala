@@ -13,7 +13,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val Dims = 64
-  private def probes(df: DataFrame) = df.filter(col("vec_id") % 50 === 0)
+
+  /** Deterministic FIXED-COUNT probe set: every 50th vec_id, capped below
+    * 1600 — at most 32 probes at ANY corpus size. A fraction-of-corpus
+    * probe set (the previous `% 50` alone) makes every brute-force
+    * baseline quadratic: probes x corpus grows 100x per 10x rows. A
+    * recall-eval / ground-truth pass at 100 TB runs on a bounded probe
+    * sample (the s08 note), so the baselines now cost O(sample x corpus)
+    * — linear in the corpus. At sf0.01 (500 vectors) the cap is inactive,
+    * so the gate results are unchanged. */
+  private def probes(df: DataFrame) =
+    df.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1600)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-5 per probe: the ground-truth ranking.
@@ -232,7 +242,7 @@ object Similarity {
          |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
          |  SELECT p.vec_id probe_id, q.vec_id vec_id, $dot / (p.nrm*q.nrm) c_raw,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $dot / (p.nrm*q.nrm) DESC, q.vec_id) AS INT) rank
-         |  FROM n p JOIN n q ON p.vec_id % 50 = 0 AND p.vec_id <> q.vec_id)
+         |  FROM n p JOIN n q ON p.vec_id % 50 = 0 AND p.vec_id < 1600 AND p.vec_id <> q.vec_id)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "s02_rp_lsh_ann" ->
@@ -242,7 +252,7 @@ object Similarity {
          |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
          |cands AS (SELECT DISTINCT pb.vec_id probe_id, qb.vec_id vec_id
          |  FROM bands pb JOIN bands qb USING (nkey)
-         |  WHERE pb.vec_id % 50 = 0 AND pb.vec_id <> qb.vec_id),
+         |  WHERE pb.vec_id % 50 = 0 AND pb.vec_id < 1600 AND pb.vec_id <> qb.vec_id),
          |scored AS (SELECT c.probe_id, c.vec_id, $dot / (p.nrm*q.nrm) c_raw
          |  FROM cands c JOIN n p ON c.probe_id = p.vec_id JOIN n q ON c.vec_id = q.vec_id)
          |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
@@ -258,13 +268,13 @@ object Similarity {
          |  SELECT probe_id, vec_id FROM (
          |    SELECT p.vec_id probe_id, q.vec_id vec_id,
          |      CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY $dot / (p.nrm*q.nrm) DESC, q.vec_id) AS INT) rank
-         |    FROM n p JOIN n q ON p.vec_id % 50 = 0 AND p.vec_id <> q.vec_id)
+         |    FROM n p JOIN n q ON p.vec_id % 50 = 0 AND p.vec_id < 1600 AND p.vec_id <> q.vec_id)
          |  WHERE rank <= 3),
          |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
          |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
          |cands AS (SELECT DISTINCT pb.vec_id probe_id, qb.vec_id vec_id
          |  FROM bands pb JOIN bands qb USING (nkey)
-         |  WHERE pb.vec_id % 50 = 0 AND pb.vec_id <> qb.vec_id),
+         |  WHERE pb.vec_id % 50 = 0 AND pb.vec_id < 1600 AND pb.vec_id <> qb.vec_id),
          |annr AS (
          |  SELECT probe_id, vec_id FROM (
          |    SELECT c.probe_id, c.vec_id,
@@ -303,7 +313,7 @@ object Similarity {
          |  SELECT v.vec_id, c2.cl,
          |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
          |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - c2.c[i]) * (v.vq[i] - c2.c[i]))), c2.cl) rn
-         |  FROM v, c2 WHERE v.vec_id % 50 = 0) WHERE rn <= 2),
+         |  FROM v, c2 WHERE v.vec_id % 50 = 0 AND v.vec_id < 1600) WHERE rn <= 2),
          |scored AS (SELECT pa.vec_id probe_id, af.vec_id vec_id,
          |    list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) c_raw
          |  FROM pa JOIN af ON pa.cl = af.cl AND pa.vec_id <> af.vec_id
@@ -341,7 +351,7 @@ object Similarity {
          |pd AS (SELECT p.vec_id probe_id, q.vec_id, p.m,
          |    list_sum(list_transform(range(1, 9), i -> (p.sq[i] - c.c[i]) * (p.sq[i] - c.c[i]))) d
          |  FROM sub p
-         |  JOIN codes q ON p.m = q.m AND p.vec_id % 50 = 0 AND p.vec_id <> q.vec_id
+         |  JOIN codes q ON p.m = q.m AND p.vec_id % 50 = 0 AND p.vec_id < 1600 AND p.vec_id <> q.vec_id
          |  JOIN c1 c ON c.m = q.m AND c.cl = q.cl),
          |adc AS (SELECT probe_id, vec_id, list_sum(list(d ORDER BY m)) adc_q
          |  FROM pd GROUP BY 1, 2)
@@ -358,7 +368,7 @@ object Similarity {
          |pr AS (SELECT vec_id probe_id, v pv, nrm pnrm,
          |    unnest(list_transform(list_slice(list_sort(list_transform(range(1, 9),
          |      j -> {'nd': -dots[j], 'idx': j})), 1, 2), r -> CAST(r.idx AS INT))) cl
-         |  FROM d WHERE vec_id % 50 = 0),
+         |  FROM d WHERE vec_id % 50 = 0 AND vec_id < 1600),
          |scored AS (SELECT p.probe_id, q.vec_id,
          |    list_sum(list_transform(range(1, len(p.pv)+1), i -> p.pv[i]*q.v[i])) / (p.pnrm*q.nrm) c_raw
          |  FROM pr p JOIN corp q ON p.cl = q.cl AND p.probe_id <> q.vec_id)

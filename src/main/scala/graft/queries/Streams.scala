@@ -36,15 +36,18 @@ object Streams {
     * plan still executes through the streaming engine's stateful
     * operators (state store, symmetric hash join, dedup state).
     *
-    * State partition sizing: a streaming query's shuffle-partition count
-    * is CHECKPOINT-PINNED at first start (state can never be re-split),
-    * so production jobs size it to expected state volume explicitly
-    * rather than inheriting the session's relational default — at 100 TB
-    * you size UP; for the events table's state (tens of MB) a handful of
-    * state stores is right, and inheriting local[32]'s 32 costs ~5 s of
-    * pure per-store open/commit tax per run. Purely physical: the result
-    * the oracle hashes is identical under any partition count. */
-  private def runToMemory(df: DataFrame, name: String, statePartitions: Int = 8): DataFrame = {
+    * `statePartitions` is a REQUIRED per-query sizing decision, not a
+    * shared default: a streaming query's shuffle-partition count is
+    * CHECKPOINT-PINNED at first start (state can never be re-split), so
+    * production jobs size it to that query's expected state volume
+    * explicitly rather than inheriting the session's relational default —
+    * each call site documents its state shape and the count it implies.
+    * At 100 TB you size UP per state volume; below ~MB of state the
+    * per-store open/commit tax dominates and you size DOWN (inheriting
+    * local[32]'s 32 costs ~5 s of pure store tax per run). Purely
+    * physical: the result the oracle hashes is identical under any
+    * partition count. */
+  private def runToMemory(df: DataFrame, name: String, statePartitions: Int): DataFrame = {
     val s = df.sparkSession
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -122,7 +125,11 @@ object Streams {
         col("c_user") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
-      runToMemory(joined, "v06_sink")
+      // state = both sides' watermark-window rows keyed by user: the
+      // largest state of the streaming suite — size stores to the side
+      // tables' in-window volume (sf0.1 events ≈ tens of MB → 8 stores;
+      // at 100 TB this is the number you raise FIRST, before executors)
+      runToMemory(joined, "v06_sink", statePartitions = 8)
         .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
         .orderBy("click_id", "purchase_id")
     },
@@ -137,7 +144,9 @@ object Streams {
       val dd = eventStream(s, dir)
         .select("user_id", "event_type")
         .dropDuplicates("user_id", "event_type")
-      runToMemory(dd, "v07_sink")
+      // state = one row per distinct (user, type) — tiny keyset, so fewer
+      // stores than v06: per-store open/commit tax dominates below ~MB
+      runToMemory(dd, "v07_sink", statePartitions = 4)
         .orderBy("user_id", "event_type")
     }
   )

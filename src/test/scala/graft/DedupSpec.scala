@@ -295,6 +295,22 @@ class DedupSpec extends SparkSpec {
     assert(blocked === brute)
   }
 
+  test("d06 dup-rate gate: raw and dedup-first paths are result-identical") {
+    import spark.implicits._
+    // dup-heavy input: the corpus tiled once (every text occurs twice)
+    val base = Tables.documents(spark, sf001).select("doc_id", "text").limit(100)
+    val tiled = base.union(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    def run(minRate: Double) =
+      Dedup.simhashNeardupPairs(tiled, "doc_id", "text", dedupFirstMinDupRate = minRate)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaRaw = run(minRate = 2.0)  // threshold above any rate: raw path
+    val viaDedup = run(minRate = 0.0) // dupRate >= 0 always: dedup-first path
+    assert(viaRaw === viaDedup)
+    assert(viaRaw.nonEmpty) // tiling guarantees within-group pairs exist
+    // every tiled copy pairs with its original at Hamming 0
+    assert(viaRaw.contains((base.head.getLong(0), base.head.getLong(0) + 100000L, 0)))
+  }
+
   test("SimHash banded pairs equal brute-force Hamming pairs (full recall)") {
     val docs = Tables.documents(spark, sf001)
     val banded = Dedup.simhashNeardupPairs(docs, "doc_id", "text")

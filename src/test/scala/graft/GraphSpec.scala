@@ -33,6 +33,32 @@ class GraphSpec extends SparkSpec {
     assert(hops === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> -1L, 5L -> -1L))
   }
 
+  test("label propagation: two bridged triangles settle into two communities") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4, self-loop-only vertex 7.
+    // Hand-traced 3 synchronous rounds (ties to smallest): the left
+    // triangle converges to label 1, the right to 3, and 7 (no neighbors)
+    // keeps its own label.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (7L, 7L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(g, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 7L))
+  }
+
+  test("label propagation: count ties break to the smallest label") {
+    import spark.implicits._
+    // star: center 9 with leaves 1 and 2 — round 1 gives the center
+    // equal votes {1, 2}; the mode must pick 1.
+    val g = Seq((9L, 1L), (9L, 2L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(g, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(9L) === 1L)
+    // leaves see only the center: both adopt 9
+    assert(labels(1L) === 9L && labels(2L) === 9L)
+  }
+
   test("pagerank: cycle vertices share rank; sink accumulates from source") {
     val pr = Graph.pageRank(edges, iters = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ext.Pipeline._
+import org.apache.spark.sql.functions._
+
+/** Fit/transform separation and stage mechanics of the MLlib Pipeline
+  * thin-slice (reference ml/Pipeline.scala): the fitted model is a
+  * reusable artifact with inspectable learned parameters, and applying it
+  * to NEW data uses the training-time parameters, not the new data's. */
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("hashingTF buckets by the documented position-weighted hash") {
+    // "ab" -> 97*1 + 98*2 = 293; 293 % 32 = 5
+    val out = HashingTF("toks", "tf", 32)
+      .transform(docs(1L -> "x").withColumn("toks", array(lit("ab"))))
+      .select(expr("tf[5]"), expr("aggregate(tf, 0.0D, (a, x) -> a + x)"))
+      .head()
+    assert(out.getDouble(0) === 1.0) // the one token landed in bucket 5
+    assert(out.getDouble(1) === 1.0) // and nowhere else
+  }
+
+  test("pipeline fit learns idf on the training frame; model reuses it on new data") {
+    val train = docs(1L -> "aa bb", 2L -> "aa cc", 3L -> "aa dd")
+    val pipe = new Chain(Seq(
+      Tokenizer("text", "toks"),
+      HashingTF("toks", "tf", 32),
+      InverseDocFreq("tf", "tfidf", 32)))
+    val model = pipe.fit(train)
+    // the fitted artifact exposes its learned parameters
+    val idf = model.stages.collectFirst { case m: IdfModel => m }.get
+    // "aa" -> (97*1 + 97*2) % 32 = 291 % 32 = 3; in all 3 docs: (3+1)/(3+1) = 1.0
+    assert(idf.weights(3) === 1.0)
+    // "bb" -> (98*1 + 98*2) % 32 = 294 % 32 = 6; in 1 doc: (3+1)/(1+1) = 2.0
+    assert(idf.weights(6) === 2.0)
+    // an unseen bucket: df 0 -> (3+1)/1 = 4.0
+    assert(idf.weights.exists(_ === 4.0))
+    // transform NEW data: "bb bb" tf(6)=2 scaled by the TRAINING weight 2.0,
+    // not re-fitted on the new frame (where bb is in every doc -> weight 1)
+    val applied = model.transform(docs(9L -> "bb bb"))
+      .select(expr("tfidf[6]")).head().getDouble(0)
+    assert(applied === 4.0)
+  }
+
+  test("fit is one pass: estimator sees upstream stages' output, chain order holds") {
+    val train = docs(1L -> "aa bb  cc", 2L -> "")
+    val pipe = new Chain(Seq(
+      Tokenizer("text", "toks"),
+      HashingTF("toks", "tf", 16),
+      InverseDocFreq("tf", "tfidf", 16),
+      L2Normalizer("tfidf", "nv")))
+    val out = pipe.fit(train).transform(train).orderBy("doc_id")
+    val rows = out.select(
+      expr("size(toks)"),
+      expr("round(aggregate(nv, 0.0D, (a, x) -> a + x * x), 9)")).collect()
+    assert(rows(0).getInt(0) === 3) // double space dropped by the empty filter
+    assert(rows(0).getDouble(1) === 1.0) // unit L2 norm
+    assert(rows(1).getInt(0) === 0) // empty doc tokenizes to []
+    assert(rows(1).getDouble(1) === 0.0) // zero vector stays zero, no NaN
+  }
+
+  test("s10 query: fitting on the full corpus would change the result (split is load-bearing)") {
+    val q = graft.queries.Ml.defs("s10_ml_pipeline")(spark, sf001)
+    val n = q.count()
+    assert(n === Tables.documents(spark, sf001).count())
+    // top_weight present and bounded by 1 (post-normalization)
+    val bad = q.filter(col("top_weight") < 0 || col("top_weight") > 1).count()
+    assert(bad === 0L)
+  }
+}

@@ -281,6 +281,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // ---- checkpoint-restart recovery (reference STRM/Checkpoint.scala +
+  // util/WriteAheadLog*: restartability is half of DStream's
+  // fault-tolerance story). Both tests feed a parquet FILE source in two
+  // file batches, stop the query between them, and restart a NEW query
+  // instance from the same checkpointLocation — the file-source log and
+  // the state store must both recover: run 2 processes only the new file,
+  // and per-key state continues from the checkpointed values.
+
+  test("checkpoint restart: dedup state survives stop/start, final table equals single run") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val batch1 = Seq(Event(1, at(0), 1, "a", 1.0), Event(2, at(1), 2, "a", 1.0))
+    // event 1 is REPLAYED across the restart boundary: only checkpointed
+    // dedup state can suppress the re-emit
+    val batch2 = Seq(Event(1, at(0), 1, "a", 1.0), Event(3, at(2), 1, "a", 1.0))
+    val schema = batch1.toDF().schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch1.toDF().repartition(1).write.mode("append").parquet(src)
+    runOnce() // run 1: processes batch 1, query stops
+    batch2.toDF().repartition(1).write.mode("append").parquet(src)
+    runOnce() // run 2: fresh query instance, same checkpoint
+    val emitted = spark.read.parquet(out).select("event_id").as[Long].collect().sorted.toSeq
+    assert(emitted === Seq(1L, 2L, 3L), "replayed id must emit exactly once across restart")
+    val single = (batch1 ++ batch2).toDF().dropDuplicates("event_id")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(emitted === single, "restarted result must equal the single-run result")
+  }
+
+  test("checkpoint restart: GroupState running counts resume from checkpointed state") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val batch1 = Seq(Event(1, at(0), 7, "a", 1.0), Event(2, at(1), 7, "a", 1.0))
+    val batch2 = Seq(Event(3, at(2), 7, "a", 1.0), Event(4, at(3), 7, "a", 1.0),
+      Event(5, at(4), 7, "a", 1.0))
+    val schema = batch1.toDF().schema
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def runOnce(): Unit = {
+      val counted = spark.readStream.schema(schema).parquet(src).as[Event]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+            val total = state.getOption.getOrElse(0L) + batch.size
+            state.update(total)
+            (uid, total)
+        }.toDF("user_id", "n")
+      val q = counted.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getLong(0) -> r.getLong(1))); ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch1.toDF().repartition(1).write.mode("append").parquet(src)
+    runOnce() // run 1: user 7 count reaches 2, checkpointed
+    seen.clear() // observe run 2's output only
+    batch2.toDF().repartition(1).write.mode("append").parquet(src)
+    runOnce() // run 2 must NOT reprocess batch 1, and must resume state at 2
+    import scala.jdk.CollectionConverters._
+    val run2 = seen.asScala.toSeq
+    assert(run2 === Seq(7L -> 5L),
+      s"restart must resume the checkpointed count 2 and add batch 2's 3 events, got $run2")
+  }
+
   test("streaming dedup: duplicates across micro-batches emit once, batch parity") {
     import spark.implicits._
     def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
