@@ -51,7 +51,8 @@ object Ml {
          |  FROM documents),
          |idxall AS (
          |  SELECT doc_id, list_transform(toks,
-         |    t -> list_sum(list_transform(range(1, len(t) + 1), i -> ord(t[i]) * i)) % $NumFeatures) idxs
+         |    t -> (ord(t[1]) * 97 + ord(t[len(t)]) * 31
+         |          + ord(t[(len(t) + 1) // 2]) * 13 + len(t) * 7) % $NumFeatures) idxs
          |  FROM tokall),
          |dfreq AS (
          |  SELECT j, count(*) dfn FROM (

@@ -14,13 +14,14 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  test("hashingTF buckets by the documented position-weighted hash") {
-    // "ab" -> 97*1 + 98*2 = 293; 293 % 32 = 5
+  test("hashingTF buckets by the documented (first, mid, last, length) hash") {
+    // "ab": first a=97, last b=98, mid pos (2+1) div 2 = 1 -> 'a' 97, len 2
+    // 97*97 + 98*31 + 97*13 + 2*7 = 13722; 13722 % 32 = 26
     val out = HashingTF("toks", "tf", 32)
       .transform(docs(1L -> "x").withColumn("toks", array(lit("ab"))))
-      .select(expr("tf[5]"), expr("aggregate(tf, 0.0D, (a, x) -> a + x)"))
+      .select(expr("tf[26]"), expr("aggregate(tf, 0.0D, (a, x) -> a + x)"))
       .head()
-    assert(out.getDouble(0) === 1.0) // the one token landed in bucket 5
+    assert(out.getDouble(0) === 1.0) // the one token landed in bucket 26
     assert(out.getDouble(1) === 1.0) // and nowhere else
   }
 
@@ -33,16 +34,18 @@ class PipelineSpec extends SparkSpec {
     val model = pipe.fit(train)
     // the fitted artifact exposes its learned parameters
     val idf = model.stages.collectFirst { case m: IdfModel => m }.get
-    // "aa" -> (97*1 + 97*2) % 32 = 291 % 32 = 3; in all 3 docs: (3+1)/(3+1) = 1.0
-    assert(idf.weights(3) === 1.0)
-    // "bb" -> (98*1 + 98*2) % 32 = 294 % 32 = 6; in 1 doc: (3+1)/(1+1) = 2.0
-    assert(idf.weights(6) === 2.0)
+    // "aa": 97*97 + 97*31 + 97*13 + 2*7 = 13691 % 32 = 27; in all 3 docs:
+    // (3+1)/(3+1) = 1.0
+    assert(idf.weights(27) === 1.0)
+    // "bb": 98*97 + 98*31 + 98*13 + 2*7 = 13832 % 32 = 8; in 1 doc:
+    // (3+1)/(1+1) = 2.0
+    assert(idf.weights(8) === 2.0)
     // an unseen bucket: df 0 -> (3+1)/1 = 4.0
     assert(idf.weights.exists(_ === 4.0))
-    // transform NEW data: "bb bb" tf(6)=2 scaled by the TRAINING weight 2.0,
+    // transform NEW data: "bb bb" tf(8)=2 scaled by the TRAINING weight 2.0,
     // not re-fitted on the new frame (where bb is in every doc -> weight 1)
     val applied = model.transform(docs(9L -> "bb bb"))
-      .select(expr("tfidf[6]")).head().getDouble(0)
+      .select(expr("tfidf[8]")).head().getDouble(0)
     assert(applied === 4.0)
   }
 
