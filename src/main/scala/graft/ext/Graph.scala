@@ -341,6 +341,74 @@ object Graph {
       .select(col("vertex"), col("state").as("label"))
   }
 
+  /** Strongly connected components by forward-backward coloring
+    * (reference graphx/lib/StronglyConnectedComponents.scala:42 — the same
+    * per-round structure: forward min-label coloring, backward confirmation
+    * within the color, peel, repeat), each propagation a [[pregel]] run —
+    * the multi-phase exercise of the generic operator (two pregel
+    * invocations per round plus relational set algebra between rounds).
+    *
+    * Round: (1) forward min-label propagation over the remaining directed
+    * subgraph, `iters` supersteps — f(x) = min id with a known path to x,
+    * the "color"; (2) backward min-label propagation restricted to edges
+    * whose endpoints share a color — b(x) = min same-color id x is known
+    * to reach; (3) vertices with f(x) == b(x) are assigned scc = f(x) and
+    * peeled. Assignment is SOUND under any budget: f(x) = c certifies a
+    * real path c -> x and b(x) = c a real path x -> c, so assigned
+    * vertices are genuinely mutually reachable with their root — bounded
+    * budgets can only UNDER-assign, never merge distinct SCCs. The color
+    * restriction loses nothing at convergence (any x -> c path lies
+    * entirely inside c's color class: a smaller-colored vertex on it
+    * would transitively lower f(x)); under smaller budgets a true SCC can
+    * be split across rounds into deterministic sub-labels — exact iff
+    * `iters` covers each color class's diameter and `rounds` the peeling
+    * depth. Vertices unresolved after the budget report scc = -1.
+    *
+    * At 100 TB: each round's cost is two pregel runs over the REMAINING
+    * subgraph (frontier-delta applies — min-label is monotonic), and the
+    * remaining set shrinks by every confirmed SCC per round; the
+    * between-round algebra is two semi-joins. Per-round localCheckpoints
+    * keep plan depth constant across rounds. */
+  def scc(edges: DataFrame, iters: Int, rounds: Int): DataFrame = {
+    def minLabelRun(verts: DataFrame, e: DataFrame): DataFrame =
+      pregel(
+        verts.select(col("vertex"), col("vertex").cast("long").as("state")),
+        e,
+        sendMsg = col("state"),
+        mergeMsg = min,
+        vprog = (s, m) => least(s, coalesce(m, s)),
+        maxIter = iters)
+    val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val allVerts = e0.select(col("src").as("vertex"))
+      .union(e0.select(col("dst").as("vertex"))).distinct().localCheckpoint()
+    var rem = allVerts
+    var e = e0
+    var assigned = allVerts.filter(lit(false))
+      .select(col("vertex"), col("vertex").cast("long").as("scc"))
+    var r = 1
+    while (r <= rounds && !rem.isEmpty) {
+      val f = minLabelRun(rem, e).select(col("vertex"), col("state").as("f"))
+      val ec = e
+        .join(f.select(col("vertex").as("src"), col("f").as("__fs")), "src")
+        .join(f.select(col("vertex").as("dst"), col("f").as("__fd")), "dst")
+        .filter(col("__fs") === col("__fd"))
+        // REVERSED in-color edges: backward reachability = forward over these
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val b = minLabelRun(rem, ec).select(col("vertex"), col("state").as("b"))
+      val asg = f.join(b, "vertex").filter(col("f") === col("b"))
+        .select(col("vertex"), col("f").as("scc"))
+        .localCheckpoint()
+      assigned = assigned.union(asg)
+      rem = rem.join(asg, Seq("vertex"), "left_anti").localCheckpoint()
+      e = e.join(rem.select(col("vertex").as("src")), Seq("src"), "left_semi")
+        .join(rem.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint()
+      r += 1
+    }
+    allVerts.join(assigned, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("scc"), lit(-1L)).as("scc"))
+  }
+
   /** Canonical symmetric (both-directions, deduped) edge table — the
     * message graph for the undirected label-propagation algorithms. */
   private def undirected(edges: DataFrame): DataFrame =

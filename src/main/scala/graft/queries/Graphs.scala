@@ -73,6 +73,17 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // Strongly connected components over the DIRECTED trade graph —
+    // forward-backward coloring, two pregel runs per round (the
+    // multi-phase exercise of the generic operator). iters=3 / rounds=2
+    // is a deliberately bounded budget; the oracle unrolls the identical
+    // rounds, so the budget semantics (sound refinement, -1 for
+    // unresolved) are exact cross-engine.
+    "p09_trade_scc" -> { (s, dir) =>
+      G.scc(tradeEdges(s, dir), iters = 3, rounds = 2)
+        .orderBy("vertex")
+    },
+
     // Dedup-cluster canonical selection — the ACTION step after p02: per
     // near-dup component keep the highest-quality member (quality desc,
     // doc_id asc at ties — quality values are oracle-exact per t01, so the
@@ -155,6 +166,44 @@ object Graphs {
        |  LEFT JOIN e ON e.dst = s.vertex
        |  LEFT JOIN s${i - 1} sp ON sp.vertex = e.src
        |  GROUP BY s.vertex, s.dist)""".stripMargin
+
+  // ---- SCC oracle builders: one min-label propagation step along the
+  // round's directed edge table (forward: messages src->dst; the backward
+  // pass feeds the REVERSED in-color table so the same step works)
+  // every generated CTE is MATERIALIZED: each propagation step references
+  // its predecessor twice (label + message sides), and DuckDB inlines
+  // plain CTEs per reference — the 3-step chains re-evaluate exponentially
+  // (measured 20s -> 0.1s at sf0.01 from this hint alone)
+  private def sccStep(tbl: String, prev: String, out: String): String =
+    s"""$out AS MATERIALIZED (SELECT f.vertex,
+       |  least(f.lab, COALESCE(min(fp.lab), f.lab)) AS lab
+       |  FROM $prev f
+       |  LEFT JOIN $tbl e ON e.dst = f.vertex
+       |  LEFT JOIN $prev fp ON fp.vertex = e.src
+       |  GROUP BY f.vertex, f.lab)""".stripMargin
+
+  /** One full forward-backward coloring round `r` over edge table e\$r and
+    * vertex table rem\$r: unrolled forward steps, in-color reversed edge
+    * table, unrolled backward steps, confirmed assignments, and the peeled
+    * remainder + subgraph for round r+1. */
+  private def sccRound(r: Int, iters: Int): String = {
+    val fwd = (1 to iters).map(i => sccStep(s"e$r", s"f${r}_${i - 1}", s"f${r}_$i"))
+    val bwd = (1 to iters).map(i => sccStep(s"ec$r", s"b${r}_${i - 1}", s"b${r}_$i"))
+    (Seq(
+      s"f${r}_0 AS MATERIALIZED (SELECT vertex, CAST(vertex AS BIGINT) lab FROM rem$r)") ++ fwd ++ Seq(
+      s"""ec$r AS MATERIALIZED (SELECT e.dst AS src, e.src AS dst FROM e$r e
+         |  JOIN f${r}_$iters a ON a.vertex = e.src
+         |  JOIN f${r}_$iters b ON b.vertex = e.dst WHERE a.lab = b.lab)""".stripMargin,
+      s"b${r}_0 AS MATERIALIZED (SELECT vertex, CAST(vertex AS BIGINT) lab FROM rem$r)") ++ bwd ++ Seq(
+      s"""asg$r AS MATERIALIZED (SELECT f.vertex, f.lab AS scc FROM f${r}_$iters f
+         |  JOIN b${r}_$iters b ON b.vertex = f.vertex AND b.lab = f.lab)""".stripMargin,
+      s"""rem${r + 1} AS MATERIALIZED (SELECT vertex FROM rem$r
+         |  WHERE vertex NOT IN (SELECT vertex FROM asg$r))""".stripMargin,
+      s"""e${r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$r e
+         |  JOIN rem${r + 1} a ON a.vertex = e.src
+         |  JOIN rem${r + 1} b ON b.vertex = e.dst)""".stripMargin
+    )).mkString(",\n")
+  }
 
   // one synchronous LPA round: every und-vertex adopts its neighbors'
   // most frequent current label, count ties to the smallest label
@@ -278,6 +327,27 @@ object Graphs {
          |${lpaStep(3)}
          |SELECT v.vertex, CAST(COALESCE(l.label, v.vertex) AS BIGINT) AS label
          |FROM verts v LEFT JOIN l3 l ON l.vertex = v.vertex
+         |ORDER BY v.vertex""".stripMargin,
+
+    // Mirrors Graph.scc exactly: 2 unrolled forward-backward coloring
+    // rounds at 3 propagation steps each, peeling confirmed components
+    // between rounds; unresolved vertices report -1.
+    "p09_trade_scc" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |e1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+         |verts AS MATERIALIZED (SELECT DISTINCT src AS vertex FROM e1
+         |          UNION SELECT DISTINCT dst FROM e1),
+         |rem1 AS (SELECT vertex FROM verts),
+         |${sccRound(1, iters = 3)},
+         |${sccRound(2, iters = 3)},
+         |asg AS (SELECT * FROM asg1 UNION ALL SELECT * FROM asg2)
+         |SELECT v.vertex, CAST(COALESCE(a.scc, -1) AS BIGINT) AS scc
+         |FROM verts v LEFT JOIN asg a ON a.vertex = v.vertex
          |ORDER BY v.vertex""".stripMargin,
 
     // Same edge normalization as p01, reset mass pinned to nation 0.

@@ -59,6 +59,35 @@ class GraphSpec extends SparkSpec {
     assert(labels(1L) === 9L && labels(2L) === 9L)
   }
 
+  test("scc: cycles confirm, one-way bridges separate, chains are singletons") {
+    import spark.implicits._
+    // cycle {1,2,3} --one-way bridge 3->4--> cycle {4,5}; self-loop 6;
+    // chain 7->8. True SCCs: {1,2,3}, {4,5}, {6}, {7}, {8}.
+    // Hand-traced with iters=3, rounds=2: round 1 confirms {1,2,3} (f=b=1),
+    // 6, and 7 (bounded f leaves 4,5,8 with f != b); round 2 on the peeled
+    // remainder {4,5,8} confirms {4,5} at root 4 and 8 alone.
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (6L, 6L), (7L, 8L)).toDF("src", "dst")
+    val got = Graph.scc(g, iters = 3, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("scc: budget exhaustion under-assigns (-1), never merges distinct SCCs") {
+    import spark.implicits._
+    // same graph, rounds=1: the bounded forward pass colors 4,5,8 wrong
+    // for confirmation, so they stay unresolved — explicitly -1, and no
+    // vertex is ever assigned to a component it is not mutually reachable
+    // with (soundness under any budget)
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (6L, 6L), (7L, 8L)).toDF("src", "dst")
+    val got = Graph.scc(g, iters = 3, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> -1L, 5L -> -1L,
+      6L -> 6L, 7L -> 7L, 8L -> -1L))
+  }
+
   test("pagerank: cycle vertices share rank; sink accumulates from source") {
     val pr = Graph.pageRank(edges, iters = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -145,4 +145,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("__bkt"))
   }
+
+  test("s10: TF counting is explode + hash aggregate, never an interpreted per-row fold") {
+    // The per-row HOF formulation (filter/aggregate lambdas over the token
+    // array) is interpreted AND shuffle-free — it inherits the source
+    // file's split count and ran the whole pipeline on one core (27s at
+    // sf0.1; BASELINE.md round-11 note). Pin the distributed shape:
+    // explode (Generate) feeding codegen'd hash aggregates.
+    val p = plan(SparkEntry.queries("s10_ml_pipeline")(spark, sf001))
+    assert(p.contains("Generate explode"), "token explode missing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "two-level (partial+final) count aggregate missing")
+  }
 }
