@@ -628,12 +628,21 @@ object Dedup {
       val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
       val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(metaDir)) {
-        val maxCorpus = spark.read.parquet(s"$indexPath/meta").head.getLong(0)
-        val minBatch = batch.agg(min(col(idCol))).head.getLong(0)
-        require(minBatch > maxCorpus,
-          s"incrementalNeardupPairs: batch ids must exceed all corpus ids " +
-            s"(min batch id $minBatch <= max corpus id $maxCorpus); the min-id " +
-            "rep rule would silently diverge from a full recompute")
+        // getAs[Number]: id columns may surface as INT or BIGINT depending
+        // on the writer — don't ClassCastException on a narrower type. An
+        // EMPTY batch yields a null min (trivially satisfies the contract).
+        val metaRow = spark.read.parquet(s"$indexPath/meta").head
+        val minRow = batch.agg(min(col(idCol))).head
+        // an index built over an EMPTY corpus stores a null max — nothing
+        // to violate
+        if (!metaRow.isNullAt(0) && !minRow.isNullAt(0)) {
+          val maxCorpus = metaRow.getAs[Number](0).longValue()
+          val minBatch = minRow.getAs[Number](0).longValue()
+          require(minBatch > maxCorpus,
+            s"incrementalNeardupPairs: batch ids must exceed all corpus ids " +
+              s"(min batch id $minBatch <= max corpus id $maxCorpus); the min-id " +
+              "rep rule would silently diverge from a full recompute")
+        }
       }
     }
     val idxBands = spark.read.parquet(s"$indexPath/bands")

@@ -281,6 +281,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming crawl: each micro-batch probes the standing near-dup index via foreachBatch") {
+    // The daily-crawl story end-to-end THROUGH the streaming engine: new
+    // documents arrive as a stream, and every micro-batch runs the d18
+    // incremental probe against the standing index — signatures computed
+    // for the batch only, corpus text never touched. Scope: batch-vs-
+    // corpus pairs per micro-batch (a production job also appends the
+    // batch to the index between batches; the probe itself is what this
+    // pins). The streamed result must equal probing each batch directly.
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 300)
+    val idx = "/tmp/graft_stream_crawl_idx"
+    graft.ext.Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    val batch1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .as[(Long, String)].collect().toSeq
+    val batch2 = docs.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+      .as[(Long, String)].collect().toSeq
+    val ms = MemoryStream[(Long, String)](spark)
+    val streamed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.Dedup.incrementalNeardupPairs(spark, idx, b, "doc_id", "text")
+          .select("doc_a", "doc_b").collect()
+          .foreach(r => streamed.add(r.getLong(0) -> r.getLong(1)))
+        ()
+      }.start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    def direct(rows: Seq[(Long, String)]) =
+      graft.ext.Dedup.incrementalNeardupPairs(spark, idx,
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_a", "doc_b").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val expected = direct(batch1) ++ direct(batch2)
+    assert(streamed.asScala.toSet === expected)
+    assert(expected.nonEmpty, "fixture should contain at least one batch-touching pair")
+  }
+
   // ---- checkpoint-restart recovery (reference STRM/Checkpoint.scala +
   // util/WriteAheadLog*: restartability is half of DStream's
   // fault-tolerance story). Both tests feed a parquet FILE source in two
