@@ -146,6 +146,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__bkt"))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime (skew=true)") {
+    // The skew story has two layers: x01/x02 prove MANUAL salting for
+    // pathological keys; this pins the AUTOMATIC layer — AQE's
+    // OptimizeSkewedJoin re-plans an oversized shuffle partition into
+    // splits at runtime, which at 100 TB is the first line of defense
+    // before anyone reaches for salt. Broadcast is disabled so the join
+    // must be a shuffle SMJ; thresholds are lowered to make the ~90%-one-
+    // key left side register as skewed at test scale.
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      // the payload must be incompressible (md5 hex, unique per row): skew
+      // detection reads SHUFFLE BYTES, and a constant-key long column
+      // compresses below any realistic threshold
+      val left = spark.range(300000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+          md5(col("id").cast("string")).as("v"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // GLOBAL aggregate on purpose: a groupBy(k) right after the join
+      // requires the join's hash partitioning, and OptimizeSkewedJoin
+      // declines to split when that would force an extra shuffle — the
+      // split must be distribution-requirement-free to fire
+      // sum(length(v)), not count(1): the payload must survive column
+      // pruning or it never reaches the shuffle it is there to inflate
+      // (count(v) gets rewritten to count(1) for a non-nullable v)
+      val agg = left.join(right, "k").agg(sum(length(col("v"))).as("n"))
+      agg.collect() // finalize the adaptive plan
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; plan:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s10: TF counting is explode + hash aggregate, never an interpreted per-row fold") {
     // The per-row HOF formulation (filter/aggregate lambdas over the token
     // array) is interpreted AND shuffle-free — it inherits the source

@@ -394,6 +394,40 @@ class StreamingSpec extends SparkSpec {
       s"restart must resume the checkpointed count 2 and add batch 2's 3 events, got $run2")
   }
 
+  test("RocksDB state store: stateful aggregation runs off-heap-capable, same results") {
+    // The 100 TB state posture: HDFSBackedStateStore keeps every key in
+    // executor heap; RocksDB spills state to local disk, which is what a
+    // production job with more state than memory configures. Run the same
+    // windowed aggregation under the RocksDB provider and require (a) the
+    // provider is actually active in the query's state operators via the
+    // customMetrics it alone emits, and (b) results identical to batch.
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = sampleEvents
+      val ms = MemoryStream[Event](spark)
+      evs.grouped(100).foreach(ms.addData(_))
+      val q = Streaming.tumblingStats(ms.toDF(), "1 hour")
+        .writeStream.format("memory").queryName("rocks_stream")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        q.processAllAvailable()
+        val metrics = q.lastProgress.stateOperators.head.customMetrics
+        assert(metrics.containsKey("rocksdbGetCount"),
+          s"RocksDB provider not active; metrics: $metrics")
+      } finally q.stop()
+      assert(spark.table("rocks_stream").collect().toSet
+        === Streaming.tumblingStats(evs.toDF(), "1 hour").collect().toSet)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup: duplicates across micro-batches emit once, batch parity") {
     import spark.implicits._
     def at(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
