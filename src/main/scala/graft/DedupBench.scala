@@ -18,26 +18,31 @@ object DedupBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
-    val n = docs.count()
-    val stats = docs.agg(
-      org.apache.spark.sql.functions.approx_count_distinct(
-        org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")))).head()
-    val dupRate = 1.0 - stats.getLong(0).toDouble / n
+    // same null-ignoring probe as the gate itself (count(text), not count(*))
+    val stats = docs.agg(count(col("text")).as("n"),
+      approx_count_distinct(md5(col("text"))).as("nd")).head()
+    val n = stats.getLong(0)
+    val dupRate = if (n == 0L) 0.0 else 1.0 - stats.getLong(1).toDouble / n
     // warmup (classloading/codegen) outside the timed loop
     graft.ext.Dedup.simhashNeardupPairs(docs, "doc_id", "text")
       .write.format("noop").mode("overwrite").save()
-    def time(minRate: Double): Double =
+    // Force each path via knownDupRate (no probe job, deterministic
+    // routing): the HLL estimate can come out slightly NEGATIVE on a
+    // dup-free corpus, so threshold-gaming with minRate = 0.0 silently
+    // re-times the raw path — measured exactly that bug here.
+    def time(forcedRate: Double): Double =
       (1 to 2).map { _ =>
         GraftSession.sweepBlocks(spark)
         val t0 = System.nanoTime()
         graft.ext.Dedup.simhashNeardupPairs(docs, "doc_id", "text",
-            dedupFirstMinDupRate = minRate)
+            knownDupRate = Some(forcedRate))
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
-    val raw = time(minRate = 2.0)        // threshold above any rate -> raw path
-    val dedupFirst = time(minRate = 0.0) // dupRate >= 0 always -> dedup-first
+    val raw = time(forcedRate = -1.0)       // below any threshold -> raw path
+    val dedupFirst = time(forcedRate = 1.0) // above threshold -> dedup-first
     println(f"""{"sf":"$sfDir","n_docs":$n,"dup_rate_est":$dupRate%.4f,"raw_sec":$raw%.3f,"dedup_first_sec":$dedupFirst%.3f}""")
     spark.stop()
   }

@@ -370,11 +370,19 @@ object Dedup {
     * makes the choice a pure cost decision, so it is GATED on a one-scan
     * duplicate-rate probe — approx_count_distinct over the text digest —
     * and the raw banded self-join over all rows runs when the estimated
-    * dup rate is below `dedupFirstMinDupRate`. */
+    * dup rate is below `dedupFirstMinDupRate`.
+    *
+    * The probe is an EAGER action at call time (one column-pruned scan of
+    * the text column) — the one operator in the suite whose construction
+    * is not fully lazy, which is the price of a data-dependent plan
+    * choice. Callers that already know their corpus's duplicate rate (or
+    * must force a path deterministically — tests, A/B benchmarks) pass
+    * `knownDupRate = Some(r)` and no probe job runs. */
   def simhashNeardupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 32, bandsCount: Int = 4,
                           maxHamming: Int = 1,
-                          dedupFirstMinDupRate: Double = 0.05): DataFrame = {
+                          dedupFirstMinDupRate: Double = 0.05,
+                          knownDupRate: Option[Double] = None): DataFrame = {
     require(maxHamming <= bandsCount - 1, "banding only guarantees recall up to bandsCount-1")
     val chunk = bits / bandsCount
     val mask = (1 << chunk) - 1
@@ -401,11 +409,19 @@ object Dedup {
     // Dup-rate probe deciding the path (scaladoc): ONE codegen'd scan,
     // map-side-combined HLL — no shuffle of rows, no window. Exact path
     // equivalence makes a misroute (HLL ~2% error near the threshold) a
-    // time cost, never a correctness one.
-    val stats = df.agg(count(lit(1)).as("n"),
-      approx_count_distinct(md5(col(textCol))).as("nd")).head()
-    val n = stats.getLong(0)
-    val dupRate = if (n == 0L) 0.0 else 1.0 - stats.getLong(1).toDouble / n
+    // time cost, never a correctness one. Both aggregates must ignore
+    // NULL texts — count(textCol), not count(*) — or a null-heavy but
+    // dup-free corpus reads as dup-heavy (nulls never group under the
+    // raw-oracle semantics, so dedup-first would be pure overhead there).
+    // HLL can also OVERestimate, making the raw rate slightly negative on
+    // a dup-free corpus; callers forcing a path (tests, benchmarks) pass
+    // `knownDupRate` instead of gaming the threshold.
+    val dupRate = knownDupRate.getOrElse {
+      val stats = df.agg(count(col(textCol)).as("n"),
+        approx_count_distinct(md5(col(textCol))).as("nd")).head()
+      val n = stats.getLong(0)
+      if (n == 0L) 0.0 else 1.0 - stats.getLong(1).toDouble / n
+    }
     if (dupRate < dedupFirstMinDupRate) {
       // low-dup corpus: fingerprint every row directly — the digest
       // window and expansion joins would buy nothing. A null text yields
@@ -618,12 +634,15 @@ object Dedup {
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
     val members = spark.read.parquet(s"$indexPath/members")
-    // PRECONDITION (enforced, not just documented): every batch id must be
-    // strictly greater than every corpus id. The recompute-equivalence
-    // argument below leans on it — coalesce(corpus_rep, batch_rep) equals
-    // the min-id rep rule only when corpus ids sort first. The build wrote
-    // a one-row manifest with the max corpus id; indexes from older builds
-    // (no meta/) skip the guard, keeping the comment-only contract.
+    // PRECONDITION (enforced on the materialized path): every batch id
+    // must be strictly greater than every corpus id. The recompute-
+    // equivalence argument below leans on it — coalesce(corpus_rep,
+    // batch_rep) equals the min-id rep rule only when corpus ids sort
+    // first. The build wrote a one-row manifest with the max corpus id;
+    // indexes from older builds (no meta/) skip the guard, and the
+    // materialize = false path skips it too — that path exists for
+    // plan-SHAPE assertions and must stay action-free, so the contract is
+    // UNCHECKED there (documented trade, not an oversight).
     if (materialize) {
       val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
       val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

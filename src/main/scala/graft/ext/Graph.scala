@@ -399,10 +399,12 @@ object Graph {
         .select(col("vertex"), col("f").as("scc"))
         .localCheckpoint()
       assigned = assigned.union(asg)
-      rem = rem.join(asg, Seq("vertex"), "left_anti").localCheckpoint()
-      e = e.join(rem.select(col("vertex").as("src")), Seq("src"), "left_semi")
-        .join(rem.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")).localCheckpoint()
+      if (r < rounds) { // the final round's peeled remainder is never read
+        rem = rem.join(asg, Seq("vertex"), "left_anti").localCheckpoint()
+        e = e.join(rem.select(col("vertex").as("src")), Seq("src"), "left_semi")
+          .join(rem.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint()
+      }
       r += 1
     }
     allVerts.join(assigned, Seq("vertex"), "left")

@@ -82,8 +82,12 @@ object Pipeline {
     * however many partitions the source file has — a single-file corpus
     * put the entire pipeline on one core (measured 27 s at sf0.1, vs
     * ~2 s this shape). Requires `idCol` to join the counts back — the
-    * grouping key a distributed TF needs anyway. Rows with no tokens get
-    * the zero vector. */
+    * grouping key a distributed TF needs anyway — and `idCol` values MUST
+    * be unique: two rows sharing an id would each silently receive the
+    * MERGED count vector of both token arrays (the join fans the grouped
+    * counts back out). Dedup upstream if ids can repeat; the check is not
+    * done here because it would cost the very shuffle this stage already
+    * pays once. Rows with no tokens get the zero vector. */
   final case class HashingTF(inputCol: String, outputCol: String,
                              numFeatures: Int,
                              idCol: String = "doc_id") extends Transformer {

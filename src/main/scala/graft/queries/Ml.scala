@@ -43,11 +43,14 @@ object Ml {
   val oracles: Map[String, String] = Map(
     // Unrolls the same pipeline: train-slice df counts -> smoothed
     // reciprocal idf -> whole-corpus tf -> rescale -> L2 -> argmax (first
-    // index on ties, like array_position).
+    // index on ties, like array_position). COALESCE(toks, []) pins the
+    // NULL-text parity: Spark's explode drops the row -> zero tf vector,
+    // so the oracle must produce zeros too, not NULL-poisoned lists.
     "s10_ml_pipeline" ->
       s"""WITH tokall AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0) toks
+         |    COALESCE(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0),
+         |             []) toks
          |  FROM documents),
          |idxall AS (
          |  SELECT doc_id, list_transform(toks,

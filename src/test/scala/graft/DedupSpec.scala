@@ -300,11 +300,15 @@ class DedupSpec extends SparkSpec {
     // dup-heavy input: the corpus tiled once (every text occurs twice)
     val base = Tables.documents(spark, sf001).select("doc_id", "text").limit(100)
     val tiled = base.union(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-    def run(minRate: Double) =
-      Dedup.simhashNeardupPairs(tiled, "doc_id", "text", dedupFirstMinDupRate = minRate)
+    // knownDupRate forces each path with no probe job — deterministic
+    // routing (the HLL estimate can go slightly negative on dup-free
+    // input, so threshold-gaming is not a reliable way to force a path)
+    def run(forcedRate: Double) =
+      Dedup.simhashNeardupPairs(tiled, "doc_id", "text",
+          knownDupRate = Some(forcedRate))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val viaRaw = run(minRate = 2.0)  // threshold above any rate: raw path
-    val viaDedup = run(minRate = 0.0) // dupRate >= 0 always: dedup-first path
+    val viaRaw = run(forcedRate = -1.0)
+    val viaDedup = run(forcedRate = 1.0)
     assert(viaRaw === viaDedup)
     assert(viaRaw.nonEmpty) // tiling guarantees within-group pairs exist
     // every tiled copy pairs with its original at Hamming 0
