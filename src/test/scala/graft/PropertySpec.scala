@@ -162,6 +162,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scc equals brute-force mutual reachability on random digraphs at full budget") {
+    // generated digraphs small enough for a driver-side transitive
+    // closure; with rounds = iters = |V| the operator's bounded budget is
+    // provably sufficient (each round confirms at least the minimum
+    // remaining vertex), so equality must be EXACT — soundness AND
+    // completeness on arbitrary topology, not just the hand fixtures.
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(4, 7)
+      m <- Gen.chooseNum(n, 2 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.distinct
+    samples(graphGen, 3).filter(_.nonEmpty).foreach { es =>
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      // driver-side reflexive-transitive closure
+      var reach = verts.map(v => v -> (Set(v) ++ es.filter(_._1 == v).map(_._2))).toMap
+      var changed = true
+      while (changed) {
+        val next = reach.map { case (v, s) => v -> s.flatMap(reach) }
+        changed = next != reach; reach = next
+      }
+      val expected = verts.map(v =>
+        v -> verts.filter(u => reach(v)(u) && reach(u)(v)).min).toMap
+      val n = verts.size
+      val got = graft.ext.Graph.scc(es.toDF("src", "dst"), iters = n, rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"graph: $es")
+    }
+  }
+
+  test("label propagation is deterministic across partitionings") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (2L, 7L), (7L, 8L))
+    val a = graft.ext.Graph.labelPropagation(es.toDF("src", "dst").repartition(5), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.ext.Graph.labelPropagation(es.toDF("src", "dst").repartition(2), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("native dot/norm equal interpreted lambdas on generated vectors (incl. specials)") {
     val d = Gen.frequency(
       (8, Gen.chooseNum(-1e6, 1e6)),
