@@ -134,7 +134,7 @@ object Graphs {
   // ---- DuckDB mirrors ----------------------------------------------------
 
   private val prStep: Int => String = i =>
-    s"""r$i AS (SELECT v.vertex,
+    s"""r$i AS MATERIALIZED (SELECT v.vertex,
        |  0.15::DOUBLE / (SELECT count(*) FROM verts) +
        |  0.85::DOUBLE * COALESCE(sum(r.rank * norm.p), 0::DOUBLE) AS rank
        |  FROM verts v
@@ -143,7 +143,7 @@ object Graphs {
        |  GROUP BY v.vertex)""".stripMargin
 
   private val bfsStep: Int => String = i =>
-    s"""h$i AS (SELECT h.vertex,
+    s"""h$i AS MATERIALIZED (SELECT h.vertex,
        |  least(h.hop, COALESCE(min(hp.hop) + 1, h.hop)) AS hop
        |  FROM h${i - 1} h
        |  LEFT JOIN und u ON u.a = h.vertex
@@ -151,7 +151,7 @@ object Graphs {
        |  GROUP BY h.vertex, h.hop)""".stripMargin
 
   private val pprStep: Int => String = i =>
-    s"""r$i AS (SELECT v.vertex,
+    s"""r$i AS MATERIALIZED (SELECT v.vertex,
        |  (CASE WHEN v.vertex = 0 THEN 0.15 ELSE 0 END)::DOUBLE +
        |  0.85::DOUBLE * COALESCE(sum(r.rank * norm.p), 0::DOUBLE) AS rank
        |  FROM verts v
@@ -160,7 +160,7 @@ object Graphs {
        |  GROUP BY v.vertex)""".stripMargin
 
   private val ssspStep: Int => String = i =>
-    s"""s$i AS (SELECT s.vertex,
+    s"""s$i AS MATERIALIZED (SELECT s.vertex,
        |  least(s.dist, COALESCE(min(sp.dist + e.w), s.dist)) AS dist
        |  FROM s${i - 1} s
        |  LEFT JOIN e ON e.dst = s.vertex
@@ -208,14 +208,14 @@ object Graphs {
   // one synchronous LPA round: every und-vertex adopts its neighbors'
   // most frequent current label, count ties to the smallest label
   private val lpaStep: Int => String = i =>
-    s"""l$i AS (SELECT vertex, label FROM (
+    s"""l$i AS MATERIALIZED (SELECT vertex, label FROM (
        |  SELECT u.a AS vertex, lp.label,
        |    row_number() OVER (PARTITION BY u.a ORDER BY count(*) DESC, lp.label) rn
        |  FROM und u JOIN l${i - 1} lp ON lp.vertex = u.b
        |  GROUP BY u.a, lp.label) WHERE rn = 1)""".stripMargin
 
   private val ccStep: Int => String = i =>
-    s"""l$i AS (SELECT l.vertex,
+    s"""l$i AS MATERIALIZED (SELECT l.vertex,
        |  least(l.component, COALESCE(min(lp.component), l.component)) AS component
        |  FROM l${i - 1} l
        |  LEFT JOIN und u ON u.a = l.vertex
@@ -224,15 +224,15 @@ object Graphs {
 
   val oracles: Map[String, String] = Map(
     "p01_trade_pagerank" ->
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
          |  FROM lineitem l
          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-         |e AS (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
          |ow AS (SELECT src, sum(w) out_w FROM e GROUP BY 1),
-         |norm AS (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
+         |norm AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
          |verts AS (SELECT DISTINCT src AS vertex FROM edges
          |          UNION SELECT DISTINCT dst FROM edges),
          |r0 AS (SELECT vertex, 1.0::DOUBLE / (SELECT count(*) FROM verts) AS rank FROM verts),
@@ -246,7 +246,7 @@ object Graphs {
       // min-label propagation
       s"""${Dedup.neardupPairsCte},
          |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
-         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |und AS MATERIALIZED (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
          |       UNION SELECT DISTINCT b, b FROM und),
          |${ccStep(1)},
@@ -262,7 +262,7 @@ object Graphs {
     "p05_neardup_canonicals" -> {
       s"""${Dedup.neardupPairsCte},
          |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
-         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |und AS MATERIALIZED (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |l0 AS (SELECT DISTINCT a AS vertex, a AS component FROM und
          |       UNION SELECT DISTINCT b, b FROM und),
          |${ccStep(1)},
@@ -293,7 +293,7 @@ object Graphs {
     "p04_neardup_bfs_hops" ->
       s"""${Dedup.neardupPairsCte},
          |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
-         |und AS (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |und AS MATERIALIZED (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
          |verts AS (SELECT DISTINCT a AS vertex FROM und),
          |h0 AS (SELECT vertex,
          |  CASE WHEN vertex = (SELECT min(src) FROM pairs)
@@ -352,15 +352,15 @@ object Graphs {
 
     // Same edge normalization as p01, reset mass pinned to nation 0.
     "p07_trade_ppr" ->
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
          |  FROM lineitem l
          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-         |e AS (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
          |ow AS (SELECT src, sum(w) out_w FROM e GROUP BY 1),
-         |norm AS (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
+         |norm AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.out_w p FROM e JOIN ow USING (src)),
          |verts AS (SELECT DISTINCT src AS vertex FROM edges
          |          UNION SELECT DISTINCT dst FROM edges),
          |r0 AS (SELECT vertex,
@@ -374,13 +374,13 @@ object Graphs {
     // frontier-delta Pregel loop must equal (monotonicity argument in
     // graft.ext.Graph.bfsHops).
     "p06_trade_sssp" ->
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
          |  FROM lineitem l
          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-         |e AS (SELECT src, dst, count(*)::BIGINT w FROM edges GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT src, dst, count(*)::BIGINT w FROM edges GROUP BY 1, 2),
          |verts AS (SELECT DISTINCT src AS vertex FROM edges
          |          UNION SELECT DISTINCT dst FROM edges),
          |s0 AS (SELECT vertex,
@@ -394,13 +394,13 @@ object Graphs {
          |FROM s3 ORDER BY vertex""".stripMargin,
 
     "p03_trade_triangles" ->
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-        |und AS (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) a, greatest(src, dst) b
         |        FROM edges WHERE src <> dst),
         |verts AS (SELECT DISTINCT src AS vertex FROM edges
         |          UNION SELECT DISTINCT dst FROM edges),
