@@ -15,6 +15,12 @@ object TextAnalysis {
     "t02_token_counts" -> { (s, dir) =>
       T.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
+    // Repetition-ratio quality signals (MassiveText/Gopher repetitious-
+    // text filters): duplicate {2,3}-gram fraction + most-frequent-gram
+    // share per document.
+    "t18_repetition_ratio" -> { (s, dir) =>
+      T.repetitionStats(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
     "t03_language_id" -> { (s, dir) =>
       T.languageId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -145,6 +151,34 @@ object TextAnalysis {
          |  + n_distinct / CAST(n_tokens AS DOUBLE) * 0.4
          |  + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6) AS quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Mirrors repetitionStats: per-(doc, gram) counts then per-doc
+    // sum/count/max; short docs produce no gram rows and coalesce to 0.
+    "t18_repetition_ratio" ->
+      s"""$toksCte,
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+         |    i -> toks[i] || ' ' || toks[i + 1])) gram FROM d),
+         |c2 AS (SELECT doc_id, gram, count(*) c FROM g2 GROUP BY 1, 2),
+         |s2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) total, count(*) dn, max(c) topc
+         |  FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) gram FROM d),
+         |c3 AS (SELECT doc_id, gram, count(*) c FROM g3 GROUP BY 1, 2),
+         |s3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) total, count(*) dn, max(c) topc
+         |  FROM c3 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(s2.total, 0) AS n2_total,
+         |  round(CASE WHEN s2.total IS NULL THEN 0.0
+         |    ELSE 1.0 - s2.dn / s2.total::DOUBLE END, 6) AS dup2_ratio,
+         |  round(CASE WHEN s2.total IS NULL THEN 0.0
+         |    ELSE s2.topc / s2.total::DOUBLE END, 6) AS top2_frac,
+         |  COALESCE(s3.total, 0) AS n3_total,
+         |  round(CASE WHEN s3.total IS NULL THEN 0.0
+         |    ELSE 1.0 - s3.dn / s3.total::DOUBLE END, 6) AS dup3_ratio,
+         |  round(CASE WHEN s3.total IS NULL THEN 0.0
+         |    ELSE s3.topc / s3.total::DOUBLE END, 6) AS top3_frac
+         |FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "t02_token_counts" ->
       s"""$toksCte

@@ -11,6 +11,22 @@ class TextAnalysisSpec extends SparkSpec {
     Seq((1L, text)).toDF("doc_id", "text")
   }
 
+  test("repetition stats on hand-counted documents") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b a b a b", // 2-grams: ab,ba,ab,ba,ab -> total 5, distinct 2, top 3
+      2L -> "w x y z",     // all grams unique
+      3L -> "solo",        // no 2-grams at all
+      4L -> "").toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4), x.getDouble(5))).toMap
+    assert(r(1L) === ((5L, 0.6, 0.6, 4L, 0.5)))  // 3-grams: aba,bab,aba,bab -> dup 0.5
+    assert(r(2L) === ((3L, 0.0, 0.333333, 2L, 0.0))) // top2 = round(1/3, 6), all unique
+    assert(r(3L) === ((0L, 0.0, 0.0, 0L, 0.0)))
+    assert(r(4L) === ((0L, 0.0, 0.0, 0L, 0.0))) // "" -> one empty token, no grams
+  }
+
   test("quality scores on a known document") {
     val r = TextAnalysis.qualityScores(doc("the cat sat on the mat !"), "doc_id", "text")
       .collect().head
