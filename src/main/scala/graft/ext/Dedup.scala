@@ -650,8 +650,8 @@ object Dedup {
         // getAs[Number]: id columns may surface as INT or BIGINT depending
         // on the writer — don't ClassCastException on a narrower type. An
         // EMPTY batch yields a null min (trivially satisfies the contract).
-        val metaRow = spark.read.parquet(s"$indexPath/meta").head
-        val minRow = batch.agg(min(col(idCol))).head
+        val metaRow = spark.read.parquet(s"$indexPath/meta").head()
+        val minRow = batch.agg(min(col(idCol))).head()
         // an index built over an EMPTY corpus stores a null max — nothing
         // to violate
         if (!metaRow.isNullAt(0) && !minRow.isNullAt(0)) {

@@ -73,7 +73,7 @@ object Joins {
     // same-instant right row is visible to the left row (>= semantics).
     val taggedRight = right.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      struct(col(rightTime).as(rightTime) +: rightPayload.map(col): _*).as("__payload"))
+      struct((col(rightTime).as(rightTime) +: rightPayload.map(col)).toIndexedSeq: _*).as("__payload"))
     val taggedLeft = left.select(
       Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(taggedRight.schema("__payload").dataType).as("__payload"))
@@ -86,7 +86,7 @@ object Joins {
     val matched = if (joinType == "inner") carried.filter(col("__carried").isNotNull) else carried
     val rightCols = (rightTime +: rightPayload.toSeq)
       .map(c => col(s"__carried.$c").as(c))
-    matched.select(left.columns.map(col) ++ rightCols: _*)
+    matched.select((left.columns.map(col) ++ rightCols).toIndexedSeq: _*)
   }
 
   /** Equi-key interval join: left rows with `rightStart <= leftTime <

@@ -368,7 +368,7 @@ object Similarity {
     val probeC = ivfProbes(probes, idCol, vecCol, dims, nClusters, nprobe)
     val probed = probeC.select("cluster").distinct()
       .collect().map(_.getInt(0)).sorted // <= nClusters values, tiny
-    val pruned = stored.filter(col("cluster").isin(probed.map(Int.box): _*))
+    val pruned = stored.filter(col("cluster").isin(probed.map(Int.box).toIndexedSeq: _*))
     rankTopK(broadcast(probeC).join(pruned, Seq("cluster"))
       .filter(col("probe_id") =!= col("vec_id")), k)
   }
