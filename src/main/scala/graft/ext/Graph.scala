@@ -62,14 +62,31 @@ object Graph {
     * applies on the no-frontier path only — frontier-delta supersteps must
     * materialize each generation anyway (the drain probe reads it); a
     * fixed-budget loop like PageRank checkpoints every few supersteps,
-    * letting Catalyst fuse the ones between. */
+    * letting Catalyst fuse the ones between.
+    *
+    * `preAggregate` is the hub-safety hook (reference GraphX runs mergeMsg
+    * map-side as a combiner — graphx/Pregel.scala:56 via
+    * aggregateMessages — so no reducer ever materializes a hub's raw
+    * message list; lib/LabelPropagation.scala:40 merges label→count maps,
+    * never raw label lists). When set, the message stage becomes TWO-LEVEL:
+    * first `groupBy(vertex, __msg).agg(preAggregate)` — a hash aggregate
+    * whose partial (map-side) phase already collapses duplicate messages,
+    * so per-reducer state is one row per DISTINCT message value — then the
+    * per-vertex merge, where `mergeMsg` receives `struct(msg, pre)` rows
+    * (field names `msg`, `pre`) instead of raw messages. Aggregates whose
+    * merge is itself commutative-associative over raw values (min/sum/...)
+    * don't need it: Spark's partial aggregation IS the combiner. It exists
+    * for collect-shaped merges (mode/top-k voting), where the default path
+    * would haul O(degree) raw messages into one reducer row but the
+    * two-level path bounds it at O(distinct values). */
   def pregel(vertices: DataFrame, edges: DataFrame,
              sendMsg: org.apache.spark.sql.Column,
              mergeMsg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
              vprog: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
              maxIter: Int, frontierDelta: Boolean = true,
              initialFrontier: DataFrame => DataFrame = identity,
-             checkpointEvery: Int = 1): DataFrame = {
+             checkpointEvery: Int = 1,
+             preAggregate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(checkpointEvery > 0,
       s"checkpointEvery must be positive, got $checkpointEvery (the self-referencing " +
         "superstep plan doubles per iteration without periodic truncation)")
@@ -78,9 +95,9 @@ object Graph {
     var frontier = initialFrontier(state)
     var i = 1
     while (i <= maxIter && (!frontierDelta || !frontier.isEmpty)) {
-      val msgs = e.join(frontier.withColumnRenamed("vertex", "src"), "src")
+      val raw = e.join(frontier.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst").as("vertex"), sendMsg.as("__msg"))
-        .groupBy("vertex").agg(mergeMsg(col("__msg")).as("__m"))
+      val msgs = messageStage(raw, mergeMsg, preAggregate)
       val joined = state.join(msgs, Seq("vertex"), "left")
         .select(col("vertex"), col("state").as("__old"),
           vprog(col("state"), col("__m")).as("state"))
@@ -106,6 +123,24 @@ object Graph {
     e.unpersist()
     state
   }
+
+  /** The per-superstep message aggregation, factored out so its physical
+    * plan is inspectable (pregel's superstep checkpoints flatten the
+    * returned plan): default path is one per-vertex hash aggregate;
+    * `preAggregate` inserts the (vertex, __msg) pre-count level first —
+    * see [[pregel]]'s scaladoc for the hub-safety argument. Input must
+    * carry (vertex, __msg); output is (vertex, __m). */
+  private[graft] def messageStage(
+      raw: DataFrame,
+      mergeMsg: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      preAggregate: Option[org.apache.spark.sql.Column]): DataFrame =
+    preAggregate match {
+      case None => raw.groupBy("vertex").agg(mergeMsg(col("__msg")).as("__m"))
+      case Some(pre) => raw
+        .groupBy("vertex", "__msg").agg(pre.as("__pre"))
+        .groupBy("vertex")
+        .agg(mergeMsg(struct(col("__msg").as("msg"), col("__pre").as("pre"))).as("__m"))
+    }
 
   /** Static PageRank (GraphX GraphOps.pageRank semantics: reset 0.15/n +
     * 0.85 x received mass, dangling mass not redistributed), uniform
@@ -293,40 +328,34 @@ object Graph {
     *     each superstep, like PageRank). The activation optimization is
     *     semantically unavailable, not just skipped.
     *   - The merge is a MODE aggregate, which no single built-in
-    *     commutative aggregate expresses: over the interface the merge
-    *     collects the neighbor labels (`sort_array(collect_list(..))`)
-    *     and vprog computes the mode in one `aggregate` pass over the
-    *     sorted array (strict-> replacement keeps the FIRST, i.e.
-    *     smallest, label on count ties). Per-vertex message size is
-    *     O(distinct neighbors) — GraphX's map-of-counts message has the
-    *     same worst case. INTERFACE FINDING: a hub-heavy production graph
-    *     would want a (dst, label) pre-count hash-aggregate BEFORE the
-    *     per-dst merge (two-level aggregation, so no single reducer sees
-    *     a hub's full neighbor list); [[pregel]]'s single
-    *     sendMsg/mergeMsg grouping cannot express that without adding an
-    *     optional pre-aggregate hook. */
+    *     commutative aggregate expresses — the exercise [[pregel]]'s
+    *     `preAggregate` hook exists for. The message stage runs TWO-LEVEL:
+    *     a (dst, label) -> count hash aggregate first (map-side combined,
+    *     so duplicate labels collapse before the shuffle and NO reducer
+    *     ever materializes a hub's raw neighbor-label list — the same
+    *     discipline as reference graphx/lib/LabelPropagation.scala:40's
+    *     label->count map messages), then a per-dst merge collecting the
+    *     O(distinct labels) (label, count) structs, sorted ascending by
+    *     label; vprog takes the argmax count in one codegen'd `aggregate`
+    *     fold (strict > keeps the FIRST, i.e. smallest, label on count
+    *     ties). Per-reducer row size is O(distinct neighbor labels), never
+    *     O(degree) — late-round hubs whose neighbors have converged to a
+    *     few communities cost a few structs regardless of degree. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.Column
     val und = undirected(edges).filter(col("src") =!= col("dst"))
     val verts = edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex"))).distinct()
-    // mode of a sorted-ascending array in one fold: track the current run
-    // (cur, curn) and the best run (best, bestn); strict > keeps the
-    // earliest (smallest) label on ties. Codegen'd HOF — no UDF.
-    def modeOfSorted(arr: Column): Column =
+    // argmax-count over (label, count) structs sorted ascending by label:
+    // strict > keeps the earliest (smallest) label on ties. Codegen'd HOF.
+    def modeOfCounts(arr: Column): Column =
       aggregate(
         arr,
-        struct(lit(-1L).as("best"), lit(0L).as("bestn"),
-          lit(-1L).as("cur"), lit(0L).as("curn")),
-        (a, x) => {
-          // same-run ⇒ a.cur == x, so `x` is the run label either way
-          val curn = when(x === a.getField("cur"), a.getField("curn") + 1L)
-            .otherwise(lit(1L))
-          struct(
-            when(curn > a.getField("bestn"), x).otherwise(a.getField("best")).as("best"),
-            greatest(curn, a.getField("bestn")).as("bestn"),
-            x.as("cur"), curn.as("curn"))
-        },
+        struct(lit(-1L).as("best"), lit(0L).as("bestn")),
+        (a, x) => struct(
+          when(x.getField("pre") > a.getField("bestn"), x.getField("msg"))
+            .otherwise(a.getField("best")).as("best"),
+          greatest(x.getField("pre"), a.getField("bestn")).as("bestn")),
         a => a.getField("best"))
     pregel(
       // labels ride as BIGINT regardless of the vertex-id input type: the
@@ -336,8 +365,9 @@ object Graph {
       und,
       sendMsg = col("state"),
       mergeMsg = m => sort_array(collect_list(m)),
-      vprog = (s, m) => when(m.isNull, s).otherwise(modeOfSorted(m)),
-      maxIter = iters, frontierDelta = false, checkpointEvery = 2)
+      vprog = (s, m) => when(m.isNull, s).otherwise(modeOfCounts(m)),
+      maxIter = iters, frontierDelta = false, checkpointEvery = 2,
+      preAggregate = Some(count(lit(1))))
       .select(col("vertex"), col("state").as("label"))
   }
 

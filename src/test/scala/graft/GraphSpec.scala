@@ -59,6 +59,41 @@ class GraphSpec extends SparkSpec {
     assert(labels(1L) === 9L && labels(2L) === 9L)
   }
 
+  test("label propagation: hub adopts the majority label by count, not by distinct votes") {
+    import spark.implicits._
+    // hub 10 -- {1,2,3,4}, plus 3-4. Hand-traced 2 synchronous rounds:
+    // r1: 1->10, 2->10, 3->min{10,4}=4, 4->min{10,3}=3, 10->min{1,2,3,4}=1.
+    // r2: hub 10 sees labels {1:from 10? no —} neighbors' r1 labels are
+    // 1->10, 2->10, 3->4, 4->3, so counts {10:2, 4:1, 3:1}: majority 10
+    // wins on COUNT even though 3 and 4 are smaller labels — this is the
+    // case a distinct-vote (or tie-to-smallest-only) merge would get wrong.
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val labels = Graph.labelPropagation(g, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(10L) === 10L)
+    // 1 and 2 see only the hub (r1 label 1): both adopt 1; 3 sees
+    // {10->1, 4->3} tie {1,3} -> 1; 4 sees {10->1, 3->4} tie {1,4} -> 1
+    assert(labels(1L) === 1L && labels(2L) === 1L)
+    assert(labels(3L) === 1L && labels(4L) === 1L)
+  }
+
+  test("label propagation on a large star: both bipartite classes stay exact") {
+    import spark.implicits._
+    // center 1000 with leaves 1..200 — the hub shape the (dst, label)
+    // pre-count exists for: in round 2 the center receives ONE (label,
+    // count=200) struct, never a 200-element raw list. Bipartite stars
+    // oscillate under synchronous LPA; after 2 rounds: r1 leaves -> 1000,
+    // center -> min(leaf ids) = 1; r2 leaves -> 1 (center's r1 label),
+    // center -> 1000 (200 votes for 1000... leaves' r1 labels are all
+    // 1000) — hand-traced both classes.
+    val g = (1L to 200L).map(i => (1000L, i)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(g, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1000L) === 1000L)
+    assert((1L to 200L).forall(labels(_) === 1L))
+  }
+
   test("scc: cycles confirm, one-way bridges separate, chains are singletons") {
     import spark.implicits._
     // cycle {1,2,3} --one-way bridge 3->4--> cycle {4,5}; self-loop 6;

@@ -202,4 +202,31 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "two-level (partial+final) count aggregate missing")
   }
+
+  test("p08: pregel preAggregate pre-counts (vertex, msg) before the per-vertex merge") {
+    // The hub-safety contract (reference graphx/lib/LabelPropagation
+    // .scala:40 merges label->count maps, never raw label lists): with
+    // preAggregate set, the message stage must run a (vertex, __msg)
+    // hash aggregate — whose partial (map-side) phase collapses duplicate
+    // labels BEFORE the shuffle — and only then the per-vertex
+    // collect_list merge over the pre-counted structs. The plan is read
+    // bottom-up: the grouped-by-[vertex, __msg] partial_count must appear
+    // BELOW (after, in toString order) the per-vertex collect_list.
+    import spark.implicits._
+    val raw = Seq((1L, 5L), (1L, 5L), (1L, 6L), (2L, 5L)).toDF("vertex", "__msg")
+    val staged = graft.ext.Graph.messageStage(
+      raw, m => sort_array(collect_list(m)), Some(count(lit(1))))
+    val p = plan(staged)
+    val preCount = "HashAggregate.*keys=\\[vertex.*__msg.*partial_count".r
+    val merge = "ObjectHashAggregate.*keys=\\[vertex#\\d+L?\\].*collect_list".r
+    assert(preCount.findFirstIn(p).isDefined,
+      s"(vertex, __msg) partial pre-count aggregate missing:\n$p")
+    assert(merge.findFirstIn(p).isDefined,
+      s"per-vertex collect_list merge missing:\n$p")
+    assert(p.indexOf(merge.findFirstIn(p).get) < p.indexOf(preCount.findFirstIn(p).get),
+      s"pre-count must feed the merge (appear below it in the plan):\n$p")
+    // and the pre-count output is one row per distinct (vertex, msg)
+    val rows = raw.groupBy("vertex", "__msg").agg(count(lit(1))).count()
+    assert(rows === 3L)
+  }
 }
