@@ -572,30 +572,37 @@ object Dedup {
     *   - `bands/`    (doc_id, bkey): the exploded LSH band table of the
     *     rep MinHash signatures — the candidate-generation side.
     * At production scale `bands/` is additionally bucketed BY bkey so the
-    * probe's band equi-join co-locates without a corpus-side shuffle. */
+    * probe's band equi-join co-locates without a corpus-side shuffle.
+    *
+    * The build is multi-process safe: all four tables are written into a
+    * private temp sibling and installed at `path` with an atomic directory
+    * rename ([[IndexStore.atomically]]), so a concurrent probe reads
+    * either the previous complete index or the new one — never a torn
+    * mid-overwrite state. */
   def writeNeardupIndex(corpus: DataFrame, idCol: String, textCol: String,
                         path: String, shingleN: Int = 3, k: Int = 32,
-                        bands: Int = 16): Unit = {
-    digestMembership(corpus, idCol, md5(col(textCol)), groupNulls = true)
-      .write.mode("overwrite").parquet(s"$path/members")
-    // reps derive from the JUST-WRITTEN members table, not a recompute of
-    // its lineage — the digest window over the corpus (its most expensive
-    // scan + shuffle) runs exactly once per build
-    val members = corpus.sparkSession.read.parquet(s"$path/members")
-    val sh = shingleTable(repRows(corpus, idCol, members), idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    minhashSignaturesFrom(sh, k)
-      .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    sh.unpersist()
-    // One-row build manifest: the max corpus id, so probes can enforce the
-    // ids-are-monotonic contract (see incrementalNeardupPairs) instead of
-    // trusting a comment. Aggregated from the just-written members table —
-    // no extra corpus scan.
-    members.agg(max(col("doc_id")).as("max_corpus_id"))
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+                        bands: Int = 16): Unit =
+    IndexStore.atomically(corpus.sparkSession, path) { tmp =>
+      digestMembership(corpus, idCol, md5(col(textCol)), groupNulls = true)
+        .write.mode("overwrite").parquet(s"$tmp/members")
+      // reps derive from the JUST-WRITTEN members table, not a recompute of
+      // its lineage — the digest window over the corpus (its most expensive
+      // scan + shuffle) runs exactly once per build
+      val members = corpus.sparkSession.read.parquet(s"$tmp/members")
+      val sh = shingleTable(repRows(corpus, idCol, members), idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.write.mode("overwrite").parquet(s"$tmp/shingles")
+      minhashSignaturesFrom(sh, k)
+        .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+      sh.unpersist()
+      // One-row build manifest: the max corpus id, so probes can enforce the
+      // ids-are-monotonic contract (see incrementalNeardupPairs) instead of
+      // trusting a comment. Aggregated from the just-written members table —
+      // no extra corpus scan.
+      members.agg(max(col("doc_id")).as("max_corpus_id"))
+        .write.mode("overwrite").parquet(s"$tmp/meta")
+    }
 
   /** Incremental NEAR-dup — the daily-crawl probe: all near-dup pairs
     * TOUCHING the batch, exactly as recomputing [[neardupPairs]] over

@@ -54,6 +54,56 @@ object Pipeline {
   final class Model(val stages: Seq[Transformer]) extends Transformer {
     def transform(df: DataFrame): DataFrame =
       stages.foldLeft(df)((d, t) => t.transform(d))
+
+    /** Persist the fitted model (reference ml/util/MLWritable — 1.6's
+      * Pipeline/PipelineModel are saveable artifacts) as ONE parquet table
+      * of stage parameter rows: (ordinal, kind, cols, numFeatures, idCol,
+      * weights). Parquet rather than JSON text so the fitted IDF weights
+      * round-trip BIT-EXACT — a decimal-printed double can lose the last
+      * ulp, and the s10 oracle equality is exact, not approximate. The
+      * write installs via [[IndexStore.atomically]], so a concurrent
+      * load sees the previous complete artifact or the new one, never a
+      * torn one. */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      import spark.implicits._
+      val rows = stages.zipWithIndex.map {
+        case (Tokenizer(in, out), i) =>
+          (i, "tokenizer", in, out, None: Option[Int], None: Option[String], None: Option[Seq[Double]])
+        case (HashingTF(in, out, nf, id), i) =>
+          (i, "hashing_tf", in, out, Some(nf), Some(id), None)
+        case (IdfModel(in, out, ws), i) =>
+          (i, "idf_model", in, out, None, None, Some(ws))
+        case (L2Normalizer(in, out), i) =>
+          (i, "l2_normalizer", in, out, None, None, None)
+        case (other, i) => throw new IllegalArgumentException(
+          s"stage $i (${other.getClass.getName}) has no persistence mapping")
+      }.toDF("ordinal", "kind", "input_col", "output_col",
+        "num_features", "id_col", "weights")
+      IndexStore.atomically(spark, path) { tmp =>
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+    }
+  }
+
+  object Model {
+    /** Rebuild a fitted model from [[Model.save]]'s artifact — the
+      * train-once / apply-anywhere half of the persistence contract. The
+      * collect is bounded by the stage count (a handful of rows). */
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+      val stages = spark.read.parquet(path).orderBy("ordinal").collect().map { r =>
+        val (in, out) = (r.getAs[String]("input_col"), r.getAs[String]("output_col"))
+        r.getAs[String]("kind") match {
+          case "tokenizer"     => Tokenizer(in, out)
+          case "hashing_tf"    => HashingTF(in, out,
+            r.getAs[Int]("num_features"), r.getAs[String]("id_col"))
+          case "idf_model"     =>
+            IdfModel(in, out, r.getSeq[Double](r.fieldIndex("weights")).toIndexedSeq)
+          case "l2_normalizer" => L2Normalizer(in, out)
+          case k => throw new IllegalArgumentException(s"unknown stage kind '$k' in $path")
+        }
+      }
+      new Model(stages.toSeq)
+    }
   }
 
   /** Whitespace regex tokenizer (reference ml/feature/RegexTokenizer) —

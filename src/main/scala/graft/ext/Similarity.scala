@@ -362,8 +362,13 @@ object Similarity {
                          idCol: String, vecCol: String, dims: Int,
                          indexPath: String, nClusters: Int = 8,
                          nprobe: Int = 2, k: Int = 3): DataFrame = {
-    ivfCorpus(corpus, idCol, vecCol, dims, nClusters)
-      .write.mode("overwrite").partitionBy("cluster").parquet(indexPath)
+    // temp-build + atomic install (IndexStore): a concurrent probe against
+    // indexPath reads either the previous complete store or this one,
+    // never a directory mid-overwrite
+    IndexStore.atomically(spark, indexPath) { tmp =>
+      ivfCorpus(corpus, idCol, vecCol, dims, nClusters)
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    }
     val stored = spark.read.parquet(indexPath)
     val probeC = ivfProbes(probes, idCol, vecCol, dims, nClusters, nprobe)
     val probed = probeC.select("cluster").distinct()

@@ -14,11 +14,11 @@ object Dedup {
 
   /** Index paths already built in THIS JVM (see d18's note). Guarded by
     * its own monitor so two concurrent first invocations cannot both run
-    * the overwrite-build against the same path. The guard is per-JVM ONLY:
-    * two concurrent JVMs pointed at the same data dir could interleave an
-    * overwrite-build with the other's probe. Fine for the single-JVM bench
-    * harness; a multi-process deployment should build to a temp dir and
-    * atomically rename (or key the path by process id). */
+    * the build against the same path. This memo is only the intra-process
+    * FAST PATH (skip redundant builds); cross-process safety is the
+    * build's own job — writeNeardupIndex installs via temp-dir +
+    * atomic rename (ext.IndexStore), so two JVMs racing on one path each
+    * land a complete index and probes never see a torn one. */
   private val builtNeardupIndexes = new scala.collection.mutable.HashSet[String]()
 
   /** Collision-free /tmp key for a data dir: readable sanitized prefix +

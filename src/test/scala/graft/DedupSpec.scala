@@ -95,6 +95,44 @@ class DedupSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("index installs are atomic: a probe interleaved with a rebuild sees only complete indexes") {
+    import spark.implicits._
+    // The multi-process race the temp-dir + atomic-rename build exists
+    // for: builder B overwrite-building while A's probe reads. Simulated
+    // deterministically: v1 and v2 corpora hold the same text under
+    // DIFFERENT rep ids, so a probe's answer identifies which index it
+    // read. The v2 rebuild probes dest from INSIDE the build lambda —
+    // after v2's files are fully written to the temp sibling, before the
+    // swap — and must still get v1's complete answer.
+    val t1 = "a b c d e f g h i j"
+    val v1 = Seq(1L -> t1, 2L -> "z y x w v u t s r q").toDF("doc_id", "text")
+    val v2 = Seq(3L -> t1, 4L -> "z y x w v u t s r q").toDF("doc_id", "text")
+    val batch = Seq(10L -> t1).toDF("doc_id", "text")
+    val dest = "/tmp/graft_scale/neardup_idx_atomic_spec"
+    def probeReps(): Set[(Long, Long)] =
+      Dedup.incrementalNeardupPairs(spark, dest, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.writeNeardupIndex(v1, "doc_id", "text", dest)
+    assert(probeReps() === Set((1L, 10L)))
+    graft.ext.IndexStore.atomically(spark, dest) { tmp =>
+      Dedup.writeNeardupIndex(v2, "doc_id", "text", tmp) // nested install at tmp
+      assert(probeReps() === Set((1L, 10L)),
+        "mid-rebuild probe must still answer from the complete v1 index")
+    }
+    assert(probeReps() === Set((3L, 10L)), "post-install probe must see v2")
+    // a FAILED build leaves dest untouched and no temp/retired garbage
+    intercept[RuntimeException] {
+      graft.ext.IndexStore.atomically(spark, dest) { _ =>
+        throw new RuntimeException("simulated build failure")
+      }
+    }
+    assert(probeReps() === Set((3L, 10L)), "failed rebuild must not disturb dest")
+    val parent = new java.io.File(dest).getParentFile
+    val leftovers = parent.listFiles().map(_.getName)
+      .filter(n => n.startsWith(new java.io.File(dest).getName + ".__"))
+    assert(leftovers.isEmpty, s"temp/retired dirs must be cleaned up: ${leftovers.toSeq}")
+  }
+
   test("incremental near-dup: bucket caps bind identically in probe and recompute") {
     import spark.implicits._
     // near-identical texts force heavy band collisions; tightening

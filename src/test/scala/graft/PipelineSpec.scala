@@ -74,4 +74,34 @@ class PipelineSpec extends SparkSpec {
     val bad = q.filter(col("top_weight") < 0 || col("top_weight") > 1).count()
     assert(bad === 0L)
   }
+
+  test("model save/load roundtrip: the loaded model's s10 output is identical") {
+    // The train-once/apply-elsewhere flow (reference 1.6 Pipeline/
+    // PipelineModel persistence): fit on the s10 training slice, save,
+    // load in a FRESH session, transform the full corpus — every
+    // projected value, including the IEEE-sensitive top_weight, must
+    // equal the in-memory model's (parquet weights round-trip bit-exact).
+    val corpus = Tables.documents(spark, sf001)
+    val pipe = new Chain(Seq(
+      Tokenizer("text", "toks"),
+      HashingTF("toks", "tf", 32),
+      InverseDocFreq("tf", "tfidf", 32),
+      L2Normalizer("tfidf", "nv")))
+    val model = pipe.fit(corpus.filter(col("doc_id") < 250))
+    val path = "/tmp/graft_scale/pipeline_model_spec"
+    model.save(spark, path)
+    val fresh = spark.newSession()
+    val loaded = Model.load(fresh, path)
+    // loaded stages carry the exact fitted parameters
+    val w0 = model.stages.collectFirst { case m: IdfModel => m }.get.weights
+    val w1 = loaded.stages.collectFirst { case m: IdfModel => m }.get.weights
+    assert(w0 === w1)
+    def project(m: Transformer, df: org.apache.spark.sql.DataFrame) =
+      m.transform(df).select(col("doc_id"),
+          (array_position(col("nv"), array_max(col("nv"))) - 1).as("top_feature"),
+          col("nv"), col("tf"))
+        .orderBy("doc_id").collect().toSeq
+    assert(project(loaded, Tables.documents(fresh, sf001))
+      === project(model, corpus))
+  }
 }
