@@ -295,12 +295,79 @@ object Dedup {
     * is (quadratic in group size — that's the true answer); only the
     * LSH/verify work is deduped. The within-group expansion is a
     * rep-keyed self-join, never a collect_list — a million-copy
-    * boilerplate group must not materialize as one array. */
+    * boilerplate group must not materialize as one array.
+    *
+    * On a LOW-dup corpus the rep machinery (digest window + two expansion
+    * joins) is pure overhead, so — the d06 gate promoted here — the path
+    * is GATED on the same one-scan duplicate-rate probe, with the same
+    * `knownDupRate` override for callers that must force a path (tests,
+    * A/B benchmarks) or already know their corpus. The RAW path is
+    * constructed to be EXACTLY pair-for-pair equivalent (DedupSpec pins
+    * it), which takes three deliberate moves:
+    *   - same-digest pairs are emitted from a digest self-join at 1.0,
+    *     INDEPENDENT of the LSH machinery (the dedup-first `within` set
+    *     exists even when every shared bucket is capped away, and for
+    *     shingle-less texts — null/short — that never band at all);
+    *   - the bucket cap counts DISTINCT DIGESTS, not rows (copies share
+    *     their rep's every band, so a raw row count would cap buckets the
+    *     rep formulation keeps — distinct digests per raw bucket equals
+    *     reps per dedup-first bucket exactly);
+    *   - the banded join drops same-digest collisions (already emitted by
+    *     the self-join; their jaccard is 1.0 by identity).
+    * Cross pairs then coincide: copies inherit their rep's bands, so (a,b)
+    * shares a surviving bucket iff (rep_a, rep_b) does, and identical
+    * shingle sets give identical jaccard. The probe counts ALL rows (null
+    * texts share one digest group under d04's groupNulls semantics —
+    * unlike d06, where nulls never pair and are excluded). */
   def neardupPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-                   maxBucket: Int = 50, threshold: Double = 0.5): DataFrame = {
+                   maxBucket: Int = 50, threshold: Double = 0.5,
+                   dedupFirstMinDupRate: Double = 0.05,
+                   knownDupRate: Option[Double] = None): DataFrame = {
     // groupNulls: the d04-family oracle windows PARTITION BY md5(text),
     // which groups null texts into one (pair-at-1.0) group
+    val keyedDigest = coalesce(md5(col(textCol)), lit("\u0000NULL"))
+    val dupRate = knownDupRate.getOrElse {
+      val stats = df.agg(count(lit(1)).as("n"),
+        approx_count_distinct(keyedDigest).as("nd")).head()
+      val n = stats.getLong(0)
+      if (n == 0L) 0.0 else 1.0 - stats.getLong(1).toDouble / n
+    }
+    if (dupRate < dedupFirstMinDupRate) {
+      // RAW path: shingle/band every row directly — rows ≈ distinct texts
+      // here, so per-rep machinery buys nothing. See the scaladoc for the
+      // three moves that keep this pair-for-pair identical to dedup-first.
+      val rows = df.select(col(idCol).as("doc_id"), keyedDigest.as("digest"),
+          shinglesUdf(shingleN)(col(textCol)).as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val within = rows.select(col("doc_id").as("doc_a"), col("digest"))
+        .join(rows.select(col("doc_id").as("doc_b"), col("digest")), "digest")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      val banded = minhashSignaturesFrom(rows, k)
+        .join(rows.select(col("doc_id"), col("digest")), "doc_id")
+        .select(col("doc_id"), col("digest"),
+          explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oversized = banded.groupBy("bkey")
+        .agg(countDistinct(col("digest")).as("bsize"))
+        .filter(col("bsize") > maxBucket).select("bkey")
+      val candidates = banded.join(broadcast(oversized), Seq("bkey"), "left_anti")
+        .select(col("bkey"), col("doc_id").as("doc_a"), col("digest").as("dg_a"))
+        .join(banded.select(col("bkey"), col("doc_id").as("doc_b"), col("digest").as("dg_b")), "bkey")
+        .filter(col("doc_a") < col("doc_b") && col("dg_a") =!= col("dg_b"))
+        .select("doc_a", "doc_b").distinct()
+      val cross = candidates
+        .join(rows.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(rows.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .withColumn("jaccard",
+          expr("cast(size(array_intersect(sh_a, sh_b)) as double) / cast(size(array_union(sh_a, sh_b)) as double)"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      val out = cross.union(within).localCheckpoint()
+      banded.unpersist(); rows.unpersist()
+      return out
+    }
     val members = digestMembership(df, idCol, md5(col(textCol)), groupNulls = true)
       .select("rep", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

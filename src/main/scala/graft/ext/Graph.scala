@@ -394,12 +394,26 @@ object Graph {
     * `iters` covers each color class's diameter and `rounds` the peeling
     * depth. Vertices unresolved after the budget report scc = -1.
     *
+    * `untilConverged = true` makes EXACTNESS the default rather than a
+    * budget-tuning exercise (the reference StronglyConnectedComponents
+    * .scala:42 iterates each phase to convergence): every min-label
+    * propagation runs until its frontier drains — guaranteed to
+    * terminate, since min-label is monotone decreasing and bounded below,
+    * so each superstep either lowers some label or empties the frontier —
+    * and `iters` demotes to dead weight while `rounds` becomes a SAFETY
+    * CAP (pass the vertex count, or anything >= the true peel depth: a
+    * converged round always confirms at least the minimum remaining
+    * vertex's SCC, so |V| rounds provably drain any graph). Under a
+    * sufficient cap the result carries zero -1 labels (property-tested
+    * against brute-force mutual reachability in PropertySpec).
+    *
     * At 100 TB: each round's cost is two pregel runs over the REMAINING
     * subgraph (frontier-delta applies — min-label is monotonic), and the
     * remaining set shrinks by every confirmed SCC per round; the
     * between-round algebra is two semi-joins. Per-round localCheckpoints
     * keep plan depth constant across rounds. */
-  def scc(edges: DataFrame, iters: Int, rounds: Int): DataFrame = {
+  def scc(edges: DataFrame, iters: Int, rounds: Int,
+          untilConverged: Boolean = false): DataFrame = {
     def minLabelRun(verts: DataFrame, e: DataFrame): DataFrame =
       pregel(
         verts.select(col("vertex"), col("vertex").cast("long").as("state")),
@@ -407,7 +421,7 @@ object Graph {
         sendMsg = col("state"),
         mergeMsg = min,
         vprog = (s, m) => least(s, coalesce(m, s)),
-        maxIter = iters)
+        maxIter = if (untilConverged) Int.MaxValue else iters)
     val e0 = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val allVerts = e0.select(col("src").as("vertex"))
       .union(e0.select(col("dst").as("vertex"))).distinct().localCheckpoint()

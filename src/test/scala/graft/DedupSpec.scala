@@ -353,6 +353,39 @@ class DedupSpec extends SparkSpec {
     assert(viaRaw.contains((base.head.getLong(0), base.head.getLong(0) + 100000L, 0)))
   }
 
+  test("d04 dup-rate gate: raw and dedup-first paths are result-identical") {
+    import spark.implicits._
+    // The equivalence has three seams the raw path must get right (see
+    // neardupPairs' scaladoc): same-digest pairs independent of LSH,
+    // the bucket cap counted over distinct digests, and null texts
+    // grouping at 1.0 — so the fixture mixes a tiled dup-heavy slice,
+    // two null texts, and a short (single-shingle) text pair.
+    val base = Tables.documents(spark, sf001).select("doc_id", "text").limit(100)
+    val tiled = base.union(base.select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .union(Seq((200001L, null: String), (200002L, null: String),
+        (200003L, "x y"), (200004L, "x y")).toDF("doc_id", "text"))
+    def run(forcedRate: Double) =
+      Dedup.neardupPairs(tiled, "doc_id", "text",
+          knownDupRate = Some(forcedRate))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaRaw = run(forcedRate = -1.0)
+    val viaDedup = run(forcedRate = 1.0)
+    assert(viaRaw === viaDedup)
+    // tiled copy pairs its original at 1.0; nulls group; shorts group
+    assert(viaRaw.contains((base.head.getLong(0), base.head.getLong(0) + 100000L, 1.0)))
+    assert(viaRaw.contains((200001L, 200002L, 1.0)))
+    assert(viaRaw.contains((200003L, 200004L, 1.0)))
+    // and a TIGHT bucket cap (every bucket oversized) must still keep the
+    // same-digest pairs identical across paths — the seam where a raw
+    // formulation that rides buckets for 1.0-pairs breaks
+    def runCapped(forcedRate: Double) =
+      Dedup.neardupPairs(tiled, "doc_id", "text", maxBucket = 1,
+          knownDupRate = Some(forcedRate))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(runCapped(-1.0) === runCapped(1.0))
+    assert(runCapped(-1.0).contains((200001L, 200002L, 1.0)))
+  }
+
   test("SimHash banded pairs equal brute-force Hamming pairs (full recall)") {
     val docs = Tables.documents(spark, sf001)
     val banded = Dedup.simhashNeardupPairs(docs, "doc_id", "text")

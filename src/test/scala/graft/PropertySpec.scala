@@ -193,6 +193,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scc untilConverged: exact with zero -1 labels, iters demoted to dead weight") {
+    // The convergence flag must make exactness independent of the
+    // superstep budget: iters = 1 would grossly under-propagate in
+    // bounded mode, but with untilConverged each min-label run drains its
+    // frontier, so the result still equals brute-force mutual
+    // reachability and carries NO unresolved (-1) vertices.
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(4, 7)
+      m <- Gen.chooseNum(n, 2 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.distinct
+    samples(graphGen, 3).filter(_.nonEmpty).foreach { es =>
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var reach = verts.map(v => v -> (Set(v) ++ es.filter(_._1 == v).map(_._2))).toMap
+      var changed = true
+      while (changed) {
+        val next = reach.map { case (v, s) => v -> s.flatMap(reach) }
+        changed = next != reach; reach = next
+      }
+      val expected = verts.map(v =>
+        v -> verts.filter(u => reach(v)(u) && reach(u)(v)).min).toMap
+      val got = graft.ext.Graph.scc(es.toDF("src", "dst"),
+          iters = 1, rounds = verts.size, untilConverged = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!got.values.exists(_ == -1L), s"unresolved vertices in: $es")
+      assert(got === expected, s"graph: $es")
+    }
+  }
+
   test("label propagation is deterministic across partitionings") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
       (3L, 4L), (2L, 7L), (7L, 8L))
