@@ -81,14 +81,17 @@ object Plans {
         "is ~30x smaller than the float corpus; codebook training cost is " +
         "bounded (m x k x subDims doubles on the driver)."),
     "d04_neardup_pairs_jaccard" ->
-      ("Near-dup verification, exact-dedup-first: a digest-partitioned " +
-        "window picks one representative per distinct text, LSH banding and " +
-        "the shingle-Jaccard verify join run once per DISTINCT text, and " +
-        "exact copies re-enter through equi-join expansions (the within-" +
-        "group pairs are a rep-keyed self-join, never a collect_list). On a " +
-        "dup-heavy corpus the quadratic within-bucket candidate blowup " +
-        "never materializes: measured 102 s -> 7 s on a 10x-tiled sf1 " +
-        "corpus, identical output."),
+      ("Near-dup verification, dup-rate-GATED (one approx_count_distinct " +
+        "scan routes the path; knownDupRate overrides): dup-heavy corpora " +
+        "take exact-dedup-first — a digest-partitioned window picks one " +
+        "representative per distinct text, LSH banding and the shingle-" +
+        "Jaccard verify join run once per DISTINCT text, and exact copies " +
+        "re-enter through equi-join expansions (measured 21 s -> 2 s on " +
+        "the 10x-tiled sf1 corpus) — while low-dup corpora skip the digest " +
+        "window for a raw banded join whose bucket cap counts distinct " +
+        "digests and whose same-digest pairs come from a digest self-join, " +
+        "keeping the two paths pair-for-pair identical (DedupSpec pins " +
+        "it)."),
     "d12_jaro_winkler_blocked" ->
       ("Blocked record linkage: deletion-neighborhood variants give an " +
         "equi-join candidate key (full recall at ed<=1), the pair-dedup " +

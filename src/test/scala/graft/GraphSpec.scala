@@ -94,6 +94,25 @@ class GraphSpec extends SparkSpec {
     assert((1L to 200L).forall(labels(_) === 1L))
   }
 
+  test("pregel preAggregate contract: merge sees (msg, pre) structs, one per distinct value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // generality beyond LPA's collect-mode: summing the pre-counts through
+    // the hook must equal the plain per-vertex message count, because the
+    // pre-level collapses duplicates to (value, multiplicity) losslessly
+    val raw = Seq((1L, 5L), (1L, 5L), (1L, 5L), (1L, 6L), (2L, 7L))
+      .toDF("vertex", "__msg")
+    val viaHook = Graph.messageStage(
+        raw, m => sum(m.getField("pre")), Some(count(lit(1))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHook === Map(1L -> 4L, 2L -> 1L))
+    // and the struct stream carries one entry per DISTINCT message value
+    val distinctVals = Graph.messageStage(
+        raw, m => count(m.getField("msg")), Some(count(lit(1))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distinctVals === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("scc: cycles confirm, one-way bridges separate, chains are singletons") {
     import spark.implicits._
     // cycle {1,2,3} --one-way bridge 3->4--> cycle {4,5}; self-loop 6;
