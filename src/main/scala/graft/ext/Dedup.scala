@@ -629,6 +629,53 @@ object Dedup {
       .select(col("doc_id"), col("digest"))
   }
 
+  /** Bloom-prefiltered incremental dedup — [[incrementalDedup]]'s exact
+    * semantics with the standard 100 TB shuffle cut: a digest Bloom
+    * filter over the corpus (`DataFrameStatFunctions.bloomFilter`, zero
+    * false negatives by construction) broadcasts to the batch scan, and
+    * only rows the filter SUSPECTS pay the exact anti-join against the
+    * corpus digest set. On a typical crawl batch (a few % true dups +
+    * fpp false positives) that shrinks the anti-join's probe side from
+    * |batch| to ~(dupRate + fpp)·|batch| — the clean majority is admitted
+    * scan-side with no shuffle at all, which is the point at 100 TB where
+    * the batch itself is terabytes. False positives cost only a wasted
+    * verify row (the anti-join gives the exact answer); false negatives
+    * cannot occur, so the result is row-identical to [[incrementalDedup]]
+    * (DedupSpec pins it, and d19's oracle is the same SQL as d10's).
+    *
+    * Null-text parity: the bloom probe returns false for null digests, so
+    * nulls take the no-shuffle path — matching the exact formulation,
+    * where a null digest never equi-matches the corpus and dedups only
+    * within the batch window. Building the filter is one aggregation scan
+    * of the corpus digest column (driver holds ~1.2 bytes/item at 1% fpp);
+    * at production scale it is built ONCE alongside the standing digest
+    * index and reused per batch — the per-call build here mirrors the
+    * harness's self-contained query contract. The probe itself is a
+    * broadcast bloom + one JIT'd `mightContainString` per row (same
+    * justification as n09/deletionVariantsUdf: a compiled loop, and no
+    * codegen'd built-in expresses an arbitrary-object bloom probe). */
+  def bloomIncrementalDedup(existing: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedItems: Long = 1000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    val spark = existing.sparkSession
+    val corpusDigests = existing.select(md5(col(textCol)).as("digest"))
+    val bf = corpusDigests.stat.bloomFilter(col("digest"), expectedItems, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf { (d: String) => d != null && bfB.value.mightContainString(d) }
+    val batch = incoming.select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))
+    // no false negatives: a row the filter clears is provably corpus-new
+    val cleanNew = batch.filter(!mightContain(col("digest")))
+    val verifiedNew = batch.filter(mightContain(col("digest")))
+      .join(corpusDigests.distinct(), Seq("digest"), "left_anti")
+      .select("doc_id", "digest")
+    cleanNew.select("doc_id", "digest").union(verifiedNew)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("digest"))
+  }
+
   /** Write the standing NEAR-dup index of `corpus` under `path` — the
     * artifact [[incrementalNeardupPairs]] probes so a daily batch never
     * rereads (or re-shingles, or re-hashes) the 100 TB corpus:

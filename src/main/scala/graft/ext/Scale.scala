@@ -212,6 +212,56 @@ object Scale {
     spark.read.parquet(path)
   }
 
+  /** Interleaved (Z-order) two-column layout — the multi-dimension
+    * clustering pass [[compact]] cannot give: a single-column range sort
+    * makes footer min/max stats prune lookups on THAT column to one file,
+    * but every file then spans the other column's full range, so a filter
+    * on the second dimension reads everything. Interleaving the two
+    * columns' bits into one sort key (the space-filling-curve layout
+    * Delta/Iceberg expose as ZORDER BY) keeps files locally clustered in
+    * BOTH dimensions: each file's [min, max] on each column covers only a
+    * fraction of that column's range, so selective predicates on EITHER
+    * column eliminate most files from their footers alone.
+    *
+    * Mechanics: each column is quantized to 16 bits by exact integer
+    * arithmetic over its (min, max) — one bounded aggregation action, four
+    * longs to the driver — and the 32-bit Z-key is composed by a codegen'd
+    * chain of shift/mask/or terms (builtin bitwise ops, no UDF). The write
+    * is range-partitioned and sorted by the Z-key and installed atomically
+    * via [[IndexStore]]; the key itself is dropped — it exists only to
+    * order the rows, the pruning power lives in the per-file column stats.
+    * Result-transparent by construction: same rows, different layout
+    * (the x12 oracle is the plain-scan formulation). At 100 TB this is
+    * the table-maintenance pass for the second-most-selective access
+    * path; size nFiles ~ table_bytes / 128 MB, and re-run it on the cold
+    * partitions streaming ingestion has fragmented. */
+  def interleavedLayout(spark: SparkSession, src: DataFrame,
+                        colA: String, colB: String,
+                        nFiles: Int, path: String): DataFrame = {
+    val mm = src.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    def quant(c: String, lo: Long, hi: Long): String = {
+      val span = math.max(hi - lo, 1L)
+      // exact integer scaling into [0, 65535]; the multiply stays inside
+      // a bigint for any lo/hi the 63-bit ids here can produce
+      s"CAST(((CAST($c AS BIGINT) - ${lo}L) * 65535L) DIV ${span}L AS BIGINT)"
+    }
+    val qa = quant(colA, mm.getLong(0), mm.getLong(1))
+    val qb = quant(colB, mm.getLong(2), mm.getLong(3))
+    val zExpr = (0 until 16).map(i =>
+      s"(shiftleft(shiftright($qa, $i) & 1L, ${2 * i}) | " +
+        s"shiftleft(shiftright($qb, $i) & 1L, ${2 * i + 1}))")
+      .mkString(" | ")
+    IndexStore.atomically(spark, path) { tmp =>
+      src.withColumn("__z", expr(zExpr))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
   /** DROP TABLE IF EXISTS plus removal of any orphaned managed location:
     * the default in-memory catalog forgets tables across JVMs while their
     * warehouse directories survive on disk, and CTAS then refuses the

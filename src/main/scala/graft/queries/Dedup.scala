@@ -103,6 +103,20 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Bloom-prefiltered incremental dedup: result-identical to d10's
+    // exact formulation (the oracle IS the exact SQL), but only rows the
+    // corpus digest bloom suspects pay the anti-join shuffle — the clean
+    // majority of a daily batch is admitted scan-side. Different split
+    // from d10 (corpus = doc_id < 300) so the two queries don't share
+    // outputs by accident.
+    "d19_bloom_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      D.bloomIncrementalDedup(
+          docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Jaro-Winkler top-3 name matches per probe via the native codegen
     // expression; oracle = DuckDB's jaro_winkler_similarity (semantics
     // pinned to the same classic definition).
@@ -450,6 +464,19 @@ object Dedup {
         |fresh AS (
         |  SELECT doc_id, md5(text) digest FROM documents d
         |  WHERE doc_id >= 250
+        |    AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = md5(d.text)))
+        |SELECT doc_id, digest FROM (
+        |  SELECT doc_id, digest,
+        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn FROM fresh)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The bloom prefilter is invisible in the result: the oracle is the
+    // exact incremental-dedup SQL on d19's split.
+    "d19_bloom_incremental_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) digest FROM documents WHERE doc_id < 300),
+        |fresh AS (
+        |  SELECT doc_id, md5(text) digest FROM documents d
+        |  WHERE doc_id >= 300
         |    AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.digest = md5(d.text)))
         |SELECT doc_id, digest FROM (
         |  SELECT doc_id, digest,

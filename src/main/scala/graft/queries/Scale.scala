@@ -117,6 +117,20 @@ object Scale {
         .orderBy("o_orderkey")
     },
 
+    // Z-order layout scan: orders rewritten in an interleaved (o_custkey,
+    // cents) layout, then read back through selective predicates on BOTH
+    // dimensions. The layout must be invisible in the result (oracle =
+    // the plain-scan formulation); the dual-dimension file-pruning power
+    // is asserted in ScaleSpec from per-file footer ranges.
+    "x12_zorder_scan" -> { (s, dir) =>
+      val path = s"/tmp/graft_scale/zorder_${Dedup.dirKey(dir)}"
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), expr(priceCents).as("cents"))
+      val z = S.interleavedLayout(s, src, "o_custkey", "cents", 8, path)
+      z.filter(col("o_custkey") < 50 || col("cents") >= 45000000L)
+        .orderBy("o_orderkey")
+    },
+
     // CDC merge: a deterministic change feed derived from orders itself
     // (keys %11==0 delete, else %7==0 update price +1.00, plus inserts at
     // key+20000000 for %13==0) applied to the snapshot. Oracle = the same
@@ -200,6 +214,13 @@ object Scale {
     "x07_compacted_scan" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The interleaved layout must be result-transparent: plain scan SQL.
+    "x12_zorder_scan" ->
+      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_custkey < 50 OR CAST(round(o_totalprice * 100) AS BIGINT) >= 45000000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x10_token_packing" ->
       """WITH d AS (SELECT doc_id,

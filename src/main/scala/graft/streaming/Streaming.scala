@@ -79,3 +79,42 @@ object Streaming {
     }
   }
 }
+
+/** Exactly-once parquet sink for `foreachBatch` — the delivery gap the
+  * engine's own file sink closes with its `_spark_metadata` commit log
+  * (reference STRM checkpointing semantics: after a crash-restart the
+  * last uncommitted micro-batch is REPLAYED, so any non-idempotent
+  * foreachBatch sink double-writes it; Structured Streaming documents
+  * foreachBatch as at-least-once for exactly this reason).
+  *
+  * Recipe: each micro-batch lands in its own `batch_id=N` directory,
+  * installed via [[graft.ext.IndexStore.atomically]] (temp-dir build +
+  * atomic rename). That makes the write IDEMPOTENT — a replayed batch
+  * re-installs the same directory whole, replacing rather than appending
+  * — and TORN-READ-FREE — a concurrent reader of the output root sees a
+  * batch directory either complete or not at all, and a build that
+  * crashes mid-write leaves the previous complete install untouched.
+  * The `batch_id=N` naming doubles as a Hive partition key, so
+  * [[ExactlyOnceSink.read]] is plain partition discovery and downstream
+  * consumers can partition-prune on batch ranges (incremental ETL over
+  * the landed table). At 100 TB: one directory per micro-batch, no
+  * global commit log contention, and the atomic-install discipline is
+  * the same one the standing dedup/ANN indexes already use. */
+object ExactlyOnceSink {
+
+  /** Install `df` as `root/batch_id=<batchId>/` atomically; safe to call
+    * again with the same batchId (restart replay) — the directory is
+    * replaced whole, never appended. Wire into foreachBatch as
+    * `.foreachBatch { (b, id) => ExactlyOnceSink.writeBatch(root)(b.toDF(), id) }`
+    * (typed writers need the `toDF()` since their overload takes
+    * `Dataset[T]`). */
+  def writeBatch(root: String)(df: DataFrame, batchId: Long): Unit =
+    graft.ext.IndexStore.atomically(df.sparkSession, s"$root/batch_id=$batchId") { tmp =>
+      df.write.mode("overwrite").parquet(tmp)
+    }
+
+  /** The landed table: partition discovery over the batch directories,
+    * `batch_id` surfaced as a BIGINT partition column. */
+  def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.option("basePath", root).parquet(root)
+}

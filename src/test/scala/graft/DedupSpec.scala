@@ -52,6 +52,33 @@ class DedupSpec extends SparkSpec {
     assert(kept === Array(11L, 13L))
   }
 
+  test("bloom-prefiltered incremental dedup equals the exact formulation") {
+    import spark.implicits._
+    // corpus dups, in-batch dups, nulls on both sides, and a tight fpp=0.5
+    // filter (many false positives) — the verify join must absorb every
+    // suspect, and nulls must dedupe in-batch only, exactly as d10.
+    val corpus = Seq(1L -> "aa", 2L -> "bb", 3L -> "aa", 4L -> (null: String))
+      .toDF("doc_id", "text")
+    val batch = Seq(10L -> "aa", 11L -> "cc", 12L -> "cc", 13L -> (null: String),
+      14L -> (null: String), 15L -> "dd").toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.incrementalDedup(corpus, batch, "doc_id", "text"))
+    val bloomy = ids(Dedup.bloomIncrementalDedup(corpus, batch, "doc_id", "text",
+      expectedItems = 8, fpp = 0.5))
+    assert(bloomy === exact)
+    // "aa" dropped (corpus dup); one "cc" survives; nulls dedupe in-batch
+    // (never against the corpus null); "dd" clean-new
+    assert(exact === Set(11L, 13L, 15L))
+    // sf0.01 cross-check at the d19 split
+    val docs = Tables.documents(spark, sf01)
+    val e2 = ids(Dedup.incrementalDedup(
+      docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300), "doc_id", "text"))
+    val b2 = ids(Dedup.bloomIncrementalDedup(
+      docs.filter(col("doc_id") < 300), docs.filter(col("doc_id") >= 300), "doc_id", "text"))
+    assert(b2 === e2 && b2.nonEmpty)
+  }
+
   test("incremental near-dup probe equals the full recompute restricted to the batch") {
     import spark.implicits._
     // corpus: two near-dup texts (share most 3-shingles), one exact pair,

@@ -114,6 +114,39 @@ class ScaleSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
   }
 
+  test("z-order layout: files bounded in BOTH dimensions, single-sort only in one") {
+    import spark.implicits._
+    val base = "/tmp/graft_scale/zorder_spec"
+    // a 64x64 grid, both coordinates uniform — the worst case for a
+    // single-column sort's second dimension
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b, a * 64 + b))
+      .toDF("a", "b", "id")
+    val n = 16
+    val z = Scale.interleavedLayout(spark, grid, "a", "b", n, s"$base/z")
+    // result-transparent: same rows
+    assert(z.count() === 4096L)
+    assert(z.agg(sum("id")).head.getLong(0) === (0L until 4096L).sum)
+    def fileRanges(p: String, c: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath).agg(min(col(c)), max(col(c))).head
+        (d.getLong(0), d.getLong(1))
+      }
+    // footer-stat pruning power: for a probe value in either dimension,
+    // most files' [min, max] exclude it — the Z-curve bounds every file
+    // to a sub-square, so each dimension's per-file span is a fraction
+    // of the 0..63 range
+    def hitting(ranges: Array[(Long, Long)], v: Long) =
+      ranges.count { case (lo, hi) => lo <= v && v <= hi }
+    val za = fileRanges(s"$base/z", "a"); val zb = fileRanges(s"$base/z", "b")
+    assert(hitting(za, 13L) <= n / 2, s"a-probe should prune most files: ${za.toSeq}")
+    assert(hitting(zb, 13L) <= n / 2, s"b-probe should prune most files: ${zb.toSeq}")
+    // control: a single-column sort prunes perfectly on its key and NOT
+    // AT ALL on the other dimension (every file spans b's full range)
+    Scale.compact(spark, grid, "a", n, s"$base/flat")
+    val fb = fileRanges(s"$base/flat", "b")
+    assert(hitting(fb, 13L) === n, "single-sort files all span the full b range")
+  }
+
   test("group sample: exact sizes, partition-independent picks, small groups whole") {
     import spark.implicits._
     val rows = ((1 to 50).map(i => ("big", i.toLong)) ++

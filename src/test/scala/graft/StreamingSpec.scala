@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Event, Streaming}
+import graft.streaming.{Event, ExactlyOnceSink, Streaming}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -144,6 +144,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val sizes = seen.asScala.toSeq.sortBy(_._1).map(_._2)
     assert(sizes === Seq(50L, 30L))
+  }
+
+  test("exactly-once sink: batch replay is idempotent, crashed installs invisible") {
+    import spark.implicits._
+    val ms = MemoryStream[Event](spark)
+    val evs = sampleEvents
+    val root = "/tmp/graft_scale/eo_sink_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val q = ms.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Event], id: Long) =>
+        ExactlyOnceSink.writeBatch(root)(b.toDF(), id)
+      }
+      .start()
+    try {
+      ms.addData(evs.take(50)); q.processAllAvailable()
+      ms.addData(evs.slice(50, 80)); q.processAllAvailable()
+    } finally q.stop()
+    def landedIds() = ExactlyOnceSink.read(spark, root)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = evs.take(80).map(_.event_id).sorted
+    assert(landedIds() === expected)
+    // restart REPLAY: the engine re-delivers the last micro-batch to
+    // foreachBatch — re-installing batch 1 must replace, never append
+    ExactlyOnceSink.writeBatch(root)(
+      evs.slice(50, 80).toDF(), 1L)
+    assert(landedIds() === expected, "replayed batch must be idempotent")
+    // a crash mid-install (build throws after writing files) leaves the
+    // committed batch untouched and no visible partial directory
+    intercept[RuntimeException] {
+      graft.ext.IndexStore.atomically(spark, s"$root/batch_id=1") { tmp =>
+        evs.take(5).toDF().write.mode("overwrite").parquet(tmp)
+        throw new RuntimeException("simulated sink crash")
+      }
+    }
+    assert(landedIds() === expected, "crashed install must be invisible")
+    // batch_id rides as a partition column for downstream pruning
+    val b1 = ExactlyOnceSink.read(spark, root)
+      .filter(col("batch_id") === 1L).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(b1 === evs.slice(50, 80).map(_.event_id).sorted)
   }
 
   test("stream-static join enriches micro-batches against a dimension table") {
