@@ -662,6 +662,72 @@ object TextAnalysis {
     * (driver-side by construction, like the k-means centroids); the keep
     * decision is a broadcast join + one narrow filter over the corpus —
     * one shuffle (the language-ID aggregation) end to end. */
+  /** BPE merge-rule training (the public byte-pair-encoding recipe of
+    * Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+    * Subword Units") — the tokenizer-training half of an LLM data
+    * pipeline, run as iterative distributed aggregation:
+    *   1. ONE corpus pass builds the word-frequency table — the classic
+    *      BPE working set: every later round runs over DISTINCT words
+    *      weighted by count, so round cost is O(vocabulary), not
+    *      O(corpus). At 100 TB this table is the only thing the
+    *      iterations touch.
+    *   2. Each round: adjacent symbol pairs explode into one map-side-
+    *      combined hash aggregate (sum of word freqs per pair); the
+    *      argmax — ties broken (count DESC, left, right) for engine-
+    *      portable determinism — is ONE collected row; the winning pair
+    *      merges into every word via a compiled greedy left-to-right
+    *      loop (the [[shinglesUdf]] rationale: one JIT'd loop per word
+    *      beats an interpreted positional HOF chain), and the word table
+    *      localCheckpoints so plan depth stays constant across rounds.
+    * Output: the learned merge table (rank, left, right, pair_count) —
+    * `merges` rows, driver-bounded by construction. The greedy
+    * left-to-right non-overlap semantics ("aaa" + (a,a) -> [aa, a]) is
+    * the reference behavior and is mirrored positionally by the t19
+    * oracle (match islands + parity — no fold needed in SQL). */
+  def bpeMerges(df: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    var words = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("freq"))
+      .localCheckpoint()
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val best = words
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) " +
+            "ELSE array() END")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        rules += ((k.toLong, l, r, cnt))
+        val merge = udf { (syms: Seq[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2 // greedy, non-overlapping
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        words = words.select(merge(col("syms")).as("syms"), col("freq")).localCheckpoint()
+        k += 1
+      }
+    }
+    import spark.implicits._
+    rules.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, textCol: String,
                     frac: Double = 0.5): DataFrame = {
     val langs = languageId(df, idCol, textCol).select(col("doc_id"), col("best_lang"))

@@ -24,6 +24,13 @@ object TextAnalysis {
     "t03_language_id" -> { (s, dir) =>
       T.languageId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
+    // BPE merge-rule training (Sennrich et al. 2016): 8 most-frequent-
+    // adjacent-pair merges over the word-frequency table, greedy
+    // left-to-right merge application, ties (count DESC, left, right).
+    "t19_bpe_merges" -> { (s, dir) =>
+      T.bpeMerges(Tables.documents(s, dir), "doc_id", "text", merges = 8)
+        .orderBy("rank")
+    },
     "t04_fingerprints" -> { (s, dir) =>
       T.fingerprints(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -137,7 +144,60 @@ object TextAnalysis {
   private val toksCte =
     "WITH d AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents)"
 
+  /** Unrolled-CTE mirror of [[graft.ext.TextAnalysis.bpeMerges]] (the
+    * lpaStep discipline: every chain CTE MATERIALIZED so DuckDB never
+    * re-inlines a round). Greedy left-to-right merge application needs no
+    * fold: merge positions are matches grouped into consecutive islands
+    * (only possible for left == right runs), keeping odd island ranks —
+    * "aaa" + (a,a) keeps position 1, skips 2 -> [aa, a], exactly the
+    * Spark-side compiled loop's semantics. */
+  private def bpeOracle(rounds: Int): String = {
+    val base =
+      """WITH s0 AS MATERIALIZED (
+        |  SELECT w wid, freq, list_transform(range(1, len(w) + 1), i -> w[i]) syms
+        |  FROM (SELECT w, CAST(count(*) AS BIGINT) freq
+        |        FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+        |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val pb =
+        s"""p$k AS MATERIALIZED (
+           |  SELECT l, r, CAST(sum(freq) AS BIGINT) cnt FROM (
+           |    SELECT syms[i] l, syms[i + 1] r, freq
+           |    FROM s${k - 1}, unnest(range(1, len(syms))) t(i))
+           |  GROUP BY l, r),
+           |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      val merge = if (k == rounds) "" else
+        s""",
+           |mk$k AS MATERIALIZED (
+           |  SELECT wid, i FROM (
+           |    SELECT wid, i, row_number() OVER (PARTITION BY wid, grp ORDER BY i) rn FROM (
+           |      SELECT s.wid, t.i, t.i - row_number() OVER (PARTITION BY s.wid ORDER BY t.i) grp
+           |      FROM s${k - 1} s, unnest(range(1, len(s.syms))) t(i), b$k b
+           |      WHERE s.syms[t.i] = b.l AND s.syms[t.i + 1] = b.r))
+           |  WHERE rn % 2 = 1),
+           |s$k AS MATERIALIZED (
+           |  SELECT t.wid, t.freq freq,
+           |    list(CASE WHEN kp.i IS NOT NULL THEN t.syms[t.i] || t.syms[t.i + 1]
+           |              ELSE t.syms[t.i] END ORDER BY t.i) syms
+           |  FROM (SELECT wid, freq, syms, unnest(range(1, len(syms) + 1)) i FROM s${k - 1}) t
+           |  LEFT JOIN mk$k kp ON kp.wid = t.wid AND kp.i = t.i
+           |  LEFT JOIN mk$k kq ON kq.wid = t.wid AND kq.i = t.i - 1
+           |  WHERE kq.i IS NULL
+           |  GROUP BY t.wid, t.freq)""".stripMargin
+      pb + merge
+    }
+    val union = (1 to rounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) k, l, r, cnt FROM b$k").mkString("\n  UNION ALL ")
+    s"""$base,
+       |${steps.mkString(",\n")}
+       |SELECT k AS "rank", l AS "left", r AS "right", cnt AS pair_count FROM (
+       |  $union)
+       |ORDER BY "rank"""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t19_bpe_merges" -> bpeOracle(8),
+
     "t01_quality_scores" ->
       s"""$toksCte,
          |q AS (SELECT doc_id,

@@ -27,6 +27,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L) === ((0L, 0.0, 0.0, 0L, 0.0))) // "" -> one empty token, no grams
   }
 
+  test("bpe merges: hand-traced rounds, greedy non-overlap, early exhaustion") {
+    import spark.implicits._
+    // words: "aaa" x3, "bb" x1.
+    // r1: (a,a) = 2 pairs x 3 = 6 beats (b,b) = 1 -> merge "aaa" GREEDILY
+    //     left-to-right: [a,a,a] -> [aa, a] (NOT [a, aa], NOT [aa, aa]).
+    // r2: (aa,a) = 3 beats (b,b) = 1 -> [aaa].
+    // r3: only (b,b) = 1 remains. r4: no pairs anywhere -> stop early.
+    val docs = Seq((1L, "aaa bb aaa"), (2L, "aaa"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMerges(docs, "doc_id", "text", merges = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rules === Seq((1L, "a", "a", 6L), (2L, "aa", "a", 3L), (3L, "b", "b", 1L)))
+  }
+
+  test("bpe merges: count ties break to the lexicographically smallest pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "cd ab")).toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeMerges(docs, "doc_id", "text", merges = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(rules === Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("bpe merges are deterministic across partitionings") {
+    val docs = Tables.documents(spark, sf001)
+    def run(parts: Int) = TextAnalysis.bpeMerges(
+        docs.repartition(parts), "doc_id", "text", merges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val a = run(7); val b = run(2)
+    assert(a === b)
+    assert(a.size === 4)
+  }
+
   test("quality scores on a known document") {
     val r = TextAnalysis.qualityScores(doc("the cat sat on the mat !"), "doc_id", "text")
       .collect().head
