@@ -685,13 +685,21 @@ object TextAnalysis {
     * the reference behavior and is mirrored positionally by the t19
     * oracle (match islands + parity — no fold needed in SQL). */
   def bpeMerges(df: DataFrame, idCol: String, textCol: String,
-                merges: Int): DataFrame = {
+                merges: Int): DataFrame =
+    bpeTrain(df, textCol, merges)._1
+
+  /** Shared BPE training loop: returns (merge-rule table, final
+    * word→pieces dictionary). The dictionary is what [[bpeEncode]]
+    * joins the corpus against — encoding is dictionary-driven, never a
+    * per-occurrence re-merge. */
+  private def bpeTrain(df: DataFrame, textCol: String,
+                       merges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     var words = df
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("freq"))
+      .select(col("w"), expr("filter(split(w, ''), c -> c <> '')").as("syms"), col("freq"))
       .localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var k = 1
@@ -720,12 +728,44 @@ object TextAnalysis {
           }
           out.toSeq
         }
-        words = words.select(merge(col("syms")).as("syms"), col("freq")).localCheckpoint()
+        words = words.select(col("w"), merge(col("syms")).as("syms"), col("freq"))
+          .localCheckpoint()
         k += 1
       }
     }
     import spark.implicits._
-    rules.toSeq.toDF("rank", "left", "right", "pair_count")
+    (rules.toSeq.toDF("rank", "left", "right", "pair_count"), words)
+  }
+
+  /** BPE corpus encoding with the trained vocabulary — the apply half of
+    * [[bpeMerges]], in the only shape that survives 100 TB: the training
+    * loop's final word→pieces DICTIONARY (O(vocabulary) rows) joins the
+    * exploded corpus by word, so each distinct word is merged exactly
+    * once regardless of its billion occurrences, and a document's
+    * encoding reassembles by position (posexplode preserves word order;
+    * the per-doc window is partitioned by doc, never global). Output per
+    * document: the piece count and the space-joined piece string (arrays
+    * flattened for the comparator; pieces contain no spaces — they come
+    * from a space split). Docs with no words (null/empty text) report 0
+    * pieces and an empty string. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Int): DataFrame = {
+    val (_, dict) = bpeTrain(df, textCol, merges)
+    val occurrences = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(expr(s"filter(split($textCol, ' '), w -> w <> '')")).as(Seq("pos", "w")))
+    val pieced = occurrences
+      .join(dict.select(col("w"), col("syms")), "w")
+      .groupBy("doc_id")
+      .agg(
+        sum(size(col("syms"))).cast("long").as("n_pieces"),
+        concat_ws(" ", flatten(sort_array(
+          collect_list(struct(col("pos"), col("syms")))).getField("syms"))).as("pieces"))
+    df.select(col(idCol).as("doc_id")).distinct()
+      .join(pieced, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces"), lit("")).as("pieces"))
   }
 
   def mixtureSample(df: DataFrame, idCol: String, textCol: String,

@@ -31,6 +31,13 @@ object TextAnalysis {
       T.bpeMerges(Tables.documents(s, dir), "doc_id", "text", merges = 8)
         .orderBy("rank")
     },
+    // BPE corpus encoding with the trained vocabulary: dictionary-driven
+    // (each DISTINCT word merged once, corpus joins by word), per-doc
+    // reassembly by position.
+    "t20_bpe_encode" -> { (s, dir) =>
+      T.bpeEncode(Tables.documents(s, dir), "doc_id", "text", merges = 8)
+        .orderBy("doc_id")
+    },
     "t04_fingerprints" -> { (s, dir) =>
       T.fingerprints(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -151,7 +158,7 @@ object TextAnalysis {
     * (only possible for left == right runs), keeping odd island ranks —
     * "aaa" + (a,a) keeps position 1, skips 2 -> [aa, a], exactly the
     * Spark-side compiled loop's semantics. */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeChain(rounds: Int): String = {
     val base =
       """WITH s0 AS MATERIALIZED (
         |  SELECT w wid, freq, list_transform(range(1, len(w) + 1), i -> w[i]) syms
@@ -159,44 +166,64 @@ object TextAnalysis {
         |        FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
         |        WHERE len(w) > 0 GROUP BY w))""".stripMargin
     val steps = (1 to rounds).map { k =>
-      val pb =
-        s"""p$k AS MATERIALIZED (
-           |  SELECT l, r, CAST(sum(freq) AS BIGINT) cnt FROM (
-           |    SELECT syms[i] l, syms[i + 1] r, freq
-           |    FROM s${k - 1}, unnest(range(1, len(syms))) t(i))
-           |  GROUP BY l, r),
-           |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-      val merge = if (k == rounds) "" else
-        s""",
-           |mk$k AS MATERIALIZED (
-           |  SELECT wid, i FROM (
-           |    SELECT wid, i, row_number() OVER (PARTITION BY wid, grp ORDER BY i) rn FROM (
-           |      SELECT s.wid, t.i, t.i - row_number() OVER (PARTITION BY s.wid ORDER BY t.i) grp
-           |      FROM s${k - 1} s, unnest(range(1, len(s.syms))) t(i), b$k b
-           |      WHERE s.syms[t.i] = b.l AND s.syms[t.i + 1] = b.r))
-           |  WHERE rn % 2 = 1),
-           |s$k AS MATERIALIZED (
-           |  SELECT t.wid, t.freq freq,
-           |    list(CASE WHEN kp.i IS NOT NULL THEN t.syms[t.i] || t.syms[t.i + 1]
-           |              ELSE t.syms[t.i] END ORDER BY t.i) syms
-           |  FROM (SELECT wid, freq, syms, unnest(range(1, len(syms) + 1)) i FROM s${k - 1}) t
-           |  LEFT JOIN mk$k kp ON kp.wid = t.wid AND kp.i = t.i
-           |  LEFT JOIN mk$k kq ON kq.wid = t.wid AND kq.i = t.i - 1
-           |  WHERE kq.i IS NULL
-           |  GROUP BY t.wid, t.freq)""".stripMargin
-      pb + merge
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) cnt FROM (
+         |    SELECT syms[i] l, syms[i + 1] r, freq
+         |    FROM s${k - 1}, unnest(range(1, len(syms))) t(i))
+         |  GROUP BY l, r),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |mk$k AS MATERIALIZED (
+         |  SELECT wid, i FROM (
+         |    SELECT wid, i, row_number() OVER (PARTITION BY wid, grp ORDER BY i) rn FROM (
+         |      SELECT s.wid, t.i, t.i - row_number() OVER (PARTITION BY s.wid ORDER BY t.i) grp
+         |      FROM s${k - 1} s, unnest(range(1, len(s.syms))) t(i), b$k b
+         |      WHERE s.syms[t.i] = b.l AND s.syms[t.i + 1] = b.r))
+         |  WHERE rn % 2 = 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT t.wid, t.freq freq,
+         |    list(CASE WHEN kp.i IS NOT NULL THEN t.syms[t.i] || t.syms[t.i + 1]
+         |              ELSE t.syms[t.i] END ORDER BY t.i) syms
+         |  FROM (SELECT wid, freq, syms, unnest(range(1, len(syms) + 1)) i FROM s${k - 1}) t
+         |  LEFT JOIN mk$k kp ON kp.wid = t.wid AND kp.i = t.i
+         |  LEFT JOIN mk$k kq ON kq.wid = t.wid AND kq.i = t.i - 1
+         |  WHERE kq.i IS NULL
+         |  GROUP BY t.wid, t.freq)""".stripMargin
     }
+    s"""$base,
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracle(rounds: Int): String = {
     val union = (1 to rounds).map(k =>
       s"SELECT CAST($k AS BIGINT) k, l, r, cnt FROM b$k").mkString("\n  UNION ALL ")
-    s"""$base,
-       |${steps.mkString(",\n")}
+    s"""${bpeChain(rounds)}
        |SELECT k AS "rank", l AS "left", r AS "right", cnt AS pair_count FROM (
        |  $union)
        |ORDER BY "rank"""".stripMargin
   }
 
+  /** t20 mirror: the chain's FINAL word table s<rounds> is the trained
+    * word->pieces dictionary; a document's encoding is its (position-
+    * ordered) words joined against it, pieces flattened in order. */
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeChain(rounds)},
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, i pos, toks[i] w FROM (
+       |    SELECT doc_id, string_split(text, ' ') toks FROM documents),
+       |    unnest(range(1, len(toks) + 1)) t(i)
+       |  WHERE len(toks[i]) > 0)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(len(s.syms)), 0) AS BIGINT) n_pieces,
+       |  coalesce(array_to_string(flatten(list(s.syms ORDER BY o.pos)), ' '), '') pieces
+       |FROM documents d
+       |LEFT JOIN occ o ON o.doc_id = d.doc_id
+       |LEFT JOIN s$rounds s ON s.wid = o.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t19_bpe_merges" -> bpeOracle(8),
+    "t20_bpe_encode" -> bpeEncodeOracle(8),
 
     "t01_quality_scores" ->
       s"""$toksCte,

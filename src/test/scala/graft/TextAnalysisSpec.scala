@@ -51,6 +51,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rules === Seq(("a", "b"), ("c", "d")))
   }
 
+  test("bpe encode: dictionary pieces reassemble per doc in word order") {
+    import spark.implicits._
+    // same trace as the merges test: after 2 merges aaa -> [aaa],
+    // bb stays [b, b]; encoding concatenates per-word pieces in position
+    // order and a null doc reports the empty encoding.
+    val docs = Seq((1L, "aaa bb"), (2L, "bb aaa aaa"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(enc === Seq((1L, 3L, "aaa b b"), (2L, 4L, "b b aaa aaa"), (3L, 0L, "")))
+  }
+
   test("bpe merges are deterministic across partitionings") {
     val docs = Tables.documents(spark, sf001)
     def run(parts: Int) = TextAnalysis.bpeMerges(
