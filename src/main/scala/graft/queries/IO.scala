@@ -77,6 +77,34 @@ object IO {
           sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
     },
 
+    // Dynamic partition overwrite — the incremental-ETL write mode: with
+    // partitionOverwriteMode=dynamic, an overwrite replaces ONLY the
+    // partitions present in the incoming frame (here status 'F', with
+    // cents bumped +100), leaving 'O'/'P' untouched. Static mode would
+    // wipe the whole table first — the oracle's untouched O/P rows would
+    // then be missing, so the row-level compare proves the mode.
+    "i12_dynamic_partition_overwrite" -> { (s, dir) =>
+      val path = s"$scratch/orders_dyn_overwrite"
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+          col("o_orderstatus"))
+      base.write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        base.filter(col("o_orderstatus") === "F")
+          .withColumn("cents", col("cents") + 100L)
+          .write.mode(SaveMode.Overwrite).partitionBy("o_orderstatus").parquet(path)
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(path)
+        .select("o_orderkey", "cents", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
     // ORC write -> read -> aggregate (columnar sibling of parquet; DuckDB
     // can't read ORC, so the oracle reproduces the aggregate from the
     // original table — the round trip is what's verified).
@@ -207,6 +235,15 @@ object IO {
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // Only the F partition's rows carry the +100; O/P rows must survive
+    // the overwrite verbatim (static mode would have deleted them).
+    "i12_dynamic_partition_overwrite" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT)
+        |    + CASE WHEN o_orderstatus = 'F' THEN 100 ELSE 0 END AS cents,
+        |  o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "i05_sql_over_view" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -114,6 +114,33 @@ class ScaleSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo); case _ => }
   }
 
+  test("dynamic partition overwrite rewrites only the incoming partition's files") {
+    import spark.implicits._
+    val base = "/tmp/graft_scale/dyn_overwrite_spec"
+    val rows = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L), (4L, "B", 40L))
+      .toDF("k", "p", "v")
+    rows.write.mode("overwrite").partitionBy("p").parquet(base)
+    def files(part: String) = new java.io.File(s"$base/p=$part").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val bBefore = files("B")
+    val saved = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "A", 11L)).toDF("k", "p", "v")
+        .write.mode("overwrite").partitionBy("p").parquet(base)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // B's files are bit-untouched (same names, sizes, mtimes); A holds
+    // exactly the incoming rows; nothing else was wiped
+    assert(files("B") === bBefore, "untouched partition must keep its exact files")
+    val after = spark.read.parquet(base).select("k", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after === Set((1L, "A", 11L), (3L, "B", 30L), (4L, "B", 40L)))
+  }
+
   test("z-order layout: files bounded in BOTH dimensions, single-sort only in one") {
     import spark.implicits._
     val base = "/tmp/graft_scale/zorder_spec"
