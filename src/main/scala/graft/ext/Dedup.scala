@@ -239,7 +239,17 @@ object Dedup {
       k, bands, maxBucket, materialize)
 
   /** Candidates from a prebuilt (doc_id, shingles) table — see
-    * [[minhashCandidates]] for the shape rationale. */
+    * [[minhashCandidates]] for the shape rationale.
+    *
+    * DELIBERATELY NOT SHARED with [[neardupPairs]]' raw-path band join,
+    * though both band/cap/pair: the collect_list bucket assembly here is
+    * safe only because the input is one row per DISTINCT text, so a
+    * surviving bucket holds <= maxBucket ROWS. The raw path bands every
+    * COPY — its buckets are bounded in distinct digests but unbounded in
+    * rows — so it must generate pairs by equi-join, never by
+    * materializing a bucket array. Two shapes, one semantics; DedupSpec's
+    * both-paths identity test (incl. the capped-bucket stress) is the
+    * seam guard if either side's cap/banding logic changes. */
   def minhashCandidatesFrom(sh: DataFrame, k: Int = 32, bands: Int = 16,
                             maxBucket: Int = 50, materialize: Boolean = true): DataFrame = {
     val rowsPerBand = k / bands
@@ -307,7 +317,10 @@ object Dedup {
     *   - same-digest pairs are emitted from a digest self-join at 1.0,
     *     INDEPENDENT of the LSH machinery (the dedup-first `within` set
     *     exists even when every shared bucket is capped away, and for
-    *     shingle-less texts — null/short — that never band at all);
+    *     NULL texts, which alone are shingle-less and never band —
+    *     [[shinglesUdf]] gives a shorter-than-n text its whole token run
+    *     as a single shingle, so short texts DO band and their distinct-
+    *     digest 1.0-pairs ride the banded join like any others);
     *   - the bucket cap counts DISTINCT DIGESTS, not rows (copies share
     *     their rep's every band, so a raw row count would cap buckets the
     *     rep formulation keeps — distinct digests per raw bucket equals
@@ -337,6 +350,12 @@ object Dedup {
       // RAW path: shingle/band every row directly — rows ≈ distinct texts
       // here, so per-rep machinery buys nothing. See the scaladoc for the
       // three moves that keep this pair-for-pair identical to dedup-first.
+      // Pair generation is an equi-join on the band key, NOT
+      // minhashCandidatesFrom's collect_list buckets: raw buckets are
+      // capped in distinct DIGESTS but unbounded in rows (copies), so a
+      // bucket array could blow a reducer on a misrouted dup-heavy input
+      // — the join shape degrades to wasted work instead (see
+      // minhashCandidatesFrom's scaladoc; DedupSpec pins the seam).
       val rows = df.select(col(idCol).as("doc_id"), keyedDigest.as("digest"),
           shinglesUdf(shingleN)(col(textCol)).as("shingles"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

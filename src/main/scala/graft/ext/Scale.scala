@@ -240,18 +240,35 @@ object Scale {
                         nFiles: Int, path: String): DataFrame = {
     val mm = src.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
-    def quant(c: String, lo: Long, hi: Long): String = {
-      val span = math.max(hi - lo, 1L)
-      // exact integer scaling into [0, 65535]; the multiply stays inside
-      // a bigint for any lo/hi the 63-bit ids here can produce
-      s"CAST(((CAST($c AS BIGINT) - ${lo}L) * 65535L) DIV ${span}L AS BIGINT)"
-    }
-    val qa = quant(colA, mm.getLong(0), mm.getLong(1))
-    val qb = quant(colB, mm.getLong(2), mm.getLong(3))
-    val zExpr = (0 until 16).map(i =>
-      s"(shiftleft(shiftright($qa, $i) & 1L, ${2 * i}) | " +
-        s"shiftleft(shiftright($qb, $i) & 1L, ${2 * i + 1}))")
-      .mkString(" | ")
+    val zExpr =
+      if (mm.isNullAt(0) || mm.isNullAt(2)) "0L" // empty/all-null input: layout is moot
+      else {
+        // Quantize by DIVISION into <= 65536 buckets, never by multiply-
+        // then-divide: (c - lo) * 65535 overflows a bigint once the span
+        // tops ~1.4e14 (epoch-nanos, snowflake ids). step is computed in
+        // BigInt (hi - lo itself can wrap a Long) and capped back to a
+        // Long; (c - lo) <= span always fits, so (c - lo) DIV step is
+        // exact and bounded by 65535 with no overflow anywhere.
+        def quant(c: String, lo: Long, hi: Long): String = {
+          val span = BigInt(hi) - BigInt(lo)
+          if (span <= Long.MaxValue) {
+            val step = ((span / 65536) + 1).toLong // ceil-ish; quotient <= 65535
+            s"((CAST($c AS BIGINT) - ${lo}L) DIV ${step}L)"
+          } else {
+            // span wider than a Long (lo << 0 < hi): even (c - lo) wraps.
+            // Halve both sides first — the +-1 bucket-boundary slop only
+            // perturbs the layout, never the rows.
+            val step = (((span / 2) / 65536) + 1).toLong
+            s"((CAST($c AS BIGINT) DIV 2L - ${lo / 2}L) DIV ${step}L)"
+          }
+        }
+        val qa = quant(colA, mm.getLong(0), mm.getLong(1))
+        val qb = quant(colB, mm.getLong(2), mm.getLong(3))
+        (0 until 16).map(i =>
+          s"(shiftleft(shiftright($qa, $i) & 1L, ${2 * i}) | " +
+            s"shiftleft(shiftright($qb, $i) & 1L, ${2 * i + 1}))")
+          .mkString(" | ")
+      }
     IndexStore.atomically(spark, path) { tmp =>
       src.withColumn("__z", expr(zExpr))
         .repartitionByRange(nFiles, col("__z"))

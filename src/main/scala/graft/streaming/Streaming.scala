@@ -114,7 +114,14 @@ object ExactlyOnceSink {
     }
 
   /** The landed table: partition discovery over the batch directories,
-    * `batch_id` surfaced as a BIGINT partition column. */
-  def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    * `batch_id` surfaced as a BIGINT partition column (partition-type
+    * inference yields INT for small ids, so the cast pins the schema —
+    * a consumer's `getLong` must not depend on how many batches have
+    * landed). In-flight builds and retired copies are dot-prefixed by
+    * [[graft.ext.IndexStore]] and therefore invisible to discovery. */
+  def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     spark.read.option("basePath", root).parquet(root)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+  }
 }

@@ -155,8 +155,9 @@ class DedupSpec extends SparkSpec {
     }
     assert(probeReps() === Set((3L, 10L)), "failed rebuild must not disturb dest")
     val parent = new java.io.File(dest).getParentFile
+    val base = new java.io.File(dest).getName
     val leftovers = parent.listFiles().map(_.getName)
-      .filter(n => n.startsWith(new java.io.File(dest).getName + ".__"))
+      .filter(n => n.contains(base + ".__")) // dot-prefixed temp/retired siblings
     assert(leftovers.isEmpty, s"temp/retired dirs must be cleaned up: ${leftovers.toSeq}")
   }
 

@@ -179,9 +179,20 @@ class StreamingSpec extends SparkSpec {
       }
     }
     assert(landedIds() === expected, "crashed install must be invisible")
-    // batch_id rides as a partition column for downstream pruning
-    val b1 = ExactlyOnceSink.read(spark, root)
-      .filter(col("batch_id") === 1L).select("event_id")
+    // an IN-FLIGHT batch is invisible to readers: the dot-prefixed build
+    // dir must neither surface rows nor corrupt the inferred batch_id
+    // partition values (a bare `batch_id=2.__build_x` sibling would do
+    // both — duplicate data and a string-typed partition column)
+    graft.ext.IndexStore.atomically(spark, s"$root/batch_id=2") { tmp =>
+      evs.slice(80, 90).toDF().write.mode("overwrite").parquet(tmp)
+      assert(landedIds() === expected, "in-flight batch must be invisible mid-install")
+    }
+    assert(ExactlyOnceSink.read(spark, root)
+      .select("event_id").count() === 90L)
+    // batch_id rides as a stable BIGINT partition column for pruning
+    val bdf = ExactlyOnceSink.read(spark, root)
+    assert(bdf.schema("batch_id").dataType === org.apache.spark.sql.types.LongType)
+    val b1 = bdf.filter(col("batch_id") === 1L).select("event_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(b1 === evs.slice(50, 80).map(_.event_id).sorted)
   }
