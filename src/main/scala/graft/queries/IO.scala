@@ -105,6 +105,27 @@ object IO {
         .orderBy("o_orderkey")
     },
 
+    // Parquet schema evolution: two generations of a dataset written with
+    // DIFFERENT schemas (the second gains o_custkey — the additive drift
+    // every long-lived ingestion accumulates), read back as ONE table via
+    // mergeSchema. Old-generation rows surface NULL for the new column;
+    // the oracle is the union with explicit NULL padding. At 100 TB this
+    // is what lets a reader span years of layout history without a
+    // rewrite (merge-on-read; footers are reconciled at planning time).
+    "i13_schema_evolution" -> { (s, dir) =>
+      val path = s"$scratch/orders_evolved"
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+          col("o_custkey"))
+      base.filter(col("o_orderkey") % 2 === 0).drop("o_custkey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=1")
+      base.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .select("o_orderkey", "cents", "o_custkey", "gen")
+        .orderBy("o_orderkey")
+    },
+
     // ORC write -> read -> aggregate (columnar sibling of parquet; DuckDB
     // can't read ORC, so the oracle reproduces the aggregate from the
     // original table — the round trip is what's verified).
@@ -235,6 +256,13 @@ object IO {
       """SELECT s_nationkey, count(*) AS n,
         |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
         |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+
+    // Old-generation rows must surface NULL for the late-added column.
+    "i13_schema_evolution" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS gen
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // Only the F partition's rows carry the +100; O/P rows must survive
     // the overwrite verbatim (static mode would have deleted them).
