@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Joins.defs ++
       graft.queries.Scale.defs ++
       graft.queries.HiveDialect.defs ++
+      graft.queries.ModernSql.defs ++
       graft.queries.Ml.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Joins.oracles ++
       graft.queries.Scale.oracles ++
       graft.queries.HiveDialect.oracles ++
+      graft.queries.ModernSql.oracles ++
       graft.queries.Ml.oracles
 }
