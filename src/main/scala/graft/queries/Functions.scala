@@ -201,6 +201,55 @@ object Functions {
           col("is_widget"),
           col("meta.b").as("meta_brand"), col("meta.s").as("meta_size"))
         .orderBy("p_partkey")
+    },
+
+    // VARIANT surface (semi-structured columns without a declared schema —
+    // the open-JSON analog of the reference's get_json_object string
+    // walks): parse once into the binary variant encoding, then typed
+    // path access, a missing-path probe via try_variant_get, the inferred
+    // per-row schema, and canonical re-serialization. At 100 TB the win
+    // over f06's string re-parsing is that parse_json runs once per row
+    // and every downstream access walks the binary form.
+    "f14_variant_json" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("fx_events")
+      s.sql(
+        """SELECT event_id,
+          |  variant_get(parse_json(props), '$.k', 'bigint') AS k_num,
+          |  try_variant_get(parse_json(props), '$.missing', 'string') IS NULL AS missing_is_null,
+          |  schema_of_variant(parse_json(props)) AS sch,
+          |  to_json(parse_json(props)) AS canon
+          |FROM fx_events ORDER BY event_id""".stripMargin)
+    },
+
+    // listagg (ANSI ordered string aggregation, WITHIN GROUP): the
+    // deterministic ORDER BY inside the aggregate is what makes the
+    // result hashable — an unordered collect would be partition-order
+    // dependent.
+    "f15_listagg" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("fx_nation")
+      Tables.region(s, dir).createOrReplaceTempView("fx_region")
+      s.sql(
+        """SELECT r_name,
+          |  listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+          |  CAST(count(*) AS BIGINT) AS n_nations
+          |FROM fx_nation JOIN fx_region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    },
+
+    // UNPIVOT (relational melt): a wide per-flag aggregate folded to
+    // (key, metric, value) long form — the metrics-export shape. The
+    // UNPIVOT operator is a zero-shuffle Expand over the aggregate.
+    "f16_unpivot" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("fx_lineitem")
+      s.sql(
+        """SELECT l_returnflag, metric, val FROM (
+          |  SELECT l_returnflag,
+          |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+          |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+          |    CAST(count(*) AS BIGINT) AS n_items
+          |  FROM fx_lineitem GROUP BY l_returnflag
+          |) UNPIVOT (val FOR metric IN (qty, price_cents, n_items))
+          |ORDER BY l_returnflag, metric""".stripMargin)
     }
   )
 
@@ -338,6 +387,41 @@ object Functions {
         |  list_contains(string_split(p_name, ' '), 'widget') AS is_widget,
         |  p_brand AS meta_brand,
         |  p_size AS meta_size
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // props is uniformly {"k": <int>}: the inferred variant schema is the
+    // constant OBJECT<k: BIGINT>, and the canonical minified form
+    // reconstructs positionally from the extracted value.
+    "f14_variant_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |  json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+        |  'OBJECT<k: BIGINT>' AS sch,
+        |  '{"k":' || json_extract_string(props, '$.k') || '}' AS canon
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f15_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS nations,
+        |  CAST(count(*) AS BIGINT) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // UNPIVOT expressed as the equivalent UNION ALL melt — proving the
+    // operator is sugar over per-metric projections.
+    "f16_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |    CAST(count(*) AS BIGINT) AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_cents', price_cents FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_items', n_items FROM agg)
+        |ORDER BY l_returnflag, metric""".stripMargin
   )
 }

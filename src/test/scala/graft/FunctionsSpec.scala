@@ -120,6 +120,42 @@ class FunctionsSpec extends SparkSpec {
     assert(jt === Row("1", "x"))
   }
 
+  test("variant: typed access, missing paths, null semantics, canonical form") {
+    // typed path access + canonical re-serialization (minified, key order kept)
+    val r = spark.sql(
+      """SELECT variant_get(parse_json('{"a":{"b":[1,2]},"s":"x"}'), '$.a.b[1]', 'int') AS b1,
+        |  variant_get(parse_json('{"a":1}'), '$.a', 'string') AS cast_str,
+        |  try_variant_get(parse_json('{"a":1}'), '$.zz', 'int') AS missing,
+        |  is_variant_null(parse_json('null')) AS vnull,
+        |  to_json(parse_json('{ "k" : 7 }')) AS canon""".stripMargin).collect().head
+    assert(r.getInt(0) === 2)
+    assert(r.getString(1) === "1")      // variant int casts to its string form
+    assert(r.isNullAt(2))               // try_ on a missing path is NULL, no error
+    assert(r.getBoolean(3))             // JSON null is a variant-null, not SQL NULL
+    assert(r.getString(4) === """{"k":7}""")
+    // variant_get on a missing path (non-try) also yields NULL for variant
+    val m = spark.sql("SELECT variant_get(parse_json('{}'), '$.x', 'int')").collect().head
+    assert(m.isNullAt(0))
+  }
+
+  test("listagg: WITHIN GROUP ordering is the output order; DISTINCT dedupes") {
+    val r = spark.sql(
+      """SELECT listagg(c, ',') WITHIN GROUP (ORDER BY c DESC) AS d,
+        |  listagg(DISTINCT c, ',') WITHIN GROUP (ORDER BY c) AS u
+        |FROM VALUES ('b'),('a'),('b') t(c)""".stripMargin).collect().head
+    assert(r.getString(0) === "b,b,a")
+    assert(r.getString(1) === "a,b")
+  }
+
+  test("f16 unpivot lowers to Expand — zero extra shuffles past the aggregate") {
+    val df = graft.queries.Functions.defs("f16_unpivot")(spark, sf001)
+    assert(df.collect().length === 9) // 3 flags x 3 metrics
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    // one agg exchange + one final sort exchange; the melt itself is narrow
+    assert("Exchange".r.findAllIn(plan.replace("AQEShuffleRead", "")).size <= 4)
+  }
+
   test("rand/randn are seeded-deterministic, monotonic id distinct") {
     val a = spark.range(100).select(rand(42)).collect().map(_.getDouble(0))
     val b = spark.range(100).select(rand(42)).collect().map(_.getDouble(0))
