@@ -126,6 +126,28 @@ object IO {
         .orderBy("o_orderkey")
     },
 
+    // XML write -> schema'd read -> aggregate (the document-interchange
+    // format Spark 4 ships natively; DuckDB can't read XML, so the oracle
+    // reproduces the aggregate from the original table — the round trip
+    // is what's verified). The read declares an explicit schema: XML
+    // element order is not column order and inference would widen
+    // p_size to BIGINT.
+    "i14_xml_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/xml_part"
+      Tables.part(s, dir)
+        .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .write.mode(SaveMode.Overwrite).option("rowTag", "part").format("xml").save(path)
+      val schema = StructType(Seq(
+        StructField("p_partkey", LongType), StructField("p_brand", StringType),
+        StructField("p_size", IntegerType), StructField("p_retailprice", DoubleType)))
+      s.read.schema(schema).option("rowTag", "part").format("xml").load(path)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_size").cast("long")).as("total_size"),
+          sum(expr("cast(round(p_retailprice * 100) as bigint)")).as("price_cents"))
+        .orderBy("p_brand")
+    },
+
     // ORC write -> read -> aggregate (columnar sibling of parquet; DuckDB
     // can't read ORC, so the oracle reproduces the aggregate from the
     // original table — the round trip is what's verified).
@@ -251,6 +273,12 @@ object IO {
     "i04_partitioned_write" ->
       """SELECT count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "i14_xml_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(p_size) AS BIGINT) AS total_size,
+        |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "i06_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,

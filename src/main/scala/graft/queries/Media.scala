@@ -45,6 +45,29 @@ object Media {
           max(col("byte_offset")).cast("long").as("v2"))
         .select(col("media_id"), lit("frames").as("op"), col("v1"), col("v2"))
       resize.unionByName(frames).orderBy("media_id", "op")
+    },
+
+    // Raw-file ingestion via the binaryFile source — the path by which
+    // real image/audio corpora enter the engine (one file per asset on a
+    // shared store, listed and read distributed; partition-directory
+    // discovery supplies the asset id without touching file contents).
+    // A bounded 50-doc probe set is exported one-text-file-per-doc
+    // (doc_id=N/part-*.txt via partitionBy — the corpus is single-line
+    // ASCII, TablesSpec guards that), then re-ingested as opaque bytes:
+    // per-file byte length + md5 digest against the source-of-truth text.
+    // At 100 TB the listing is the driver-side cost; maxFilesPerTrigger /
+    // streaming ingest bounds it per batch.
+    "m04_binary_ingest" -> { (s, dir) =>
+      val path = "/tmp/graft_io/bin_docs"
+      Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .write.mode("overwrite").partitionBy("doc_id").text(path)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
     }
   )
 
@@ -102,6 +125,15 @@ object Media {
         |    greatest(CAST(floor((len - 1) / 256.0) AS BIGINT), 0) * 256 AS v2
         |  FROM m WHERE media_id % 2 = 1)
         |SELECT * FROM r UNION ALL SELECT * FROM f
-        |ORDER BY media_id, op""".stripMargin
+        |ORDER BY media_id, op""".stripMargin,
+
+    // The text exporter writes UTF-8 bytes + one trailing newline per
+    // row; the corpus is single-line ASCII, so bytes = strlen + 1 and the
+    // digest is md5(text || \n).
+    "m04_binary_ingest" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+        |  md5(text || chr(10)) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
   )
 }

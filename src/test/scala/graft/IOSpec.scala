@@ -65,6 +65,18 @@ class IOSpec extends SparkSpec {
     assert(back.collect().toSet === df.collect().toSet)
   }
 
+  test("xml roundtrip: explicit schema restores types; null fields omit the element and read back null") {
+    val path = tmp("xmlnull")
+    import spark.implicits._
+    val df = Seq((1L, Option("a"), 2.5), (2L, None: Option[String], 3.5)).toDF("id", "tag", "v")
+    df.write.option("rowTag", "row").format("xml").save(path)
+    val back = spark.read.schema(df.schema).option("rowTag", "row").format("xml").load(path)
+      .orderBy("id").collect()
+    assert(back(0).getString(1) === "a")
+    assert(back(1).isNullAt(1), "a null field writes no element and must read back as null")
+    assert(back.map(_.getDouble(2)).toSeq === Seq(2.5, 3.5))
+  }
+
   test("json preserves nested structs and arrays") {
     val path = tmp("jsonnest")
     import spark.implicits._

@@ -55,4 +55,15 @@ class MultimodalSpec extends SparkSpec {
       assert(last < len)
     }
   }
+
+  test("m04 binaryFile ingest: partition discovery supplies doc_id and prunes by it") {
+    graft.queries.Media.defs("m04_binary_ingest")(spark, sf001).collect() // writes the export
+    val one = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load("/tmp/graft_io/bin_docs").filter(col("doc_id") === 3)
+    assert(one.count() === 1)
+    // the doc_id predicate must be a directory-level partition filter,
+    // never a content read + post-filter
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(doc_id"), s"expected partition filter in:\n$scan")
+  }
 }
