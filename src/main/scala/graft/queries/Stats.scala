@@ -235,6 +235,41 @@ object Stats {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_orders"), sum("c").as("sum_cents"))
         .orderBy("bucket")
+    },
+
+    // Apache DataSketches aggregates (HLL + Theta): per-group sketches,
+    // then sketch UNION to the corpus total — the mergeability that makes
+    // sketches the 100 TB rollup currency (per-partition/day sketches
+    // stored once, any ad-hoc slice unioned later without re-scanning).
+    // Contract-gated like n08: per-group and merged estimates within 5%
+    // of the exact distinct count (deterministic hashes — a verified draw,
+    // not a probabilistic hope; lgK=12 HLL is ~1.6% here, theta is exact
+    // below its 4096-entry threshold).
+    "n13_datasketches" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("nx_events")
+      s.sql(
+        """WITH grp AS (
+          |  SELECT event_type,
+          |    hll_sketch_agg(user_id) AS hsk,
+          |    theta_sketch_agg(user_id) AS tsk,
+          |    count(DISTINCT user_id) AS exact_d
+          |  FROM nx_events GROUP BY event_type
+          |),
+          |per AS (
+          |  SELECT event_type AS scope,
+          |    abs(hll_sketch_estimate(hsk) - exact_d) <= 0.05 * exact_d AS hll_ok,
+          |    abs(theta_sketch_estimate(tsk) - exact_d) <= 0.05 * exact_d AS theta_ok
+          |  FROM grp
+          |),
+          |merged AS (
+          |  SELECT 'ALL' AS scope,
+          |    abs(hll_sketch_estimate(hll_union_agg(hsk)) - t.d) <= 0.05 * t.d AS hll_ok,
+          |    abs(theta_sketch_estimate(theta_union_agg(tsk)) - t.d) <= 0.05 * t.d AS theta_ok
+          |  FROM grp, (SELECT count(DISTINCT user_id) AS d FROM nx_events) t
+          |  GROUP BY t.d
+          |)
+          |SELECT * FROM per UNION ALL SELECT * FROM merged
+          |ORDER BY scope""".stripMargin)
     }
   )
 
@@ -320,6 +355,12 @@ object Stats {
         |SELECT least((c * 10) // 60000000, 9) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(c) AS BIGINT) AS sum_cents
-        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "n13_datasketches" ->
+      """SELECT scope, TRUE AS hll_ok, TRUE AS theta_ok FROM (
+        |  SELECT DISTINCT event_type AS scope FROM events
+        |  UNION ALL SELECT 'ALL')
+        |ORDER BY scope""".stripMargin
   )
 }

@@ -57,4 +57,26 @@ class StatsSpec extends SparkSpec {
     sampled.foreach { case (k, c) => assert(c <= totals(k)) }
     assert(sampled.getOrElse("P", 0L) === totals.getOrElse("P", 0L)) // fraction 1.0 keeps all
   }
+
+  test("datasketches mergeability: union of per-group sketches == one-pass corpus sketch") {
+    Tables.events(spark, sf001).createOrReplaceTempView("sk_events")
+    // the union of per-type sketches must estimate IDENTICALLY to a
+    // sketch built in one pass over the corpus — the property that lets
+    // 100 TB rollups store per-partition sketches and union ad hoc
+    val r = spark.sql(
+      """SELECT
+        |  hll_sketch_estimate(hll_union_agg(hsk)) AS hll_merged,
+        |  theta_sketch_estimate(theta_union_agg(tsk)) AS theta_merged,
+        |  (SELECT hll_sketch_estimate(hll_sketch_agg(user_id)) FROM sk_events) AS hll_direct,
+        |  (SELECT theta_sketch_estimate(theta_sketch_agg(user_id)) FROM sk_events) AS theta_direct,
+        |  (SELECT count(DISTINCT user_id) FROM sk_events) AS exact
+        |FROM (SELECT event_type, hll_sketch_agg(user_id) AS hsk,
+        |        theta_sketch_agg(user_id) AS tsk
+        |      FROM sk_events GROUP BY event_type)""".stripMargin).collect().head
+    assert(r.getLong(0) === r.getLong(2), "HLL union must equal the direct sketch")
+    assert(r.getLong(1) === r.getLong(3), "theta union must equal the direct sketch")
+    // 15 distinct users at sf0.001: both sketches are exact in this regime
+    assert(r.getLong(0) === r.getLong(4))
+    assert(r.getLong(1) === r.getLong(4))
+  }
 }
