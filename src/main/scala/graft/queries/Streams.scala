@@ -148,6 +148,50 @@ object Streams {
       // stores than v06: per-store open/commit tax dominates below ~MB
       runToMemory(dd, "v07_sink", statePartitions = 4)
         .orderBy("user_id", "event_type")
+    },
+
+    // Arbitrary state THROUGH the transformWithState API (see
+    // streaming.UserTotalsProcessor): per-user ValueState folded over the
+    // corpus-in-one-batch, emitting post-batch totals == the batch GROUP
+    // BY the oracle runs. transformWithState requires the RocksDB state
+    // store provider; set for this query, restored after.
+    "v08_transform_with_state" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val out = eventStream(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.UserTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        // state = two longs per user — tiny; 4 stores (v07's reasoning)
+        runToMemory(out.toDF(), "v08_sink", statePartitions = 4)
+          .orderBy("user_id")
+      } finally prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
+    // Stream-static join: each micro-batch of the event stream joins the
+    // static customer dim — STATELESS on the stream side (nothing
+    // watermark-bound to keep), with the dim broadcast per batch. This is
+    // the canonical streaming enrichment; at 100 TB the static side stays
+    // broadcast-sized or becomes a pre-bucketed table the batches probe.
+    "v09_stream_static_join" -> { (s, dir) =>
+      val stream = eventStream(s, dir).select("event_id", "user_id", "value")
+      val dim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = stream.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"),
+          col("c_mktsegment").as("segment"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      // stateless plan: partition count is irrelevant to state, keep 1
+      runToMemory(joined, "v09_sink", statePartitions = 1)
+        .orderBy("event_id")
     }
   )
 
@@ -214,6 +258,17 @@ object Streams {
 
     "v07_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "v08_transform_with_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "v09_stream_static_join" ->
+      """SELECT event_id, user_id, c_mktsegment AS segment,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -100,6 +100,49 @@ object Streaming {
   * the landed table). At 100 TB: one directory per micro-batch, no
   * global commit log contention, and the atomic-install discipline is
   * the same one the standing dedup/ANN indexes already use. */
+/** Per-user lifetime totals emitted by [[UserTotalsProcessor]]. */
+case class UserTotals(user_id: Long, n_events: Long, cents: Long)
+
+/** Arbitrary-state streaming via the transformWithState API — the
+  * modern replacement for both the reference's updateStateByKey
+  * (STRM/dstream/PairDStreamFunctions.scala) and the 3.x
+  * mapGroupsWithState path (which v03 exercises): typed state handles
+  * (ValueState here; List/Map/timers available), RocksDB-backed, with
+  * state schema tracked per handle.
+  *
+  * Contract: per user, fold the batch's events into the running
+  * (n_events, cents) ValueState and emit the post-batch totals. With the
+  * whole corpus arriving as one micro-batch (the suite's single-file
+  * source), the emission equals the batch GROUP BY — the oracle's check —
+  * while still executing through the streaming engine's stateful
+  * operator. Across many batches the same processor emits one updated
+  * row per (user, batch) — the running-totals changelog shape
+  * (StreamingSpec pins that cross-batch behavior).
+  *
+  * Scale: state is two longs per user — millions of users is tens of MB
+  * per store; handleInputRows streams the iterator without buffering, so
+  * a hot user costs CPU, not memory. */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserTotals] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[UserTotals] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+    totals.update((n, cents))
+    Iterator.single(UserTotals(user, n, cents))
+  }
+}
+
 object ExactlyOnceSink {
 
   /** Install `df` as `root/batch_id=<batchId>/` atomically; safe to call

@@ -505,4 +505,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Seq(1L, 2L, 3L, 4L))
     assert(streamed === batch)
   }
+
+  test("transformWithState: ValueState totals accumulate across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ts = new java.sql.Timestamp(0L)
+      val ms = MemoryStream[Event](spark)
+      val out = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.UserTotalsProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_stream")
+        .outputMode("append").start()
+      try {
+        // batch 1: user 1 sees two events, user 2 one
+        ms.addData(Event(1, ts, 1, "click", 1.0), Event(2, ts, 1, "view", 2.0),
+          Event(3, ts, 2, "click", 5.0))
+        q.processAllAvailable()
+        // batch 2: user 1 again — totals must CONTINUE from state
+        ms.addData(Event(4, ts, 1, "click", 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // one emission per (user, batch): post-batch-1 snapshots + post-batch-2
+      assert(rows === Set((1L, 2L, 300L), (2L, 1L, 500L), (1L, 3L, 600L)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("stream-static join is stateless and broadcasts the static dim") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(0L)
+    val ms = MemoryStream[Event](spark)
+    val dim = broadcast(Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment"))
+    val joined = ms.toDF().join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val q = joined.writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts, 1, "click", 1.0), Event(2, ts, 3, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(3, ts, 2, "click", 1.0))
+      q.processAllAvailable()
+      // rows join per-batch; user 3 has no dim row and drops (inner join)
+      val rows = spark.table("ssj_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(rows === Set((1L, "SEG_A"), (3L, "SEG_B")))
+      // stateless: no state store operator in the executed plan
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StateStore"), s"stream-static join must keep no state:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"static dim must broadcast:\n$plan")
+    } finally q.stop()
+  }
 }
