@@ -250,6 +250,51 @@ object Functions {
           |  FROM fx_lineitem GROUP BY l_returnflag
           |) UNPIVOT (val FOR metric IN (qty, price_cents, n_items))
           |ORDER BY l_returnflag, metric""".stripMargin)
+    },
+
+    // Higher-order functions over token arrays (transform / filter /
+    // aggregate / exists). CAVEAT, measured in s10's history: HOF lambdas
+    // run INTERPRETED — fine on these short per-row arrays, but corpus-
+    // scale featurization belongs in the explode -> codegen -> agg shape
+    // (see ext.Pipeline.HashingTF). This query is the API surface, with
+    // the arrays bounded by the row.
+    "f17_higher_order" -> { (s, dir) =>
+      Tables.documents(s, dir).createOrReplaceTempView("fx_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(aggregate(transform(split(text, ' '), t -> length(t)), 0,
+          |       (a, x) -> a + x) AS BIGINT) AS total_chars,
+          |  CAST(size(filter(split(text, ' '), t -> length(t) > 3)) AS BIGINT) AS n_long,
+          |  exists(split(text, ' '), t -> t = 'data') AS has_data
+          |FROM fx_documents ORDER BY doc_id""".stripMargin)
+    },
+
+    // Collated comparisons (UTF8_LCASE): case-insensitive equality and
+    // DISTINCT without materializing lower() copies — the collation
+    // travels with the value, so joins/aggregates on collated keys stay
+    // hash-based.
+    "f18_collation" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("fx_nation")
+      s.sql(
+        """SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_binary,
+          |  CAST(count(DISTINCT collate(m, 'UTF8_LCASE')) AS BIGINT) AS n_ci,
+          |  CAST(sum(CASE WHEN collate(m, 'UTF8_LCASE') = 'nation_5' THEN 1 ELSE 0 END) AS BIGINT) AS n5
+          |FROM (SELECT n_name AS m FROM fx_nation
+          |      UNION ALL SELECT lower(n_name) FROM fx_nation)""".stripMargin)
+    },
+
+    // try_ error-safe arithmetic: NULL instead of a runtime error on
+    // zero-divide, bad casts, and overflow — what keeps a 100 TB job from
+    // dying at hour three on one malformed row.
+    "f19_try_functions" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("fx_orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE)) AS div_maybe,
+          |  try_cast(o_orderpriority AS INT) AS prio_full,
+          |  try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+          |  try_add(9223372036854775807L, o_orderkey) AS ovf
+          |FROM fx_orders ORDER BY o_orderkey""".stripMargin)
     }
   )
 
@@ -422,6 +467,32 @@ object Functions {
         |  SELECT l_returnflag, 'price_cents', price_cents FROM agg
         |  UNION ALL
         |  SELECT l_returnflag, 'n_items', n_items FROM agg)
-        |ORDER BY l_returnflag, metric""".stripMargin
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "f17_higher_order" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> strlen(t))) AS BIGINT) AS total_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> strlen(t) > 3)) AS BIGINT) AS n_long,
+        |  len(list_filter(string_split(text, ' '), t -> t = 'data')) > 0 AS has_data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's NOCASE collation can't ride through COUNT(DISTINCT), so the
+    // oracle states the same semantics via lower().
+    "f18_collation" ->
+      """SELECT CAST(count(DISTINCT m) AS BIGINT) AS n_binary,
+        |  CAST(count(DISTINCT lower(m)) AS BIGINT) AS n_ci,
+        |  CAST(sum(CASE WHEN lower(m) = 'nation_5' THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        |FROM (SELECT n_name AS m FROM nation
+        |      UNION ALL SELECT lower(n_name) FROM nation)""".stripMargin,
+
+    // DuckDB double division already yields NULL on zero divisors; the
+    // overflow probe is stated conditionally (BIGINT overflow raises).
+    "f19_try_functions" ->
+      """SELECT o_orderkey,
+        |  o_totalprice / CAST(o_custkey % 3 AS DOUBLE) AS div_maybe,
+        |  try_cast(o_orderpriority AS INT) AS prio_full,
+        |  try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+        |  CASE WHEN o_orderkey = 0 THEN 9223372036854775807 ELSE NULL END AS ovf
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -237,6 +237,27 @@ object IO {
           |FROM i10_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // DDL column DEFAULTs: a managed table whose unsupplied columns fill
+    // from declared defaults — partial-column INSERT (defaults apply) and
+    // full INSERT (values win) must coexist in one table.
+    "i15_ddl_defaults" -> { (s, dir) =>
+      graft.ext.Scale.dropManagedTable(s, "i15_flags")
+      Tables.orders(s, dir).createOrReplaceTempView("io_orders")
+      s.sql(
+        """CREATE TABLE i15_flags (
+          |  o_orderkey BIGINT,
+          |  status STRING DEFAULT 'unreviewed',
+          |  priority_score BIGINT DEFAULT 0) USING parquet""".stripMargin)
+      s.sql(
+        """INSERT INTO i15_flags (o_orderkey)
+          |SELECT o_orderkey FROM io_orders WHERE o_orderkey % 100 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO i15_flags
+          |SELECT o_orderkey, 'reviewed', o_orderkey % 7
+          |FROM io_orders WHERE o_orderkey % 100 = 1""".stripMargin)
+      s.sql("SELECT o_orderkey, status, priority_score FROM i15_flags ORDER BY o_orderkey")
+    },
+
     // The 1.6 compat shim end-to-end: unionAll (bag union by position) +
     // registerTempTable + DataFrame.explode + rowNumber, each delegating
     // to the modern call with an identical plan (graft.compat.Legacy).
@@ -320,6 +341,14 @@ object IO {
     "i09_script_transform" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+
+    "i15_ddl_defaults" ->
+      """SELECT o_orderkey, 'unreviewed' AS status, CAST(0 AS BIGINT) AS priority_score
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'reviewed', o_orderkey % 7
+        |FROM orders WHERE o_orderkey % 100 = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "i10_save_as_table" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -118,6 +118,34 @@ object ModernSql {
           |   WHERE CAST(round(o_totalprice * 100) AS BIGINT) > ?
           |   GROUP BY o_orderpriority ORDER BY o_orderpriority'
           |USING ms_thr""".stripMargin)
+    },
+
+    // LATERAL correlated subquery — per-nation top-2 customers by balance.
+    // Same semantics as w01's window top-k, different front-end: the
+    // planner rewrites the correlated LIMIT into a partitioned rank, so
+    // the lateral form costs ONE shuffle, not a per-nation re-scan.
+    "h08_lateral_topk" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("ms_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("ms_customer")
+      s.sql(
+        """SELECT n_name, l.c_custkey, l.bal_cents
+          |FROM ms_nation,
+          |LATERAL (
+          |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM ms_customer WHERE c_nationkey = n_nationkey
+          |  ORDER BY bal_cents DESC, c_custkey LIMIT 2) l
+          |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin)
+    },
+
+    // GROUP BY ALL / ORDER BY ALL — the analyst shorthand that infers the
+    // grouping keys from the non-aggregate select list.
+    "h09_group_by_all" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("ms_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM ms_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
     }
   )
 
@@ -166,6 +194,21 @@ object ModernSql {
         |FROM orders
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
         |  (SELECT avg(CAST(round(o_totalprice * 100) AS BIGINT)) FROM orders)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "h08_lateral_topk" ->
+      """SELECT n_name, l.c_custkey, l.bal_cents
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY bal_cents DESC, c_custkey LIMIT 2) l
+        |ORDER BY n_name, bal_cents DESC, c_custkey""".stripMargin,
+
+    "h09_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
   )
 }

@@ -270,6 +270,20 @@ object Stats {
           |)
           |SELECT * FROM per UNION ALL SELECT * FROM merged
           |ORDER BY scope""".stripMargin)
+    },
+
+    // approx_top_k heavy hitters: one pass, bounded tracking state. With
+    // maxItemsTracked >= the true cardinality the counts are EXACT (the
+    // regime here — deterministic, value-gated); past that bound it
+    // degrades to frequency estimation and n10's contract style applies.
+    // The re-sort after explode pins tie order, which the sketch does not.
+    "n14_approx_top_k" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("nx_events")
+      s.sql(
+        """SELECT x.item, x.count AS n
+          |FROM (SELECT explode(approx_top_k(event_type, 3, 1000)) AS x
+          |      FROM nx_events)
+          |ORDER BY n DESC, item""".stripMargin)
     }
   )
 
@@ -361,6 +375,11 @@ object Stats {
       """SELECT scope, TRUE AS hll_ok, TRUE AS theta_ok FROM (
         |  SELECT DISTINCT event_type AS scope FROM events
         |  UNION ALL SELECT 'ALL')
-        |ORDER BY scope""".stripMargin
+        |ORDER BY scope""".stripMargin,
+
+    "n14_approx_top_k" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1
+        |ORDER BY n DESC, item LIMIT 3""".stripMargin
   )
 }

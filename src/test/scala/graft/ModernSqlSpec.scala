@@ -53,6 +53,18 @@ class ModernSqlSpec extends SparkSpec {
     assert(narrow < all.length)
   }
 
+  test("h08 lateral top-k decorrelates: WindowGroupLimit + one equi-join, no nested loop") {
+    val df = graft.queries.ModernSql.defs("h08_lateral_topk")(spark, sf001)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the correlated ORDER BY/LIMIT becomes a per-key group limit (partial
+    // top-k BEFORE the shuffle) feeding a plain inner join — the plan that
+    // survives a 100x customer table; a per-nation re-scan would not
+    assert(opt.contains("WindowGroupLimit"), s"expected group-limit rewrite:\n$opt")
+    assert(opt.contains("Join Inner"))
+    assert(!opt.toLowerCase.contains("nestedloop"), s"lateral must not plan a nested loop:\n$opt")
+    assert(df.collect().length === 50) // 25 nations x top 2
+  }
+
   test("h07 session variable: SET VAR re-binds and EXECUTE IMMEDIATE sees the new value") {
     ModernSql.defs("h07_execute_immediate")(spark, sf001).collect() // declares ms_thr
     spark.sql("SET VAR ms_thr = 0.0")
