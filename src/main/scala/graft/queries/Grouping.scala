@@ -94,6 +94,26 @@ object Grouping {
           (abs(col("approx_users") - col("exact_users"))
             <= col("exact_users") * 0.10).as("within_5se"))
         .orderBy("event_type")
+    },
+
+    // Modern aggregate battery: median / percentile (exact sorted-value
+    // interpolation — quantile fractions are powers of two so the IEEE
+    // arithmetic is exact and engine-identical), deterministic mode
+    // (lowest value wins ties — orders statuses TIE at some SFs, so the
+    // nondeterministic default would be ungateable), count_if, bool_and /
+    // bool_or. All run as one hash-aggregate pass per priority.
+    "g07_modern_aggregates" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("gx_orders")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  median(CAST(round(o_totalprice * 100) AS BIGINT)) AS med_cents,
+          |  percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.25D) AS p25_cents,
+          |  mode(o_orderstatus, true) AS top_status,
+          |  CAST(count_if(o_totalprice > 300000.0D) AS BIGINT) AS n_big,
+          |  bool_and(o_totalprice > 0.0D) AS all_positive,
+          |  bool_or(o_totalprice > 550000.0D) AS any_huge
+          |FROM gx_orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     }
   )
 
@@ -142,6 +162,23 @@ object Grouping {
 
     "g06_approx_distinct_users" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS within_5se
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mode(x, true) == the (count DESC, value ASC) argmax; count_if ==
+    // FILTERed count; quantile_cont matches percentile at power-of-two
+    // fractions exactly.
+    "g07_modern_aggregates" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, o_totalprice,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        |  median(cents) AS med_cents,
+        |  quantile_cont(cents, 0.25) AS p25_cents,
+        |  (SELECT o_orderstatus FROM c i WHERE i.o_orderpriority = g.o_orderpriority
+        |   GROUP BY o_orderstatus ORDER BY count(*) DESC, o_orderstatus LIMIT 1) AS top_status,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 300000.0) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 0.0) AS all_positive,
+        |  bool_or(o_totalprice > 550000.0) AS any_huge
+        |FROM c g GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

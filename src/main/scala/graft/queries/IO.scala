@@ -258,6 +258,21 @@ object IO {
       s.sql("SELECT o_orderkey, status, priority_score FROM i15_flags ORDER BY o_orderkey")
     },
 
+    // The _metadata hidden column: per-row file lineage (name, size) the
+    // scan exposes without reading extra bytes — the provenance hook a
+    // multi-file 100 TB table uses to trace rows to their source files
+    // and retract a bad ingest batch by file. Single-file here, so the
+    // lineage rollup is one deterministic row.
+    "i16_file_metadata" -> { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("_metadata.file_name").as("file_name"),
+          (col("_metadata.file_size") > 0L).as("size_known"),
+          col("l_orderkey"))
+        .groupBy("file_name", "size_known")
+        .agg(count(lit(1)).as("n_rows"), max("l_orderkey").as("max_key"))
+        .orderBy("file_name")
+    },
+
     // The 1.6 compat shim end-to-end: unionAll (bag union by position) +
     // registerTempTable + DataFrame.explode + rowNumber, each delegating
     // to the modern call with an identical plan (graft.compat.Legacy).
@@ -349,6 +364,11 @@ object IO {
         |SELECT o_orderkey, 'reviewed', o_orderkey % 7
         |FROM orders WHERE o_orderkey % 100 = 1
         |ORDER BY o_orderkey""".stripMargin,
+
+    "i16_file_metadata" ->
+      """SELECT 'lineitem.parquet' AS file_name, TRUE AS size_known,
+        |  CAST(count(*) AS BIGINT) AS n_rows, max(l_orderkey) AS max_key
+        |FROM lineitem""".stripMargin,
 
     "i10_save_as_table" ->
       """SELECT o_orderstatus, count(*) AS n,
