@@ -192,6 +192,50 @@ object Streams {
       // stateless plan: partition count is irrelevant to state, keep 1
       runToMemory(joined, "v09_sink", statePartitions = 1)
         .orderBy("event_id")
+    },
+
+    // The state data source: read a streaming checkpoint's STATE as a
+    // DataFrame — the operational debugger for stateful pipelines (what
+    // totals is user 17 carrying? is state skewed across partitions?)
+    // and the offline-migration escape hatch. Runs the v08 pipeline to a
+    // pinned checkpoint, then reads the "totals" ValueState back: per-user
+    // (n, cents) — which must equal the batch GROUP BY the oracle runs,
+    // because the state IS the aggregation. The checkpoint is rebuilt
+    // fresh each call: a checkpoint carries the stream's identity, and a
+    // stale one would short-circuit the source and serve another data
+    // dir's state.
+    "v10_state_reader" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val ckpt = "/tmp/graft_io/v10_ckpt"
+      val p = new org.apache.hadoop.fs.Path(ckpt)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "4") // v08's state sizing
+        val out = eventStream(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.UserTotalsProcessor,
+            TimeMode.None(), OutputMode.Append())
+        val q = out.toDF().writeStream.format("memory").queryName("v10_sink")
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProvider match {
+          case Some(pv) => s.conf.set("spark.sql.streaming.stateStore.providerClass", pv)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      s.read.format("statestore").option("path", ckpt)
+        .option("stateVarName", "totals").load()
+        .select(col("key.value").as("user_id"),
+          col("value._1").as("n_events"), col("value._2").as("cents"))
+        .orderBy("user_id")
     }
   )
 
@@ -269,6 +313,12 @@ object Streams {
       """SELECT event_id, user_id, c_mktsegment AS segment,
         |  CAST(round(value * 100) AS BIGINT) AS cents
         |FROM events JOIN customer ON user_id = c_custkey
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    // the checkpointed ValueState IS the aggregation
+    "v10_state_reader" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
