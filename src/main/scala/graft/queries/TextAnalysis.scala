@@ -112,6 +112,27 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // CCNet-style quality bucketing: rank every document by its LM score
+    // (t13's micro-nat-exact average) and cut the corpus into
+    // head/middle/tail terciles — the pretraining-mix partitioning step.
+    // The global rank uses x05's range-repartition + broadcast-offset
+    // two-pass, NEVER a single-partition window sort; the tercile cut is
+    // the exact-rank formula ((rank-1)*3) div N stated identically in the
+    // oracle, so no interpolated-percentile boundary can flip a
+    // tied-score doc between engines (duplicate docs tie exactly).
+    "t21_ccnet_buckets" -> { (s, dir) =>
+      val scored = T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("ck",
+          struct((col("avg_logp") * -1).as("neg_lp"), col("doc_id").as("d")))
+      val ranked = graft.ext.Scale.globalRowIndex(scored, "ck", numPartitions = 8)
+      val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+      ranked.crossJoin(n)
+        .select(col("doc_id"), col("avg_logp"),
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            (expr("((global_index - 1) * 3) div n_docs") + 1).cast("int")).as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // Temperature (alpha=0.5) mixture resampling over language domains:
     // keep rates from sqrt-renormalized shares, per-doc md5 coin in
     // integer ppm.
@@ -440,6 +461,30 @@ object TextAnalysis {
         |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
         |  round(sum(lp)::DOUBLE / 1e6 / count(*), 6) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t13's LM-score chain, then the exact-rank tercile cut — the same
+    // ((rank-1)*3) // N formula the Spark side computes.
+    "t21_ccnet_buckets" ->
+      """WITH bg AS (SELECT doc_id, x.w1 w1, x.w2 w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[i], 'w2': t[i + 1]})) x
+        |  FROM (SELECT doc_id, string_split(text, ' ') t FROM documents))),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+        |lm AS (SELECT c12.w1, c12.w2, c12.c12, c1.c1 FROM c12 JOIN c1 USING (w1)),
+        |s AS (SELECT bg.doc_id,
+        |    CAST(round(ln(lm.c12::DOUBLE / lm.c1::DOUBLE) * 1e6) AS BIGINT) lp
+        |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2),
+        |scored AS (
+        |  SELECT doc_id, round(sum(lp)::DOUBLE / 1e6 / count(*), 6) AS avg_logp
+        |  FROM s GROUP BY doc_id),
+        |r AS (SELECT doc_id, avg_logp,
+        |    row_number() OVER (ORDER BY avg_logp DESC, doc_id) rn,
+        |    count(*) OVER () n FROM scored)
+        |SELECT doc_id, avg_logp,
+        |  CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Mixture resampling mirror: same sqrt (IEEE-exact, unlike pow),
     // same language-sorted deterministic sum for the denominator, same
