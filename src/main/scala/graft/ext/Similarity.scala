@@ -555,6 +555,53 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, public recipe):
+    * cluster the embedding corpus, then remove near-duplicates WITHIN
+    * each cluster — keep the lowest-id member of every similar pair, the
+    * greedy epsilon-ball rule (deterministic; like all greedy variants it
+    * can over-remove along similarity chains, which is the published
+    * trade too).
+    *
+    * Scale-first deviation from the paper's within-cluster ALL-PAIRS
+    * scan: candidate pairs come from the RP-LSH banded self-join
+    * ([[rpNeardupPairs]] — an equi-join on band keys, never quadratic in
+    * cluster size), then the same-cluster restriction and the exact
+    * cosine >= threshold verify. Banding recall rises with the threshold
+    * (sign-agreement probability grows with cosine), so any recall bound
+    * d08's spec establishes at 0.4 holds a fortiori at dedup thresholds.
+    * The default 0.45 is corpus-relative, as the published recipe's
+    * epsilon is — this synthetic corpus tops out near 0.49 cosine.
+    * Training reads the vec_id % sampleMod hash sample (the s07/s09
+    * recipe); the corpus pays ONE assignment pass + the banded join.
+    *
+    * Returns one row per corpus vector: (vec_id, cluster, kept). Null /
+    * zero-norm vectors have no defined cosine: never paired, always
+    * kept, cluster null for null vectors. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String, dims: Int,
+               k: Int = 4, iters: Int = 2, sampleMod: Int = 4,
+               threshold: Double = 0.45): DataFrame = {
+    val centers = Clustering.sampledCenters(corpus, idCol, vecCol, dims, k, iters, sampleMod)
+    val assigned = Clustering.quantized(corpus, idCol, vecCol)
+      .withColumn("cluster", Clustering.assignUdf(centers)(col("vq")))
+      .select(col("vec_id"), col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = rpNeardupPairs(corpus, idCol, vecCol, dims, threshold = threshold)
+    // pairs carry id_a < id_b: id_b is the removal candidate; the pair
+    // only counts when both ends share a cluster (the SemDeDup scope)
+    val removed = pairs
+      .join(assigned.select(col("vec_id").as("id_a"), col("cluster").as("ca")), "id_a")
+      .join(assigned.select(col("vec_id").as("id_b"), col("cluster").as("cb")), "id_b")
+      .filter(col("ca") === col("cb"))
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    val out = assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("removed").isNull.as("kept"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
+  }
+
   /** Per-vector index card: RP signature + IVF cluster assignment. */
   def vectorIndex(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                   bits: Int = 16, nClusters: Int = 8): DataFrame = {

@@ -92,6 +92,17 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup (cluster-partitioned semantic dedup, the published
+    // embedding-curation recipe): sample-trained k-means clusters, RP-LSH
+    // banded candidates (never all-pairs — the scale-first deviation the
+    // operator's scaladoc documents), same-cluster cosine >= 0.45 pairs,
+    // keep the lowest id of each pair. One row per vector: kept or not.
+    "d20_semdedup" -> { (s, dir) =>
+      graft.ext.Similarity.semDedup(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64)
+        .orderBy("vec_id")
+    },
+
     // Incremental dedup: documents with doc_id < 250 are the standing
     // corpus; the rest arrive as a new batch and survive only if their
     // digest is unseen both against the corpus and within the batch.
@@ -439,6 +450,39 @@ object Dedup {
          |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
          |WHERE c_raw >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // The full mirror: the d08 band/verify chain at the 0.45 dedup
+    // threshold + the s07 sampled-Lloyd assignment chain + the greedy
+    // same-cluster removal rule. Multi-referenced CTEs are MATERIALIZED
+    // (DuckDB inlines per reference — the p09 lesson).
+    "d20_semdedup" ->
+      s"""${Similarity.normCte},
+         |${Similarity.sigCtes},
+         |bands AS (SELECT vec_id, unnest(list_transform(range(0, 4),
+         |    j -> CAST(j AS VARCHAR) || ':' || CAST((sig >> (4*j)) & 15 AS VARCHAR))) nkey FROM sigs),
+         |cands AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+         |  FROM bands a JOIN bands b USING (nkey) WHERE a.vec_id < b.vec_id),
+         |prs AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i])) / (p.nrm*q.nrm) c_raw
+         |  FROM cands c JOIN n p ON c.id_a = p.vec_id JOIN n q ON c.id_b = q.vec_id)
+         |  WHERE c_raw >= 0.45),
+         |v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * ${Similarity.QS}) AS BIGINT)) vq
+         |  FROM embeddings),
+         |t AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM t ORDER BY vec_id LIMIT 4),
+         |${Similarity.kmAssign("a1", "c0", "t")},
+         |${Similarity.kmCent("c1", "a1", "t")},
+         |${Similarity.kmAssign("a2", "c1", "t")},
+         |${Similarity.kmCent("c2", "a2", "t")},
+         |${Similarity.kmAssign("af", "c2")},
+         |rem AS (SELECT DISTINCT p.id_b vec_id FROM prs p
+         |  JOIN af a ON p.id_a = a.vec_id
+         |  JOIN af b ON p.id_b = b.vec_id AND a.cl = b.cl)
+         |SELECT v.vec_id, af.cl AS cluster, rem.vec_id IS NULL AS kept
+         |FROM v JOIN af USING (vec_id) LEFT JOIN rem USING (vec_id)
+         |ORDER BY v.vec_id""".stripMargin,
 
     "d11_jaro_winkler_topk" ->
       """WITH c AS (SELECT c_custkey, c_name FROM customer),

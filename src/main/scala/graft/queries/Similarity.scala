@@ -170,7 +170,7 @@ object Similarity {
   // ---- k-means CTE builders (unrolled Lloyd iterations) -------------------
 
   /** Assignment CTE: argmin squared distance, ties to the lowest label. */
-  private def kmAssign(name: String, cTbl: String, vTbl: String = "v") =
+  private[queries] def kmAssign(name: String, cTbl: String, vTbl: String = "v") =
     s"""$name AS (SELECT vec_id, cl FROM (
        |  SELECT $vTbl.vec_id, $cTbl.cl,
        |    ROW_NUMBER() OVER (PARTITION BY $vTbl.vec_id ORDER BY
@@ -178,13 +178,13 @@ object Similarity {
        |  FROM $vTbl, $cTbl) WHERE rn = 1)""".stripMargin
 
   /** Centroid-recompute CTE: per-dim exact integer sums / member count. */
-  private def kmCent(name: String, aTbl: String, vTbl: String = "v") =
+  private[queries] def kmCent(name: String, aTbl: String, vTbl: String = "v") =
     s"""$name AS (SELECT cl, list(sd ORDER BY i) c FROM (
        |  SELECT $aTbl.cl, i.i, sum($vTbl.vq[i.i])::DOUBLE / count(*) sd
        |  FROM $vTbl JOIN $aTbl USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) i(i)
        |  GROUP BY $aTbl.cl, i.i) GROUP BY cl)""".stripMargin
 
-  private val QS = graft.ext.Clustering.QuantScale
+  private[queries] val QS = graft.ext.Clustering.QuantScale
 
   // ---- PQ CTE builders (per-subspace assign / centroid recompute) ---------
   // Same determinism rules as the k-means CTEs: distances over quantized

@@ -220,4 +220,22 @@ class SimilaritySpec extends SparkSpec {
     assert(selected < total,
       s"pruned scan selects $selected of $total partitions — nothing was pruned")
   }
+
+  test("semDedup: every vector emitted once; removals have a smaller same-cluster near-dup") {
+    val emb = Tables.embeddings(spark, sf01)
+    val out = graft.ext.Similarity.semDedup(emb, "vec_id", "embedding", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === emb.count(), "one verdict per corpus vector")
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val removed = out.filter(!_._3).map(_._1).toSet
+    assert(removed.nonEmpty, "the sf0.01 corpus has same-cluster near-dups to remove")
+    // justify every removal and every keep against the pair set
+    val pairs = graft.ext.Similarity.rpNeardupPairs(
+        emb, "vec_id", "embedding", dims = 64, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cluster(a) == cluster(b) }
+    val removable = pairs.map(_._2).toSet // id_a < id_b: larger id loses
+    assert(removed === removable,
+      "removed set must be exactly the larger ids of same-cluster pairs (greedy rule)")
+  }
 }
