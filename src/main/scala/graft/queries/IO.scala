@@ -237,6 +237,40 @@ object IO {
           |FROM i10_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Malformed-record handling on CSV ingest — the error budget of a
+    // 100 TB crawl load. A synthesized feed corrupts every 10th balance;
+    // PERMISSIVE nulls the bad field and captures the raw line in the
+    // corrupt-record column, DROPMALFORMED admits only clean rows. Both
+    // modes' counts roll up into one result the oracle recomputes from
+    // the corruption rule.
+    "i17_csv_malformed" -> { (s, dir) =>
+      val path = s"$scratch/csv_malformed"
+      Tables.customer(s, dir)
+        .select(concat_ws(",", col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, lit("notanumber"))
+            .otherwise(col("c_acctbal").cast("string"))).as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType),
+        StructField("_bad", StringType)))
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("_bad")).as("n_corrupt"),
+          count(col("c_acctbal")).as("n_parsed"))
+        .select(lit("permissive").as("mode"), col("n_rows"), col("n_corrupt"), col("n_parsed"))
+      // the aggregate must REFERENCE the parsed column: CSV column pruning
+      // otherwise skips parsing c_acctbal entirely and the malformed rows
+      // are never detected (count(1) alone kept all 1500 rows)
+      val dropped = s.read.schema(StructType(schema.dropRight(1)))
+        .option("mode", "DROPMALFORMED").csv(path)
+        .agg(count(lit(1)).as("n_rows"), count(col("c_acctbal")).as("n_parsed"))
+        .select(lit("dropmalformed").as("mode"), col("n_rows"),
+          lit(0L).as("n_corrupt"), col("n_parsed"))
+      permissive.unionByName(dropped).orderBy("mode")
+    },
+
     // DDL column DEFAULTs: a managed table whose unsupplied columns fill
     // from declared defaults — partial-column INSERT (defaults apply) and
     // full INSERT (values win) must coexist in one table.
@@ -356,6 +390,16 @@ object IO {
     "i09_script_transform" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+
+    "i17_csv_malformed" ->
+      """WITH t AS (SELECT count(*) n, count(*) FILTER (WHERE c_custkey % 10 = 0) bad
+        |           FROM customer)
+        |SELECT 'dropmalformed' AS mode, CAST(n - bad AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_corrupt, CAST(n - bad AS BIGINT) AS n_parsed FROM t
+        |UNION ALL
+        |SELECT 'permissive', CAST(n AS BIGINT), CAST(bad AS BIGINT),
+        |  CAST(n - bad AS BIGINT) FROM t
+        |ORDER BY mode""".stripMargin,
 
     "i15_ddl_defaults" ->
       """SELECT o_orderkey, 'unreviewed' AS status, CAST(0 AS BIGINT) AS priority_score

@@ -34,6 +34,23 @@ object CentsAggregator extends Aggregator[OrderRow, PriceStats, PriceStats] {
   def outputEncoder: Encoder[PriceStats] = Encoders.product
 }
 
+/** Min/max pair carried by [[SpreadAggregator]]. */
+case class Spread(min_c: Long, max_c: Long)
+
+/** The same Aggregator contract registered for SQL via functions.udaf —
+  * the modern replacement for 1.6-era Hive UDAFs: callable by NAME from
+  * any SQL text, partial-merge distributed like a built-in. */
+object SpreadAggregator extends Aggregator[Long, Spread, Long] {
+  def zero: Spread = Spread(Long.MaxValue, Long.MinValue)
+  def reduce(b: Spread, a: Long): Spread =
+    Spread(math.min(b.min_c, a), math.max(b.max_c, a))
+  def merge(x: Spread, y: Spread): Spread =
+    Spread(math.min(x.min_c, y.min_c), math.max(x.max_c, y.max_c))
+  def finish(r: Spread): Long = if (r.max_c == Long.MinValue) 0L else r.max_c - r.min_c
+  def bufferEncoder: Encoder[Spread] = Encoders.product
+  def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
 /** Typed API surface (SURVEY §2.10, §7.2 step 5): Dataset[T] with
   * case-class encoders, KeyValueGroupedDataset (mapGroups / reduceGroups /
   * cogroup), typed Aggregator, and registered Scala UDFs.
@@ -141,6 +158,20 @@ object Typed {
         .map { case (ord, (_, seg)) => (ord.o_orderkey, seg, math.round(ord.o_totalprice * 100)) }
         .toDF("o_orderkey", "segment", "cents")
         .orderBy("o_orderkey")
+    },
+
+    // The Aggregator registered as a SQL UDAF (functions.udaf + register):
+    // callable by name from SQL text, executed with partial aggregation
+    // like a built-in — the 1.6 Hive-UDAF surface on the modern contract.
+    "y07_sql_udaf" -> { (s, dir) =>
+      s.udf.register("cents_spread",
+        org.apache.spark.sql.functions.udaf(SpreadAggregator))
+      Tables.orders(s, dir).createOrReplaceTempView("ty_orders")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  cents_spread(CAST(round(o_totalprice * 100) AS BIGINT)) AS spread_cents,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM ty_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }
   )
 
@@ -183,6 +214,13 @@ object Typed {
       """SELECT o_orderkey, c_mktsegment AS segment,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "y07_sql_udaf" ->
+      """WITH c AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) cents
+        |           FROM orders)
+        |SELECT o_orderstatus, max(cents) - min(cents) AS spread_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }
