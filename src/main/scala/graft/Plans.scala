@@ -204,7 +204,37 @@ object Plans {
         "two broadcast-able equi-joins against the color table. Confirmed " +
         "components are peeled with semi-joins so every later round scans " +
         "only the shrinking remainder — at 100 TB the round cost tracks " +
-        "the unresolved subgraph, not the input."))
+        "the unresolved subgraph, not the input."),
+    "h08_lateral_topk" ->
+      ("LATERAL correlated ORDER BY/LIMIT decorrelated by Catalyst into " +
+        "WindowGroupLimit: the per-nation top-2 is pre-pruned MAP-SIDE " +
+        "(each task keeps <=2 rows per key before the exchange), then one " +
+        "window rank and one equi-join — never a per-nation re-scan, " +
+        "never a nested loop. The plan that survives a 100x customer " +
+        "table."),
+    "h05_sql_scalar_udf" ->
+      ("CREATE FUNCTION ... RETURN inlines the body into the aggregate " +
+        "expression tree — the cents math sits INSIDE the partial " +
+        "HashAggregate's codegen stage, no ScalaUDF boundary, identical " +
+        "plan to hand-inlined SQL (ModernSqlSpec pins both)."),
+    "d20_semdedup" ->
+      ("SemDeDup: sampled-Lloyd training touches the vec_id % 4 sample, " +
+        "ONE full-corpus assignment pass (JIT'd argmin closure), and " +
+        "candidates come from the RP-LSH band equi-join — the published " +
+        "recipe's within-cluster all-pairs scan is replaced by banding, " +
+        "so cluster size never squares. Removal is a distinct + left " +
+        "anti-shaped join, all hash-partitioned."),
+    "t21_ccnet_buckets" ->
+      ("CCNet terciles: the LM-score chain (one shuffle pair) feeds the " +
+        "x05 two-pass global rank — range repartition + per-partition " +
+        "row_number + broadcast offsets — and the bucket label is pure " +
+        "arithmetic on (rank, N). No single-partition window sort " +
+        "anywhere; the rank pass scales as a range shuffle."),
+    "v10_state_reader" ->
+      ("State data source: the statestore scan lists the checkpoint's " +
+        "RocksDB snapshots and reads per-partition state files in " +
+        "parallel — state inspection costs one narrow scan, no replay " +
+        "of the stream that built it."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
