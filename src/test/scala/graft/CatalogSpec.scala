@@ -31,6 +31,25 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("Observation API: named metrics ride the job, no second scan") {
+    // the production job-health hook: row counts / null rates / sums
+    // collected as a side effect of the action itself — at 100 TB a
+    // separate validation scan doubles the read bill; observe() does not
+    val obs = new org.apache.spark.sql.Observation("orders_health")
+    val df = Tables.orders(spark, sf001)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"),
+        count(when(col("o_custkey").isNull, 1)).as("null_keys"))
+      .filter(col("o_totalprice") > 0)
+    val n = df.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] === 1500L) // metrics see PRE-filter rows
+    assert(m("null_keys").asInstanceOf[Long] === 0L)
+    assert(m("cents").asInstanceOf[Long] > 0L)
+    assert(n <= 1500L)
+  }
+
   test("DESCRIBE / EXPLAIN / SET commands") {
     Tables.region(spark, sf001).createOrReplaceTempView("region_d")
     val desc = spark.sql("DESCRIBE region_d").collect()

@@ -539,6 +539,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow: drains everything available, then stops on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = s"/tmp/graft_io/avail_now_src_${System.nanoTime}"
+    Tables.events(spark, sf001).limit(200).write.parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+      .groupBy("event_type").count()
+    val q = stream.writeStream.format("memory").queryName("avail_now_sink")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    // the batch-job semantics of a streaming pipeline: no manual
+    // processAllAvailable/stop — the trigger bounds the run itself
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val streamed = spark.table("avail_now_sink").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(src).groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("stream-static join is stateless and broadcasts the static dim") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(0L)
