@@ -488,4 +488,45 @@ object Graph {
       maxIter = iters)
       .select(col("vertex"), col("state").as("component"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999), weighted by edge
+    * multiplicity, L1-normalized per half-iteration. NOT a [[pregel]]
+    * client: each HITS iteration is TWO alternating message phases
+    * (auth pulls hub along in-edges, then hub pulls the fresh auth along
+    * out-edges) where pregel's contract is one sendMsg/merge per
+    * superstep — so this runs as explicit join-aggregate rounds over the
+    * same once-grouped cached edge table, localCheckpointed per
+    * iteration to pin lineage depth exactly like pregel generations.
+    *
+    * Scale shape per iteration: two hash-join + map-side-combined sum
+    * pairs over (src|dst), plus a 1-row broadcast for each normalizer —
+    * no global sort, no collect beyond the scalar totals. Scores are
+    * doubles; consumers quantize at presentation (round 6) like the
+    * PageRank family — the L1 totals keep magnitudes in [0,1] so
+    * cross-engine ulp drift stays far below that rounding. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w")).cache()
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct().cache()
+    var scores = verts.select(col("vertex"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val rawA = e.join(scores.select(col("vertex").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("vertex")).agg(sum(col("hub") * col("w")).as("raw"))
+      val authN = rawA.crossJoin(broadcast(rawA.agg(sum("raw").as("t"))))
+        .select(col("vertex"), (col("raw") / col("t")).as("auth"))
+      val rawH = e.join(authN.select(col("vertex").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("vertex")).agg(sum(col("auth") * col("w")).as("raw"))
+      val hubN = rawH.crossJoin(broadcast(rawH.agg(sum("raw").as("t"))))
+        .select(col("vertex"), (col("raw") / col("t")).as("hub"))
+      scores = verts
+        .join(hubN, Seq("vertex"), "left")
+        .join(authN, Seq("vertex"), "left")
+        .select(col("vertex"),
+          coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
+        .localCheckpoint()
+    }
+    verts.unpersist(); e.unpersist()
+    scores
+  }
 }

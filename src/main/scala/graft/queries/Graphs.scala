@@ -30,6 +30,17 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // HITS over the trade graph: which nations are the big buyers (hubs)
+    // vs the big suppliers (authorities) — the two-sided centrality
+    // PageRank's single score conflates. Kleinberg 1999; 2 iterations,
+    // L1-normalized, presentation-quantized at 6 dp like p01.
+    "p10_trade_hits" -> { (s, dir) =>
+      G.hits(tradeEdges(s, dir), iters = 2)
+        .select(col("vertex"),
+          round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy("vertex")
+    },
+
     "p02_neardup_components" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = D.neardupPairs(docs, "doc_id", "text")
@@ -223,6 +234,33 @@ object Graphs {
        |  GROUP BY l.vertex, l.component)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Two unrolled HITS iterations; each normalizer is a 1-row scalar
+    // subquery over the MATERIALIZED half-step (the p09 inlining lesson).
+    "p10_trade_hits" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |e AS MATERIALIZED (SELECT src, dst, count(*)::DOUBLE w FROM edges GROUP BY 1, 2),
+         |verts AS MATERIALIZED (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+         |a1r AS (SELECT dst AS vertex, sum(1.0 * w) raw FROM e GROUP BY 1),
+         |a1 AS MATERIALIZED (SELECT vertex, raw / (SELECT sum(raw) FROM a1r) auth FROM a1r),
+         |h1r AS (SELECT e.src AS vertex, sum(a1.auth * e.w) raw
+         |  FROM e JOIN a1 ON a1.vertex = e.dst GROUP BY 1),
+         |h1 AS MATERIALIZED (SELECT vertex, raw / (SELECT sum(raw) FROM h1r) hub FROM h1r),
+         |a2r AS (SELECT e.dst AS vertex, sum(coalesce(h1.hub, 0) * e.w) raw
+         |  FROM e LEFT JOIN h1 ON h1.vertex = e.src GROUP BY 1),
+         |a2 AS MATERIALIZED (SELECT vertex, raw / (SELECT sum(raw) FROM a2r) auth FROM a2r),
+         |h2r AS (SELECT e.src AS vertex, sum(coalesce(a2.auth, 0) * e.w) raw
+         |  FROM e LEFT JOIN a2 ON a2.vertex = e.dst GROUP BY 1),
+         |h2 AS MATERIALIZED (SELECT vertex, raw / (SELECT sum(raw) FROM h2r) hub FROM h2r)
+         |SELECT v.vertex, round(coalesce(h2.hub, 0), 6) AS hub,
+         |  round(coalesce(a2.auth, 0), 6) AS auth
+         |FROM verts v LEFT JOIN h2 USING (vertex) LEFT JOIN a2 USING (vertex)
+         |ORDER BY vertex""".stripMargin,
+
     "p01_trade_pagerank" ->
       s"""WITH edges AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst

@@ -221,6 +221,24 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(ppr(3L) - 0.85 * 0.85 * r1) < 1e-4)
   }
 
+  test("hits: pure hub and pure authority separate; scores sum to 1 per side") {
+    import spark.implicits._
+    // 1 and 2 both point at 3 and 4; 3 also points at 4.
+    // Hand trace (iter 1): auth raw {3:2, 4:3} -> {0.4, 0.6};
+    // hub raw {1: 0.4+0.6=1.0, 2: 1.0, 3: 0.6} -> {1:5/13, 2:5/13, 3:3/13}.
+    val g = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.hits(g, iters = 1)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(math.abs(r(1L)._1 - 5.0 / 13) < 1e-12 && r(1L)._2 === 0.0)
+    assert(r(4L)._1 === 0.0 && math.abs(r(4L)._2 - 0.6) < 1e-12)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-12, "hub mass is L1-normalized")
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-12, "auth mass is L1-normalized")
+    // a second iteration preserves the ordering on this graph
+    val r2 = Graph.hits(g, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r2(4L)._2 > r2(3L)._2 && r2(1L)._1 === r2(2L)._1)
+  }
+
   test("pregel frontier drains early: converged loop stops before the budget") {
     // a 3-cycle converges its components in 1 superstep; a huge budget
     // must not change the answer (the frontier empties and the loop exits)
