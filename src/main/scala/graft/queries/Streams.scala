@@ -207,7 +207,11 @@ object Streams {
     "v10_state_reader" -> { (s, dir) =>
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       import s.implicits._
-      val ckpt = "/tmp/graft_io/v10_ckpt"
+      // per-data-dir AND per-process path: the delete-and-rebuild below
+      // would otherwise race a concurrent JVM's state read on the shared
+      // scratch root (the d18 lesson; scratch here is rebuilt per call,
+      // so process-private beats atomic-install)
+      val ckpt = s"/tmp/graft_io/v10_ckpt_${Dedup.dirKey(dir)}_${ProcessHandle.current().pid()}"
       val p = new org.apache.hadoop.fs.Path(ckpt)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
