@@ -146,6 +146,37 @@ object ModernSql {
           |  CAST(count(*) AS BIGINT) AS n,
           |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
           |FROM ms_orders GROUP BY ALL ORDER BY ALL""".stripMargin)
+    },
+
+    // SQL pipe syntax: the ETL chain written in dataflow order (FROM |>
+    // WHERE |> AGGREGATE |> WHERE |> ORDER BY) — each |> stage lowers to
+    // the identical relational operator, so the plan matches the nested
+    // standard-SQL form the oracle states (a post-AGGREGATE WHERE is
+    // HAVING).
+    "h10_pipe_syntax" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("ms_orders")
+      s.sql(
+        """FROM ms_orders
+          ||> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+          |     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |   GROUP BY o_orderstatus, o_orderpriority
+          ||> WHERE n > 100
+          ||> ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // Parameterized spark.sql(sql, args): named-placeholder binding at the
+    // API boundary — no string splicing, the literal arrives as a typed
+    // parameter (the programmatic sibling of h07's EXECUTE IMMEDIATE).
+    "h11_parameterized_sql" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("ms_lineitem")
+      s.sql(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM ms_lineitem
+          |WHERE l_quantity >= :minq AND l_discount <= :maxd
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        Map("minq" -> 30, "maxd" -> 0.05))
     }
   )
 
@@ -209,6 +240,24 @@ object ModernSql {
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
+
+    // pipe AGGREGATE emits the grouping columns ahead of the aggregates
+    "h10_pipe_syntax" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |HAVING count(*) > 100
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "h11_parameterized_sql" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_quantity >= 30 AND l_discount <= 0.05
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
