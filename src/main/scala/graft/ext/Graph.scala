@@ -489,6 +489,44 @@ object Graph {
       .select(col("vertex"), col("state").as("component"))
   }
 
+  /** k-core: the maximal subgraph where every vertex keeps >= k distinct
+    * undirected neighbors, found by iterative peeling — each round drops
+    * vertices whose degree WITHIN the surviving subgraph fell below k.
+    * `rounds` is a fixed budget (the p02/p04 convention): once peeling
+    * converges, further rounds are identities, so a fixed unroll is
+    * well-defined for the oracle whether convergence came early or not —
+    * and a budget that's too small under-peels deterministically (some
+    * sub-k vertices remain; they are never wrongly dropped).
+    *
+    * Returns k-core members as (vertex, core_degree) — degree counted
+    * within the final core. Scale shape per round: two hash semi-joins of
+    * the edge table against the shrinking survivor set + one
+    * map-side-combined count; the edge table is grouped and cached once;
+    * each survivor generation is localCheckpointed like pregel
+    * generations. Production k-core peels in O(max coreness) rounds. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = undirected(edges).cache()
+    var surv = und.select(col("src").as("vertex")).distinct()
+    for (_ <- 1 to rounds) {
+      val alive = und
+        .join(surv.select(col("vertex").as("src")), "src")
+        .join(surv.select(col("vertex").as("dst")), "dst")
+      surv = alive.groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("vertex")
+        .localCheckpoint()
+    }
+    val core = und
+      .join(surv.select(col("vertex").as("src")), "src")
+      .join(surv.select(col("vertex").as("dst")), "dst")
+      .groupBy(col("src").as("vertex"))
+      .agg(count(lit(1)).as("core_degree"))
+      .localCheckpoint()
+    und.unpersist()
+    core
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999), weighted by edge
     * multiplicity, L1-normalized per half-iteration. NOT a [[pregel]]
     * client: each HITS iteration is TWO alternating message phases

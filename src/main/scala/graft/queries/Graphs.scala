@@ -41,6 +41,18 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // k-core of the near-dup graph (k=2): documents embedded in dup
+    // CYCLES/cliques vs mere chain endpoints — the dense-duplication
+    // kernel a curation pass inspects first. Budget 4 peel rounds
+    // (convergence on this graph is 1-2; extra rounds are identities).
+    "p11_neardup_kcore" -> { (s, dir) =>
+      val pairs = D.neardupPairs(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      G.kCore(pairs, k = 2, rounds = 4)
+        .select(col("vertex").as("doc_id"), col("core_degree"))
+        .orderBy("doc_id")
+    },
+
     "p02_neardup_components" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = D.neardupPairs(docs, "doc_id", "text")
@@ -278,6 +290,27 @@ object Graphs {
          |${prStep(2)},
          |${prStep(3)}
          |SELECT vertex, round(rank, 6) AS pr FROM r3 ORDER BY vertex""".stripMargin,
+
+    // Four unrolled peel rounds over the shared d04 pair chain; each
+    // round keeps vertices with >= 2 neighbors inside the previous
+    // round's survivor-induced subgraph (post-convergence rounds are
+    // identities, so the fixed unroll is exact).
+    "p11_neardup_kcore" -> {
+      def peel(i: Int, prev: String) =
+        s"""s$i AS MATERIALIZED (SELECT u.a AS vertex FROM und u
+           |  JOIN $prev x ON u.a = x.vertex JOIN $prev y ON u.b = y.vertex
+           |  GROUP BY u.a HAVING count(*) >= 2)""".stripMargin
+      s"""${Dedup.neardupPairsCte},
+         |pairs AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs),
+         |und AS MATERIALIZED (SELECT src a, dst b FROM pairs UNION SELECT dst, src FROM pairs),
+         |s1 AS MATERIALIZED (SELECT a AS vertex FROM und GROUP BY a HAVING count(*) >= 2),
+         |${peel(2, "s1")},
+         |${peel(3, "s2")},
+         |${peel(4, "s3")}
+         |SELECT u.a AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM und u JOIN s4 x ON u.a = x.vertex JOIN s4 y ON u.b = y.vertex
+         |GROUP BY u.a ORDER BY doc_id""".stripMargin
+    },
 
     "p02_neardup_components" -> {
       // same dedup-first pair chain as d04 (shared CTE), then unrolled

@@ -239,6 +239,20 @@ class GraphSpec extends SparkSpec {
     assert(r2(4L)._2 > r2(3L)._2 && r2(1L)._1 === r2(2L)._1)
   }
 
+  test("kCore: triangle survives 2-core, chain peels away round by round") {
+    import spark.implicits._
+    // triangle 1-2-3 plus a pendant chain 3-4-5-6
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = Graph.kCore(g, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L), "only the triangle is 2-core")
+    // budget semantics: one round only drops the degree-1 frontier (6 and
+    // nothing else on the chain yet) — under-peeling, never over-peeling
+    val one = Graph.kCore(g, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L), "round 1 peels only vertex 6")
+  }
+
   test("pregel frontier drains early: converged loop stops before the budget") {
     // a 3-cycle converges its components in 1 superstep; a huge budget
     // must not change the answer (the frontier empties and the loop exits)
