@@ -555,6 +555,85 @@ object Similarity {
     }
   }
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): re-rank each
+    * probe's cosine top-`candK` so consecutive picks trade relevance
+    * against redundancy — pick 1 is the plain argmax; pick i maximizes
+    * lambda * sim(probe, c) - (1 - lambda) * max_{s selected} sim(c, s).
+    * The RAG-retrieval step after ANN: without it the top-k of a dup-heavy
+    * corpus is k copies of one document.
+    *
+    * Expressed RELATIONALLY with the greedy unrolled to 3 picks (no
+    * per-probe JVM loop): candidate cosines and candidate-candidate
+    * similarities are micro-quantized BIGINTs, every double op downstream
+    * (lambda * c - (1-lambda) * m, one multiply each) is literally the
+    * same IEEE instruction sequence the oracle's SQL states, so argmax
+    * comparisons and emitted scores are bit-identical cross-engine; ties
+    * break by vec_id.
+    *
+    * Scale shape: probes are a bounded broadcast set (the s01/s08
+    * convention); per probe the candidate set is candK rows, so the
+    * candidate-pair table is probes x candK^2 — bounded by construction,
+    * never corpus-quadratic. */
+  def mmrTopK(probeSet: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, candK: Int = 10, lambda: Double = 0.7): DataFrame = {
+    val p = broadcast(normed(probeSet, idCol, vecCol, "probe"))
+    val q = normed(corpus, idCol, vecCol, "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = p.join(q, col("probe_id") =!= col("vec_id"))
+      .withColumn("cosq", round(graft.functions.VectorFunctions.dot(col("probe_v"), col("vec_v"))
+        / (col("probe_norm") * col("vec_norm")) * 1e6).cast("bigint"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cosq").desc, col("vec_id"))))
+      .filter(col("crank") <= candK)
+      .select(col("probe_id"), col("vec_id"), col("cosq"),
+        col("vec_v"), col("vec_norm"))
+      .localCheckpoint() // bounded: probes x candK rows
+    q.unpersist()
+    // candidate-candidate sims within each probe group (probes x candK^2)
+    val sims = cands.select(col("probe_id"), col("vec_id").as("ca"),
+        col("vec_v").as("va"), col("vec_norm").as("na"))
+      .join(cands.select(col("probe_id"), col("vec_id").as("cb"),
+        col("vec_v").as("vb"), col("vec_norm").as("nb")), "probe_id")
+      .filter(col("ca") =!= col("cb"))
+      .select(col("probe_id"), col("ca"), col("cb"),
+        round(graft.functions.VectorFunctions.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")) * 1e6).cast("bigint").as("simq"))
+    val lam = lit(lambda); val oneMinus = lit(1.0 - lambda)
+    def argmax(df: DataFrame, score: org.apache.spark.sql.Column) =
+      df.withColumn("score", score)
+        .withColumn("r", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("score").desc, col("vec_id"))))
+        .filter(col("r") === 1)
+    val base = cands.select(col("probe_id"), col("vec_id"), col("cosq"))
+    val s1 = argmax(base, lam * col("cosq"))
+      .select(col("probe_id"), col("vec_id").as("sel1"), col("score").as("sc1"))
+    val s2 = argmax(
+      base.join(s1, "probe_id").filter(col("vec_id") =!= col("sel1"))
+        .join(sims.select(col("probe_id"), col("ca").as("vec_id"),
+          col("cb").as("sel1"), col("simq").as("sim1")), Seq("probe_id", "vec_id", "sel1")),
+      lam * col("cosq") - oneMinus * col("sim1"))
+      .select(col("probe_id"), col("vec_id").as("sel2"), col("score").as("sc2"))
+    val s3 = argmax(
+      base.join(s1.select("probe_id", "sel1"), "probe_id")
+        .join(s2.select("probe_id", "sel2"), "probe_id")
+        .filter(col("vec_id") =!= col("sel1") && col("vec_id") =!= col("sel2"))
+        .join(sims.select(col("probe_id"), col("ca").as("vec_id"),
+          col("cb").as("sel1"), col("simq").as("sim1")), Seq("probe_id", "vec_id", "sel1"))
+        .join(sims.select(col("probe_id"), col("ca").as("vec_id"),
+          col("cb").as("sel2"), col("simq").as("sim2")), Seq("probe_id", "vec_id", "sel2")),
+      lam * col("cosq") - oneMinus * greatest(col("sim1"), col("sim2")))
+      .select(col("probe_id"), col("vec_id").as("sel3"), col("score").as("sc3"))
+    // raw quotient, NOT round(x, 6): the quotient of identical doubles is
+    // bit-identical cross-engine, while the engines' 6-dp rounding paths
+    // disagree by one ulp on some values (observed in the gate)
+    s1.select(col("probe_id"), lit(1).as("rank"), col("sel1").as("vec_id"),
+        (col("sc1") / 1e6).as("mmr"))
+      .unionByName(s2.select(col("probe_id"), lit(2).as("rank"),
+        col("sel2").as("vec_id"), (col("sc2") / 1e6).as("mmr")))
+      .unionByName(s3.select(col("probe_id"), lit(3).as("rank"),
+        col("sel3").as("vec_id"), (col("sc3") / 1e6).as("mmr")))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, public recipe):
     * cluster the embedding corpus, then remove near-duplicates WITHIN
     * each cluster — keep the lowest-id member of every similar pair, the

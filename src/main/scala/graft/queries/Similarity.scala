@@ -73,6 +73,16 @@ object Similarity {
         .orderBy("cluster")
     },
 
+    // MMR diversified re-ranking of each probe's cosine top-10 (k=3,
+    // lambda=0.7): the post-ANN step that stops a dup-heavy corpus from
+    // returning k copies of one document. Greedy unrolled relationally —
+    // see ext.Similarity.mmrTopK.
+    "s11_mmr_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.mmrTopK(probes(e), e, "vec_id", "embedding")
+        .orderBy("probe_id", "rank")
+    },
+
     // Sample-trained k-means — the 100 TB centroid-training recipe:
     // Lloyd iterates over the deterministic hash sample (vec_id % 4 == 0),
     // the full corpus is assigned exactly once. The oracle runs the SAME
@@ -236,6 +246,53 @@ object Similarity {
          |  min(v.vec_id) AS min_member,
          |  round(sum(list_sum(list_transform(v.vq, q -> q * q)))::DOUBLE / count(*) / ${QS.toDouble * QS}, 4) AS mean_sqnorm
          |FROM v JOIN af USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // The same unrolled greedy: micro-quantized cosines/sims, then three
+    // argmax steps. Two float traps pinned here: (1.0 - 0.7) is written
+    // as the expression, not 0.3 (the IEEE subtraction is what Spark
+    // multiplies by, off the literal by one ulp), and every constant is
+    // ::DOUBLE because DuckDB's bare 0.7 is a DECIMAL whose exact
+    // arithmetic diverges from Spark's double path by an ulp.
+    "s11_mmr_rerank" ->
+      s"""$normCte,
+         |pr AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 1600),
+         |cand AS MATERIALIZED (SELECT probe_id, vec_id, cosq FROM (
+         |  SELECT p.vec_id probe_id, q.vec_id vec_id,
+         |    CAST(round($dot / (p.nrm*q.nrm) * 1e6) AS BIGINT) cosq,
+         |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+         |      ORDER BY CAST(round($dot / (p.nrm*q.nrm) * 1e6) AS BIGINT) DESC, q.vec_id) crank
+         |  FROM pr p, n q WHERE p.vec_id <> q.vec_id) WHERE crank <= 10),
+         |sims AS MATERIALIZED (SELECT a.probe_id, a.vec_id ca, b.vec_id cb,
+         |    CAST(round(list_sum(list_transform(range(1, len(p.v)+1), i -> p.v[i]*q.v[i]))
+         |      / (p.nrm*q.nrm) * 1e6) AS BIGINT) simq
+         |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id
+         |  JOIN n p ON p.vec_id = a.vec_id JOIN n q ON q.vec_id = b.vec_id),
+         |s1 AS MATERIALIZED (SELECT probe_id, vec_id sel1, sc1 FROM (
+         |  SELECT probe_id, vec_id, 0.7::DOUBLE * cosq sc1,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY 0.7::DOUBLE * cosq DESC, vec_id) r
+         |  FROM cand) WHERE r = 1),
+         |s2 AS MATERIALIZED (SELECT probe_id, vec_id sel2, sc2 FROM (
+         |  SELECT c.probe_id, c.vec_id, 0.7::DOUBLE * c.cosq - (1.0::DOUBLE - 0.7::DOUBLE) * s.simq sc2,
+         |    ROW_NUMBER() OVER (PARTITION BY c.probe_id
+         |      ORDER BY 0.7::DOUBLE * c.cosq - (1.0::DOUBLE - 0.7::DOUBLE) * s.simq DESC, c.vec_id) r
+         |  FROM cand c JOIN s1 ON s1.probe_id = c.probe_id AND c.vec_id <> s1.sel1
+         |  JOIN sims s ON s.probe_id = c.probe_id AND s.ca = c.vec_id AND s.cb = s1.sel1)
+         |  WHERE r = 1),
+         |s3 AS MATERIALIZED (SELECT probe_id, vec_id sel3, sc3 FROM (
+         |  SELECT c.probe_id, c.vec_id,
+         |    0.7::DOUBLE * c.cosq - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(sa.simq, sb.simq) sc3,
+         |    ROW_NUMBER() OVER (PARTITION BY c.probe_id
+         |      ORDER BY 0.7::DOUBLE * c.cosq - (1.0::DOUBLE - 0.7::DOUBLE) * greatest(sa.simq, sb.simq) DESC, c.vec_id) r
+         |  FROM cand c
+         |  JOIN s1 ON s1.probe_id = c.probe_id AND c.vec_id <> s1.sel1
+         |  JOIN s2 ON s2.probe_id = c.probe_id AND c.vec_id <> s2.sel2
+         |  JOIN sims sa ON sa.probe_id = c.probe_id AND sa.ca = c.vec_id AND sa.cb = s1.sel1
+         |  JOIN sims sb ON sb.probe_id = c.probe_id AND sb.ca = c.vec_id AND sb.cb = s2.sel2)
+         |  WHERE r = 1)
+         |SELECT probe_id, 1 AS rank, sel1 AS vec_id, sc1 / 1e6 AS mmr FROM s1
+         |UNION ALL SELECT probe_id, 2, sel2, sc2 / 1e6 FROM s2
+         |UNION ALL SELECT probe_id, 3, sel3, sc3 / 1e6 FROM s3
+         |ORDER BY probe_id, rank""".stripMargin,
 
     "s01_cosine_topk" ->
       s"""$normCte

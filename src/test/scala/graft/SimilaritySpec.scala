@@ -221,6 +221,31 @@ class SimilaritySpec extends SparkSpec {
       s"pruned scan selects $selected of $total partitions — nothing was pruned")
   }
 
+  test("mmr: a duplicated top hit is demoted below the diverse alternative") {
+    import spark.implicits._
+    // probe 0 along e1; vectors 1 and 2 are IDENTICAL near-probe copies;
+    // vector 3 is a distinct direction still similar to the probe.
+    // Plain cosine top-3 = (1, 2, 3); at lambda=0.5 the redundancy
+    // penalty of the exact copy (sim=1 with the already-selected 1)
+    // outweighs its higher relevance, so MMR picks 1, then 3, then 2.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.7f, 0.0f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.mmrTopK(
+        vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding",
+        candK = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(r => r.getInt(1) -> r.getLong(2))
+    assert(out.toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 2L))
+    // at lambda=1 MMR degenerates to the plain cosine order
+    val plain = graft.ext.Similarity.mmrTopK(
+        vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding",
+        candK = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(r => r.getInt(1) -> r.getLong(2))
+    assert(plain.toSeq === Seq(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
   test("semDedup: every vector emitted once; removals have a smaller same-cluster near-dup") {
     val emb = Tables.embeddings(spark, sf01)
     val out = graft.ext.Similarity.semDedup(emb, "vec_id", "embedding", dims = 64)
