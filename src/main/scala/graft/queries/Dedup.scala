@@ -24,7 +24,7 @@ object Dedup {
   /** Collision-free /tmp key for a data dir: readable sanitized prefix +
     * md5 of the RAW path (sanitizing alone maps /data/sf0.1 and
     * /data_sf0.1 to the same key). */
-  private[queries] def dirKey(dir: String): String = {
+  private[graft] def dirKey(dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$h"

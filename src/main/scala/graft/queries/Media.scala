@@ -58,7 +58,9 @@ object Media {
     // At 100 TB the listing is the driver-side cost; maxFilesPerTrigger /
     // streaming ingest bounds it per batch.
     "m04_binary_ingest" -> { (s, dir) =>
-      val path = "/tmp/graft_io/bin_docs"
+      // per-data-dir path: the write-then-read races a concurrent process
+      // verifying a DIFFERENT dataset if the export root is shared
+      val path = s"/tmp/graft_io/bin_docs_${Dedup.dirKey(dir)}"
       Tables.documents(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))

@@ -59,7 +59,8 @@ class MultimodalSpec extends SparkSpec {
   test("m04 binaryFile ingest: partition discovery supplies doc_id and prunes by it") {
     graft.queries.Media.defs("m04_binary_ingest")(spark, sf001).collect() // writes the export
     val one = spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
-      .load("/tmp/graft_io/bin_docs").filter(col("doc_id") === 3)
+      .load(s"/tmp/graft_io/bin_docs_${graft.queries.Dedup.dirKey(sf001)}")
+      .filter(col("doc_id") === 3)
     assert(one.count() === 1)
     // the doc_id predicate must be a directory-level partition filter,
     // never a content read + post-filter

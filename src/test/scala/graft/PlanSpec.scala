@@ -229,4 +229,24 @@ class PlanSpec extends SparkSpec {
     val rows = raw.groupBy("vertex", "__msg").agg(count(lit(1))).count()
     assert(rows === 3L)
   }
+
+  test("t21: global rank rides a range repartition — no single-partition window sort") {
+    // t21's query materializes the rank (globalRowIndex checkpoints), so
+    // inspect the UNmaterialized ranking plan it is built from
+    val scored = graft.ext.TextAnalysis.docLmScore(
+        Tables.documents(spark, sf001), "doc_id", "text")
+      .withColumn("ck", struct((col("avg_logp") * -1).as("neg_lp"), col("doc_id").as("d")))
+    val ranked = graft.ext.Scale.globalRowIndex(scored, "ck",
+      numPartitions = 8, materialize = false)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(ck"),
+      s"rank must ride a RANGE repartition:\n$plan")
+    // the rank's Window partitions by the range-partition id — never a
+    // whole-corpus single-partition sort
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected the rank window in:\n$plan")
+    windows.foreach { w =>
+      assert(w.contains("__pid"), s"window must partition by __pid, got:\n$w")
+    }
+  }
 }
