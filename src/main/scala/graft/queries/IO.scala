@@ -237,6 +237,23 @@ object IO {
           |FROM i10_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     },
 
+    // Parquet compression codec matrix: the same rows written under
+    // zstd / snappy / gzip and read back — the storage knob a 100 TB
+    // table tunes (zstd for cold data, snappy for hot) must be invisible
+    // in query results. Three single-codec writes, one unioned readback.
+    "i18_codec_roundtrip" -> { (s, dir) =>
+      val base = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          expr("cast(round(s_acctbal * 100) as bigint)").as("bal_cents"))
+      Seq("gzip", "snappy", "zstd").map { c =>
+        val path = s"$scratch/codec_$c"
+        base.write.mode(SaveMode.Overwrite).option("compression", c).parquet(path)
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n"), sum("bal_cents").as("cents"))
+          .select(lit(c).as("codec"), col("n"), col("cents"))
+      }.reduce(_.unionByName(_)).orderBy("codec")
+    },
+
     // Malformed-record handling on CSV ingest — the error budget of a
     // 100 TB crawl load. A synthesized feed corrupts every 10th balance;
     // PERMISSIVE nulls the bad field and captures the raw line in the
@@ -390,6 +407,12 @@ object IO {
     "i09_script_transform" ->
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name
         |FROM nation ORDER BY nation.n_nationkey""".stripMargin,
+
+    "i18_codec_roundtrip" ->
+      """SELECT codec, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM supplier, (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+        |GROUP BY codec ORDER BY codec""".stripMargin,
 
     "i17_csv_malformed" ->
       """WITH t AS (SELECT count(*) n, count(*) FILTER (WHERE c_custkey % 10 = 0) bad
