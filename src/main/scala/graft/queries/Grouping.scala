@@ -114,6 +114,19 @@ object Grouping {
           |  bool_or(o_totalprice > 550000.0D) AS any_huge
           |FROM gx_orders GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // Bitwise aggregates (bit_and / bit_or / bit_xor): flag-mask rollups
+    // in one exact-integer pass — both engines share the definition
+    // bit-for-bit.
+    "g08_bit_aggregates" -> { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("gx_events")
+      s.sql(
+        """SELECT event_type,
+          |  bit_and(user_id) AS all_bits,
+          |  bit_or(user_id) AS any_bits,
+          |  bit_xor(user_id) AS parity_bits
+          |FROM gx_events GROUP BY event_type ORDER BY event_type""".stripMargin)
     }
   )
 
@@ -179,6 +192,13 @@ object Grouping {
         |  bool_and(o_totalprice > 0.0) AS all_positive,
         |  bool_or(o_totalprice > 550000.0) AS any_huge
         |FROM c g GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "g08_bit_aggregates" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS all_bits,
+        |  bit_or(user_id) AS any_bits,
+        |  bit_xor(user_id) AS parity_bits
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -272,6 +272,48 @@ object Stats {
           |ORDER BY scope""".stripMargin)
     },
 
+    // Pearson chi-squared independence test, TWICE: MLlib's ChiSquareTest
+    // (the reference's mllib.stat thin-slice) and the first-principles
+    // sum((obs-exp)^2/exp) over the same contingency table computed in
+    // the plan — the query gates that they agree. Per-cell terms are
+    // micro-quantized BIGINTs before the sum (the t13 trick) so the
+    // statistic is partition-order-free and engine-identical; the ML
+    // statistic is a driver-side scalar by API design (the n08
+    // convention) compared within 1e-3 of the quantized value.
+    "n15_chi_square" -> { (s, dir) =>
+      import org.apache.spark.ml.linalg.Vectors
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val labeled = ev.selectExpr(
+        "CAST(user_id % 3 AS DOUBLE) AS label",
+        """CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+          |  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS DOUBLE) AS f""".stripMargin)
+        .map(r => (r.getDouble(0), Vectors.dense(r.getDouble(1)))).toDF("label", "features")
+      val ml = org.apache.spark.ml.stat.ChiSquareTest.test(labeled, "features", "label").head()
+      val mlStat = ml.getAs[org.apache.spark.ml.linalg.Vector]("statistics")(0)
+      val mlDof = ml.getSeq[Int](1).head.toLong
+      ev.createOrReplaceTempView("nx_events")
+      s.sql(
+        s"""WITH ct AS (SELECT user_id % 3 AS lab, event_type AS f,
+           |    CAST(count(*) AS BIGINT) AS o
+           |  FROM nx_events GROUP BY 1, 2),
+           |rm AS (SELECT lab, CAST(sum(o) AS BIGINT) AS rl FROM ct GROUP BY 1),
+           |cm AS (SELECT f, CAST(sum(o) AS BIGINT) AS cl FROM ct GROUP BY 1),
+           |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+           |cells AS (
+           |  SELECT coalesce(ct.o, CAST(0 AS BIGINT)) AS o,
+           |    CAST(rm.rl AS DOUBLE) * CAST(cm.cl AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+           |  FROM rm CROSS JOIN cm CROSS JOIN tot
+           |  LEFT JOIN ct ON ct.lab = rm.lab AND ct.f = cm.f),
+           |stat AS (SELECT CAST(sum(CAST(round((o - e) * (o - e) / e * 1e6) AS BIGINT)) AS BIGINT)
+           |    AS stat_micro FROM cells)
+           |SELECT CAST((SELECT count(*) - 1 FROM rm) * (SELECT count(*) - 1 FROM cm) AS BIGINT) AS dof,
+           |  stat_micro,
+           |  abs(stat_micro / 1e6 - ${mlStat}D) < 1e-3 AS ml_agrees,
+           |  CAST(${mlDof}L AS BIGINT) = CAST((SELECT count(*) - 1 FROM rm) * (SELECT count(*) - 1 FROM cm) AS BIGINT) AS dof_agrees
+           |FROM stat""".stripMargin)
+    },
+
     // approx_top_k heavy hitters: one pass, bounded tracking state. With
     // maxItemsTracked >= the true cardinality the counts are EXACT (the
     // regime here — deterministic, value-gated); past that bound it
@@ -380,6 +422,26 @@ object Stats {
     "n14_approx_top_k" ->
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1
-        |ORDER BY n DESC, item LIMIT 3""".stripMargin
+        |ORDER BY n DESC, item LIMIT 3""".stripMargin,
+
+    // The identical first-principles chi-squared; the ML agreement flags
+    // are the contract side (TRUE — a verified draw, n08 convention).
+    "n15_chi_square" ->
+      """WITH ct AS (SELECT user_id % 3 AS lab, event_type AS f,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT lab, CAST(sum(o) AS BIGINT) AS rl FROM ct GROUP BY 1),
+        |cm AS (SELECT f, CAST(sum(o) AS BIGINT) AS cl FROM ct GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+        |cells AS (
+        |  SELECT coalesce(ct.o, CAST(0 AS BIGINT)) AS o,
+        |    CAST(rm.rl AS DOUBLE) * CAST(cm.cl AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e
+        |  FROM rm CROSS JOIN cm CROSS JOIN tot
+        |  LEFT JOIN ct ON ct.lab = rm.lab AND ct.f = cm.f),
+        |stat AS (SELECT CAST(sum(CAST(round((o - e) * (o - e) / e * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS stat_micro FROM cells)
+        |SELECT CAST((SELECT count(*) - 1 FROM rm) * (SELECT count(*) - 1 FROM cm) AS BIGINT) AS dof,
+        |  stat_micro, TRUE AS ml_agrees, TRUE AS dof_agrees
+        |FROM stat""".stripMargin
   )
 }
