@@ -169,6 +169,29 @@ object Relational {
       both.union(custOnly).orderBy("tag", "nationkey")
     },
 
+    // BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL — the
+    // multiplicity-preserving forms 1.6 lacked; q11 covers the distinct
+    // forms): priority multisets of two customer segments' orders.
+    // INTERSECT ALL keeps each priority min(multiplicity) times, EXCEPT
+    // ALL the surplus — rolled up to counts per (op, priority). Both
+    // lower to aggregate + generate (replicate-rows) plans, never a
+    // distinct that would destroy the bag.
+    "q19_bag_setops" -> { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      def prios(seg: String): DataFrame =
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === seg)
+          .select(col("o_orderpriority").as("priority"))
+      val a = prios("BUILDING"); val b = prios("AUTOMOBILE")
+      a.intersectAll(b).groupBy("priority").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("priority"), col("n"))
+        .unionByName(
+          a.exceptAll(b).groupBy("priority").agg(count(lit(1)).as("n"))
+            .select(lit("except_all").as("op"), col("priority"), col("n")))
+        .orderBy("op", "priority")
+    },
+
     // Distinct projection (Distinct → Aggregate rewrite, Optimizer.scala:912).
     "q12_distinct_order_status" -> { (s, dir) =>
       Tables.orders(s, dir)
@@ -346,6 +369,20 @@ object Relational {
         |     co AS (SELECT nationkey, 'cust_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s))
         |SELECT * FROM b UNION ALL SELECT * FROM co
         |ORDER BY tag, nationkey""".stripMargin,
+
+    "q19_bag_setops" ->
+      """WITH a AS (SELECT o_orderpriority AS priority FROM orders
+        |           JOIN customer ON o_custkey = c_custkey
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT o_orderpriority FROM orders
+        |           JOIN customer ON o_custkey = c_custkey
+        |           WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT 'intersect_all' AS op, priority, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY priority
+        |UNION ALL
+        |SELECT 'except_all', priority, CAST(count(*) AS BIGINT)
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY priority
+        |ORDER BY op, priority""".stripMargin,
 
     "q12_distinct_order_status" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
