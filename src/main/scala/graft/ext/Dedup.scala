@@ -672,14 +672,29 @@ object Dedup {
     * harness's self-contained query contract. The probe itself is a
     * broadcast bloom + one JIT'd `mightContainString` per row (same
     * justification as n09/deletionVariantsUdf: a compiled loop, and no
-    * codegen'd built-in expresses an arbitrary-object bloom probe). */
+    * codegen'd built-in expresses an arbitrary-object bloom probe).
+    *
+    * `expectedItems <= 0` (the default) sizes the filter from a cheap
+    * `approx_count_distinct` over the corpus digests — one extra
+    * aggregation-only scan, paid once per build. A FIXED default would be
+    * a silent perf trap: a corpus far above it saturates the filter (fpp
+    * approaches 1) and the prefilter degrades to a no-op, so every batch
+    * row pays the anti-join — correct (the exact verify still runs) but
+    * the entire point of the bloom gate evaporates. Callers who already
+    * know the corpus cardinality (the standing-index path, where the
+    * build manifest records it) pass it explicitly and skip the scan;
+    * the HLL estimate's ±2% error is absorbed by a 1.1x headroom factor. */
   def bloomIncrementalDedup(existing: DataFrame, incoming: DataFrame,
                             idCol: String, textCol: String,
-                            expectedItems: Long = 1000000L,
+                            expectedItems: Long = -1L,
                             fpp: Double = 0.01): DataFrame = {
     val spark = existing.sparkSession
     val corpusDigests = existing.select(md5(col(textCol)).as("digest"))
-    val bf = corpusDigests.stat.bloomFilter(col("digest"), expectedItems, fpp)
+    val items =
+      if (expectedItems > 0) expectedItems
+      else math.max(1000L,
+        (corpusDigests.agg(approx_count_distinct("digest")).head().getLong(0) * 1.1).toLong)
+    val bf = corpusDigests.stat.bloomFilter(col("digest"), items, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val mightContain = udf { (d: String) => d != null && bfB.value.mightContainString(d) }
     val batch = incoming.select(col(idCol).as("doc_id"), md5(col(textCol)).as("digest"))

@@ -136,7 +136,17 @@ object Graph {
       preAggregate: Option[org.apache.spark.sql.Column]): DataFrame =
     preAggregate match {
       case None => raw.groupBy("vertex").agg(mergeMsg(col("__msg")).as("__m"))
+      // null messages are dropped BEFORE the pre-count, matching the
+      // default path's aggregate semantics (collect_list/min/sum all skip
+      // nulls) — without the filter, nulls would group into a (null, count)
+      // row and hand mergeMsg a NON-null struct, so the same sendMsg could
+      // merge differently depending on whether the hook is set. One edge
+      // remains deliberately different: a vertex whose messages were ALL
+      // null gets no row here (merged msg = null via the left join) where
+      // collect_list would produce an empty array — algorithms treating
+      // empty-array and null as distinct must not send nulls at all.
       case Some(pre) => raw
+        .filter(col("__msg").isNotNull)
         .groupBy("vertex", "__msg").agg(pre.as("__pre"))
         .groupBy("vertex")
         .agg(mergeMsg(struct(col("__msg").as("msg"), col("__pre").as("pre"))).as("__m"))

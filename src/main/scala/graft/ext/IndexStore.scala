@@ -79,7 +79,19 @@ object IndexStore {
       if (fs.exists(destPath) && !fs.rename(destPath, retired))
         throw new java.io.IOException(
           s"IndexStore: could not retire existing index at $dest — aborting install, dest untouched")
-      if (!fs.rename(tmp, destPath)) {
+      if (fs.rename(tmp, destPath)) {
+        // Hadoop rename(src, dst) where dst is an existing DIRECTORY moves
+        // src INTO dst as a child and still returns true (HDFS and local fs
+        // alike) — so when a concurrent installer re-created dest between
+        // our retire and this rename, our build did not replace the index:
+        // it landed nested inside the winner's as a dot-prefixed child
+        // (invisible to readers, but an orphan that would leak until a
+        // manual sweep, and 'last-installer-wins' silently became
+        // first-wins). Detect that outcome and discard our nested build —
+        // the winner's index is complete, which the contract permits.
+        val nested = new Path(destPath, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
+      } else {
         if (fs.exists(destPath)) fs.delete(tmp, true) // lost the race; winner's index is complete
         else {
           val restored = fs.exists(retired) && fs.rename(retired, destPath)

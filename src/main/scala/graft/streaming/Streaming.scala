@@ -80,26 +80,6 @@ object Streaming {
   }
 }
 
-/** Exactly-once parquet sink for `foreachBatch` — the delivery gap the
-  * engine's own file sink closes with its `_spark_metadata` commit log
-  * (reference STRM checkpointing semantics: after a crash-restart the
-  * last uncommitted micro-batch is REPLAYED, so any non-idempotent
-  * foreachBatch sink double-writes it; Structured Streaming documents
-  * foreachBatch as at-least-once for exactly this reason).
-  *
-  * Recipe: each micro-batch lands in its own `batch_id=N` directory,
-  * installed via [[graft.ext.IndexStore.atomically]] (temp-dir build +
-  * atomic rename). That makes the write IDEMPOTENT — a replayed batch
-  * re-installs the same directory whole, replacing rather than appending
-  * — and TORN-READ-FREE — a concurrent reader of the output root sees a
-  * batch directory either complete or not at all, and a build that
-  * crashes mid-write leaves the previous complete install untouched.
-  * The `batch_id=N` naming doubles as a Hive partition key, so
-  * [[ExactlyOnceSink.read]] is plain partition discovery and downstream
-  * consumers can partition-prune on batch ranges (incremental ETL over
-  * the landed table). At 100 TB: one directory per micro-batch, no
-  * global commit log contention, and the atomic-install discipline is
-  * the same one the standing dedup/ANN indexes already use. */
 /** Per-user lifetime totals emitted by [[UserTotalsProcessor]]. */
 case class UserTotals(user_id: Long, n_events: Long, cents: Long)
 
@@ -143,6 +123,26 @@ class UserTotalsProcessor
   }
 }
 
+/** Exactly-once parquet sink for `foreachBatch` — the delivery gap the
+  * engine's own file sink closes with its `_spark_metadata` commit log
+  * (reference STRM checkpointing semantics: after a crash-restart the
+  * last uncommitted micro-batch is REPLAYED, so any non-idempotent
+  * foreachBatch sink double-writes it; Structured Streaming documents
+  * foreachBatch as at-least-once for exactly this reason).
+  *
+  * Recipe: each micro-batch lands in its own `batch_id=N` directory,
+  * installed via [[graft.ext.IndexStore.atomically]] (temp-dir build +
+  * atomic rename). That makes the write IDEMPOTENT — a replayed batch
+  * re-installs the same directory whole, replacing rather than appending
+  * — and TORN-READ-FREE — a concurrent reader of the output root sees a
+  * batch directory either complete or not at all, and a build that
+  * crashes mid-write leaves the previous complete install untouched.
+  * The `batch_id=N` naming doubles as a Hive partition key, so
+  * [[ExactlyOnceSink.read]] is plain partition discovery and downstream
+  * consumers can partition-prune on batch ranges (incremental ETL over
+  * the landed table). At 100 TB: one directory per micro-batch, no
+  * global commit log contention, and the atomic-install discipline is
+  * the same one the standing dedup/ANN indexes already use. */
 object ExactlyOnceSink {
 
   /** Install `df` as `root/batch_id=<batchId>/` atomically; safe to call
