@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   * exactly ONE parseable JSON line — the final summary — with `#`-prefixed
   * progress lines per query so a killed run's tail still shows where it
   * died and how long each query took.
+  *
+  * Suspect-spike self-adjudication (round-12 verdict item 1): three judge
+  * rounds running, scattered UNTOUCHED queries spiked 4–30x in the
+  * driver's full-suite run from host contention, and every judge had to
+  * hand-probe them. Now the harness does it itself: the previous
+  * committed artifact (the output path's existing content, or
+  * SPARK_GRAFT_BENCH_REF) is loaded before the loop, and any query whose
+  * min-of-2 exceeds 3x its committed time gets a THIRD timed iteration;
+  * if the min still exceeds 3x, the query lands in the summary's
+  * `"suspect"` list — "this number disagrees with the committed history
+  * even after a re-time; treat it as contention until an isolated probe
+  * says otherwise". Genuine code regressions also land there (the marker
+  * flags, it does not excuse); queries absent from the reference (new
+  * this round) are never flagged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,6 +50,24 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val suspects = scala.collection.mutable.ArrayBuffer[String]()
+
+    // Previous committed per-query times, for the suspect-spike re-time.
+    // Default reference is the output path itself (the committed artifact
+    // this run is about to overwrite), read BEFORE the first flush; a
+    // hand-parsed flat extraction of the "queries" object — the values are
+    // plain numbers and the keys plain identifiers, so a regex is exact.
+    val refPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")))
+    val prevTimes: Map[String, Double] =
+      if (!java.nio.file.Files.exists(refPath)) Map.empty
+      else {
+        val txt = java.nio.file.Files.readString(refPath)
+        val obj = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(obj)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -46,8 +78,9 @@ object Bench {
         .mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s"\"" + k + "\":" + jstr(v) }
         .mkString("{", ",", "}")
+      val sus = suspects.map(jstr).mkString("[", ",", "]")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_done":${results.size + errors.size},"n_total":${queries.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"suspect":$sus,"n_done":${results.size + errors.size},"n_total":${queries.size},"sf":"$sfDir"}"""
     }
     // Atomic rewrite-in-place: tmp + move, so a kill mid-write can't leave
     // a truncated (unparseable) artifact — the previous complete snapshot
@@ -72,7 +105,7 @@ object Bench {
     // clean block manager.
     queries.foreach { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to 2).flatMap { _ =>
+      def timeOnce(): Option[Double] =
         if (err.isDefined) None // don't re-run a query that already failed
         else {
           GraftSession.sweepBlocks(spark)
@@ -86,6 +119,16 @@ object Bench {
               None
           }
         }
+      var times = (1 to 2).flatMap(_ => timeOnce())
+      // Suspect-spike re-time (scaladoc above): a min-of-2 more than 3x the
+      // committed reference gets one extra iteration — contention bursts on
+      // this box last seconds, so the third sample usually lands normal and
+      // the re-timed min self-corrects the artifact. Still >3x after that =
+      // flag it, don't hide it.
+      val prev = prevTimes.get(name)
+      if (err.isEmpty && prev.exists(p => times.min > 3 * p)) {
+        times = times ++ timeOnce()
+        if (err.isEmpty && prev.exists(p => times.min > 3 * p)) suspects += name
       }
       err match {
         case Some(msg) =>
@@ -93,7 +136,8 @@ object Bench {
           println(s"# $name ERROR $msg")
         case None =>
           results(name) = times.min
-          println(f"# $name ${times.min}%.3fs (${results.size + errors.size}/${queries.size})")
+          val mark = if (suspects.lastOption.contains(name)) " SUSPECT (>3x committed ref after re-time)" else ""
+          println(f"# $name ${times.min}%.3fs (${results.size + errors.size}/${queries.size})$mark")
       }
       flush()
     }
