@@ -465,6 +465,70 @@ object Graph {
       .select(col("vertex"), coalesce(col("scc"), lit(-1L)).as("scc"))
   }
 
+  /** Landmark shortest paths (reference graphx/lib/ShortestPaths.scala:27
+    * runs the same algorithm: one BSP loop whose vertex state is a
+    * landmark->distance MAP, merged entry-wise by min) — hop distances
+    * from EVERY vertex to each of a small, fixed set of `landmarks`, over
+    * undirected edges, in ONE [[pregel]] run instead of |landmarks|
+    * single-source BFS passes: each superstep joins the edge table once
+    * and ships one message per edge carrying the sender's whole distance
+    * vector, so the edge-scan cost is independent of the landmark count.
+    *
+    * State is a SORTED ARRAY of (l, d) structs rather than a MapType —
+    * deliberately: arrays are orderable, which buys (a) frontier-delta
+    * activation (the generic loop's `<=>` change detection cannot compare
+    * maps), exact here because per-landmark min-hop is monotonic (the
+    * bfsHops proof applies per entry), and (b) the `preAggregate` hook
+    * (maps cannot be GROUP BY keys) — the map-valued exercise the hook's
+    * two-level merge was built for: duplicate distance vectors converging
+    * on a hub collapse map-side to one (vector, count) row, so a reducer
+    * materializes O(distinct vectors) structs, never O(degree) — exactly
+    * how the reference merges label->count maps instead of raw lists.
+    * The entry-wise min fold is order-independent, and the sorted key
+    * order makes each state array bit-deterministic for the oracle.
+    *
+    * The per-message payload is O(|landmarks|): this is the operator for
+    * a handful of landmarks (GraphX's contract too — its map message has
+    * one entry per landmark). Returns reached (vertex, landmark, hops)
+    * rows only; callers wanting the dense grid left-join and -1-fill. */
+  def landmarkHops(edges: DataFrame, landmarks: Seq[Long], iters: Int): DataFrame = {
+    require(landmarks.nonEmpty, "landmarkHops: need at least one landmark")
+    val und = undirected(edges)
+    val emptyState = expr("CAST(array() AS array<struct<l:bigint,d:bigint>>)")
+    // merge two sorted (l, d) arrays entry-wise by min-d: union of key
+    // sets, each key looked up in both sides via try_element_at (null when
+    // absent; least() skips nulls). Interpreted HOFs over |landmarks|-sized
+    // arrays — constant work per message.
+    def mergeTwo(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      transform(
+        array_sort(array_union(
+          transform(a, e => e.getField("l")),
+          transform(b, e => e.getField("l")))),
+        k => struct(k.as("l"),
+          least(
+            try_element_at(map_from_entries(a), k),
+            try_element_at(map_from_entries(b), k)).as("d")))
+    pregel(
+      und.select(col("src").as("vertex")).distinct()
+        .select(col("vertex"),
+          when(col("vertex").isin(landmarks.map(Long.box): _*),
+            array(struct(col("vertex").cast("long").as("l"), lit(0L).as("d"))))
+            .otherwise(emptyState).as("state")),
+      und,
+      sendMsg = transform(col("state"),
+        e => struct(e.getField("l").as("l"), (e.getField("d") + lit(1L)).as("d"))),
+      mergeMsg = m => sort_array(collect_list(m)),
+      vprog = (s, m) => when(m.isNull, s)
+        .otherwise(aggregate(m, s, (acc, x) => mergeTwo(acc, x.getField("msg")))),
+      maxIter = iters,
+      // only landmark vertices carry information at step 0 (an empty
+      // vector's message merges to nothing) — same seeding as bfsHops
+      initialFrontier = _.filter(size(col("state")) > 0),
+      preAggregate = Some(count(lit(1))))
+      .select(col("vertex"), explode(col("state")).as("e"))
+      .select(col("vertex"), col("e.l").as("landmark"), col("e.d").as("hops"))
+  }
+
   /** Canonical symmetric (both-directions, deduped) edge table — the
     * message graph for the undirected label-propagation algorithms. */
   private def undirected(edges: DataFrame): DataFrame =

@@ -53,6 +53,25 @@ object Graphs {
         .orderBy("doc_id")
     },
 
+    // Landmark shortest paths (GraphX ShortestPaths analog): hop distance
+    // from every nation to each of three landmark nations in ONE pregel
+    // run whose state is the per-landmark distance vector — the map-valued
+    // exercise of the preAggregate hook. Dense (vertex, landmark) grid,
+    // -1 for pairs out of reach within the 3-superstep budget.
+    "p12_landmark_hops" -> { (s, dir) =>
+      import s.implicits._
+      val e = tradeEdges(s, dir)
+      val lms = Seq(0L, 7L, 14L)
+      val hops = G.landmarkHops(e, lms, iters = 3)
+      val verts = e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex"))).distinct()
+      verts.crossJoin(broadcast(lms.toDF("landmark")))
+        .join(hops, Seq("vertex", "landmark"), "left")
+        .select(col("vertex"), col("landmark"),
+          coalesce(col("hops"), lit(-1L)).as("hops"))
+        .orderBy("vertex", "landmark")
+    },
+
     "p02_neardup_components" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = D.neardupPairs(docs, "doc_id", "text")
@@ -245,7 +264,46 @@ object Graphs {
        |  LEFT JOIN l${i - 1} lp ON lp.vertex = u.b
        |  GROUP BY l.vertex, l.component)""".stripMargin
 
+  /** One landmark's unrolled min-hop chain (the bfsStep shape with
+    * lm-prefixed CTE names so three chains coexist in one statement). */
+  private def lmChain(lm: Long, iters: Int): String = {
+    def step(i: Int): String =
+      s"""lm${lm}_$i AS MATERIALIZED (SELECT h.vertex,
+         |  least(h.hop, COALESCE(min(hp.hop) + 1, h.hop)) AS hop
+         |  FROM lm${lm}_${i - 1} h
+         |  LEFT JOIN und u ON u.a = h.vertex
+         |  LEFT JOIN lm${lm}_${i - 1} hp ON hp.vertex = u.b
+         |  GROUP BY h.vertex, h.hop)""".stripMargin
+    (Seq(
+      s"""lm${lm}_0 AS (SELECT vertex,
+         |  CASE WHEN vertex = $lm THEN 0::BIGINT ELSE 1000000000::BIGINT END AS hop
+         |  FROM verts)""".stripMargin) ++ (1 to iters).map(step)).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    // Three independent unrolled BFS chains over the shared undirected
+    // trade graph, one per landmark — the per-landmark full-join
+    // formulation the fused map-merging pregel loop must equal.
+    "p12_landmark_hops" -> {
+      val iters = 3
+      val lms = Seq(0L, 7L, 14L)
+      val finals = lms.map(lm =>
+        s"""SELECT vertex, $lm::BIGINT AS landmark,
+           |  CAST(CASE WHEN hop >= 1000000000 THEN -1 ELSE hop END AS BIGINT) AS hops
+           |FROM lm${lm}_$iters""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src a, dst b FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |verts AS MATERIALIZED (SELECT DISTINCT a AS vertex FROM und),
+         |${lms.map(lmChain(_, iters)).mkString(",\n")}
+         |$finals
+         |ORDER BY vertex, landmark""".stripMargin
+    },
     // Two unrolled HITS iterations; each normalizer is a 1-row scalar
     // subquery over the MATERIALIZED half-step (the p09 inlining lesson).
     "p10_trade_hits" ->

@@ -165,6 +165,29 @@ object ModernSql {
           ||> ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
     },
 
+    // Named WINDOW clause (analyzer WindowsSubstitution — the last §3.1
+    // analyzer surface without a dedicated gate): one window spec declared
+    // once, referenced by TWO expressions. Substitution is purely
+    // syntactic, so both functions land in the SAME Window operator — one
+    // shuffle on the partition key, not one per OVER (ModernSqlSpec pins
+    // the single-Window plan). The ORDER BY carries a unique tiebreak
+    // (cents DESC, o_orderkey), so the running sum's RANGE frame is
+    // deterministic cross-engine.
+    "h12_named_window" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("ms_orders")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderpriority, o_orderkey,
+          |    CAST(rank() OVER w AS BIGINT) AS rnk,
+          |    CAST(sum(cents) OVER w AS BIGINT) AS run_cents
+          |  FROM (SELECT o_orderpriority, o_orderkey,
+          |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |        FROM ms_orders)
+          |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey))
+          |WHERE rnk <= 5
+          |ORDER BY o_orderpriority, rnk""".stripMargin)
+    },
+
     // Parameterized spark.sql(sql, args): named-placeholder binding at the
     // API boundary — no string splicing, the literal arrives as a typed
     // parameter (the programmatic sibling of h07's EXECUTE IMMEDIATE).
@@ -252,6 +275,18 @@ object ModernSql {
         |GROUP BY o_orderstatus, o_orderpriority
         |HAVING count(*) > 100
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "h12_named_window" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS run_cents
+        |  FROM (SELECT o_orderpriority, o_orderkey,
+        |          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |        FROM orders)
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey))
+        |WHERE rnk <= 5
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "h11_parameterized_sql" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

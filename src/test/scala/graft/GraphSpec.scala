@@ -113,6 +113,41 @@ class GraphSpec extends SparkSpec {
     assert(distinctVals === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("landmarkHops: per-landmark distances from one pregel run, unreached pairs absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus isolated pair 6-7; landmarks at both path ends
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.landmarkHops(path, landmarks = Seq(1L, 5L), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = Map(
+      (1L, 1L) -> 0L, (2L, 1L) -> 1L, (3L, 1L) -> 2L, (4L, 1L) -> 3L, (5L, 1L) -> 4L,
+      (5L, 5L) -> 0L, (4L, 5L) -> 1L, (3L, 5L) -> 2L, (2L, 5L) -> 3L, (1L, 5L) -> 4L)
+    assert(got === want) // 6 and 7 reach no landmark: no rows at all
+  }
+
+  test("landmarkHops: iteration budget caps reach per landmark independently") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.landmarkHops(path, landmarks = Seq(1L, 4L), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // from 1: reaches 2,3 within 2 hops; from 4: reaches 2,3,5 within 2
+    val want = Map(
+      (1L, 1L) -> 0L, (2L, 1L) -> 1L, (3L, 1L) -> 2L,
+      (4L, 4L) -> 0L, (3L, 4L) -> 1L, (5L, 4L) -> 1L, (2L, 4L) -> 2L)
+    assert(got === want)
+  }
+
+  test("landmarkHops equals one bfsHops run per landmark (shared-loop fusion is exact)") {
+    val lms = Seq(1L, 4L)
+    val fused = Graph.landmarkHops(edges, lms, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val separate = lms.flatMap { lm =>
+      Graph.bfsHops(edges, lm, iters = 3).collect()
+        .filter(_.getLong(1) >= 0L).map(r => (r.getLong(0), lm) -> r.getLong(1))
+    }.toMap
+    assert(fused === separate)
+  }
+
   test("scc: cycles confirm, one-way bridges separate, chains are singletons") {
     import spark.implicits._
     // cycle {1,2,3} --one-way bridge 3->4--> cycle {4,5}; self-loop 6;

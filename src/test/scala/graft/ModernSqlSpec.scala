@@ -65,6 +65,29 @@ class ModernSqlSpec extends SparkSpec {
     assert(df.collect().length === 50) // 25 nations x top 2
   }
 
+  test("h12 named WINDOW: both OVER w expressions share ONE Window operator (one shuffle)") {
+    val df = ModernSql.defs("h12_named_window")(spark, sf001)
+    val rows = df.collect()
+    // 5 priorities x top 5 (rank() can over-admit only on cents+key ties,
+    // which the unique o_orderkey tiebreak rules out)
+    assert(rows.length === 25)
+    // WindowsSubstitution resolved both references into the same spec, so
+    // the physical plan carries exactly one Window node computing both
+    // functions — not one shuffle per OVER clause
+    // AQE's toString prints the final AND initial plans — count the final only
+    val physical = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windowLines = physical.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.size === 1, s"expected one shared Window operator:\n$physical")
+    // ...and that single node computes BOTH functions
+    assert(windowLines.head.contains("rank(") && windowLines.head.contains("sum("))
+    // running sum is monotone within each priority under the DESC ordering
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val runs = g.sortBy(_.getLong(2)).map(_.getLong(3))
+      assert(runs.sameElements(runs.sorted), "run_cents must be non-decreasing in rank")
+    }
+  }
+
   test("h07 session variable: SET VAR re-binds and EXECUTE IMMEDIATE sees the new value") {
     ModernSql.defs("h07_execute_immediate")(spark, sf001).collect() // declares ms_thr
     spark.sql("SET VAR ms_thr = 0.0")
