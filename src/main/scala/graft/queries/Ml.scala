@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.Pipeline._
+import graft.ext.Recommend
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,10 +38,82 @@ object Ml {
           round(array_max(col("nv")), 6).as("top_weight"),
           expr("cast(size(filter(tf, x -> x > 0)) as bigint)").as("n_active"))
         .orderBy("doc_id")
+    },
+
+    // ALS matrix-factorization recommendation (reference
+    // mllib/.../recommendation/ALS.scala — the most-used MLlib workhorse
+    // after clustering): implicit star ratings from purchase counts
+    // (user = customer, item = supplier, rating = min(5, n_lineitems)),
+    // two alternating rounds of exact-integer rank-2 ridge solves
+    // (graft.ext.Recommend scaladoc has the determinism argument), then
+    // the top unrated supplier for the custkey <= 300 cohort — the batch
+    // scoring shape: factors train on EVERYTHING, the serving cohort is
+    // bounded. Scores are exact integer dot products, so the argmax (and
+    // the oracle's) cannot tie-drift.
+    "s12_als_recommend" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (users, items) = Recommend.als(ratings, iters = 2)
+      Recommend.recommendTop1(ratings, users.filter(col("u") <= 300), items)
+        .orderBy("u")
     }
   )
 
+  /** One unrolled ALS half-step as a CTE: solve `solveKey`'s rank-2 ridge
+    * normal equation against the `other` factor table — five exact BIGINT
+    * sums (CAST from DuckDB's HUGEINT), then the Cramer solve with every
+    * constant pinned ::DOUBLE and the exact parenthesization of
+    * graft.ext.Recommend.solveSide, re-quantized to 2^16 units. */
+  private def alsSolveCte(out: String, other: String,
+                          solveKey: String, otherKey: String): String = {
+    val det = "((((a11 / 4294967296.0::DOUBLE) + 0.1::DOUBLE) * ((a22 / 4294967296.0::DOUBLE) + 0.1::DOUBLE)) - ((a12 / 4294967296.0::DOUBLE) * (a12 / 4294967296.0::DOUBLE)))"
+    s"""$out AS MATERIALIZED (
+       |  SELECT $solveKey,
+       |    CAST(round(((((a22 / 4294967296.0::DOUBLE) + 0.1::DOUBLE) * (b1 / 65536.0::DOUBLE) - (a12 / 4294967296.0::DOUBLE) * (b2 / 65536.0::DOUBLE)) / $det) * 65536.0::DOUBLE) AS BIGINT) AS f1q,
+       |    CAST(round(((((a11 / 4294967296.0::DOUBLE) + 0.1::DOUBLE) * (b2 / 65536.0::DOUBLE) - (a12 / 4294967296.0::DOUBLE) * (b1 / 65536.0::DOUBLE)) / $det) * 65536.0::DOUBLE) AS BIGINT) AS f2q
+       |  FROM (
+       |    SELECT r.$solveKey,
+       |      CAST(sum(o.f1q * o.f1q) AS BIGINT) AS a11,
+       |      CAST(sum(o.f1q * o.f2q) AS BIGINT) AS a12,
+       |      CAST(sum(o.f2q * o.f2q) AS BIGINT) AS a22,
+       |      CAST(sum(r.r * o.f1q) AS BIGINT) AS b1,
+       |      CAST(sum(r.r * o.f2q) AS BIGINT) AS b2
+       |    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey
+       |    GROUP BY r.$solveKey))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The full ALS chain unrolled: ratings -> deterministic item init ->
+    // user/item/user/item solves -> exact-integer scoring of the cohort's
+    // unrated pairs -> per-user argmax (score DESC, item ASC).
+    "s12_als_recommend" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |y0 AS MATERIALIZED (
+         |  SELECT DISTINCT i,
+         |    (65536 + (i % 7) * 8192)::BIGINT AS f1q,
+         |    (((i % 5) - 2) * 16384)::BIGINT AS f2q
+         |  FROM ratings),
+         |${alsSolveCte("x1", "y0", "u", "i")},
+         |${alsSolveCte("y1", "x1", "i", "u")},
+         |${alsSolveCte("x2", "y1", "u", "i")},
+         |${alsSolveCte("y2", "x2", "i", "u")},
+         |cand AS (
+         |  SELECT x.u, y.i,
+         |    CAST(x.f1q * y.f1q + x.f2q * y.f2q AS BIGINT) AS score_q
+         |  FROM x2 x CROSS JOIN y2 y
+         |  WHERE x.u <= 300
+         |    AND NOT EXISTS (SELECT 1 FROM ratings r WHERE r.u = x.u AND r.i = y.i)),
+         |ranked AS (SELECT u, i, score_q,
+         |    row_number() OVER (PARTITION BY u ORDER BY score_q DESC, i) AS rn
+         |  FROM cand)
+         |SELECT u, i AS rec_item, score_q FROM ranked WHERE rn = 1 ORDER BY u""".stripMargin,
     // Unrolls the same pipeline: train-slice df counts -> smoothed
     // reciprocal idf -> whole-corpus tf -> rescale -> L2 -> argmax (first
     // index on ties, like array_position). COALESCE(toks, []) pins the
