@@ -712,15 +712,23 @@ object Dedup {
 
   /** Write the standing NEAR-dup index of `corpus` under `path` — the
     * artifact [[incrementalNeardupPairs]] probes so a daily batch never
-    * rereads (or re-shingles, or re-hashes) the 100 TB corpus:
+    * rereads (or re-shingles, or re-hashes) the 100 TB corpus. The index
+    * is GENERATIONAL: each `gen=N/` directory is one complete, immutable
+    * contribution — `gen=0` is this base build, every
+    * [[ingestNeardupBatch]] adds a `gen=N+1`, and readers take the union
+    * of all generations ([[indexTable]]'s glob). Inside a generation:
     *   - `members/`  (digest, rep, doc_id): digest-group membership,
     *     rep = min id per distinct text ([[neardupPairs]]' dedup-first rule);
     *   - `shingles/` (doc_id, shingles): shingle sets of the reps only —
     *     the Jaccard-verify side;
     *   - `bands/`    (doc_id, bkey): the exploded LSH band table of the
-    *     rep MinHash signatures — the candidate-generation side.
+    *     rep MinHash signatures — the candidate-generation side;
+    *   - `meta/`     one row, the generation's max doc id (readers take
+    *     the max over generations for the id-monotonicity guard).
     * At production scale `bands/` is additionally bucketed BY bkey so the
-    * probe's band equi-join co-locates without a corpus-side shuffle.
+    * probe's band equi-join co-locates without a corpus-side shuffle, and
+    * [[compactNeardupIndex]] periodically folds the accumulated
+    * generations back into one.
     *
     * The build is multi-process safe: all four tables are written into a
     * private temp sibling and installed at `path` with an atomic directory
@@ -731,26 +739,168 @@ object Dedup {
                         path: String, shingleN: Int = 3, k: Int = 32,
                         bands: Int = 16): Unit =
     IndexStore.atomically(corpus.sparkSession, path) { tmp =>
+      val g0 = s"$tmp/gen=0"
       digestMembership(corpus, idCol, md5(col(textCol)), groupNulls = true)
-        .write.mode("overwrite").parquet(s"$tmp/members")
+        .write.mode("overwrite").parquet(s"$g0/members")
       // reps derive from the JUST-WRITTEN members table, not a recompute of
       // its lineage — the digest window over the corpus (its most expensive
       // scan + shuffle) runs exactly once per build
-      val members = corpus.sparkSession.read.parquet(s"$tmp/members")
+      val members = corpus.sparkSession.read.parquet(s"$g0/members")
       val sh = shingleTable(repRows(corpus, idCol, members), idCol, textCol, shingleN)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.write.mode("overwrite").parquet(s"$tmp/shingles")
+      sh.write.mode("overwrite").parquet(s"$g0/shingles")
       minhashSignaturesFrom(sh, k)
         .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey"))
-        .write.mode("overwrite").parquet(s"$tmp/bands")
+        .write.mode("overwrite").parquet(s"$g0/bands")
       sh.unpersist()
       // One-row build manifest: the max corpus id, so probes can enforce the
       // ids-are-monotonic contract (see incrementalNeardupPairs) instead of
       // trusting a comment. Aggregated from the just-written members table —
-      // no extra corpus scan.
-      members.agg(max(col("doc_id")).as("max_corpus_id"))
+      // no extra corpus scan. Cast pinned to BIGINT so every generation's
+      // meta unions under one schema regardless of the id column's width.
+      members.agg(max(col("doc_id")).cast("long").as("max_corpus_id"))
+        .write.mode("overwrite").parquet(s"$g0/meta")
+    }
+
+  /** One index table as the union of all installed generations. The glob
+    * skips [[IndexStore]]'s dot-prefixed in-flight/retired siblings by
+    * construction. */
+  private def indexTable(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, table: String): DataFrame =
+    spark.read.parquet(s"$indexPath/gen=*/$table")
+
+  /** Max doc id across all generations (None for an empty-corpus index). */
+  def indexMaxCorpusId(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Option[Long] = {
+    val r = indexTable(spark, indexPath, "meta")
+      .agg(max(col("max_corpus_id").cast("long"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** The batch's contributions relative to the STANDING index — the shared
+    * derivation behind both the probe and the ingest:
+    *   - `assigned`: every batch row with its digest, in-batch rep
+    *     (`batch_rep`), standing-group rep if the digest is already
+    *     indexed (`corpus_rep`), the effective `rep` (coalesce of the
+    *     two — exactly the min-id rule given the id-monotonicity
+    *     contract), and the raw text (`__text`);
+    *   - `newSh`: shingle rows for NEW reps only (texts the index has
+    *     never seen) — the only rows shingled/minhashed this run;
+    *   - `newBands`: the exploded LSH band rows of those new reps.
+    * `pin` is the caller's materialization policy (persist for real runs,
+    * identity for lazy plan-shape assertions); newSh derives from the
+    * pinned `assigned`, newBands from the pinned `newSh`. */
+  private def batchContributions(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int, k: Int, bands: Int,
+                                 pin: DataFrame => DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val members = indexTable(spark, indexPath, "members")
+    val batchDigests = digestMembership(batch, idCol, md5(col(textCol)), groupNulls = true)
+      .withColumnRenamed("rep", "batch_rep")
+    val assigned = pin(batchDigests
+      .join(batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
+      .join(members.select(col("digest"), col("rep").as("corpus_rep")).distinct(),
+        Seq("digest"), "left")
+      .withColumn("rep", coalesce(col("corpus_rep"), col("batch_rep"))))
+    val newSh = pin(assigned
+      .filter(col("corpus_rep").isNull && col("doc_id") === col("batch_rep"))
+      .select(col("doc_id"), shinglesUdf(shingleN)(col("__text")).as("shingles")))
+    val newBands = pin(minhashSignaturesFrom(newSh, k)
+      .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey")))
+    (assigned, newSh, newBands)
+  }
+
+  /** Enforce the ids-are-monotonic contract: every batch id must exceed
+    * every indexed id (one 1-row action per side). */
+  private def requireMonotonicIds(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, batch: DataFrame,
+                                  idCol: String, op: String): Unit =
+    indexMaxCorpusId(spark, indexPath).foreach { maxCorpus =>
+      val minRow = batch.agg(min(col(idCol))).head()
+      if (!minRow.isNullAt(0)) {
+        // getAs[Number]: id columns may surface as INT or BIGINT depending
+        // on the writer — don't ClassCastException on a narrower type.
+        val minBatch = minRow.getAs[Number](0).longValue()
+        require(minBatch > maxCorpus,
+          s"$op: batch ids must exceed all corpus ids " +
+            s"(min batch id $minBatch <= max corpus id $maxCorpus); the min-id " +
+            "rep rule would silently diverge from a full recompute")
+      }
+    }
+
+  /** Absorb a probed batch INTO the standing index as a new generation —
+    * the "then make today's batch part of tomorrow's corpus" step of the
+    * daily pipeline. Work is batch-proportional (the same contributions
+    * the probe computes: membership rows for every batch doc, shingles
+    * and bands for NEW texts only); the corpus is never re-read. After
+    * ingest, [[incrementalNeardupPairs]] against this index equals a
+    * probe against a from-scratch [[writeNeardupIndex]] over
+    * corpus ∪ batch (DedupSpec pins the equivalence).
+    *
+    * The generation directory installs atomically ([[IndexStore]]), so a
+    * concurrent probe sees the batch's contribution whole or not at all —
+    * never a members row whose bands are missing. Ingestion itself is
+    * SINGLE-WRITER (the standard ingestion-pipeline contract): two
+    * processes ingesting concurrently could pick the same generation
+    * number, and last-installer-wins would drop one batch whole. */
+  def ingestNeardupBatch(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 32,
+                         bands: Int = 16): Unit = {
+    requireMonotonicIds(spark, indexPath, batch, idCol, "ingestNeardupBatch")
+    def pin(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (assigned, newSh, newBands) =
+      batchContributions(spark, indexPath, batch, idCol, textCol, shingleN, k, bands, pin)
+    // next generation = max existing + 1 (single-writer contract above)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    val next = if (gens.isEmpty) 0L else gens.max + 1L
+    IndexStore.atomically(spark, s"$indexPath/gen=$next") { tmp =>
+      assigned.select("digest", "rep", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/members")
+      newSh.write.mode("overwrite").parquet(s"$tmp/shingles")
+      newBands.write.mode("overwrite").parquet(s"$tmp/bands")
+      batch.agg(max(col(idCol)).cast("long").as("max_corpus_id"))
         .write.mode("overwrite").parquet(s"$tmp/meta")
     }
+    newBands.unpersist(); newSh.unpersist(); assigned.unpersist()
+  }
+
+  /** Fold all accumulated generations back into one — the index's
+    * table-maintenance pass (the [[Scale.compact]] discipline applied to
+    * the standing index): every ingest adds a generation whose tables are
+    * small batch-sized files, so after N batches a probe unions N+1
+    * fragments and the band equi-join reads N+1 sets of footers; the
+    * compaction rewrites each table ONCE, repartitioned on its join key
+    * (members by digest, bands by bkey — the keys the probe joins on),
+    * as a fresh single-generation index installed atomically over the old
+    * one. Result-transparent by construction (the generations are
+    * disjoint contributions whose union IS the index; DedupSpec pins
+    * probe-identity before/after) and the superseded generations are
+    * retired wholesale by the directory swap. */
+  def compactNeardupIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, nFiles: Int = 0): Unit = {
+    val n = if (nFiles > 0) nFiles else spark.sparkContext.defaultParallelism
+    IndexStore.atomically(spark, indexPath) { tmp =>
+      val g0 = s"$tmp/gen=0"
+      indexTable(spark, indexPath, "members").repartition(n, col("digest"))
+        .write.mode("overwrite").parquet(s"$g0/members")
+      indexTable(spark, indexPath, "shingles").repartition(n, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$g0/shingles")
+      indexTable(spark, indexPath, "bands").repartition(n, col("bkey"))
+        .write.mode("overwrite").parquet(s"$g0/bands")
+      indexTable(spark, indexPath, "meta")
+        .agg(max(col("max_corpus_id").cast("long")).as("max_corpus_id"))
+        .write.mode("overwrite").parquet(s"$g0/meta")
+    }
+  }
 
   /** Incremental NEAR-dup — the daily-crawl probe: all near-dup pairs
     * TOUCHING the batch, exactly as recomputing [[neardupPairs]] over
@@ -788,52 +938,26 @@ object Dedup {
     def pin(df: DataFrame): DataFrame =
       if (materialize) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val members = spark.read.parquet(s"$indexPath/members")
+    val members = indexTable(spark, indexPath, "members")
     // PRECONDITION (enforced on the materialized path): every batch id
     // must be strictly greater than every corpus id. The recompute-
     // equivalence argument below leans on it — coalesce(corpus_rep,
     // batch_rep) equals the min-id rep rule only when corpus ids sort
-    // first. The build wrote a one-row manifest with the max corpus id;
-    // indexes from older builds (no meta/) skip the guard, and the
-    // materialize = false path skips it too — that path exists for
-    // plan-SHAPE assertions and must stay action-free, so the contract is
-    // UNCHECKED there (documented trade, not an oversight).
-    if (materialize) {
-      val metaDir = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-      val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(metaDir)) {
-        // getAs[Number]: id columns may surface as INT or BIGINT depending
-        // on the writer — don't ClassCastException on a narrower type. An
-        // EMPTY batch yields a null min (trivially satisfies the contract).
-        val metaRow = spark.read.parquet(s"$indexPath/meta").head()
-        val minRow = batch.agg(min(col(idCol))).head()
-        // an index built over an EMPTY corpus stores a null max — nothing
-        // to violate
-        if (!metaRow.isNullAt(0) && !minRow.isNullAt(0)) {
-          val maxCorpus = metaRow.getAs[Number](0).longValue()
-          val minBatch = minRow.getAs[Number](0).longValue()
-          require(minBatch > maxCorpus,
-            s"incrementalNeardupPairs: batch ids must exceed all corpus ids " +
-              s"(min batch id $minBatch <= max corpus id $maxCorpus); the min-id " +
-              "rep rule would silently diverge from a full recompute")
-        }
-      }
-    }
-    val idxBands = spark.read.parquet(s"$indexPath/bands")
-    val idxSh = spark.read.parquet(s"$indexPath/shingles")
+    // first. The materialize = false path skips the guard — that path
+    // exists for plan-SHAPE assertions and must stay action-free, so the
+    // contract is UNCHECKED there (documented trade, not an oversight).
+    if (materialize)
+      requireMonotonicIds(spark, indexPath, batch, idCol, "incrementalNeardupPairs")
+    val idxBands = indexTable(spark, indexPath, "bands")
+    val idxSh = indexTable(spark, indexPath, "shingles")
     // batch rep assignment: corpus rep when the digest is standing (ids in
     // the corpus are smaller by contract), else the batch-min id. The
     // digest goes through the SAME keying as the stored index (null texts
     // share the sentinel group across corpus and batch, like the oracle's
     // window partitioning over the union — raw SQL null = null would not
-    // match in the join).
-    val batchDigests = digestMembership(batch, idCol, md5(col(textCol)), groupNulls = true)
-      .withColumnRenamed("rep", "batch_rep")
-    val assigned = pin(batchDigests
-      .join(batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
-      .join(members.select(col("digest"), col("rep").as("corpus_rep")).distinct(),
-        Seq("digest"), "left")
-      .withColumn("rep", coalesce(col("corpus_rep"), col("batch_rep"))))
+    // match in the join). Shared derivation with ingestNeardupBatch.
+    val (assigned, newSh, newBands) =
+      batchContributions(spark, indexPath, batch, idCol, textCol, shingleN, k, bands, pin)
     val batchMembers = assigned.select("digest", "rep", "doc_id")
     val allMembers = members.select("digest", "rep", "doc_id").union(batchMembers)
     // within-digest pairs touching the batch: exact copies, jaccard 1.0
@@ -844,12 +968,6 @@ object Dedup {
         greatest(col("doc_id"), col("bid")).as("doc_b"))
       .distinct()
       .withColumn("jaccard", lit(1.0))
-    // new distinct texts: the ONLY rows shingled/hashed this run
-    val newSh = pin(assigned
-      .filter(col("corpus_rep").isNull && col("doc_id") === col("batch_rep"))
-      .select(col("doc_id"), shinglesUdf(shingleN)(col("__text")).as("shingles")))
-    val newBands = pin(minhashSignaturesFrom(newSh, k)
-      .select(col("doc_id"), explode(expr(bandKeys("sig", bands, k / bands))).as("bkey")))
     // active = new reps + corpus reps whose group gained a batch copy
     val affected = assigned.filter(col("corpus_rep").isNotNull)
       .select(col("corpus_rep").as("doc_id")).distinct()

@@ -122,6 +122,66 @@ class DedupSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("neardup index ingest: probe after ingest equals probe of a from-scratch corpus+batch index") {
+    import spark.implicits._
+    val t1 = "a b c d e f g h i j"
+    val corpus = Seq(1L -> t1, 2L -> "a b c d e f g h i k", 3L -> t1,
+      4L -> "z y x w v u t s r q").toDF("doc_id", "text")
+    val batchB = Seq(10L -> t1, 11L -> "a b c d e f g h j k",
+      12L -> "m n o p q r s t u v", 13L -> "m n o p q r s t u v").toDF("doc_id", "text")
+    val batchC = Seq(20L -> "a b c d e f g h i j", // copy of the standing group
+      21L -> "m n o p q r s t u w", // near-dup of B's new text
+      22L -> "totally fresh words that match nothing else in any batch")
+      .toDF("doc_id", "text")
+    def pairs(idx: String) =
+      Dedup.incrementalNeardupPairs(spark, idx, batchC, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idxA = "/tmp/graft_scale/neardup_idx_ingest_a"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", idxA)
+    Dedup.ingestNeardupBatch(spark, idxA, batchB, "doc_id", "text")
+    val idxAB = "/tmp/graft_scale/neardup_idx_ingest_ab"
+    Dedup.writeNeardupIndex(corpus.union(batchB), "doc_id", "text", idxAB)
+    val got = pairs(idxA)
+    assert(got === pairs(idxAB))
+    // the ingested batch is really standing corpus now: C's copy pairs
+    // with A-era AND B-era members of the group
+    assert(got.contains((1L, 20L, 1.0)) && got.contains((10L, 20L, 1.0)))
+    assert(got.exists(p => p._1 == 12L && p._2 == 21L && p._3 < 1.0),
+      "B's new text must be probe-able standing state after ingest")
+    // ingest added a second generation (batch-proportional, not a rebuild)
+    val fs = new org.apache.hadoop.fs.Path(idxA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(idxA))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).sorted
+    assert(gens === Array("gen=0", "gen=1"))
+  }
+
+  test("neardup index compaction: probe identical before/after, old generations retired") {
+    import spark.implicits._
+    val t1 = "a b c d e f g h i j"
+    val corpus = Seq(1L -> t1, 2L -> "a b c d e f g h i k", 3L -> t1,
+      4L -> "z y x w v u t s r q").toDF("doc_id", "text")
+    val batchB = Seq(10L -> t1, 11L -> "m n o p q r s t u v").toDF("doc_id", "text")
+    val batchC = Seq(20L -> t1, 21L -> "m n o p q r s t u w").toDF("doc_id", "text")
+    val idx = "/tmp/graft_scale/neardup_idx_compact"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", idx)
+    Dedup.ingestNeardupBatch(spark, idx, batchB, "doc_id", "text")
+    def pairs() =
+      Dedup.incrementalNeardupPairs(spark, idx, batchC, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    Dedup.compactNeardupIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).filter(!_.startsWith(".")).sorted
+    assert(children === Array("gen=0"), s"superseded generations must retire: ${children.toSeq}")
+    assert(pairs() === before)
+    // the id-monotonicity manifest survives the fold: ingested B ids count
+    assert(Dedup.indexMaxCorpusId(spark, idx) === Some(11L))
+  }
+
   test("index installs are atomic: a probe interleaved with a rebuild sees only complete indexes") {
     import spark.implicits._
     // The multi-process race the temp-dir + atomic-rename build exists
