@@ -116,6 +116,131 @@ object Recommend {
     (users, items)
   }
 
+  /** SVD++ (Koren, KDD'08 — "Factorization Meets the Neighborhood";
+    * reference graphx/src/main/scala/org/apache/spark/graphx/lib/
+    * SVDPlusPlus.scala:67 trains the same model by gradient descent over
+    * aggregateMessages rounds): the bias + implicit-feedback factor model
+    *   r̂(u,i) = μ + b_u + b_i + q_i · (p_u + |N(u)|^-1/2 Σ_{j∈N(u)} y_j)
+    * trained by `iters` full-batch gradient iterations with the
+    * reference's exact two-phase structure — phase 1 recomputes every
+    * user's implicit vector z_u = p_u + |N(u)|^-1/2 Σ y_j (one join +
+    * per-user sum), phase 2 computes every edge's clamped prediction
+    * error and applies the reference's update equations, aggregated
+    * per-vertex (one edge projection + one per-user and one per-item
+    * hash aggregate). Same γ1/γ2/γ6/γ7 learning/decay structure, same
+    * min/max rating clamp, same bias init b_v = mean(ratings at v) − μ.
+    *
+    * Deliberate deviations, same rationale as [[als]]:
+    *   - deterministic hash init instead of `Random.nextDouble` arrays
+    *     (the reference's TODO at SVDPlusPlus.scala:72 concedes the seed
+    *     should be fixed);
+    *   - rank fixed at 2, every parameter QUANTIZED to 2^16 integer
+    *     units after each update, and each edge's error (and its
+    *     invSqrt-weighted variant) quantized before the per-vertex sums —
+    *     so every cross-partition aggregate is an exact integer sum and
+    *     the one double expression per update is engine-reproducible;
+    *   - the reference's message merge drops one side's y-update when
+    *     two messages meet (SVDPlusPlus.scala:164 clones g2._2 and then
+    *     daxpy's g2._2 again, discarding g1._2) — a defect, not a
+    *     semantic; this implementation sums contributions correctly.
+    *
+    * Scale shape per iteration: ratings join factor tables (the factor
+    * side is (key, few longs) — broadcastable), one map-side-combined
+    * aggregate per side, update projections; generations
+    * localCheckpointed. Returns (users(u, p1q, p2q, z1q, z2q, buq),
+    * items(i, q1q, q2q, y1q, y2q, biq), μ). */
+  def svdpp(ratings: DataFrame, iters: Int = 2,
+            g1: Double = 0.007, g2: Double = 0.007,
+            g6: Double = 0.005, g7: Double = 0.015,
+            minVal: Double = 1.0, maxVal: Double = 5.0): (DataFrame, DataFrame, Double) = {
+    val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global mean from exact integer sums — one action
+    val totRow = r.agg(sum(col("r")), count(lit(1))).head()
+    val mu = totRow.getLong(0).toDouble / totRow.getLong(1).toDouble
+    def hashInit(key: Column, m: Int, div: Long): Column =
+      ((key % m) + 1) * lit(QuantScale / div)
+    // bias init: per-vertex rating mean minus μ; invSqrt stays a DOUBLE
+    // column (exactly derived from the integer degree — sqrt and divide
+    // are correctly-rounded IEEE ops both engines reproduce)
+    var users = r.groupBy("u")
+      .agg(count(lit(1)).as("deg"), sum(col("r")).as("sr"))
+      .select(col("u"),
+        hashInit(col("u"), 7, 8).as("p1q"), hashInit(col("u"), 5, 8).as("p2q"),
+        lit(0L).as("z1q"), lit(0L).as("z2q"),
+        round(((col("sr").cast("double") / col("deg")) - lit(mu)) * lit(Q)).cast("long").as("buq"),
+        (lit(1.0) / sqrt(col("deg").cast("double"))).as("nsq"))
+      .localCheckpoint()
+    var items = r.groupBy("i")
+      .agg(count(lit(1)).as("deg"), sum(col("r")).as("sr"))
+      .select(col("i"),
+        hashInit(col("i"), 7, 8).as("q1q"), hashInit(col("i"), 5, 8).as("q2q"),
+        hashInit(col("i"), 3, 8).as("y1q"), hashInit(col("i"), 11, 16).as("y2q"),
+        round(((col("sr").cast("double") / col("deg")) - lit(mu)) * lit(Q)).cast("long").as("biq"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // Phase 1: z_u = p_u + invSqrt(u) * Σ y_j over u's rated items
+      val ysum = r.join(items.select("i", "y1q", "y2q"), "i")
+        .groupBy("u").agg(sum("y1q").as("sy1"), sum("y2q").as("sy2"))
+      users = users.drop("z1q", "z2q").join(ysum, "u")
+        .select(col("u"), col("p1q"), col("p2q"),
+          (col("p1q") + round(col("nsq") * col("sy1")).cast("long")).as("z1q"),
+          (col("p2q") + round(col("nsq") * col("sy2")).cast("long")).as("z2q"),
+          col("buq"), col("nsq"))
+        .localCheckpoint()
+      // Phase 2: per-edge clamped error, quantized, then per-side sums
+      val e = r
+        .join(users.select("u", "z1q", "z2q", "buq", "nsq"), "u")
+        .join(items.select("i", "q1q", "q2q", "y1q", "y2q", "biq"), "i")
+      val pred = least(greatest(
+        lit(mu) + (col("buq") / lit(Q)) + (col("biq") / lit(Q))
+          + ((col("q1q") * col("z1q") + col("q2q") * col("z2q")) / lit(Q2)),
+        lit(minVal)), lit(maxVal))
+      // persisted: the user-side AND item-side aggregates both consume the
+      // scored edge table — without the pin each would replay the
+      // three-way join
+      val scored = e
+        .withColumn("errq", round((col("r") - pred) * lit(Q)).cast("long"))
+        .withColumn("ewq", round(col("errq") * col("nsq")).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the common update form: cur/Q + γ((S / sDiv) − reg·deg·cur/Q),
+      // re-quantized — the oracle repeats this parenthesization verbatim
+      def upd(curq: Column, s: Column, sDiv: Double, gamma: Double, reg: Double): Column =
+        round(((curq / lit(Q)) + lit(gamma) * ((s / lit(sDiv))
+          - (lit(reg) * (col("deg") * (curq / lit(Q)))))) * lit(Q)).cast("long")
+      val uagg = scored.groupBy("u").agg(
+        count(lit(1)).as("deg"), sum("errq").as("serr"),
+        sum(col("errq") * col("q1q")).as("sq1"), sum(col("errq") * col("q2q")).as("sq2"),
+        sum("y1q").as("ty1"), sum("y2q").as("ty2"))
+      users = users.drop("deg").join(uagg, "u")
+        .select(col("u"),
+          upd(col("p1q"), col("sq1"), Q2, g2, g7).as("p1q"),
+          upd(col("p2q"), col("sq2"), Q2, g2, g7).as("p2q"),
+          // z's y-update has the per-user invSqrt factor and a plain −γ7·Σy decay
+          round(((col("z1q") / lit(Q)) + lit(g2) * ((col("nsq") * (col("sq1") / lit(Q2)))
+            - (lit(g7) * (col("ty1") / lit(Q))))) * lit(Q)).cast("long").as("z1q"),
+          round(((col("z2q") / lit(Q)) + lit(g2) * ((col("nsq") * (col("sq2") / lit(Q2)))
+            - (lit(g7) * (col("ty2") / lit(Q))))) * lit(Q)).cast("long").as("z2q"),
+          upd(col("buq"), col("serr"), Q, g1, g6).as("buq"),
+          col("nsq"))
+        .localCheckpoint()
+      val iagg = scored.groupBy("i").agg(
+        count(lit(1)).as("deg"), sum("errq").as("serr"),
+        sum(col("errq") * col("z1q")).as("sz1"), sum(col("errq") * col("z2q")).as("sz2"),
+        sum(col("ewq") * col("q1q")).as("sw1"), sum(col("ewq") * col("q2q")).as("sw2"))
+      items = items.join(iagg, "i")
+        .select(col("i"),
+          upd(col("q1q"), col("sz1"), Q2, g2, g7).as("q1q"),
+          upd(col("q2q"), col("sz2"), Q2, g2, g7).as("q2q"),
+          upd(col("y1q"), col("sw1"), Q2, g2, g7).as("y1q"),
+          upd(col("y2q"), col("sw2"), Q2, g2, g7).as("y2q"),
+          upd(col("biq"), col("serr"), Q, g1, g6).as("biq"))
+        .localCheckpoint()
+      scored.unpersist() // both side-aggregates are materialized above
+    }
+    r.unpersist()
+    (users, items, mu)
+  }
+
   /** Top-1 unrated item per user under the factor model: score every
     * (user, candidate) pair with the EXACT integer dot product
     * f1q·g1q + f2q·g2q (scale 2^32 — no float argmax, no tie drift;

@@ -59,6 +59,23 @@ object Ml {
       val (users, items) = Recommend.als(ratings, iters = 2)
       Recommend.recommendTop1(ratings, users.filter(col("u") <= 300), items)
         .orderBy("u")
+    },
+
+    // SVD++ (reference graphx/lib/SVDPlusPlus.scala — the last GraphX lib
+    // algorithm without a counterpart): bias + implicit-feedback factors
+    // trained by two full-batch gradient iterations over the same purchase
+    // ratings as s12. The emitted item-side model (factors, implicit-y
+    // vectors, biases — all exact quantized BIGINTs) is a function of
+    // every phase of the chain, so the oracle's unrolled mirror gates the
+    // whole training loop.
+    "s13_svdpp" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (_, items, _) = Recommend.svdpp(ratings, iters = 2)
+      items.select("i", "q1q", "q2q", "y1q", "y2q", "biq").orderBy("i")
     }
   )
 
@@ -85,7 +102,99 @@ object Ml {
        |    GROUP BY r.$solveKey))""".stripMargin
   }
 
+  /** SVD++ mirror pieces: the quantized update form (exact
+    * parenthesization of Recommend.svdpp's `upd`) and one full gradient
+    * iteration's CTE block (phase-1 z, scored edges, per-side aggregates,
+    * applied updates). */
+  private def svdppUpd(curq: String, s: String, sDiv: String,
+                       gamma: String, reg: String): String =
+    s"CAST(round((($curq / 65536.0::DOUBLE) + $gamma::DOUBLE * (($s / $sDiv::DOUBLE) - " +
+      s"($reg::DOUBLE * (a.deg * ($curq / 65536.0::DOUBLE))))) * 65536.0::DOUBLE) AS BIGINT)"
+
+  private def svdppIterCte(k: Int): String = {
+    val (q2s, qs) = ("4294967296.0", "65536.0")
+    val prevU = if (k == 1) "u0" else s"u${k - 1}"
+    val prevI = if (k == 1) "i0" else s"i${k - 1}"
+    s"""z$k AS MATERIALIZED (
+       |  SELECT x.u, x.p1q, x.p2q,
+       |    x.p1q + CAST(round(x.nsq * s.sy1) AS BIGINT) AS z1q,
+       |    x.p2q + CAST(round(x.nsq * s.sy2) AS BIGINT) AS z2q,
+       |    x.buq, x.nsq
+       |  FROM $prevU x JOIN (
+       |    SELECT r.u, CAST(sum(it.y1q) AS BIGINT) AS sy1,
+       |           CAST(sum(it.y2q) AS BIGINT) AS sy2
+       |    FROM ratings r JOIN $prevI it USING (i) GROUP BY r.u) s USING (u)),
+       |e$k AS MATERIALIZED (
+       |  SELECT *, CAST(round(errq * nsq) AS BIGINT) AS ewq FROM (
+       |    SELECT r.u, r.i,
+       |      CAST(round((r.r - least(greatest(
+       |        m.mu + (uu.buq / $qs::DOUBLE) + (it.biq / $qs::DOUBLE)
+       |          + ((it.q1q * uu.z1q + it.q2q * uu.z2q) / $q2s::DOUBLE),
+       |        1.0::DOUBLE), 5.0::DOUBLE)) * $qs::DOUBLE) AS BIGINT) AS errq,
+       |      uu.nsq, uu.z1q, uu.z2q, it.q1q, it.q2q, it.y1q, it.y2q
+       |    FROM ratings r JOIN z$k uu USING (u) JOIN $prevI it USING (i) CROSS JOIN m)),
+       |ua$k AS (
+       |  SELECT u, count(*) AS deg, CAST(sum(errq) AS BIGINT) AS serr,
+       |    CAST(sum(errq * q1q) AS BIGINT) AS sq1, CAST(sum(errq * q2q) AS BIGINT) AS sq2,
+       |    CAST(sum(y1q) AS BIGINT) AS ty1, CAST(sum(y2q) AS BIGINT) AS ty2
+       |  FROM e$k GROUP BY u),
+       |u$k AS MATERIALIZED (
+       |  SELECT x.u,
+       |    ${svdppUpd("x.p1q", "a.sq1", q2s, "0.007", "0.015")} AS p1q,
+       |    ${svdppUpd("x.p2q", "a.sq2", q2s, "0.007", "0.015")} AS p2q,
+       |    CAST(round(((x.z1q / $qs::DOUBLE) + 0.007::DOUBLE * ((x.nsq * (a.sq1 / $q2s::DOUBLE)) - (0.015::DOUBLE * (a.ty1 / $qs::DOUBLE)))) * $qs::DOUBLE) AS BIGINT) AS z1q,
+       |    CAST(round(((x.z2q / $qs::DOUBLE) + 0.007::DOUBLE * ((x.nsq * (a.sq2 / $q2s::DOUBLE)) - (0.015::DOUBLE * (a.ty2 / $qs::DOUBLE)))) * $qs::DOUBLE) AS BIGINT) AS z2q,
+       |    ${svdppUpd("x.buq", "a.serr", qs, "0.007", "0.005")} AS buq,
+       |    x.nsq
+       |  FROM z$k x JOIN ua$k a USING (u)),
+       |ia$k AS (
+       |  SELECT i, count(*) AS deg, CAST(sum(errq) AS BIGINT) AS serr,
+       |    CAST(sum(errq * z1q) AS BIGINT) AS sz1, CAST(sum(errq * z2q) AS BIGINT) AS sz2,
+       |    CAST(sum(ewq * q1q) AS BIGINT) AS sw1, CAST(sum(ewq * q2q) AS BIGINT) AS sw2
+       |  FROM e$k GROUP BY i),
+       |i$k AS MATERIALIZED (
+       |  SELECT x.i,
+       |    ${svdppUpd("x.q1q", "a.sz1", q2s, "0.007", "0.015")} AS q1q,
+       |    ${svdppUpd("x.q2q", "a.sz2", q2s, "0.007", "0.015")} AS q2q,
+       |    ${svdppUpd("x.y1q", "a.sw1", q2s, "0.007", "0.015")} AS y1q,
+       |    ${svdppUpd("x.y2q", "a.sw2", q2s, "0.007", "0.015")} AS y2q,
+       |    ${svdppUpd("x.biq", "a.serr", qs, "0.007", "0.005")} AS biq
+       |  FROM $prevI x JOIN ia$k a USING (i))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Two unrolled SVD++ gradient iterations over the s12 ratings table:
+    // exact-integer sums everywhere, the one double expression per update
+    // repeated with Recommend.svdpp's parenthesization.
+    "s13_svdpp" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |m AS (SELECT CAST(sum(r) AS BIGINT)::DOUBLE / count(*) AS mu FROM ratings),
+         |u0 AS MATERIALIZED (
+         |  SELECT u,
+         |    CAST(((u % 7) + 1) * 8192 AS BIGINT) AS p1q,
+         |    CAST(((u % 5) + 1) * 8192 AS BIGINT) AS p2q,
+         |    0::BIGINT AS z1q, 0::BIGINT AS z2q,
+         |    CAST(round(((srl::DOUBLE / degl) - m.mu) * 65536.0::DOUBLE) AS BIGINT) AS buq,
+         |    (1.0::DOUBLE / sqrt(degl::DOUBLE)) AS nsq
+         |  FROM (SELECT u, count(*) AS degl, CAST(sum(r) AS BIGINT) AS srl
+         |        FROM ratings GROUP BY u) CROSS JOIN m),
+         |i0 AS MATERIALIZED (
+         |  SELECT i,
+         |    CAST(((i % 7) + 1) * 8192 AS BIGINT) AS q1q,
+         |    CAST(((i % 5) + 1) * 8192 AS BIGINT) AS q2q,
+         |    CAST(((i % 3) + 1) * 8192 AS BIGINT) AS y1q,
+         |    CAST(((i % 11) + 1) * 4096 AS BIGINT) AS y2q,
+         |    CAST(round(((srl::DOUBLE / degl) - m.mu) * 65536.0::DOUBLE) AS BIGINT) AS biq
+         |  FROM (SELECT i, count(*) AS degl, CAST(sum(r) AS BIGINT) AS srl
+         |        FROM ratings GROUP BY i) CROSS JOIN m),
+         |${svdppIterCte(1)},
+         |${svdppIterCte(2)}
+         |SELECT i, q1q, q2q, y1q, y2q, biq FROM i2 ORDER BY i""".stripMargin,
+
     // The full ALS chain unrolled: ratings -> deterministic item init ->
     // user/item/user/item solves -> exact-integer scoring of the cohort's
     // unrated pairs -> per-user argmax (score DESC, item ASC).

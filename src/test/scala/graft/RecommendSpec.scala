@@ -79,6 +79,101 @@ class RecommendSpec extends SparkSpec {
     }
   }
 
+  test("svdpp matches a driver-side scalar re-derivation exactly (quantized parity)") {
+    val Qs = Recommend.QuantScale
+    val Q = Qs.toDouble; val Q2 = Q * Q
+    val (g1, g2, g6, g7) = (0.007, 0.007, 0.005, 0.015)
+    val data = ratings.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mu = data.map(_._3).sum.toDouble / data.length
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    // init
+    val uIds = data.map(_._1).distinct
+    val iIds = data.map(_._2).distinct
+    var p = uIds.map(u => u -> Array(((u % 7) + 1) * (Qs / 8), ((u % 5) + 1) * (Qs / 8))).toMap
+    var z = uIds.map(u => u -> Array(0L, 0L)).toMap
+    var q = iIds.map(i => i -> Array(((i % 7) + 1) * (Qs / 8), ((i % 5) + 1) * (Qs / 8))).toMap
+    var y = iIds.map(i => i -> Array(((i % 3) + 1) * (Qs / 8), ((i % 11) + 1) * (Qs / 16))).toMap
+    def biasInit(ratingsAt: Map[Long, Array[Long]]): Map[Long, Long] =
+      ratingsAt.map { case (k, rs) => k -> rnd(((rs.sum.toDouble / rs.length) - mu) * Q) }
+    var bu = biasInit(data.groupBy(_._1).view.mapValues(_.map(_._3)).toMap)
+    var bi = biasInit(data.groupBy(_._2).view.mapValues(_.map(_._3)).toMap)
+    val nsq = data.groupBy(_._1).view.mapValues(rs => 1.0 / math.sqrt(rs.length.toDouble)).toMap
+    val degU = data.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val degI = data.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def upd(cur: Long, s: Long, sDiv: Double, gamma: Double, reg: Double, deg: Long): Long =
+      rnd(((cur / Q) + gamma * ((s / sDiv) - (reg * (deg * (cur / Q))))) * Q)
+    for (_ <- 1 to 2) {
+      // phase 1
+      z = uIds.map { u =>
+        val mine = data.filter(_._1 == u).map(_._2)
+        val sy = Array(mine.map(i => y(i)(0)).sum, mine.map(i => y(i)(1)).sum)
+        u -> Array(p(u)(0) + rnd(nsq(u) * sy(0)), p(u)(1) + rnd(nsq(u) * sy(1)))
+      }.toMap
+      // phase 2: per-edge quantized errors
+      val scored = data.map { case (u, i, r) =>
+        val pred = math.min(math.max(
+          mu + (bu(u) / Q) + (bi(i) / Q) + ((q(i)(0) * z(u)(0) + q(i)(1) * z(u)(1)) / Q2),
+          1.0), 5.0)
+        val errq = rnd((r - pred) * Q)
+        (u, i, errq, rnd(errq * nsq(u)))
+      }
+      val (p2, z2, bu2) = (uIds.map { u =>
+        val es = scored.filter(_._1 == u)
+        val sq = Array(es.map(e => e._3 * q(e._2)(0)).sum, es.map(e => e._3 * q(e._2)(1)).sum)
+        val ty = Array(es.map(e => y(e._2)(0)).sum, es.map(e => y(e._2)(1)).sum)
+        val serr = es.map(_._3).sum
+        (u -> Array(upd(p(u)(0), sq(0), Q2, g2, g7, degU(u)), upd(p(u)(1), sq(1), Q2, g2, g7, degU(u))),
+          u -> Array(
+            rnd(((z(u)(0) / Q) + g2 * ((nsq(u) * (sq(0) / Q2)) - (g7 * (ty(0) / Q)))) * Q),
+            rnd(((z(u)(1) / Q) + g2 * ((nsq(u) * (sq(1) / Q2)) - (g7 * (ty(1) / Q)))) * Q)),
+          u -> upd(bu(u), serr, Q, g1, g6, degU(u)))
+      }.unzip3 match { case (a, b, c) => (a.toMap, b.toMap, c.toMap) })
+      val (q2n, y2n, bi2) = (iIds.map { i =>
+        val es = scored.filter(_._2 == i)
+        val sz = Array(es.map(e => e._3 * z(e._1)(0)).sum, es.map(e => e._3 * z(e._1)(1)).sum)
+        val sw = Array(es.map(e => e._4 * q(i)(0)).sum, es.map(e => e._4 * q(i)(1)).sum)
+        val serr = es.map(_._3).sum
+        (i -> Array(upd(q(i)(0), sz(0), Q2, g2, g7, degI(i)), upd(q(i)(1), sz(1), Q2, g2, g7, degI(i))),
+          i -> Array(upd(y(i)(0), sw(0), Q2, g2, g7, degI(i)), upd(y(i)(1), sw(1), Q2, g2, g7, degI(i))),
+          i -> upd(bi(i), serr, Q, g1, g6, degI(i)))
+      }.unzip3 match { case (a, b, c) => (a.toMap, b.toMap, c.toMap) })
+      p = p2; z = z2; bu = bu2; q = q2n; y = y2n; bi = bi2
+    }
+    val (users, items, gotMu) = Recommend.svdpp(ratings, iters = 2)
+    assert(gotMu === mu)
+    users.collect().foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) === (p(u)(0), p(u)(1)), s"p mismatch for user $u")
+      assert((r.getLong(3), r.getLong(4)) === (z(u)(0), z(u)(1)), s"z mismatch for user $u")
+      assert(r.getLong(5) === bu(u), s"bias mismatch for user $u")
+    }
+    items.collect().foreach { r =>
+      val i = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) === (q(i)(0), q(i)(1)), s"q mismatch for item $i")
+      assert((r.getLong(3), r.getLong(4)) === (y(i)(0), y(i)(1)), s"y mismatch for item $i")
+      assert(r.getLong(5) === bi(i), s"bias mismatch for item $i")
+    }
+  }
+
+  test("svdpp is deterministic across partitionings and improves training rmse") {
+    val (uA, iA, _) = Recommend.svdpp(ratings.repartition(1), iters = 2)
+    val (uB, iB, _) = Recommend.svdpp(ratings.repartition(5, col("u")), iters = 2)
+    assert(uA.orderBy("u").collect().toSeq === uB.orderBy("u").collect().toSeq)
+    assert(iA.orderBy("i").collect().toSeq === iB.orderBy("i").collect().toSeq)
+    def rmse(iters: Int): Double = {
+      val (us, is, mu) = Recommend.svdpp(ratings, iters = iters)
+      val Q = Recommend.QuantScale.toDouble
+      ratings.join(us, "u").join(is, "i")
+        .select(pow(col("r") - least(greatest(
+          lit(mu) + (col("buq") / lit(Q)) + (col("biq") / lit(Q))
+            + ((col("q1q") * col("z1q") + col("q2q") * col("z2q")) / lit(Q * Q)),
+          lit(1.0)), lit(5.0)), 2).as("e"))
+        .agg(avg("e")).head().getDouble(0)
+    }
+    assert(rmse(2) < rmse(1), "a further gradient iteration must improve training fit here")
+  }
+
   test("alternating solves reduce reconstruction error on the training set") {
     val (u1, i1) = Recommend.als(ratings, iters = 1)
     val (u2, i2) = Recommend.als(ratings, iters = 2)
