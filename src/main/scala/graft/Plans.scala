@@ -234,7 +234,42 @@ object Plans {
       ("State data source: the statestore scan lists the checkpoint's " +
         "RocksDB snapshots and reads per-partition state files in " +
         "parallel — state inspection costs one narrow scan, no replay " +
-        "of the stream that built it."))
+        "of the stream that built it."),
+    "q19_bag_setops" ->
+      ("Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL lower to a " +
+        "count-per-group join + Generate (replicate_rows) — counts meet in " +
+        "one shuffled aggregate per side, matched rows re-expand via the " +
+        "generator, and NO distinct/dedup step appears anywhere (bag " +
+        "multiplicity is the semantics, not a post-processing fix)."),
+    "h10_pipe_syntax" ->
+      ("SQL pipe syntax: each |> stage lowers to the identical relational " +
+        "operator of the nested standard-SQL form — the post-AGGREGATE " +
+        "WHERE becomes HAVING (a Filter above the final HashAggregate), so " +
+        "the dataflow-ordered text costs exactly the classic plan: one " +
+        "partial+final aggregate pair around one shuffle."),
+    "h12_named_window" ->
+      ("Named WINDOW clause: WindowsSubstitution inlines the spec into " +
+        "both OVER references, so rank() and the running sum land in ONE " +
+        "Window operator — one shuffle + one sort on the partition key, " +
+        "not one per expression."),
+    "p12_landmark_hops" ->
+      ("Landmark shortest paths: one pregel loop whose state is the " +
+        "per-landmark distance vector — each superstep joins the " +
+        "once-partitioned edge cache a single time regardless of landmark " +
+        "count, and the preAggregate two-level merge collapses duplicate " +
+        "distance vectors map-side before any reducer sees them."),
+    "s12_als_recommend" ->
+      ("ALS: each half-step is one equi-join of ratings to a (key, 2 " +
+        "longs) factor table + one map-side-combined hash aggregate of " +
+        "five exact integer sums; the closed-form solve is a projection. " +
+        "Recommendation broadcasts the item factors, so the serving pass " +
+        "is join-free on the corpus side."),
+    "s13_svdpp" ->
+      ("SVD++: phase 1 is one join + per-user sum (implicit vectors), " +
+        "phase 2 one scored-edge projection feeding a per-user and a " +
+        "per-item hash aggregate; all gradient sums are exact quantized " +
+        "integers, so the plan carries no ordering constraints and every " +
+        "generation localCheckpoints to keep lineage flat."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
