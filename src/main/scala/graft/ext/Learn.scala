@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic-MLlib learning thin-slice beyond clustering/recommendation:
+  * closed-form linear regression and multinomial Naive Bayes — the two
+  * remaining reference workhorses
+  * (mllib/src/main/scala/org/apache/spark/mllib/regression/LinearRegression.scala:55
+  * trains by SGD; mllib/src/main/scala/org/apache/spark/mllib/classification/NaiveBayes.scala:319
+  * aggregates per-label term counts — exactly the relational shape used
+  * here), both expressed so a DuckDB oracle reproduces every output bit.
+  *
+  * Determinism recipes (the house rules):
+  *   - OLS skips SGD entirely: with two features the normal equations
+  *     have a closed Cramer solve, and the nine sufficient statistics
+  *     are exact integer sums — so the solve is ONE double expression
+  *     whose formula string is shared VERBATIM between the Spark plan
+  *     (`selectExpr`) and the oracle (both engines parse
+  *     `CAST(x AS DOUBLE)` arithmetic), eliminating mirror drift by
+  *     construction. SGD would converge to the same place slower and
+  *     nondeterministically; the reference itself recommends the exact
+  *     solve when it fits ("normal equation" solver in ml.regression).
+  *   - Naive Bayes log-probabilities are quantized to micro-nats
+  *     (`round(ln(...) * 1e6)` — the t13 recipe) so per-document score
+  *     sums are exact integers under any partitioning, and the argmax
+  *     ties break to the smallest label.
+  */
+object Learn {
+
+  /** Cramer solve of the 2-feature OLS normal equations over the
+    * sufficient-statistic columns (n, s1, s2, s11, s12, s22, sy, s1y,
+    * s2y): determinant expressions as SQL strings, shared verbatim with
+    * the oracle. Terms are cast to DOUBLE once; the 3x3 determinant is
+    * the textbook cofactor expansion with fixed parenthesization. */
+  private def det3(a: String, b: String, c: String,
+                   d: String, e: String, f: String,
+                   g: String, h: String, i: String): String =
+    s"((($a * (($e * $i) - ($f * $h))) - ($b * (($d * $i) - ($f * $g)))) + ($c * (($d * $h) - ($e * $g))))"
+
+  /** (b0, b1, b2) formula strings over the sufficient-statistic columns. */
+  def olsBetaExprs: Seq[(String, String)] = {
+    def d(col: String) = s"CAST($col AS DOUBLE)"
+    val (n, s1, s2) = (d("n"), d("s1"), d("s2"))
+    val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+    val (sy, s1y, s2y) = (d("sy"), d("s1y"), d("s2y"))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    Seq(
+      "b0" -> s"(${det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)} / $det)",
+      "b1" -> s"(${det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)} / $det)",
+      "b2" -> s"(${det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)} / $det)")
+  }
+
+  /** Per-row prediction formula over (b0, b1, b2, x1, x2) — shared with
+    * the oracle like the betas. Integer cents out. */
+  val olsPredExpr: String =
+    "CAST(round((b0 + (b1 * CAST(x1 AS DOUBLE))) + (b2 * CAST(x2 AS DOUBLE))) AS BIGINT)"
+
+  /** Fit y ~ 1 + x1 + x2 by exact normal equations over a
+    * (x1, x2, y) BIGINT table. One aggregation scan (nine integer sums,
+    * map-side combined), one 1-row projection — no iteration, no feature
+    * matrix materialization. Returns the 1-row (b0, b1, b2) doubles.
+    * Requires a non-singular design (x1, x2 not collinear/constant) —
+    * the standard OLS precondition. */
+  def olsFit2(feats: DataFrame): DataFrame =
+    feats.agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .selectExpr(olsBetaExprs.map { case (name, e) => s"$e AS $name" }: _*)
+
+  /** Score `feats` (idCol, x1, x2, y) under a fitted 1-row beta table:
+    * broadcast the betas, emit (idCol, y, predq). */
+  def olsPredict2(feats: DataFrame, betas: DataFrame, idCol: String): DataFrame =
+    feats.crossJoin(broadcast(betas))
+      .selectExpr(idCol, "y", s"$olsPredExpr AS predq")
+
+  /** Multinomial Naive Bayes with Laplace (+1) smoothing: train per-label
+    * priors and token likelihoods on `train`, classify every `classify`
+    * row by argmax of the micro-nat-quantized log score
+    *   score(d, c) = round(ln(P(c))·1e6) + Σ_tok round(ln(P(tok|c))·1e6)
+    * with unseen-in-class tokens taking the smoothed zero-count
+    * likelihood 1/(T_c + V). Ties break to the smallest label.
+    *
+    * Scale shape: training is two hash aggregates over the exploded
+    * train tokens (per-label totals, per-(label, token) counts);
+    * classification explodes the corpus once, joins the (label, token)
+    * likelihood table (at real scale bucketed by token), and sums exact
+    * integers per (doc, label) — the label set is tiny and rides a
+    * broadcast. No per-row UDF, no driver loop.
+    *
+    * Returns (idCol, label AS actual, pred_label, score_q). */
+  def naiveBayes(train: DataFrame, classify: DataFrame,
+                 idCol: String, textCol: String, labelCol: String): DataFrame = {
+    val spark = train.sparkSession
+    val trainToks = train
+      .select(col(labelCol).as("label"),
+        explode(expr(Dedup.tokens(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = trainToks.select("tok").distinct().count()
+    val nTrainDocs = train.count()
+    // per-label priors + token totals (labels are few: one broadcastable row each)
+    val classTotals = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(trainToks.groupBy("label").agg(count(lit(1)).as("n_toks")), "label")
+      .withColumn("priorq",
+        expr(s"CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST($nTrainDocs AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .withColumn("oovq",
+        expr(s"CAST(round(ln(CAST(1 AS DOUBLE) / CAST(n_toks + $vocab AS DOUBLE)) * 1e6) AS BIGINT)"))
+      .localCheckpoint()
+    val likelihood = trainToks.groupBy("label", "tok")
+      .agg(count(lit(1)).as("c"))
+      .join(classTotals.select("label", "n_toks"), "label")
+      .select(col("label"), col("tok"),
+        expr(s"CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n_toks + $vocab AS DOUBLE)) * 1e6) AS BIGINT)")
+          .as("lpq"))
+      .localCheckpoint()
+    trainToks.unpersist()
+    val docToks = classify.select(col(idCol), explode(expr(Dedup.tokens(textCol))).as("tok"))
+    // every (doc, label) pair scores; a token unseen in a class takes oovq
+    val tokScores = docToks
+      .crossJoin(broadcast(classTotals.select("label", "oovq")))
+      .join(likelihood, Seq("label", "tok"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(coalesce(col("lpq"), col("oovq"))).as("tok_q"))
+    // docs with zero tokens still score every label (prior only)
+    val scores = classify.select(col(idCol), col(labelCol).as("actual"))
+      .crossJoin(broadcast(classTotals.select("label", "priorq")))
+      .join(tokScores, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("actual"), col("label"),
+        (col("priorq") + coalesce(col("tok_q"), lit(0L))).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score_q").desc, col("label"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("actual"), col("label").as("pred_label"), col("score_q"))
+  }
+}

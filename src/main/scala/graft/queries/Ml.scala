@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ext.Pipeline._
-import graft.ext.Recommend
+import graft.ext.{Learn, Recommend}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,38 @@ object Ml {
         .agg(least(lit(5L), count(lit(1))).as("r"))
       val (_, items, _) = Recommend.svdpp(ratings, iters = 2)
       items.select("i", "q1q", "q2q", "y1q", "y2q", "biq").orderBy("i")
+    },
+
+    // Closed-form linear regression (reference mllib/regression — trained
+    // there by SGD; the exact normal-equation solve is the right tool at
+    // 2 features): order total ~ 1 + n_items + total_quantity. Nine exact
+    // integer sufficient statistics in ONE aggregation scan, the Cramer
+    // solve as a formula string shared VERBATIM with the oracle, predq
+    // emitted for a bounded cohort.
+    "s14_linear_regression" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("x2"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+          "o_orderkey")
+      val betas = Learn.olsFit2(feats)
+      Learn.olsPredict2(feats.filter(col("o_orderkey") <= 4000), betas, "o_orderkey")
+        .withColumnRenamed("y", "cents")
+        .orderBy("o_orderkey")
+    },
+
+    // Multinomial Naive Bayes (reference mllib/classification/
+    // NaiveBayes.scala — the same per-label count aggregation): train
+    // language-ID on the doc_id < 250 slice, classify the whole corpus.
+    // Micro-nat-quantized log scores make the argmax engine-exact.
+    "s15_naive_bayes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Learn.naiveBayes(docs.filter(col("doc_id") < 250), docs,
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
     }
   )
 
@@ -163,6 +195,71 @@ object Ml {
   }
 
   val oracles: Map[String, String] = Map(
+    // The identical beta/pred formula strings (graft.ext.Learn) over the
+    // identical nine sufficient statistics — the mirror IS the plan.
+    "s14_linear_regression" -> {
+      val betaSelect = Learn.olsBetaExprs
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n    ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem l GROUP BY 1),
+         |fy AS MATERIALIZED (
+         |  SELECT f.o_orderkey, f.x1, f.x2,
+         |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+         |  FROM feats f JOIN orders o USING (o_orderkey)),
+         |sums AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM fy),
+         |betas AS (SELECT
+         |    $betaSelect
+         |  FROM sums)
+         |SELECT fy.o_orderkey, fy.y AS cents, ${Learn.olsPredExpr} AS predq
+         |FROM fy CROSS JOIN betas WHERE fy.o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // NB chain: per-label priors/totals, Laplace token likelihoods,
+    // micro-nat sums per (doc, label), argmax with smallest-label ties.
+    "s15_naive_bayes" ->
+      """WITH train AS MATERIALIZED (SELECT * FROM documents WHERE doc_id < 250),
+        |ttoks AS MATERIALIZED (
+        |  SELECT lang AS label, unnest(string_split(text, ' ')) AS tok FROM train),
+        |vocab AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
+        |ntrain AS (SELECT count(*) AS n FROM train),
+        |cls AS MATERIALIZED (
+        |  SELECT dl.label, tk.n_toks,
+        |    CAST(round(ln(CAST(dl.n_docs AS DOUBLE) / CAST(ntrain.n AS DOUBLE)) * 1e6) AS BIGINT) AS priorq,
+        |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tk.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS oovq
+        |  FROM (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1) dl
+        |  JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_toks FROM ttoks GROUP BY 1) tk USING (label)
+        |  CROSS JOIN vocab CROSS JOIN ntrain),
+        |lik AS MATERIALIZED (
+        |  SELECT c.label, c.tok,
+        |    CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(cls.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS lpq
+        |  FROM (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttoks GROUP BY 1, 2) c
+        |  JOIN cls USING (label) CROSS JOIN vocab),
+        |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ts AS MATERIALIZED (
+        |  SELECT dt.doc_id, cl.label, CAST(sum(COALESCE(lik.lpq, cl.oovq)) AS BIGINT) AS tok_q
+        |  FROM dtoks dt CROSS JOIN cls cl
+        |  LEFT JOIN lik ON lik.label = cl.label AND lik.tok = dt.tok
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id, d.lang AS actual, cl.label,
+        |    CAST(cl.priorq + COALESCE(ts.tok_q, 0) AS BIGINT) AS score_q
+        |  FROM documents d CROSS JOIN cls cl
+        |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cl.label),
+        |r AS (SELECT doc_id, actual, label, score_q,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
+        |  FROM sc)
+        |SELECT doc_id, actual, label AS pred_label, score_q FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     // Two unrolled SVD++ gradient iterations over the s12 ratings table:
     // exact-integer sums everywhere, the one double expression per update
     // repeated with Recommend.svdpp's parenthesization.

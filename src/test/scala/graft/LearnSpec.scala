@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.Learn
+import org.apache.spark.sql.functions._
+
+/** OLS + Naive Bayes fixtures: exact recovery on exactly-linear data,
+  * partitioning determinism, and hand-checkable NB classification
+  * including the prior-only no-token path and tie-breaks. */
+class LearnSpec extends SparkSpec {
+
+  test("ols recovers an exactly linear relation to the cent") {
+    import spark.implicits._
+    // y = 300 + 2*x1 + 5*x2 exactly — the normal equations must return
+    // predictions equal to y after rounding (residuals are zero)
+    val feats = (1L to 40L).map { i =>
+      val (x1, x2) = (i % 7, (i * 3) % 11)
+      (i, x1, x2, 300L + 2L * x1 + 5L * x2)
+    }.toDF("id", "x1", "x2", "y")
+    val betas = Learn.olsFit2(feats)
+    val b = betas.head()
+    assert(math.abs(b.getDouble(0) - 300.0) < 1e-6)
+    assert(math.abs(b.getDouble(1) - 2.0) < 1e-9)
+    assert(math.abs(b.getDouble(2) - 5.0) < 1e-9)
+    Learn.olsPredict2(feats, betas, "id").collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"exact fit must predict exactly: $r")
+    }
+  }
+
+  test("ols betas are deterministic across partitionings") {
+    import spark.implicits._
+    val feats = (1L to 200L).map { i =>
+      (i, i % 13, (i * 7) % 17, (i * i) % 1000) // deliberately NOT linear
+    }.toDF("id", "x1", "x2", "y")
+    val a = Learn.olsFit2(feats.repartition(1)).head()
+    val b = Learn.olsFit2(feats.repartition(11, col("x1"))).head()
+    assert(a === b) // bit-exact: integer sums, one double expression
+  }
+
+  test("naive bayes classifies by vocabulary, falls back to prior for unseen text") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "wine cheese baguette wine", "fr"),
+      (2L, "cheese wine croissant", "fr"),
+      (3L, "beer sausage pretzel beer", "de"),
+      (4L, "sausage beer schnitzel", "de"),
+      (5L, "beer bratwurst", "de")
+    ).toDF("doc_id", "text", "lang")
+    val classify = Seq(
+      (10L, "wine croissant", "fr"),     // clearly fr vocabulary
+      (11L, "beer beer sausage", "de"),  // clearly de vocabulary
+      (12L, "quantum flux capacitor", "xx") // all-OOV: priors + symmetric OOV decide
+    ).toDF("doc_id", "text", "lang")
+    val got = Learn.naiveBayes(train, classify, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(10L) === "fr")
+    assert(got(11L) === "de")
+    // all-OOV text: per-token OOV cost is LOWER for the class with more
+    // training tokens? No — 1/(T_c + V) shrinks with T_c, so the smaller
+    // class wins per token while the larger class wins the prior; with 3
+    // tokens here the per-token term dominates: fr (fewer train tokens)
+    val tFr = 7.0; val tDe = 9.0; val v = 10.0 // hand counts
+    val scoreFr = math.log(2.0 / 5.0) + 3 * math.log(1.0 / (tFr + v))
+    val scoreDe = math.log(3.0 / 5.0) + 3 * math.log(1.0 / (tDe + v))
+    assert((scoreFr > scoreDe) === (got(12L) == "fr"))
+  }
+
+  test("naive bayes output carries the actual label and one row per doc") {
+    import spark.implicits._
+    val train = Seq((1L, "a b", "x"), (2L, "c d", "y")).toDF("doc_id", "text", "lang")
+    val out = Learn.naiveBayes(train, train, "doc_id", "text", "lang").collect()
+    assert(out.length === 2)
+    assert(out.map(r => r.getLong(0) -> r.getString(1)).toMap === Map(1L -> "x", 2L -> "y"))
+    // training docs classify as their own label (their vocab is exclusive)
+    assert(out.forall(r => r.getString(1) === r.getString(2)))
+  }
+}
