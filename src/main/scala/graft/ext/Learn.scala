@@ -80,6 +80,57 @@ object Learn {
     feats.crossJoin(broadcast(betas))
       .selectExpr(idCol, "y", s"$olsPredExpr AS predq")
 
+  /** Frequent item pairs + association rules (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/fpm/FPGrowth.scala:162
+    * mines the full lattice via conditional FP-trees;
+    * AssociationRules.scala:65 derives rules with confidence
+    * freq(X∪Y)/freq(X)). At itemset size <= 2 — the market-basket
+    * workhorse case — the relational equivalent is the Apriori/SON
+    * shape, and it is all hash joins:
+    *   1. frequent singletons: one distinct + one count per item;
+    *   2. candidate pairs: a self-join on the basket id RESTRICTED to
+    *      frequent singletons first (the apriori prune — infrequent
+    *      items never enter the pair join, which is what keeps the
+    *      self-join's fan-out bounded at scale);
+    *   3. frequent pairs: count >= the support threshold;
+    *   4. rules both directions, confidence and lift in EXACT integer
+    *      micro-units (cnt·1e6 div cnt — no doubles anywhere), filtered
+    *      by min confidence, ties impossible by construction.
+    * minSupport is a basket fraction like the reference's; the absolute
+    * threshold is ceil(frac · nBaskets). Returns
+    * (antecedent, consequent, n_pair, conf_micro, lift_micro). */
+  def frequentPairRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                        minSupport: Double = 0.05,
+                        minConfidence: Double = 0.2): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.select("basket").distinct().count()
+    val thr = math.ceil(minSupport * nBaskets).toLong
+    val minConfMicro = math.round(minConfidence * 1e6)
+    val singles = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .localCheckpoint() // consumed by the prune AND both rule joins
+    val pruned = b.join(singles.select("item"), Seq("item"), "left_semi")
+    val pairs = pruned.select(col("basket"), col("item").as("item_a"))
+      .join(pruned.select(col("basket"), col("item").as("item_b")), "basket")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= thr)
+    val both = pairs.select(col("item_a").as("antecedent"), col("item_b").as("consequent"), col("n_pair"))
+      .union(pairs.select(col("item_b").as("antecedent"), col("item_a").as("consequent"), col("n_pair")))
+    val out = both
+      .join(singles.select(col("item").as("antecedent"), col("cnt").as("cnt_a")), "antecedent")
+      .join(singles.select(col("item").as("consequent"), col("cnt").as("cnt_c")), "consequent")
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        expr("CAST((n_pair * 1000000) DIV cnt_a AS BIGINT)").as("conf_micro"),
+        expr(s"CAST((n_pair * 1000000 * $nBaskets) DIV (cnt_a * cnt_c) AS BIGINT)").as("lift_micro"))
+      .filter(col("conf_micro") >= minConfMicro)
+      .localCheckpoint()
+    b.unpersist()
+    out
+  }
+
   /** Multinomial Naive Bayes with Laplace (+1) smoothing: train per-label
     * priors and token likelihoods on `train`, classify every `classify`
     * row by argmax of the micro-nat-quantized log score

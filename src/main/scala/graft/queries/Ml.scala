@@ -99,6 +99,19 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // FP-growth thin-slice (reference mllib/fpm/FPGrowth.scala +
+    // AssociationRules.scala): which part brands sell together —
+    // frequent brand pairs within orders with the apriori prune, rules
+    // both directions with exact integer micro-unit confidence/lift.
+    "s16_association_rules" -> { (s, dir) =>
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Learn.frequentPairRules(baskets, "basket", "item",
+          minSupport = 0.01, minConfidence = 0.1)
+        .orderBy("antecedent", "consequent")
+    },
+
     // Multinomial Naive Bayes (reference mllib/classification/
     // NaiveBayes.scala — the same per-label count aggregation): train
     // language-ID on the doc_id < 250 slice, classify the whole corpus.
@@ -222,6 +235,35 @@ object Ml {
          |FROM fy CROSS JOIN betas WHERE fy.o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // Apriori-pruned pair mining + rules; the 0.01::DOUBLE threshold
+    // matches the Scala side's double ceil exactly (a bare 0.01 would be
+    // DECIMAL-exact in DuckDB and ceil one lower on round counts).
+    "s16_association_rules" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT count(DISTINCT basket) AS nb FROM b),
+        |thr AS (SELECT CAST(ceil(0.01::DOUBLE * nb) AS BIGINT) AS t FROM n),
+        |singles AS MATERIALIZED (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        |  HAVING count(*) >= (SELECT t FROM thr)),
+        |pruned AS (SELECT b.basket, b.item FROM b JOIN singles USING (item)),
+        |pairs AS MATERIALIZED (
+        |  SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM pruned x JOIN pruned y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)),
+        |twoway AS (SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM pairs
+        |  UNION ALL SELECT item_b, item_a, n_pair FROM pairs),
+        |r AS (SELECT bo.antecedent, bo.consequent, bo.n_pair,
+        |    CAST((bo.n_pair * 1000000) // sa.cnt AS BIGINT) AS conf_micro,
+        |    CAST((bo.n_pair * 1000000 * (SELECT nb FROM n)) // (sa.cnt * sc.cnt) AS BIGINT) AS lift_micro
+        |  FROM twoway bo
+        |  JOIN singles sa ON sa.item = bo.antecedent
+        |  JOIN singles sc ON sc.item = bo.consequent)
+        |SELECT antecedent, consequent, n_pair, conf_micro, lift_micro
+        |FROM r WHERE conf_micro >= 100000
+        |ORDER BY antecedent, consequent""".stripMargin,
 
     // NB chain: per-label priors/totals, Laplace token likelihoods,
     // micro-nat sums per (doc, label), argmax with smallest-label ties.

@@ -64,6 +64,28 @@ class LearnSpec extends SparkSpec {
     assert((scoreFr > scoreDe) === (got(12L) == "fr"))
   }
 
+  test("frequent pair rules: apriori counts, confidence, and lift on a hand-checkable basket set") {
+    import spark.implicits._
+    // 10 baskets: {a,b} together in 6, {a,c} in 2, c alone twice more; d once
+    val baskets = (
+      (1 to 6).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"))) ++
+        Seq((7L, "a"), (7L, "c"), (8L, "a"), (8L, "c"), (9L, "c"), (10L, "c"), (10L, "d"))
+      ).toDF("basket", "item")
+    // thr = ceil(0.2 * 10) = 2: singletons a(8) b(6) c(4) pass, d(1) drops;
+    // pairs: (a,b)=6, (a,c)=2 pass; (c,d) blocked by the prune anyway
+    val rules = Learn.frequentPairRules(baskets, "basket", "item",
+        minSupport = 0.2, minConfidence = 0.1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rules.keySet === Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")))
+    // conf(a->b) = 6/8 = 0.75; lift = 6*10/(8*6) = 1.25
+    assert(rules(("a", "b")) === (6L, 750000L, 1250000L))
+    // conf(b->a) = 6/6 = 1.0; lift same by symmetry
+    assert(rules(("b", "a")) === (6L, 1000000L, 1250000L))
+    // conf(c->a) = 2/4 = 0.5; lift = 2*10/(4*8) = 0.625
+    assert(rules(("c", "a")) === (2L, 500000L, 625000L))
+  }
+
   test("naive bayes output carries the actual label and one row per doc") {
     import spark.implicits._
     val train = Seq((1L, "a b", "x"), (2L, "c d", "y")).toDF("doc_id", "text", "lang")
