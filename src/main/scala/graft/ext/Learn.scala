@@ -131,6 +131,41 @@ object Learn {
     out
   }
 
+  /** Multiclass classification metrics (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/evaluation/MulticlassMetrics.scala:27
+    * computes the same from a (prediction, label) RDD): per-class true
+    * positives / predicted counts / actual counts from ONE hash aggregate
+    * over the scored table, then precision, recall, and F1 in exact
+    * integer micro-units (tp·1e6 div n — no doubles, no averaging-order
+    * sensitivity). Classes present in either role appear; a class never
+    * predicted reports precision 0 by the div-by-zero-guard convention
+    * MulticlassMetrics documents. Input: (actualCol, predCol). */
+  def multiclassMetrics(scored: DataFrame,
+                        actualCol: String, predCol: String): DataFrame = {
+    val counts = scored.select(col(actualCol).as("actual"), col(predCol).as("pred"))
+      .groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // three derivations below share it
+    val tp = counts.filter(col("actual") === col("pred"))
+      .select(col("actual").as("label"), col("n").as("tp"))
+    val predTotals = counts.groupBy(col("pred").as("label")).agg(sum("n").as("n_pred"))
+    val actTotals = counts.groupBy(col("actual").as("label")).agg(sum("n").as("n_actual"))
+    actTotals
+      .join(predTotals, Seq("label"), "full")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+      .withColumn("precision_micro",
+        expr("CASE WHEN n_pred = 0 THEN 0 ELSE CAST((tp * 1000000) DIV n_pred AS BIGINT) END"))
+      .withColumn("recall_micro",
+        expr("CASE WHEN n_actual = 0 THEN 0 ELSE CAST((tp * 1000000) DIV n_actual AS BIGINT) END"))
+      // F1 from the integer micro parts: 2pr/(p+r), still integer-exact
+      .withColumn("f1_micro",
+        expr("CASE WHEN precision_micro + recall_micro = 0 THEN 0 " +
+          "ELSE CAST((2 * precision_micro * recall_micro) DIV (precision_micro + recall_micro) AS BIGINT) END"))
+  }
+
   /** Multinomial Naive Bayes with Laplace (+1) smoothing: train per-label
     * priors and token likelihoods on `train`, classify every `classify`
     * row by argmax of the micro-nat-quantized log score

@@ -121,6 +121,19 @@ object Ml {
       Learn.naiveBayes(docs.filter(col("doc_id") < 250), docs,
           "doc_id", "text", "lang")
         .orderBy("doc_id")
+    },
+
+    // Model evaluation (reference mllib/evaluation/MulticlassMetrics
+    // .scala): per-class precision/recall/F1 of the s15 classifier on the
+    // HELD-OUT half (doc_id >= 250 — rows the training slice never saw),
+    // every metric an exact integer micro-unit from one count aggregate.
+    "s17_multiclass_metrics" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = Learn.naiveBayes(docs.filter(col("doc_id") < 250), docs,
+          "doc_id", "text", "lang")
+        .filter(col("doc_id") >= 250)
+      Learn.multiclassMetrics(scored, "actual", "pred_label")
+        .orderBy("label")
     }
   )
 
@@ -207,6 +220,42 @@ object Ml {
        |  FROM $prevI x JOIN ia$k a USING (i))""".stripMargin
   }
 
+  /** The s15 Naive Bayes oracle chain (train -> likelihoods -> per-doc
+    * per-label micro-nat scores -> ranked), shared by the s15 final
+    * select and the s17 metrics suffix. */
+  private val nbChainCte: String =
+    """train AS MATERIALIZED (SELECT * FROM documents WHERE doc_id < 250),
+      |ttoks AS MATERIALIZED (
+      |  SELECT lang AS label, unnest(string_split(text, ' ')) AS tok FROM train),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
+      |ntrain AS (SELECT count(*) AS n FROM train),
+      |cls AS MATERIALIZED (
+      |  SELECT dl.label, tk.n_toks,
+      |    CAST(round(ln(CAST(dl.n_docs AS DOUBLE) / CAST(ntrain.n AS DOUBLE)) * 1e6) AS BIGINT) AS priorq,
+      |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tk.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS oovq
+      |  FROM (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1) dl
+      |  JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_toks FROM ttoks GROUP BY 1) tk USING (label)
+      |  CROSS JOIN vocab CROSS JOIN ntrain),
+      |lik AS MATERIALIZED (
+      |  SELECT c.label, c.tok,
+      |    CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(cls.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS lpq
+      |  FROM (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttoks GROUP BY 1, 2) c
+      |  JOIN cls USING (label) CROSS JOIN vocab),
+      |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |ts AS MATERIALIZED (
+      |  SELECT dt.doc_id, cl.label, CAST(sum(COALESCE(lik.lpq, cl.oovq)) AS BIGINT) AS tok_q
+      |  FROM dtoks dt CROSS JOIN cls cl
+      |  LEFT JOIN lik ON lik.label = cl.label AND lik.tok = dt.tok
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT d.doc_id, d.lang AS actual, cl.label,
+      |    CAST(cl.priorq + COALESCE(ts.tok_q, 0) AS BIGINT) AS score_q
+      |  FROM documents d CROSS JOIN cls cl
+      |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cl.label),
+      |r AS MATERIALIZED (SELECT doc_id, actual, label, score_q,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
+      |  FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // The identical beta/pred formula strings (graft.ext.Learn) over the
     // identical nine sufficient statistics — the mirror IS the plan.
@@ -268,39 +317,37 @@ object Ml {
     // NB chain: per-label priors/totals, Laplace token likelihoods,
     // micro-nat sums per (doc, label), argmax with smallest-label ties.
     "s15_naive_bayes" ->
-      """WITH train AS MATERIALIZED (SELECT * FROM documents WHERE doc_id < 250),
-        |ttoks AS MATERIALIZED (
-        |  SELECT lang AS label, unnest(string_split(text, ' ')) AS tok FROM train),
-        |vocab AS (SELECT count(DISTINCT tok) AS v FROM ttoks),
-        |ntrain AS (SELECT count(*) AS n FROM train),
-        |cls AS MATERIALIZED (
-        |  SELECT dl.label, tk.n_toks,
-        |    CAST(round(ln(CAST(dl.n_docs AS DOUBLE) / CAST(ntrain.n AS DOUBLE)) * 1e6) AS BIGINT) AS priorq,
-        |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tk.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS oovq
-        |  FROM (SELECT lang AS label, count(*) AS n_docs FROM train GROUP BY 1) dl
-        |  JOIN (SELECT label, CAST(count(*) AS BIGINT) AS n_toks FROM ttoks GROUP BY 1) tk USING (label)
-        |  CROSS JOIN vocab CROSS JOIN ntrain),
-        |lik AS MATERIALIZED (
-        |  SELECT c.label, c.tok,
-        |    CAST(round(ln(CAST(c.c + 1 AS DOUBLE) / CAST(cls.n_toks + vocab.v AS DOUBLE)) * 1e6) AS BIGINT) AS lpq
-        |  FROM (SELECT label, tok, CAST(count(*) AS BIGINT) AS c FROM ttoks GROUP BY 1, 2) c
-        |  JOIN cls USING (label) CROSS JOIN vocab),
-        |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |ts AS MATERIALIZED (
-        |  SELECT dt.doc_id, cl.label, CAST(sum(COALESCE(lik.lpq, cl.oovq)) AS BIGINT) AS tok_q
-        |  FROM dtoks dt CROSS JOIN cls cl
-        |  LEFT JOIN lik ON lik.label = cl.label AND lik.tok = dt.tok
-        |  GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT d.doc_id, d.lang AS actual, cl.label,
-        |    CAST(cl.priorq + COALESCE(ts.tok_q, 0) AS BIGINT) AS score_q
-        |  FROM documents d CROSS JOIN cls cl
-        |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.label = cl.label),
-        |r AS (SELECT doc_id, actual, label, score_q,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
-        |  FROM sc)
-        |SELECT doc_id, actual, label AS pred_label, score_q FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $nbChainCte
+         |SELECT doc_id, actual, label AS pred_label, score_q FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // The same NB chain restricted to the held-out half, then the
+    // MulticlassMetrics count algebra — integer micro-unit divisions.
+    "s17_multiclass_metrics" ->
+      s"""WITH $nbChainCte,
+         |predh AS MATERIALIZED (
+         |  SELECT doc_id, actual, label AS pred FROM r WHERE rn = 1 AND doc_id >= 250),
+         |counts AS MATERIALIZED (
+         |  SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM predh GROUP BY 1, 2),
+         |tp AS (SELECT actual AS label, n AS tp FROM counts WHERE actual = pred),
+         |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM counts GROUP BY 1),
+         |at AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual FROM counts GROUP BY 1),
+         |base AS (
+         |  SELECT COALESCE(at.label, pt.label) AS label,
+         |    COALESCE(tp.tp, 0) AS tp,
+         |    COALESCE(pt.n_pred, 0) AS n_pred,
+         |    COALESCE(at.n_actual, 0) AS n_actual
+         |  FROM at FULL OUTER JOIN pt ON at.label = pt.label
+         |  LEFT JOIN tp ON tp.label = COALESCE(at.label, pt.label)),
+         |m AS (
+         |  SELECT label, tp, n_pred, n_actual,
+         |    CASE WHEN n_pred = 0 THEN 0 ELSE CAST((tp * 1000000) // n_pred AS BIGINT) END AS precision_micro,
+         |    CASE WHEN n_actual = 0 THEN 0 ELSE CAST((tp * 1000000) // n_actual AS BIGINT) END AS recall_micro
+         |  FROM base)
+         |SELECT label, tp, n_pred, n_actual, precision_micro, recall_micro,
+         |  CASE WHEN precision_micro + recall_micro = 0 THEN 0
+         |       ELSE CAST((2 * precision_micro * recall_micro) // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
+         |FROM m ORDER BY label""".stripMargin,
 
     // Two unrolled SVD++ gradient iterations over the s12 ratings table:
     // exact-integer sums everywhere, the one double expression per update

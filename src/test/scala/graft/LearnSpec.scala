@@ -86,6 +86,26 @@ class LearnSpec extends SparkSpec {
     assert(rules(("c", "a")) === (2L, 500000L, 625000L))
   }
 
+  test("multiclass metrics: hand-checked confusion matrix, never-predicted class reports zero") {
+    import spark.implicits._
+    // actual:  a a a a b b c    pred: a a b a b a b   (c never predicted right,
+    // and nothing is ever predicted c)
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "a"), ("c", "b")
+    ).toDF("actual", "pred")
+    val m = Learn.multiclassMetrics(scored, "actual", "pred")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // a: tp=3, predicted 4, actual 4 -> p = 750000, r = 750000, f1 = 750000
+    assert(m("a") === (3L, 4L, 4L, 750000L, 750000L, 750000L))
+    // b: tp=1, predicted 3, actual 2 -> p = 333333, r = 500000,
+    // f1 = 2*333333*500000 div 833333 = 399999 (integer micro math)
+    assert(m("b") === (1L, 3L, 2L, 333333L, 500000L, 399999L))
+    // c: never predicted -> precision 0 by convention, recall 0, f1 0
+    assert(m("c") === (0L, 0L, 1L, 0L, 0L, 0L))
+  }
+
   test("naive bayes output carries the actual label and one row per doc") {
     import spark.implicits._
     val train = Seq((1L, "a b", "x"), (2L, "c d", "y")).toDF("doc_id", "text", "lang")
