@@ -131,6 +131,39 @@ object Learn {
     out
   }
 
+  /** Frequent length-2 sequential patterns (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/fpm/PrefixSpan.scala:79
+    * mines general gapped sequences by iterative prefix projection; at
+    * pattern length 2 over single-item elements — the "users who did A
+    * then B" workhorse question — the whole mine collapses to per-user
+    * per-item TIME BOUNDS: the pattern ⟨a, b⟩ occurs for a user iff
+    * min_ts(a) < max_ts(b), so support needs ONE hash aggregate over the
+    * events (users × items rows, tiny) and a per-user item self-join of
+    * that stats table (|items|² rows per user, not |events|²) — no
+    * event-level pair join anywhere, which is the difference between
+    * quadratic-in-session-length and linear at 100 TB of clickstream.
+    * Self-patterns ⟨a, a⟩ are excluded (the standard distinct-pair
+    * slice); support is a user fraction like the reference's minSupport,
+    * emitted in exact integer micro-units. */
+  def frequentSequences2(events: DataFrame, userCol: String, itemCol: String,
+                         tsCol: String, minSupport: Double = 0.3): DataFrame = {
+    val stats = events.groupBy(col(userCol).as("u"), col(itemCol).as("item"))
+      .agg(min(col(tsCol)).as("tmin"), max(col(tsCol)).as("tmax"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUsers = stats.select("u").distinct().count()
+    val thr = math.ceil(minSupport * nUsers).toLong
+    val out = stats.select(col("u"), col("item").as("antecedent"), col("tmin"))
+      .join(stats.select(col("u"), col("item").as("consequent"), col("tmax")), "u")
+      .filter(col("antecedent") =!= col("consequent") && col("tmin") < col("tmax"))
+      .groupBy("antecedent", "consequent").agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= thr)
+      .select(col("antecedent"), col("consequent"), col("n_users"),
+        expr(s"CAST((n_users * 1000000) DIV $nUsers AS BIGINT)").as("support_micro"))
+      .localCheckpoint()
+    stats.unpersist()
+    out
+  }
+
   /** Multiclass classification metrics (reference
     * mllib/src/main/scala/org/apache/spark/mllib/evaluation/MulticlassMetrics.scala:27
     * computes the same from a (prediction, label) RDD): per-class true

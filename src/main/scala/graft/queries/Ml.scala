@@ -123,6 +123,19 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // PrefixSpan thin-slice (reference mllib/fpm/PrefixSpan.scala):
+    // frequent "A then B" event-type sequences across users, mined from
+    // per-user time bounds — no event-level pair join. The value > 150
+    // slice sparsifies per-user type sets so the support threshold BINDS
+    // (on the raw table every user has every type and every pair is
+    // trivially frequent): at sf0.01 supports spread 8-20% and the 12%
+    // cut keeps 13 of 20 ordered pairs.
+    "s18_frequent_sequences" -> { (s, dir) =>
+      Learn.frequentSequences2(Tables.events(s, dir).filter(col("value") > 150),
+          "user_id", "event_type", "ts", minSupport = 0.12)
+        .orderBy("antecedent", "consequent")
+    },
+
     // Model evaluation (reference mllib/evaluation/MulticlassMetrics
     // .scala): per-class precision/recall/F1 of the s15 classifier on the
     // HELD-OUT half (doc_id >= 250 — rows the training slice never saw),
@@ -320,6 +333,24 @@ object Ml {
       s"""WITH $nbChainCte
          |SELECT doc_id, actual, label AS pred_label, score_q FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // Per-user per-type time bounds, pattern exists iff min(a) < max(b);
+    // 0.12::DOUBLE matches the Scala double-ceil threshold exactly.
+    "s18_frequent_sequences" ->
+      """WITH stats AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS item, min(ts) AS tmin, max(ts) AS tmax
+        |  FROM events WHERE value > 150 GROUP BY 1, 2),
+        |n AS (SELECT count(DISTINCT u) AS nu FROM stats),
+        |thr AS (SELECT CAST(ceil(0.12::DOUBLE * nu) AS BIGINT) AS t FROM n),
+        |pat AS (
+        |  SELECT a.item AS antecedent, b.item AS consequent,
+        |         CAST(count(*) AS BIGINT) AS n_users
+        |  FROM stats a JOIN stats b ON a.u = b.u
+        |    AND a.item <> b.item AND a.tmin < b.tmax
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr))
+        |SELECT antecedent, consequent, n_users,
+        |  CAST((n_users * 1000000) // (SELECT nu FROM n) AS BIGINT) AS support_micro
+        |FROM pat ORDER BY antecedent, consequent""".stripMargin,
 
     // The same NB chain restricted to the held-out half, then the
     // MulticlassMetrics count algebra — integer micro-unit divisions.

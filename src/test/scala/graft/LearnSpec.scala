@@ -86,6 +86,28 @@ class LearnSpec extends SparkSpec {
     assert(rules(("c", "a")) === (2L, 500000L, 625000L))
   }
 
+  test("frequent 2-sequences: order matters, time bounds decide, threshold binds") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: a@1 b@2     -> a then b only
+    // u2: a@1 b@2 a@3 -> a then b AND b then a (a recurs after b)
+    // u3: b@1 a@2     -> b then a only
+    // u4: a@1         -> no pair
+    val events = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(2)),
+      (2L, "a", ts(1)), (2L, "b", ts(2)), (2L, "a", ts(3)),
+      (3L, "b", ts(1)), (3L, "a", ts(2)),
+      (4L, "a", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    // thr = ceil(0.5 * 4) = 2: (a,b) support 2 passes, (b,a) support 2 passes
+    val got = Learn.frequentSequences2(events, "user_id", "event_type", "ts", 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(("a", "b") -> (2L, 500000L), ("b", "a") -> (2L, 500000L)))
+    // at 75% both drop (ceil(0.75*4) = 3 > 2)
+    assert(Learn.frequentSequences2(events, "user_id", "event_type", "ts", 0.75).count() === 0)
+  }
+
   test("multiclass metrics: hand-checked confusion matrix, never-predicted class reports zero") {
     import spark.implicits._
     // actual:  a a a a b b c    pred: a a b a b a b   (c never predicted right,
