@@ -269,7 +269,24 @@ object Plans {
         "phase 2 one scored-edge projection feeding a per-user and a " +
         "per-item hash aggregate; all gradient sums are exact quantized " +
         "integers, so the plan carries no ordering constraints and every " +
-        "generation localCheckpoints to keep lineage flat."))
+        "generation localCheckpoints to keep lineage flat."),
+    "s14_linear_regression" ->
+      ("Closed-form OLS: nine integer sufficient statistics in ONE " +
+        "map-side-combined aggregation scan, the 3x3 Cramer solve as a " +
+        "1-row projection whose formula STRING is shared verbatim with " +
+        "the oracle, and scoring broadcasts that single row — the model " +
+        "never becomes distributed state."),
+    "s16_association_rules" ->
+      ("Association rules with the apriori prune: infrequent singletons " +
+        "are semi-joined away BEFORE the basket self-join, so the pair " +
+        "fan-out is bounded by frequent-item co-occurrence, not raw " +
+        "basket width; confidence/lift are integer micro-unit divisions " +
+        "— no doubles in the plan at all."),
+    "s18_frequent_sequences" ->
+      ("Length-2 sequence mining from per-user per-item TIME BOUNDS: one " +
+        "hash aggregate over events, then a stats self-join quadratic in " +
+        "the item vocabulary (not in session length) — the shape that " +
+        "keeps 'A then B' mining linear over 100 TB of clickstream."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

@@ -224,6 +224,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("landmarkHops equals brute-force undirected BFS per landmark on random graphs") {
+    val graphGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(4, 8)
+      m <- Gen.chooseNum(n, 2 * n)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.distinct
+    samples(graphGen, 3).filter(_.nonEmpty).foreach { es =>
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val adj = verts.map(v => v ->
+        (es.collect { case (a, b) if a == v => b } ++
+          es.collect { case (a, b) if b == v => a }).toSet).toMap
+      def bfs(src: Long): Map[Long, Long] = {
+        var dist = Map(src -> 0L); var frontier = Set(src); var lvl = 0L
+        while (frontier.nonEmpty) {
+          lvl += 1
+          val next = frontier.flatMap(adj).filterNot(dist.contains)
+          dist ++= next.map(_ -> lvl)
+          frontier = next
+        }
+        dist
+      }
+      val lms = verts.take(2)
+      val expected = lms.flatMap(lm => bfs(lm).map { case (v, d) => (v, lm) -> d }).toMap
+      val got = graft.ext.Graph.landmarkHops(es.toDF("src", "dst"), lms, iters = verts.size)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"graph: $es landmarks: $lms")
+    }
+  }
+
   test("label propagation is deterministic across partitionings") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
       (3L, 4L), (2L, 7L), (7L, 8L))
