@@ -131,6 +131,37 @@ object Learn {
     out
   }
 
+  /** One-sample Kolmogorov-Smirnov statistic vs the uniform CDF on the
+    * data's own [min, max] (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/stat/test/KolmogorovSmirnovTest.scala:45
+    * computes the same D = max(D+, D-) by sorting the RDD and scanning
+    * the ECDF): the ECDF rank comes from [[Scale.globalRowIndex]]'s
+    * two-pass distributed ranking (range repartition + broadcast
+    * offsets — never a single-partition sort) over a packed unique
+    * (value, id) sort key, so tied values rank deterministically, and
+    * the row-number formulation still yields the classic D (a tie's
+    * extreme ranks dominate both deviations and the per-row sweep
+    * includes them). Per-row deviations are quantized to micro-units so
+    * the max is an exact integer. `idCol` must be a non-negative id
+    * below 10^8 (the key-packing headroom); `valCol` an exact BIGINT.
+    * Returns one row (n, d_micro); LearnSpec pins parity with both a
+    * driver-side scalar KS and MLlib's implementation. */
+  def ksUniform(df: DataFrame, idCol: String, valCol: String): DataFrame = {
+    val o = df.select(col(idCol).as("__id"), col(valCol).as("y"))
+    val b = o.agg(min("y"), max("y"), count(lit(1))).head()
+    val (lo, hi, nn) = (b.getLong(0), b.getLong(1), b.getLong(2))
+    require(hi > lo, "ksUniform: degenerate support (all values equal)")
+    val keyed = o.select(col("__id"), col("y"),
+      (col("y") * lit(100000000L) + col("__id")).as("kskey"))
+    Scale.globalRowIndex(keyed, "kskey")
+      .selectExpr(
+        s"greatest(" +
+          s"CAST(round(((CAST(global_index AS DOUBLE) / CAST($nn AS DOUBLE)) - (CAST(y - $lo AS DOUBLE) / CAST($hi - $lo AS DOUBLE))) * 1e6) AS BIGINT), " +
+          s"CAST(round(((CAST(y - $lo AS DOUBLE) / CAST($hi - $lo AS DOUBLE)) - (CAST(global_index - 1 AS DOUBLE) / CAST($nn AS DOUBLE))) * 1e6) AS BIGINT)) AS dd")
+      .agg(max(col("dd")).as("d_micro"))
+      .selectExpr(s"CAST($nn AS BIGINT) AS n", "d_micro")
+  }
+
   /** Frequent length-2 sequential patterns (reference
     * mllib/src/main/scala/org/apache/spark/mllib/fpm/PrefixSpan.scala:79
     * mines general gapped sequences by iterative prefix projection; at

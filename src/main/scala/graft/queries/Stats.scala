@@ -280,6 +280,20 @@ object Stats {
     // statistic is partition-order-free and engine-identical; the ML
     // statistic is a driver-side scalar by API design (the n08
     // convention) compared within 1e-3 of the quantized value.
+    // One-sample Kolmogorov-Smirnov vs the uniform CDF on [min, max]
+    // (reference mllib/stat/test/KolmogorovSmirnovTest.scala): the
+    // relational D over the x05 two-pass distributed ranking, gated
+    // against the oracle's plain-window formulation; MLlib parity is
+    // pinned in LearnSpec (the mllib RDD path is exercised there on a
+    // parallelized fixture — parquet-backed `.rdd` inside the bench
+    // harness trips a Kryo serializer gap, documented in the spec).
+    "n16_ks_uniform" -> { (s, dir) =>
+      graft.ext.Learn.ksUniform(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+        "o_orderkey", "y")
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -426,6 +440,19 @@ object Stats {
 
     // The identical first-principles chi-squared; the ML agreement flags
     // are the contract side (TRUE — a verified draw, n08 convention).
+    // Plain-window ECDF formulation — its equality with the Spark side's
+    // two-pass distributed ranking is half the gate's point.
+    "n16_ks_uniform" ->
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |b AS (SELECT min(y) AS lo, max(y) AS hi, CAST(count(*) AS BIGINT) AS nn FROM o),
+        |r AS (SELECT y, CAST(row_number() OVER (ORDER BY y, o_orderkey) AS BIGINT) AS gi FROM o),
+        |d AS (SELECT max(greatest(
+        |    CAST(round(((CAST(gi AS DOUBLE) / CAST(nn AS DOUBLE)) - (CAST(y - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE))) * 1e6) AS BIGINT),
+        |    CAST(round(((CAST(y - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)) - (CAST(gi - 1 AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e6) AS BIGINT))) AS d_micro
+        |  FROM r CROSS JOIN b)
+        |SELECT b.nn AS n, d.d_micro FROM b CROSS JOIN d""".stripMargin,
+
     "n15_chi_square" ->
       """WITH ct AS (SELECT user_id % 3 AS lab, event_type AS f,
         |    CAST(count(*) AS BIGINT) AS o

@@ -128,6 +128,35 @@ class LearnSpec extends SparkSpec {
     assert(m("c") === (0L, 0L, 1L, 0L, 0L, 0L))
   }
 
+  test("ksUniform matches a driver-side scalar KS and MLlib's statistic") {
+    import spark.implicits._
+    // deterministic non-uniform values (quadratic growth skews the ECDF
+    // off the uniform CDF) with one planted tie
+    val vals = (1L to 200L).map(i => (i, (i * i) % 997 + 100)) :+ (201L, 150L) :+ (202L, 150L)
+    val df = vals.toDF("id", "y")
+    val got = Learn.ksUniform(df, "id", "y").head()
+    val (n, dMicro) = (got.getLong(0), got.getLong(1))
+    assert(n === vals.size)
+    // scalar re-derivation: classic D over the sorted sample
+    val ys = vals.map(_._2.toDouble).sorted
+    val (lo, hi) = (ys.head, ys.last)
+    val nn = ys.size.toDouble
+    val dScalar = ys.zipWithIndex.map { case (y, i0) =>
+      val f = (y - lo) / (hi - lo)
+      math.max((i0 + 1) / nn - f, f - i0 / nn)
+    }.max
+    assert(math.abs(dMicro / 1e6 - dScalar) <= 1e-6,
+      s"relational D $dMicro vs scalar ${dScalar}")
+    // MLlib anchor (parallelized fixture: parquet-backed .rdd under the
+    // bench harness hits a Kryo serializer gap on columnar internals, so
+    // the query-path keeps to DataFrames and the anchor lives here)
+    val ks = org.apache.spark.mllib.stat.Statistics.kolmogorovSmirnovTest(
+      spark.sparkContext.parallelize(vals.map(_._2.toDouble), 4),
+      (x: Double) => (x - lo) / (hi - lo))
+    assert(math.abs(dMicro / 1e6 - ks.statistic) <= 1e-5,
+      s"relational D $dMicro vs mllib ${ks.statistic}")
+  }
+
   test("naive bayes output carries the actual label and one row per doc") {
     import spark.implicits._
     val train = Seq((1L, "a b", "x"), (2L, "c d", "y")).toDF("doc_id", "text", "lang")
