@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * says otherwise". Genuine code regressions also land there (the marker
   * flags, it does not excuse); queries absent from the reference (new
   * this round) are never flagged.
+  *
+  * End-of-session re-adjudication (round-14): every still-flagged row is
+  * re-timed twice more SOLO after the suite finishes — the artifact
+  * self-corrects to the quiet-box number (and the flag clears) when the
+  * spike was contention, so a contention value stops becoming the next
+  * round's committed reference. The splice policy for the committed
+  * artifact lives in BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -103,32 +110,42 @@ object Bench {
     // Block-manager hygiene between timed runs (GraftSession.sweepBlocks
     // scaladoc has the full rationale): every query starts from the same
     // clean block manager.
-    queries.foreach { case (name, fn) =>
+    // Returns (completed timings, error): a failure on iteration k still
+    // returns the k-1 completed timings, so an extra adjudication
+    // iteration's transient failure never erases a valid measurement.
+    def timeQuery(run: () => Unit, iters: Int): (Seq[Double], Option[String]) = {
       var err: Option[String] = None
-      def timeOnce(): Option[Double] =
-        if (err.isDefined) None // don't re-run a query that already failed
+      val times = (1 to iters).flatMap { _ =>
+        if (err.isDefined) None
         else {
           GraftSession.sweepBlocks(spark)
           val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
+          try { run(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
             case e: Throwable =>
               err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
               None
           }
         }
-      var times = (1 to 2).flatMap(_ => timeOnce())
+      }
+      (times, err)
+    }
+    def runOf(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): () => Unit =
+      () => fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    queries.foreach { case (name, fn) =>
+      var (times, err) = timeQuery(run = runOf(fn), iters = 2)
       // Suspect-spike re-time (scaladoc above): a min-of-2 more than 3x the
       // committed reference gets one extra iteration — contention bursts on
       // this box last seconds, so the third sample usually lands normal and
       // the re-timed min self-corrects the artifact. Still >3x after that =
-      // flag it, don't hide it.
+      // flag it, don't hide it (the end-of-session pass below gets one more
+      // look once the suite stops competing for the box).
       val prev = prevTimes.get(name)
       if (err.isEmpty && prev.exists(p => times.min > 3 * p)) {
-        times = times ++ timeOnce()
-        if (err.isEmpty && prev.exists(p => times.min > 3 * p)) suspects += name
+        val (extra, _) = timeQuery(run = runOf(fn), iters = 1)
+        times = times ++ extra // extra-iteration failure keeps the 2 good samples
+        if (extra.isEmpty || prev.exists(p => times.min > 3 * p)) suspects += name
       }
       err match {
         case Some(msg) =>
@@ -140,6 +157,31 @@ object Bench {
           println(f"# $name ${times.min}%.3fs (${results.size + errors.size}/${queries.size})$mark")
       }
       flush()
+    }
+
+    // End-of-session re-adjudication (round-14 bench-hygiene item): rows
+    // still flagged after the in-loop re-time get two more SOLO timed
+    // iterations now that the rest of the suite has stopped competing for
+    // the box — the committed artifact self-corrects to the quiet-box
+    // number instead of carrying a contention value into the next round's
+    // reference (r12/r13 carried d16 at 3-5x true for two rounds that
+    // way). A row still >3x its committed time after this pass keeps its
+    // flag: that is what a genuine regression looks like.
+    if (suspects.nonEmpty) {
+      val flagged = suspects.toList
+      suspects.clear()
+      flagged.foreach { name =>
+        val (times, _) = timeQuery(run = runOf(queries(name)), iters = 2)
+        if (times.nonEmpty) {
+          val merged = math.min(results(name), times.min)
+          results(name) = merged
+          val prev = prevTimes.get(name)
+          if (prev.exists(p => merged > 3 * p)) suspects += name
+          val mark = if (suspects.lastOption.contains(name)) " STILL SUSPECT" else " cleared"
+          println(f"# $name re-adjudicated solo: $merged%.3fs$mark")
+        } else suspects += name // could not re-time; keep the flag
+        flush()
+      }
     }
     // The full per-query JSON is ~6 KB — past the driver's stdout tail
     // capture, so rounds 1-4 recorded "parsed": null. The full record

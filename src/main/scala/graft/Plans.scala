@@ -286,7 +286,44 @@ object Plans {
       ("Length-2 sequence mining from per-user per-item TIME BOUNDS: one " +
         "hash aggregate over events, then a stats self-join quadratic in " +
         "the item vocabulary (not in session length) — the shape that " +
-        "keeps 'A then B' mining linear over 100 TB of clickstream."))
+        "keeps 'A then B' mining linear over 100 TB of clickstream."),
+    "s15_naive_bayes" ->
+      ("Naive Bayes: training is two hash aggregates over the exploded " +
+        "train tokens; classification joins the (label, token) likelihood " +
+        "table once (bucketed by token at real scale) and sums exact " +
+        "micro-nat integers per (doc, label) — the tiny label set rides a " +
+        "broadcast, no per-row UDF anywhere."),
+    "n16_ks_uniform" ->
+      ("One-sample KS: the ECDF rank comes from range-repartition + " +
+        "broadcast partition offsets (never a single-partition global " +
+        "sort); per-row deviations quantize to exact micro-integers so " +
+        "the final max is one map-side-combined aggregate."),
+    "s19_logistic_regression" ->
+      ("Full-batch logistic GD: each iteration is ONE scan of the " +
+        "persisted feature table computing three exact-integer gradient " +
+        "sums (map-side combined) against a broadcast 1-row weight table; " +
+        "the sigmoid and the quantized update are formula strings shared " +
+        "verbatim with the oracle, and the weight row localCheckpoints so " +
+        "plan depth stays constant across iterations."),
+    "s20_decision_tree" ->
+      ("Histogram decision tree: per level the HISTOGRAM shuffles (nodes " +
+        "x features x bins rows), never the data — one hash aggregate, a " +
+        "prefix-sum window over the tiny candidate table, and a broadcast " +
+        "route join; the exact shape DecisionTree.findBestSplits " +
+        "aggregates per level, and why depth-d training reads the corpus " +
+        "exactly d times at any scale."),
+    "s21_pca_features" ->
+      ("Scaler + closed-form PCA: BOTH stages fit from one exact-integer- " +
+        "sum aggregation scan; the 2x2 eigen-solve is a fixed double " +
+        "expression chain on a 1-row frame, and the transform is a pure " +
+        "projection with the fitted doubles as literals — the model never " +
+        "becomes distributed state."),
+    "s22_frequent_triples" ->
+      ("Apriori k=3: infrequent items are semi-joined away before ANY " +
+        "join, frequent-pair occurrences are semi-joined against the " +
+        "grouped pair table, and the third-item extension semi-joins both " +
+        "remaining 2-subsets — candidate fan-out is bounded by the " +
+        "frequent-pair lattice, not raw basket width."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

@@ -92,6 +92,54 @@ object Clustering {
     centers
   }
 
+  /** Final assignment + per-cluster summary of `q` under `centers` —
+    * public so the streaming path ([[streamingUpdate]]) can summarize a
+    * corpus under its decay-trained centers with the identical
+    * (argmin-assign, integer-sum) rules the batch path uses. */
+  def assignSummary(q: DataFrame,
+                    centers: Seq[(Long, Array[Double])]): DataFrame =
+    summarize(q, centers)
+
+  /** One STREAMING k-means micro-batch update (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/clustering/
+    * StreamingKMeans.scala:88 — the same decay-weighted rule
+    *   c' = (c · w·a + Σ_batch x) / (w·a + m),  w' = w·a + m
+    * applied there per batch via update(), with the model held on the
+    * driver between batches exactly as callers hold `centers` here
+    * across foreachBatch invocations). `batch` is an already-quantized
+    * (vec_id, vq) frame; the batch work is ONE assignment scan (compiled
+    * argmin over the broadcast-captured centers) plus ONE
+    * map-side-combined per-cluster aggregate of exact integer per-dim
+    * sums — so every cross-partition sum is engine- and
+    * partitioning-exact, and the single double expression per dim
+    * ((c_d · wa) + S_d) / (wa + m) has fixed parenthesization for the
+    * oracle. Clusters with no batch members keep their centroid and
+    * decay their weight (the reference's behavior); decay = 1 never
+    * forgets, decay = 0 makes each update a pure Lloyd step (so N
+    * static re-feeds ≡ N Lloyd iterations — StreamingSpec pins that
+    * equivalence against [[kmeansFrom]]). */
+  def streamingUpdate(centers: Seq[(Long, Double, Array[Double])],
+                      batch: DataFrame, dims: Int,
+                      decay: Double): Seq[(Long, Double, Array[Double])] = {
+    val sumAggs = (0 until dims).map(d =>
+      sum(expr(s"element_at(vq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
+    val rows = batch
+      .withColumn("cluster", assignUdf(centers.map(c => (c._1, c._3)))(col("vq")))
+      .groupBy("cluster").agg(sumAggs.head, sumAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    centers.map { case (label, w, c) =>
+      val wa = w * decay
+      rows.get(label) match {
+        case Some(r) =>
+          val m = r.getLong(dims + 1)
+          val nc = (0 until dims)
+            .map(d => ((c(d) * wa) + r.getLong(d + 1)) / (wa + m)).toArray
+          (label, wa + m, nc)
+        case None => (label, wa, c)
+      }
+    }
+  }
+
   /** Final assignment + per-cluster summary of `q` under `centers`. */
   private def summarize(q: DataFrame,
                         centers: Seq[(Long, Array[Double])]): DataFrame =

@@ -764,10 +764,26 @@ object Dedup {
 
   /** One index table as the union of all installed generations. The glob
     * skips [[IndexStore]]'s dot-prefixed in-flight/retired siblings by
-    * construction. */
+    * construction. Indexes written by the pre-generational layout (tables
+    * directly under the path, no `gen=N/` level) are still readable: when
+    * no generation directory exists the read falls back to
+    * `$indexPath/$table`, so a standing index from an older build degrades
+    * gracefully instead of failing its first probe with path-not-found —
+    * its first [[ingestNeardupBatch]] then adds `gen=1` alongside and the
+    * union covers both layouts from that point on. */
   private def indexTable(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String, table: String): DataFrame =
-    spark.read.parquet(s"$indexPath/gen=*/$table")
+                         indexPath: String, table: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = fs.globStatus(new org.apache.hadoop.fs.Path(root, "gen=*"))
+    val legacy = fs.exists(new org.apache.hadoop.fs.Path(root, table))
+    val paths =
+      (if (gens != null && gens.nonEmpty) Seq(s"$indexPath/gen=*/$table") else Nil) ++
+        (if (legacy) Seq(s"$indexPath/$table") else Nil)
+    require(paths.nonEmpty,
+      s"indexTable: no '$table' under $indexPath (neither gen=*/ nor legacy flat layout)")
+    spark.read.parquet(paths: _*)
+  }
 
   /** Max doc id across all generations (None for an empty-corpus index). */
   def indexMaxCorpusId(spark: org.apache.spark.sql.SparkSession,

@@ -95,7 +95,12 @@ object Learn {
     *   3. frequent pairs: count >= the support threshold;
     *   4. rules both directions, confidence and lift in EXACT integer
     *      micro-units (cnt·1e6 div cnt — no doubles anywhere), filtered
-    *      by min confidence, ties impossible by construction.
+    *      by min confidence, ties impossible by construction. Lift is
+    *      derived FROM conf_micro ((conf_micro · nBaskets) div cnt_c),
+    *      not the triple product n_pair·1e6·nBaskets — the triple
+    *      overflows BIGINT past ~3M baskets (ANSI mode would throw at
+    *      sf≳3); the reassociated form peaks at 1e6·nBaskets, safe to
+    *      ~9e12 baskets.
     * minSupport is a basket fraction like the reference's; the absolute
     * threshold is ceil(frac · nBaskets). Returns
     * (antecedent, consequent, n_pair, conf_micro, lift_micro). */
@@ -124,7 +129,9 @@ object Learn {
       .join(singles.select(col("item").as("consequent"), col("cnt").as("cnt_c")), "consequent")
       .select(col("antecedent"), col("consequent"), col("n_pair"),
         expr("CAST((n_pair * 1000000) DIV cnt_a AS BIGINT)").as("conf_micro"),
-        expr(s"CAST((n_pair * 1000000 * $nBaskets) DIV (cnt_a * cnt_c) AS BIGINT)").as("lift_micro"))
+        col("cnt_c"))
+      .select(col("antecedent"), col("consequent"), col("n_pair"), col("conf_micro"),
+        expr(s"CAST((conf_micro * $nBaskets) DIV cnt_c AS BIGINT)").as("lift_micro"))
       .filter(col("conf_micro") >= minConfMicro)
       .localCheckpoint()
     b.unpersist()
@@ -148,9 +155,20 @@ object Learn {
     * driver-side scalar KS and MLlib's implementation. */
   def ksUniform(df: DataFrame, idCol: String, valCol: String): DataFrame = {
     val o = df.select(col(idCol).as("__id"), col(valCol).as("y"))
-    val b = o.agg(min("y"), max("y"), count(lit(1))).head()
+    val b = o.agg(min("y"), max("y"), count(lit(1)), min("__id"), max("__id")).head()
     val (lo, hi, nn) = (b.getLong(0), b.getLong(1), b.getLong(2))
     require(hi > lo, "ksUniform: degenerate support (all values equal)")
+    // The packed key y·1e8 + id is a correct (y, id) lexicographic order
+    // ONLY while ids stay in [0, 1e8) and |y|·1e8 + id fits a BIGINT —
+    // enforced here (the bounds ride the scan above for free) instead of
+    // silently misordering tied ranks once o_orderkey crosses 1e8 (~sf100).
+    val (idLo, idHi) = (b.getLong(3), b.getLong(4))
+    require(idLo >= 0L && idHi < 100000000L,
+      s"ksUniform: id range [$idLo, $idHi] outside the packed-key headroom " +
+        "[0, 1e8) — rank on a wider key before calling")
+    require(math.max(math.abs(lo), math.abs(hi)) < 92233720368L,
+      s"ksUniform: |value| bound ${math.max(math.abs(lo), math.abs(hi))} " +
+        "would overflow the packed BIGINT sort key")
     val keyed = o.select(col("__id"), col("y"),
       (col("y") * lit(100000000L) + col("__id")).as("kskey"))
     Scale.globalRowIndex(keyed, "kskey")
@@ -160,6 +178,207 @@ object Learn {
           s"CAST(round(((CAST(y - $lo AS DOUBLE) / CAST($hi - $lo AS DOUBLE)) - (CAST(global_index - 1 AS DOUBLE) / CAST($nn AS DOUBLE))) * 1e6) AS BIGINT)) AS dd")
       .agg(max(col("dd")).as("d_micro"))
       .selectExpr(s"CAST($nn AS BIGINT) AS n", "d_micro")
+  }
+
+  // ---- logistic regression (reference mllib/src/main/scala/org/apache/
+  // spark/mllib/classification/LogisticRegression.scala:213 trains by
+  // mllib/optimization/GradientDescent.scala:215's full-gradient loop:
+  // per-iteration one treeAggregate of per-row gradients, then a driver
+  // weight update — exactly the relational shape below) -----------------
+
+  /** Micro-probability of the positive class under quantized weights —
+    * the sigmoid formula string, shared VERBATIM between the Spark plan
+    * and the oracle (both engines parse the identical text; `exp` is the
+    * one libm call, and the 1e-6 quantization makes a last-ulp engine
+    * difference visible only within ~1e-10 of a rounding boundary — the
+    * s15 micro-nat ln precedent). Expects (w0q, w1q, w2q) quantized
+    * 2^16-unit weights and BIGINT features (x1, x2) in scope. */
+  val lrProbExpr: String =
+    "CAST(round(1000000.0 / (1.0 + exp(-(CAST(((w0q + (w1q * x1)) + (w2q * x2)) AS DOUBLE) / 65536.0)))) AS BIGINT)"
+
+  /** One weight's gradient-ascent update in quantized units — the mean
+    * gradient (exact micro-integer sum / n) scaled by the constant step,
+    * re-quantized. Shared verbatim with the oracle. */
+  def lrUpdExpr(wq: String, g: String, lr: Double): String =
+    s"$wq + CAST(round(($lr * ((CAST($g AS DOUBLE) / 1000000.0) / n)) * 65536.0) AS BIGINT)"
+
+  /** Binary logistic regression, y ~ sigmoid(w0 + w1·x1 + w2·x2), trained
+    * by `iters` FULL-BATCH gradient-ascent iterations on the log
+    * likelihood over a (x1, x2, yq) table (yq the micro-scaled 0/1e6
+    * label). Per iteration: ONE scan of the persisted feature table
+    * computing three exact-integer gradient sums (micro-unit errors times
+    * integer features — map-side combined, bit-identical under any
+    * partitioning), then a 1-row update projection; the weight row is
+    * localCheckpointed so plan depth stays constant (the pregel
+    * discipline). This is GradientDescent.scala's runMiniBatchSGD at
+    * miniBatchFraction = 1.0 re-expressed relationally.
+    *
+    * Deliberate deviations, per the [[Recommend.als]] rationale: weights
+    * quantized to 2^16 units after every update (all cross-partition sums
+    * are exact integers; the one double expression per update has fixed
+    * parenthesization, so DuckDB reproduces every weight bit-for-bit),
+    * and a CONSTANT step instead of the reference's stepSize/sqrt(t)
+    * decay — one fewer engine-shared libm term per iteration, and at
+    * full-batch (no stochastic noise to anneal) the decay buys nothing.
+    *
+    * Returns the 1-row (w0q, w1q, w2q). */
+  def logisticFit2(feats: DataFrame, iters: Int = 8, lr: Double = 1.0): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count() // materialize once; every iteration re-reads it
+    var w = f.sparkSession.range(1)
+      .selectExpr("CAST(0 AS BIGINT) AS w0q", "CAST(0 AS BIGINT) AS w1q",
+        "CAST(0 AS BIGINT) AS w2q")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val g = f.crossJoin(broadcast(w))
+        .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("yq") - col("pq")).as("g0"),
+          sum((col("yq") - col("pq")) * col("x1")).as("g1"),
+          sum((col("yq") - col("pq")) * col("x2")).as("g2"))
+      w = g.crossJoin(w).selectExpr(
+          s"${lrUpdExpr("w0q", "g0", lr)} AS w0q",
+          s"${lrUpdExpr("w1q", "g1", lr)} AS w1q",
+          s"${lrUpdExpr("w2q", "g2", lr)} AS w2q")
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
+  /** Score (idCol, x1, x2, yq) rows under fitted 1-row weights: broadcast
+    * the weights, emit (idCol, label, p_micro, pred) — pred thresholds at
+    * p >= 0.5, exact on the integer micro-probability. */
+  def logisticPredict2(feats: DataFrame, weights: DataFrame, idCol: String): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(idCol, "CAST(yq DIV 1000000 AS BIGINT) AS label",
+        s"$lrProbExpr AS p_micro")
+      .withColumn("pred",
+        expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
+
+  // ---- decision tree (reference mllib/src/main/scala/org/apache/spark/
+  // mllib/tree/DecisionTree.scala:624 findBestSplits aggregates per-node
+  // per-feature-bin label histograms in ONE pass per level and argmaxes
+  // the impurity gain — the identical shape below; impurity/Gini.scala:40
+  // is the 1 - Σ p² this score maximizes the complement of) --------------
+
+  /** Depth-2 binary classification tree over a (x1, x2, y) table
+    * (BIGINT features, y ∈ {0, 1}), trained by per-level histogram
+    * splits. Per level: ONE hash aggregate builds the (node, feature,
+    * value) label histogram (map-side combined — the histogram, not the
+    * data, is what shuffles, exactly DecisionTree.findBestSplits'
+    * design), a prefix-sum window turns it into every candidate split
+    * "feature <= value"'s left/right label counts, and the best split
+    * per node maximizes the exact integer milli-unit Gini complement
+    *   score = (lp² + (nl−lp)²)·1000 div nl + (rp² + (nr−rp)²)·1000 div nr
+    * (minimizing weighted Gini impurity ≡ maximizing this sum — the
+    * div-by-1000 quantization is the shared-oracle currency; ties break
+    * to the smallest (feature, value)). Rows then route node → 2·node
+    * (value <= threshold) or 2·node+1, and the next level repeats —
+    * so leaf ids encode the root-to-leaf path. A node with no valid
+    * split (single distinct value on both features) stays a leaf.
+    *
+    * Overflow headroom: count² · 1000 needs per-node counts below ~9.5e7
+    * (orders up to sf~600); past that the score currency drops to
+    * centi-units or DECIMAL — noted here because the histogram pass
+    * itself is scale-free (its size is nodes × features × bins,
+    * independent of row count).
+    *
+    * Returns (leaves, splits): leaves = (leaf, n, n_pos, pred) with the
+    * majority label (exact ties predict 0), splits = (node, feat, thr,
+    * score) for every internal node. */
+  def decisionTree2(rows: DataFrame, maxDepth: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = rows.sparkSession
+    var r = rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node"))
+      .localCheckpoint()
+    var allSplits: DataFrame = null
+    for (_ <- 1 to maxDepth) {
+      val lf = r.selectExpr("node", "y", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+      val h = lf.groupBy("node", "feat", "val")
+        .agg(count(lit(1)).as("n"), sum("y").as("np"))
+      val wCum = Window.partitionBy("node", "feat").orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("node", "feat")
+      val cand = h
+        .withColumn("nl", sum("n").over(wCum)).withColumn("lp", sum("np").over(wCum))
+        .withColumn("tn", sum("n").over(wTot)).withColumn("tp", sum("np").over(wTot))
+        .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
+        .withColumn("score", expr(
+          "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
+            " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"))
+      val best = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("score").desc, col("feat"), col("val"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("feat"), col("val").as("thr"), col("score"))
+        .localCheckpoint() // consumed by the route join AND the splits union
+      allSplits = if (allSplits == null) best else allSplits.union(best)
+      r = r.join(broadcast(best.drop("score")), Seq("node"), "left")
+        .withColumn("node", expr(
+          "CASE WHEN thr IS NULL THEN node" +
+            " WHEN (CASE WHEN feat = 1 THEN x1 ELSE x2 END) <= thr THEN node * 2" +
+            " ELSE node * 2 + 1 END"))
+        .drop("feat", "thr")
+        .localCheckpoint()
+    }
+    val leaves = r.groupBy(col("node").as("leaf"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("pred",
+        expr("CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS BIGINT)"))
+    (leaves, allSplits)
+  }
+
+  /** Frequent item TRIPLES with the full Apriori candidate prune — the
+    * arbitrary-k lattice step [[frequentPairRules]] elides (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/fpm/FPGrowth.scala:162
+    * mines all sizes via conditional FP-trees; at k = 3 the relational
+    * equivalent extends each FREQUENT pair occurrence with a third
+    * pruned item and keeps candidates whose every 2-subset is frequent —
+    * the classic Apriori closure property, and the reason the 3-way
+    * basket join's fan-out stays bounded at 100 TB: items below the
+    * support floor never enter any join). Same threshold discipline as
+    * s16: minSupport is a basket fraction, absolute floor
+    * ceil(frac · nBaskets), support emitted in exact integer micro-units.
+    * Returns (item_a < item_b < item_c, n_triple, support_micro). */
+  def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Double = 0.004): DataFrame = {
+    val b = baskets.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = b.select("basket").distinct().count()
+    val thr = math.ceil(minSupport * nBaskets).toLong
+    val singles = b.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+    val pruned = b.join(singles.select("item"), Seq("item"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = pruned.select(col("basket"), col("item").as("item_a"))
+      .join(pruned.select(col("basket"), col("item").as("item_b")), "basket")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= thr)
+      .select("item_a", "item_b")
+      .localCheckpoint() // consumed by the extend join AND both subset prunes
+    // frequent-pair OCCURRENCES (basket, a, b), then extend by a third
+    // pruned item c > b whose subsets (a, c) and (b, c) are frequent too
+    val po = pruned.select(col("basket"), col("item").as("item_a"))
+      .join(pruned.select(col("basket"), col("item").as("item_b")), "basket")
+      .filter(col("item_a") < col("item_b"))
+      .join(pairs, Seq("item_a", "item_b"), "left_semi")
+    val out = po
+      .join(pruned.select(col("basket"), col("item").as("item_c")), "basket")
+      .filter(col("item_c") > col("item_b"))
+      .join(pairs.select(col("item_a"), col("item_b").as("item_c")),
+        Seq("item_a", "item_c"), "left_semi")
+      .join(pairs.select(col("item_a").as("item_b"), col("item_b").as("item_c")),
+        Seq("item_b", "item_c"), "left_semi")
+      .groupBy("item_a", "item_b", "item_c").agg(count(lit(1)).as("n_triple"))
+      .filter(col("n_triple") >= thr)
+      .select(col("item_a"), col("item_b"), col("item_c"), col("n_triple"),
+        expr(s"CAST((n_triple * 1000000) DIV $nBaskets AS BIGINT)").as("support_micro"))
+      .localCheckpoint()
+    pruned.unpersist(); b.unpersist()
+    out
   }
 
   /** Frequent length-2 sequential patterns (reference

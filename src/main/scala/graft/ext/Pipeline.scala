@@ -75,6 +75,15 @@ object Pipeline {
           (i, "idf_model", in, out, None, None, Some(ws))
         case (L2Normalizer(in, out), i) =>
           (i, "l2_normalizer", in, out, None, None, None)
+        // two-column numeric stages: cols packed comma-separated, fitted
+        // doubles in `weights` (parquet doubles round-trip bit-exact —
+        // the scaladoc above is exactly why these are not JSON text)
+        case (StandardScaler2Model(i1, i2, o1, o2, m1, sd1, m2, sd2), i) =>
+          (i, "std_scaler2", s"$i1,$i2", s"$o1,$o2", None, None,
+            Some(Seq(m1, sd1, m2, sd2)))
+        case (Pca2Model(i1, i2, oPc, oEvr, m1, m2, v1, v2, l1, l2), i) =>
+          (i, "pca2", s"$i1,$i2", s"$oPc,$oEvr", None, None,
+            Some(Seq(m1, m2, v1, v2, l1, l2)))
         case (other, i) => throw new IllegalArgumentException(
           s"stage $i (${other.getClass.getName}) has no persistence mapping")
       }.toDF("ordinal", "kind", "input_col", "output_col",
@@ -99,6 +108,14 @@ object Pipeline {
           case "idf_model"     =>
             IdfModel(in, out, r.getSeq[Double](r.fieldIndex("weights")).toIndexedSeq)
           case "l2_normalizer" => L2Normalizer(in, out)
+          case "std_scaler2"   =>
+            val Array(i1, i2) = in.split(","); val Array(o1, o2) = out.split(",")
+            val w = r.getSeq[Double](r.fieldIndex("weights"))
+            StandardScaler2Model(i1, i2, o1, o2, w(0), w(1), w(2), w(3))
+          case "pca2"          =>
+            val Array(i1, i2) = in.split(","); val Array(oPc, oEvr) = out.split(",")
+            val w = r.getSeq[Double](r.fieldIndex("weights"))
+            Pca2Model(i1, i2, oPc, oEvr, w(0), w(1), w(2), w(3), w(4), w(5))
           case k => throw new IllegalArgumentException(s"unknown stage kind '$k' in $path")
         }
       }
@@ -205,5 +222,130 @@ object Pipeline {
         .withColumn(outputCol,
           expr(s"transform($inputCol, x -> CASE WHEN __nrm = 0.0 THEN 0.0 ELSE x / __nrm END)"))
         .drop("__nrm")
+  }
+
+  /** Shared moment/eigen formula strings for the 2-feature numeric stages
+    * ([[StandardScaler2]], [[Pca2]]) and their DuckDB oracle mirror. All
+    * derived parameters are functions of the SIX exact integer sufficient
+    * statistics (n, s1, s2, s11, s12, s22) of one scan — the s14 OLS
+    * pattern: exact integer sums in, fixed-parenthesization double
+    * expressions out, so both engines land on bit-identical doubles
+    * (division and sqrt are correctly-rounded IEEE ops). Three dependency
+    * levels (means/covariance -> stds/eigenvalues -> eigenvector), each a
+    * (name, expression) list consumed as a chained projection on the
+    * Spark side and a chained CTE on the oracle side. */
+  object Moments2 {
+    private def d(c: String) = s"CAST($c AS DOUBLE)"
+    /** Means + population covariance entries from the integer sums. */
+    val level1: Seq[(String, String)] = {
+      def cov(sab: String, sa: String, sb: String) =
+        s"(((${d("n")} * ${d(sab)}) - (${d(sa)} * ${d(sb)})) / (${d("n")} * ${d("n")}))"
+      Seq(
+        "m1" -> s"(${d("s1")} / ${d("n")})",
+        "m2" -> s"(${d("s2")} / ${d("n")})",
+        "va" -> cov("s11", "s1", "s1"),
+        "vb" -> cov("s12", "s1", "s2"),
+        "vc" -> cov("s22", "s2", "s2"))
+    }
+    /** Stds + closed-form 2x2 eigenvalues. */
+    val level2: Seq[(String, String)] = Seq(
+      "sd1" -> "sqrt(va)",
+      "sd2" -> "sqrt(vc)",
+      "lam1" -> "(((va + vc) / 2.0) + sqrt((((va - vc) / 2.0) * ((va - vc) / 2.0)) + (vb * vb)))",
+      "lam2" -> "(((va + vc) / 2.0) - sqrt((((va - vc) / 2.0) * ((va - vc) / 2.0)) + (vb * vb)))")
+    /** Principal eigenvector (v1, v2): (b, λ1 − a) normalized; a diagonal
+      * covariance (b = 0) takes the dominant axis directly. λ1 − a >= 0
+      * by construction, so the second component never flips sign — the
+      * deterministic orientation convention the oracle repeats. */
+    val level3: Seq[(String, String)] = Seq(
+      "v1" -> ("(CASE WHEN vb = 0.0 THEN (CASE WHEN va >= vc THEN 1.0 ELSE 0.0 END)" +
+        " ELSE vb / sqrt((vb * vb) + ((lam1 - va) * (lam1 - va))) END)"),
+      "v2" -> ("(CASE WHEN vb = 0.0 THEN (CASE WHEN va >= vc THEN 0.0 ELSE 1.0 END)" +
+        " ELSE (lam1 - va) / sqrt((vb * vb) + ((lam1 - va) * (lam1 - va))) END)"))
+
+    /** The one aggregation scan: six exact integer sums over (in1, in2). */
+    def sums(df: DataFrame, in1: String, in2: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        sum(in1).as("s1"), sum(in2).as("s2"),
+        sum(col(in1) * col(in1)).as("s11"),
+        sum(col(in1) * col(in2)).as("s12"),
+        sum(col(in2) * col(in2)).as("s22"))
+
+    /** All nine derived parameters as one collected row:
+      * (m1, m2, va, vb, vc, sd1, sd2, lam1, lam2, v1, v2). */
+    def fitParams(df: DataFrame, in1: String, in2: String): Map[String, Double] = {
+      val carry1 = level1.map(_._1)
+      val carry2 = carry1 ++ level2.map(_._1)
+      val p = sums(df, in1, in2)
+        .selectExpr(level1.map { case (n, e) => s"$e AS $n" }: _*)
+        .selectExpr(carry1 ++ level2.map { case (n, e) => s"$e AS $n" }: _*)
+        .selectExpr(carry2 ++ level3.map { case (n, e) => s"$e AS $n" }: _*)
+      val row = p.head()
+      p.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
+    }
+  }
+
+  /** StandardScaler ESTIMATOR (reference mllib/src/main/scala/org/apache/
+    * spark/mllib/feature/StandardScaler.scala:55 — fit learns per-feature
+    * mean/std, the model rescales; withMean and withStd both on). Two
+    * BIGINT input features, micro-quantized z-scores out. Fit is ONE
+    * aggregation scan of exact integer sums ([[Moments2]]); the fitted
+    * (mean, std) doubles are engine-reproducible by construction. */
+  final case class StandardScaler2(in1: String, in2: String,
+                                   out1: String, out2: String) extends Estimator {
+    def fit(df: DataFrame): StandardScaler2Model = {
+      val p = Moments2.fitParams(df, in1, in2)
+      StandardScaler2Model(in1, in2, out1, out2,
+        p("m1"), p("sd1"), p("m2"), p("sd2"))
+    }
+  }
+
+  /** The fitted scaler: z_j = (x_j − m_j) / sd_j, quantized to exact
+    * integer micro-units (the oracle repeats the parenthesization with
+    * the same doubles recomputed from the same sums). Requires
+    * non-degenerate features (sd > 0) — the standard scaler
+    * precondition. */
+  final case class StandardScaler2Model(in1: String, in2: String,
+                                        out1: String, out2: String,
+                                        m1: Double, sd1: Double,
+                                        m2: Double, sd2: Double) extends Transformer {
+    private def z(in: String, m: Double, sd: Double) =
+      round(((col(in).cast("double") - lit(m)) / lit(sd)) * lit(1000000.0)).cast("long")
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(out1, z(in1, m1, sd1)).withColumn(out2, z(in2, m2, sd2))
+  }
+
+  /** 2-feature PCA ESTIMATOR (reference mllib/src/main/scala/org/apache/
+    * spark/mllib/feature/PCA.scala:44 fits principal components from the
+    * covariance via SVD; at 2 features the eigen-solve is CLOSED FORM —
+    * λ = (a+c)/2 ± sqrt(((a−c)/2)² + b²), v ∝ (b, λ1−a) — so the fit is
+    * one exact-integer-sum scan + a fixed double expression chain, no
+    * LAPACK, no iteration, and the oracle replays it verbatim). Centering
+    * is built in (projection of x − mean), like the reference's fit over
+    * a centered RowMatrix. */
+  final case class Pca2(in1: String, in2: String,
+                        outPc: String, outEvr: String) extends Estimator {
+    def fit(df: DataFrame): Pca2Model = {
+      val p = Moments2.fitParams(df, in1, in2)
+      Pca2Model(in1, in2, outPc, outEvr,
+        p("m1"), p("m2"), p("v1"), p("v2"), p("lam1"), p("lam2"))
+    }
+  }
+
+  /** The fitted 2-feature PCA: pc1 = v · (x − m) micro-quantized, plus
+    * the explained-variance ratio λ1/(λ1+λ2) in micro-units (constant
+    * per fit — emitted per row so the eigenvalues are oracle-gated). */
+  final case class Pca2Model(in1: String, in2: String,
+                             outPc: String, outEvr: String,
+                             m1: Double, m2: Double,
+                             v1: Double, v2: Double,
+                             lam1: Double, lam2: Double) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outPc,
+          round(((lit(v1) * (col(in1).cast("double") - lit(m1)))
+            + (lit(v2) * (col(in2).cast("double") - lit(m2)))) * lit(1000000.0)).cast("long"))
+        .withColumn(outEvr,
+          round((lit(lam1) / (lit(lam1) + lit(lam2))) * lit(1000000.0)).cast("long"))
   }
 }

@@ -147,8 +147,86 @@ object Ml {
         .filter(col("doc_id") >= 250)
       Learn.multiclassMetrics(scored, "actual", "pred_label")
         .orderBy("label")
+    },
+
+    // Logistic regression (reference mllib/classification/
+    // LogisticRegression.scala + optimization/GradientDescent.scala —
+    // the most-used reference classifier): 8 full-batch quantized-
+    // gradient iterations on order size features. The LABEL is derived
+    // from the features plus a deterministic orderkey-hash noise term
+    // (the synthetic orders table has o_totalprice independent of its
+    // lineitems — measured corr ≈ -0.01 — so a price label would have
+    // nothing to learn); qty + 5·(key%13) > 130 gives a real noisy
+    // decision boundary the classifier reaches ~77% accuracy on (52%
+    // base rate). Cohort scoring like s14.
+    "s19_logistic_regression" -> { (s, dir) =>
+      val feats = lrFeatures(s, dir, 10, 1000000)
+      val w = Learn.logisticFit2(feats, iters = 8, lr = 1.0)
+      Learn.logisticPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
+    // Decision tree depth 2 (reference mllib/tree/DecisionTree.scala
+    // findBestSplits + impurity/Gini.scala): per-level histogram splits
+    // over the same features/label as s19 — the tree's finer thresholds
+    // reach ~89% where the linear boundary got 77%. Leaf ids encode the
+    // root-to-leaf path; the oracle re-derives every split, so the whole
+    // recursive selection is gated, not just the final populations.
+    "s20_decision_tree" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 25, 1)
+        .withColumnRenamed("yq", "y")
+      Learn.decisionTree2(rows)._1.orderBy("leaf")
+    },
+
+    // StandardScaler + closed-form 2-feature PCA (reference mllib/
+    // feature/{StandardScaler,PCA}.scala) wired as PIPELINE stages (the
+    // s10 contract gains a numeric path): both fitted from ONE exact-
+    // integer-sum scan, z-scores and the principal projection
+    // micro-quantized, eigenvalues gated through the per-row
+    // explained-variance column.
+    "s21_pca_features" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(
+        col("o_orderkey"), col("x1"), col("qty").as("x2"))
+      val pipe = new Chain(Seq(
+        StandardScaler2("x1", "x2", "z1_micro", "z2_micro"),
+        Pca2("x1", "x2", "pc1_micro", "evr_micro")))
+      pipe.fit(feats).transform(feats)
+        .filter(col("o_orderkey") <= 4000)
+        .select("o_orderkey", "z1_micro", "z2_micro", "pc1_micro", "evr_micro")
+        .orderBy("o_orderkey")
+    },
+
+    // FP-growth k = 3 (reference mllib/fpm/FPGrowth.scala — the
+    // arbitrary-k lattice step s16 elides): frequent brand TRIPLES with
+    // the full Apriori subset prune. Triples are ~5x rarer than pairs
+    // here, so the support floor drops to 0.4% (the 1% pair floor keeps
+    // zero triples); the floor still BINDS — roughly half the candidate
+    // triples fall below it.
+    "s22_frequent_triples" -> { (s, dir) =>
+      val baskets = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Learn.frequentTriples(baskets, "basket", "item", minSupport = 0.004)
+        .orderBy("item_a", "item_b", "item_c")
     }
   )
+
+  /** Per-order (o_orderkey, x1 = n_lineitems, qty = total quantity) —
+    * the shared feature base of s19/s20/s21. */
+  private def ordersBase(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+
+  /** s19/s20 features + label: x2 = qty div `xDiv`, yq = `yScale` iff
+    * qty + 5·(o_orderkey % 13) > 130 else 0 (see the s19 comment for why
+    * the label is feature-derived). */
+  private def lrFeatures(s: SparkSession, dir: String,
+                         xDiv: Int, yScale: Long): DataFrame =
+    ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+      expr(s"CAST(qty DIV $xDiv AS BIGINT)").as("x2"),
+      expr(s"CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN $yScale ELSE 0 END AS BIGINT)").as("yq"))
 
   /** One unrolled ALS half-step as a CTE: solve `solveKey`'s rank-2 ridge
     * normal equation against the `other` factor table — five exact BIGINT
@@ -269,7 +347,158 @@ object Ml {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
       |  FROM sc)""".stripMargin
 
+  /** The s19/s20/s21 shared feature base as a CTE (mirror of
+    * [[ordersBase]]). */
+  private val ordersBaseCte =
+    """base AS MATERIALIZED (
+      |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  /** Mirror of [[lrFeatures]]. */
+  private def lrFeatsCte(xDiv: Int, yScale: Long) =
+    s"""feats AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, CAST(qty // $xDiv AS BIGINT) AS x2,
+       |         CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN $yScale ELSE 0 END AS BIGINT) AS yq
+       |  FROM base)""".stripMargin
+
+  /** One unrolled logistic-regression gradient iteration: the sigmoid
+    * micro-probability and the quantized update REUSE graft.ext.Learn's
+    * formula strings verbatim — the mirror IS the plan. */
+  private def lrIterCte(k: Int, lr: Double): String =
+    s"""g$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(yq - pq) AS BIGINT) AS g0,
+       |    CAST(sum((yq - pq) * x1) AS BIGINT) AS g1,
+       |    CAST(sum((yq - pq) * x2) AS BIGINT) AS g2
+       |  FROM (SELECT yq, x1, x2, ${Learn.lrProbExpr} AS pq
+       |        FROM feats CROSS JOIN w${k - 1})),
+       |w$k AS MATERIALIZED (
+       |  SELECT ${Learn.lrUpdExpr("w0q", "g0", lr)} AS w0q,
+       |    ${Learn.lrUpdExpr("w1q", "g1", lr)} AS w1q,
+       |    ${Learn.lrUpdExpr("w2q", "g2", lr)} AS w2q
+       |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
+
+  /** One unrolled decision-tree level: histogram -> prefix-sum candidate
+    * table -> exact milli-unit Gini-complement argmax -> node routing
+    * (graft.ext.Learn.decisionTree2's per-level shape verbatim). */
+  private def dtLevelCte(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
+       |  UNION ALL SELECT node, y, 2::BIGINT, x2 FROM $prev),
+       |h$k AS (SELECT node, feat, val, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS np
+       |  FROM lf$k GROUP BY 1, 2, 3),
+       |c$k AS (SELECT node, feat, val,
+       |    CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(np) OVER w AS BIGINT) AS lp,
+       |    CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(np) OVER wn AS BIGINT) AS tp
+       |  FROM h$k
+       |  WINDOW w AS (PARTITION BY node, feat ORDER BY val ROWS UNBOUNDED PRECEDING),
+       |         wn AS (PARTITION BY node, feat)),
+       |s$k AS (SELECT node, feat, val,
+       |    CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl
+       |       + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT) AS score
+       |  FROM c$k WHERE nl > 0 AND tn - nl > 0),
+       |b$k AS MATERIALIZED (SELECT node, feat, val AS thr FROM (
+       |    SELECT node, feat, val,
+       |      row_number() OVER (PARTITION BY node ORDER BY score DESC, feat, val) AS rn
+       |    FROM s$k) WHERE rn = 1),
+       |r$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.y,
+       |    CASE WHEN b.node IS NULL THEN r.node
+       |         WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr THEN r.node * 2
+       |         ELSE r.node * 2 + 1 END AS node
+       |  FROM $prev r LEFT JOIN b$k b USING (node))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // 8 unrolled full-batch gradient iterations sharing Learn's sigmoid /
+    // update formula strings, then cohort scoring under w8.
+    "s19_logistic_regression" -> {
+      val iters = (1 to 8).map(lrIterCte(_, 1.0)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |w0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label,
+         |  ${Learn.lrProbExpr} AS p_micro,
+         |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN w8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Two unrolled histogram-split levels, then the leaf populations —
+    // the oracle re-derives every split, gating the whole selection.
+    "s20_decision_tree" ->
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(25, 1L)},
+         |r0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node FROM feats),
+         |${dtLevelCte(1)},
+         |${dtLevelCte(2)}
+         |SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM r2 GROUP BY 1 ORDER BY leaf""".stripMargin,
+
+    // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
+    // formula levels verbatim -> micro-quantized z-scores + projection.
+    "s21_pca_features" -> {
+      import graft.ext.Pipeline.Moments2
+      val l1 = Moments2.level1.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val c1 = Moments2.level1.map(_._1).mkString(", ")
+      val l2 = Moments2.level2.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val c2 = (Moments2.level1.map(_._1) ++ Moments2.level2.map(_._1)).mkString(", ")
+      val l3 = Moments2.level3.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      s"""WITH $ordersBaseCte,
+         |feats AS MATERIALIZED (SELECT o_orderkey, x1, qty AS x2 FROM base),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22
+         |  FROM feats),
+         |p1 AS (SELECT $l1 FROM sums),
+         |p2 AS (SELECT $c1, $l2 FROM p1),
+         |model AS (SELECT $c2, $l3 FROM p2)
+         |SELECT f.o_orderkey,
+         |  CAST(round(((CAST(f.x1 AS DOUBLE) - m1) / sd1) * 1000000.0) AS BIGINT) AS z1_micro,
+         |  CAST(round(((CAST(f.x2 AS DOUBLE) - m2) / sd2) * 1000000.0) AS BIGINT) AS z2_micro,
+         |  CAST(round(((v1 * (CAST(f.x1 AS DOUBLE) - m1)) + (v2 * (CAST(f.x2 AS DOUBLE) - m2))) * 1000000.0) AS BIGINT) AS pc1_micro,
+         |  CAST(round((lam1 / (lam1 + lam2)) * 1000000.0) AS BIGINT) AS evr_micro
+         |FROM feats f CROSS JOIN model
+         |WHERE f.o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Apriori-pruned triple mining: frequent-pair occurrences extended by
+    // a third pruned item, every 2-subset required frequent (inner joins
+    // against the grouped pair table ≡ Spark's left-semi — keys unique).
+    "s22_frequent_triples" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |n AS (SELECT count(DISTINCT basket) AS nb FROM b),
+        |thr AS (SELECT CAST(ceil(0.004::DOUBLE * nb) AS BIGINT) AS t FROM n),
+        |singles AS MATERIALIZED (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        |  HAVING count(*) >= (SELECT t FROM thr)),
+        |pruned AS MATERIALIZED (SELECT b.basket, b.item FROM b JOIN singles USING (item)),
+        |pairs AS MATERIALIZED (
+        |  SELECT x.item AS item_a, y.item AS item_b
+        |  FROM pruned x JOIN pruned y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)),
+        |po AS (SELECT x.basket, x.item AS item_a, y.item AS item_b
+        |  FROM pruned x JOIN pruned y ON x.basket = y.basket AND x.item < y.item
+        |  JOIN pairs pp ON pp.item_a = x.item AND pp.item_b = y.item),
+        |tri AS (
+        |  SELECT po.item_a, po.item_b, z.item AS item_c, CAST(count(*) AS BIGINT) AS n_triple
+        |  FROM po JOIN pruned z ON z.basket = po.basket AND z.item > po.item_b
+        |  JOIN pairs pac ON pac.item_a = po.item_a AND pac.item_b = z.item
+        |  JOIN pairs pbc ON pbc.item_a = po.item_b AND pbc.item_b = z.item
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT t FROM thr))
+        |SELECT item_a, item_b, item_c, n_triple,
+        |  CAST((n_triple * 1000000) // (SELECT nb FROM n) AS BIGINT) AS support_micro
+        |FROM tri ORDER BY item_a, item_b, item_c""".stripMargin,
+
     // The identical beta/pred formula strings (graft.ext.Learn) over the
     // identical nine sufficient statistics — the mirror IS the plan.
     "s14_linear_regression" -> {
@@ -317,12 +546,13 @@ object Ml {
         |  GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)),
         |twoway AS (SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM pairs
         |  UNION ALL SELECT item_b, item_a, n_pair FROM pairs),
-        |r AS (SELECT bo.antecedent, bo.consequent, bo.n_pair,
-        |    CAST((bo.n_pair * 1000000) // sa.cnt AS BIGINT) AS conf_micro,
-        |    CAST((bo.n_pair * 1000000 * (SELECT nb FROM n)) // (sa.cnt * sc.cnt) AS BIGINT) AS lift_micro
-        |  FROM twoway bo
-        |  JOIN singles sa ON sa.item = bo.antecedent
-        |  JOIN singles sc ON sc.item = bo.consequent)
+        |r AS (SELECT antecedent, consequent, n_pair, conf_micro,
+        |    CAST((conf_micro * (SELECT nb FROM n)) // cnt_c AS BIGINT) AS lift_micro
+        |  FROM (SELECT bo.antecedent, bo.consequent, bo.n_pair, sc.cnt AS cnt_c,
+        |          CAST((bo.n_pair * 1000000) // sa.cnt AS BIGINT) AS conf_micro
+        |        FROM twoway bo
+        |        JOIN singles sa ON sa.item = bo.antecedent
+        |        JOIN singles sc ON sc.item = bo.consequent))
         |SELECT antecedent, consequent, n_pair, conf_micro, lift_micro
         |FROM r WHERE conf_micro >= 100000
         |ORDER BY antecedent, consequent""".stripMargin,

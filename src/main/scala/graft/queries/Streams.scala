@@ -240,6 +240,44 @@ object Streams {
         .select(col("key.value").as("user_id"),
           col("value._1").as("n_events"), col("value._2").as("cents"))
         .orderBy("user_id")
+    },
+
+    // STREAMING k-means (reference mllib/clustering/StreamingKMeans
+    // .scala: the decay-weighted rule c' = (c·w·a + Σx)/(w·a + m), model
+    // held on the driver between batches): the embeddings corpus arrives
+    // as one micro-batch through foreachBatch, updating the 4 seed
+    // centroids (smallest-id vectors, weight 1.0) at decay 0.5 — the
+    // decayed seed weight is IN the oracle-gated arithmetic. Per batch:
+    // one compiled argmin scan + one map-side-combined integer-sum
+    // aggregate (the s05 Lloyd shape); clusters with no batch members
+    // keep their centroid and decay their weight, per the reference.
+    // Emits (cluster, w_milli, cent_q) with centroids rounded to exact
+    // integer quantized units via SQL round (engine-shared semantics).
+    "v11_streaming_kmeans" -> { (s, dir) =>
+      import graft.ext.Clustering
+      val sch = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val stream = s.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      var centers = Clustering
+        .quantized(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id").limit(4).collect()
+        .map(r => (r.getLong(0), 1.0, r.getSeq[Long](1).map(_.toDouble).toArray))
+        .toSeq
+      val q = Clustering.quantized(stream, "vec_id", "embedding")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          centers = Clustering.streamingUpdate(centers, b, dims = 64, decay = 0.5)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import s.implicits._
+      centers.map { case (l, w, c) => (l, w, c.toSeq) }.toDF("cluster", "w", "c")
+        .selectExpr("cluster",
+          "CAST(round(w * 1000.0) AS BIGINT) AS w_milli",
+          // flattened to one string: array columns crash the driver's
+          // pandas-layer comparator (the d02 scalar-projection rule)
+          "concat_ws(',', transform(c, x -> CAST(CAST(round(x) AS BIGINT) AS STRING))) AS cent_q")
+        .orderBy("cluster")
     }
   )
 
@@ -323,6 +361,33 @@ object Streams {
     "v10_state_reader" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // One decay-weighted update over the corpus-as-one-batch: seed
+    // assignment via the shared k-means argmin CTE, exact integer
+    // per-dim member sums, then (c·0.5 + S)/(0.5 + m) per dim — empty
+    // clusters fall through the COALESCEd zeros to an unchanged centroid
+    // at decayed weight, matching the Spark side's explicit branch.
+    "v11_streaming_kmeans" ->
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * ${Similarity.QS}) AS BIGINT)) vq
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c
+         |  FROM v ORDER BY vec_id LIMIT 4),
+         |${Similarity.kmAssign("a1", "c0")},
+         |cnt AS (SELECT cl, CAST(count(*) AS BIGINT) AS m FROM a1 GROUP BY 1),
+         |sums AS (SELECT a1.cl, i.i, CAST(sum(v.vq[i.i]) AS BIGINT) AS s
+         |  FROM v JOIN a1 USING (vec_id) CROSS JOIN range(1, 65) i(i)
+         |  GROUP BY 1, 2),
+         |upd AS (SELECT c0.cl, i.i,
+         |    ((c0.c[i.i] * 0.5::DOUBLE) + COALESCE(s.s, 0)) / (0.5::DOUBLE + COALESCE(cnt.m, 0)) AS cd
+         |  FROM c0 CROSS JOIN range(1, 65) i(i)
+         |  LEFT JOIN sums s ON s.cl = c0.cl AND s.i = i.i
+         |  LEFT JOIN cnt ON cnt.cl = c0.cl)
+         |SELECT u.cl AS cluster,
+         |  CAST(round((0.5::DOUBLE + COALESCE(max(cnt.m), 0)) * 1000.0) AS BIGINT) AS w_milli,
+         |  string_agg(CAST(CAST(round(u.cd) AS BIGINT) AS VARCHAR), ',' ORDER BY u.i) AS cent_q
+         |FROM upd u LEFT JOIN cnt ON cnt.cl = u.cl
+         |GROUP BY u.cl ORDER BY cluster""".stripMargin
   )
 }

@@ -156,6 +156,43 @@ class DedupSpec extends SparkSpec {
     assert(gens === Array("gen=0", "gen=1"))
   }
 
+  test("neardup index reader falls back to the pre-generational flat layout") {
+    import spark.implicits._
+    val t1 = "a b c d e f g h i j"
+    val corpus = Seq(1L -> t1, 2L -> "a b c d e f g h i k", 3L -> t1,
+      4L -> "z y x w v u t s r q").toDF("doc_id", "text")
+    val batch = Seq(10L -> t1, 11L -> "completely unrelated words here ok")
+      .toDF("doc_id", "text")
+    val gen = "/tmp/graft_scale/neardup_idx_legacy_gen"
+    Dedup.writeNeardupIndex(corpus, "doc_id", "text", gen)
+    def pairs(idx: String) =
+      Dedup.incrementalNeardupPairs(spark, idx, batch, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = pairs(gen)
+    // simulate an index written by the pre-generational layout: the four
+    // tables sit directly under the path, no gen=N/ level
+    val legacy = "/tmp/graft_scale/neardup_idx_legacy_flat"
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(legacy), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(legacy))
+    for (t <- Seq("members", "shingles", "bands", "meta"))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$gen/gen=0/$t"),
+        fs, new org.apache.hadoop.fs.Path(s"$legacy/$t"),
+        false, spark.sparkContext.hadoopConfiguration)
+    assert(pairs(legacy) === expected)
+    // and an ingest on top of the legacy layout unions both generations
+    val batchB = Seq(20L -> "m n o p q r s t u v").toDF("doc_id", "text")
+    Dedup.ingestNeardupBatch(spark, legacy, batchB, "doc_id", "text")
+    val got = Dedup.incrementalNeardupPairs(spark, legacy,
+        Seq(30L -> t1, 31L -> "m n o p q r s t u w").toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 30L)))  // legacy-layout standing group still probes
+    assert(got.contains((20L, 31L))) // ingested generation probes too
+  }
+
   test("neardup index compaction: probe identical before/after, old generations retired") {
     import spark.implicits._
     val t1 = "a b c d e f g h i j"

@@ -54,14 +54,18 @@ class LearnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got(10L) === "fr")
     assert(got(11L) === "de")
-    // all-OOV text: per-token OOV cost is LOWER for the class with more
-    // training tokens? No — 1/(T_c + V) shrinks with T_c, so the smaller
-    // class wins per token while the larger class wins the prior; with 3
-    // tokens here the per-token term dominates: fr (fewer train tokens)
-    val tFr = 7.0; val tDe = 9.0; val v = 10.0 // hand counts
+    // all-OOV text: every token takes the smoothed zero-count likelihood
+    // 1/(T_c + V), which favors the SMALLER class per token, while the
+    // prior favors the larger; hand-checking the trade-off here —
+    // T_fr = 7, T_de = 9, V = 9 distinct training tokens (wine cheese
+    // baguette croissant beer sausage pretzel schnitzel bratwurst):
+    //   fr: ln(2/5) + 3·ln(1/16) = -9.234
+    //   de: ln(3/5) + 3·ln(1/18) = -9.182   → de wins (prior dominates)
+    val tFr = 7.0; val tDe = 9.0; val v = 9.0 // hand counts
     val scoreFr = math.log(2.0 / 5.0) + 3 * math.log(1.0 / (tFr + v))
     val scoreDe = math.log(3.0 / 5.0) + 3 * math.log(1.0 / (tDe + v))
-    assert((scoreFr > scoreDe) === (got(12L) == "fr"))
+    assert(scoreDe > scoreFr) // the hand arithmetic itself
+    assert(got(12L) === "de")
   }
 
   test("frequent pair rules: apriori counts, confidence, and lift on a hand-checkable basket set") {
@@ -155,6 +159,93 @@ class LearnSpec extends SparkSpec {
       (x: Double) => (x - lo) / (hi - lo))
     assert(math.abs(dMicro / 1e6 - ks.statistic) <= 1e-5,
       s"relational D $dMicro vs mllib ${ks.statistic}")
+  }
+
+  test("logistic regression learns a separable boundary and matches a scalar GD mirror") {
+    import spark.implicits._
+    // y = (x2 >= 0) over a CENTERED x2 in [-5, 4]: linearly separable with
+    // the boundary near the origin, so 8 full-batch iterations fully
+    // separate it (an uncentered copy converges too, just slower); x1 is
+    // a small nuisance feature
+    val raw = (1L to 60L).map { i =>
+      (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1000000L else 0L)
+    }
+    val feats = raw.toDF("id", "x1", "x2", "yq")
+    val w = Learn.logisticFit2(feats, iters = 8, lr = 1.0)
+    val wr = w.head()
+    val got = (wr.getLong(0), wr.getLong(1), wr.getLong(2))
+    // scalar mirror of the identical arithmetic: Math.exp IS Spark's exp,
+    // gradient sums are exact Longs, and the quantized update rounds
+    // half-away-from-zero like SQL round
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    var mw = (0L, 0L, 0L)
+    for (_ <- 1 to 8) {
+      var g0 = 0L; var g1 = 0L; var g2 = 0L
+      raw.foreach { case (_, x1, x2, yq) =>
+        val z = (mw._1 + mw._2 * x1 + mw._3 * x2).toDouble / 65536.0
+        val pq = math.round(1000000.0 / (1.0 + math.exp(-z))) // positive: half-up == half-away
+        g0 += yq - pq; g1 += (yq - pq) * x1; g2 += (yq - pq) * x2
+      }
+      def upd(wq: Long, g: Long): Long =
+        wq + rnd((1.0 * ((g.toDouble / 1000000.0) / raw.size)) * 65536.0)
+      mw = (upd(mw._1, g0), upd(mw._2, g1), upd(mw._3, g2))
+    }
+    assert(got === mw)
+    assert(got._3 > 0, "must learn the separating direction")
+    val scored = Learn.logisticPredict2(feats, w, "id").collect()
+    val acc = scored.count(r => r.getLong(3) == r.getLong(1)).toDouble / scored.length
+    assert(acc === 1.0, s"separable fixture must fully separate, got $acc")
+  }
+
+  test("logistic fit is bit-identical across partitionings") {
+    import spark.implicits._
+    val feats = (1L to 200L).map { i =>
+      (i, i % 5, (i * 7) % 23, if ((i * 3) % 11 > 5) 1000000L else 0L)
+    }.toDF("id", "x1", "x2", "yq")
+    val a = Learn.logisticFit2(feats.repartition(1), iters = 4).head()
+    val b = Learn.logisticFit2(feats.repartition(13, col("x2")), iters = 4).head()
+    assert(a === b)
+  }
+
+  test("decision tree: hand-checked splits, tie-breaks, and leaf populations") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L, 1L), (1L, 20L, 1L), (2L, 10L, 1L),
+      (2L, 20L, 0L), (3L, 10L, 0L), (3L, 20L, 0L)).toDF("x1", "x2", "y")
+    val (leaves, splits) = Learn.decisionTree2(rows)
+    val sp = splits.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // root: feat1<=1 scores (4+0)*1000/2 + (1+9)*1000/4 = 4500 and
+    // feat1<=2 ties at (9+1)*1000/4 + (0+4)*1000/2 = 4500 (feat2<=10 only
+    // reaches 3332); the (feat, val) tie-break picks (1, 1)
+    assert(sp(1L) === (1L, 1L))
+    // node 2 is pure-positive: every candidate ties, feat 1 has no valid
+    // split (single value), so (2, 10) is chosen
+    assert(sp(2L) === (2L, 10L))
+    // node 3: feat1<=2 and feat2<=10 tie at 1000 + 2000 = 3000; feat 1 wins
+    assert(sp(3L) === (1L, 2L))
+    val lv = leaves.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // majority prediction; node 6's exact 1-of-2 tie predicts 0
+    assert(lv === Map(4L -> (1L, 1L, 1L), 5L -> (1L, 1L, 1L),
+      6L -> (2L, 1L, 0L), 7L -> (2L, 0L, 0L)))
+  }
+
+  test("frequent triples: apriori subset prune and hand-counted support") {
+    import spark.implicits._
+    val baskets = (
+      (1 to 5).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"), (i.toLong, "c"))) ++
+        Seq((6L, "a"), (6L, "b"), (7L, "a"), (7L, "c"),
+          (8L, "b"), (8L, "c"), (8L, "d"), (9L, "d"),
+          (10L, "a"), (10L, "b"), (10L, "c"), (10L, "d"))
+      ).toDF("basket", "item")
+    val got = Learn.frequentTriples(baskets, "basket", "item", minSupport = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // thr = ceil(0.3*10) = 3; (a,b,c) occurs in baskets 1-5 and 10 = 6;
+    // every triple containing d has an infrequent 2-subset (ad=1, bd=cd=2)
+    // and is pruned before counting, even though d itself is frequent (3)
+    assert(got === Map(("a", "b", "c") -> (6L, 600000L)))
   }
 
   test("naive bayes output carries the actual label and one row per doc") {

@@ -104,4 +104,39 @@ class PipelineSpec extends SparkSpec {
     assert(project(loaded, Tables.documents(fresh, sf001))
       === project(model, corpus))
   }
+
+  test("scaler + pca2 stages: hand-checked eigen-solve, z-scores, and save/load roundtrip") {
+    import spark.implicits._
+    // perfectly correlated 2-feature set: means (3, 1.5), population
+    // vars (5, 1.25), cov 2.5 -> eigenvalues (6.25, 0), principal
+    // direction (2, 1)/sqrt(5) — all exactly hand-derivable
+    val feats = Seq((1L, 0L, 0L), (2L, 2L, 1L), (3L, 4L, 2L), (4L, 6L, 3L))
+      .toDF("id", "x1", "x2")
+    val pipe = new Chain(Seq(
+      StandardScaler2("x1", "x2", "z1", "z2"),
+      Pca2("x1", "x2", "pc1", "evr")))
+    val model = pipe.fit(feats)
+    val pca = model.stages.collectFirst { case m: Pca2Model => m }.get
+    assert(math.abs(pca.lam1 - 6.25) < 1e-12 && math.abs(pca.lam2) < 1e-12)
+    assert(math.abs(pca.v1 - 2.0 / math.sqrt(5.0)) < 1e-15)
+    assert(math.abs(pca.v2 - 1.0 / math.sqrt(5.0)) < 1e-15)
+    val out = model.transform(feats).orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // id 4 = (6, 3): z1 = 3/sqrt(5) = 1.3416..., pc1 = (3,1.5)·v = 3.3541...
+    assert(byId(4L) === (1341641L, 1341641L, 3354102L, 1000000L))
+    // id 1 = (0, 0): the mirrored negative point
+    assert(byId(1L) === (-1341641L, -1341641L, -3354102L, 1000000L))
+    // diagonal covariance (b = 0) takes the dominant axis with the
+    // deterministic orientation convention
+    val f2 = Seq((1L, 2L, 1L), (2L, -2L, 1L), (3L, 0L, 0L), (4L, 0L, 2L))
+      .toDF("id", "x1", "x2")
+    val m2 = Pca2("x1", "x2", "pc1", "evr").fit(f2) // a = 2 > c = 0.5, b = 0
+    assert(m2.v1 === 1.0 && m2.v2 === 0.0)
+    // persistence: both new stage kinds round-trip bit-exact
+    val path = "/tmp/graft_scale/pipeline_pca_spec"
+    model.save(spark, path)
+    val loaded = Model.load(spark, path)
+    assert(loaded.transform(feats).orderBy("id").collect().toSeq === out.toSeq)
+  }
 }

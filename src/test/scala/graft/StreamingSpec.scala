@@ -582,4 +582,77 @@ class StreamingSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"), s"static dim must broadcast:\n$plan")
     } finally q.stop()
   }
+
+  test("streaming k-means: hand-checked decay arithmetic, empty-cluster decay") {
+    import spark.implicits._
+    import graft.ext.Clustering
+    // 1-dim, hand-checkable: seeds (0, w=1, [0]) and (1, w=1, [100])
+    val seeds = Seq((0L, 1.0, Array(0.0)), (1L, 1.0, Array(100.0)))
+    val b1 = Seq((10L, Seq(2L)), (11L, Seq(4L))).toDF("vec_id", "vq")
+    val u1 = Clustering.streamingUpdate(seeds, b1, dims = 1, decay = 0.5)
+    // both rows assign to cluster 0: c' = (0*0.5 + 6)/(0.5 + 2) = 2.4
+    assert(u1.head._2 === 2.5 && u1.head._3(0) === 2.4)
+    // cluster 1 saw nothing: weight decays, centroid unchanged
+    assert(u1(1)._2 === 0.5 && u1(1)._3(0) === 100.0)
+    // a second batch compounds the decayed history:
+    // (2.4*1.25 + 8)/(1.25 + 1) = 11/2.25
+    val u2 = Clustering.streamingUpdate(u1,
+      Seq((12L, Seq(8L))).toDF("vec_id", "vq"), dims = 1, decay = 0.5)
+    assert(u2.head._2 === 2.25)
+    assert(math.abs(u2.head._3(0) - 11.0 / 2.25) < 1e-12)
+    assert(u2(1)._2 === 0.25 && u2(1)._3(0) === 100.0)
+  }
+
+  test("streaming k-means at decay 0 over a static re-feed equals batch Lloyd") {
+    import spark.implicits._
+    import graft.ext.Clustering
+    // decay 0 makes every update a pure Lloyd step (history forgotten),
+    // so N re-feeds of a static corpus == N batch Lloyd iterations
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq((i % 7) * 3, (i % 5) * 2, i % 11).map(_ * Clustering.QuantScale)))
+    val vq = vecs.toDF("vec_id", "vq")
+    val emb = vecs.map { case (id, v) =>
+      (id, v.map(_.toDouble / Clustering.QuantScale))
+    }.toDF("vec_id", "embedding")
+    var centers: Seq[(Long, Double, Array[Double])] = vecs.take(2)
+      .map { case (id, v) => (id, 0.0, v.map(_.toDouble).toArray) }
+    for (_ <- 1 to 2)
+      centers = Clustering.streamingUpdate(centers, vq, dims = 3, decay = 0.0)
+    val viaStreaming = Clustering.assignSummary(vq, centers.map(c => (c._1, c._3)))
+      .orderBy("cluster").collect().toSeq
+    val viaBatch = Clustering.kmeans(emb, "vec_id", "embedding", dims = 3,
+        k = 2, iters = 2)
+      .orderBy("cluster").collect().toSeq
+    assert(viaStreaming === viaBatch)
+    assert(viaBatch.size === 2)
+  }
+
+  test("streaming k-means through foreachBatch equals direct per-batch updates") {
+    import spark.implicits._
+    import graft.ext.Clustering
+    val b1 = Seq((10L, Seq(2L, 0L)), (11L, Seq(4L, 2L)))
+    val b2 = Seq((12L, Seq(8L, 6L)), (13L, Seq(100L, 90L)))
+    val seeds = Seq((0L, 1.0, Array(0.0, 0.0)), (1L, 1.0, Array(100.0, 100.0)))
+    // expected: the same update applied batch-by-batch, directly
+    var expected = seeds
+    for (b <- Seq(b1, b2))
+      expected = Clustering.streamingUpdate(expected,
+        b.toDF("vec_id", "vq"), dims = 2, decay = 0.5)
+    // actual: through the streaming engine, model held across batches on
+    // the driver exactly like the v11 query (and the reference's
+    // StreamingKMeans.update contract)
+    val ms = MemoryStream[(Long, Seq[Long])](spark)
+    var centers = seeds
+    val q = ms.toDF().toDF("vec_id", "vq").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        centers = Clustering.streamingUpdate(centers, b, dims = 2, decay = 0.5)
+      }
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(centers.map(c => (c._1, c._2, c._3.toSeq))
+      === expected.map(c => (c._1, c._2, c._3.toSeq)))
+  }
 }
