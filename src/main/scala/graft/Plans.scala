@@ -323,7 +323,19 @@ object Plans {
         "join, frequent-pair occurrences are semi-joined against the " +
         "grouped pair table, and the third-item extension semi-joins both " +
         "remaining 2-subsets — candidate fan-out is bounded by the " +
-        "frequent-pair lattice, not raw basket width."))
+        "frequent-pair lattice, not raw basket width."),
+    "n17_spearman" ->
+      ("Spearman with tied-rank averaging: ranking runs on the DISTINCT-" +
+        "value counts (rows shrink to the value vocabulary before any " +
+        "ordering work), the prefix sum is range-repartition + broadcast " +
+        "offsets — never a single-partition sort — and doubled average " +
+        "ranks keep ties integer-exact, with DECIMAL(38,0) sums clearing " +
+        "the n^3 magnitude a BIGINT overflows past ~1.3M rows."),
+    "s24_bisecting_kmeans" ->
+      ("Bisecting k-means: each level is one compiled per-cluster argmin " +
+        "scan + one map-side-combined integer-sum aggregate of clusters x " +
+        "2 rows per Lloyd round — identical cost shape to flat k-means " +
+        "per level, with the binary-tree relabel a pure projection."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

@@ -178,6 +178,99 @@ object Clustering {
     out
   }
 
+  /** Per-parent-cluster 2-way argmin assignment: each row competes only
+    * against its OWN cluster's sub-centers (ties keep the lowest sub
+    * index, like [[assignUdf]]). Parents with one surviving sub-center
+    * send everything to it. */
+  private def assignWithinUdf(centers: Map[Long, Array[(Long, Array[Double])]]): UserDefinedFunction =
+    udf { (cluster: Long, vq: Seq[Long]) =>
+      val cs = centers(cluster)
+      val x = vq.toArray
+      var best = 0; var bestD = Double.PositiveInfinity
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)._2; val n = math.min(c.length, x.length)
+        var d = 0.0; var i = 0
+        while (i < n) { val t = x(i) - c(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      cs(best)._1
+    }
+
+  /** Level-synchronous bisecting k-means (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/clustering/
+    * BisectingKMeans.scala:112 — run() splits ALL divisible clusters each
+    * pass with an inner 2-means until >= k leaves; this thin slice runs
+    * `levels` full passes, so k = 2^levels, and labels clusters by the
+    * same binary tree encoding the reference uses (root 1, children 2n /
+    * 2n+1 — BisectingKMeans.scala's leftChildIndex/rightChildIndex)).
+    * Per level: 2-means inside every current cluster, seeded by the
+    * cluster's two smallest-id vectors (deterministic, no RNG — the
+    * [[kmeans]] seeding rule applied per cluster), `iters` Lloyd rounds
+    * where each round is ONE scan (compiled per-cluster argmin over the
+    * broadcast-captured seed map) + ONE map-side-combined integer-sum
+    * aggregate of clusters x 2 rows. Sub-clusters that lose all members
+    * drop (the [[kmeans]] convention); a cluster left with one sub keeps
+    * its rows under that surviving child's label. Centroids derive from exact integer
+    * sums — bit-identical under any partitioning or engine.
+    * Returns the per-leaf summary (cluster, n_members, min_member,
+    * mean_sqnorm). */
+  def bisectingKmeans(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                      levels: Int = 2, iters: Int = 2): DataFrame = {
+    val q = quantized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var a = q.withColumn("cluster", lit(1L)).localCheckpoint()
+    val sumAggs = (0 until dims).map(d =>
+      sum(expr(s"element_at(vq, ${d + 1})")).as(s"s$d")) :+ count(lit(1)).as("cnt")
+    for (_ <- 1 to levels) {
+      // seeds: the 2 smallest-id vectors per cluster (clusters x 2 rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy("vec_id")
+      var centers: Map[Long, Array[(Long, Array[Double])]] = a
+        .withColumn("sub", (row_number().over(w) - 1).cast("long"))
+        .filter(col("sub") <= 1)
+        .select("cluster", "sub", "vq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Long](2).map(_.toDouble).toArray))
+        .groupBy(_._1)
+        .map { case (cl, rows) =>
+          cl -> rows.map(t => (t._2, t._3)).sortBy(_._1).toArray
+        }
+      for (_ <- 1 to iters) {
+        val rows = a.withColumn("sub", assignWithinUdf(centers)(col("cluster"), col("vq")))
+          .groupBy("cluster", "sub").agg(sumAggs.head, sumAggs.tail: _*)
+          .collect()
+        centers = rows
+          .map { r =>
+            val cnt = r.getLong(dims + 2).toDouble
+            (r.getLong(0), r.getLong(1),
+              (0 until dims).map(d => r.getLong(d + 2).toDouble / cnt).toArray)
+          }
+          .groupBy(_._1)
+          .map { case (cl, rs) =>
+            cl -> rs.map(t => (t._2, t._3)).sortBy(_._1).toArray
+          }
+      }
+      a = a.withColumn("sub", assignWithinUdf(centers)(col("cluster"), col("vq")))
+        .withColumn("cluster", col("cluster") * 2 + col("sub"))
+        .drop("sub")
+        .localCheckpoint()
+    }
+    val out = a
+      .withColumn("sqnorm", expr("aggregate(vq, 0L, (a, x) -> a + x * x)"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_member"),
+        sum("sqnorm").as("ssq"))
+      .select(col("cluster"), col("n_members"), col("min_member"),
+        round(col("ssq").cast("double") / col("n_members") / (QuantScale.toDouble * QuantScale), 4)
+          .as("mean_sqnorm"))
+      .localCheckpoint()
+    q.unpersist()
+    out
+  }
+
   /** Sampled-Lloyd centroid TRAINING only — the training half of
     * [[kmeansSampled]], exposed for index builds (IVF coarse quantizers,
     * PQ-style codebooks) that need the centers without the summary pass.

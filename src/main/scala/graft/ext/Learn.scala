@@ -56,6 +56,44 @@ object Learn {
   val olsPredExpr: String =
     "CAST(round((b0 + (b1 * CAST(x1 AS DOUBLE))) + (b2 * CAST(x2 AS DOUBLE))) AS BIGINT)"
 
+  /** Ridge variant of [[olsBetaExprs]] (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/regression/
+    * RidgeRegression.scala:52 trains the same L2-penalized objective by
+    * SGD with a SquaredL2Updater; at 2 features the penalized normal
+    * equations stay closed-form): minimizing (1/n)·Σ(y − Xβ)² +
+    * λ·(b1² + b2²) adds n·λ to the two WEIGHT diagonal entries of X'X —
+    * the intercept is NOT penalized, the standard convention (and
+    * mllib's addIntercept handling). λ = 0 reduces exactly to
+    * [[olsBetaExprs]]. The λ literal is embedded in the formula string,
+    * so the oracle repeats it verbatim. */
+  def ridgeBetaExprs(lambda: Double): Seq[(String, String)] = {
+    def d(col: String) = s"CAST($col AS DOUBLE)"
+    val (n, s1, s2) = (d("n"), d("s1"), d("s2"))
+    val s11 = s"(${d("s11")} + ($lambda * ${d("n")}))"
+    val s22 = s"(${d("s22")} + ($lambda * ${d("n")}))"
+    val (s12, sy, s1y, s2y) = (d("s12"), d("sy"), d("s1y"), d("s2y"))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    Seq(
+      "b0" -> s"(${det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)} / $det)",
+      "b1" -> s"(${det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)} / $det)",
+      "b2" -> s"(${det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)} / $det)")
+  }
+
+  /** Ridge fit over the same nine exact integer sufficient statistics as
+    * [[olsFit2]] — ONE aggregation scan, the penalized Cramer solve as a
+    * 1-row projection. */
+  def ridgeFit2(feats: DataFrame, lambda: Double): DataFrame =
+    feats.agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .selectExpr(ridgeBetaExprs(lambda).map { case (name, e) => s"$e AS $name" }: _*)
+
   /** Fit y ~ 1 + x1 + x2 by exact normal equations over a
     * (x1, x2, y) BIGINT table. One aggregation scan (nine integer sums,
     * map-side combined), one 1-row projection — no iteration, no feature
@@ -379,6 +417,58 @@ object Learn {
       .localCheckpoint()
     pruned.unpersist(); b.unpersist()
     out
+  }
+
+  /** The Pearson-on-doubled-ranks correlation as one formula string over
+    * the six exact sums (n, sa, sb, saa, sbb, sab), micro-quantized —
+    * shared verbatim with the oracle. The sums arrive as exact wide
+    * integers (DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB);
+    * casting the same exact integer to DOUBLE is correctly rounded in
+    * both engines, and everything after is fixed-parenthesization double
+    * arithmetic. */
+  val spearmanRhoExpr: String =
+    "CAST(round((((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)) - (CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))) / " +
+      "sqrt(((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))) * " +
+      "((CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))))) * 1000000.0) AS BIGINT)"
+
+  /** Spearman rank correlation with average ranks for ties (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/stat/correlation/
+    * SpearmanCorrelation.scala:49 computes the same: global sort, average
+    * the ranks of tied values, then Pearson on the ranks). Scale shape:
+    *   1. per-column DISTINCT-value counts (one hash aggregate — the
+    *      ranking input shrinks from rows to distinct values);
+    *   2. the exclusive weighted prefix sum over value order via
+    *      [[Scale.packByTokenBudget]]'s range-repartition + broadcast-
+    *      offsets machinery — never a single-partition global sort (the
+    *      reference's zipWithIndex over a sortByKey has the same
+    *      distributed shape);
+    *   3. DOUBLED average ranks r2(v) = 2·|{u < v}| + cnt(v) + 1, so tied
+    *      ranks like 2.5 stay exact INTEGERS;
+    *   4. join ranks back by value (shuffle bounded by distinct values)
+    *      and Pearson over exact integer sums.
+    * Sums go through DECIMAL(38,0) — doubled ranks reach ~2n, so a
+    * BIGINT Σr² overflows near 1.3M rows; decimal sums stay exact to
+    * ~1e9 rows and mirror DuckDB's HUGEINT exactly. Returns one row
+    * (n, rho_micro). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks2(c: String, out: String): DataFrame = {
+      val counts = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("cnt"))
+      Scale.packByTokenBudget(counts, "__v", "cnt", Long.MaxValue)
+        .select(col("__v"),
+          ((lit(2L) * col("cum_before")) + col("cnt") + lit(1L)).as(out))
+    }
+    val pairs = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+    val ranked = pairs
+      .join(ranks2(xCol, "ax").withColumnRenamed("__v", "__x"), "__x")
+      .join(ranks2(yCol, "ay").withColumnRenamed("__v", "__y"), "__y")
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ax AS DECIMAL(38,0))")).as("sa"),
+        sum(expr("CAST(ay AS DECIMAL(38,0))")).as("sb"),
+        sum(expr("CAST(ax AS DECIMAL(38,0)) * ax")).as("saa"),
+        sum(expr("CAST(ay AS DECIMAL(38,0)) * ay")).as("sbb"),
+        sum(expr("CAST(ax AS DECIMAL(38,0)) * ay")).as("sab"))
+      .selectExpr("CAST(n AS BIGINT) AS n", s"$spearmanRhoExpr AS rho_micro")
   }
 
   /** Frequent length-2 sequential patterns (reference

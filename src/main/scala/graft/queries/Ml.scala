@@ -196,6 +196,27 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Ridge regression (reference mllib/regression/RidgeRegression.scala
+    // — SGD + SquaredL2Updater there; the penalized normal equations stay
+    // closed-form at 2 features): the s14 problem with lambda = 0.1 on the
+    // weight diagonal. Same one-scan sufficient statistics; only the
+    // Cramer matrix changes, and the lambda literal rides the shared
+    // formula string into the oracle.
+    "s23_ridge_regression" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("x2"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y")),
+          "o_orderkey")
+      val betas = Learn.ridgeFit2(feats, lambda = 0.1)
+      Learn.olsPredict2(feats.filter(col("o_orderkey") <= 4000), betas, "o_orderkey")
+        .withColumnRenamed("y", "cents")
+        .orderBy("o_orderkey")
+    },
+
     // FP-growth k = 3 (reference mllib/fpm/FPGrowth.scala — the
     // arbitrary-k lattice step s16 elides): frequent brand TRIPLES with
     // the full Apriori subset prune. Triples are ~5x rarer than pairs
@@ -467,6 +488,34 @@ object Ml {
          |  CAST(round((lam1 / (lam1 + lam2)) * 1000000.0) AS BIGINT) AS evr_micro
          |FROM feats f CROSS JOIN model
          |WHERE f.o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin
+    },
+
+    // The s14 oracle with the ridge-penalized Cramer matrix — the same
+    // shared formula strings, lambda literal included.
+    "s23_ridge_regression" -> {
+      val betaSelect = Learn.ridgeBetaExprs(0.1)
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n    ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem l GROUP BY 1),
+         |fy AS MATERIALIZED (
+         |  SELECT f.o_orderkey, f.x1, f.x2,
+         |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+         |  FROM feats f JOIN orders o USING (o_orderkey)),
+         |sums AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM fy),
+         |betas AS (SELECT
+         |    $betaSelect
+         |  FROM sums)
+         |SELECT fy.o_orderkey, fy.y AS cents, ${Learn.olsPredExpr} AS predq
+         |FROM fy CROSS JOIN betas WHERE fy.o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
     },
 
     // Apriori-pruned triple mining: frequent-pair occurrences extended by

@@ -83,6 +83,18 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // Level-synchronous bisecting k-means (reference mllib/clustering/
+    // BisectingKMeans.scala — split every divisible cluster per pass via
+    // an inner 2-means; binary-tree cluster labels): 2 levels = 4 leaves
+    // over the embeddings, seeds per cluster = its 2 smallest-id vectors,
+    // 2 within-cluster Lloyd rounds per split. The oracle unrolls both
+    // levels, so every seed choice, tie-break, and relabel is gated.
+    "s24_bisecting_kmeans" -> { (s, dir) =>
+      graft.ext.Clustering.bisectingKmeans(
+          Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
+        .orderBy("cluster")
+    },
+
     // Sample-trained k-means — the 100 TB centroid-training recipe:
     // Lloyd iterates over the deterministic hash sample (vec_id % 4 == 0),
     // the full corpus is assigned exactly once. The oracle runs the SAME
@@ -196,6 +208,34 @@ object Similarity {
 
   private[queries] val QS = graft.ext.Clustering.QuantScale
 
+  /** One bisecting level (graft.ext.Clustering.bisectingKmeans's shape
+    * verbatim): per-cluster 2-seed init, two within-cluster Lloyd rounds,
+    * final assignment, binary-tree relabel. `aIn(vec_id, cl)` in,
+    * `aOut(vec_id, cl)` out. */
+  private def bisectLevelCte(lvl: Int, aIn: String, aOut: String): String = {
+    def assign(name: String, cTbl: String) =
+      s"""$name AS (SELECT vec_id, cl, sub FROM (
+         |  SELECT v.vec_id, p.cl, s.sub,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - s.c[i]) * (v.vq[i] - s.c[i]))), s.sub) rn
+         |  FROM v JOIN $aIn p USING (vec_id) JOIN $cTbl s ON s.cl = p.cl) WHERE rn = 1)""".stripMargin
+    def recompute(name: String, aTbl: String) =
+      s"""$name AS (SELECT cl, sub, list(sd ORDER BY i) c FROM (
+         |  SELECT a.cl, a.sub, i.i, sum(v.vq[i.i])::DOUBLE / count(*) sd
+         |  FROM v JOIN $aTbl a USING (vec_id) CROSS JOIN range(1, ${Dims + 1}) i(i)
+         |  GROUP BY a.cl, a.sub, i.i) GROUP BY cl, sub)""".stripMargin
+    s"""bs${lvl}c0 AS (SELECT cl, sub, c FROM (
+       |  SELECT p.cl, row_number() OVER (PARTITION BY p.cl ORDER BY v.vec_id) - 1 AS sub,
+       |         list_transform(v.vq, q -> q::DOUBLE) AS c
+       |  FROM v JOIN $aIn p USING (vec_id)) WHERE sub <= 1),
+       |${assign(s"bs${lvl}a1", s"bs${lvl}c0")},
+       |${recompute(s"bs${lvl}c1", s"bs${lvl}a1")},
+       |${assign(s"bs${lvl}a2", s"bs${lvl}c1")},
+       |${recompute(s"bs${lvl}c2", s"bs${lvl}a2")},
+       |${assign(s"bs${lvl}af", s"bs${lvl}c2")},
+       |$aOut AS MATERIALIZED (SELECT vec_id, cl * 2 + sub AS cl FROM bs${lvl}af)""".stripMargin
+  }
+
   // ---- PQ CTE builders (per-subspace assign / centroid recompute) ---------
   // Same determinism rules as the k-means CTEs: distances over quantized
   // integers vs DOUBLE centroids, left-to-right list_sum, ties to the
@@ -230,6 +270,20 @@ object Similarity {
          |  min(v.vec_id) AS min_member,
          |  round(sum(list_sum(list_transform(v.vq, q -> q * q)))::DOUBLE / count(*) / ${QS.toDouble * QS}, 4) AS mean_sqnorm
          |FROM v JOIN af USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // Both levels unrolled: every seed, tie-break, recompute, and the
+    // tree relabel are the oracle's to re-derive.
+    "s24_bisecting_kmeans" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |a0 AS (SELECT vec_id, 1::BIGINT AS cl FROM v),
+         |${bisectLevelCte(1, "a0", "abl1")},
+         |${bisectLevelCte(2, "abl1", "abl2")}
+         |SELECT abl2.cl AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+         |  min(v.vec_id) AS min_member,
+         |  round(sum(list_sum(list_transform(v.vq, q -> q * q)))::DOUBLE / count(*) / ${QS.toDouble * QS}, 4) AS mean_sqnorm
+         |FROM v JOIN abl2 USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "s07_kmeans_sampled" ->
       s"""WITH v AS (SELECT vec_id,

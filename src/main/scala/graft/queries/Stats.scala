@@ -294,6 +294,21 @@ object Stats {
         "o_orderkey", "y")
     },
 
+    // Spearman rank correlation with average tied ranks (reference
+    // mllib/stat/correlation/SpearmanCorrelation.scala): price cents vs
+    // rounded quantity over lineitem — extendedprice is quantity-derived,
+    // so rho is strongly positive, and quantity's ~50 distinct values
+    // exercise the tied-rank averaging hard. Ranking runs on the
+    // DISTINCT-value tables through the x05 prefix-sum machinery; doubled
+    // ranks keep ties integer-exact.
+    "n17_spearman" -> { (s, dir) =>
+      graft.ext.Learn.spearman(
+        Tables.lineitem(s, dir).select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("xc"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("yc")),
+        "xc", "yc")
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -452,6 +467,34 @@ object Stats {
         |    CAST(round(((CAST(y - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)) - (CAST(gi - 1 AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e6) AS BIGINT))) AS d_micro
         |  FROM r CROSS JOIN b)
         |SELECT b.nn AS n, d.d_micro FROM b CROSS JOIN d""".stripMargin,
+
+    // Doubled-average-rank formulation: r2(v) = 2·|{u < v}| + cnt(v) + 1
+    // per distinct value (a window cumsum over the tiny counts table
+    // mirrors the Spark side's distributed prefix sum), then the shared
+    // Pearson-on-ranks formula string; DuckDB's HUGEINT sums mirror the
+    // Spark side's DECIMAL(38,0) exactly.
+    "n17_spearman" -> {
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS xc,
+         |         CAST(round(l_quantity) AS BIGINT) AS yc
+         |  FROM lineitem),
+         |rx AS (SELECT v AS xc, (2 * cb) + cnt + 1 AS ax FROM (
+         |  SELECT v, cnt, COALESCE(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM (SELECT xc AS v, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1))),
+         |ry AS (SELECT v AS yc, (2 * cb) + cnt + 1 AS ay FROM (
+         |  SELECT v, cnt, COALESCE(sum(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM (SELECT yc AS v, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1))),
+         |j AS (SELECT ax, ay FROM p JOIN rx USING (xc) JOIN ry USING (yc)),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(ax) AS sa, sum(ay) AS sb,
+         |    sum(ax * ax) AS saa, sum(ay * ay) AS sbb,
+         |    sum(ax * ay) AS sab
+         |  FROM j)
+         |SELECT CAST(n AS BIGINT) AS n, ${graft.ext.Learn.spearmanRhoExpr} AS rho_micro
+         |FROM sums""".stripMargin
+    },
 
     "n15_chi_square" ->
       """WITH ct AS (SELECT user_id % 3 AS lab, event_type AS f,

@@ -64,4 +64,37 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(pairs.map(p => (p._1, p._2)).distinct.length === pairs.length)
   }
+
+  test("bisecting k-means: hand-tracked splits, tie-break, tree labels") {
+    import spark.implicits._
+    // 1-dim, fully hand-trackable: two well-separated groups of four,
+    // each splitting again at level 2. Level 1: seeds v1=0, v2=100 ->
+    // leaves {0,1,2,3} (cl 2) and {100..103} (cl 3). Level 2 inside cl 2:
+    // seeds 0 and 1; after round 1 centers (0, 2); value 1 then TIES
+    // (dist 1 vs 1) and the strict-< rule keeps sub 0; final centers
+    // (0.5, 2.5) -> leaves {0,1} and {2,3}. Symmetric on the 100s.
+    val emb = Seq(
+      (1L, Seq(0.0)), (2L, Seq(100.0)), (3L, Seq(1.0)), (4L, Seq(101.0)),
+      (5L, Seq(2.0)), (6L, Seq(102.0)), (7L, Seq(3.0)), (8L, Seq(103.0))
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.bisectingKmeans(emb, "vec_id", "embedding", dims = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      4L -> (2L, 1L, 0.5),      // values {0, 1}: mean of squares 0.5
+      5L -> (2L, 5L, 6.5),      // {2, 3}
+      6L -> (2L, 2L, 10100.5),  // {100, 101}
+      7L -> (2L, 6L, 10506.5))) // {102, 103}
+  }
+
+  test("bisecting k-means is partitioning-deterministic on the embeddings corpus") {
+    val e = Tables.embeddings(spark, sf001)
+    val a = Clustering.bisectingKmeans(e.repartition(1), "vec_id", "embedding", 64)
+      .orderBy("cluster").collect().toSeq
+    val b = Clustering.bisectingKmeans(e.repartition(13), "vec_id", "embedding", 64)
+      .orderBy("cluster").collect().toSeq
+    assert(a === b)
+    assert(a.map(_.getLong(1)).sum === 500L) // every vector in exactly one leaf
+    // binary-tree leaf labels from two full levels
+    assert(a.map(_.getLong(0)).toSet.subsetOf(Set(4L, 5L, 6L, 7L)))
+  }
 }

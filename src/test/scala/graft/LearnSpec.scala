@@ -161,6 +161,48 @@ class LearnSpec extends SparkSpec {
       s"relational D $dMicro vs mllib ${ks.statistic}")
   }
 
+  test("ridge regression: lambda 0 equals OLS bit-exact, large lambda shrinks weights to the prior") {
+    import spark.implicits._
+    val feats = (1L to 100L).map { i =>
+      (i, i % 7, (i * 3) % 11, (i * i) % 500)
+    }.toDF("id", "x1", "x2", "y")
+    val ols = Learn.olsFit2(feats).head()
+    val ridge0 = Learn.ridgeFit2(feats, lambda = 0.0).head()
+    assert(ols === ridge0) // +0.0 on the diagonal is the identity
+    // heavy penalty: weights vanish, the unpenalized intercept absorbs
+    // the mean
+    val heavy = Learn.ridgeFit2(feats, lambda = 1e9).head()
+    assert(math.abs(heavy.getDouble(1)) < 1e-3 && math.abs(heavy.getDouble(2)) < 1e-3)
+    val meanY = feats.agg(avg("y")).head().getDouble(0)
+    assert(math.abs(heavy.getDouble(0) - meanY) < 0.1)
+    // moderate penalty strictly shrinks the weight norm
+    val mid = Learn.ridgeFit2(feats, lambda = 10.0).head()
+    def norm2(r: org.apache.spark.sql.Row) =
+      r.getDouble(1) * r.getDouble(1) + r.getDouble(2) * r.getDouble(2)
+    assert(norm2(mid) < norm2(ols))
+  }
+
+  test("spearman: monotone = 1, reversed = -1, textbook tied-rank value, partitioning-exact") {
+    import spark.implicits._
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Learn.spearman(mono, "x", "y").head().getLong(1) === 1000000L)
+    val anti = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Learn.spearman(anti, "x", "y").head().getLong(1) === -1000000L)
+    // textbook tie case: x = [1,2,2,3], y = [1,2,3,4] -> rho =
+    // 72/sqrt(72*80) = 0.9486832... (the doubled average ranks
+    // [2,5,5,8] vs [2,4,6,8] make every sum exact)
+    val tied = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val got = Learn.spearman(tied, "x", "y").head()
+    assert(got.getLong(0) === 4L)
+    assert(got.getLong(1) === 948683L)
+    // bit-identical under any partitioning (prefix-sum machinery +
+    // exact decimal sums)
+    val big = (1L to 500L).map(i => ((i * 7) % 97, (i * i) % 89)).toDF("x", "y")
+    val a = Learn.spearman(big.repartition(1), "x", "y").head()
+    val b = Learn.spearman(big.repartition(17), "x", "y").head()
+    assert(a === b)
+  }
+
   test("logistic regression learns a separable boundary and matches a scalar GD mirror") {
     import spark.implicits._
     // y = (x2 >= 0) over a CENTERED x2 in [-5, 4]: linearly separable with
