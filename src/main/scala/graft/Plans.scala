@@ -335,7 +335,13 @@ object Plans {
       ("Bisecting k-means: each level is one compiled per-cluster argmin " +
         "scan + one map-side-combined integer-sum aggregate of clusters x " +
         "2 rows per Lloyd round — identical cost shape to flat k-means " +
-        "per level, with the binary-tree relabel a pure projection."))
+        "per level, with the binary-tree relabel a pure projection."),
+    "s25_random_forest" ->
+      ("Random forest: three independent s20-shaped histogram fits over " +
+        "deterministic 2/3 bags, then scoring as three BROADCAST route " +
+        "joins + one vote projection — the cohort is scanned once per " +
+        "tree with nothing but node-table joins, so ensemble size " +
+        "multiplies the histogram cost, never the shuffle volume."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

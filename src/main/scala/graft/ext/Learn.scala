@@ -352,19 +352,70 @@ object Learn {
         .select(col("node"), col("feat"), col("val").as("thr"), col("score"))
         .localCheckpoint() // consumed by the route join AND the splits union
       allSplits = if (allSplits == null) best else allSplits.union(best)
-      r = r.join(broadcast(best.drop("score")), Seq("node"), "left")
-        .withColumn("node", expr(
-          "CASE WHEN thr IS NULL THEN node" +
-            " WHEN (CASE WHEN feat = 1 THEN x1 ELSE x2 END) <= thr THEN node * 2" +
-            " ELSE node * 2 + 1 END"))
-        .drop("feat", "thr")
-        .localCheckpoint()
+      r = routeOneLevel(r, best.drop("score")).localCheckpoint()
     }
     val leaves = r.groupBy(col("node").as("leaf"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
       .withColumn("pred",
         expr("CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS BIGINT)"))
     (leaves, allSplits)
+  }
+
+  /** One routing step: rows at `node` move to 2·node / 2·node+1 by their
+    * node's split (broadcast — the split table is nodes-sized); nodes
+    * without a split stay leaves. */
+  private def routeOneLevel(rows: DataFrame, splits: DataFrame): DataFrame =
+    rows.join(broadcast(splits), Seq("node"), "left")
+      .withColumn("node", expr(
+        "CASE WHEN thr IS NULL THEN node" +
+          " WHEN (CASE WHEN feat = 1 THEN x1 ELSE x2 END) <= thr THEN node * 2" +
+          " ELSE node * 2 + 1 END"))
+      .drop("feat", "thr")
+
+  /** Route arbitrary (x1, x2, ...) rows through a FITTED tree's split
+    * table ([[decisionTree2]]'s second return — node ids are tree-coded,
+    * so one table serves every level): adds the destination leaf as
+    * `node`. Scoring rows may carry values outside the training range —
+    * the <= threshold CASE handles them like any other. */
+  def decisionTreeRoute(rows: DataFrame, splits: DataFrame,
+                        maxDepth: Int = 2): DataFrame = {
+    var r = rows.withColumn("node", lit(1L))
+    for (_ <- 1 to maxDepth)
+      r = routeOneLevel(r, splits.select("node", "feat", "thr"))
+    r
+  }
+
+  /** Random forest of depth-2 trees (reference
+    * mllib/src/main/scala/org/apache/spark/mllib/tree/RandomForest.scala:
+    * 70 — an ensemble of [[decisionTree2]]-style histogram trees over
+    * bagged rows, majority vote at prediction). Deliberate deviations for
+    * the cross-engine oracle, per the house rules: bagging is the
+    * DETERMINISTIC complement-of-residue-class subset (tree t trains on
+    * id % trees != t — each tree sees (trees-1)/trees of the data, every
+    * row is left out of exactly one tree) instead of the reference's
+    * seeded Poisson BaggedPoint resampling, and with two features the
+    * per-split feature subsetting degenerates, so featureSubsetStrategy
+    * is effectively "all" (a legal reference setting). Training cost is
+    * `trees` histogram fits; scoring is `trees` broadcast route joins +
+    * one vote projection — no per-row UDF anywhere. Returns
+    * (idCol, label, votes, pred) with pred the strict majority (ties
+    * impossible at odd `trees`). */
+  def randomForest2(train: DataFrame, score: DataFrame, idCol: String,
+                    trees: Int = 3, maxDepth: Int = 2): DataFrame = {
+    val t = train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTree = (0 until trees).map { k =>
+      val (leaves, splits) = decisionTree2(t.filter(col(idCol) % trees =!= k), maxDepth)
+      decisionTreeRoute(score, splits, maxDepth)
+        .join(broadcast(leaves.select(col("leaf").as("node"), col("pred"))), "node")
+        .select(col(idCol), col("pred").as(s"p$k"))
+    }
+    val out = perTree.reduce((a, b) => a.join(b, idCol))
+      .withColumn("votes", (0 until trees).map(k => col(s"p$k")).reduce(_ + _))
+      .join(score.select(col(idCol), col("y").as("label")), idCol)
+      .select(col(idCol), col("label"), col("votes"),
+        expr(s"CAST(CASE WHEN 2 * votes > $trees THEN 1 ELSE 0 END AS BIGINT)").as("pred"))
+    t.unpersist()
+    out
   }
 
   /** Frequent item TRIPLES with the full Apriori candidate prune — the

@@ -178,6 +178,17 @@ object Ml {
       Learn.decisionTree2(rows)._1.orderBy("leaf")
     },
 
+    // Random forest (reference mllib/tree/RandomForest.scala — bagged
+    // histogram trees, majority vote): three depth-2 trees over the
+    // s19/s20 features, each trained on the deterministic id % 3 != t
+    // two-thirds subset (the Poisson-bagging analog the oracle can
+    // replay), cohort scored by three broadcast route joins + one vote.
+    "s25_random_forest" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 25, 1).withColumnRenamed("yq", "y")
+      Learn.randomForest2(rows, rows.filter(col("o_orderkey") <= 4000), "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // StandardScaler + closed-form 2-feature PCA (reference mllib/
     // feature/{StandardScaler,PCA}.scala) wired as PIPELINE stages (the
     // s10 contract gains a numeric path): both fitted from ONE exact-
@@ -402,34 +413,63 @@ object Ml {
 
   /** One unrolled decision-tree level: histogram -> prefix-sum candidate
     * table -> exact milli-unit Gini-complement argmax -> node routing
-    * (graft.ext.Learn.decisionTree2's per-level shape verbatim). */
-  private def dtLevelCte(k: Int): String = {
-    val prev = s"r${k - 1}"
-    s"""lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
+    * (graft.ext.Learn.decisionTree2's per-level shape verbatim). `p`
+    * prefixes every CTE name so the random-forest oracle can instantiate
+    * one chain per tree. */
+  private def dtLevelCte(p: String, k: Int): String = {
+    val prev = s"${p}r${k - 1}"
+    s"""${p}lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
        |  UNION ALL SELECT node, y, 2::BIGINT, x2 FROM $prev),
-       |h$k AS (SELECT node, feat, val, CAST(count(*) AS BIGINT) AS n,
+       |${p}h$k AS (SELECT node, feat, val, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(y) AS BIGINT) AS np
-       |  FROM lf$k GROUP BY 1, 2, 3),
-       |c$k AS (SELECT node, feat, val,
+       |  FROM ${p}lf$k GROUP BY 1, 2, 3),
+       |${p}c$k AS (SELECT node, feat, val,
        |    CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(np) OVER w AS BIGINT) AS lp,
        |    CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(np) OVER wn AS BIGINT) AS tp
-       |  FROM h$k
+       |  FROM ${p}h$k
        |  WINDOW w AS (PARTITION BY node, feat ORDER BY val ROWS UNBOUNDED PRECEDING),
        |         wn AS (PARTITION BY node, feat)),
-       |s$k AS (SELECT node, feat, val,
+       |${p}s$k AS (SELECT node, feat, val,
        |    CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl
        |       + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT) AS score
-       |  FROM c$k WHERE nl > 0 AND tn - nl > 0),
-       |b$k AS MATERIALIZED (SELECT node, feat, val AS thr FROM (
+       |  FROM ${p}c$k WHERE nl > 0 AND tn - nl > 0),
+       |${p}b$k AS MATERIALIZED (SELECT node, feat, val AS thr FROM (
        |    SELECT node, feat, val,
        |      row_number() OVER (PARTITION BY node ORDER BY score DESC, feat, val) AS rn
-       |    FROM s$k) WHERE rn = 1),
-       |r$k AS MATERIALIZED (
+       |    FROM ${p}s$k) WHERE rn = 1),
+       |${p}r$k AS MATERIALIZED (
        |  SELECT r.o_orderkey, r.x1, r.x2, r.y,
        |    CASE WHEN b.node IS NULL THEN r.node
        |         WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr THEN r.node * 2
        |         ELSE r.node * 2 + 1 END AS node
-       |  FROM $prev r LEFT JOIN b$k b USING (node))""".stripMargin
+       |  FROM $prev r LEFT JOIN ${p}b$k b USING (node))""".stripMargin
+  }
+
+  /** Cohort routing through a fitted level's split table (the Learn
+    * .decisionTreeRoute step, per level). */
+  private def dtRouteCte(p: String, k: Int, in: String): String =
+    s"""${p}q$k AS (SELECT q.o_orderkey, q.x1, q.x2, q.y,
+       |    CASE WHEN b.node IS NULL THEN q.node
+       |         WHEN (CASE WHEN b.feat = 1 THEN q.x1 ELSE q.x2 END) <= b.thr THEN q.node * 2
+       |         ELSE q.node * 2 + 1 END AS node
+       |  FROM $in q LEFT JOIN ${p}b$k b USING (node))""".stripMargin
+
+  /** One forest member: train the two-level tree on the id % 3 != t
+    * subset, derive its leaf predictions, route the cohort through it. */
+  private def rfTreeCtes(t: Int): String = {
+    val p = s"t$t"
+    s"""${p}r0 AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node
+       |  FROM feats WHERE o_orderkey % 3 <> $t),
+       |${dtLevelCte(p, 1)},
+       |${dtLevelCte(p, 2)},
+       |${p}lp AS (SELECT node,
+       |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |  FROM ${p}r2 GROUP BY 1),
+       |${dtRouteCte(p, 1, "coh")},
+       |${dtRouteCte(p, 2, s"${p}q1")},
+       |${p}p AS MATERIALIZED (
+       |  SELECT q.o_orderkey, lp.pred FROM ${p}q2 q JOIN ${p}lp lp USING (node))""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -455,12 +495,33 @@ object Ml {
          |${lrFeatsCte(25, 1L)},
          |r0 AS MATERIALIZED (
          |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node FROM feats),
-         |${dtLevelCte(1)},
-         |${dtLevelCte(2)}
+         |${dtLevelCte("", 1)},
+         |${dtLevelCte("", 2)}
          |SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(y) AS BIGINT) AS n_pos,
          |  CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM r2 GROUP BY 1 ORDER BY leaf""".stripMargin,
+
+    // Three unrolled per-tree (subset -> 2 split levels -> leaf preds ->
+    // cohort routing) chains, then the majority vote — every tree's
+    // every split is the oracle's to re-derive.
+    "s25_random_forest" ->
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(25, 1L)},
+         |coh AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node
+         |  FROM feats WHERE o_orderkey <= 4000),
+         |${rfTreeCtes(0)},
+         |${rfTreeCtes(1)},
+         |${rfTreeCtes(2)}
+         |SELECT c.o_orderkey, CAST(c.y AS BIGINT) AS label,
+         |  CAST(t0p.pred + t1p.pred + t2p.pred AS BIGINT) AS votes,
+         |  CAST(CASE WHEN 2 * (t0p.pred + t1p.pred + t2p.pred) > 3 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM coh c
+         |JOIN t0p ON t0p.o_orderkey = c.o_orderkey
+         |JOIN t1p ON t1p.o_orderkey = c.o_orderkey
+         |JOIN t2p ON t2p.o_orderkey = c.o_orderkey
+         |ORDER BY c.o_orderkey""".stripMargin,
 
     // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
     // formula levels verbatim -> micro-quantized z-scores + projection.

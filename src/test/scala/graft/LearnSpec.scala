@@ -273,6 +273,22 @@ class LearnSpec extends SparkSpec {
       6L -> (2L, 1L, 0L), 7L -> (2L, 0L, 0L)))
   }
 
+  test("random forest: every bagged tree separates a separable label; the vote is unanimous") {
+    import spark.implicits._
+    // y = (x2 >= 5) is perfectly splittable at the root by every tree,
+    // whichever third of the rows its bag leaves out (each x2 value
+    // survives in every bag), so all three trees vote the label
+    val rows = (1L to 90L).map { i =>
+      (i, i % 4, i % 10, if (i % 10 >= 5) 1L else 0L)
+    }.toDF("id", "x1", "x2", "y")
+    val out = Learn.randomForest2(rows, rows, "id").collect()
+    assert(out.length === 90)
+    out.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1), s"separable forest must predict the label: $r")
+      assert(r.getLong(2) === 3 * r.getLong(1), s"vote must be unanimous: $r")
+    }
+  }
+
   test("frequent triples: apriori subset prune and hand-counted support") {
     import spark.implicits._
     val baskets = (
