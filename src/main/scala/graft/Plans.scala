@@ -341,7 +341,18 @@ object Plans {
         "deterministic 2/3 bags, then scoring as three BROADCAST route " +
         "joins + one vote projection — the cohort is scanned once per " +
         "tree with nothing but node-table joins, so ensemble size " +
-        "multiplies the histogram cost, never the shuffle volume."))
+        "multiplies the histogram cost, never the shuffle volume."),
+    "s26_gradient_boosted" ->
+      ("Boosted stumps: per round ONE histogram aggregate of residual " +
+        "sums + one residual-update projection against O(1) collected " +
+        "split constants — boosting depth multiplies scans, never " +
+        "shuffles, and the variance argmax runs on a bins-sized table."),
+    "p13_trade_pic" ->
+      ("Power iteration clustering: each power step is one edge-to-" +
+        "vector equi-join + one map-side-combined integer-sum aggregate " +
+        "(the p01 pregel cost shape), normalization a 1-row broadcast; " +
+        "the embedding k-means touches only the vertex table. Integer-" +
+        "exact end to end — no doubles anywhere in the plan."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

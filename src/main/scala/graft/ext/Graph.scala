@@ -641,4 +641,82 @@ object Graph {
     verts.unpersist(); e.unpersist()
     scores
   }
+
+  /** Power iteration clustering (Lin & Cohen, ICML'10; reference
+    * mllib/src/main/scala/org/apache/spark/mllib/clustering/
+    * PowerIterationClustering.scala:229 — powerIter() runs the same
+    * v ← D⁻¹Wv / ||·||₁ updates over a normalized affinity matrix,
+    * degree-vector init at :205, then k-means on the embedding): cluster
+    * a graph by the 1-dimensional embedding the truncated power
+    * iteration of the normalized affinity matrix converges to.
+    *
+    * This thin slice is INTEGER-EXACT END TO END — there is not one
+    * double anywhere, so the oracle mirror is pure arithmetic:
+    *   - affinity w_ij = symmetrized multi-edge count (i ≠ j; the PIC
+    *     convention of a zero diagonal), exact BIGINT;
+    *   - init  vq_i = (d_i · 1e6) div Σd  (the reference's degree
+    *     vector, micro-quantized);
+    *   - step  t_i = (Σ_j w_ij · vq_j) div d_i;  vq'_i = (t_i · 1e6)
+    *     div Σt  (D⁻¹W then L1 normalization — all values non-negative,
+    *     so Spark's toward-zero DIV and DuckDB's floor // agree);
+    *   - k = 2 via 1-dim Lloyd on vq: seeds = the embedding EXTREMES
+    *     (min and max vq — on a 1-dim embedding the extremes straddle
+    *     any 2-cluster structure, where id-based seeds could both land
+    *     in one cluster), integer floor-mean centers, squared-distance
+    *     compare in exact BIGINTs, ties to cluster 0.
+    * One honest limitation, inherited from the deterministic degree
+    * init: a graph SYMMETRIC under a cluster-swapping automorphism gives
+    * both clusters identical embedding values (the reference's random
+    * init breaks such ties by chance; determinism cannot), so PIC here
+    * separates clusters that differ in any structural way — which real
+    * similarity graphs always do.
+    * Per iteration: one join of the edge table to the (vertex, long)
+    * vector + one map-side-combined aggregate — the p01 pregel cost
+    * shape; the Lloyd rounds collect 2 longs each. Isolated vertices
+    * (degree 0) are not part of the affinity graph and are excluded, per
+    * the reference's similarity-graph contract.
+    *
+    * Returns (vertex, v_micro, cluster). */
+  def powerIterationClustering(rawEdges: DataFrame, iters: Int = 3,
+                               lloydIters: Int = 2): DataFrame = {
+    val w = rawEdges.select(col("src").as("i"), col("dst").as("j"))
+      .filter(col("i") =!= col("j"))
+    val sym = w.union(w.select(col("j").as("i"), col("i").as("j")))
+      .groupBy("i", "j").agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("i").agg(sum("w").as("d")).localCheckpoint()
+    var v = deg.crossJoin(broadcast(deg.agg(sum("d").as("t"))))
+      .selectExpr("i", "CAST((d * 1000000) DIV t AS BIGINT) AS vq")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val t = sym.join(v.select(col("i").as("j"), col("vq")), "j")
+        .groupBy("i").agg(sum(col("w") * col("vq")).as("s"))
+        .join(deg, "i")
+        .selectExpr("i", "CAST(s DIV d AS BIGINT) AS tq")
+      v = t.crossJoin(broadcast(t.agg(sum("tq").as("l1"))))
+        .selectExpr("i", "CAST((tq * 1000000) DIV l1 AS BIGINT) AS vq")
+        .localCheckpoint()
+    }
+    // 1-dim 2-means on the embedding: integer floor-mean centers, exact
+    // squared-distance compare, strict-< so ties stay at cluster 0
+    var centers: (Long, Long) = {
+      val s = v.agg(min("vq"), max("vq")).head()
+      (s.getLong(0), s.getLong(1))
+    }
+    def assigned = v.selectExpr("i", "vq",
+      s"CAST(CASE WHEN (vq - ${centers._2}L) * (vq - ${centers._2}L) < " +
+        s"(vq - ${centers._1}L) * (vq - ${centers._1}L) THEN 1 ELSE 0 END AS BIGINT) AS cluster")
+    for (_ <- 1 to lloydIters) {
+      val rows = assigned.groupBy("cluster")
+        .agg(sum("vq").as("s"), count(lit(1)).as("n"))
+        .selectExpr("cluster", "CAST(s DIV n AS BIGINT) AS c")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // an emptied cluster keeps its previous center (mirrored in the oracle)
+      centers = (rows.getOrElse(0L, centers._1), rows.getOrElse(1L, centers._2))
+    }
+    val out = assigned.select(col("i").as("vertex"), col("vq").as("v_micro"),
+        col("cluster")).localCheckpoint()
+    sym.unpersist()
+    out
+  }
 }

@@ -418,6 +418,88 @@ object Learn {
     out
   }
 
+  // ---- gradient-boosted trees (reference mllib/src/main/scala/org/
+  // apache/spark/mllib/tree/GradientBoostedTrees.scala:54 — squared-loss
+  // boosting: each round fits a regression tree to the current
+  // residuals and adds it to the ensemble; loss/SquaredError.scala
+  // defines the gradient = -2·residual this chases) ---------------------
+
+  /** `rounds` boosted regression STUMPS (depth-1 trees) over
+    * (x1, x2, ym) with a milli-quantized BIGINT target. Per round, one
+    * histogram aggregate of (feature, value) residual sums, a prefix-sum
+    * window, and the variance-reduction argmax
+    *   score = (|sl| div nl)·|sl| + (|sr| div nr)·|sr|
+    * — monotone in the exact sl²/nl + sr²/nr criterion but computed on
+    * ABSOLUTE sums so the floor division is engine-portable (Spark's DIV
+    * truncates toward zero, DuckDB's // floors toward -inf; they agree
+    * only on non-negatives — residual sums are signed, so the abs form
+    * is the shared currency; ties break to the smallest (feature,
+    * value)). Leaf values are the rounded mean residuals (one double
+    * division of exact integers). The base prediction F0 is the floor
+    * mean of the target; learning rate is 1.0 (the reference's shrinkage
+    * is a multiplier on each leaf — at 3 stumps over 2 features it only
+    * slows the fixture's convergence, a documented deviation).
+    *
+    * Overflow headroom: |sl| div nl times |sl| needs |mean residual| ·
+    * |sl| below 2^63 — at milli quantization that clears ~1e11 rows for
+    * targets under ~1e6 milli-units.
+    *
+    * Returns (f0q, model rows (round, feat, thr, leftq, rightq)) — the
+    * per-round split constants are collected (5 longs per round, exact
+    * integers) and re-embedded as literals, so chained residuals carry
+    * no cross-engine drift surface at all. */
+  def gbtFit2(rows: DataFrame, rounds: Int = 3): (Long, Seq[(Int, Long, Long, Long, Long)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col("x1"), col("x2"), col("ym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f0 = base.agg(sum("ym").as("s"), count(lit(1)).as("n"))
+      .selectExpr("CAST(s DIV n AS BIGINT)").head().getLong(0)
+    var r = base.withColumn("rq", col("ym") - lit(f0)).localCheckpoint()
+    val model = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    for (round <- 1 to rounds) {
+      val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+      val h = lf.groupBy("feat", "val")
+        .agg(count(lit(1)).as("n"), sum("rq").as("sr"))
+      val wCum = Window.partitionBy("feat").orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("feat")
+      val best = h
+        .withColumn("nl", sum("n").over(wCum)).withColumn("sl", sum("sr").over(wCum))
+        .withColumn("tn", sum("n").over(wTot)).withColumn("st", sum("sr").over(wTot))
+        .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
+        .withColumn("score", expr(
+          "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("feat"), col("val"))))
+        .filter(col("rn") === 1)
+        .selectExpr("feat", "val AS thr",
+          "CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq",
+          "CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq")
+        .head()
+      val (feat, thr, lq, rqv) =
+        (best.getLong(0), best.getLong(1), best.getLong(2), best.getLong(3))
+      model += ((round, feat, thr, lq, rqv))
+      r = r.withColumn("rq", col("rq") - expr(
+          s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rqv}L END"))
+        .localCheckpoint()
+    }
+    base.unpersist()
+    (f0, model.toSeq)
+  }
+
+  /** Score rows under a [[gbtFit2]] ensemble: F0 plus each stump's leaf
+    * constant — a pure projection, no joins at all (the model is a
+    * handful of exact integers). Emits (idCol, ym AS y_milli,
+    * pred_milli). */
+  def gbtPredict2(score: DataFrame, idCol: String, f0q: Long,
+                  model: Seq[(Int, Long, Long, Long, Long)]): DataFrame = {
+    val terms = model.map { case (_, feat, thr, lq, rq) =>
+      s"(CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rq}L END)"
+    }
+    val pred = (s"${f0q}L" +: terms).mkString("(", " + ", ")")
+    score.selectExpr(idCol, "ym AS y_milli", s"CAST($pred AS BIGINT) AS pred_milli")
+  }
+
   /** Frequent item TRIPLES with the full Apriori candidate prune — the
     * arbitrary-k lattice step [[frequentPairRules]] elides (reference
     * mllib/src/main/scala/org/apache/spark/mllib/fpm/FPGrowth.scala:162

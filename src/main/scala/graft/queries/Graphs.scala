@@ -41,6 +41,17 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // Power iteration clustering over the weighted trade graph (reference
+    // mllib/clustering/PowerIterationClustering.scala): which nations
+    // cluster together by trade intensity, via the 1-dim embedding of the
+    // normalized affinity matrix. INTEGER-EXACT end to end — see
+    // ext.Graph.powerIterationClustering; every quantity in the oracle is
+    // plain integer arithmetic.
+    "p13_trade_pic" -> { (s, dir) =>
+      G.powerIterationClustering(tradeEdges(s, dir))
+        .orderBy("vertex")
+    },
+
     // k-core of the near-dup graph (k=2): documents embedded in dup
     // CYCLES/cliques vs mere chain endpoints — the dense-duplication
     // kernel a curation pass inspects first. Budget 4 peel rounds
@@ -280,7 +291,66 @@ object Graphs {
          |  FROM verts)""".stripMargin) ++ (1 to iters).map(step)).mkString(",\n")
   }
 
+  /** One unrolled PIC power-iteration step (all integer: D⁻¹W via
+    * floor division of non-negative values, then L1 renormalization). */
+  private def picIterCte(k: Int): String =
+    s"""pt$k AS MATERIALIZED (
+       |  SELECT s.i, CAST(s.s // deg.d AS BIGINT) AS tq
+       |  FROM (SELECT w.i, CAST(sum(w.w * v.vq) AS BIGINT) AS s
+       |        FROM wsym w JOIN pv${k - 1} v ON v.i = w.j GROUP BY 1) s
+       |  JOIN deg ON deg.i = s.i),
+       |pl$k AS (SELECT CAST(sum(tq) AS BIGINT) AS l1 FROM pt$k),
+       |pv$k AS MATERIALIZED (
+       |  SELECT i, CAST((tq * 1000000) // l1 AS BIGINT) AS vq
+       |  FROM pt$k CROSS JOIN pl$k)""".stripMargin
+
+  /** One 1-dim Lloyd recentering: integer floor means per cluster, an
+    * emptied cluster keeps its previous center. */
+  private def picCenterCte(out: String, assigned: String, prev: String): String =
+    s"""$out AS (SELECT
+       |    COALESCE(CAST(sum(CASE WHEN cl = 0 THEN vq END)
+       |      // NULLIF(count(CASE WHEN cl = 0 THEN 1 END), 0) AS BIGINT),
+       |      (SELECT a FROM $prev)) AS a,
+       |    COALESCE(CAST(sum(CASE WHEN cl = 1 THEN vq END)
+       |      // NULLIF(count(CASE WHEN cl = 1 THEN 1 END), 0) AS BIGINT),
+       |      (SELECT b FROM $prev)) AS b
+       |  FROM $assigned)""".stripMargin
+
+  private def picAssignCte(out: String, centers: String): String =
+    s"""$out AS (SELECT i, vq,
+       |    CAST(CASE WHEN (vq - c.b) * (vq - c.b) < (vq - c.a) * (vq - c.a)
+       |         THEN 1 ELSE 0 END AS BIGINT) AS cl
+       |  FROM pv3 CROSS JOIN $centers c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Degree init -> three unrolled integer power-iteration steps ->
+    // unrolled 1-dim 2-means on the embedding. Not a double anywhere.
+    "p13_trade_pic" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |wsym AS MATERIALIZED (SELECT i, j, CAST(count(*) AS BIGINT) AS w FROM (
+         |  SELECT src AS i, dst AS j FROM edges WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM edges WHERE src <> dst) GROUP BY 1, 2),
+         |deg AS MATERIALIZED (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM wsym GROUP BY 1),
+         |tot AS (SELECT CAST(sum(d) AS BIGINT) AS t FROM deg),
+         |pv0 AS MATERIALIZED (
+         |  SELECT i, CAST((d * 1000000) // t AS BIGINT) AS vq FROM deg CROSS JOIN tot),
+         |${picIterCte(1)},
+         |${picIterCte(2)},
+         |${picIterCte(3)},
+         |kc0 AS (SELECT min(vq) AS a, max(vq) AS b FROM pv3),
+         |${picAssignCte("ka1", "kc0")},
+         |${picCenterCte("kc1", "ka1", "kc0")},
+         |${picAssignCte("ka2", "kc1")},
+         |${picCenterCte("kc2", "ka2", "kc1")},
+         |${picAssignCte("kaf", "kc2")}
+         |SELECT i AS vertex, vq AS v_micro, cl AS cluster
+         |FROM kaf ORDER BY vertex""".stripMargin,
+
     // Three independent unrolled BFS chains over the shared undirected
     // trade graph, one per landmark — the per-landmark full-join
     // formulation the fused map-merging pregel loop must equal.

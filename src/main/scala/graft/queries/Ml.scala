@@ -189,6 +189,21 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Gradient-boosted trees (reference mllib/tree/GradientBoostedTrees
+    // .scala — squared-loss boosting, each round a regression tree on the
+    // residuals): three boosted stumps on a milli-quantized continuous
+    // target (qty + the s19 hash noise). Split constants are exact
+    // integers the oracle re-derives round by round, so the whole
+    // residual chain is gated.
+    "s26_gradient_boosted" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      val (f0, model) = Learn.gbtFit2(rows, rounds = 3)
+      Learn.gbtPredict2(rows.filter(col("o_orderkey") <= 4000), "o_orderkey", f0, model)
+        .orderBy("o_orderkey")
+    },
+
     // StandardScaler + closed-form 2-feature PCA (reference mllib/
     // feature/{StandardScaler,PCA}.scala) wired as PIPELINE stages (the
     // s10 contract gains a numeric path): both fitted from ONE exact-
@@ -472,7 +487,68 @@ object Ml {
        |  SELECT q.o_orderkey, lp.pred FROM ${p}q2 q JOIN ${p}lp lp USING (node))""".stripMargin
   }
 
+  /** One boosted-stump round: residual histogram -> prefix-sum candidates
+    * -> abs-floor-div variance-reduction argmax (graft.ext.Learn.gbtFit2's
+    * shape; `//` on the ABSOLUTE sums matches Spark's toward-zero DIV) ->
+    * residual update. */
+  private def gbtRoundCte(k: Int): String = {
+    val prev = s"gr${k - 1}"
+    s"""gb$k AS MATERIALIZED (
+       |  SELECT feat, val AS thr,
+       |    CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq,
+       |    CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq
+       |  FROM (
+       |    SELECT feat, val, nl, sl, tn, st,
+       |      row_number() OVER (ORDER BY
+       |        (abs(sl) // nl) * abs(sl) + (abs(st - sl) // (tn - nl)) * abs(st - sl) DESC,
+       |        feat, val) AS rn
+       |    FROM (
+       |      SELECT feat, val,
+       |        CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(sr) OVER w AS BIGINT) AS sl,
+       |        CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(sr) OVER wn AS BIGINT) AS st
+       |      FROM (SELECT feat, val, CAST(count(*) AS BIGINT) AS n, CAST(sum(rq) AS BIGINT) AS sr
+       |            FROM (SELECT rq, 1::BIGINT AS feat, x1 AS val FROM $prev
+       |                  UNION ALL SELECT rq, 2::BIGINT, x2 FROM $prev)
+       |            GROUP BY 1, 2)
+       |      WINDOW w AS (PARTITION BY feat ORDER BY val ROWS UNBOUNDED PRECEDING),
+       |             wn AS (PARTITION BY feat))
+       |    WHERE nl > 0 AND tn - nl > 0)
+       |  WHERE rn = 1),
+       |gr$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.ym,
+       |    r.rq - (CASE WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr
+       |            THEN b.leftq ELSE b.rightq END) AS rq
+       |  FROM $prev r CROSS JOIN gb$k b)""".stripMargin
+  }
+
+  /** One stump's contribution to the final prediction. */
+  private def gbtTerm(b: String): String =
+    s"(CASE WHEN (CASE WHEN $b.feat = 1 THEN c.x1 ELSE c.x2 END) <= $b.thr THEN $b.leftq ELSE $b.rightq END)"
+
   val oracles: Map[String, String] = Map(
+    // Three unrolled boosting rounds: each round's split constants are
+    // re-derived from the previous round's residual table, then the
+    // cohort prediction sums F0 and the three stump constants.
+    "s26_gradient_boosted" ->
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |gf0 AS (SELECT CAST(CAST(sum(ym) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS f0
+         |  FROM gfeats),
+         |gr0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym, ym - f0 AS rq FROM gfeats CROSS JOIN gf0),
+         |${gbtRoundCte(1)},
+         |${gbtRoundCte(2)},
+         |${gbtRoundCte(3)}
+         |SELECT c.o_orderkey, c.ym AS y_milli,
+         |  CAST(g.f0 + ${gbtTerm("b1")} + ${gbtTerm("b2")} + ${gbtTerm("b3")} AS BIGINT) AS pred_milli
+         |FROM gfeats c CROSS JOIN gf0 g
+         |CROSS JOIN gb1 b1 CROSS JOIN gb2 b2 CROSS JOIN gb3 b3
+         |WHERE c.o_orderkey <= 4000
+         |ORDER BY c.o_orderkey""".stripMargin,
+
     // 8 unrolled full-batch gradient iterations sharing Learn's sigmoid /
     // update formula strings, then cohort scoring under w8.
     "s19_logistic_regression" -> {

@@ -295,4 +295,27 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
+
+  test("power iteration clustering separates two dense cliques across a weak bridge") {
+    import spark.implicits._
+    // a triangle and a 4-clique (every edge tripled) joined by ONE bridge
+    // edge — PIC's embedding must put the cliques in different clusters.
+    // The cliques are deliberately DIFFERENT sizes: a clique-swap-
+    // symmetric graph gives identical embedding values on both sides
+    // under the deterministic degree init (documented limitation).
+    val cliqueEdges = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val e = (cliqueEdges.flatMap(t => Seq(t, t, t)) :+ (3L, 10L)).toDF("src", "dst")
+    val out = Graph.powerIterationClustering(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    assert(Set(out(1L), out(2L), out(3L)).size === 1, s"clique A must agree: $out")
+    assert(Set(out(10L), out(11L), out(12L), out(13L)).size === 1, s"clique B must agree: $out")
+    assert(out(1L) !== out(10L), s"cliques must separate: $out")
+    // and the whole pipeline is partitioning-deterministic (pure integer
+    // arithmetic end to end)
+    val again = Graph.powerIterationClustering(e.repartition(7))
+      .orderBy("vertex").collect().toSeq
+    assert(again === Graph.powerIterationClustering(e).orderBy("vertex").collect().toSeq)
+  }
 }

@@ -273,6 +273,35 @@ class LearnSpec extends SparkSpec {
       6L -> (2L, 1L, 0L), 7L -> (2L, 0L, 0L)))
   }
 
+  test("gbt stumps: exact recovery of a stump-shaped target, residuals drain to zero") {
+    import spark.implicits._
+    // ym depends on x2 alone through one threshold, so stump 1 fits it
+    // EXACTLY (f0 = 20000 over the balanced halves, leaves -/+10000) and
+    // rounds 2-3 see all-zero residuals (every candidate ties at score 0,
+    // leaves round to 0)
+    val rows = (1L to 40L).map { i =>
+      (i, i % 3, i % 8, if (i % 8 <= 3) 10000L else 30000L)
+    }.toDF("id", "x1", "x2", "ym")
+    val (f0, model) = Learn.gbtFit2(rows, rounds = 3)
+    assert(f0 === 20000L)
+    assert(model.head._2 === 2L && model.head._3 === 3L) // split x2 <= 3
+    assert(model.head._4 === -10000L && model.head._5 === 10000L)
+    assert(model(1)._4 === 0L && model(1)._5 === 0L) // drained
+    assert(model(2)._4 === 0L && model(2)._5 === 0L)
+    val out = Learn.gbtPredict2(rows, "id", f0, model).collect()
+    out.foreach(r => assert(r.getLong(2) === r.getLong(1), s"exact fit must predict exactly: $r"))
+  }
+
+  test("gbt fit is deterministic across partitionings") {
+    import spark.implicits._
+    val rows = (1L to 300L).map { i =>
+      (i, i % 5, (i * 7) % 23, ((i * i) % 400) * 100)
+    }.toDF("id", "x1", "x2", "ym")
+    val a = Learn.gbtFit2(rows.repartition(1), rounds = 3)
+    val b = Learn.gbtFit2(rows.repartition(13), rounds = 3)
+    assert(a === b)
+  }
+
   test("random forest: every bagged tree separates a separable label; the vote is unanimous") {
     import spark.implicits._
     // y = (x2 >= 5) is perfectly splittable at the root by every tree,
