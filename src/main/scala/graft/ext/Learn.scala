@@ -260,26 +260,35 @@ object Learn {
     * full-batch (no stochastic noise to anneal) the decay buys nothing.
     *
     * Returns the 1-row (w0q, w1q, w2q). */
+  /** The zero-weight starting row. */
+  def logisticInit(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(1).selectExpr("CAST(0 AS BIGINT) AS w0q",
+      "CAST(0 AS BIGINT) AS w1q", "CAST(0 AS BIGINT) AS w2q")
+
+  /** ONE full-gradient step over `feats` from the 1-row `w`: the shared
+    * unit of [[logisticFit2]]'s batch loop and the streaming variant's
+    * per-micro-batch update (reference mllib/classification/
+    * StreamingLogisticRegressionWithSGD.scala:89 — trainOn runs exactly
+    * one model.update per batch, the model carried between batches). */
+  def logisticStep(feats: DataFrame, w: DataFrame, lr: Double): DataFrame = {
+    val g = feats.crossJoin(broadcast(w))
+      .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
+      .agg(count(lit(1)).as("n"),
+        sum(col("yq") - col("pq")).as("g0"),
+        sum((col("yq") - col("pq")) * col("x1")).as("g1"),
+        sum((col("yq") - col("pq")) * col("x2")).as("g2"))
+    g.crossJoin(w).selectExpr(
+      s"${lrUpdExpr("w0q", "g0", lr)} AS w0q",
+      s"${lrUpdExpr("w1q", "g1", lr)} AS w1q",
+      s"${lrUpdExpr("w2q", "g2", lr)} AS w2q")
+  }
+
   def logisticFit2(feats: DataFrame, iters: Int = 8, lr: Double = 1.0): DataFrame = {
     val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f.count() // materialize once; every iteration re-reads it
-    var w = f.sparkSession.range(1)
-      .selectExpr("CAST(0 AS BIGINT) AS w0q", "CAST(0 AS BIGINT) AS w1q",
-        "CAST(0 AS BIGINT) AS w2q")
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val g = f.crossJoin(broadcast(w))
-        .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
-        .agg(count(lit(1)).as("n"),
-          sum(col("yq") - col("pq")).as("g0"),
-          sum((col("yq") - col("pq")) * col("x1")).as("g1"),
-          sum((col("yq") - col("pq")) * col("x2")).as("g2"))
-      w = g.crossJoin(w).selectExpr(
-          s"${lrUpdExpr("w0q", "g0", lr)} AS w0q",
-          s"${lrUpdExpr("w1q", "g1", lr)} AS w1q",
-          s"${lrUpdExpr("w2q", "g2", lr)} AS w2q")
-        .localCheckpoint()
-    }
+    var w = logisticInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      w = logisticStep(f, w, lr).localCheckpoint()
     f.unpersist()
     w
   }

@@ -412,7 +412,7 @@ object Ml {
   /** One unrolled logistic-regression gradient iteration: the sigmoid
     * micro-probability and the quantized update REUSE graft.ext.Learn's
     * formula strings verbatim — the mirror IS the plan. */
-  private def lrIterCte(k: Int, lr: Double): String =
+  private[queries] def lrIterCte(k: Int, lr: Double): String =
     s"""g$k AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(yq - pq) AS BIGINT) AS g0,

@@ -278,6 +278,29 @@ object Streams {
           // pandas-layer comparator (the d02 scalar-projection rule)
           "concat_ws(',', transform(c, x -> CAST(CAST(round(x) AS BIGINT) AS STRING))) AS cent_q")
         .orderBy("cluster")
+    },
+
+    // Streaming logistic regression (reference mllib/classification/
+    // StreamingLogisticRegressionWithSGD.scala — trainOn runs ONE
+    // gradient update per micro-batch, the model held on the driver
+    // between batches): per-event features (user residue, value decile)
+    // with a purchase label, the events file as one micro-batch through
+    // foreachBatch, weights updated by graft.ext.Learn.logisticStep —
+    // the identical quantized step s19's batch loop uses, so the oracle
+    // is one unrolled iteration over the same features.
+    "v12_streaming_logistic" -> { (s, dir) =>
+      val feats = eventStream(s, dir).selectExpr(
+        "CAST(user_id % 10 AS BIGINT) AS x1",
+        "CAST(CAST(round(value) AS BIGINT) DIV 10 AS BIGINT) AS x2",
+        "CAST(CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT) AS yq")
+      var w = graft.ext.Learn.logisticInit(s).localCheckpoint()
+      val q = feats.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          w = graft.ext.Learn.logisticStep(b, w, lr = 1.0).localCheckpoint()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      w.select("w0q", "w1q", "w2q")
     }
   )
 
@@ -388,6 +411,19 @@ object Streams {
          |  CAST(round((0.5::DOUBLE + COALESCE(max(cnt.m), 0)) * 1000.0) AS BIGINT) AS w_milli,
          |  string_agg(CAST(CAST(round(u.cd) AS BIGINT) AS VARCHAR), ',' ORDER BY u.i) AS cent_q
          |FROM upd u LEFT JOIN cnt ON cnt.cl = u.cl
-         |GROUP BY u.cl ORDER BY cluster""".stripMargin
+         |GROUP BY u.cl ORDER BY cluster""".stripMargin,
+
+    // The corpus arrives as one micro-batch, so the streamed model equals
+    // exactly ONE unrolled gradient iteration (Ml.lrIterCte — the shared
+    // sigmoid/update formula strings) over the event features.
+    "v12_streaming_logistic" ->
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT CAST(user_id % 10 AS BIGINT) AS x1,
+         |         CAST(CAST(round(value) AS BIGINT) // 10 AS BIGINT) AS x2,
+         |         CAST(CASE WHEN event_type = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT) AS yq
+         |  FROM events),
+         |w0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |${Ml.lrIterCte(1, 1.0)}
+         |SELECT w0q, w1q, w2q FROM w1""".stripMargin
   )
 }

@@ -655,4 +655,34 @@ class StreamingSpec extends SparkSpec {
     assert(centers.map(c => (c._1, c._2, c._3.toSeq))
       === expected.map(c => (c._1, c._2, c._3.toSeq)))
   }
+
+  test("streaming logistic regression: per-batch steps through foreachBatch equal direct steps") {
+    import spark.implicits._
+    import graft.ext.Learn
+    val b1 = (1L to 40L).map(i => (i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1000000L else 0L))
+    val b2 = (41L to 80L).map(i => (i % 4, (i % 9) - 4, if ((i % 9) - 4 >= 0) 1000000L else 0L))
+    // expected: two sequential full-gradient steps, directly
+    var expected = Learn.logisticInit(spark).localCheckpoint()
+    for (b <- Seq(b1, b2))
+      expected = Learn.logisticStep(b.toDF("x1", "x2", "yq"), expected, 1.0).localCheckpoint()
+    // actual: through the streaming engine, the model a driver var across
+    // batches (the reference's trainOn contract, and v12's shape)
+    val ms = MemoryStream[(Long, Long, Long)](spark)
+    var w = Learn.logisticInit(spark).localCheckpoint()
+    val q = ms.toDF().toDF("x1", "x2", "yq").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        w = Learn.logisticStep(b, w, 1.0).localCheckpoint()
+      }
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(w.head() === expected.head())
+    // and the two-batch model differs from the one-batch model (the
+    // second update really happened)
+    val oneBatch = Learn.logisticStep(b1.toDF("x1", "x2", "yq"),
+      Learn.logisticInit(spark), 1.0)
+    assert(w.head() !== oneBatch.head())
+  }
 }
