@@ -352,7 +352,13 @@ object Plans {
         "vector equi-join + one map-side-combined integer-sum aggregate " +
         "(the p01 pregel cost shape), normalization a 1-row broadcast; " +
         "the embedding k-means touches only the vertex table. Integer-" +
-        "exact end to end — no doubles anywhere in the plan."))
+        "exact end to end — no doubles anywhere in the plan."),
+    "s27_linear_svm" ->
+      ("Linear SVM: per hinge step ONE scan with a broadcast 1-row " +
+        "weight table — the violator test is an exact integer margin " +
+        "compare inside whole-stage codegen, the gradient three " +
+        "map-side-combined integer sums; iteration count, not data " +
+        "volume, sets the cost floor."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

@@ -189,6 +189,21 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Linear SVM (reference mllib/classification/SVM.scala +
+    // optimization/Gradient.scala HingeGradient): 8 full-batch hinge
+    // subgradient steps on the s19 features with x2 CENTERED (hinge GD
+    // from zero oscillates on offset features — measured 52% vs 89%
+    // accuracy); the violator test is an exact integer margin compare,
+    // so not one double touches the decision set.
+    "s27_linear_svm" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST((qty DIV 10) - 10 AS BIGINT)").as("x2"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT)").as("ys"))
+      val w = Learn.svmFit2(feats, iters = 8, lr = 0.5)
+      Learn.svmPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Gradient-boosted trees (reference mllib/tree/GradientBoostedTrees
     // .scala — squared-loss boosting, each round a regression tree on the
     // residuals): three boosted stumps on a milli-quantized continuous
@@ -525,7 +540,40 @@ object Ml {
   private def gbtTerm(b: String): String =
     s"(CASE WHEN (CASE WHEN $b.feat = 1 THEN c.x1 ELSE c.x2 END) <= $b.thr THEN $b.leftq ELSE $b.rightq END)"
 
+  /** One unrolled SVM hinge step (Learn.svmGradTerm/svmUpdExpr shared
+    * verbatim — the integer margin test and the one double update). */
+  private def svmIterCte(k: Int, lr: Double): String =
+    s"""vg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(${Learn.svmGradTerm("")}) AS BIGINT) AS g0,
+       |    CAST(sum(${Learn.svmGradTerm(" * x1")}) AS BIGINT) AS g1,
+       |    CAST(sum(${Learn.svmGradTerm(" * x2")}) AS BIGINT) AS g2
+       |  FROM feats CROSS JOIN vw${k - 1}),
+       |vw$k AS MATERIALIZED (
+       |  SELECT ${Learn.svmUpdExpr("w0q", "g0", lr)} AS w0q,
+       |    ${Learn.svmUpdExpr("w1q", "g1", lr)} AS w1q,
+       |    ${Learn.svmUpdExpr("w2q", "g2", lr)} AS w2q
+       |  FROM vg$k CROSS JOIN vw${k - 1})""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // 8 unrolled hinge subgradient steps sharing Learn's margin-test and
+    // update formula strings, then cohort scoring under vw8.
+    "s27_linear_svm" -> {
+      val iters = (1 to 8).map(svmIterCte(_, 0.5)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST((qty // 10) - 10 AS BIGINT) AS x2,
+         |         CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT) AS ys
+         |  FROM base),
+         |vw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, CAST(ys AS BIGINT) AS label,
+         |  CAST((w0q + (w1q * x1)) + (w2q * x2) AS BIGINT) AS score_q,
+         |  CAST(CASE WHEN (w0q + (w1q * x1)) + (w2q * x2) >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN vw8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.

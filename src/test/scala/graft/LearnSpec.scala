@@ -273,6 +273,48 @@ class LearnSpec extends SparkSpec {
       6L -> (2L, 1L, 0L), 7L -> (2L, 0L, 0L)))
   }
 
+  test("linear svm separates a separable boundary; violator set is the exact integer margin test") {
+    import spark.implicits._
+    // ys = sign(x2 >= 0) over centered x2 — separable; 8 hinge steps
+    // must fully separate it
+    val raw = (1L to 60L).map { i =>
+      (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1L else -1L)
+    }
+    val feats = raw.toDF("id", "x1", "x2", "ys")
+    val w = Learn.svmFit2(feats, iters = 8, lr = 0.5)
+    val wr = w.head()
+    // scalar mirror of the identical arithmetic: integer margin test,
+    // half-away-from-zero quantized update
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    var mw = (0L, 0L, 0L)
+    for (_ <- 1 to 8) {
+      var g0 = 0L; var g1 = 0L; var g2 = 0L
+      raw.foreach { case (_, x1, x2, ys) =>
+        if (ys * (mw._1 + mw._2 * x1 + mw._3 * x2) < 65536L) {
+          g0 += ys; g1 += ys * x1; g2 += ys * x2
+        }
+      }
+      def upd(wq: Long, g: Long): Long =
+        wq + rnd((0.5 * (g.toDouble / raw.size)) * 65536.0)
+      mw = (upd(mw._1, g0), upd(mw._2, g1), upd(mw._3, g2))
+    }
+    assert((wr.getLong(0), wr.getLong(1), wr.getLong(2)) === mw)
+    val scored = Learn.svmPredict2(feats, w, "id").collect()
+    val acc = scored.count(r => r.getLong(3) == r.getLong(1)).toDouble / scored.length
+    assert(acc === 1.0, s"separable svm must fully separate, got $acc")
+  }
+
+  test("svm fit is bit-identical across partitionings") {
+    import spark.implicits._
+    val feats = (1L to 200L).map { i =>
+      (i, i % 5, ((i * 7) % 23) - 11, if ((i * 3) % 11 > 5) 1L else -1L)
+    }.toDF("id", "x1", "x2", "ys")
+    val a = Learn.svmFit2(feats.repartition(1), iters = 4).head()
+    val b = Learn.svmFit2(feats.repartition(13, col("x2")), iters = 4).head()
+    assert(a === b)
+  }
+
   test("gbt stumps: exact recovery of a stump-shaped target, residuals drain to zero") {
     import spark.implicits._
     // ym depends on x2 alone through one threshold, so stump 1 fits it
