@@ -62,8 +62,11 @@ object Learn {
     * SGD with a SquaredL2Updater; at 2 features the penalized normal
     * equations stay closed-form): minimizing (1/n)·Σ(y − Xβ)² +
     * λ·(b1² + b2²) adds n·λ to the two WEIGHT diagonal entries of X'X —
-    * the intercept is NOT penalized, the standard convention (and
-    * mllib's addIntercept handling). λ = 0 reduces exactly to
+    * the intercept is NOT penalized here, the standard textbook
+    * convention and a DELIBERATE deviation from the reference, whose
+    * addIntercept path appends the bias as a regular weight that
+    * SquaredL2Updater then shrinks along with the rest. λ = 0 reduces
+    * exactly to
     * [[olsBetaExprs]]. The λ literal is embedded in the formula string,
     * so the oracle repeats it verbatim. */
   def ridgeBetaExprs(lambda: Double): Seq[(String, String)] = {
@@ -131,14 +134,19 @@ object Learn {
     *      items never enter the pair join, which is what keeps the
     *      self-join's fan-out bounded at scale);
     *   3. frequent pairs: count >= the support threshold;
-    *   4. rules both directions, confidence and lift in EXACT integer
-    *      micro-units (cnt·1e6 div cnt — no doubles anywhere), filtered
-    *      by min confidence, ties impossible by construction. Lift is
-    *      derived FROM conf_micro ((conf_micro · nBaskets) div cnt_c),
-    *      not the triple product n_pair·1e6·nBaskets — the triple
-    *      overflows BIGINT past ~3M baskets (ANSI mode would throw at
-    *      sf≳3); the reassociated form peaks at 1e6·nBaskets, safe to
-    *      ~9e12 baskets.
+    *   4. rules both directions, confidence in EXACT integer micro-units
+    *      (cnt·1e6 div cnt — no doubles anywhere), filtered by min
+    *      confidence, ties impossible by construction. Lift is derived
+    *      FROM conf_micro ((conf_micro · nBaskets) div cnt_c), not the
+    *      triple product n_pair·1e6·nBaskets — the triple overflows
+    *      BIGINT past ~3M baskets (ANSI mode would throw at sf≳3); the
+    *      reassociated form peaks at 1e6·nBaskets, safe to ~9e12
+    *      baskets. The price of the overflow-safe form is a SECOND floor:
+    *      lift_micro is the floor of the already-floored conf_micro
+    *      scaled by nBaskets/cnt_c, so it can sit up to ~nBaskets/cnt_c
+    *      micro-units below the single-floor value — still deterministic
+    *      (the oracle repeats the identical two-step arithmetic), just
+    *      not the exact floor of the real-valued lift.
     * minSupport is a basket fraction like the reference's; the absolute
     * threshold is ceil(frac · nBaskets). Returns
     * (antecedent, consequent, n_pair, conf_micro, lift_micro). */
@@ -268,8 +276,12 @@ object Learn {
   /** ONE full-gradient step over `feats` from the 1-row `w`: the shared
     * unit of [[logisticFit2]]'s batch loop and the streaming variant's
     * per-micro-batch update (reference mllib/classification/
-    * StreamingLogisticRegressionWithSGD.scala:89 — trainOn runs exactly
-    * one model.update per batch, the model carried between batches). */
+    * StreamingLogisticRegressionWithSGD.scala:89 — trainOn re-runs
+    * algorithm.run per batch, i.e. a FULL GradientDescent loop of
+    * numIterations (default 50) seeded from the carried model; v12's
+    * one-step-per-batch form is a deliberate thin-slice deviation —
+    * one oracle-gated update per batch — declared the same way as the
+    * other deviations in this file). */
   def logisticStep(feats: DataFrame, w: DataFrame, lr: Double): DataFrame = {
     val g = feats.crossJoin(broadcast(w))
       .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
