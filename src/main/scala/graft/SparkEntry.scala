@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Scale.defs ++
       graft.queries.HiveDialect.defs ++
       graft.queries.ModernSql.defs ++
-      graft.queries.Ml.defs
+      graft.queries.Ml.defs ++
+      graft.queries.MlEval.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Scale.oracles ++
       graft.queries.HiveDialect.oracles ++
       graft.queries.ModernSql.oracles ++
-      graft.queries.Ml.oracles
+      graft.queries.Ml.oracles ++
+      graft.queries.MlEval.oracles
 }

@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation thin-slice completing the reference's
+  * mllib/evaluation directory (MulticlassMetrics landed as s17; this
+  * file adds the remaining four public metric classes):
+  *
+  *   - [[binaryMetrics]] — BinaryClassificationMetrics.scala:84 (roc),
+  *     :96 (areaUnderROC via AreaUnderCurve.of), :205 (the per-threshold
+  *     confusion sweep over score-grouped cumulative counts);
+  *   - [[regressionMetrics]] — RegressionMetrics.scala:80/:89/:98/:107
+  *     (MAE / MSE / RMSE / R²);
+  *   - [[rankingMetrics]] — RankingMetrics.scala:60 (precisionAt), the
+  *     mean-average-precision accumulation, :130 (ndcgAt);
+  *   - [[multilabelMetrics]] — MultilabelMetrics.scala (subset accuracy,
+  *     Hamming loss, intersect/union accuracy, micro P/R/F1).
+  *
+  * House determinism rules throughout: every cross-partition aggregate is
+  * an exact integer sum; ratios are integer micro-units via DIV (all
+  * operands non-negative here, so Spark's toward-zero DIV and DuckDB's
+  * flooring `//` agree); the two libm calls (sqrt in RMSE, ln in the DCG
+  * discount) are shared formula strings quantized straight to integers
+  * (the s15/s19 precedent). Where a metric divides one already-floored
+  * micro quantity by another (AP, NDCG), the result is a double floor —
+  * within one micro-unit of exact, deterministic because the oracle
+  * repeats the identical two-step arithmetic (the s16 lift convention).
+  */
+object Evaluate {
+
+  /** Threshold-sweep binary classifier metrics + AUC.
+    *
+    * Input: (score BIGINT, label 0/1 BIGINT) — any integer score; ties
+    * are handled by grouping (the reference bins by score the same way:
+    * BinaryClassificationMetrics.scala:190 `combineByKey` on score).
+    * Output: one row per DISTINCT score (threshold = "predict positive
+    * iff score >= thr"), with cumulative (tp, fp), precision / recall /
+    * FPR in micro-units, and the tie-aware trapezoid AUC replicated onto
+    * every row (auc_micro) so one result table gates curve AND area.
+    *
+    * The sweep windows are unpartitioned but run over the score-GROUPED
+    * table — bounded by the number of distinct scores (the histogram
+    * argument of s20), never by row count; the only row-linear stage is
+    * the initial groupBy. AUC is the exact trapezoid over the tie-grouped
+    * ROC including the (0,0) endpoint (lag default 0) and the (1,1) final
+    * cumulative group: 2·area·P·N = Σ Δfp·(tp_prev + tp_cur), an exact
+    * integer — equal to the Mann-Whitney statistic with the standard
+    * half-credit for ties. */
+  def binaryMetrics(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy(col("score").as("thr"))
+      .agg(count(lit(1)).as("n"), sum("label").as("np"))
+    val wCum = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLag = Window.orderBy(col("thr").desc)
+    val cum = g.select(col("thr"),
+        sum("np").over(wCum).as("tp"),
+        (sum("n").over(wCum) - sum("np").over(wCum)).as("fp"),
+        sum("np").over(wAll).as("pos"),
+        (sum("n").over(wAll) - sum("np").over(wAll)).as("neg"))
+      .select(col("thr"), col("tp"), col("fp"), col("pos"), col("neg"),
+        lag("tp", 1, 0L).over(wLag).as("tp0"),
+        lag("fp", 1, 0L).over(wLag).as("fp0"))
+    val curve = cum.selectExpr("thr", "tp", "fp",
+      "CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) AS precision_micro",
+      "CAST((tp * 1000000) DIV pos AS BIGINT) AS recall_micro",
+      "CAST((fp * 1000000) DIV neg AS BIGINT) AS fpr_micro",
+      "CAST((fp - fp0) * (tp + tp0) AS BIGINT) AS trap2", "pos", "neg")
+    val auc = curve.agg(
+        sum("trap2").as("t2"), max("pos").as("pos"), max("neg").as("neg"))
+      .selectExpr("CAST((t2 * 1000000) DIV (2 * pos * neg) AS BIGINT) AS auc_micro")
+    curve.select("thr", "tp", "fp", "precision_micro", "recall_micro", "fpr_micro")
+      .crossJoin(broadcast(auc))
+  }
+
+  /** Regression metrics over (y, pred) BIGINT columns, one aggregate
+    * scan: exact integer Σ|e| and Σe² (emitted raw so the sums themselves
+    * are gated), MAE / MSE floored to milli-units of the input unit, RMSE
+    * through the one shared sqrt formula string, R² = 1 − SSE/SST with
+    * SST expanded in doubles (Σy is ~1e10 here; its square must never
+    * touch the integer domain). Caller keeps y small enough that Σe² fits
+    * BIGINT — dollars, not cents, for TPC-H prices (headroom to ~sf100). */
+  def regressionMetrics(preds: DataFrame, yCol: String, predCol: String): DataFrame =
+    preds.selectExpr(s"CAST($yCol AS BIGINT) AS y", s"CAST($predCol AS BIGINT) AS p")
+      .selectExpr("y", "abs(y - p) AS ae", "(y - p) * (y - p) AS se")
+      .agg(count(lit(1)).as("n"), sum("ae").as("sae"), sum("se").as("sse"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+      .selectExpr("n", "sae", "sse",
+        "CAST((sae * 1000) DIV n AS BIGINT) AS mae_milli",
+        "CAST((sse * 1000) DIV n AS BIGINT) AS mse_milli",
+        "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli",
+        "CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro")
+
+  /** The micro-quantized DCG discount at rank k: round(1e6 / log2(k+1)).
+    * One ln-ratio libm expression shared verbatim with the oracle. */
+  val dcgDiscountExpr: String =
+    "CAST(round(1000000.0 / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0))) AS BIGINT)"
+
+  /** Ranking metrics at cutoff k, per query key.
+    *
+    * `pred`: (key, item, rnk) with rnk 1..k already assigned (dense,
+    * deterministic tie-break upstream); `rel`: (key, item) ground-truth
+    * relevant sets. Emits one row per key that HAS relevant items (the
+    * reference logs-and-skips empty ground truth:
+    * RankingMetrics.scala:68): precision@k (denominator k, the
+    * reference's convention even when fewer than k items were predicted),
+    * average precision with the reference's 1/|rel| normalization, and
+    * NDCG@k with binary gains — per-rank discounts quantized to micro
+    * FIRST, so both DCG sums are exact integers and their final ratio is
+    * one integer DIV. */
+  def rankingMetrics(pred: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    val spark = pred.sparkSession
+    val relSets = rel.groupBy("key").agg(count(lit(1)).as("n_rel"))
+    val hits = pred.join(rel.withColumn("hit", lit(1L)), Seq("key", "item"), "left")
+      .select(col("key"), col("rnk"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val wRun = Window.partitionBy("key").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perKey = hits
+      .select(col("key"), col("rnk"), col("hit"),
+        sum("hit").over(wRun).as("hits_up_to"))
+      .selectExpr("key", "hit",
+        "CASE WHEN hit = 1 THEN CAST((hits_up_to * 1000000) DIV rnk AS BIGINT) ELSE 0 END AS prec_k_micro",
+        s"CASE WHEN hit = 1 THEN $dcgDiscountExpr ELSE 0 END AS dcg_term")
+      .groupBy("key")
+      .agg(sum("hit").as("hits"),
+        sum("prec_k_micro").as("sum_prec"),
+        sum("dcg_term").as("dcg_micro"))
+    // Ideal DCG: the first min(n_rel, k) discounts — a k-row constant
+    // table joined on the clamped size (k is a literal; never row-scaled).
+    val ideal = spark.range(1, k + 1).toDF("rnk")
+      .selectExpr("rnk", s"$dcgDiscountExpr AS d")
+      .select(col("rnk"),
+        sum("d").over(Window.orderBy("rnk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("idcg_micro"))
+    relSets
+      .join(perKey, Seq("key"), "left")
+      .na.fill(0L, Seq("hits", "sum_prec", "dcg_micro"))
+      .withColumn("clamp", least(col("n_rel"), lit(k.toLong)))
+      .join(broadcast(ideal), col("clamp") === col("rnk"))
+      .selectExpr("key", "n_rel", "hits",
+        s"CAST((hits * 1000000) DIV $k AS BIGINT) AS p_at_k_micro",
+        "CAST(sum_prec DIV n_rel AS BIGINT) AS ap_micro",
+        "CAST((dcg_micro * 1000000) DIV idcg_micro AS BIGINT) AS ndcg_micro")
+  }
+
+  /** Corpus-level multilabel metrics over per-row label SETS.
+    *
+    * Input: (key, label, in_actual 0/1, in_pred 0/1) — one row per
+    * (row, vocabulary label) cell, the dense contingency layout (the
+    * caller derives it; vocabulary-bounded width). `nLabels` is the
+    * vocabulary size (Hamming's denominator). One aggregate scan emits
+    * the reference's corpus metrics, all exact-integer micro-units:
+    * subset accuracy (MultilabelMetrics.scala `subsetAccuracy`), Hamming
+    * loss, intersect-over-union accuracy (per-row IoU floored to micro
+    * first — rows with BOTH sets empty count as perfect, the 0/0
+    * convention the reference would NaN on, documented deviation), and
+    * micro precision / recall / F1. */
+  def multilabelMetrics(cells: DataFrame, nLabels: Int): DataFrame = {
+    val perRow = cells.groupBy("key").agg(
+        sum(col("in_actual") * col("in_pred")).as("i"),
+        sum(greatest(col("in_actual"), col("in_pred"))).as("u"),
+        sum(abs(col("in_actual") - col("in_pred"))).as("sym"),
+        sum("in_actual").as("na"), sum("in_pred").as("np"))
+      .selectExpr("i", "u", "sym", "na", "np",
+        "CASE WHEN sym = 0 THEN 1 ELSE 0 END AS exact",
+        "CASE WHEN u = 0 THEN 1000000 ELSE CAST((i * 1000000) DIV u AS BIGINT) END AS iou_micro")
+    perRow.agg(count(lit(1)).as("n"), sum("exact").as("n_exact"),
+        sum("sym").as("s_sym"), sum("iou_micro").as("s_iou"),
+        sum("i").as("s_i"), sum("na").as("s_a"), sum("np").as("s_p"))
+      .selectExpr("n",
+        "CAST((n_exact * 1000000) DIV n AS BIGINT) AS subset_acc_micro",
+        s"CAST((s_sym * 1000000) DIV (n * $nLabels) AS BIGINT) AS hamming_micro",
+        "CAST(s_iou DIV n AS BIGINT) AS accuracy_micro",
+        "CAST((s_i * 1000000) DIV s_p AS BIGINT) AS micro_precision_micro",
+        "CAST((s_i * 1000000) DIV s_a AS BIGINT) AS micro_recall_micro",
+        "CAST((2 * s_i * 1000000) DIV (s_p + s_a) AS BIGINT) AS micro_f1_micro")
+  }
+}

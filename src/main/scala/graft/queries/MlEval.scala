@@ -1,0 +1,250 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.Evaluate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation queries (SURVEY §2.13; reference mllib/evaluation —
+  * with s17's MulticlassMetrics these close the directory 6-for-6):
+  * threshold-sweep binary metrics + AUC, regression metrics over the s14
+  * OLS fit, ranking metrics over a purchase-count recommender, and
+  * multilabel metrics over token-set labels. Implementations in
+  * [[graft.ext.Evaluate]]; every metric reaches the oracle as an exact
+  * integer (micro/milli units), so the hash gate covers the full metric
+  * arithmetic, not just row counts.
+  */
+object MlEval {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary classifier evaluation (reference mllib/evaluation/
+    // BinaryClassificationMetrics.scala:84 roc / :96 areaUnderROC / :205
+    // confusion sweep): score = total order quantity, label = the s19
+    // noisy boundary — the score ranks well but imperfectly (the 5·hash
+    // noise term is invisible to it), so the curve and the tie-aware
+    // trapezoid AUC are non-degenerate. One row per distinct score.
+    "s28_binary_metrics" -> { (s, dir) =>
+      val scored = ordersQty(s, dir).selectExpr(
+        "qty AS score",
+        "CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE 0 END AS BIGINT) AS label")
+      Evaluate.binaryMetrics(scored).orderBy(col("thr").desc)
+    },
+
+    // Regression evaluation (reference mllib/evaluation/RegressionMetrics
+    // .scala:80/:89/:98/:107): the s14 OLS problem re-fit in WHOLE DOLLARS
+    // (so Σe² keeps BIGINT headroom to ~sf100), scored over the full
+    // order set, then one aggregate row of MAE/MSE/RMSE/R².
+    "s29_regression_metrics" -> { (s, dir) =>
+      val feats = dollarFeats(s, dir)
+      val betas = graft.ext.Learn.olsFit2(feats)
+      val preds = graft.ext.Learn.olsPredict2(feats, betas, "o_orderkey")
+      Evaluate.regressionMetrics(preds, "y", "predq")
+    },
+
+    // Ranking evaluation (reference mllib/evaluation/RankingMetrics
+    // .scala:60 precisionAt / :130 ndcgAt): predicted = each cohort
+    // customer's top-5 suppliers by purchase count (tiebreak suppkey),
+    // relevant = suppliers that shipped the customer a RETURNED item —
+    // a genuinely different facet of the data, so hits are partial.
+    // Per-customer P@5 / AP / NDCG@5 rows, all integer micro-units.
+    "s30_ranking_metrics" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") <= 300)
+      val pred = li.groupBy(col("o_custkey").as("key"), col("l_suppkey").as("item"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("key"), col("item"),
+          row_number().over(Window.partitionBy("key")
+            .orderBy(col("c").desc, col("item"))).cast("long").as("rnk"))
+        .filter(col("rnk") <= 5)
+      val rel = li.filter(col("l_returnflag") === "R")
+        .select(col("o_custkey").as("key"), col("l_suppkey").as("item"))
+        .distinct()
+      Evaluate.rankingMetrics(pred, rel, 5).orderBy("key")
+    },
+
+    // Multilabel evaluation (reference mllib/evaluation/MultilabelMetrics
+    // .scala): labels = the corpus's top-5 tokens (data-derived,
+    // deterministic tiebreak); a document's ACTUAL set = labels present
+    // anywhere in its text, PREDICTED set = labels present in its first
+    // half — a real degraded predictor. One corpus row of subset
+    // accuracy / Hamming / IoU accuracy / micro P-R-F1.
+    "s31_multilabel_metrics" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .select(col("tok"),
+          row_number().over(Window.orderBy(col("c").desc, col("tok"))).as("rn"))
+        .filter(col("rn") <= 5)
+        .select("tok")
+      val cells = docs.crossJoin(broadcast(vocab))
+        .selectExpr("doc_id AS key", "tok",
+          "CAST(CASE WHEN array_contains(split(text, ' '), tok) THEN 1 ELSE 0 END AS BIGINT) AS in_actual",
+          "CAST(CASE WHEN array_contains(split(substring(text, 1, CAST(n_chars DIV 2 AS INT)), ' '), tok) THEN 1 ELSE 0 END AS BIGINT) AS in_pred")
+      Evaluate.multilabelMetrics(cells, 5)
+    }
+  )
+
+  /** Per-order (o_orderkey, qty) — the s19-family feature base. */
+  private def ordersQty(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+
+  /** The s14 features with y in whole dollars (Σe² headroom). */
+  private def dollarFeats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("x2"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice) AS BIGINT)").as("y")),
+        "o_orderkey")
+
+  private val qtyCte =
+    """base AS MATERIALIZED (
+      |  SELECT l_orderkey AS o_orderkey,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Mirror of Evaluate.binaryMetrics: score-grouped cumulative counts,
+    // micro ratios by `//` (all operands non-negative), trapezoid AUC
+    // with the lag-0 (0,0) endpoint.
+    "s28_binary_metrics" ->
+      s"""WITH $qtyCte,
+         |sc AS (SELECT qty AS score,
+         |    CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |  FROM base),
+         |g AS MATERIALIZED (SELECT score AS thr, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(label) AS BIGINT) AS np FROM sc GROUP BY 1),
+         |cum AS (SELECT thr,
+         |    CAST(sum(np) OVER w AS BIGINT) AS tp,
+         |    CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
+         |    CAST(sum(np) OVER wa AS BIGINT) AS pos,
+         |    CAST(sum(n) OVER wa - sum(np) OVER wa AS BIGINT) AS neg
+         |  FROM g
+         |  WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING),
+         |         wa AS (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |lg AS (SELECT *, COALESCE(lag(tp) OVER (ORDER BY thr DESC), 0) AS tp0,
+         |    COALESCE(lag(fp) OVER (ORDER BY thr DESC), 0) AS fp0 FROM cum),
+         |curve AS MATERIALIZED (SELECT thr, tp, fp,
+         |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+         |    CAST((tp * 1000000) // pos AS BIGINT) AS recall_micro,
+         |    CAST((fp * 1000000) // neg AS BIGINT) AS fpr_micro,
+         |    (fp - fp0) * (tp + tp0) AS trap2, pos, neg FROM lg),
+         |auc AS (SELECT CAST((CAST(sum(trap2) AS BIGINT) * 1000000)
+         |      // (2 * max(pos) * max(neg)) AS BIGINT) AS auc_micro FROM curve)
+         |SELECT thr, tp, fp, precision_micro, recall_micro, fpr_micro, auc_micro
+         |FROM curve CROSS JOIN auc ORDER BY thr DESC""".stripMargin,
+
+    // The s14 oracle chain in dollars, then Evaluate.regressionMetrics'
+    // exact sums and shared sqrt/R² formula strings.
+    "s29_regression_metrics" -> {
+      val betaSelect = graft.ext.Learn.olsBetaExprs
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n    ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem l GROUP BY 1),
+         |fy AS MATERIALIZED (
+         |  SELECT f.o_orderkey, f.x1, f.x2,
+         |         CAST(round(o.o_totalprice) AS BIGINT) AS y
+         |  FROM feats f JOIN orders o USING (o_orderkey)),
+         |sums AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM fy),
+         |betas AS (SELECT
+         |    $betaSelect
+         |  FROM sums),
+         |preds AS (SELECT fy.y, ${graft.ext.Learn.olsPredExpr} AS p
+         |  FROM fy CROSS JOIN betas),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(abs(y - p)) AS BIGINT) AS sae,
+         |    CAST(sum((y - p) * (y - p)) AS BIGINT) AS sse,
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM preds)
+         |SELECT n, sae, sse,
+         |  CAST((sae * 1000) // n AS BIGINT) AS mae_milli,
+         |  CAST((sse * 1000) // n AS BIGINT) AS mse_milli,
+         |  CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli,
+         |  CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro
+         |FROM m""".stripMargin
+    },
+
+    // Mirror of Evaluate.rankingMetrics over the purchase-count
+    // recommender, sharing the DCG discount formula string.
+    "s30_ranking_metrics" -> {
+      val disc = Evaluate.dcgDiscountExpr
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT o.o_custkey AS key, l.l_suppkey AS item, l.l_returnflag
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey <= 300),
+         |cnt AS (SELECT key, item, count(*) AS c FROM li GROUP BY 1, 2),
+         |pred AS MATERIALIZED (SELECT key, item, CAST(rn AS BIGINT) AS rnk FROM (
+         |    SELECT key, item,
+         |      row_number() OVER (PARTITION BY key ORDER BY c DESC, item) AS rn
+         |    FROM cnt) WHERE rn <= 5),
+         |rel AS MATERIALIZED (
+         |  SELECT DISTINCT key, item FROM li WHERE l_returnflag = 'R'),
+         |relsets AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+         |hits AS (SELECT p.key, p.rnk,
+         |    CASE WHEN r.item IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM pred p LEFT JOIN rel r ON r.key = p.key AND r.item = p.item),
+         |runs AS (SELECT key, rnk, hit,
+         |    CAST(sum(hit) OVER (PARTITION BY key ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits_up_to
+         |  FROM hits),
+         |perkey AS MATERIALIZED (SELECT key, CAST(sum(hit) AS BIGINT) AS hits,
+         |    CAST(sum(CASE WHEN hit = 1 THEN (hits_up_to * 1000000) // rnk ELSE 0 END) AS BIGINT) AS sum_prec,
+         |    CAST(sum(CASE WHEN hit = 1 THEN $disc ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM runs GROUP BY 1),
+         |ideal AS (SELECT rnk,
+         |    CAST(sum($disc) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS idcg_micro
+         |  FROM (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk))
+         |SELECT rs.key, rs.n_rel,
+         |  CAST(COALESCE(pk.hits, 0) AS BIGINT) AS hits,
+         |  CAST((COALESCE(pk.hits, 0) * 1000000) // 5 AS BIGINT) AS p_at_k_micro,
+         |  CAST(COALESCE(pk.sum_prec, 0) // rs.n_rel AS BIGINT) AS ap_micro,
+         |  CAST((COALESCE(pk.dcg_micro, 0) * 1000000) // i.idcg_micro AS BIGINT) AS ndcg_micro
+         |FROM relsets rs
+         |LEFT JOIN perkey pk USING (key)
+         |JOIN ideal i ON i.rnk = least(rs.n_rel, 5)
+         |ORDER BY rs.key""".stripMargin
+    },
+
+    // Mirror of Evaluate.multilabelMetrics over the top-5-token labels.
+    "s31_multilabel_metrics" ->
+      """WITH vocab AS MATERIALIZED (SELECT tok FROM (
+        |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY tok) WHERE rn <= 5),
+        |cells AS (SELECT d.doc_id AS key, v.tok,
+        |    CAST(CASE WHEN list_contains(string_split(d.text, ' '), v.tok) THEN 1 ELSE 0 END AS BIGINT) AS in_actual,
+        |    CAST(CASE WHEN list_contains(string_split(substr(d.text, 1, CAST(d.n_chars // 2 AS INT)), ' '), v.tok) THEN 1 ELSE 0 END AS BIGINT) AS in_pred
+        |  FROM documents d CROSS JOIN vocab v),
+        |perrow AS MATERIALIZED (SELECT key,
+        |    CAST(sum(in_actual * in_pred) AS BIGINT) AS i,
+        |    CAST(sum(greatest(in_actual, in_pred)) AS BIGINT) AS u,
+        |    CAST(sum(abs(in_actual - in_pred)) AS BIGINT) AS sym,
+        |    CAST(sum(in_actual) AS BIGINT) AS na, CAST(sum(in_pred) AS BIGINT) AS np
+        |  FROM cells GROUP BY 1),
+        |pr2 AS (SELECT *,
+        |    CASE WHEN sym = 0 THEN 1 ELSE 0 END AS ex,
+        |    CASE WHEN u = 0 THEN 1000000 ELSE CAST((i * 1000000) // u AS BIGINT) END AS iou_micro
+        |  FROM perrow)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST((CAST(sum(ex) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS subset_acc_micro,
+        |  CAST((CAST(sum(sym) AS BIGINT) * 1000000) // (count(*) * 5) AS BIGINT) AS hamming_micro,
+        |  CAST(CAST(sum(iou_micro) AS BIGINT) // count(*) AS BIGINT) AS accuracy_micro,
+        |  CAST((CAST(sum(i) AS BIGINT) * 1000000) // CAST(sum(np) AS BIGINT) AS BIGINT) AS micro_precision_micro,
+        |  CAST((CAST(sum(i) AS BIGINT) * 1000000) // CAST(sum(na) AS BIGINT) AS BIGINT) AS micro_recall_micro,
+        |  CAST((2 * CAST(sum(i) AS BIGINT) * 1000000) // (CAST(sum(np) AS BIGINT) + CAST(sum(na) AS BIGINT)) AS BIGINT) AS micro_f1_micro
+        |FROM pr2""".stripMargin
+  )
+}

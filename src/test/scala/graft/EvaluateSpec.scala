@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.Evaluate
+import org.apache.spark.sql.functions._
+
+/** Hand-checked fixtures for the evaluation-metrics family (s28–s31):
+  * tie-aware AUC against the Mann-Whitney half-credit value, regression
+  * metrics against pencil-and-paper sums, ranking metrics against the
+  * textbook AP/NDCG arithmetic, multilabel metrics against a two-row
+  * contingency, plus partitioning determinism. */
+class EvaluateSpec extends SparkSpec {
+
+  test("binary metrics: tie-aware trapezoid AUC equals the rank statistic") {
+    import spark.implicits._
+    // pos scores {3,2}, neg {3,1}: pairwise credit 0.5+1+0+1 = 2.5 of 4
+    // -> AUC 0.625; the score-3 tie group exercises the half-credit path.
+    val scored = Seq((3L, 1L), (3L, 0L), (2L, 1L), (1L, 0L)).toDF("score", "label")
+    val rows = Evaluate.binaryMetrics(scored).orderBy(col("thr").desc).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L))
+    assert(rows.forall(_.getLong(6) === 625000L))
+    val r3 = rows(0) // thr=3: tp=1 fp=1 -> precision/recall/fpr all 0.5
+    assert((r3.getLong(1), r3.getLong(2)) === ((1L, 1L)))
+    assert((r3.getLong(3), r3.getLong(4), r3.getLong(5)) === ((500000L, 500000L, 500000L)))
+    val r1 = rows(2) // thr=1: everything predicted positive
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) === ((2L, 2L, 1000000L)))
+  }
+
+  test("binary metrics are deterministic across partitionings") {
+    import spark.implicits._
+    val scored = (1L to 500L).map(i => (i % 37, (i * 7 % 11) % 2)).toDF("score", "label")
+    val a = Evaluate.binaryMetrics(scored.repartition(1)).orderBy("thr").collect()
+    val b = Evaluate.binaryMetrics(scored.repartition(13, col("label"))).orderBy("thr").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("regression metrics match pencil-and-paper sums") {
+    import spark.implicits._
+    // e = (-2, 0, 4): sae 6, sse 20; sst = 200 -> R2 = 0.9
+    val preds = Seq((10L, 12L), (20L, 20L), (30L, 26L)).toDF("y", "predq")
+    val r = Evaluate.regressionMetrics(preds, "y", "predq").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 6L, 20L)))
+    assert(r.getLong(3) === 2000L)                       // mae_milli
+    assert(r.getLong(4) === 6666L)                       // mse_milli (floor)
+    assert(r.getLong(5) === math.round(math.sqrt(20.0 / 3.0) * 1000.0)) // 2582
+    assert(r.getLong(6) === 900000L)                     // r2_micro
+  }
+
+  test("ranking metrics: AP and NDCG on a single-key fixture") {
+    import spark.implicits._
+    val pred = Seq(("u", "a", 1L), ("u", "b", 2L), ("u", "c", 3L),
+      ("u", "d", 4L), ("u", "e", 5L)).toDF("key", "item", "rnk")
+    val rel = Seq(("u", "a"), ("u", "c"), ("u", "f"), ("u", "g")).toDF("key", "item")
+    val r = Evaluate.rankingMetrics(pred, rel, 5).head()
+    def disc(k: Long) = math.round(1e6 / (math.log(k + 1.0) / math.log(2.0)))
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 2L)))  // n_rel, hits at ranks 1 and 3
+    assert(r.getLong(3) === 400000L)                     // P@5 = 2/5
+    assert(r.getLong(4) === (1000000L + 2000000L / 3L) / 4L) // AP = (1/1 + 2/3)/4 floored
+    val idcg = (1L to 4L).map(disc).sum                  // min(|rel|, 5) = 4 ideal slots
+    assert(r.getLong(5) === (disc(1) + disc(3)) * 1000000L / idcg)
+  }
+
+  test("multilabel metrics on a two-row contingency") {
+    import spark.implicits._
+    // key 1: actual {A,B} pred {A}; key 2: actual {C} pred {C}
+    val cells = Seq(
+      (1L, "A", 1L, 1L), (1L, "B", 1L, 0L), (1L, "C", 0L, 0L),
+      (2L, "A", 0L, 0L), (2L, "B", 0L, 0L), (2L, "C", 1L, 1L)
+    ).toDF("key", "label", "in_actual", "in_pred")
+    val r = Evaluate.multilabelMetrics(cells, 3).head()
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 500000L)  // subset accuracy: key 2 only
+    assert(r.getLong(2) === 166666L)  // hamming: 1 mismatch of 6 cells
+    assert(r.getLong(3) === 750000L)  // mean IoU: (1/2 + 1)/2
+    assert(r.getLong(4) === 1000000L) // micro precision: 2/2
+    assert(r.getLong(5) === 666666L)  // micro recall: 2/3
+    assert(r.getLong(6) === 800000L)  // micro F1: 4/5
+  }
+}
