@@ -502,6 +502,174 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN score_q >= 0 THEN 1 ELSE -1 END AS BIGINT)"))
 
+  // ---- lasso / linear SGD (reference mllib/src/main/scala/org/apache/
+  // spark/mllib/regression/Lasso.scala:88 trains squared loss through
+  // GradientDescent with optimization/Updater.scala's L1Updater, whose
+  // update IS the soft-threshold: shrink each weight toward zero by
+  // stepSize·regParam and clamp at zero — the exact-integer form below) --
+
+  /** Prediction in y-units under quantized linear weights: one rounded
+    * double division, shared verbatim with the oracle. */
+  val linPredExpr: String =
+    "CAST(round(CAST(((w0q + (w1q * x1)) + (w2q * x2)) AS DOUBLE) / 65536.0) AS BIGINT)"
+
+  /** One weight's squared-loss gradient-descent update — mean residual
+    * gradient (exact integer sum / n) scaled by the constant step,
+    * re-quantized. Identical shape to [[svmUpdExpr]]. */
+  def linUpdExpr(wq: String, g: String, lr: Double): String =
+    s"$wq + CAST(round(($lr * (CAST($g AS DOUBLE) / n)) * 65536.0) AS BIGINT)"
+
+  /** The quantized L1 shrinkage constant: round(lr·λ·2^16) — a LITERAL
+    * in the shared formula strings (positive, so driver half-up equals
+    * engine half-away rounding). */
+  def lassoShrinkQ(lr: Double, lambda: Double): Long =
+    math.round(lr * lambda * 65536.0)
+
+  /** L1Updater's soft-threshold on one quantized weight: pure integer
+    * sign/abs/greatest — no double ever touches the support decision, so
+    * "which weights are exactly zero" is engine-identical by
+    * construction. */
+  def softThresholdExpr(wq: String, shrinkq: Long): String =
+    s"(CASE WHEN $wq >= 0 THEN 1 ELSE -1 END) * greatest(CAST(0 AS BIGINT), abs($wq) - $shrinkq)"
+
+  /** One full-batch squared-loss gradient step over (x1, x2, y) BIGINT
+    * features from the 1-row weight frame — the shared unit of
+    * [[lassoFit2]] and the streaming linear-regression query (reference
+    * regression/StreamingLinearRegressionWithSGD.scala:43, trained
+    * through StreamingLinearAlgorithm.scala:88's trainOn — which runs a
+    * full numIterations GradientDescent pass per batch seeded from the
+    * carried model; the one-step-per-batch form is the same declared
+    * thin-slice deviation as v12's). Residuals are exact integers (y
+    * minus the rounded integer prediction), so the three gradient sums
+    * are partitioning-independent. */
+  def linearStep(feats: DataFrame, w: DataFrame, lr: Double): DataFrame = {
+    val g = feats.crossJoin(broadcast(w))
+      .selectExpr(s"y - $linPredExpr AS r", "x1", "x2")
+      .agg(count(lit(1)).as("n"), sum("r").as("g0"),
+        sum(col("r") * col("x1")).as("g1"),
+        sum(col("r") * col("x2")).as("g2"))
+    g.crossJoin(w).selectExpr(
+      s"${linUpdExpr("w0q", "g0", lr)} AS w0q",
+      s"${linUpdExpr("w1q", "g1", lr)} AS w1q",
+      s"${linUpdExpr("w2q", "g2", lr)} AS w2q")
+  }
+
+  /** Lasso over (x1, x2, y): `iters` ISTA iterations — one [[linearStep]]
+    * then the L1 soft-threshold on the two FEATURE weights (the intercept
+    * is never penalized; deliberate deviation from the reference, whose
+    * appendBias weight rides through L1Updater like any other — the s23
+    * ridge convention, declared the same way). Per iteration ONE scan;
+    * weight frame localCheckpoints per step. */
+  def lassoFit2(feats: DataFrame, iters: Int = 8, lr: Double = 0.002,
+                lambda: Double = 20.0): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val shrinkq = lassoShrinkQ(lr, lambda)
+    var w = logisticInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      w = linearStep(f, w, lr).selectExpr(
+          "w0q",
+          s"${softThresholdExpr("w1q", shrinkq)} AS w1q",
+          s"${softThresholdExpr("w2q", shrinkq)} AS w2q")
+        .localCheckpoint()
+    f.unpersist()
+    w
+  }
+
+  /** Score (idCol, x1, x2, y) under fitted quantized linear weights. */
+  def linPredict2(feats: DataFrame, weights: DataFrame, idCol: String): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(idCol, "y", s"$linPredExpr AS predq")
+
+  // ---- Welch's t-test (reference mllib/src/main/scala/org/apache/spark/
+  // mllib/stat/test/StreamingTestMethod.scala:78 — WelchTTest, the
+  // unequal-variance two-sample test behind StreamingTest's default
+  // "welch" method; :120 StudentTTest is the pooled variant) -------------
+
+  /** (t_micro, df_micro) formula strings over the six exact integer
+    * sufficient statistics (n1, s1, ss1, n2, s2, ss2): sample means,
+    * n−1 sample variances, the Welch statistic and the
+    * Welch–Satterthwaite degrees of freedom — every double cast and
+    * parenthesis fixed, shared verbatim with the oracle; sqrt is the one
+    * libm call (the s29 precedent). Σx² must be computed by the caller in
+    * units where it fits BIGINT. */
+  def welchExprs: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def m(i: Int) = s"(${d(s"s$i")} / ${d(s"n$i")})"
+    def v(i: Int) =
+      s"((${d(s"ss$i")} - ((${d(s"s$i")} * ${d(s"s$i")}) / ${d(s"n$i")})) / CAST(n$i - 1 AS DOUBLE))"
+    def se(i: Int) = s"(${v(i)} / ${d(s"n$i")})"
+    val sse = s"(${se(1)} + ${se(2)})"
+    Seq(
+      "t_micro" ->
+        s"CAST(round(((${m(1)} - ${m(2)}) / sqrt($sse)) * 1000000.0) AS BIGINT)",
+      "df_micro" ->
+        s"CAST(round((($sse * $sse) / (((${se(1)} * ${se(1)}) / CAST(n1 - 1 AS DOUBLE)) + ((${se(2)} * ${se(2)}) / CAST(n2 - 1 AS DOUBLE)))) * 1000000.0) AS BIGINT)")
+  }
+
+  /** Welch's unequal-variance t-test between two groups of `valCol`
+    * (BIGINT; caller pre-quantizes) selected by `groupCol` ∈ {g1, g2}:
+    * ONE conditional-aggregate scan of six exact integer sums, then the
+    * 1-row [[welchExprs]] projection. Returns
+    * (n1, s1, ss1, n2, s2, ss2, t_micro, df_micro) — the raw sums ride
+    * along so the oracle gates them directly, not just the statistics. */
+  def welchTTest(df: DataFrame, groupCol: String, g1: String, g2: String,
+                 valCol: String): DataFrame = {
+    def side(i: Int, g: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n$i"),
+      sum(when(col(groupCol) === g, col(valCol)).otherwise(0L)).as(s"s$i"),
+      sum(when(col(groupCol) === g, col(valCol) * col(valCol)).otherwise(0L)).as(s"ss$i"))
+    val aggs = side(1, g1) ++ side(2, g2)
+    df.filter(col(groupCol).isin(g1, g2))
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(Seq("n1", "s1", "ss1", "n2", "s2", "ss2") ++
+        welchExprs.map { case (name, e) => s"$e AS $name" }: _*)
+  }
+
+  // ---- isotonic regression (reference mllib/src/main/scala/org/apache/
+  // spark/mllib/regression/IsotonicRegression.scala:324
+  // poolAdjacentViolators — sequential PAVA per partition — and :409
+  // parallelPoolAdjacentViolators, which collects the per-partition
+  // blocks for a final driver pass) --------------------------------------
+
+  /** Weighted isotonic (monotone non-decreasing) least-squares fit of
+    * `yCol` on `xCol`, fully relational — NO sequential PAVA and NO
+    * driver collect. Uses the minimax representation of the PAVA
+    * solution: fitted(x_i) = max_{j≤i} min_{k≥i} mean(y over blocks
+    * j..k), evaluated on the DISTINCT-x aggregated table (one row-linear
+    * groupBy; everything after is bounded by d = |distinct x|, the s20
+    * histogram argument — the pair/triple theta-joins are d² and d³ rows
+    * of longs, broadcast-nested-loop over tables that never scale with
+    * row count). Where the reference pays a sequential driver pass over
+    * per-partition block lists, this pays d³ — the right trade whenever
+    * the regressor is binned/bounded, which is how isotonic calibration
+    * is used on large data.
+    *
+    * Block means are micro-quantized BEFORE the min/max sweep; because
+    * rounding is monotone, max-min commutes with it, so level_micro is
+    * EXACTLY round(1e6 · exact PAVA level) — no double-floor slack.
+    * Returns one row per distinct x: (x, n, sy, level_micro),
+    * level monotone non-decreasing in x by construction. */
+  def isotonicFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.groupBy(col(xCol).as("x"))
+      .agg(count(lit(1)).as("cnt"), sum(yCol).as("sy"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = t.select(col("x"), col("cnt"), col("sy"),
+      sum("cnt").over(w).as("cc"), sum("sy").over(w).as("cs"))
+    val lo = cum.selectExpr("x AS xj", "cs - sy AS cs0", "cc - cnt AS cc0")
+    val hi = cum.selectExpr("x AS xk", "cs AS csk", "cc AS cck")
+    val pairs = lo.join(hi, col("xj") <= col("xk"))
+      .selectExpr("xj", "xk",
+        "CAST(round((CAST(csk - cs0 AS DOUBLE) / CAST(cck - cc0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS avg_micro")
+    cum.select(col("x").as("xi"), col("cnt"), col("sy"))
+      .join(pairs, col("xj") <= col("xi") && col("xi") <= col("xk"))
+      .groupBy("xi", "cnt", "sy", "xj").agg(min("avg_micro").as("mn"))
+      .groupBy("xi", "cnt", "sy").agg(max("mn").as("level_micro"))
+      .selectExpr("xi AS x", "CAST(cnt AS BIGINT) AS n", "sy", "level_micro")
+  }
+
   // ---- gradient-boosted trees (reference mllib/src/main/scala/org/
   // apache/spark/mllib/tree/GradientBoostedTrees.scala:54 — squared-loss
   // boosting: each round fits a regression tree to the current

@@ -70,6 +70,33 @@ object MlEval {
     // anywhere in its text, PREDICTED set = labels present in its first
     // half — a real degraded predictor. One corpus row of subset
     // accuracy / Hamming / IoU accuracy / micro P-R-F1.
+    // Isotonic regression (reference mllib/regression/IsotonicRegression
+    // .scala:324 poolAdjacentViolators / :409 parallel): mean order value
+    // (whole dollars) as a monotone function of the quantity decile —
+    // genuinely increasing with enough noise that several deciles pool.
+    // The minimax-PAVA evaluation is fully relational (Learn.isotonicFit
+    // scaladoc has the d³ boundedness argument); level_micro is exactly
+    // round(1e6 · the PAVA level).
+    "s32_isotonic_regression" -> { (s, dir) =>
+      val rows = dollarFeats(s, dir)
+        .selectExpr("CAST(x2 DIV 10 AS BIGINT) AS x", "y")
+      graft.ext.Learn.isotonicFit(rows, "x", "y").orderBy("x")
+    },
+
+    // Lasso (reference mllib/regression/Lasso.scala:88 + optimization/
+    // Updater.scala L1Updater): 8 ISTA iterations — full-batch squared-
+    // loss gradient step + integer soft-threshold — on the s19 feature
+    // base against the qty-derived noisy target (w2 converges toward the
+    // true slope 10; the L1 shrink visibly bites w1). The support
+    // decision (which weights hit exactly zero) is an integer compare,
+    // so it cannot drift between engines. Cohort scoring like s14.
+    "s33_lasso" -> { (s, dir) =>
+      val feats = lassoFeats(s, dir)
+      val w = graft.ext.Learn.lassoFit2(feats, iters = 8, lr = 0.002, lambda = 20.0)
+      graft.ext.Learn.linPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     "s31_multilabel_metrics" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
@@ -103,11 +130,43 @@ object MlEval {
           expr("CAST(round(o_totalprice) AS BIGINT)").as("y")),
         "o_orderkey")
 
+  /** The s33 features: x1 = n items, x2 = qty decile, y = the s19-style
+    * noisy qty-derived target (in natural units, not micro). */
+  private def lassoFeats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+      .selectExpr("o_orderkey", "x1", "CAST(qty DIV 10 AS BIGINT) AS x2",
+        "CAST(qty + 5 * (o_orderkey % 13) AS BIGINT) AS y")
+
   private val qtyCte =
     """base AS MATERIALIZED (
       |  SELECT l_orderkey AS o_orderkey,
       |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
       |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  /** One unrolled ISTA iteration: the linear gradient step (Learn's
+    * shared prediction/update formula strings) then the integer
+    * soft-threshold on the two feature weights. */
+  private def lassoIterCte(k: Int, lr: Double, shrinkq: Long): String = {
+    import graft.ext.Learn
+    s"""lg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(r) AS BIGINT) AS g0,
+       |    CAST(sum(r * x1) AS BIGINT) AS g1,
+       |    CAST(sum(r * x2) AS BIGINT) AS g2
+       |  FROM (SELECT y - ${Learn.linPredExpr} AS r, x1, x2
+       |        FROM feats CROSS JOIN lw${k - 1})),
+       |lw$k AS MATERIALIZED (
+       |  SELECT u0 AS w0q,
+       |    ${Learn.softThresholdExpr("u1", shrinkq)} AS w1q,
+       |    ${Learn.softThresholdExpr("u2", shrinkq)} AS w2q
+       |  FROM (SELECT ${Learn.linUpdExpr("w0q", "g0", lr)} AS u0,
+       |          ${Learn.linUpdExpr("w1q", "g1", lr)} AS u1,
+       |          ${Learn.linUpdExpr("w2q", "g2", lr)} AS u2
+       |        FROM lg$k CROSS JOIN lw${k - 1}))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // Mirror of Evaluate.binaryMetrics: score-grouped cumulative counts,
@@ -216,6 +275,52 @@ object MlEval {
          |LEFT JOIN perkey pk USING (key)
          |JOIN ideal i ON i.rnk = least(rs.n_rel, 5)
          |ORDER BY rs.key""".stripMargin
+    },
+
+    // Mirror of Learn.isotonicFit: distinct-x aggregation, prefix sums,
+    // the d² block-average pair table, then the minimax sweep. All window
+    // sums CAST from HUGEINT; division operands are positive counts.
+    "s32_isotonic_regression" ->
+      """WITH feats AS MATERIALIZED (
+        |  SELECT l.l_orderkey AS o_orderkey,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l GROUP BY 1),
+        |rows_ AS (SELECT CAST(f.qty // 10 AS BIGINT) AS x,
+        |    CAST(round(o.o_totalprice) AS BIGINT) AS y
+        |  FROM feats f JOIN orders o USING (o_orderkey)),
+        |t AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM rows_ GROUP BY 1),
+        |cum AS MATERIALIZED (SELECT x, cnt, sy,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cc, CAST(sum(sy) OVER w AS BIGINT) AS cs
+        |  FROM t WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.xj, b.xk,
+        |    CAST(round((CAST(b.csk - a.cs0 AS DOUBLE) / CAST(b.cck - a.cc0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS avg_micro
+        |  FROM (SELECT x AS xj, cs - sy AS cs0, cc - cnt AS cc0 FROM cum) a
+        |  JOIN (SELECT x AS xk, cs AS csk, cc AS cck FROM cum) b ON a.xj <= b.xk),
+        |mn AS (SELECT i.x AS xi, i.cnt, i.sy, p.xj,
+        |    CAST(min(p.avg_micro) AS BIGINT) AS mn
+        |  FROM cum i JOIN pairs p ON p.xj <= i.x AND i.x <= p.xk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT xi AS x, cnt AS n, sy, CAST(max(mn) AS BIGINT) AS level_micro
+        |FROM mn GROUP BY 1, 2, 3 ORDER BY x""".stripMargin,
+
+    // 8 unrolled ISTA iterations sharing Learn's prediction / update /
+    // soft-threshold formula strings, then cohort scoring under lw8.
+    "s33_lasso" -> {
+      val shrinkq = graft.ext.Learn.lassoShrinkQ(0.002, 20.0)
+      val iters = (1 to 8).map(lassoIterCte(_, 0.002, shrinkq)).mkString(",\n")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST(qty + 5 * (o_orderkey % 13) AS BIGINT) AS y
+         |  FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         |        FROM lineitem GROUP BY 1)),
+         |lw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, y, ${graft.ext.Learn.linPredExpr} AS predq
+         |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
     },
 
     // Mirror of Evaluate.multilabelMetrics over the top-5-token labels.

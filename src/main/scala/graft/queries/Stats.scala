@@ -309,6 +309,20 @@ object Stats {
         "xc", "yc")
     },
 
+    // Welch's unequal-variance t-test (reference mllib/stat/test/
+    // StreamingTestMethod.scala:78 WelchTTest — the default method behind
+    // StreamingTest): purchase vs click event values in exact milli
+    // units; one conditional-aggregate scan of six integer sums, t and
+    // the Welch–Satterthwaite df through Learn.welchExprs' shared formula
+    // strings. The raw sums ride along in the result so the oracle gates
+    // them directly.
+    "n18_welch_ttest" -> { (s, dir) =>
+      graft.ext.Learn.welchTTest(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm")),
+        "event_type", "purchase", "click", "vm")
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -359,6 +373,25 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of Learn.welchTTest: the identical six conditional sums and
+    // the shared t / df formula strings over them.
+    "n18_welch_ttest" -> {
+      val stats = graft.ext.Learn.welchExprs
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n  ")
+      s"""WITH g AS (SELECT
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss1,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN vm ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss2
+         |  FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+         |        FROM events WHERE event_type IN ('purchase', 'click')))
+         |SELECT n1, s1, ss1, n2, s2, ss2,
+         |  $stats
+         |FROM g""".stripMargin
+    },
+
     "n01_na_handling" ->
       """SELECT o_orderkey,
         |  COALESCE(CASE WHEN nullif(o_orderstatus, 'O') = 'F' THEN 'FIN'

@@ -288,6 +288,29 @@ object Streams {
     // foreachBatch, weights updated by graft.ext.Learn.logisticStep —
     // the identical quantized step s19's batch loop uses, so the oracle
     // is one unrolled iteration over the same features.
+    // Streaming linear regression (reference mllib/regression/
+    // StreamingLinearRegressionWithSGD.scala:43 via
+    // StreamingLinearAlgorithm.scala:88 trainOn — full SGD pass per batch
+    // there; ONE quantized full-batch gradient step per micro-batch here,
+    // the v12 thin-slice convention): the carried 1-row weight frame is
+    // the model state, updated by Learn.linearStep in foreachBatch. The
+    // target is value itself with x2 = its decile, so one step already
+    // moves w2 decisively toward the true slope.
+    "v13_streaming_linreg" -> { (s, dir) =>
+      val feats = eventStream(s, dir).selectExpr(
+        "CAST(user_id % 10 AS BIGINT) AS x1",
+        "CAST(CAST(round(value) AS BIGINT) DIV 10 AS BIGINT) AS x2",
+        "CAST(round(value) AS BIGINT) AS y")
+      var w = graft.ext.Learn.logisticInit(s).localCheckpoint()
+      val q = feats.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          w = graft.ext.Learn.linearStep(b, w, lr = 0.05).localCheckpoint()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      w.select("w0q", "w1q", "w2q")
+    },
+
     "v12_streaming_logistic" -> { (s, dir) =>
       val feats = eventStream(s, dir).selectExpr(
         "CAST(user_id % 10 AS BIGINT) AS x1",
@@ -416,6 +439,26 @@ object Streams {
     // The corpus arrives as one micro-batch, so the streamed model equals
     // exactly ONE unrolled gradient iteration (Ml.lrIterCte — the shared
     // sigmoid/update formula strings) over the event features.
+    "v13_streaming_linreg" -> {
+      import graft.ext.Learn
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT CAST(user_id % 10 AS BIGINT) AS x1,
+         |         CAST(CAST(round(value) AS BIGINT) // 10 AS BIGINT) AS x2,
+         |         CAST(round(value) AS BIGINT) AS y
+         |  FROM events),
+         |lw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |lg1 AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS g0,
+         |    CAST(sum(r * x1) AS BIGINT) AS g1, CAST(sum(r * x2) AS BIGINT) AS g2
+         |  FROM (SELECT y - ${Learn.linPredExpr} AS r, x1, x2
+         |        FROM feats CROSS JOIN lw0)),
+         |lw1 AS (SELECT ${Learn.linUpdExpr("w0q", "g0", 0.05)} AS w0q,
+         |    ${Learn.linUpdExpr("w1q", "g1", 0.05)} AS w1q,
+         |    ${Learn.linUpdExpr("w2q", "g2", 0.05)} AS w2q
+         |  FROM lg1 CROSS JOIN lw0)
+         |SELECT w0q, w1q, w2q FROM lw1""".stripMargin
+    },
+
     "v12_streaming_logistic" ->
       s"""WITH feats AS MATERIALIZED (
          |  SELECT CAST(user_id % 10 AS BIGINT) AS x1,

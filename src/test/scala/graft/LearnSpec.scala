@@ -386,4 +386,59 @@ class LearnSpec extends SparkSpec {
     // training docs classify as their own label (their vocab is exclusive)
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
+
+  test("welch t-test matches the hand-computed statistic and df") {
+    import spark.implicits._
+    // g1 = {10,12,14} (var 4), g2 = {20,22,24,26} (var 20/3):
+    // t = -6.35085296..., Welch-Satterthwaite df = 4.95918367...
+    val df = (Seq(10L, 12L, 14L).map(("a", _)) ++
+      Seq(20L, 22L, 24L, 26L).map(("b", _)) ++ Seq(("c", 999L))).toDF("g", "v")
+    val r = Learn.welchTTest(df, "g", "a", "b", "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 36L, 440L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((4L, 92L, 2136L)))
+    assert(r.getLong(6) === -6350853L) // group c never entered the sums
+    assert(r.getLong(7) === 4959184L)
+  }
+
+  test("isotonic fit pools adjacent violators to the block mean") {
+    import spark.implicits._
+    // means by x: (2, 3, 1) — x2 and x3 violate, and pooling them (2)
+    // still violates nothing against x1's 2; the PAVA solution pools
+    // ALL three blocks iff the running constraint requires it:
+    // min over suffixes at x1 = mean(1..3) = (4+3+1)/4 = 2 -> level 2;
+    // x2,x3 pool to (3+1)/2 = 2 as well. All levels exactly 2.
+    val df = Seq((1L, 1L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("x", "y")
+    val got = Learn.isotonicFit(df, "x", "y").orderBy("x").collect()
+    assert(got.map(_.getLong(3)).toSeq === Seq(2000000L, 2000000L, 2000000L))
+    // a clean staircase is returned untouched
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Learn.isotonicFit(mono, "x", "y").orderBy("x").collect()
+      .map(_.getLong(3)).toSeq === Seq(10000000L, 20000000L, 30000000L))
+  }
+
+  test("isotonic levels are monotone and partition-deterministic") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i % 23, (i * i) % 97)).toDF("x", "y")
+    val a = Learn.isotonicFit(df.repartition(1), "x", "y").orderBy("x").collect()
+    val b = Learn.isotonicFit(df.repartition(7, col("y")), "x", "y").orderBy("x").collect()
+    assert(a.toSeq === b.toSeq)
+    val levels = a.map(_.getLong(3)).toSeq
+    assert(levels === levels.sorted, "fitted levels must be non-decreasing")
+  }
+
+  test("lasso zeroes a pure-noise feature exactly; the signal survives") {
+    import spark.implicits._
+    // y = 7*x2 exactly; x1 is tiny alternating noise orthogonal-ish to y.
+    val feats = (1L to 300L).map { i =>
+      val x2 = i % 20
+      (i, (i % 2) * 2 - 1, x2, 7L * x2)
+    }.toDF("o_orderkey", "x1", "x2", "y")
+    val w = Learn.lassoFit2(feats, iters = 12, lr = 0.01, lambda = 30.0).head()
+    assert(w.getLong(1) === 0L, s"noise weight must be EXACTLY zero, got $w")
+    assert(math.abs(w.getLong(2) / 65536.0 - 7.0) < 0.7, s"signal weight survives: $w")
+    // scoring emits integer predictions in y-units
+    val p = Learn.linPredict2(feats, Learn.lassoFit2(feats, 12, 0.01, 30.0), "o_orderkey")
+      .orderBy("o_orderkey").head()
+    assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
+  }
 }
