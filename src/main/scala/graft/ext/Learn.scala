@@ -626,6 +626,65 @@ object Learn {
         welchExprs.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
+  // ---- chi-squared feature selection (reference mllib/src/main/scala/
+  // org/apache/spark/mllib/feature/ChiSqSelector.scala:181 — fit at :192
+  // runs Statistics.chiSqTest per feature and keeps the top-k by
+  // statistic; the model REQUIRES the selected indices sorted ascending,
+  // ChiSqSelectorModel.scala:44 — mirrored by the output ordering) ------
+
+  /** One presence-cell chi² contribution in micro-units over columns
+    * (o, pt, nl, nn): observed o against expected pt·nl/nn. Fixed
+    * parenthesization, shared verbatim with the oracle. */
+  private def chiCell(o: String, pt: String): String = {
+    val e = s"((CAST($pt AS DOUBLE) * CAST(nl AS DOUBLE)) / CAST(nn AS DOUBLE))"
+    s"CAST(round((((CAST($o AS DOUBLE) - $e) * (CAST($o AS DOUBLE) - $e)) / $e) * 1000000.0) AS BIGINT)"
+  }
+
+  /** The full per-(token, label) contribution: the PRESENT cell plus the
+    * ABSENT cell, the latter guarded by the integer margin test (a token
+    * present in every document has a zero absent margin — its absent
+    * cells contribute 0 rather than 0/0). */
+  val chiPairExpr: String = {
+    val present = chiCell("o", "pt")
+    val absent = chiCell("(nl - o)", "(nn - pt)")
+    s"($present + (CASE WHEN nn - pt = 0 THEN 0 ELSE $absent END))"
+  }
+
+  /** Top-`k` tokens of `textCol` by chi-squared dependence on `labelCol`
+    * — ChiSqSelector re-expressed relationally over DOCUMENT PRESENCE
+    * (each 2×L contingency: token present/absent × label):
+    *   1. one row-linear explode + distinct for per-document presence;
+    *   2. vocabulary-bounded count aggregates (per token-label, per
+    *      label, per token) — the margins;
+    *   3. the dense token × label grid (present counts left-joined so
+    *      zero-observed cells still contribute their expected mass);
+    *   4. per-cell contributions quantized to micro FIRST, summed as
+    *      exact integers (the s34 double-floor convention: within 2L
+    *      micro-units of the unquantized statistic, deterministic);
+    *   5. top-k by (chi2 desc, token asc), RE-SORTED ascending — the
+    *      model contract above.
+    * Returns k rows (tok, chi2_micro). */
+  def chiSqSelect(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pres = docs.select(col(idCol).as("id"), col(labelCol).as("lab"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+    val ctl = pres.groupBy("tok", "lab").agg(count(lit(1)).as("o"))
+    val nl = docs.groupBy(col(labelCol).as("lab")).agg(count(lit(1)).as("nl"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    val pt = ctl.groupBy("tok").agg(sum("o").as("pt"))
+    val grid = pt.crossJoin(broadcast(nl)).crossJoin(broadcast(nn))
+      .join(ctl, Seq("tok", "lab"), "left")
+      .na.fill(0L, Seq("o"))
+    val chi = grid.selectExpr("tok", s"$chiPairExpr AS cell_micro")
+      .groupBy("tok").agg(sum("cell_micro").as("chi2_micro"))
+    chi.select(col("tok"), col("chi2_micro"),
+        row_number().over(Window.orderBy(col("chi2_micro").desc, col("tok"))).as("rn"))
+      .filter(col("rn") <= k)
+      .select("tok", "chi2_micro")
+  }
+
   // ---- isotonic regression (reference mllib/src/main/scala/org/apache/
   // spark/mllib/regression/IsotonicRegression.scala:324
   // poolAdjacentViolators — sequential PAVA per partition — and :409

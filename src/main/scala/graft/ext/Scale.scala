@@ -317,4 +317,34 @@ object Scale {
           .partitionBy("grp").orderBy(col("h"), col("id"))).cast("int"))
       .filter(col("pick") <= m)
       .select(col("grp"), col("id"), col("pick"))
+
+  /** Distributed sparse matrix multiply in block-coordinate form — the
+    * reference's BlockMatrix.multiply (mllib/linalg/distributed/
+    * BlockMatrix.scala:399), whose two-phase shape (:369
+    * simulateMultiply routes each A-block to every k-matching B-block
+    * destination, then partial products reduce by result block) is
+    * exactly the two hash aggregations below.
+    *
+    * Inputs are coordinate entries a(i, k, va), b(k, j, vb); `blockSize`
+    * assigns the grid (ib = i DIV blockSize etc. — ids must be
+    * non-negative, the TPC-H key convention). Phase 1 joins on the
+    * contraction key k and reduces WITHIN each (ib, kb, jb) block pair —
+    * the per-block GEMM, map-side combinable; phase 2 reduces the
+    * partials across kb into the result block (ib, jb) — simulateMultiply
+    * 's cross-block shuffle. Values stay exact BIGINTs end to end, so the
+    * product is partitioning-independent. At scale the k-join IS the
+    * SUMMA data movement: both sides shuffle once on k, and the second
+    * aggregate moves one row per (block-pair, cell), never per source
+    * entry. Returns (ib, jb, i, j, v). */
+  def blockMultiply(a: DataFrame, b: DataFrame, blockSize: Int): DataFrame = {
+    val partials = a.select(col("i"), col("k"), col("va"))
+      .join(b.select(col("k"), col("j"), col("vb")), "k")
+      .groupBy(expr(s"CAST(i DIV $blockSize AS BIGINT)").as("ib"),
+        expr(s"CAST(k DIV $blockSize AS BIGINT)").as("kb"),
+        expr(s"CAST(j DIV $blockSize AS BIGINT)").as("jb"),
+        col("i"), col("j"))
+      .agg(sum(col("va") * col("vb")).as("pv"))
+    partials.groupBy("ib", "jb", "i", "j")
+      .agg(sum("pv").as("v"))
+  }
 }

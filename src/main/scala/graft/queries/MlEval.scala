@@ -97,6 +97,18 @@ object MlEval {
         .orderBy("o_orderkey")
     },
 
+    // Chi-squared feature selection (reference mllib/feature/
+    // ChiSqSelector.scala:181; model contract :44 requires ascending
+    // selected indices — hence the final token sort): the 10 tokens whose
+    // document presence depends most on language. Margins and cells are
+    // exact counts; the statistic is the sum of micro-quantized cell
+    // terms (Learn.chiPairExpr shared with the oracle).
+    "s34_chisq_selector" -> { (s, dir) =>
+      graft.ext.Learn.chiSqSelect(Tables.documents(s, dir),
+          "doc_id", "text", "lang", 10)
+        .orderBy("tok")
+    },
+
     "s31_multilabel_metrics" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
@@ -322,6 +334,28 @@ object MlEval {
          |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // Mirror of Learn.chiSqSelect: distinct presence, margin aggregates,
+    // the dense token × label grid, the shared cell formula string.
+    "s34_chisq_selector" ->
+      s"""WITH pres AS MATERIALIZED (SELECT DISTINCT id, lab, tok FROM (
+         |    SELECT doc_id AS id, lang AS lab,
+         |           unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |ctl AS MATERIALIZED (
+         |  SELECT tok, lab, CAST(count(*) AS BIGINT) AS o FROM pres GROUP BY 1, 2),
+         |nl AS (SELECT lang AS lab, CAST(count(*) AS BIGINT) AS nl FROM documents GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |pt AS (SELECT tok, CAST(sum(o) AS BIGINT) AS pt FROM ctl GROUP BY 1),
+         |grid AS (SELECT p.tok, l.lab, p.pt, l.nl, t.nn, COALESCE(c.o, 0) AS o
+         |  FROM pt p CROSS JOIN nl l CROSS JOIN nt t
+         |  LEFT JOIN ctl c ON c.tok = p.tok AND c.lab = l.lab),
+         |chi AS MATERIALIZED (
+         |  SELECT tok, CAST(sum(${graft.ext.Learn.chiPairExpr}) AS BIGINT) AS chi2_micro
+         |  FROM grid GROUP BY 1)
+         |SELECT tok, chi2_micro FROM (
+         |  SELECT tok, chi2_micro,
+         |    row_number() OVER (ORDER BY chi2_micro DESC, tok) AS rn FROM chi)
+         |WHERE rn <= 10 ORDER BY tok""".stripMargin,
 
     // Mirror of Evaluate.multilabelMetrics over the top-5-token labels.
     "s31_multilabel_metrics" ->

@@ -122,6 +122,26 @@ object Scale {
     // dimensions. The layout must be invisible in the result (oracle =
     // the plain-scan formulation); the dual-dimension file-pruning power
     // is asserted in ScaleSpec from per-file footer ranges.
+    // Block-matrix multiply (reference mllib/linalg/distributed/
+    // BlockMatrix.scala:399 multiply / :369 simulateMultiply): the
+    // customer×supplier purchase-count matrix times the supplier×nation
+    // indicator — C(i,j) = how many of customer i's lineitems came from
+    // nation j. Two-phase block-coordinate product (Scale.blockMultiply);
+    // the oracle is the DIRECT join+group formulation, so the block
+    // routing must be result-transparent. Cohort i <= 300 for output.
+    "x13_block_matmul" -> { (s, dir) =>
+      val a = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("i"), col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("va"))
+      val b = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("k"), col("s_nationkey").as("j"),
+          lit(1L).as("vb"))
+      S.blockMultiply(a, b, 64)
+        .filter(col("i") <= 300)
+        .orderBy("i", "j")
+    },
+
     "x12_zorder_scan" -> { (s, dir) =>
       val path = s"/tmp/graft_scale/zorder_${Dedup.dirKey(dir)}"
       val src = Tables.orders(s, dir)
@@ -214,6 +234,19 @@ object Scale {
     "x07_compacted_scan" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The block routing must be result-transparent: the direct
+    // join+group matrix product (vb = 1, so sum(va·vb) = sum(va)).
+    "x13_block_matmul" ->
+      """WITH a AS MATERIALIZED (
+        |  SELECT o.o_custkey AS i, l.l_suppkey AS k, CAST(count(*) AS BIGINT) AS va
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT CAST(a.i // 64 AS BIGINT) AS ib, CAST(b.j // 64 AS BIGINT) AS jb,
+        |  a.i, b.j, CAST(sum(a.va) AS BIGINT) AS v
+        |FROM a JOIN (SELECT s_suppkey AS k, s_nationkey AS j FROM supplier) b USING (k)
+        |WHERE a.i <= 300
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.i, b.j""".stripMargin,
 
     // The interleaved layout must be result-transparent: plain scan SQL.
     "x12_zorder_scan" ->

@@ -426,6 +426,19 @@ class LearnSpec extends SparkSpec {
     assert(levels === levels.sorted, "fitted levels must be non-decreasing")
   }
 
+  test("chi-squared selector ranks a label-exclusive token over uniform ones") {
+    import spark.implicits._
+    // "x" appears exactly in the two label-a docs: 2x2-style chi2 = 4.
+    // "u" is perfectly balanced (chi2 = 0); "c" is in EVERY doc (zero
+    // absent margin -> guard path, chi2 = 0). k=2 selects x plus the
+    // alphabetically-first zero token, output re-sorted ascending.
+    val docs = Seq((1L, "x c u", "a"), (2L, "x c", "a"),
+      (3L, "c u", "b"), (4L, "c", "b")).toDF("doc_id", "text", "lang")
+    val got = Learn.chiSqSelect(docs, "doc_id", "text", "lang", 2)
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("c", 0L), ("x", 4000000L)))
+  }
+
   test("lasso zeroes a pure-noise feature exactly; the signal survives") {
     import spark.implicits._
     // y = 7*x2 exactly; x1 is tiny alternating noise orthogonal-ish to y.

@@ -224,4 +224,22 @@ class ScaleSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("block multiply reproduces the dense product and is block-size invariant") {
+    import spark.implicits._
+    // A = [[1,2],[3,4]], B = [[5,6],[7,8]] -> C = [[19,22],[43,50]]
+    val a = Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 0L, 3L), (1L, 1L, 4L)).toDF("i", "k", "va")
+    val b = Seq((0L, 0L, 5L), (0L, 1L, 6L), (1L, 0L, 7L), (1L, 1L, 8L)).toDF("k", "j", "vb")
+    val got = Scale.blockMultiply(a, b, 1).orderBy("i", "j").collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(got === Map((0L, 0L) -> 19L, (0L, 1L) -> 22L, (1L, 0L) -> 43L, (1L, 1L) -> 50L))
+    // the grid is routing only: any block size yields the same product
+    val one = Scale.blockMultiply(a, b, 100).orderBy("i", "j").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(one === got.toSeq.sortBy(_._1).map { case ((i, j), v) => (i, j, v) })
+    // sparse zero cells are absent, not zero rows
+    val sp = Scale.blockMultiply(Seq((0L, 0L, 1L)).toDF("i", "k", "va"),
+      Seq((1L, 1L, 9L)).toDF("k", "j", "vb"), 1)
+    assert(sp.count() === 0L)
+  }
 }
