@@ -288,4 +288,105 @@ object Clustering {
     t.unpersist()
     centers
   }
+
+  // ---- Gaussian mixture, 1-D two-component EM (reference mllib/
+  // clustering/GaussianMixture.scala:161 run — per EM iteration one
+  // aggregate of per-point responsibility-weighted sums (:198, the
+  // ExpectationSum treeAggregate) then a driver update of weights and
+  // gaussians (:238) — exactly the scan + 1-row-projection loop below.
+  // Thin-slice deviations, declared: one dimension, two components, and
+  // a SHARED variance held fixed at the population variance (the
+  // reference re-fits per-component covariances; a known-common-variance
+  // location mixture keeps the responsibility a pure sigmoid of x, so
+  // the whole E-step shares the s19 sigmoid machinery and quantizes to
+  // exact micro integers) ----------------------------------------------
+
+  /** The six split sufficient statistics carried (constant) through every
+    * EM state row: per mean-split side, exact (count, Σx, Σx²). */
+  private val gmmStatCols = Seq("nl", "sl", "ssl", "nh", "sh", "ssh")
+
+  /** The SHARED variance, fixed at the pooled within-half variance of the
+    * mean split — a double expression over the six exact sums, fixed
+    * parenthesization, shared with the oracle. (Using the raw population
+    * variance instead washes out separation when the between-cluster gap
+    * dominates: measured fixed point 17.7/34.8 on a 10-vs-50 fixture; the
+    * pooled-within estimate recovers 10/50 exactly.) */
+  val gmmVarExpr: String =
+    "(((CAST(ssl AS DOUBLE) - ((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)) / CAST(nl AS DOUBLE))) + (CAST(ssh AS DOUBLE) - ((CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)) / CAST(nh AS DOUBLE)))) / CAST(nl + nh AS DOUBLE))"
+
+  /** Component-1 responsibility in micro-units: with a shared variance
+    * the posterior is sigmoid(−(ln(w2/w1) + (μ1−μ2)((μ1+μ2)−2x)/2σ²)) —
+    * expects the [[gmmStatCols]] state plus (w1u, m1m, m2m) and the point
+    * x in scope. w1u must stay strictly inside (0, 1e6) (ln of the
+    * odds) — guaranteed while both mean-split halves are nonempty, i.e.
+    * the input is not single-valued. exp overflow is benign: ±Inf
+    * saturates the sigmoid to exactly 0 / 1e6 identically in both
+    * engines. */
+  val gmmRespExpr: String = {
+    val lnw = "ln((1000000.0 - w1u) / CAST(w1u AS DOUBLE))"
+    val quad = "(((m1m - m2m) / 1000.0) * (((m1m + m2m) / 1000.0) - (2.0 * x)))"
+    s"CAST(round(1000000.0 / (1.0 + exp($lnw + ($quad / (2.0 * $gmmVarExpr))))) AS BIGINT)"
+  }
+
+  /** M-step update strings over the state plus (sr, srx): the new weight
+    * is one non-negative integer DIV; the two means are single rounded
+    * double divisions of exact integer sums (component 2's sums are the
+    * complements n·1e6−sr / Σx·1e6−srx — no second scan needed). */
+  val gmmUpdateExprs: Seq[(String, String)] = Seq(
+    "w1u" -> "CAST(sr DIV (nl + nh) AS BIGINT)",
+    "m1m" -> "CAST(round((CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE)) * 1000.0) AS BIGINT)",
+    "m2m" -> "CAST(round((CAST(((sl + sh) * 1000000) - srx AS DOUBLE) / CAST(((nl + nh) * 1000000) - sr AS DOUBLE)) * 1000.0) AS BIGINT)")
+
+  /** Deterministic init from the mean split itself: weight = the left
+    * fraction, means = the per-half means. */
+  val gmmInitExprs: Seq[(String, String)] = Seq(
+    "w1u" -> "CAST((nl * 1000000) DIV (nl + nh) AS BIGINT)",
+    "m1m" -> "CAST(round((CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)) * 1000.0) AS BIGINT)",
+    "m2m" -> "CAST(round((CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)) * 1000.0) AS BIGINT)")
+
+  /** The split predicate: x below the global mean, as the EXACT integer
+    * compare x·n < Σx (no double ever decides side membership). */
+  val gmmSplitExpr: String = "(x * n) < sx"
+
+  /** EM fit over a 1-column (x BIGINT) table: two init scans (global
+    * sums, then the mean-split conditional sums via [[gmmSplitExpr]]),
+    * then `iters` iterations of ONE scan each (responsibilities from the
+    * broadcast 1-row state, two exact integer sums) plus a 1-row update
+    * projection, localCheckpointed — the logisticFit2 discipline.
+    * Returns two rows (comp, weight_micro, mean_milli, n_hard) with
+    * n_hard the r ≥ 0.5 hard-assignment count under the FINAL state. */
+  def gmmFit1d(xs: DataFrame, iters: Int = 3): DataFrame = {
+    val f = xs.select(col("x")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val tot = f.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val split = f.crossJoin(broadcast(tot))
+      .selectExpr("x", s"CASE WHEN $gmmSplitExpr THEN 1 ELSE 0 END AS lo")
+      .agg(sum(expr("lo")).as("nl"), sum(expr("x * lo")).as("sl"),
+        sum(expr("x * x * lo")).as("ssl"),
+        sum(expr("1 - lo")).as("nh"), sum(expr("x * (1 - lo)")).as("sh"),
+        sum(expr("x * x * (1 - lo)")).as("ssh"))
+    var state = split.selectExpr(gmmStatCols ++
+        gmmInitExprs.map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = f.crossJoin(broadcast(state))
+        .selectExpr(s"$gmmRespExpr AS r", "x")
+        .agg(sum("r").as("sr"), sum(col("r") * col("x")).as("srx"))
+      state = sums.crossJoin(state)
+        .selectExpr(gmmStatCols ++
+          gmmUpdateExprs.map { case (c, e) => s"$e AS $c" }: _*)
+        .localCheckpoint()
+    }
+    val hard = f.crossJoin(broadcast(state))
+      .selectExpr(s"CAST(CASE WHEN $gmmRespExpr >= 500000 THEN 1 ELSE 2 END AS BIGINT) AS comp")
+      .groupBy("comp").agg(count(lit(1)).as("n_hard"))
+    val comps = state.selectExpr("CAST(1 AS BIGINT) AS comp",
+        "w1u AS weight_micro", "m1m AS mean_milli")
+      .union(state.selectExpr("CAST(2 AS BIGINT)",
+        "CAST(1000000 - w1u AS BIGINT)", "m2m"))
+    val out = comps.join(hard, Seq("comp"), "left")
+      .na.fill(0L, Seq("n_hard"))
+    f.unpersist()
+    out
+  }
 }

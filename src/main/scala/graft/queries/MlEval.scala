@@ -97,6 +97,19 @@ object MlEval {
         .orderBy("o_orderkey")
     },
 
+    // Gaussian mixture EM (reference mllib/clustering/GaussianMixture
+    // .scala:161 run / :198 ExpectationSum / :238 update; the 1-D
+    // shared-variance thin-slice deviations are declared in
+    // Clustering.gmmFit1d's scaladoc): three EM iterations over order
+    // totals in thousand-dollar buckets, sigmoid responsibilities in
+    // exact micro integers. Two rows (comp, weight, mean, hard count) —
+    // the whole training loop is oracle-gated through them.
+    "s35_gaussian_mixture" -> { (s, dir) =>
+      val xs = Tables.orders(s, dir)
+        .selectExpr("CAST(CAST(round(o_totalprice) AS BIGINT) DIV 1000 AS BIGINT) AS x")
+      graft.ext.Clustering.gmmFit1d(xs, iters = 3).orderBy("comp")
+    },
+
     // Chi-squared feature selection (reference mllib/feature/
     // ChiSqSelector.scala:181; model contract :44 requires ascending
     // selected indices — hence the final token sort): the 10 tokens whose
@@ -333,6 +346,48 @@ object MlEval {
          |SELECT o_orderkey, y, ${graft.ext.Learn.linPredExpr} AS predq
          |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Three unrolled EM iterations sharing Clustering's responsibility /
+    // update / init formula strings, then the two component rows + hard
+    // counts under the final state.
+    "s35_gaussian_mixture" -> {
+      import graft.ext.Clustering
+      // Spark DIV -> DuckDB // : identical on the non-negative count /
+      // responsibility-sum operands (the SKILL.md seam note).
+      val init = Clustering.gmmInitExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n  ")
+      val upd = Clustering.gmmUpdateExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n    ")
+      val stats = "nl, sl, ssl, nh, sh, ssh"
+      val iters = (1 to 3).map { k =>
+        s"""ga$k AS MATERIALIZED (
+           |  SELECT CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * x) AS BIGINT) AS srx
+           |  FROM (SELECT ${Clustering.gmmRespExpr} AS r, x FROM xs CROSS JOIN g${k - 1})),
+           |g$k AS MATERIALIZED (
+           |  SELECT $stats, $upd
+           |  FROM ga$k CROSS JOIN g${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xs AS MATERIALIZED (
+         |  SELECT CAST(CAST(round(o_totalprice) AS BIGINT) // 1000 AS BIGINT) AS x
+         |  FROM orders),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM xs),
+         |g0 AS MATERIALIZED (SELECT $stats,
+         |  $init
+         |  FROM (SELECT CAST(sum(lo) AS BIGINT) AS nl, CAST(sum(x * lo) AS BIGINT) AS sl,
+         |          CAST(sum(x * x * lo) AS BIGINT) AS ssl,
+         |          CAST(sum(1 - lo) AS BIGINT) AS nh, CAST(sum(x * (1 - lo)) AS BIGINT) AS sh,
+         |          CAST(sum(x * x * (1 - lo)) AS BIGINT) AS ssh
+         |        FROM (SELECT x, CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 0 END AS lo
+         |              FROM xs CROSS JOIN tot))),
+         |$iters,
+         |hard AS (SELECT CAST(CASE WHEN ${Clustering.gmmRespExpr} >= 500000 THEN 1 ELSE 2 END AS BIGINT) AS comp
+         |  FROM xs CROSS JOIN g3),
+         |hc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_hard FROM hard GROUP BY 1),
+         |comps AS (SELECT 1::BIGINT AS comp, w1u AS weight_micro, m1m AS mean_milli FROM g3
+         |  UNION ALL SELECT 2::BIGINT, CAST(1000000 - w1u AS BIGINT), m2m FROM g3)
+         |SELECT c.comp, c.weight_micro, c.mean_milli, COALESCE(h.n_hard, 0) AS n_hard
+         |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
     },
 
     // Mirror of Learn.chiSqSelect: distinct presence, margin aggregates,

@@ -97,4 +97,30 @@ class ClusteringSpec extends SparkSpec {
     // binary-tree leaf labels from two full levels
     assert(a.map(_.getLong(0)).toSet.subsetOf(Set(4L, 5L, 6L, 7L)))
   }
+
+  test("gmm separates an asymmetric 1-d two-cluster fixture") {
+    import spark.implicits._
+    // 20 points near 10, 10 points near 50 (asymmetric sizes per the
+    // p13 rule): EM from the mean-/+sd init must land means near the
+    // cluster centers, weight near 2/3, and hard-assign exactly 20/10.
+    val xs = ((1L to 20L).map(i => 10L + (i % 3) - 1) ++
+      (1L to 10L).map(i => 50L + (i % 3) - 1)).toDF("x")
+    val got = Clustering.gmmFit1d(xs, iters = 3).orderBy("comp").collect()
+    assert(got.length === 2)
+    val (w1, m1, h1) = (got(0).getLong(1), got(0).getLong(2), got(0).getLong(3))
+    val (w2, m2, h2) = (got(1).getLong(1), got(1).getLong(2), got(1).getLong(3))
+    assert(w1 + w2 === 1000000L)
+    assert(math.abs(m1 - 10000L) < 1000, s"comp1 mean near 10: $m1")
+    assert(math.abs(m2 - 50000L) < 1000, s"comp2 mean near 50: $m2")
+    assert(math.abs(w1 - 666667L) < 30000, s"comp1 weight near 2/3: $w1")
+    assert((h1, h2) === ((20L, 10L)))
+  }
+
+  test("gmm state is deterministic across partitionings") {
+    import spark.implicits._
+    val xs = (1L to 300L).map(i => (i * i) % 157).toDF("x")
+    val a = Clustering.gmmFit1d(xs.repartition(1), iters = 2).orderBy("comp").collect()
+    val b = Clustering.gmmFit1d(xs.repartition(17, col("x")), iters = 2).orderBy("comp").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
