@@ -693,4 +693,44 @@ object Similarity {
       .select(col("vec_id"), col("rp_sig"), col("ivf_cluster"),
         round(col("vec_norm"), 4).as("norm"))
   }
+
+  /** The pairwise column cosine in micro-units over (gram, na, nb) —
+    * one sqrt-product formula string, shared verbatim with the oracle. */
+  val colCosExpr: String =
+    "CAST(round((CAST(gram AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) * 1000000.0) AS BIGINT)"
+
+  /** All-pairs COLUMN similarities of the embedding matrix — the
+    * reference's RowMatrix.columnSimilarities at threshold 0 (mllib/
+    * linalg/distributed/RowMatrix.scala:453; with no threshold the DIMSUM
+    * sampler at :573 degenerates to emitting every in-row dimension pair,
+    * which is exactly the self-join below; the Gramian inner products are
+    * :113 computeGramianMatrix). Values quantized once to 2^20 integer
+    * units (the Clustering convention), so every Gramian entry and column
+    * norm is an exact integer sum — partitioning-independent — and the
+    * cosine is one shared sqrt formula over them.
+    *
+    * Shape: one posexplode (row-linear × d), one self-join on the row id
+    * (the per-row pair emission — d²/2 products per row, inherent to the
+    * exact algorithm; DIMSUM's oversampling is the reference's
+    * scale-path for d in the thousands), two hash aggregates bounded by
+    * d². SPARSE convention, like the reference's CoordinateMatrix
+    * result: quantized-zero cells are dropped, so an all-zero column
+    * appears in no output row (rather than dividing by a zero norm) and
+    * never-co-nonzero pairs are absent rather than materialized as 0.
+    * Returns up to d·(d−1)/2 rows (di, dj, gram, cos_micro). */
+  def columnSimilarities(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = df.select(col(idCol).as("rid"),
+        posexplode(expr(s"transform(cast($vecCol as array<double>), x -> cast(round(x * 1048576) as bigint))")))
+      .selectExpr("rid", "CAST(pos + 1 AS BIGINT) AS d", "col AS v")
+      .filter(col("v") =!= 0L)
+    val g = cells.as("a")
+      .join(cells.as("b"),
+        col("a.rid") === col("b.rid") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("di"), col("b.d").as("dj"))
+      .agg(sum(col("a.v") * col("b.v")).as("gram"))
+    val nn = cells.groupBy("d").agg(sum(col("v") * col("v")).as("nrm2"))
+    g.join(nn.select(col("d").as("di"), col("nrm2").as("na")), "di")
+      .join(nn.select(col("d").as("dj"), col("nrm2").as("nb")), "dj")
+      .selectExpr("di", "dj", "gram", s"$colCosExpr AS cos_micro")
+  }
 }

@@ -786,4 +786,73 @@ object TextAnalysis {
         < col("rate_ppm"))
       .select(col("doc_id"), col("best_lang"), col("rate_ppm"))
   }
+
+  // ---- distributional synonyms (reference mllib/feature/Word2Vec
+  // .scala:72 — skip-gram + hierarchical softmax SGD, findSynonyms at
+  // :515 ranks the vocabulary by embedding cosine. DECLARED THIN-SLICE
+  // DEVIATION: SGD embeddings are seeded/scheduling-nondeterministic by
+  // design (:349 samples the window per step), so the house version
+  // embeds words by their POSITIVE-PMI context-count vectors — the
+  // classic count-based distributional baseline the skip-gram objective
+  // implicitly factorizes — and ranks synonyms by the same cosine
+  // contract. Everything is exact counts, one ln formula string, and
+  // integer dot products) ----------------------------------------------
+
+  /** The PPMI weight in milli-units over (cab, ca, cb, tt):
+    * max(0, ln(cab·T/(ca·cb))) quantized — one shared formula string.
+    * Milli (not micro) keeps Σ pmi² inside BIGINT at large vocabularies. */
+  val ppmiExpr: String =
+    "greatest(CAST(0 AS BIGINT), CAST(round(ln((CAST(cab AS DOUBLE) * CAST(tt AS DOUBLE)) / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))) * 1000.0) AS BIGINT))"
+
+  /** Top-`topK` distributional synonyms for the `nTargets` most frequent
+    * tokens: symmetric ±`window` co-occurrence counts (one position
+    * self-join, row-linear in corpus size), PPMI context vectors over the
+    * minCount-filtered vocabulary (the reference's default minCount=5
+    * gate), then cosine between target vectors and every vocabulary
+    * vector via a context-key join — vocabulary-bounded everywhere after
+    * the one corpus scan. Ties break toward the lexicographically
+    * smaller word. Returns (target, rnk, word, cos_micro). */
+  def wordSynonyms(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 2, minCount: Long = 5L,
+                   nTargets: Int = 8, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol).as("did"),
+        posexplode(split(col(textCol), " ")))
+      .selectExpr("did", "CAST(pos AS BIGINT) AS p", "col AS tok")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val kept = toks.join(freq.select("tok"), "tok")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.did") === col("b.did") &&
+        col("b.p") >= col("a.p") - window && col("b.p") <= col("a.p") + window &&
+        col("b.p") =!= col("a.p"))
+      .groupBy(col("a.tok").as("w"), col("b.tok").as("ctx"))
+      .agg(count(lit(1)).as("cab"))
+    val marg = pairs.groupBy("w").agg(sum("cab").as("ca"))
+    val tot = pairs.agg(sum("cab").as("tt"))
+    val vecs = pairs
+      .join(marg, "w")
+      .join(marg.select(col("w").as("ctx"), col("ca").as("cb")), "ctx")
+      .crossJoin(broadcast(tot))
+      .selectExpr("w", "ctx", s"$ppmiExpr AS pmi")
+      .filter(col("pmi") > 0)
+    val norms = vecs.groupBy("w").agg(sum(col("pmi") * col("pmi")).as("nrm2"))
+    val targets = freq.select(col("tok"), row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))).as("rn"))
+      .filter(col("rn") <= nTargets)
+      .select(col("tok").as("target"))
+    val dots = vecs.join(targets, col("w") === col("target"))
+      .select(col("target"), col("ctx"), col("pmi").as("tp"))
+      .join(vecs.select(col("w").as("word"), col("ctx"), col("pmi").as("wp")), "ctx")
+      .filter(col("word") =!= col("target"))
+      .groupBy("target", "word").agg(sum(col("tp") * col("wp")).as("gram"))
+    dots
+      .join(norms.select(col("w").as("target"), col("nrm2").as("na")), "target")
+      .join(norms.select(col("w").as("word"), col("nrm2").as("nb")), "word")
+      .selectExpr("target", "word", s"${Similarity.colCosExpr} AS cos_micro")
+      .select(col("target"), col("word"), col("cos_micro"),
+        row_number().over(Window.partitionBy("target")
+          .orderBy(col("cos_micro").desc, col("word"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("target", "rnk", "word", "cos_micro")
+  }
 }

@@ -77,6 +77,17 @@ object Similarity {
     // lambda=0.7): the post-ANN step that stops a dup-heavy corpus from
     // returning k copies of one document. Greedy unrolled relationally —
     // see ext.Similarity.mmrTopK.
+    // All-pairs column similarities (reference mllib/linalg/distributed/
+    // RowMatrix.scala:453 columnSimilarities + :113 computeGramianMatrix;
+    // DIMSUM at :573 degenerates to this exact pair emission at
+    // threshold 0): the 64×64 dimension-correlation structure of the
+    // embedding matrix — 2016 (di, dj) rows of exact integer Gramian
+    // entries and shared-formula cosines.
+    "s36_column_similarities" -> { (s, dir) =>
+      S.columnSimilarities(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("di", "dj")
+    },
+
     "s11_mmr_rerank" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       S.mmrTopK(probes(e), e, "vec_id", "embedding")
@@ -307,6 +318,28 @@ object Similarity {
     // multiplies by, off the literal by one ulp), and every constant is
     // ::DOUBLE because DuckDB's bare 0.7 is a DECIMAL whose exact
     // arithmetic diverges from Spark's double path by an ulp.
+    // Mirror of Similarity.columnSimilarities: quantized cells via the
+    // 1-based index cross join, the same Gramian / norm aggregates, the
+    // shared cosine formula string.
+    "s36_column_similarities" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1048576) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS d, vq[i] AS v
+         |  FROM q, (SELECT unnest(range(1, 65)) AS i)
+         |  WHERE vq[i] <> 0),
+         |g AS MATERIALIZED (
+         |  SELECT a.d AS di, b.d AS dj, CAST(sum(a.v * b.v) AS BIGINT) AS gram
+         |  FROM cells a JOIN cells b ON a.vec_id = b.vec_id AND a.d < b.d
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT d, CAST(sum(v * v) AS BIGINT) AS nrm2 FROM cells GROUP BY 1)
+         |SELECT di, dj, gram, ${S.colCosExpr} AS cos_micro FROM (
+         |  SELECT g.di, g.dj, g.gram, na.nrm2 AS na, nb.nrm2 AS nb
+         |  FROM g JOIN nn na ON na.d = g.di JOIN nn nb ON nb.d = g.dj)
+         |ORDER BY di, dj""".stripMargin,
+
     "s11_mmr_rerank" ->
       s"""$normCte,
          |pr AS (SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 1600),

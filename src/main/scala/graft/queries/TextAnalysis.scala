@@ -120,6 +120,16 @@ object TextAnalysis {
     // the exact-rank formula ((rank-1)*3) div N stated identically in the
     // oracle, so no interpolated-percentile boundary can flip a
     // tied-score doc between engines (duplicate docs tie exactly).
+    // Distributional synonyms (reference mllib/feature/Word2Vec.scala:72
+    // fit / :515 findSynonyms; the count-based PPMI deviation is declared
+    // in TextAnalysis.wordSynonyms' scaladoc — skip-gram SGD is
+    // nondeterministic by design): top-3 cosine neighbors in PPMI context
+    // space for the 8 most frequent corpus tokens.
+    "s37_word_synonyms" -> { (s, dir) =>
+      T.wordSynonyms(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("target", "rnk")
+    },
+
     "t21_ccnet_buckets" -> { (s, dir) =>
       val scored = T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
         .withColumn("ck",
@@ -463,6 +473,50 @@ object TextAnalysis {
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // t13's LM-score chain, then the exact-rank tercile cut — the same
+    // Mirror of TextAnalysis.wordSynonyms: position self-join
+    // co-occurrence, PPMI via the shared ln formula string, cosine via
+    // the shared Similarity.colCosExpr over aliased integer sums.
+    "s37_word_synonyms" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT did, CAST(i AS BIGINT) AS p, arr[i] AS tok
+         |  FROM (SELECT doc_id AS did, string_split(text, ' ') AS arr FROM documents),
+         |       unnest(range(1, len(arr) + 1)) t(i)),
+         |freq AS MATERIALIZED (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |kept AS MATERIALIZED (SELECT t.did, t.p, t.tok FROM toks t JOIN freq USING (tok)),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.tok AS w, b.tok AS ctx, CAST(count(*) AS BIGINT) AS cab
+         |  FROM kept a JOIN kept b ON a.did = b.did
+         |    AND b.p BETWEEN a.p - 2 AND a.p + 2 AND b.p <> a.p
+         |  GROUP BY 1, 2),
+         |marg AS MATERIALIZED (SELECT w, CAST(sum(cab) AS BIGINT) AS ca FROM pairs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cab) AS BIGINT) AS tt FROM pairs),
+         |vecs AS MATERIALIZED (SELECT w, ctx, pmi FROM (
+         |    SELECT w, ctx, ${graft.ext.TextAnalysis.ppmiExpr} AS pmi FROM (
+         |      SELECT p.w, p.ctx, p.cab, ma.ca, mb.cb, t.tt
+         |      FROM pairs p JOIN marg ma ON ma.w = p.w
+         |      JOIN (SELECT w AS ctx, ca AS cb FROM marg) mb ON mb.ctx = p.ctx
+         |      CROSS JOIN tot t))
+         |  WHERE pmi > 0),
+         |norms AS (SELECT w, CAST(sum(pmi * pmi) AS BIGINT) AS nrm2 FROM vecs GROUP BY 1),
+         |targets AS (SELECT tok AS target FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rn FROM freq)
+         |  WHERE rn <= 8),
+         |dots AS MATERIALIZED (
+         |  SELECT tv.target, wv.w AS word, CAST(sum(tv.pmi * wv.pmi) AS BIGINT) AS gram
+         |  FROM (SELECT t.target, v.ctx, v.pmi FROM vecs v JOIN targets t ON v.w = t.target) tv
+         |  JOIN vecs wv ON wv.ctx = tv.ctx AND wv.w <> tv.target
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT target, word, ${graft.ext.Similarity.colCosExpr} AS cos_micro FROM (
+         |    SELECT d.target, d.word, d.gram, na.nrm2 AS na, nb.nrm2 AS nb
+         |    FROM dots d JOIN norms na ON na.w = d.target JOIN norms nb ON nb.w = d.word))
+         |SELECT target, CAST(rn AS BIGINT) AS rnk, word, cos_micro FROM (
+         |  SELECT target, word, cos_micro,
+         |    row_number() OVER (PARTITION BY target ORDER BY cos_micro DESC, word) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3 ORDER BY target, rnk""".stripMargin,
+
     // ((rank-1)*3) // N formula the Spark side computes.
     "t21_ccnet_buckets" ->
       """WITH bg AS (SELECT doc_id, x.w1 w1, x.w2 w2 FROM (

@@ -263,4 +263,30 @@ class SimilaritySpec extends SparkSpec {
     assert(removed === removable,
       "removed set must be exactly the larger ids of same-cluster pairs (greedy rule)")
   }
+
+  test("column similarities: proportional columns hit cosine 1, orthogonal 0") {
+    import spark.implicits._
+    // columns: c1=(1,0,2), c2=(0,1,0), c3=2*c1 -> cos(1,3)=1; the
+    // orthogonal pairs share no co-nonzero row, so under the sparse
+    // convention they are ABSENT rather than materialized as 0
+    val df = Seq((1L, Seq(1f, 0f, 2f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(2f, 0f, 4f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.columnSimilarities(df, "vec_id", "embedding")
+      .orderBy("di", "dj").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === Map((1L, 3L) -> 1000000L))
+    // an all-zero column appears in NO row (sparse convention), and
+    // gram entries are exact integer sums -> partitioning-independent
+    val big = (1L to 60L).map(i => (i, Seq.tabulate(8)(j =>
+        if (j == 4) 0f else ((i * (j + 3)) % 7 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dims = Similarity.columnSimilarities(big, "vec_id", "embedding")
+      .select("di", "dj").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!dims.contains(5L), "zero column 5 must be absent from the output")
+    val a = Similarity.columnSimilarities(big.repartition(1), "vec_id", "embedding")
+      .orderBy("di", "dj").collect()
+    val b = Similarity.columnSimilarities(big.repartition(9, col("vec_id")), "vec_id", "embedding")
+      .orderBy("di", "dj").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -333,4 +333,18 @@ class TextAnalysisSpec extends SparkSpec {
     val n = kept.count()
     assert(n > 20 && n < 80, s"kept $n of 100 for target 50")
   }
+
+  test("word synonyms: identical-context words are mutual top synonyms at cosine 1") {
+    import spark.implicits._
+    // x and y occur in exactly the same contexts {a, b}: their PPMI
+    // vectors are proportional, so cos(x, y) = 1e6 and each is the
+    // other's top synonym.
+    val docs = ((1L to 6L).map(i => (i, "a x b")) ++
+      (7L to 12L).map(i => (i, "a y b"))).toDF("doc_id", "text")
+    val got = TextAnalysis.wordSynonyms(docs, "doc_id", "text",
+      window = 2, minCount = 5L, nTargets = 4, topK = 1)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got("x") === (("y", 1000000L)))
+    assert(got("y") === (("x", 1000000L)))
+  }
 }
