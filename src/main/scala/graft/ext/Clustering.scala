@@ -301,6 +301,81 @@ object Clustering {
   // the whole E-step shares the s19 sigmoid machinery and quantizes to
   // exact micro integers) ----------------------------------------------
 
+  // ---- topic-model thin-slice (reference mllib/clustering/LDA.scala:46;
+  // the EM path — LDAOptimizer.scala:79 EMLDAOptimizer — re-aggregates
+  // per-edge topic responsibilities over the doc-term graph every
+  // iteration (:150 next, responsibilities from LDA.scala:418
+  // computePTopic), which is exactly the counts ⋈ theta ⋈ phi join +
+  // two groupBys below. DECLARED DEVIATIONS: two topics, PLSA EM (the
+  // alpha = eta → 0 limit — no Dirichlet smoothing), and parity-seeded
+  // doc mixtures: EM needs an asymmetric start to leave the symmetric
+  // fixed point, and the reference's randomized init is exactly what an
+  // oracle gate cannot allow. INTEGER-EXACT throughout: micro-unit
+  // responsibilities make the E-step one integer multiply/divide — not
+  // one double in the whole chain (the p13 standard). Resolution note:
+  // phi lives in micro-units, so vocabularies must stay well under 1e6
+  // tokens (raise the quantization scale beyond that). -------------------
+
+  /** The E-step: topic-1 responsibility of one (doc, word) cell over
+    * (th, p1, p2) in micro-units — pure integer arithmetic; the zero
+    * denominator (a word with zero mass in BOTH topics) falls back to
+    * the uninformative 1/2. */
+  val plsaRespExpr: String =
+    "CAST(CASE WHEN ((th * p1) + ((1000000 - th) * p2)) = 0 THEN 500000 " +
+      "ELSE ((th * p1) * 1000000) DIV ((th * p1) + ((1000000 - th) * p2)) END AS BIGINT)"
+
+  /** Two-topic PLSA over (`idCol`, `textCol`) documents: `iters` EM
+    * iterations, each ONE counts ⋈ theta ⋈ phi join (row-linear in
+    * distinct (doc, word) pairs) plus a per-doc and a per-word hash
+    * aggregate; both state tables localCheckpoint per iteration (the
+    * pregel discipline — theta is doc-scaled, phi vocabulary-bounded).
+    * Returns the top-`topK` words per topic:
+    * (topic, rnk, tok, phi_micro), ties toward the smaller token. */
+  def plsaTopics(docs: DataFrame, idCol: String, textCol: String,
+                 iters: Int = 2, topK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val vocabN = counts.agg(count_distinct(col("tok")).as("vn"))
+    var theta = counts.select("did").distinct()
+      .selectExpr("did", "CAST(250000 + (did % 2) * 500000 AS BIGINT) AS th")
+      .localCheckpoint()
+    var phi = counts.select("tok").distinct()
+      .crossJoin(broadcast(vocabN))
+      .selectExpr("tok", "CAST(1000000 DIV vn AS BIGINT) AS p1",
+        "CAST(1000000 DIV vn AS BIGINT) AS p2")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val scored = counts.join(theta, "did").join(phi, "tok")
+        .selectExpr("did", "tok", "c", s"$plsaRespExpr AS r")
+        .selectExpr("did", "c", "tok", "r * c AS s1c", "(1000000 - r) * c AS s2c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      theta = scored.groupBy("did")
+        .agg(sum("s1c").as("sc1"), sum("c").as("sc"))
+        .selectExpr("did", "CAST(sc1 DIV sc AS BIGINT) AS th")
+        .localCheckpoint()
+      val pa = scored.groupBy("tok")
+        .agg(sum("s1c").as("w1"), sum("s2c").as("w2"))
+      val tot = pa.agg(sum("w1").as("t1"), sum("w2").as("t2"))
+      phi = pa.crossJoin(broadcast(tot))
+        .selectExpr("tok", "CAST((w1 * 1000000) DIV t1 AS BIGINT) AS p1",
+          "CAST((w2 * 1000000) DIV t2 AS BIGINT) AS p2")
+        .localCheckpoint()
+      scored.unpersist()
+    }
+    counts.unpersist()
+    phi.select(lit(1L).as("topic"), col("tok"), col("p1").as("phi_micro"))
+      .union(phi.select(lit(2L).as("topic"), col("tok"), col("p2").as("phi_micro")))
+      .select(col("topic"), col("tok"), col("phi_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("phi_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "phi_micro")
+  }
+
   /** The six split sufficient statistics carried (constant) through every
     * EM state row: per mean-split side, exact (count, Σx, Σx²). */
   private val gmmStatCols = Seq("nl", "sl", "ssl", "nh", "sh", "ssh")

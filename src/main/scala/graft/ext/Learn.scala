@@ -607,23 +607,42 @@ object Learn {
         s"CAST(round((($sse * $sse) / (((${se(1)} * ${se(1)}) / CAST(n1 - 1 AS DOUBLE)) + ((${se(2)} * ${se(2)}) / CAST(n2 - 1 AS DOUBLE)))) * 1000000.0) AS BIGINT)")
   }
 
+  /** Student's pooled-variance variant (StreamingTestMethod.scala:120
+    * StudentTTest): same means and n−1 variances, pooled
+    * sp² = ((n1−1)v1 + (n2−1)v2)/(n1+n2−2), and the EXACT integer df
+    * n1+n2−2. */
+  def studentExprs: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    def m(i: Int) = s"(${d(s"s$i")} / ${d(s"n$i")})"
+    def v(i: Int) =
+      s"((${d(s"ss$i")} - ((${d(s"s$i")} * ${d(s"s$i")}) / ${d(s"n$i")})) / CAST(n$i - 1 AS DOUBLE))"
+    val sp2 = s"(((CAST(n1 - 1 AS DOUBLE) * ${v(1)}) + (CAST(n2 - 1 AS DOUBLE) * ${v(2)})) / CAST((n1 + n2) - 2 AS DOUBLE))"
+    Seq(
+      "t_micro" ->
+        s"CAST(round(((${m(1)} - ${m(2)}) / sqrt($sp2 * ((1.0 / ${d("n1")}) + (1.0 / ${d("n2")})))) * 1000000.0) AS BIGINT)",
+      "df" -> "CAST((n1 + n2) - 2 AS BIGINT)")
+  }
+
   /** Welch's unequal-variance t-test between two groups of `valCol`
     * (BIGINT; caller pre-quantizes) selected by `groupCol` ∈ {g1, g2}:
     * ONE conditional-aggregate scan of six exact integer sums, then the
     * 1-row [[welchExprs]] projection. Returns
     * (n1, s1, ss1, n2, s2, ss2, t_micro, df_micro) — the raw sums ride
-    * along so the oracle gates them directly, not just the statistics. */
+    * along so the oracle gates them directly, not just the statistics.
+    * `method` = "welch" (default) or "student" — the reference's two
+    * StreamingTestMethod registrations (:155). */
   def welchTTest(df: DataFrame, groupCol: String, g1: String, g2: String,
-                 valCol: String): DataFrame = {
+                 valCol: String, method: String = "welch"): DataFrame = {
     def side(i: Int, g: String) = Seq(
       sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n$i"),
       sum(when(col(groupCol) === g, col(valCol)).otherwise(0L)).as(s"s$i"),
       sum(when(col(groupCol) === g, col(valCol) * col(valCol)).otherwise(0L)).as(s"ss$i"))
     val aggs = side(1, g1) ++ side(2, g2)
+    val stats = if (method == "student") studentExprs else welchExprs
     df.filter(col(groupCol).isin(g1, g2))
       .agg(aggs.head, aggs.tail: _*)
       .selectExpr(Seq("n1", "s1", "ss1", "n2", "s2", "ss2") ++
-        welchExprs.map { case (name, e) => s"$e AS $name" }: _*)
+        stats.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
   // ---- chi-squared feature selection (reference mllib/src/main/scala/

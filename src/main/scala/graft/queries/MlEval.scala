@@ -97,6 +97,17 @@ object MlEval {
         .orderBy("o_orderkey")
     },
 
+    // Two-topic PLSA (reference mllib/clustering/LDA.scala:46 via the
+    // EMLDAOptimizer path, LDAOptimizer.scala:79/:150 — deviations
+    // declared in Clustering.plsaTopics' scaladoc): two integer-exact EM
+    // iterations over the document-term counts, parity-seeded mixtures;
+    // top-8 words per topic with their micro emission weights.
+    "s38_plsa_topics" -> { (s, dir) =>
+      graft.ext.Clustering.plsaTopics(Tables.documents(s, dir),
+          "doc_id", "text", iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // Gaussian mixture EM (reference mllib/clustering/GaussianMixture
     // .scala:161 run / :198 ExpectationSum / :238 update; the 1-D
     // shared-variance thin-slice deviations are declared in
@@ -346,6 +357,47 @@ object MlEval {
          |SELECT o_orderkey, y, ${graft.ext.Learn.linPredExpr} AS predq
          |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Two unrolled PLSA-EM iterations sharing Clustering.plsaRespExpr
+    // (DIV -> // on the all-non-negative integer operands), then the
+    // per-topic emission ranking.
+    "s38_plsa_topics" -> {
+      val resp = graft.ext.Clustering.plsaRespExpr.replace(" DIV ", " // ")
+      val iters = (1 to 2).map { k =>
+        s"""sc$k AS MATERIALIZED (
+           |  SELECT did, c, tok, r * c AS s1c, (1000000 - r) * c AS s2c FROM (
+           |    SELECT cn.did, cn.tok, cn.c, $resp AS r
+           |    FROM counts cn JOIN th${k - 1} USING (did) JOIN ph${k - 1} USING (tok))),
+           |th$k AS MATERIALIZED (
+           |  SELECT did, CAST(CAST(sum(s1c) AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT) AS th
+           |  FROM sc$k GROUP BY 1),
+           |pa$k AS (SELECT tok, CAST(sum(s1c) AS BIGINT) AS w1, CAST(sum(s2c) AS BIGINT) AS w2
+           |  FROM sc$k GROUP BY 1),
+           |tt$k AS (SELECT CAST(sum(w1) AS BIGINT) AS t1, CAST(sum(w2) AS BIGINT) AS t2 FROM pa$k),
+           |ph$k AS MATERIALIZED (
+           |  SELECT tok, CAST((w1 * 1000000) // t1 AS BIGINT) AS p1,
+           |         CAST((w2 * 1000000) // t2 AS BIGINT) AS p2
+           |  FROM pa$k CROSS JOIN tt$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vn FROM counts),
+         |th0 AS MATERIALIZED (
+         |  SELECT did, CAST(250000 + (did % 2) * 500000 AS BIGINT) AS th
+         |  FROM (SELECT DISTINCT did FROM counts)),
+         |ph0 AS MATERIALIZED (
+         |  SELECT tok, CAST(1000000 // vn AS BIGINT) AS p1, CAST(1000000 // vn AS BIGINT) AS p2
+         |  FROM (SELECT DISTINCT tok FROM counts) CROSS JOIN v),
+         |$iters
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, phi_micro FROM (
+         |  SELECT topic, tok, phi_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
+         |  FROM (SELECT 1::BIGINT AS topic, tok, p1 AS phi_micro FROM ph2
+         |        UNION ALL SELECT 2::BIGINT, tok, p2 FROM ph2))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
     },
 
     // Three unrolled EM iterations sharing Clustering's responsibility /

@@ -323,6 +323,17 @@ object Stats {
         "event_type", "purchase", "click", "vm")
     },
 
+    // Student's pooled-variance t-test (reference mllib/stat/test/
+    // StreamingTestMethod.scala:120 StudentTTest, the second registered
+    // method at :155): signup vs error values — same six sums as n18,
+    // the pooled statistic and the EXACT integer df n1+n2-2.
+    "n19_student_ttest" -> { (s, dir) =>
+      graft.ext.Learn.welchTTest(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("vm")),
+        "event_type", "signup", "error", "vm", method = "student")
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -373,6 +384,25 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of the Student variant: same sums, the pooled formula
+    // strings.
+    "n19_student_ttest" -> {
+      val stats = graft.ext.Learn.studentExprs
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n  ")
+      s"""WITH g AS (SELECT
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN vm ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss1,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN vm ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss2
+         |  FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+         |        FROM events WHERE event_type IN ('signup', 'error')))
+         |SELECT n1, s1, ss1, n2, s2, ss2,
+         |  $stats
+         |FROM g""".stripMargin
+    },
+
     // Mirror of Learn.welchTTest: the identical six conditional sums and
     // the shared t / df formula strings over them.
     "n18_welch_ttest" -> {

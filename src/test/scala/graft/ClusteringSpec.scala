@@ -123,4 +123,25 @@ class ClusteringSpec extends SparkSpec {
     val b = Clustering.gmmFit1d(xs.repartition(17, col("x")), iters = 2).orderBy("comp").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("plsa separates parity-disjoint vocabularies into the two topics") {
+    import spark.implicits._
+    // odd docs (parity init th=750000 -> topic 1) say only u/v; even
+    // docs say only x/y: after 2 EM iterations each topic's top words
+    // must be exactly its parity's vocabulary.
+    val docs = (1L to 20L).map { i =>
+      (i, if (i % 2 == 1) "u v u" else "x y x")
+    }.toDF("doc_id", "text")
+    val got = Clustering.plsaTopics(docs, "doc_id", "text", iters = 2, topK = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (t, rs) => t -> rs.map(_.getString(2)).toSet }
+    assert(got(1L) === Set("u", "v"))
+    assert(got(2L) === Set("x", "y"))
+    // partitioning determinism of the full integer-exact chain
+    val a = Clustering.plsaTopics(docs.repartition(1), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    val b = Clustering.plsaTopics(docs.repartition(7, col("doc_id")), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -398,6 +398,11 @@ class LearnSpec extends SparkSpec {
     assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((4L, 92L, 2136L)))
     assert(r.getLong(6) === -6350853L) // group c never entered the sums
     assert(r.getLong(7) === 4959184L)
+    // Student variant on the same sums: sp² = 5.6, t = -6.08611668...,
+    // df exactly n1+n2-2
+    val st = Learn.welchTTest(df, "g", "a", "b", "v", method = "student").head()
+    assert(st.getLong(6) === -6086117L)
+    assert(st.getLong(7) === 5L)
   }
 
   test("isotonic fit pools adjacent violators to the block mean") {
