@@ -358,7 +358,32 @@ object Plans {
         "weight table — the violator test is an exact integer margin " +
         "compare inside whole-stage codegen, the gradient three " +
         "map-side-combined integer sums; iteration count, not data " +
-        "volume, sets the cost floor."))
+        "volume, sets the cost floor."),
+    "s28_binary_metrics" ->
+      ("Threshold-sweep binary metrics: scores collapse to one row per " +
+        "DISTINCT score before any window work, the cumulative confusion " +
+        "matrix is a single range-partitioned window pass, and the " +
+        "trapezoid AUC is one map-side-combined sum — never a per-" +
+        "threshold self-join."),
+    "s34_chisq_selector" ->
+      ("Chi-squared selection: one explode -> (token, label) hash " +
+        "aggregate builds every contingency table at once; marginals " +
+        "come back as two broadcast joins and the statistic is a pure " +
+        "projection — feature count, not corpus size, bounds the " +
+        "post-aggregate work."),
+    "s36_column_similarities" ->
+      ("Column similarities: brute-force pairwise cosine over columns " +
+        "via the sparse co-occurrence join — row ids never shuffle as " +
+        "pairs, only (row, col, val) triples join on row id, so cost " +
+        "tracks nnz^2/rows like DIMSUM-at-threshold-0, with norms one " +
+        "map-side-combined aggregate."),
+    "s38_plsa_topics" ->
+      ("PLSA EM: per iteration ONE counts-join-theta-join-phi " +
+        "projection (row-linear in distinct doc-term pairs; phi " +
+        "broadcasts at vocabulary size) + a per-doc and a per-word hash " +
+        "aggregate; both state tables localCheckpoint so plan depth " +
+        "stays constant across iterations — the EMLDAOptimizer " +
+        "edge-reaggregation cost shape without the graph machinery."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

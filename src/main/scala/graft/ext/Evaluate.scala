@@ -82,7 +82,11 @@ object Evaluate {
     * through the one shared sqrt formula string, R² = 1 − SSE/SST with
     * SST expanded in doubles (Σy is ~1e10 here; its square must never
     * touch the integer domain). Caller keeps y small enough that Σe² fits
-    * BIGINT — dollars, not cents, for TPC-H prices (headroom to ~sf100). */
+    * BIGINT — dollars, not cents, for TPC-H prices (headroom to ~sf100).
+    * MSE's milli scaling uses the exact split identity
+    * floor(1000·s/n) = 1000·(s div n) + (1000·(s mod n)) div n so the
+    * ×1000 never multiplies the full Σe² (which already overflowed the
+    * naive form at sf1 — Σe² ≈ 1.5e16 there). */
   def regressionMetrics(preds: DataFrame, yCol: String, predCol: String): DataFrame =
     preds.selectExpr(s"CAST($yCol AS BIGINT) AS y", s"CAST($predCol AS BIGINT) AS p")
       .selectExpr("y", "abs(y - p) AS ae", "(y - p) * (y - p) AS se")
@@ -90,7 +94,7 @@ object Evaluate {
         sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
       .selectExpr("n", "sae", "sse",
         "CAST((sae * 1000) DIV n AS BIGINT) AS mae_milli",
-        "CAST((sse * 1000) DIV n AS BIGINT) AS mse_milli",
+        "CAST(((sse DIV n) * 1000) + (((sse % n) * 1000) DIV n) AS BIGINT) AS mse_milli",
         "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli",
         "CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro")
 

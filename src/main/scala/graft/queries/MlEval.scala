@@ -267,7 +267,7 @@ object MlEval {
          |  FROM preds)
          |SELECT n, sae, sse,
          |  CAST((sae * 1000) // n AS BIGINT) AS mae_milli,
-         |  CAST((sse * 1000) // n AS BIGINT) AS mse_milli,
+         |  CAST(((sse // n) * 1000) + (((sse % n) * 1000) // n) AS BIGINT) AS mse_milli,
          |  CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli,
          |  CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro
          |FROM m""".stripMargin

@@ -685,4 +685,34 @@ class StreamingSpec extends SparkSpec {
       Learn.logisticInit(spark), 1.0)
     assert(w.head() !== oneBatch.head())
   }
+
+  test("streaming linear regression: per-batch LMS steps through foreachBatch equal direct steps") {
+    import spark.implicits._
+    import graft.ext.Learn
+    // y = 7·x2 exactly, two disjoint batches (v13's shape: the carried
+    // 1-row weight frame IS the model state across micro-batches)
+    val b1 = (1L to 30L).map(i => (i % 3, i % 10, 7 * (i % 10)))
+    val b2 = (31L to 60L).map(i => (i % 5, i % 8, 7 * (i % 8)))
+    var expected = Learn.logisticInit(spark).localCheckpoint()
+    for (b <- Seq(b1, b2))
+      expected = Learn.linearStep(b.toDF("x1", "x2", "y"), expected, 0.05).localCheckpoint()
+    val ms = MemoryStream[(Long, Long, Long)](spark)
+    var w = Learn.logisticInit(spark).localCheckpoint()
+    val q = ms.toDF().toDF("x1", "x2", "y").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        w = Learn.linearStep(b, w, 0.05).localCheckpoint()
+      }
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(w.head() === expected.head())
+    // the second batch pulled the slope weight CLOSER to the true slope 7
+    // (2^16-quantized: 458752; lr 0.05 overshoots on batch 1, so the
+    // informative claim is error contraction, not monotone approach)
+    val one = Learn.linearStep(b1.toDF("x1", "x2", "y"), Learn.logisticInit(spark), 0.05).head().getLong(2)
+    val two = w.head().getLong(2)
+    assert(one > 0L && math.abs(two - 458752L) < math.abs(one - 458752L))
+  }
 }
