@@ -645,6 +645,67 @@ object Learn {
         stats.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
+  // ---- column summary statistics (reference mllib/stat/
+  // MultivariateOnlineSummarizer.scala, surfaced as Statistics.colStats,
+  // Statistics.scala:46): the reference streams Welford/nnz accumulators
+  // and merges them treeAggregate-style; one hash aggregate of exact
+  // integer sums IS that merge tree under Spark SQL's partial/final
+  // split. Unweighted semantics: mean includes zeros (:182
+  // currMean·nnz/weightSum = Σx/n), variance is the SAMPLE variance
+  // (:206 — denominator n−1), max/min zero-clamping (:242) is a no-op on
+  // dense columns like these. Caller pre-quantizes to exact integer
+  // units; derived stats come back in milli-units of that. ------------
+
+  /** Derived-stat formula strings over the seven exact per-column sums
+    * (n, nnz, mn, mx, s, l1, ss) — shared verbatim with the oracle.
+    * mean_milli uses the split identity 1000·(s div n) +
+    * (1000·(s mod n)) div n (exact for the non-negative columns fed
+    * here; never multiplies the full Σx — the s29 overflow lesson);
+    * variance/L2 are fixed double expressions over exact integers. */
+  def colStatsExprs: Seq[(String, String)] = Seq(
+    "mean_milli" ->
+      "CAST(((s DIV n) * 1000) + (((s % n) * 1000) DIV n) AS BIGINT)",
+    "var_milli" ->
+      ("CAST(round(((CAST(ss AS DOUBLE) - ((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))) " +
+        "/ CAST(n - 1 AS DOUBLE)) * 1000.0) AS BIGINT)"),
+    "l2_milli" -> "CAST(round(sqrt(CAST(ss AS DOUBLE)) * 1000.0) AS BIGINT)")
+
+  /** colStats over pre-quantized BIGINT columns: `cols` maps output
+    * column NAME -> SQL expression producing the exact integer value.
+    * ONE scan: stack-unpivot to (c, x), then a per-column hash aggregate
+    * of the seven sums (map-side combined — the summarizer's
+    * treeAggregate shape), then the [[colStatsExprs]] projection. Emits
+    * one row per column, raw sums riding along so the oracle gates the
+    * accumulators themselves, not just the derived stats. */
+  def colStats(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    val stackArgs = cols.map { case (n, e) => s"'$n', CAST($e AS BIGINT)" }
+      .mkString(", ")
+    df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (c, x)")
+      .groupBy("c")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("x") =!= 0L, 1L).otherwise(0L)).as("nnz"),
+        min("x").as("mn"), max("x").as("mx"),
+        sum("x").as("s"), sum(abs(col("x"))).as("l1"),
+        sum(col("x") * col("x")).as("ss"))
+      .selectExpr(Seq("c", "n", "nnz", "mn", "mx", "s", "l1", "ss") ++
+        colStatsExprs.map { case (name, e) => s"$e AS $name" }: _*)
+  }
+
+  /** One Pearson correlation in micro-units over exact integer sums
+    * (reference mllib/stat/correlation/PearsonCorrelation.scala:73
+    * computeCorrelationMatrixFromCovariance — covariance scaled by the
+    * two stddevs; algebraically (n·Σxy − Σx·Σy) /
+    * sqrt((n·Σxx − Σx²)(n·Σyy − Σy²)), one fixed double expression
+    * here). Shared verbatim with the oracle. */
+  def pearsonExpr(sx: String, sy: String, sxx: String, syy: String,
+                  sxy: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val num = s"((${d("n")} * ${d(sxy)}) - (${d(sx)} * ${d(sy)}))"
+    val vx = s"((${d("n")} * ${d(sxx)}) - (${d(sx)} * ${d(sx)}))"
+    val vy = s"((${d("n")} * ${d(syy)}) - (${d(sy)} * ${d(sy)}))"
+    s"CAST(round(($num / sqrt($vx * $vy)) * 1000000.0) AS BIGINT)"
+  }
+
   // ---- chi-squared feature selection (reference mllib/src/main/scala/
   // org/apache/spark/mllib/feature/ChiSqSelector.scala:181 — fit at :192
   // runs Statistics.chiSqTest per feature and keeps the top-k by

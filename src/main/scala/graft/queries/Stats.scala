@@ -334,6 +334,51 @@ object Stats {
         "event_type", "signup", "error", "vm", method = "student")
     },
 
+    // Column summary statistics (reference mllib/stat/
+    // MultivariateOnlineSummarizer.scala via Statistics.colStats,
+    // Statistics.scala:46 — semantics notes on Learn.colStats): the
+    // three lineitem measures in exact integer units (quantity units,
+    // whole dollars, centi-discount), one stack-unpivot scan, one row
+    // per column with the seven raw accumulators + derived
+    // mean/variance/L2 in milli-units.
+    "n20_col_stats" -> { (s, dir) =>
+      graft.ext.Learn.colStats(Tables.lineitem(s, dir), Seq(
+          "qty" -> "round(l_quantity)",
+          "price" -> "round(l_extendedprice)",
+          "disc" -> "round(l_discount * 100)"))
+        .orderBy("c")
+    },
+
+    // Pearson correlation matrix (reference mllib/stat/correlation/
+    // PearsonCorrelation.scala:73 computeCorrelationMatrixFromCovariance,
+    // surfaced as Statistics.corr(X, "pearson")): the same three
+    // quantized measures, ONE scan of ten exact integer sums (the d²
+    // Gramian shape the reference gets from RowMatrix.computeGramianMatrix),
+    // then the strict upper triangle as micro-unit rows.
+    "n21_pearson_matrix" -> { (s, dir) =>
+      import graft.ext.Learn.pearsonExpr
+      val pairs = Seq(
+        ("qty", "price", pearsonExpr("sq", "sp", "ssq", "ssp", "sqp")),
+        ("disc", "qty", pearsonExpr("sd", "sq", "ssd", "ssq", "sqd")),
+        ("disc", "price", pearsonExpr("sd", "sp", "ssd", "ssp", "spd")))
+      val stackArgs = pairs
+        .map { case (a, b, e) => s"'$a', '$b', $e" }.mkString(", ")
+      Tables.lineitem(s, dir)
+        .selectExpr("CAST(round(l_quantity) AS BIGINT) AS xq",
+          "CAST(round(l_extendedprice) AS BIGINT) AS xp",
+          "CAST(round(l_discount * 100) AS BIGINT) AS xd")
+        .agg(count(lit(1)).as("n"),
+          sum("xq").as("sq"), sum("xp").as("sp"), sum("xd").as("sd"),
+          sum(col("xq") * col("xq")).as("ssq"),
+          sum(col("xp") * col("xp")).as("ssp"),
+          sum(col("xd") * col("xd")).as("ssd"),
+          sum(col("xq") * col("xp")).as("sqp"),
+          sum(col("xq") * col("xd")).as("sqd"),
+          sum(col("xp") * col("xd")).as("spd"))
+        .selectExpr(s"stack(3, $stackArgs) AS (c1, c2, corr_micro)")
+        .orderBy("c1", "c2")
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -384,6 +429,57 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of Learn.colStats: UNION-ALL unpivot of the same quantized
+    // columns, the seven sums, and the shared derived-stat formula
+    // strings (DIV -> // on the non-negative operands).
+    "n20_col_stats" -> {
+      val stats = graft.ext.Learn.colStatsExprs
+        .map { case (name, e) => s"${e.replace(" DIV ", " // ")} AS $name" }
+        .mkString(",\n  ")
+      s"""WITH ux AS (
+         |  SELECT 'qty' AS c, CAST(round(l_quantity) AS BIGINT) AS x FROM lineitem
+         |  UNION ALL
+         |  SELECT 'price', CAST(round(l_extendedprice) AS BIGINT) FROM lineitem
+         |  UNION ALL
+         |  SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem),
+         |g AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+         |    min(x) AS mn, max(x) AS mx,
+         |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(abs(x)) AS BIGINT) AS l1,
+         |    CAST(sum(x * x) AS BIGINT) AS ss
+         |  FROM ux GROUP BY 1)
+         |SELECT c, n, nnz, mn, mx, s, l1, ss,
+         |  $stats
+         |FROM g ORDER BY c""".stripMargin
+    },
+
+    // Mirror of n21: the identical ten sums and the shared Pearson
+    // formula strings, upper triangle via UNION ALL.
+    "n21_pearson_matrix" -> {
+      import graft.ext.Learn.pearsonExpr
+      s"""WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS xq,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS xp,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS xd FROM lineitem),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xq) AS BIGINT) AS sq, CAST(sum(xp) AS BIGINT) AS sp,
+         |    CAST(sum(xd) AS BIGINT) AS sd,
+         |    CAST(sum(xq * xq) AS BIGINT) AS ssq,
+         |    CAST(sum(xp * xp) AS BIGINT) AS ssp,
+         |    CAST(sum(xd * xd) AS BIGINT) AS ssd,
+         |    CAST(sum(xq * xp) AS BIGINT) AS sqp,
+         |    CAST(sum(xq * xd) AS BIGINT) AS sqd,
+         |    CAST(sum(xp * xd) AS BIGINT) AS spd
+         |  FROM q)
+         |SELECT c1, c2, corr_micro FROM (
+         |  SELECT 'qty' AS c1, 'price' AS c2,
+         |    ${pearsonExpr("sq", "sp", "ssq", "ssp", "sqp")} AS corr_micro FROM g
+         |  UNION ALL
+         |  SELECT 'disc', 'qty', ${pearsonExpr("sd", "sq", "ssd", "ssq", "sqd")} FROM g
+         |  UNION ALL
+         |  SELECT 'disc', 'price', ${pearsonExpr("sd", "sp", "ssd", "ssp", "spd")} FROM g)
+         |ORDER BY c1, c2""".stripMargin
+    },
+
     // Mirror of the Student variant: same sums, the pooled formula
     // strings.
     "n19_student_ttest" -> {

@@ -387,6 +387,41 @@ class LearnSpec extends SparkSpec {
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
 
+  test("colStats matches hand-computed accumulators and derived stats") {
+    import spark.implicits._
+    // x = (0, 2, 4): n=3, nnz=2, s=6, ss=20; mean 2.0, sample var
+    // (20 - 36/3)/2 = 4.0, L2 = sqrt(20) = 4.47213595...
+    val df = Seq(0L, 2L, 4L).toDF("x")
+    val r = Learn.colStats(df, Seq("vals" -> "x")).head()
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) === (("vals", 3L, 2L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((0L, 4L, 6L, 6L, 20L)))
+    assert((r.getLong(8), r.getLong(9), r.getLong(10)) === ((2000L, 4000L, 4472L)))
+    // partitioning determinism of the one-scan aggregate
+    val a = Learn.colStats(df.repartition(1), Seq("vals" -> "x")).head()
+    val b = Learn.colStats(df.repartition(5, col("x")), Seq("vals" -> "x")).head()
+    assert(a === b)
+  }
+
+  test("pearson expression hits exactly +-1e6 on perfectly (anti)correlated pairs") {
+    import spark.implicits._
+    // y = 3x exactly -> +1.0; z = 5 - x exactly -> -1.0
+    val sums = Seq((1L, 3L, 4L), (2L, 6L, 3L), (3L, 9L, 2L), (4L, 12L, 1L))
+      .toDF("x", "y", "z")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("z")).as("sxz"))
+    val r = sums.selectExpr(
+      s"${Learn.pearsonExpr("sx", "sy", "sxx", "syy", "sxy")} AS cxy",
+      s"${Learn.pearsonExpr("sx", "sz", "sxx", "szz", "sxz")} AS cxz").head()
+    assert(r.getLong(0) === 1000000L)
+    assert(r.getLong(1) === -1000000L)
+  }
+
   test("welch t-test matches the hand-computed statistic and df") {
     import spark.implicits._
     // g1 = {10,12,14} (var 4), g2 = {20,22,24,26} (var 20/3):
