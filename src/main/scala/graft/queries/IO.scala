@@ -241,6 +241,55 @@ object IO {
     // zstd / snappy / gzip and read back — the storage knob a 100 TB
     // table tunes (zstd for cold data, snappy for hot) must be invisible
     // in query results. Three single-codec writes, one unioned readback.
+    // LIBSVM text roundtrip (reference mllib/util/MLUtils.scala:66
+    // loadLibSVMFile / :252 saveAsLibSVMFile; the DataFrame source is
+    // ml/source/libsvm/LibSVMRelation.scala). Write the reference's
+    // exact line format — `label 1:v 2:v ...`, 1-based ASCENDING indices,
+    // zero-valued features OMITTED (foreachActive's sparse-skip), labels
+    // and values as double literals — plus a `#` comment line and a
+    // blank line the loader must drop (:73). Read back as text and parse
+    // fully relationally: split/explode/pivot-by-index with the line
+    // string itself as the reassembly key (feature 1 embeds the row key,
+    // so lines are unique). Reduces to a per-label aggregate the oracle
+    // reproduces from the ORIGINAL parquet, so format + sparse-skip +
+    // filter + 1-based indexing are all on the gated path. At 100 TB the
+    // parse is one shuffle-free codegen projection per line; the
+    // reassembly groupBy shuffles only (key, idx, value) triples.
+    "i19_libsvm_roundtrip" -> { (s, dir) =>
+      val path = s"$scratch/libsvm_orders"
+      val lines = Tables.orders(s, dir).selectExpr(
+        """concat(
+          |  CAST(CAST(o_orderkey % 3 AS DOUBLE) AS STRING),
+          |  concat(' 1:', CAST(CAST(o_orderkey AS DOUBLE) AS STRING)),
+          |  concat(' 2:', CAST(CAST(round(o_totalprice) AS DOUBLE) AS STRING)),
+          |  CASE WHEN o_custkey % 7 <> 0
+          |       THEN concat(' 3:', CAST(CAST(o_custkey % 7 AS DOUBLE) AS STRING))
+          |       ELSE '' END) AS value""".stripMargin)
+      lines.unionByName(s.sql("SELECT '# libsvm comment' AS value UNION ALL SELECT ''"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.text(path)
+        .selectExpr("trim(value) AS line")
+        .filter("length(line) > 0 AND NOT startswith(line, '#')")
+        .selectExpr("line",
+          "CAST(element_at(split(line, ' '), 1) AS DOUBLE) AS label",
+          "explode(slice(split(line, ' '), 2, 1000)) AS item")
+        .selectExpr("line", "label",
+          "CAST(element_at(split(item, ':'), 1) AS INT) - 1 AS idx",
+          "CAST(element_at(split(item, ':'), 2) AS DOUBLE) AS v")
+        .groupBy("line", "label")
+        .agg(max(when(col("idx") === 0, col("v"))).as("okey"),
+          max(when(col("idx") === 1, col("v"))).as("price"),
+          coalesce(max(when(col("idx") === 2, col("v"))), lit(0.0)).as("f3"))
+        .selectExpr("CAST(label AS BIGINT) AS label",
+          "CAST(okey AS BIGINT) AS o_orderkey",
+          "CAST(price AS BIGINT) AS price", "CAST(f3 AS BIGINT) AS f3")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("price").as("sum_price"),
+          sum("f3").as("sum_f3"), min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .orderBy("label")
+    },
+
     "i18_codec_roundtrip" -> { (s, dir) =>
       val base = Tables.supplier(s, dir)
         .select(col("s_suppkey"),
@@ -343,6 +392,18 @@ object IO {
   )
 
   val oracles: Map[String, String] = Map(
+    // Reproduced from the ORIGINAL orders parquet: the roundtrip must
+    // land exactly back on these per-label sums (f3's zero cases were
+    // OMITTED from the written lines and reconstructed by coalesce).
+    "i19_libsvm_roundtrip" ->
+      """SELECT CAST(o_orderkey % 3 AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price,
+        |  CAST(sum(o_custkey % 7) AS BIGINT) AS sum_f3,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY label""".stripMargin,
+
     "i01_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

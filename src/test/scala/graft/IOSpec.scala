@@ -77,6 +77,35 @@ class IOSpec extends SparkSpec {
     assert(back.map(_.getDouble(2)).toSeq === Seq(2.5, 3.5))
   }
 
+  test("libsvm lines carry the reference format; comments, blanks and sparse zeros handled") {
+    import spark.implicits._
+    // drive the full i19 roundtrip at sf0.001 and check the written file
+    // itself for MLUtils.saveAsLibSVMFile's exact format
+    val out = graft.queries.IO.defs("i19_libsvm_roundtrip")(spark, sf001).collect()
+    val lines = spark.read.text("/tmp/graft_io/libsvm_orders")
+      .as[String].collect()
+    assert(lines.exists(_.startsWith("#"))) // comment survived the write
+    assert(lines.exists(_.trim.isEmpty))    // blank line too
+    val data = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    // every data line: double label then ascending 1-based idx:value pairs
+    assert(data.forall { l =>
+      val items = l.split(' ')
+      val idxs = items.tail.map(_.split(':')(0).toInt)
+      items.head.toDouble >= 0.0 && idxs.sameElements(idxs.sorted) && idxs.head == 1
+    })
+    // sparse-skip really happened: some line has no feature 3
+    assert(data.exists(l => !l.contains("3:")))
+    // and the parsed aggregate equals the direct one from the table
+    val direct = Tables.orders(spark, sf001)
+      .groupBy(expr("CAST(o_orderkey % 3 AS BIGINT)").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice) AS BIGINT)")).as("sum_price"),
+        sum(expr("o_custkey % 7")).as("sum_f3"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("label").collect()
+    assert(out.toSeq === direct.toSeq)
+  }
+
   test("json preserves nested structs and arrays") {
     val path = tmp("jsonnest")
     import spark.implicits._
