@@ -348,4 +348,134 @@ object Pipeline {
         .withColumn(outEvr,
           round((lit(lam1) / (lit(lam1) + lit(lam2))) * lit(1000000.0)).cast("long"))
   }
+
+  // ---- the feature-transformer gauntlet (reference ml/feature/*, the
+  // s39 slice; these stages are query-backed, not wired into Model.save —
+  // their fitted state is a handful of labels / two longs, and the s39
+  // oracle re-derives it every run) -------------------------------------
+
+  /** StringIndexer (reference ml/feature/StringIndexer.scala:84 fit:
+    * labels ordered by frequency DESC via countByValue + sortBy(-count),
+    * which leaves equal-count order UNSTABLE — pinned here to
+    * (count DESC, label ASC), a declared determinism choice). The fitted
+    * state is the k-label array — collected, because that IS the model. */
+  final case class StringIndexerStage(inputCol: String, outputCol: String)
+      extends Estimator {
+    def fit(df: DataFrame): StringIndexerModel = {
+      val labels = df.groupBy(inputCol).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col(inputCol).asc)
+        .collect().map(_.getString(0)).toSeq
+      StringIndexerModel(inputCol, outputCol, labels)
+    }
+  }
+
+  /** The fitted indexer: one CASE chain (codegen'd). The reference
+    * THROWS on unseen labels (StringIndexer.scala:128); here unseen maps
+    * to null — the handleInvalid="skip" posture, declared. */
+  final case class StringIndexerModel(inputCol: String, outputCol: String,
+                                      labels: Seq[String]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        labels.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, (l, i)) => when(col(inputCol) === l, lit(i.toLong)).otherwise(acc)
+        })
+  }
+
+  /** OneHotEncoder (reference ml/feature/OneHotEncoder.scala — dropLast
+    * defaults TRUE: the last category index encodes as all-zeros, k−1
+    * indicator columns `prefix_i`). Pure projection. */
+  final case class OneHotStage(inputCol: String, prefix: String,
+                               numCategories: Int) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      (0 until numCategories - 1).foldLeft(df) { (d, i) =>
+        d.withColumn(s"${prefix}_$i",
+          when(col(inputCol) === i.toLong, 1L).otherwise(0L))
+      }
+  }
+
+  /** Bucketizer (reference ml/feature/Bucketizer.scala:92
+    * binarySearchForBuckets: bucket i covers [splits(i), splits(i+1)),
+    * except the LAST bucket which includes its upper endpoint). Splits
+    * here are exact integer thresholds over a pre-quantized column, so
+    * the bucket decision never touches a double. */
+  final case class BucketizerStage(inputCol: String, outputCol: String,
+                                   splits: Seq[Long]) extends Transformer {
+    def transform(df: DataFrame): DataFrame = {
+      val last = splits.size - 2
+      df.withColumn(outputCol,
+        (0 to last).foldLeft(lit(null).cast("long")) { (acc, i) =>
+          val inBucket =
+            if (i == last)
+              col(inputCol) >= splits(i) && col(inputCol) <= splits(i + 1)
+            else
+              col(inputCol) >= splits(i) && col(inputCol) < splits(i + 1)
+          when(inBucket, lit(i.toLong)).otherwise(acc)
+        })
+    }
+  }
+
+  /** Binarizer (reference ml/feature/Binarizer.scala:48 — STRICTLY
+    * greater than the threshold maps to 1). Integer compare. */
+  final case class BinarizerStage(inputCol: String, outputCol: String,
+                                  threshold: Long) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        when(col(inputCol) > threshold, 1L).otherwise(0L))
+  }
+
+  /** The MinMaxScaler transform in milli-units over operand strings —
+    * shared verbatim with the oracle (x, mn, mx are exact integers, so
+    * the one double division is bit-identical on both engines). The
+    * constant-column case (mn = mx) pins to the reference's midpoint
+    * 0.5·(min+max) of the [0,1] target range = 500 milli
+    * (MinMaxScaler.scala:146). */
+  def minMaxMilliExpr(x: String, mn: String, mx: String): String =
+    s"CAST(CASE WHEN $mx = $mn THEN 500 ELSE round(((CAST($x AS DOUBLE) - CAST($mn AS DOUBLE)) / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE))) * 1000.0) END AS BIGINT)"
+
+  /** MinMaxScaler (reference ml/feature/MinMaxScaler.scala:118 fit =
+    * one min/max aggregate; :146 transform to the [0, 1] default range).
+    * Fitted state: two longs. */
+  final case class MinMaxScalerStage(inputCol: String, outputCol: String)
+      extends Estimator {
+    def fit(df: DataFrame): MinMaxScalerModel = {
+      val r = df.agg(min(col(inputCol)).as("mn"), max(col(inputCol)).as("mx")).head()
+      MinMaxScalerModel(inputCol, outputCol, r.getLong(0), r.getLong(1))
+    }
+  }
+
+  final case class MinMaxScalerModel(inputCol: String, outputCol: String,
+                                     mn: Long, mx: Long) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        expr(minMaxMilliExpr(inputCol, mn.toString, mx.toString)))
+  }
+
+  /** The two-column L2-normalize formula in milli-units over operand
+    * strings — shared verbatim with the oracle. Zero-norm rows keep the
+    * input unchanged (reference mllib/feature/Normalizer.scala:48 only
+    * scales when norm > 0), i.e. x·1000 in milli. */
+  def l2MilliExpr(x: String, x1: String, x2: String): String = {
+    val norm = s"sqrt(CAST(($x1 * $x1) + ($x2 * $x2) AS DOUBLE))"
+    s"CAST(CASE WHEN (($x1 * $x1) + ($x2 * $x2)) = 0 THEN $x * 1000 ELSE round((CAST($x AS DOUBLE) / $norm) * 1000.0) END AS BIGINT)"
+  }
+
+  /** 2-column Normalizer, p = 2 (reference mllib/feature/
+    * Normalizer.scala:39). Pure projection. */
+  final case class Normalizer2Stage(in1: String, in2: String,
+                                    out1: String, out2: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(out1, expr(l2MilliExpr(in1, in1, in2)))
+        .withColumn(out2, expr(l2MilliExpr(in2, in1, in2)))
+  }
+
+  /** ElementwiseProduct (reference mllib/feature/ElementwiseProduct
+    * .scala:31 — Hadamard product with a fixed scaling vector; exact at
+    * integer scales). */
+  final case class ElementwiseProductStage(scales: Seq[(String, String, Long)])
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      scales.foldLeft(df) { case (d, (in, out, k)) =>
+        d.withColumn(out, col(in) * k)
+      }
+  }
 }

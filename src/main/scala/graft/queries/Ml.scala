@@ -225,6 +225,39 @@ object Ml {
     // integer-sum scan, z-scores and the principal projection
     // micro-quantized, eigenvalues gated through the per-row
     // explained-variance column.
+    // Feature-transformer gauntlet (reference ml/feature/*, one stage per
+    // file: StringIndexer.scala:84 frequency-desc indexing with the tie
+    // pinned to label ASC, OneHotEncoder.scala dropLast=true k−1
+    // indicators, Bucketizer.scala:92 right-exclusive splits with an
+    // inclusive last bound, Binarizer.scala:48 strictly-greater
+    // threshold, MinMaxScaler.scala:118/:146 [0,1] rescale,
+    // mllib/feature/Normalizer.scala:39 L2, mllib/feature/
+    // ElementwiseProduct.scala:31 Hadamard scale). One Chain fitted on
+    // the FULL order set (two tiny fit aggregates: label frequencies,
+    // min/max), transform is a pure codegen projection; output cohort
+    // o_orderkey <= 2000.
+    "s39_feature_transformers" -> { (s, dir) =>
+      val base = Tables.orders(s, dir).selectExpr(
+        "o_orderkey", "o_orderpriority AS prio",
+        "CAST(round(o_totalprice) AS BIGINT) AS price",
+        "CAST(o_custkey % 100 AS BIGINT) AS custf")
+      val chain = new Chain(Seq(
+        StringIndexerStage("prio", "prio_idx"),
+        OneHotStage("prio_idx", "oh", 5),
+        BucketizerStage("price", "bucket",
+          Seq(0L, 50000L, 150000L, 300000L, 1000000000L)),
+        BinarizerStage("custf", "cust_bin", 50L),
+        MinMaxScalerStage("price", "price_mm_milli"),
+        Normalizer2Stage("price", "custf", "nrm_price_milli", "nrm_custf_milli"),
+        ElementwiseProductStage(Seq(("price", "ew_price", 2L), ("custf", "ew_custf", 3L)))))
+      chain.fit(base).transform(base)
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "prio", "prio_idx", "oh_0", "oh_1", "oh_2",
+          "oh_3", "bucket", "cust_bin", "price_mm_milli",
+          "nrm_price_milli", "nrm_custf_milli", "ew_price", "ew_custf")
+        .orderBy("o_orderkey")
+    },
+
     "s21_pca_features" -> { (s, dir) =>
       val feats = ordersBase(s, dir).select(
         col("o_orderkey"), col("x1"), col("qty").as("x2"))
@@ -649,6 +682,38 @@ object Ml {
 
     // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
     // formula levels verbatim -> micro-quantized z-scores + projection.
+    // Mirror of the gauntlet: the indexer's (count DESC, label ASC)
+    // ranking and min/max fit as CTEs, every transform re-derived per
+    // row; minmax/L2 through the shared milli formula strings.
+    "s39_feature_transformers" -> {
+      import graft.ext.Pipeline.{l2MilliExpr, minMaxMilliExpr}
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT o_orderkey, o_orderpriority AS prio,
+         |         CAST(round(o_totalprice) AS BIGINT) AS price,
+         |         CAST(o_custkey % 100 AS BIGINT) AS custf
+         |  FROM orders),
+         |idx AS (SELECT prio,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, prio ASC) - 1 AS BIGINT) AS prio_idx
+         |  FROM base GROUP BY prio),
+         |mm AS (SELECT min(price) AS mn, max(price) AS mx FROM base)
+         |SELECT o_orderkey, prio, prio_idx,
+         |  CAST(CASE WHEN prio_idx = 0 THEN 1 ELSE 0 END AS BIGINT) AS oh_0,
+         |  CAST(CASE WHEN prio_idx = 1 THEN 1 ELSE 0 END AS BIGINT) AS oh_1,
+         |  CAST(CASE WHEN prio_idx = 2 THEN 1 ELSE 0 END AS BIGINT) AS oh_2,
+         |  CAST(CASE WHEN prio_idx = 3 THEN 1 ELSE 0 END AS BIGINT) AS oh_3,
+         |  CAST(CASE WHEN price < 50000 THEN 0 WHEN price < 150000 THEN 1
+         |            WHEN price < 300000 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+         |  CAST(CASE WHEN custf > 50 THEN 1 ELSE 0 END AS BIGINT) AS cust_bin,
+         |  ${minMaxMilliExpr("price", "mn", "mx")} AS price_mm_milli,
+         |  ${l2MilliExpr("price", "price", "custf")} AS nrm_price_milli,
+         |  ${l2MilliExpr("custf", "price", "custf")} AS nrm_custf_milli,
+         |  CAST(price * 2 AS BIGINT) AS ew_price,
+         |  CAST(custf * 3 AS BIGINT) AS ew_custf
+         |FROM base JOIN idx USING (prio) CROSS JOIN mm
+         |WHERE o_orderkey <= 2000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     "s21_pca_features" -> {
       import graft.ext.Pipeline.Moments2
       val l1 = Moments2.level1.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")

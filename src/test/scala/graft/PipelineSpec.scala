@@ -139,4 +139,46 @@ class PipelineSpec extends SparkSpec {
     val loaded = Model.load(spark, path)
     assert(loaded.transform(feats).orderBy("id").collect().toSeq === out.toSeq)
   }
+
+  test("gauntlet stages: indexer tie-break, dropLast, bucket bounds, strict binarize, minmax midpoint, zero-norm") {
+    import spark.implicits._
+    // b and c tie at 2 occurrences: freq order is a(3), then b before c
+    // by the pinned label-ASC tie rule
+    val labels = Seq("a", "a", "a", "b", "b", "c", "c").toDF("prio")
+    val idxModel = StringIndexerStage("prio", "i").fit(labels)
+    val got = idxModel.transform(Seq("a", "b", "c", "zz").toDF("prio"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "zz" -> -1L)) // unseen -> null
+    // one-hot dropLast: index 2 of 3 categories is all-zeros
+    val oh = OneHotStage("i", "oh", 3)
+      .transform(idxModel.transform(Seq("a", "b", "c").toDF("prio")))
+      .select("i", "oh_0", "oh_1").orderBy("i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(oh.toSeq === Seq((0L, 1L, 0L), (1L, 0L, 1L), (2L, 0L, 0L)))
+    // bucketizer: right-exclusive except the last bucket's upper bound
+    val bk = BucketizerStage("x", "b", Seq(0L, 10L, 20L))
+      .transform(Seq(0L, 9L, 10L, 19L, 20L).toDF("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bk === Map(0L -> 0L, 9L -> 0L, 10L -> 1L, 19L -> 1L, 20L -> 1L))
+    // binarizer is STRICTLY greater
+    val bn = BinarizerStage("x", "b", 10L)
+      .transform(Seq(9L, 10L, 11L).toDF("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bn === Map(9L -> 0L, 10L -> 0L, 11L -> 1L))
+    // minmax: plain rescale, and the constant-column 500-milli midpoint
+    val mmModel = MinMaxScalerStage("x", "m").fit(Seq(10L, 20L, 30L).toDF("x"))
+    assert(mmModel.transform(Seq(10L, 15L, 30L).toDF("x"))
+      .collect().map(_.getLong(1)).toSeq === Seq(0L, 250L, 1000L))
+    val constModel = MinMaxScalerStage("x", "m").fit(Seq(5L, 5L).toDF("x"))
+    assert(constModel.transform(Seq(5L).toDF("x")).head().getLong(1) === 500L)
+    // normalizer: 3-4-5 triangle in milli; zero-norm keeps the input
+    val nr = Normalizer2Stage("x1", "x2", "n1", "n2")
+      .transform(Seq((3L, 4L), (0L, 0L)).toDF("x1", "x2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(nr.toSet === Set((3L, 4L, 600L, 800L), (0L, 0L, 0L, 0L)))
+    // elementwise product is exact
+    val ew = ElementwiseProductStage(Seq(("x1", "e1", 2L)))
+      .transform(Seq(21L.asInstanceOf[java.lang.Long]).toDF("x1")).head()
+    assert(ew.getLong(1) === 42L)
+  }
 }
