@@ -645,6 +645,96 @@ object Learn {
         stats.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
+  // ---- model selection (reference ml/tuning/CrossValidator.scala:89
+  // fit: kFold splits → per (fold, paramMap) fit + evaluator metric →
+  // metrics averaged per paramMap (:113 /= numFolds) → best params →
+  // REFIT on the full dataset (:123); ml/tuning/ParamGridBuilder.scala
+  // builds the grid; ml/evaluation/RegressionEvaluator.scala RMSE with
+  // isLargerBetter = false, and CrossValidator.scala:118 picks by
+  // min/max accordingly. ml/tuning/TrainValidationSplit.scala:80 is the
+  // single-split variant of the same loop. DECLARED DEVIATION: folds are
+  // the deterministic key % k partition, not MLUtils.kFold:267's seeded
+  // random split — the standing oracle-gate convention (s25's bagging
+  // complement, x11's deterministic sampling). --------------------------
+
+  /** Per-fold sufficient statistics of the 2-feature ridge problem:
+    * ONE scan, k rows of the nine exact integer sums. */
+  def foldSums(feats: DataFrame, foldCol: String): DataFrame =
+    feats.groupBy(col(foldCol).as("fold"))
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+
+  private val nineSums = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+
+  /** Grid-search ridge with k-fold CV (or, with `tvsFold` set, the
+    * TrainValidationSplit single-split variant scored on that fold
+    * only). The entire grid costs ONE data scan for every fit — per-fold
+    * train sums are (total − fold) arithmetic on k rows — plus ONE
+    * scoring pass (feats ⋈ per-fold betas, |grid|-way expanded, one hash
+    * aggregate). Per-fold RMSE is micro-quantized from exact (sse, n)
+    * integers, averaged by integer DIV, min-by-(metric, λ) chosen, and
+    * the winner REFIT on the full sums. Returns one row per λ:
+    * (lambda_micro, avg_rmse_micro, chosen, b0_micro, b1_micro,
+    * b2_micro) — the refit model constant on every row, so the gated
+    * output carries grid, metric, selection, and final model at once. */
+  def gridRidgeCv(feats: DataFrame, foldCol: String, k: Int,
+                  lambdas: Seq[Double], tvsFold: Option[Int] = None): DataFrame = {
+    // the data is touched exactly TWICE: once for the k-row fold sums,
+    // once for the scoring join — everything else (train sums, betas,
+    // averages, refit) is arithmetic on localCheckpointed k- and
+    // grid-sized frames, so neither best.head() nor the caller's collect
+    // re-runs a scan
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val fs = foldSums(f, foldCol).localCheckpoint()
+    val tot = fs.agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+      sum("s11").as("s11"), sum("s12").as("s12"), sum("s22").as("s22"),
+      sum("sy").as("sy"), sum("s1y").as("s1y"), sum("s2y").as("s2y"))
+      .localCheckpoint()
+    // train-side sums per fold: total − fold (k rows)
+    val train = fs.crossJoin(broadcast(tot.select(nineSums.map(c => col(c).as(s"t_$c")): _*)))
+      .selectExpr(Seq("fold") ++ nineSums.map(c => s"t_$c - $c AS $c"): _*)
+    // per (fold, lambda) betas: the ridge Cramer solve as a projection
+    val betas = lambdas.map { lam =>
+      train.selectExpr(Seq("fold", s"CAST(${math.round(lam * 1e6)} AS BIGINT) AS lambda_micro") ++
+        ridgeBetaExprs(lam).map { case (name, e) => s"$e AS $name" }: _*)
+    }.reduce(_.unionByName(_))
+    val scoreFolds = tvsFold.map(fd => betas.filter(col("fold") === fd)).getOrElse(betas)
+    // one scoring pass: residuals of each held-out fold under its betas
+    val perFold = f.withColumnRenamed(foldCol, "fold")
+      .join(broadcast(scoreFolds), "fold")
+      .selectExpr("fold", "lambda_micro", s"y - $olsPredExpr AS r")
+      .groupBy("fold", "lambda_micro")
+      .agg(count(lit(1)).as("n"), sum(col("r") * col("r")).as("sse"))
+      .selectExpr("fold", "lambda_micro",
+        "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS rmse_micro")
+    val divisor = tvsFold.map(_ => 1).getOrElse(k)
+    val avg = perFold.groupBy("lambda_micro")
+      .agg(sum("rmse_micro").as("sum_rmse"))
+      .selectExpr("lambda_micro", s"CAST(sum_rmse DIV $divisor AS BIGINT) AS avg_rmse_micro")
+      .localCheckpoint()
+    f.unpersist()
+    val best = avg.orderBy(col("avg_rmse_micro").asc, col("lambda_micro").asc)
+      .limit(1).head()
+    val bestLam = lambdas.find(l => math.round(l * 1e6) == best.getLong(0)).get
+    // refit on the FULL sums with the winning lambda (the reference's
+    // est.fit(dataset, epm(bestIndex)))
+    val refit = tot.selectExpr(
+      ridgeBetaExprs(bestLam).map { case (name, e) =>
+        s"CAST(round($e * 1000000.0) AS BIGINT) AS ${name}_micro"
+      }: _*)
+    avg.selectExpr("lambda_micro", "avg_rmse_micro",
+        s"CAST(CASE WHEN lambda_micro = ${best.getLong(0)} THEN 1 ELSE 0 END AS BIGINT) AS chosen")
+      .crossJoin(broadcast(refit))
+      .orderBy("lambda_micro")
+  }
+
   // ---- column summary statistics (reference mllib/stat/
   // MultivariateOnlineSummarizer.scala, surfaced as Statistics.colStats,
   // Statistics.scala:46): the reference streams Welford/nnz accumulators

@@ -225,6 +225,26 @@ object Ml {
     // integer-sum scan, z-scores and the principal projection
     // micro-quantized, eigenvalues gated through the per-row
     // explained-variance column.
+    // Cross-validated grid search (reference ml/tuning/CrossValidator
+    // .scala:89 + ParamGridBuilder + RegressionEvaluator — mechanics and
+    // declared deterministic-fold deviation on Learn.gridRidgeCv): ridge
+    // lambda grid {0, 10, 1000} over the whole-dollar OLS problem,
+    // 3 folds by o_orderkey % 3, per-lambda averaged RMSE, winner refit
+    // on the full data. One row per lambda; the refit model rides every
+    // row.
+    "s40_cross_validation" -> { (s, dir) =>
+      Learn.gridRidgeCv(cvFeats(s, dir), "fold", 3, Seq(0.0, 10.0, 1000.0))
+    },
+
+    // TrainValidationSplit (reference ml/tuning/TrainValidationSplit
+    // .scala:80 — the single-split variant of the CV loop; trainRatio
+    // here is the deterministic 2/3 complement of fold 0): same grid,
+    // scored on fold 0 only, winner refit on the full data.
+    "s41_train_validation_split" -> { (s, dir) =>
+      Learn.gridRidgeCv(cvFeats(s, dir), "fold", 3, Seq(0.0, 10.0, 1000.0),
+        tvsFold = Some(0))
+    },
+
     // Feature-transformer gauntlet (reference ml/feature/*, one stage per
     // file: StringIndexer.scala:84 frequency-desc indexing with the tie
     // pinned to label ASC, OneHotEncoder.scala dropLast=true k−1
@@ -313,6 +333,17 @@ object Ml {
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(count(lit(1)).as("x1"),
         expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+
+  /** The s40/s41 model-selection base: the s29 whole-dollar OLS problem
+    * (x1 = n_lineitems, x2 = total qty, y = round(o_totalprice) dollars)
+    * plus the deterministic fold key o_orderkey % 3. */
+  private def cvFeats(s: SparkSession, dir: String): DataFrame =
+    ordersBase(s, dir)
+      .join(Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "CAST(round(o_totalprice) AS BIGINT) AS y"),
+        "o_orderkey")
+      .selectExpr("CAST(o_orderkey % 3 AS BIGINT) AS fold", "x1",
+        "qty AS x2", "y")
 
   /** s19/s20 features + label: x2 = qty div `xDiv`, yq = `yScale` iff
     * qty + 5·(o_orderkey % 13) > 130 else 0 (see the s19 comment for why
@@ -449,6 +480,68 @@ object Ml {
       |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
       |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
       |  FROM lineitem GROUP BY 1)""".stripMargin
+
+  /** Mirror of [[cvFeats]] + Learn.gridRidgeCv for a lambda grid and an
+    * optional TVS fold: per-fold 9-sum CTE, train = total − fold, the
+    * shared ridge Cramer strings per lambda, one scoring join, micro
+    * RMSE averaged by integer //, min-by-(metric, lambda) selection,
+    * winner refit on the total sums. */
+  private def gridRidgeCvSql(lambdas: Seq[Double], tvsFold: Option[Int]): String = {
+    val nine = Seq("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    val betaUnion = lambdas.map { lam =>
+      val bs = graft.ext.Learn.ridgeBetaExprs(lam)
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n      ")
+      s"""  SELECT fold, CAST(${math.round(lam * 1e6)} AS BIGINT) AS lambda_micro,
+         |      $bs
+         |  FROM train""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val refitUnion = lambdas.map { lam =>
+      val bs = graft.ext.Learn.ridgeBetaExprs(lam)
+        .map { case (name, e) => s"CAST(round($e * 1000000.0) AS BIGINT) AS ${name}_micro" }
+        .mkString(",\n      ")
+      s"""  SELECT CAST(${math.round(lam * 1e6)} AS BIGINT) AS lambda_micro,
+         |      $bs
+         |  FROM tot""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val scoreFilter = tvsFold.map(f => s"WHERE fold = $f").getOrElse("")
+    val divisor = if (tvsFold.isDefined) 1 else 3
+    s"""WITH $ordersBaseCte,
+       |feats AS MATERIALIZED (
+       |  SELECT CAST(b.o_orderkey % 3 AS BIGINT) AS fold, b.x1, b.qty AS x2,
+       |         CAST(round(o.o_totalprice) AS BIGINT) AS y
+       |  FROM base b JOIN orders o USING (o_orderkey)),
+       |fsums AS MATERIALIZED (
+       |  SELECT fold, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+       |  FROM feats GROUP BY 1),
+       |tot AS (SELECT ${nine.map(c => s"CAST(sum($c) AS BIGINT) AS $c").mkString(", ")} FROM fsums),
+       |train AS (SELECT fold, ${nine.map(c => s"t.$c - f.$c AS $c").mkString(", ")}
+       |  FROM fsums f CROSS JOIN tot t),
+       |betas AS MATERIALIZED (
+       |$betaUnion),
+       |perfold AS (
+       |  SELECT fold, lambda_micro,
+       |    CAST(round(sqrt(CAST(sum(r * r) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS rmse_micro
+       |  FROM (SELECT f.fold, b.lambda_micro, f.y - ${graft.ext.Learn.olsPredExpr} AS r
+       |        FROM feats f JOIN (SELECT * FROM betas $scoreFilter) b USING (fold))
+       |  GROUP BY 1, 2),
+       |avg AS (SELECT lambda_micro,
+       |    CAST(CAST(sum(rmse_micro) AS BIGINT) // $divisor AS BIGINT) AS avg_rmse_micro
+       |  FROM perfold GROUP BY 1),
+       |best AS (SELECT lambda_micro FROM avg
+       |  ORDER BY avg_rmse_micro ASC, lambda_micro ASC LIMIT 1),
+       |refits AS (
+       |$refitUnion)
+       |SELECT a.lambda_micro, a.avg_rmse_micro,
+       |  CAST(CASE WHEN a.lambda_micro = best.lambda_micro THEN 1 ELSE 0 END AS BIGINT) AS chosen,
+       |  r.b0_micro, r.b1_micro, r.b2_micro
+       |FROM avg a CROSS JOIN best
+       |JOIN refits r ON r.lambda_micro = best.lambda_micro
+       |ORDER BY a.lambda_micro""".stripMargin
+  }
 
   /** Mirror of [[lrFeatures]]. */
   private def lrFeatsCte(xDiv: Int, yScale: Long) =
@@ -682,6 +775,13 @@ object Ml {
 
     // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
     // formula levels verbatim -> micro-quantized z-scores + projection.
+    // Mirrors of the model-selection pair, one generator parameterized
+    // by the TVS fold.
+    "s40_cross_validation" ->
+      gridRidgeCvSql(Seq(0.0, 10.0, 1000.0), None),
+    "s41_train_validation_split" ->
+      gridRidgeCvSql(Seq(0.0, 10.0, 1000.0), Some(0)),
+
     // Mirror of the gauntlet: the indexer's (count DESC, label ASC)
     // ranking and min/max fit as CTEs, every transform re-derived per
     // row; minmax/L2 through the shared milli formula strings.

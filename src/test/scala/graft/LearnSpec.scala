@@ -387,6 +387,35 @@ class LearnSpec extends SparkSpec {
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
 
+  test("cross-validation picks the exact-fit lambda and refits it on the full data") {
+    import spark.implicits._
+    // y = 2 + 3·x1 + 5·x2 EXACTLY: lambda 0 has zero residuals on every
+    // held-out fold, so CV must choose it, and the full-data refit must
+    // recover (2, 3, 5) in micro units; the penalized fits cannot reach
+    // zero error
+    val feats = (1L to 30L).map { i =>
+      val (x1, x2) = (i % 7, (i * 3) % 11)
+      (i % 3, x1, x2, 2 + 3 * x1 + 5 * x2)
+    }.toDF("fold", "x1", "x2", "y")
+    val cv = Learn.gridRidgeCv(feats, "fold", 3, Seq(0.0, 4.0)).collect()
+    assert(cv.length === 2)
+    val byLam = cv.map(r => r.getLong(0) -> r).toMap
+    assert(byLam(0L).getLong(1) === 0L)      // zero avg RMSE
+    assert(byLam(0L).getLong(2) === 1L)      // chosen
+    assert(byLam(4000000L).getLong(1) > 0L)  // ridge can't fit exactly
+    assert(byLam(4000000L).getLong(2) === 0L)
+    assert((cv.head.getLong(3), cv.head.getLong(4), cv.head.getLong(5)) ===
+      ((2000000L, 3000000L, 5000000L)))
+    // TVS variant scores fold 0 only but picks the same exact fit here
+    val tvs = Learn.gridRidgeCv(feats, "fold", 3, Seq(0.0, 4.0), tvsFold = Some(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tvs === Map(0L -> 1L, 4000000L -> 0L))
+    // partitioning determinism
+    val a = Learn.gridRidgeCv(feats.repartition(1), "fold", 3, Seq(0.0, 4.0)).collect()
+    val b = Learn.gridRidgeCv(feats.repartition(7, col("y")), "fold", 3, Seq(0.0, 4.0)).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("colStats matches hand-computed accumulators and derived stats") {
     import spark.implicits._
     // x = (0, 2, 4): n=3, nnz=2, s=6, ss=20; mean 2.0, sample var
