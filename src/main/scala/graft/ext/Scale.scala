@@ -347,4 +347,78 @@ object Scale {
     partials.groupBy("ib", "jb", "i", "j")
       .agg(sum("pv").as("v"))
   }
+
+  // ---- tall-skinny SVD via the Gramian (reference mllib/linalg/
+  // distributed/RowMatrix.scala:113 computeGramianMatrix — one
+  // treeAggregate of the d×d upper triangle, the "LocalARPACK"/
+  // "LocalEigs" path of :210 computeSVD at small d: the Gramian's eigen
+  // pair gives σ = sqrt(λ) and V, then U = A·V·Σ⁻¹ (:290). The reference
+  // leaves singular-vector SIGNS to breeze's LAPACK call; the orientation
+  // here is the DECLARED convention (b, λ−a)/‖·‖ per eigenvector —
+  // deterministic, and a legal SVD sign choice. UNCENTERED by
+  // definition, unlike the s21 PCA covariance path.) -------------------
+
+  /** Closed-form 2×2 symmetric eigenvalues over exact Gramian sums
+    * (g11, g12, g22) — formula strings shared verbatim with the oracle;
+    * operands are one CAST-to-DOUBLE of exact integers, so every derived
+    * double is engine-identical. */
+  def svdLevel1: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val (a, b, c) = (d("g11"), d("g12"), d("g22"))
+    val mid = s"(($a + $c) / 2.0)"
+    val rad = s"sqrt(((($a - $c) / 2.0) * (($a - $c) / 2.0)) + ($b * $b))"
+    Seq("lam1" -> s"($mid + $rad)", "lam2" -> s"($mid - $rad)")
+  }
+
+  /** Singular values σ = sqrt(λ) and the two eigenvectors under the
+    * declared (b, λ−a)/‖·‖ orientation (axis-aligned when b = 0); layer
+    * 2 — references the g sums AND lam1/lam2. */
+  def svdLevel2: Seq[(String, String)] = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val (a, b) = (d("g11"), d("g12"))
+    val c = d("g22")
+    def vec(lam: String, first: Boolean) = {
+      val axis1 = if (first) "1.0" else "0.0"
+      val axis2 = if (first) "0.0" else "1.0"
+      val nrm = s"sqrt(($b * $b) + (($lam - $a) * ($lam - $a)))"
+      Seq(
+        s"v1${if (first) "1" else "2"}" ->
+          s"(CASE WHEN $b = 0.0 THEN (CASE WHEN $a >= $c THEN $axis1 ELSE $axis2 END) ELSE $b / $nrm END)",
+        s"v2${if (first) "1" else "2"}" ->
+          s"(CASE WHEN $b = 0.0 THEN (CASE WHEN $a >= $c THEN $axis2 ELSE $axis1 END) ELSE ($lam - $a) / $nrm END)")
+    }
+    Seq("sv1" -> "sqrt(lam1)",
+      "sv2" -> "sqrt(CASE WHEN lam2 < 0.0 THEN 0.0 ELSE lam2 END)") ++
+      vec("lam1", first = true) ++ vec("lam2", first = false)
+  }
+
+  /** Per-row left-singular coordinates u_k = (x·v_k)/σ_k in micro-units
+    * (RowMatrix.scala:290's U = A V Σ⁻¹ as a pure projection against the
+    * broadcast 1-row factor frame). */
+  def svd2RowExprs: Seq[(String, String)] = Seq(
+    "u1_micro" -> ("CAST(round((((CAST(x1 AS DOUBLE) * v11) + (CAST(x2 AS DOUBLE) * v21)) / sv1) * 1000000.0) AS BIGINT)"),
+    "u2_micro" -> ("CAST(round((((CAST(x1 AS DOUBLE) * v12) + (CAST(x2 AS DOUBLE) * v22)) / sv2) * 1000000.0) AS BIGINT)"))
+
+  /** Tall-skinny SVD of the (idCol, x1, x2) matrix: ONE Gramian scan
+    * (three exact integer sums — the treeAggregate), the closed-form
+    * factor row, then U for the `cohort` keys as a broadcast projection.
+    * Emits (id, u1_micro, u2_micro, sv1_micro, sv2_micro, v11_micro,
+    * v21_micro, v12_micro, v22_micro) — factors constant on every row so
+    * Σ and V are gated alongside U. */
+  def tallSkinnySvd(feats: DataFrame, idCol: String, cohort: Long): DataFrame = {
+    val gcols = Seq("g11", "g12", "g22")
+    val factors = feats
+      .agg(sum(expr("x1 * x1")).as("g11"), sum(expr("x1 * x2")).as("g12"),
+        sum(expr("x2 * x2")).as("g22"))
+      .selectExpr(gcols ++ svdLevel1.map { case (n, e) => s"$e AS $n" }: _*)
+      .selectExpr(gcols ++ svdLevel1.map(_._1) ++
+        svdLevel2.map { case (n, e) => s"$e AS $n" }: _*)
+    feats.filter(col(idCol) <= cohort)
+      .crossJoin(broadcast(factors))
+      .selectExpr(Seq(s"$idCol AS id") ++
+        svd2RowExprs.map { case (n, e) => s"$e AS $n" } ++
+        Seq("sv1", "sv2", "v11", "v21", "v12", "v22").map(c =>
+          s"CAST(round($c * 1000000.0) AS BIGINT) AS ${c}_micro"): _*)
+      .orderBy("id")
+  }
 }

@@ -129,6 +129,21 @@ object Scale {
     // nation j. Two-phase block-coordinate product (Scale.blockMultiply);
     // the oracle is the DIRECT join+group formulation, so the block
     // routing must be result-transparent. Cohort i <= 300 for output.
+    // Tall-skinny SVD (reference mllib/linalg/distributed/RowMatrix
+    // .scala:113 computeGramianMatrix + :210 computeSVD small-d path:
+    // σ = sqrt(eig(AᵀA)), V its eigenvectors, U = A·V·Σ⁻¹ at :290 —
+    // declared orientation convention on Scale.svdLevel2; the
+    // TallSkinnySVD example's exact shape): the per-order
+    // (n_lineitems, qty) matrix, one Gramian scan, U for o_orderkey <=
+    // 2000 as a broadcast projection with Σ/V riding every row.
+    "s42_tall_skinny_svd" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("x2"))
+      S.tallSkinnySvd(feats, "o_orderkey", 2000L)
+    },
+
     "x13_block_matmul" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -195,6 +210,35 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of Scale.tallSkinnySvd: the same Gramian sums, the shared
+    // eigen/σ/V formula strings layered through two CTEs, U per row.
+    "s42_tall_skinny_svd" -> {
+      val l1 = S.svdLevel1.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val l2 = S.svdLevel2.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val u = S.svd2RowExprs.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      val fmicro = Seq("sv1", "sv2", "v11", "v21", "v12", "v22")
+        .map(c => s"CAST(round($c * 1000000.0) AS BIGINT) AS ${c}_micro").mkString(",\n  ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem GROUP BY 1),
+         |g AS (SELECT CAST(sum(x1 * x1) AS BIGINT) AS g11,
+         |             CAST(sum(x1 * x2) AS BIGINT) AS g12,
+         |             CAST(sum(x2 * x2) AS BIGINT) AS g22 FROM feats),
+         |e1 AS (SELECT g11, g12, g22,
+         |    $l1
+         |  FROM g),
+         |f AS (SELECT g11, g12, g22, lam1, lam2,
+         |    $l2
+         |  FROM e1)
+         |SELECT o_orderkey AS id,
+         |  $u,
+         |  $fmicro
+         |FROM feats CROSS JOIN f
+         |WHERE o_orderkey <= 2000
+         |ORDER BY id""".stripMargin
+    },
+
     // Unsalted formulations: salting must be invisible in the result.
     "x01_salted_aggregate" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -225,6 +225,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("tall-skinny svd: hand-solved 2x2 factors, orthonormal U, axis-aligned diagonal case") {
+    import spark.implicits._
+    // rows (2,1) and (1,2): G = [[5,4],[4,5]], eigenvalues 9 and 1, so
+    // sv = (3, 1), v1 = (1,1)/sqrt2, v2 = (1,-1)/sqrt2; U rows are
+    // (±1/sqrt2) -> 707107 micro
+    val feats = Seq((1L, 2L, 1L), (2L, 1L, 2L)).toDF("id", "x1", "x2")
+    val out = graft.ext.Scale.tallSkinnySvd(feats, "id", 10L).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert((r1.getLong(3), r1.getLong(4)) === ((3000000L, 1000000L))) // sv1, sv2
+    assert((r1.getLong(5), r1.getLong(6)) === ((707107L, 707107L)))   // v1
+    assert((r1.getLong(7), r1.getLong(8)) === ((707107L, -707107L)))  // v2
+    assert((r1.getLong(1), r1.getLong(2)) === ((707107L, 707107L)))   // u row 1
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert((r2.getLong(1), r2.getLong(2)) === ((707107L, -707107L)))  // u row 2
+    // diagonal Gramian with the larger mass on x2: axis-aligned vectors
+    val diag = Seq((1L, 3L, 0L), (2L, 0L, 4L)).toDF("id", "x1", "x2")
+    val d1 = graft.ext.Scale.tallSkinnySvd(diag, "id", 10L).collect()
+      .find(_.getLong(0) == 2L).get
+    assert((d1.getLong(3), d1.getLong(4)) === ((4000000L, 3000000L)))
+    assert((d1.getLong(5), d1.getLong(6)) === ((0L, 1000000L))) // v1 = e2
+    assert((d1.getLong(1), d1.getLong(2)) === ((1000000L, 0L))) // row (0,4): u1=1
+  }
+
   test("block multiply reproduces the dense product and is block-size invariant") {
     import spark.implicits._
     // A = [[1,2],[3,4]], B = [[5,6],[7,8]] -> C = [[19,22],[43,50]]
