@@ -645,6 +645,39 @@ object Learn {
         stats.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
+  // ---- kernel density estimation (reference mllib/stat/KernelDensity
+  // .scala:83 estimate — density at each evaluation point is the mean
+  // over samples of the Gaussian pdf N(point; sample, h), accumulated by
+  // one aggregate (:92); normPdf at :105) --------------------------------
+
+  /** One sample's pico-quantized (1e-12) Gaussian kernel contribution at
+    * evaluation point `pt` — the direct exp(−u²/2)/(h·√2π) form with
+    * fixed parenthesization, shared verbatim with the oracle. Quantizing
+    * each CONTRIBUTION makes the per-point sum an exact integer, so the
+    * estimate is partitioning-independent; the residual cross-engine
+    * risk is one libm exp() ulp landing exactly on a .5 pico boundary
+    * (~1e-8 per evaluation — the t13/ln acceptance, measured negligible). */
+  def kernelPicoExpr(vm: String, pt: String, h: Double): String = {
+    val u = s"((CAST($vm AS DOUBLE) - CAST($pt AS DOUBLE)) / $h)"
+    s"CAST(round((exp(-0.5 * ($u * $u)) / ($h * sqrt(2.0 * pi()))) * 1000000000000.0) AS BIGINT)"
+  }
+
+  /** KDE over a BIGINT sample column at the literal `points`: one
+    * |points|-way broadcast expansion + one hash aggregate — the
+    * reference's aggregate((densities, count)) shape. Emits
+    * (pt, n, sum_pico, density_pico) with the raw sum gated alongside
+    * the floored mean. */
+  def kernelDensity(df: DataFrame, valCol: String, h: Double,
+                    points: Seq[Long]): DataFrame =
+    df.selectExpr(s"$valCol AS vm",
+        s"explode(array(${points.map(p => s"CAST($p AS BIGINT)").mkString(", ")})) AS pt")
+      .selectExpr("pt", s"${kernelPicoExpr("vm", "pt", h)} AS k")
+      .groupBy("pt")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_pico"))
+      .selectExpr("pt", "n", "sum_pico",
+        "CAST(sum_pico DIV n AS BIGINT) AS density_pico")
+      .orderBy("pt")
+
   // ---- model selection (reference ml/tuning/CrossValidator.scala:89
   // fit: kFold splits → per (fold, paramMap) fit + evaluator metric →
   // metrics averaged per paramMap (:113 /= numFolds) → best params →

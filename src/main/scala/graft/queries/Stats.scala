@@ -379,6 +379,17 @@ object Stats {
         .orderBy("c1", "c2")
     },
 
+    // Gaussian kernel density (reference mllib/stat/KernelDensity
+    // .scala:83 — mechanics and the pico-quantization determinism
+    // argument on Learn.kernelDensity): order values in whole dollars,
+    // bandwidth 25000, five evaluation points spanning the price range.
+    "n22_kernel_density" -> { (s, dir) =>
+      graft.ext.Learn.kernelDensity(
+        Tables.orders(s, dir)
+          .selectExpr("CAST(round(o_totalprice) AS BIGINT) AS vm"),
+        "vm", 25000.0, Seq(50000L, 100000L, 150000L, 250000L, 350000L))
+    },
+
     "n15_chi_square" -> { (s, dir) =>
       import org.apache.spark.ml.linalg.Vectors
       import s.implicits._
@@ -429,6 +440,21 @@ object Stats {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of Learn.kernelDensity: the same pico-quantized kernel
+    // formula string per (sample, point), one aggregate.
+    "n22_kernel_density" -> {
+      val k = graft.ext.Learn.kernelPicoExpr("vm", "pt", 25000.0)
+      s"""WITH s AS (SELECT CAST(round(o_totalprice) AS BIGINT) AS vm FROM orders),
+         |p AS (SELECT unnest([50000, 100000, 150000, 250000, 350000]) AS pt),
+         |k AS (SELECT pt, $k AS k FROM s CROSS JOIN p),
+         |g AS (SELECT pt, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(k) AS BIGINT) AS sum_pico
+         |  FROM k GROUP BY 1)
+         |SELECT CAST(pt AS BIGINT) AS pt, n, sum_pico,
+         |  CAST(sum_pico // n AS BIGINT) AS density_pico
+         |FROM g ORDER BY pt""".stripMargin
+    },
+
     // Mirror of Learn.colStats: UNION-ALL unpivot of the same quantized
     // columns, the seven sums, and the shared derived-stat formula
     // strings (DIV -> // on the non-negative operands).

@@ -416,6 +416,28 @@ class LearnSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("kernel density: peak at the sample, symmetric tails, mean-of-contributions") {
+    import spark.implicits._
+    // one sample at 0, h=1: density(0) = 1/sqrt(2pi) = 0.398942...,
+    // density(±1) = exp(-0.5)/sqrt(2pi) = 0.241970... — pico-quantized
+    val one = Seq(0L).toDF("vm")
+    val d = Learn.kernelDensity(one, "vm", 1.0, Seq(-1L, 0L, 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d(0L) === 398942280401L)
+    assert(d(-1L) === d(1L))
+    assert(d(1L) === 241970724519L)
+    // two samples: the estimate is the MEAN of contributions (floored)
+    val two = Seq(0L, 2L).toDF("vm")
+    val d2 = Learn.kernelDensity(two, "vm", 1.0, Seq(1L)).head()
+    assert(d2.getLong(1) === 2L)
+    assert(d2.getLong(3) === 241970724519L) // both contributions equal here
+    // partitioning determinism
+    val big = (1L to 500L).map(i => i % 37).toDF("vm")
+    val a = Learn.kernelDensity(big.repartition(1), "vm", 5.0, Seq(10L, 20L)).collect()
+    val b = Learn.kernelDensity(big.repartition(11, col("vm")), "vm", 5.0, Seq(10L, 20L)).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("colStats matches hand-computed accumulators and derived stats") {
     import spark.implicits._
     // x = (0, 2, 4): n=3, nnz=2, s=6, ss=20; mean 2.0, sample var
