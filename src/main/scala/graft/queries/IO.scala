@@ -20,6 +20,27 @@ object IO {
 
   private val scratch = "/tmp/graft_io"
 
+  /** The constant PMML scaffolding (mirrors KMeansPMMLModelExport's
+    * structure: header, 2-field DataDictionary, centerBased
+    * ClusteringModel with absDiff fields) and the per-cluster fragment —
+    * shared verbatim between the Spark query and the oracle, so document
+    * equality gates the full serialization. */
+  val pmmlHead: String =
+    """<PMML version="4.2"><Header description="k-means clustering"/>""" +
+      """<DataDictionary numberOfFields="2">""" +
+      """<DataField name="field_0" optype="continuous" dataType="double"/>""" +
+      """<DataField name="field_1" optype="continuous" dataType="double"/>""" +
+      """</DataDictionary>""" +
+      """<ClusteringModel modelName="k-means" functionName="clustering" modelClass="centerBased" numberOfClusters="3">""" +
+      """<ComparisonMeasure kind="distance"><squaredEuclidean/></ComparisonMeasure>""" +
+      """<ClusteringField field="field_0" compareFunction="absDiff"/>""" +
+      """<ClusteringField field="field_1" compareFunction="absDiff"/>"""
+  val pmmlTail: String = "</ClusteringModel></PMML>"
+  val pmmlClusterFrag: String =
+    "concat('<Cluster name=\"cluster_', CAST(cluster AS STRING), " +
+      "'\"><Array n=\"2\" type=\"real\">', CAST(c1 AS STRING), ' ', " +
+      "CAST(c2 AS STRING), '</Array></Cluster>')"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON write -> schema'd read -> aggregate.
     "i01_json_roundtrip" -> { (s, dir) =>
@@ -241,6 +262,37 @@ object IO {
     // zstd / snappy / gzip and read back — the storage knob a 100 TB
     // table tunes (zstd for cold data, snappy for hot) must be invisible
     // in query results. Three single-codec writes, one unioned readback.
+    // PMML model export (reference mllib/pmml/export/
+    // KMeansPMMLModelExport.scala:36 populateKMeansPMML — DataDictionary
+    // of field_i doubles, ClusteringModel modelClass=centerBased with
+    // absDiff ClusteringFields and one <Cluster> per centroid carrying
+    // the space-delimited center array; PMMLExportable.toPMML writes the
+    // document). The exporter serializes whatever KMeansModel it is
+    // handed; the model here is the one-M-step centroid table of the
+    // deterministic o_orderkey % 3 partition (exact floor-div integer
+    // means), so the whole document is engine-exact. The XML is written
+    // to a text sink and read back — the gated value IS the exported
+    // document.
+    "i20_pmml_export" -> { (s, dir) =>
+      val path = s"$scratch/pmml_kmeans"
+      val cents = Tables.orders(s, dir)
+        .selectExpr("CAST(o_orderkey % 3 AS BIGINT) AS cluster",
+          "CAST(round(o_totalprice) AS BIGINT) AS x1",
+          "CAST(o_custkey % 100 AS BIGINT) AS x2")
+        .groupBy("cluster")
+        .agg(expr("CAST(sum(x1) DIV count(*) AS BIGINT)").as("c1"),
+          expr("CAST(sum(x2) DIV count(*) AS BIGINT)").as("c2"))
+      cents
+        .selectExpr("cluster", s"$pmmlClusterFrag AS frag")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(cluster, frag))), s -> s.frag), '')").as("clusters"),
+          count(lit(1)).as("n_clusters"))
+        .selectExpr(s"concat('$pmmlHead', clusters, '$pmmlTail') AS xml",
+          "n_clusters")
+        .write.mode(SaveMode.Overwrite).json(path) // json: keeps (xml, n) typed
+      s.read.schema(StructType(Seq(StructField("xml", StringType),
+          StructField("n_clusters", LongType)))).json(path)
+    },
+
     // LIBSVM text roundtrip (reference mllib/util/MLUtils.scala:66
     // loadLibSVMFile / :252 saveAsLibSVMFile; the DataFrame source is
     // ml/source/libsvm/LibSVMRelation.scala). Write the reference's
@@ -392,6 +444,20 @@ object IO {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of the exporter: the same centroid arithmetic and the SAME
+    // scaffolding/fragment strings, aggregated in cluster order.
+    "i20_pmml_export" -> {
+      s"""WITH c AS (
+         |  SELECT CAST(o_orderkey % 3 AS BIGINT) AS cluster,
+         |    CAST(CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS c1,
+         |    CAST(CAST(sum(o_custkey % 100) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS c2
+         |  FROM orders GROUP BY 1),
+         |f AS (SELECT cluster, $pmmlClusterFrag AS frag FROM c)
+         |SELECT concat('$pmmlHead', string_agg(frag, '' ORDER BY cluster), '$pmmlTail') AS xml,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM f""".stripMargin
+    },
+
     // Reproduced from the ORIGINAL orders parquet: the roundtrip must
     // land exactly back on these per-label sums (f3's zero cases were
     // OMITTED from the written lines and reconstructed by coalesce).

@@ -106,6 +106,25 @@ class IOSpec extends SparkSpec {
     assert(out.toSeq === direct.toSeq)
   }
 
+  test("pmml export: reference document structure, clusters in order, centers match the data") {
+    val row = graft.queries.IO.defs("i20_pmml_export")(spark, sf001).head()
+    val xml = row.getString(0)
+    assert(row.getLong(1) === 3L)
+    assert(xml.startsWith("""<PMML version="4.2"><Header description="k-means clustering"/>"""))
+    assert(xml.endsWith("</ClusteringModel></PMML>"))
+    assert(xml.contains("""numberOfClusters="3""""))
+    // clusters appear exactly once each, in id order
+    val idxs = (0 to 2).map(i => xml.indexOf(s"""<Cluster name="cluster_$i">"""))
+    assert(idxs.forall(_ >= 0) && idxs === idxs.sorted)
+    // the serialized cluster_0 center equals the directly computed one
+    val c0 = Tables.orders(spark, sf001)
+      .filter(expr("o_orderkey % 3 = 0"))
+      .selectExpr("CAST(sum(CAST(round(o_totalprice) AS BIGINT)) DIV count(*) AS BIGINT) AS c1",
+        "CAST(sum(o_custkey % 100) DIV count(*) AS BIGINT) AS c2").head()
+    assert(xml.contains(
+      s"""<Cluster name="cluster_0"><Array n="2" type="real">${c0.getLong(0)} ${c0.getLong(1)}</Array></Cluster>"""))
+  }
+
   test("json preserves nested structs and arrays") {
     val path = tmp("jsonnest")
     import spark.implicits._
