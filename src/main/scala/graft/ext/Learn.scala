@@ -632,17 +632,44 @@ object Learn {
     * `method` = "welch" (default) or "student" — the reference's two
     * StreamingTestMethod registrations (:155). */
   def welchTTest(df: DataFrame, groupCol: String, g1: String, g2: String,
-                 valCol: String, method: String = "welch"): DataFrame = {
+                 valCol: String, method: String = "welch"): DataFrame =
+    welchStats(welchSums(df, groupCol, g1, g2, valCol), method)
+
+  /** The six-sum conditional-aggregate scan alone — the additive
+    * sufficient statistic both the batch test and the streaming test's
+    * carried state build on. */
+  def welchSums(df: DataFrame, groupCol: String, g1: String, g2: String,
+                valCol: String): DataFrame = {
     def side(i: Int, g: String) = Seq(
       sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"n$i"),
       sum(when(col(groupCol) === g, col(valCol)).otherwise(0L)).as(s"s$i"),
       sum(when(col(groupCol) === g, col(valCol) * col(valCol)).otherwise(0L)).as(s"ss$i"))
     val aggs = side(1, g1) ++ side(2, g2)
-    val stats = if (method == "student") studentExprs else welchExprs
     df.filter(col(groupCol).isin(g1, g2))
       .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(Seq("n1", "s1", "ss1", "n2", "s2", "ss2") ++
-        stats.map { case (name, e) => s"$e AS $name" }: _*)
+  }
+
+  private val welchSumCols = Seq("n1", "s1", "ss1", "n2", "s2", "ss2")
+
+  /** The all-zero six-sum state frame (the streaming test's initial
+    * model). */
+  def welchZeroSums(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.sql("SELECT " +
+      welchSumCols.map(c => s"CAST(0 AS BIGINT) AS $c").mkString(", "))
+
+  /** Elementwise add of two six-sum frames — StatCounter.merge
+    * (StreamingTest.scala:143 summarizeByKeyAndWindow reduces exactly
+    * these accumulators across a batch window). */
+  def welchAddSums(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .agg(welchSumCols.map(c => sum(c).as(c)).head,
+        welchSumCols.tail.map(c => sum(col(c)).as(c)): _*)
+
+  /** The statistics projection from a six-sum frame. */
+  def welchStats(sums: DataFrame, method: String = "welch"): DataFrame = {
+    val stats = if (method == "student") studentExprs else welchExprs
+    sums.selectExpr(welchSumCols ++
+      stats.map { case (name, e) => s"$e AS $name" }: _*)
   }
 
   // ---- kernel density estimation (reference mllib/stat/KernelDensity

@@ -296,6 +296,35 @@ object Streams {
     // the model state, updated by Learn.linearStep in foreachBatch. The
     // target is value itself with x2 = its decile, so one step already
     // moves w2 decisively toward the true slope.
+    // Streaming significance test (reference mllib/stat/test/
+    // StreamingTest.scala:110 registerStream: dropPeacePeriod (:132,
+    // batch-count based) -> summarizeByKeyAndWindow (:143, StatCounter
+    // sums merged across the window; windowSize 0 = all batches so far)
+    // -> the registered test method per batch). The carried 1-row
+    // six-sum frame IS the summarizer state, updated additively in
+    // foreachBatch (batches before the peace period are skipped by
+    // batchId); the final emission is the Welch statistic over the
+    // accumulated state — cumulative-window semantics. peacePeriod = 0
+    // here (the file source is one micro-batch); the >0 drop path is
+    // StreamingSpec-gated over a 3-batch MemoryStream.
+    "v14_streaming_ttest" -> { (s, dir) =>
+      val src = eventStream(s, dir).selectExpr("event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS vm")
+      val peacePeriod = 0L
+      var state = graft.ext.Learn.welchZeroSums(s).localCheckpoint()
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id >= peacePeriod) {
+            state = graft.ext.Learn.welchAddSums(state,
+              graft.ext.Learn.welchSums(b, "event_type", "signup", "error", "vm"))
+              .localCheckpoint()
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ext.Learn.welchStats(state)
+    },
+
     "v13_streaming_linreg" -> { (s, dir) =>
       val feats = eventStream(s, dir).selectExpr(
         "CAST(user_id % 10 AS BIGINT) AS x1",
@@ -439,6 +468,26 @@ object Streams {
     // The corpus arrives as one micro-batch, so the streamed model equals
     // exactly ONE unrolled gradient iteration (Ml.lrIterCte — the shared
     // sigmoid/update formula strings) over the event features.
+    // Mirror of the streaming test: cumulative-window state over one
+    // micro-batch equals the batch six sums; shared Welch formula
+    // strings (the n18 shape on the signup/error pair).
+    "v14_streaming_ttest" -> {
+      val stats = graft.ext.Learn.welchExprs
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n  ")
+      s"""WITH g AS (SELECT
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN vm ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN event_type = 'signup' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss1,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN vm ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN vm * vm ELSE 0 END) AS BIGINT) AS ss2
+         |  FROM (SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+         |        FROM events WHERE event_type IN ('signup', 'error')))
+         |SELECT n1, s1, ss1, n2, s2, ss2,
+         |  $stats
+         |FROM g""".stripMargin
+    },
+
     "v13_streaming_linreg" -> {
       import graft.ext.Learn
       s"""WITH feats AS MATERIALIZED (

@@ -686,6 +686,39 @@ class StreamingSpec extends SparkSpec {
     assert(w.head() !== oneBatch.head())
   }
 
+  test("streaming t-test: peace period drops whole batches; cumulative state equals the direct sums") {
+    import spark.implicits._
+    import graft.ext.Learn
+    // batch 0 is novelty noise (peace period 1 must drop it ENTIRELY);
+    // batches 1-2 carry the real samples
+    val b0 = Seq(("a", 999L), ("b", -999L))
+    val b1 = Seq(("a", 10L), ("a", 12L), ("b", 20L))
+    val b2 = Seq(("a", 14L), ("b", 22L), ("b", 24L), ("b", 26L))
+    val peacePeriod = 1L
+    val ms = MemoryStream[(String, Long)](spark)
+    var state = Learn.welchZeroSums(spark).localCheckpoint()
+    val q = ms.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (id >= peacePeriod) {
+          state = Learn.welchAddSums(state,
+            Learn.welchSums(b, "g", "a", "b", "v")).localCheckpoint()
+        }
+      }
+      .start()
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    // state equals the direct sums over batches 1-2 only — b0's outliers
+    // never entered (the n18 fixture numbers: t, Welch df)
+    val direct = Learn.welchTTest((b1 ++ b2).toDF("g", "v"), "g", "a", "b", "v").head()
+    val streamed = Learn.welchStats(state).head()
+    assert(streamed === direct)
+    assert(streamed.getLong(0) === 3L && streamed.getLong(3) === 4L)
+    assert(streamed.getLong(6) === -6350853L)
+  }
+
   test("streaming linear regression: per-batch LMS steps through foreachBatch equal direct steps") {
     import spark.implicits._
     import graft.ext.Learn
