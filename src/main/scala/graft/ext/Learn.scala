@@ -315,6 +315,48 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
 
+  // ---- one-vs-rest multiclass reduction (reference ml/classification/
+  // OneVsRest.scala:165 fit — one binary classifier per class against
+  // the rest (:178 label = when(cls === index, 1.0) otherwise 0.0);
+  // :108 transform keeps an accumulating raw-score column per model and
+  // :131 predicts the argmax. The base classifier here is the s19
+  // quantized logistic fit; argmax runs on the micro-probability
+  // (sigmoid is monotone in the raw margin, so the winner matches the
+  // reference's raw-score argmax except at quantized-probability TIES,
+  // which are pinned to the smallest class — declared). -----------------
+
+  /** OVR over (idCol, x1, x2, cls): one [[logisticFit2]] per class on
+    * the cls-vs-rest micro label (each fit re-reads the SAME persisted
+    * projection — classes multiply scans, never shuffles), then ONE
+    * broadcast scoring pass over the `cohort` keys. Emits
+    * (id, cls, p0..p{k-1} micro scores, pred) — the full score vector is
+    * gated, not just the winner. */
+  def oneVsRest(feats: DataFrame, classes: Seq[Int], iters: Int,
+                lr: Double, idCol: String, cohort: Long): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val models = classes.map { c =>
+      logisticFit2(f.selectExpr("x1", "x2",
+          s"CAST(CASE WHEN cls = $c THEN 1000000 ELSE 0 END AS BIGINT) AS yq"),
+        iters, lr)
+        .selectExpr(s"CAST($c AS BIGINT) AS mcls", "w0q", "w1q", "w2q")
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val pivots = classes.map(c =>
+      expr(s"max(CASE WHEN mcls = $c THEN p_micro END)").as(s"p$c"))
+    val out = f.filter(col(idCol) <= cohort)
+      .crossJoin(broadcast(models))
+      .selectExpr(idCol, "cls", "mcls", s"$lrProbExpr AS p_micro")
+      .groupBy(idCol, "cls")
+      .agg(pivots.head,
+        (pivots.tail :+
+          expr("max(named_struct('p', p_micro, 'negc', -mcls))").as("m")): _*)
+      .selectExpr(Seq(idCol, "cls") ++ classes.map(c => s"p$c") ++
+        Seq("CAST(-m.negc AS BIGINT) AS pred"): _*)
+      .orderBy(idCol)
+    f.unpersist()
+    out
+  }
+
   // ---- decision tree (reference mllib/src/main/scala/org/apache/spark/
   // mllib/tree/DecisionTree.scala:624 findBestSplits aggregates per-node
   // per-feature-bin label histograms in ONE pass per level and argmaxes

@@ -225,6 +225,17 @@ object Ml {
     // integer-sum scan, z-scores and the principal projection
     // micro-quantized, eigenvalues gated through the per-row
     // explained-variance column.
+    // One-vs-rest multiclass reduction (reference ml/classification/
+    // OneVsRest.scala:165 fit / :108 transform / :131 argmax — mechanics
+    // and the quantized-tie deviation on Learn.oneVsRest): three
+    // qty-tercile classes over the s19 feature base, 4 logistic
+    // iterations per binary model, full score vector + argmax prediction
+    // for the o_orderkey <= 2000 cohort.
+    "s43_one_vs_rest" -> { (s, dir) =>
+      Learn.oneVsRest(ovrFeats(s, dir), Seq(0, 1, 2), iters = 4, lr = 1.0,
+        "o_orderkey", 2000L)
+    },
+
     // Cross-validated grid search (reference ml/tuning/CrossValidator
     // .scala:89 + ParamGridBuilder + RegressionEvaluator — mechanics and
     // declared deterministic-fold deviation on Learn.gridRidgeCv): ridge
@@ -333,6 +344,13 @@ object Ml {
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(count(lit(1)).as("x1"),
         expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+
+  /** The s43 OVR base: s19's (x1, x2 = qty div 10) features with a
+    * three-way qty-tercile class label. */
+  private def ovrFeats(s: SparkSession, dir: String): DataFrame =
+    ordersBase(s, dir).selectExpr("o_orderkey", "x1",
+      "CAST(qty DIV 10 AS BIGINT) AS x2",
+      "CAST(CASE WHEN qty <= 80 THEN 0 WHEN qty <= 160 THEN 1 ELSE 2 END AS BIGINT) AS cls")
 
   /** The s40/s41 model-selection base: the s29 whole-dollar OLS problem
     * (x1 = n_lineitems, x2 = total qty, y = round(o_totalprice) dollars)
@@ -553,6 +571,22 @@ object Ml {
   /** One unrolled logistic-regression gradient iteration: the sigmoid
     * micro-probability and the quantized update REUSE graft.ext.Learn's
     * formula strings verbatim — the mirror IS the plan. */
+  /** [[lrIterCte]] with a per-model name prefix — the OVR oracle
+    * instantiates one chain per class over its own label CTE f`p`. */
+  private def lrIterCteP(p: String, k: Int, lr: Double): String =
+    s"""${p}g$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(yq - pq) AS BIGINT) AS g0,
+       |    CAST(sum((yq - pq) * x1) AS BIGINT) AS g1,
+       |    CAST(sum((yq - pq) * x2) AS BIGINT) AS g2
+       |  FROM (SELECT yq, x1, x2, ${Learn.lrProbExpr} AS pq
+       |        FROM f$p CROSS JOIN ${p}w${k - 1})),
+       |${p}w$k AS MATERIALIZED (
+       |  SELECT ${Learn.lrUpdExpr("w0q", "g0", lr)} AS w0q,
+       |    ${Learn.lrUpdExpr("w1q", "g1", lr)} AS w1q,
+       |    ${Learn.lrUpdExpr("w2q", "g2", lr)} AS w2q
+       |  FROM ${p}g$k CROSS JOIN ${p}w${k - 1})""".stripMargin
+
   private[queries] def lrIterCte(k: Int, lr: Double): String =
     s"""g$k AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -775,6 +809,43 @@ object Ml {
 
     // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
     // formula levels verbatim -> micro-quantized z-scores + projection.
+    // Mirror of the OVR reduction: one prefixed 4-iteration logistic
+    // chain per class over its own rest-label CTE, then the scoring
+    // union + argmax (row_number with the pinned (p DESC, class ASC)
+    // tie rule).
+    "s43_one_vs_rest" -> {
+      val classes = Seq(0, 1, 2)
+      val chains = classes.map { c =>
+        val label =
+          s"""fc$c AS MATERIALIZED (
+             |  SELECT o_orderkey, x1, x2,
+             |         CAST(CASE WHEN cls = $c THEN 1000000 ELSE 0 END AS BIGINT) AS yq
+             |  FROM fx),
+             |c${c}w0 AS (SELECT CAST(0 AS BIGINT) AS w0q, CAST(0 AS BIGINT) AS w1q, CAST(0 AS BIGINT) AS w2q)""".stripMargin
+        (Seq(label) ++ (1 to 4).map(k => lrIterCteP(s"c$c", k, 1.0))).mkString(",\n")
+      }.mkString(",\n")
+      val scoreUnion = classes.map { c =>
+        s"""  SELECT o_orderkey, cls, CAST($c AS BIGINT) AS mcls, ${Learn.lrProbExpr} AS p_micro
+           |  FROM (SELECT * FROM fx WHERE o_orderkey <= 2000) CROSS JOIN c${c}w4""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $ordersBaseCte,
+         |fx AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST(CASE WHEN qty <= 80 THEN 0 WHEN qty <= 160 THEN 1 ELSE 2 END AS BIGINT) AS cls
+         |  FROM base),
+         |$chains,
+         |scores AS MATERIALIZED (
+         |$scoreUnion),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY p_micro DESC, mcls ASC) AS rn
+         |  FROM scores)
+         |SELECT o_orderkey, cls,
+         |  CAST(max(CASE WHEN mcls = 0 THEN p_micro END) AS BIGINT) AS p0,
+         |  CAST(max(CASE WHEN mcls = 1 THEN p_micro END) AS BIGINT) AS p1,
+         |  CAST(max(CASE WHEN mcls = 2 THEN p_micro END) AS BIGINT) AS p2,
+         |  CAST(max(CASE WHEN rn = 1 THEN mcls END) AS BIGINT) AS pred
+         |FROM ranked GROUP BY 1, 2 ORDER BY o_orderkey""".stripMargin
+    },
+
     // Mirrors of the model-selection pair, one generator parameterized
     // by the TVS fold.
     "s40_cross_validation" ->

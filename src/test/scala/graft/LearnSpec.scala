@@ -387,6 +387,35 @@ class LearnSpec extends SparkSpec {
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
 
+  test("one-vs-rest separates three corner classes; ties break to the smallest class") {
+    import spark.implicits._
+    // classes at corners (0,0), (10,0), (0,10) — each binary
+    // cls-vs-rest problem is linearly separable, so every row must
+    // predict its own class and the winning score must be the row max
+    val pts = (1L to 60L).map { i =>
+      val c = i % 3
+      val (x1, x2) = c match {
+        case 0 => (0L + i % 2, 0L + (i / 3) % 2)
+        case 1 => (10L + i % 2, 0L + (i / 3) % 2)
+        case _ => (0L + i % 2, 10L + (i / 3) % 2)
+      }
+      (i, x1, x2, c)
+    }.toDF("id", "x1", "x2", "cls")
+    val out = Learn.oneVsRest(pts, Seq(0, 1, 2), iters = 12, lr = 1.0, "id", 60L)
+      .collect()
+    assert(out.length === 60)
+    assert(out.forall(r => r.getLong(5) === r.getLong(1))) // pred == cls
+    assert(out.forall { r =>
+      val scores = Seq(r.getLong(2), r.getLong(3), r.getLong(4))
+      scores(r.getLong(5).toInt) === scores.max
+    })
+    // all-zero weights (0 iterations) tie every class at p = 500000:
+    // the pinned tie rule must pick class 0 everywhere
+    val tied = Learn.oneVsRest(pts, Seq(0, 1, 2), iters = 0, lr = 1.0, "id", 60L)
+      .collect()
+    assert(tied.forall(r => r.getLong(5) === 0L))
+  }
+
   test("cross-validation picks the exact-fit lambda and refits it on the full data") {
     import spark.implicits._
     // y = 2 + 3·x1 + 5·x2 EXACTLY: lambda 0 has zero residuals on every
