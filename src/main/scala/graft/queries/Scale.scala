@@ -17,6 +17,16 @@ object Scale {
   private val qtyCents = "cast(round(l_quantity * 100) as bigint)"
   private val priceCents = "cast(round(o_totalprice * 100) as bigint)"
 
+  /** x15's counter-based generator pieces — shared verbatim with the
+    * oracle. One glibc-constant LCG step mod 2^31 (all operands stay
+    * under 2^63 for ids to ~8e9); the exponential is the exact inverse
+    * CDF on the r1 stream, milli-quantized (mean 500). */
+  private val LcgMod = 2147483648L
+  private def lcgExpr(st: String): String =
+    s"CAST((($st * 1103515245) + 12345) % $LcgMod AS BIGINT)"
+  private val expMilliExpr =
+    s"CAST(round(-500.0 * ln(1.0 - (CAST(r1 AS DOUBLE) / $LcgMod.0))) AS BIGINT)"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase salted aggregation over the biggest fact table: hot
     // (returnflag, linestatus) keys fan out over 8 salt buckets in phase
@@ -129,6 +139,76 @@ object Scale {
     // nation j. Two-phase block-coordinate product (Scale.blockMultiply);
     // the oracle is the DIRECT join+group formulation, so the block
     // routing must be result-transparent. Cohort i <= 300 for output.
+    // Random data generation (reference mllib/random/RandomRDDs.scala
+    // uniformRDD/exponentialRDD + random/RandomDataGenerator.scala and
+    // util/LinearDataGenerator.scala:131 generateLinearRDD — y = w·x +
+    // intercept + eps·noise). DECLARED DEVIATIONS, the oracle-gate
+    // convention: the reference seeds an XORShift per partition; here
+    // the generator is COUNTER-BASED — two LCG steps per stream keyed by
+    // the row id — so the value at any index is engine-exact and
+    // independent of partitioning (the splittable-generator property
+    // RandomRDDs needs, in its strongest form). Gaussian noise becomes
+    // centered-uniform (no Box-Muller: cos is not in the engine-shared
+    // libm set), exponential comes from the exact inverse CDF. The
+    // generated stream is validated THROUGH ITS PURPOSE: the s14 OLS fit
+    // over all generated rows must recover (intercept, w1, w2) — those
+    // betas ride every output row. Cohort id <= 50 emits the values.
+    "x15_random_data" -> { (s, dir) =>
+      val gen = Tables.orders(s, dir).selectExpr("o_orderkey AS id")
+        .selectExpr("id", s"${lcgExpr("id")} AS r0")
+        .selectExpr("id", s"${lcgExpr("r0")} AS r1")
+        .selectExpr("id", "r1", s"${lcgExpr("r1")} AS r2")
+        .selectExpr("id", "r1", "r2", s"${lcgExpr("r2")} AS r3")
+        .selectExpr("id",
+          s"CAST((r1 * 1000) DIV $LcgMod AS BIGINT) AS x1",
+          s"CAST((r2 * 1000) DIV $LcgMod AS BIGINT) AS x2",
+          s"CAST((r3 * 400) DIV $LcgMod AS BIGINT) - 200 AS noise",
+          s"$expMilliExpr AS exp_milli")
+        .selectExpr("id", "x1", "x2", "exp_milli",
+          "CAST((2000 + (3 * x1)) + ((5 * x2) + noise) AS BIGINT) AS y")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gen.count()
+      val betas = graft.ext.Learn.olsFit2(gen)
+        .selectExpr(Seq("b0", "b1", "b2").map(b =>
+          s"CAST(round($b * 1000000.0) AS BIGINT) AS ${b}_micro"): _*)
+        .localCheckpoint()
+      val out = gen.filter(col("id") <= 50)
+        .crossJoin(broadcast(betas))
+        .select("id", "x1", "x2", "y", "exp_milli",
+          "b0_micro", "b1_micro", "b2_micro")
+        .orderBy("id")
+      gen.unpersist()
+      out
+    },
+
+    // RDD sliding windows (reference mllib/rdd/RDDFunctions.scala:40
+    // sliding + rdd/SlidingRDD.scala — windows of w consecutive elements
+    // in RDD order, the primitive under the KS statistic and
+    // AreaUnderCurve; SlidingRDD's per-partition windows + head-of-next-
+    // partition stitching IS what a frame-bounded window over an ordered
+    // partition compiles to). Per event_type (the scale-sound partition
+    // key — a GLOBAL RDD order is the degenerate single-partition case),
+    // sliding triples over (ts, event_id) order: exact milli-unit
+    // centered moving average, only full windows emitted (:46 — the
+    // reference drops partial tails). Cohort event_id <= 3000.
+    "x14_rdd_sliding" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+      val wc = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .selectExpr("event_type", "ts", "event_id",
+          "CAST(round(value * 1000) AS BIGINT) AS vm")
+        .select(col("event_type"), col("event_id"),
+          count(lit(1)).over(w).as("wn"),
+          sum("vm").over(w).as("wsum"),
+          row_number().over(wc).cast("long").as("pos"))
+        .filter(col("wn") === 3 && col("event_id") <= 3000)
+        .selectExpr("event_type", "event_id", "pos",
+          "CAST(wsum DIV 3 AS BIGINT) AS avg3_milli")
+        .orderBy("event_type", "pos")
+    },
+
     // Tall-skinny SVD (reference mllib/linalg/distributed/RowMatrix
     // .scala:113 computeGramianMatrix + :210 computeSVD small-d path:
     // σ = sqrt(eig(AᵀA)), V its eigenvectors, U = A·V·Σ⁻¹ at :290 —
@@ -210,6 +290,58 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirror of the generator: the same LCG chain, noise, inverse-CDF
+    // exponential, and the shared OLS Cramer strings over the generated
+    // stream's nine sums.
+    "x15_random_data" -> {
+      val betaSel = graft.ext.Learn.olsBetaExprs
+        .map { case (n, e) => s"CAST(round($e * 1000000.0) AS BIGINT) AS ${n}_micro" }
+        .mkString(",\n    ")
+      s"""WITH ids AS (SELECT o_orderkey AS id FROM orders),
+         |c0 AS (SELECT id, ${lcgExpr("id")} AS r0 FROM ids),
+         |c1 AS (SELECT id, ${lcgExpr("r0")} AS r1 FROM c0),
+         |c2 AS (SELECT id, r1, ${lcgExpr("r1")} AS r2 FROM c1),
+         |c3 AS (SELECT id, r1, r2, ${lcgExpr("r2")} AS r3 FROM c2),
+         |v AS (SELECT id,
+         |    CAST((r1 * 1000) // $LcgMod AS BIGINT) AS x1,
+         |    CAST((r2 * 1000) // $LcgMod AS BIGINT) AS x2,
+         |    CAST((r3 * 400) // $LcgMod AS BIGINT) - 200 AS noise,
+         |    $expMilliExpr AS exp_milli
+         |  FROM c3),
+         |g AS MATERIALIZED (SELECT id, x1, x2, exp_milli,
+         |    CAST((2000 + (3 * x1)) + ((5 * x2) + noise) AS BIGINT) AS y
+         |  FROM v),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM g),
+         |betas AS (SELECT
+         |    $betaSel
+         |  FROM sums)
+         |SELECT id, x1, x2, y, exp_milli, b0_micro, b1_micro, b2_micro
+         |FROM g CROSS JOIN betas
+         |WHERE id <= 50 ORDER BY id""".stripMargin
+    },
+
+    // Mirror of the sliding windows: the same frame over the same order.
+    "x14_rdd_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |         CAST(round(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |w AS (SELECT event_type, event_id,
+        |    CAST(count(*) OVER win AS BIGINT) AS wn,
+        |    CAST(sum(vm) OVER win AS BIGINT) AS wsum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS pos
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, event_id, pos, CAST(wsum // 3 AS BIGINT) AS avg3_milli
+        |FROM w WHERE wn = 3 AND event_id <= 3000
+        |ORDER BY event_type, pos""".stripMargin,
+
     // Mirror of Scale.tallSkinnySvd: the same Gramian sums, the shared
     // eigen/σ/V formula strings layered through two CTEs, U per row.
     "s42_tall_skinny_svd" -> {

@@ -225,6 +225,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rdd sliding triples equal a driver-side reimplementation at sf0.001") {
+    import spark.implicits._
+    val got = graft.queries.Scale.defs("x14_rdd_sliding")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val events = Tables.events(spark, sf001)
+      .selectExpr("event_type", "ts", "event_id", "CAST(round(value * 1000) AS BIGINT) AS vm")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+    val expected = events.groupBy(_._1).flatMap { case (et, rs) =>
+      val ordered = rs.sortBy(r => (r._2.getTime, r._3))
+      ordered.map(_._4).sliding(3).zipWithIndex.collect {
+        case (w, i) if w.length == 3 && ordered(i + 2)._3 <= 3000L =>
+          (et, i.toLong + 3) -> w.sum / 3
+      }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("counter-based random generation: in-range, id-keyed, fit recovers the planted weights") {
+    val out = graft.queries.Scale.defs("x15_random_data")(spark, sf001).collect()
+    assert(out.length === 51)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 999)) // x1 uniform range
+    assert(out.forall(r => r.getLong(4) >= 0))                        // exponential >= 0
+    // the planted linear model is recovered from the generated stream
+    val r = out.head
+    assert(math.abs(r.getLong(5) - 2000000000L) < 100000000L) // b0 ~ 2000 milli
+    assert(math.abs(r.getLong(6) - 3000000L) < 300000L)       // w1 ~ 3
+    assert(math.abs(r.getLong(7) - 5000000L) < 300000L)       // w2 ~ 5
+    // counter-keyed: re-running yields the identical rows (no hidden seed state)
+    val again = graft.queries.Scale.defs("x15_random_data")(spark, sf001).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("tall-skinny svd: hand-solved 2x2 factors, orthonormal U, axis-aligned diagonal case") {
     import spark.implicits._
     // rows (2,1) and (1,2): G = [[5,4],[4,5]], eigenvalues 9 and 1, so
