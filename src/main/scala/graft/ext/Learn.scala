@@ -315,6 +315,113 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
 
+  // ---- multilayer perceptron (reference ml/ann/Layer.scala — AffineLayer
+  // :173 forward x·W + b / :194 delta backprop W'·δ, FunctionalLayer
+  // sigmoid :528 + its δ·f'(x) backprop; stacked by FeedForwardTopology
+  // :319 multiLayerPerceptron exactly as the 2-2-1 net here; driven by
+  // ml/classification/MultilayerPerceptronClassifier.scala:154 through
+  // GradientDescent. DECLARED DEVIATIONS, the s19 conventions: per-unit
+  // activations and per-row hidden deltas quantized to exact micro
+  // integers (so every gradient sum is partitioning-independent), a
+  // constant step, full batch, and a FIXED asymmetric integer init
+  // (±1-weight difference detectors) in place of the reference's seeded
+  // random init — zero init would leave the hidden units permanently
+  // identical, and randomness is exactly what the oracle gate cannot
+  // allow. -------------------------------------------------------------
+
+  /** Hidden-unit micro sigmoid over (bias, u, v) quantized weights and
+    * BIGINT (x1, x2) — the [[lrProbExpr]] algebra with nameable weight
+    * columns; shared verbatim with the oracle. */
+  def mlpHiddenExpr(b: String, u: String, v: String): String =
+    s"CAST(round(1000000.0 / (1.0 + exp(-(CAST((($b + ($u * x1)) + ($v * x2)) AS DOUBLE) / 65536.0)))) AS BIGINT)"
+
+  /** Output-unit micro sigmoid over quantized (v0q, v1q, v2q) and the
+    * micro hidden activations (h1, h2): the affine term is
+    * v0 + v1·h1/1e6 + v2·h2/1e6, all in one exact integer numerator. */
+  val mlpOutExpr: String =
+    "CAST(round(1000000.0 / (1.0 + exp(-(CAST(((v0q * 1000000) + ((v1q * h1) + (v2q * h2))) AS DOUBLE) / 65536000000.0)))) AS BIGINT)"
+
+  /** Per-row hidden delta in micro units: δ_h = δ_o·v/2^16 · h'(a) with
+    * h' = h(1−h) on the micro activation — one fixed double expression,
+    * quantized so the six hidden-gradient sums stay exact integers. */
+  def mlpHidDeltaExpr(vq: String, h: String): String =
+    s"CAST(round((CAST((dlt * $vq) AS DOUBLE) / 65536.0) * ((CAST($h AS DOUBLE) / 1000000.0) * (1.0 - (CAST($h AS DOUBLE) / 1000000.0)))) AS BIGINT)"
+
+  /** The micro²-gradient update (output weights against micro hidden
+    * activations): mean gradient = g/1e12/n, scaled by the constant
+    * step, re-quantized — [[lrUpdExpr]] with the extra 1e6. */
+  def mlpUpd12Expr(wq: String, g: String, lr: Double): String =
+    s"$wq + CAST(round(($lr * ((CAST($g AS DOUBLE) / 1000000000000.0) / n)) * 65536.0) AS BIGINT)"
+
+  val mlpWeightCols: Seq[String] =
+    Seq("w10q", "w11q", "w12q", "w20q", "w21q", "w22q", "v0q", "v1q", "v2q")
+
+  /** The fixed difference-detector init: h1 fires on x1 > x2, h2 on
+    * x2 > x1, the output sums both. */
+  def mlpInit(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.sql("SELECT " + Seq(0L, 65536L, -65536L, 0L, -65536L, 65536L,
+        0L, 65536L, 65536L)
+      .zip(mlpWeightCols)
+      .map { case (v, c) => s"CAST($v AS BIGINT) AS $c" }.mkString(", "))
+
+  /** The per-row forward + delta projection under the weight row in
+    * scope — the shared unit of the training step, the scorer, and the
+    * oracle's unrolled iterations. */
+  private def mlpForwardCols: Seq[String] = Seq(
+    s"${mlpHiddenExpr("w10q", "w11q", "w12q")} AS h1",
+    s"${mlpHiddenExpr("w20q", "w21q", "w22q")} AS h2")
+
+  /** ONE full-batch backprop step over (x1, x2, yq) from the 1-row
+    * weight frame: forward, per-row quantized deltas, ten exact integer
+    * gradient sums, nine weight updates. */
+  def mlpStep(feats: DataFrame, w: DataFrame, lr: Double): DataFrame = {
+    val fwd = feats.crossJoin(broadcast(w))
+      .selectExpr(Seq("x1", "x2", "yq") ++ mlpWeightCols ++ mlpForwardCols: _*)
+      .selectExpr("x1", "x2", "h1", "h2", "v1q", "v2q",
+        s"yq - $mlpOutExpr AS dlt")
+      .selectExpr("x1", "x2", "h1", "h2", "dlt",
+        s"${mlpHidDeltaExpr("v1q", "h1")} AS dh1",
+        s"${mlpHidDeltaExpr("v2q", "h2")} AS dh2")
+    val g = fwd.agg(count(lit(1)).as("n"),
+      sum("dlt").as("gv0"),
+      sum(col("dlt") * col("h1")).as("gv1"),
+      sum(col("dlt") * col("h2")).as("gv2"),
+      sum("dh1").as("g10"), sum(col("dh1") * col("x1")).as("g11"),
+      sum(col("dh1") * col("x2")).as("g12"),
+      sum("dh2").as("g20"), sum(col("dh2") * col("x1")).as("g21"),
+      sum(col("dh2") * col("x2")).as("g22"))
+    w.crossJoin(broadcast(g)).selectExpr(
+      s"${lrUpdExpr("w10q", "g10", lr)} AS w10q",
+      s"${lrUpdExpr("w11q", "g11", lr)} AS w11q",
+      s"${lrUpdExpr("w12q", "g12", lr)} AS w12q",
+      s"${lrUpdExpr("w20q", "g20", lr)} AS w20q",
+      s"${lrUpdExpr("w21q", "g21", lr)} AS w21q",
+      s"${lrUpdExpr("w22q", "g22", lr)} AS w22q",
+      s"${lrUpdExpr("v0q", "gv0", lr)} AS v0q",
+      s"${mlpUpd12Expr("v1q", "gv1", lr)} AS v1q",
+      s"${mlpUpd12Expr("v2q", "gv2", lr)} AS v2q")
+  }
+
+  /** Train `iters` steps, then score (idCol, x1, x2, yq) rows: emits
+    * (id, label, h1, h2, o_micro, pred) — hidden activations gated too. */
+  def mlpFitPredict(feats: DataFrame, iters: Int, lr: Double,
+                    idCol: String, cohort: Long): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = mlpInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters) w = mlpStep(f, w, lr).localCheckpoint()
+    val out = f.filter(col(idCol) <= cohort)
+      .crossJoin(broadcast(w))
+      .selectExpr(Seq(idCol, "yq") ++ mlpWeightCols ++ mlpForwardCols: _*)
+      .selectExpr(idCol, "CAST(yq DIV 1000000 AS BIGINT) AS label",
+        "h1", "h2", s"$mlpOutExpr AS o_micro")
+      .selectExpr(idCol, "label", "h1", "h2", "o_micro",
+        "CAST(CASE WHEN o_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred")
+      .orderBy(idCol)
+    f.unpersist()
+    out
+  }
+
   // ---- one-vs-rest multiclass reduction (reference ml/classification/
   // OneVsRest.scala:165 fit — one binary classifier per class against
   // the rest (:178 label = when(cls === index, 1.0) otherwise 0.0);

@@ -225,6 +225,18 @@ object Ml {
     // integer-sum scan, z-scores and the principal projection
     // micro-quantized, eigenvalues gated through the per-row
     // explained-variance column.
+    // Multilayer perceptron, 2-2-1 (reference ml/ann/Layer.scala affine
+    // + sigmoid stack via FeedForwardTopology.multiLayerPerceptron:319,
+    // driven by ml/classification/MultilayerPerceptronClassifier
+    // .scala:154 — mechanics and declared deviations on Learn.mlpStep):
+    // two full-batch quantized backprop steps on the s19 problem, then
+    // cohort scoring with the hidden activations gated alongside the
+    // output.
+    "s44_mlp" -> { (s, dir) =>
+      Learn.mlpFitPredict(lrFeatures(s, dir, 10, 1000000L), iters = 2,
+        lr = 1.0, "o_orderkey", 2000L)
+    },
+
     // One-vs-rest multiclass reduction (reference ml/classification/
     // OneVsRest.scala:165 fit / :108 transform / :131 argmax — mechanics
     // and the quantized-tie deviation on Learn.oneVsRest): three
@@ -809,6 +821,58 @@ object Ml {
 
     // One exact-integer-sum scan -> graft.ext.Pipeline.Moments2's three
     // formula levels verbatim -> micro-quantized z-scores + projection.
+    // Mirror of the MLP: two unrolled backprop iterations sharing every
+    // forward/delta/update formula string, then the scoring projection.
+    "s44_mlp" -> {
+      val h1 = Learn.mlpHiddenExpr("w10q", "w11q", "w12q")
+      val h2 = Learn.mlpHiddenExpr("w20q", "w21q", "w22q")
+      val initSel = Seq(0L, 65536L, -65536L, 0L, -65536L, 65536L, 0L, 65536L, 65536L)
+        .zip(Learn.mlpWeightCols)
+        .map { case (v, c) => s"CAST($v AS BIGINT) AS $c" }.mkString(", ")
+      val iters = (1 to 2).map { k =>
+        s"""mfwd$k AS MATERIALIZED (
+           |  SELECT x1, x2, h1, h2, dlt,
+           |    ${Learn.mlpHidDeltaExpr("v1q", "h1")} AS dh1,
+           |    ${Learn.mlpHidDeltaExpr("v2q", "h2")} AS dh2
+           |  FROM (SELECT x1, x2, h1, h2, v1q, v2q,
+           |          yq - ${Learn.mlpOutExpr} AS dlt
+           |        FROM (SELECT f.*, w.*, $h1 AS h1, $h2 AS h2
+           |              FROM feats f CROSS JOIN mw${k - 1} w))),
+           |mg$k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(dlt) AS BIGINT) AS gv0,
+           |    CAST(sum(dlt * h1) AS BIGINT) AS gv1,
+           |    CAST(sum(dlt * h2) AS BIGINT) AS gv2,
+           |    CAST(sum(dh1) AS BIGINT) AS g10, CAST(sum(dh1 * x1) AS BIGINT) AS g11,
+           |    CAST(sum(dh1 * x2) AS BIGINT) AS g12,
+           |    CAST(sum(dh2) AS BIGINT) AS g20, CAST(sum(dh2 * x1) AS BIGINT) AS g21,
+           |    CAST(sum(dh2 * x2) AS BIGINT) AS g22
+           |  FROM mfwd$k),
+           |mw$k AS MATERIALIZED (SELECT
+           |    ${Learn.lrUpdExpr("w10q", "g10", 1.0)} AS w10q,
+           |    ${Learn.lrUpdExpr("w11q", "g11", 1.0)} AS w11q,
+           |    ${Learn.lrUpdExpr("w12q", "g12", 1.0)} AS w12q,
+           |    ${Learn.lrUpdExpr("w20q", "g20", 1.0)} AS w20q,
+           |    ${Learn.lrUpdExpr("w21q", "g21", 1.0)} AS w21q,
+           |    ${Learn.lrUpdExpr("w22q", "g22", 1.0)} AS w22q,
+           |    ${Learn.lrUpdExpr("v0q", "gv0", 1.0)} AS v0q,
+           |    ${Learn.mlpUpd12Expr("v1q", "gv1", 1.0)} AS v1q,
+           |    ${Learn.mlpUpd12Expr("v2q", "gv2", 1.0)} AS v2q
+           |  FROM mw${k - 1} CROSS JOIN mg$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |mw0 AS (SELECT $initSel),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label, h1, h2,
+         |  o_micro,
+         |  CAST(CASE WHEN o_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM (SELECT o_orderkey, yq, h1, h2, ${Learn.mlpOutExpr} AS o_micro
+         |      FROM (SELECT f.*, w.*, $h1 AS h1, $h2 AS h2
+         |            FROM (SELECT * FROM feats WHERE o_orderkey <= 2000) f
+         |            CROSS JOIN mw2 w))
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     // Mirror of the OVR reduction: one prefixed 4-iteration logistic
     // chain per class over its own rest-label CTE, then the scoring
     // union + argmax (row_number with the pinned (p DESC, class ASC)

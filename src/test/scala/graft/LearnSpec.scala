@@ -387,6 +387,32 @@ class LearnSpec extends SparkSpec {
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
 
+  test("mlp backprop reduces xor loss and is partitioning-deterministic") {
+    import spark.implicits._
+    // XOR x 8 copies: the problem no linear model separates; the
+    // difference-detector init starts o CONSTANT (sigmoid(a)+sigmoid(-a)
+    // = 1 makes every initial output 731059), so any separation is
+    // learned by the backprop steps
+    val xor = (0 until 8).flatMap { r =>
+      Seq((r * 4 + 1L, 0L, 0L, 0L), (r * 4 + 2L, 0L, 1L, 1000000L),
+        (r * 4 + 3L, 1L, 0L, 1000000L), (r * 4 + 4L, 1L, 1L, 0L))
+    }.toDF("id", "x1", "x2", "yq")
+    def loss(iters: Int): Long =
+      Learn.mlpFitPredict(xor, iters, lr = 8.0, "id", 1000L)
+        .selectExpr("sum(abs((label * 1000000) - o_micro)) AS l").head().getLong(0)
+    val l0 = loss(0)
+    val l40 = loss(40)
+    assert(l40 < l0)
+    // at init the output really is constant 731059
+    val init = Learn.mlpFitPredict(xor, 0, 8.0, "id", 1000L)
+      .select("o_micro").distinct().collect().map(_.getLong(0)).toSeq
+    assert(init === Seq(731059L))
+    // the quantized chain is bit-identical under any partitioning
+    val a = Learn.mlpFitPredict(xor.repartition(1), 3, 8.0, "id", 1000L).collect()
+    val b = Learn.mlpFitPredict(xor.repartition(7, col("x2")), 3, 8.0, "id", 1000L).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("one-vs-rest separates three corner classes; ties break to the smallest class") {
     import spark.implicits._
     // classes at corners (0,0), (10,0), (0,10) — each binary
