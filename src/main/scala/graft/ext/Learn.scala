@@ -495,7 +495,27 @@ object Learn {
     * Returns (leaves, splits): leaves = (leaf, n, n_pos, pred) with the
     * majority label (exact ties predict 0), splits = (node, feat, thr,
     * score) for every internal node. */
-  def decisionTree2(rows: DataFrame, maxDepth: Int = 2): (DataFrame, DataFrame) = {
+  /** One `a·ln(a/n)` term, zero-safe (0·ln 0 = 0 — Entropy.scala:40's
+    * guard). */
+  private def plogp(a: String, n: String): String =
+    s"(CASE WHEN $a = 0 THEN 0.0 ELSE CAST($a AS DOUBLE) * ln(CAST($a AS DOUBLE) / CAST($n AS DOUBLE)) END)"
+
+  /** The entropy split score in milli-nats over the candidate columns
+    * (lp, nl, tp, tn) — the NEGATED weighted child entropy
+    * Σ_child Σ_class a·ln(a/n), so maximizing it minimizes information
+    * (reference tree/impurity/Entropy.scala:40 -Σ p·log p; the milli-nat
+    * quantization is the t13/s15 ln currency). No integer division
+    * anywhere, so the string is shared verbatim — DIV/floor semantics
+    * never enter. */
+  val entropyScoreExpr: String = {
+    val terms = Seq(plogp("lp", "nl"), plogp("(nl - lp)", "nl"),
+      plogp("(tp - lp)", "(tn - nl)"),
+      plogp("((tn - nl) - (tp - lp))", "(tn - nl)"))
+    s"CAST(round(((${terms(0)} + ${terms(1)}) + (${terms(2)} + ${terms(3)})) * 1000.0) AS BIGINT)"
+  }
+
+  def decisionTree2(rows: DataFrame, maxDepth: Int = 2,
+                    impurity: String = "gini"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val spark = rows.sparkSession
     var r = rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node"))
@@ -513,7 +533,8 @@ object Learn {
         .withColumn("tn", sum("n").over(wTot)).withColumn("tp", sum("np").over(wTot))
         .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
         .withColumn("score", expr(
-          "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
+          if (impurity == "entropy") entropyScoreExpr
+          else "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
             " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"))
       val best = cand
         .withColumn("rn", row_number().over(

@@ -178,6 +178,26 @@ object Ml {
       Learn.decisionTree2(rows)._1.orderBy("leaf")
     },
 
+    // Entropy-impurity decision tree (reference mllib/tree/impurity/
+    // Entropy.scala:40 −Σ p·log p, selected via Strategy.impurity and
+    // Impurities.scala:30 — same findBestSplits histogram machinery as
+    // s20's Gini, only the split score changes; milli-nat quantized, no
+    // integer division in the score so the formula string is shared with
+    // zero DIV/floor seams). Emits leaves AND the chosen splits so the
+    // argmax itself is gated against the Gini variant's.
+    "s45_entropy_tree" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 25, 1)
+        .withColumnRenamed("yq", "y")
+      val (leaves, splits) = Learn.decisionTree2(rows, impurity = "entropy")
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "n_pos", "pred",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // Random forest (reference mllib/tree/RandomForest.scala — bagged
     // histogram trees, majority vote): three depth-2 trees over the
     // s19/s20 features, each trained on the deterministic id % 3 != t
@@ -618,7 +638,9 @@ object Ml {
     * (graft.ext.Learn.decisionTree2's per-level shape verbatim). `p`
     * prefixes every CTE name so the random-forest oracle can instantiate
     * one chain per tree. */
-  private def dtLevelCte(p: String, k: Int): String = {
+  private def dtLevelCte(p: String, k: Int, score: String =
+      "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl" +
+        " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT)"): String = {
     val prev = s"${p}r${k - 1}"
     s"""${p}lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
        |  UNION ALL SELECT node, y, 2::BIGINT, x2 FROM $prev),
@@ -632,8 +654,7 @@ object Ml {
        |  WINDOW w AS (PARTITION BY node, feat ORDER BY val ROWS UNBOUNDED PRECEDING),
        |         wn AS (PARTITION BY node, feat)),
        |${p}s$k AS (SELECT node, feat, val,
-       |    CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl
-       |       + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT) AS score
+       |    $score AS score
        |  FROM ${p}c$k WHERE nl > 0 AND tn - nl > 0),
        |${p}b$k AS MATERIALIZED (SELECT node, feat, val AS thr FROM (
        |    SELECT node, feat, val,
@@ -786,6 +807,32 @@ object Ml {
 
     // Two unrolled histogram-split levels, then the leaf populations —
     // the oracle re-derives every split, gating the whole selection.
+    // The s20 chain with the entropy score string substituted into the
+    // shared per-level CTE generator, plus the parent-split join.
+    "s45_entropy_tree" ->
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(25, 1L)},
+         |er0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node FROM feats),
+         |${dtLevelCte("e", 1, Learn.entropyScoreExpr)},
+         |${dtLevelCte("e", 2, Learn.entropyScoreExpr)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM er2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM eb1 b
+         |    JOIN es1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM eb2 b
+         |    JOIN es2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin,
+
     "s20_decision_tree" ->
       s"""WITH $ordersBaseCte,
          |${lrFeatsCte(25, 1L)},

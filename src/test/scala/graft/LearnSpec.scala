@@ -387,6 +387,29 @@ class LearnSpec extends SparkSpec {
     assert(out.forall(r => r.getString(1) === r.getString(2)))
   }
 
+  test("entropy impurity: a perfect split scores exactly zero milli-nats and wins the root") {
+    import spark.implicits._
+    // x1 <= 1 separates y perfectly (weighted child entropy 0 — the
+    // maximum of the negated score); x2 is informative but imperfect
+    val rows = Seq(
+      (0L, 0L, 0L), (0L, 1L, 0L), (1L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 0L, 1L), (2L, 1L, 1L), (3L, 0L, 1L), (3L, 1L, 1L))
+      .toDF("x1", "x2", "y")
+    val (leaves, splits) = Learn.decisionTree2(rows, maxDepth = 1, impurity = "entropy")
+    val root = splits.head()
+    assert((root.getLong(1), root.getLong(2)) === ((1L, 1L))) // feat 1, thr 1
+    assert(root.getLong(3) === 0L)                            // perfect: 0 milli-nats
+    val lv = leaves.orderBy("leaf").collect()
+    assert(lv.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((2L, 0L), (3L, 1L)))
+    // hand-check a NON-perfect score: splitting 8 rows (4 pos) on x2 <= 0
+    // gives two (2 pos / 2 neg) children: score = 4·ln(1/2)·2 rounded
+    val (_, s2) = Learn.decisionTree2(rows.withColumn("x1", lit(0L)),
+      maxDepth = 1, impurity = "entropy")
+    val r2 = s2.head()
+    assert(r2.getLong(1) === 2L)
+    assert(r2.getLong(3) === math.round(8.0 * math.log(0.5) * 1000.0))
+  }
+
   test("mlp backprop reduces xor loss and is partitioning-deterministic") {
     import spark.implicits._
     // XOR x 8 copies: the problem no linear model separates; the
