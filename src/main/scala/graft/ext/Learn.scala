@@ -1085,6 +1085,40 @@ object Learn {
       .select("tok", "chi2_micro")
   }
 
+  // ---- chi-squared goodness-of-fit (reference mllib/stat/test/
+  // ChiSqTest.scala:105 chiSquared — the Statistics.chiSqTest(Vector)
+  // path with the DEFAULT uniform expected distribution, :89; n15 covers
+  // the matrix-independence overload, this is the one-sample vector
+  // overload) ----------------------------------------------------------
+
+  /** One goodness-of-fit cell in micro-units over (o, n, k) columns:
+    * observed count o against the uniform expected n/k. Fixed
+    * parenthesization, shared verbatim with the oracle. */
+  val gofCellExpr: String = {
+    val e = "(CAST(n AS DOUBLE) / CAST(k AS DOUBLE))"
+    s"CAST(round((((CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e)) / $e) * 1000000.0) AS BIGINT)"
+  }
+
+  /** Pearson's chi-squared goodness-of-fit of `catCol`'s category counts
+    * against the uniform distribution: one row-linear count aggregate,
+    * then everything downstream is bounded by the category cardinality
+    * (the 1-row margin table broadcasts; the per-category cell table is
+    * k rows of longs). Per-category contributions are micro-quantized
+    * FIRST and summed as exact integers (the s34 convention — within
+    * k micro-units of the unquantized statistic, deterministic under any
+    * partitioning). Returns one row per category:
+    * (f, o, contrib_micro, stat_micro, dof). */
+  def chiSqGof(df: DataFrame, catCol: String): DataFrame = {
+    val ct = df.groupBy(col(catCol).as("f")).agg(count(lit(1)).as("o"))
+    val tot = ct.agg(sum("o").as("n"), count(lit(1)).as("k"))
+    val cells = ct.crossJoin(broadcast(tot))
+      .selectExpr("f", "o", "k", s"$gofCellExpr AS contrib_micro")
+    val stat = cells.agg(sum("contrib_micro").as("stat_micro"))
+    cells.crossJoin(broadcast(stat))
+      .selectExpr("f", "o", "contrib_micro", "stat_micro",
+        "CAST(k - 1 AS BIGINT) AS dof")
+  }
+
   // ---- isotonic regression (reference mllib/src/main/scala/org/apache/
   // spark/mllib/regression/IsotonicRegression.scala:324
   // poolAdjacentViolators — sequential PAVA per partition — and :409

@@ -424,6 +424,27 @@ object Stats {
            |FROM stat""".stripMargin)
     },
 
+    // Chi-squared goodness-of-fit vs uniform (reference mllib/stat/test/
+    // ChiSqTest.scala:105 — the Statistics.chiSqTest(Vector) one-sample
+    // overload with its default uniform expected, :89; n15's
+    // independence test is the matrix overload): are event types
+    // uniformly distributed? Dual-pathed: the relational micro-exact
+    // statistic AND mllib's own chiSqTest over the (bounded, one row per
+    // event type) collected count vector must agree.
+    "n23_chisq_gof" -> { (s, dir) =>
+      val cells = graft.ext.Learn.chiSqGof(
+        Tables.events(s, dir).select(col("event_type")), "event_type")
+      val counts = cells.select("f", "o").orderBy("f").collect() // k rows, bounded
+      val ml = org.apache.spark.mllib.stat.Statistics.chiSqTest(
+        org.apache.spark.mllib.linalg.Vectors.dense(
+          counts.map(_.getLong(1).toDouble)))
+      cells
+        .withColumn("ml_agrees",
+          expr(s"abs((CAST(stat_micro AS DOUBLE) / 1000000.0) - ${ml.statistic}D) < 1e-3"))
+        .withColumn("dof_agrees", expr(s"dof = CAST(${ml.degreesOfFreedom} AS BIGINT)"))
+        .orderBy("f")
+    },
+
     // approx_top_k heavy hitters: one pass, bounded tracking state. With
     // maxItemsTracked >= the true cardinality the counts are EXACT (the
     // regime here — deterministic, value-gated); past that bound it
@@ -680,6 +701,19 @@ object Stats {
          |SELECT CAST(n AS BIGINT) AS n, ${graft.ext.Learn.spearmanRhoExpr} AS rho_micro
          |FROM sums""".stripMargin
     },
+
+    // Mirror of Learn.chiSqGof: same count aggregate, same shared cell
+    // formula string, per-cell micro quantization before the exact sum.
+    "n23_chisq_gof" ->
+      s"""WITH ct AS (SELECT event_type AS f, CAST(count(*) AS BIGINT) AS o
+         |  FROM events GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM ct),
+         |cells AS (SELECT f, o, ${graft.ext.Learn.gofCellExpr} AS contrib_micro, k
+         |  FROM ct CROSS JOIN tot),
+         |st AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS stat_micro FROM cells)
+         |SELECT f, o, contrib_micro, stat_micro, CAST(k - 1 AS BIGINT) AS dof,
+         |  TRUE AS ml_agrees, TRUE AS dof_agrees
+         |FROM cells CROSS JOIN st ORDER BY f""".stripMargin,
 
     "n15_chi_square" ->
       """WITH ct AS (SELECT user_id % 3 AS lab, event_type AS f,

@@ -132,6 +132,30 @@ class LearnSpec extends SparkSpec {
     assert(m("c") === (0L, 0L, 1L, 0L, 0L, 0L))
   }
 
+  test("chiSqGof recovers the hand-computed statistic and agrees with MLlib") {
+    import spark.implicits._
+    // counts a:10, b:20, c:30 -> n=60, k=3, e=20; contributions
+    // (10-20)^2/20 = 5, 0, (30-20)^2/20 = 5 -> stat 10, dof 2
+    val df = (Seq.fill(10)("a") ++ Seq.fill(20)("b") ++ Seq.fill(30)("c"))
+      .toDF("cat")
+    val rows = Learn.chiSqGof(df, "cat").orderBy("f").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("a", 10L, 5000000L), ("b", 20L, 0L), ("c", 30L, 5000000L)))
+    assert(rows.forall(r => r.getLong(3) === 10000000L && r.getLong(4) === 2L))
+    val ml = org.apache.spark.mllib.stat.Statistics.chiSqTest(
+      org.apache.spark.mllib.linalg.Vectors.dense(10.0, 20.0, 30.0))
+    assert(math.abs(rows.head.getLong(3) / 1e6 - ml.statistic) < 1e-9)
+    assert(ml.degreesOfFreedom === 2)
+  }
+
+  test("chiSqGof is deterministic across partitionings") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => s"c${i % 7}").toDF("cat")
+    val a = Learn.chiSqGof(df.repartition(1), "cat").orderBy("f").collect()
+    val b = Learn.chiSqGof(df.repartition(13), "cat").orderBy("f").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ksUniform matches a driver-side scalar KS and MLlib's statistic") {
     import spark.implicits._
     // deterministic non-uniform values (quadratic growth skews the ECDF
