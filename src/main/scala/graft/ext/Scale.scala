@@ -348,6 +348,51 @@ object Scale {
       .agg(sum("pv").as("v"))
   }
 
+  // ---- tree aggregation (reference core/src/main/scala/org/apache/
+  // spark/rdd/RDD.scala:1091 treeAggregate and :1039 treeReduce — the
+  // backbone of mllib's GradientDescent.scala:236 and RowMatrix's
+  // Gramian: partial aggregates merge through intermediate levels of
+  // bounded fan-in instead of one final task (or the driver) pulling
+  // every partition's partial at once) ---------------------------------
+
+  /** Multi-level (tree) aggregation to ONE row. `partials` aggregate the
+    * raw rows once per leaf bucket; `merges` re-aggregate the partial
+    * aliases and must be the associative merge of `partials` (the
+    * treeAggregate seqOp/combOp contract). Each level keys its buckets
+    * by `DIV fanout`, so every merge task fans in at most `fanout`
+    * partials; levels run until one bucket remains.
+    *
+    * Why it matters at scale: with wide aggregation state (a gradient
+    * vector, a d×d Gramian triangle) and 10^4 input partitions, the
+    * classic partial+final plan funnels every partial into ONE final
+    * reducer; the tree caps that fan-in at `fanout` per task, paying
+    * log_fanout(leaves) tiny extra shuffles of `leaves` rows. The tree
+    * is RESULT-INVISIBLE (associative exact-integer aggregates), which
+    * is what the oracle gate proves.
+    *
+    * Leaf bucketing hashes `bucketExpr` into `leaves` buckets — the
+    * deterministic relational analog of the RDD's partition index (a
+    * partition-id key would make the intermediate tables depend on
+    * physical layout; sums would still agree, but determinism of every
+    * STAGE is the house standard). */
+  def treeAggregate(df: DataFrame, bucketExpr: String, leaves: Int,
+                    fanout: Int, partials: Seq[Column],
+                    merges: Seq[Column]): DataFrame = {
+    require(leaves > 0 && fanout > 1, "need leaves > 0, fanout > 1")
+    var cur = df.withColumn("__b", pmod(expr(bucketExpr), lit(leaves)).cast("long"))
+      .groupBy("__b").agg(partials.head, partials.tail: _*)
+    var width = leaves
+    while (width > 1) {
+      width = (width + fanout - 1) / fanout
+      cur =
+        if (width > 1)
+          cur.withColumn("__b", expr(s"__b DIV $fanout"))
+            .groupBy("__b").agg(merges.head, merges.tail: _*)
+        else cur.agg(merges.head, merges.tail: _*)
+    }
+    cur.drop("__b")
+  }
+
   // ---- tall-skinny SVD via the Gramian (reference mllib/linalg/
   // distributed/RowMatrix.scala:113 computeGramianMatrix — one
   // treeAggregate of the d×d upper triangle, the "LocalARPACK"/

@@ -40,6 +40,25 @@ object Scale {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Tree aggregation (RDD.treeAggregate re-expressed relationally):
+    // the full-lineitem summary reduces through 64 leaf buckets and an
+    // 8-way intermediate level, bounding every merge task's fan-in to 8
+    // — the plan shape mllib's GradientDescent relies on for wide
+    // aggregation state. Gated on result transparency: the oracle is the
+    // plain one-shot aggregate.
+    "x16_tree_aggregate" -> { (s, dir) =>
+      S.treeAggregate(Tables.lineitem(s, dir),
+        bucketExpr = "l_orderkey", leaves = 64, fanout = 8,
+        partials = Seq(count(lit(1)).as("n_rows"),
+          sum(expr(qtyCents)).as("qty_cents"),
+          min(expr(qtyCents)).as("min_cents"),
+          max(expr(qtyCents)).as("max_cents")),
+        merges = Seq(sum("n_rows").as("n_rows"),
+          sum("qty_cents").as("qty_cents"),
+          min("min_cents").as("min_cents"),
+          max("max_cents").as("max_cents")))
+    },
+
     // Salted replicated join: skewed lineitem fans its hot supplier keys
     // over 8 salts; the small supplier side is replicated once per salt.
     // Rolled up per nation so the gate compares a compact exact result.
@@ -376,6 +395,13 @@ object Scale {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "x16_tree_aggregate" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(min(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(max(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM lineitem""".stripMargin,
 
     "x02_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,

@@ -297,4 +297,29 @@ class ScaleSpec extends SparkSpec {
       Seq((1L, 1L, 9L)).toDF("k", "j", "vb"), 1)
     assert(sp.count() === 0L)
   }
+
+  test("tree aggregate equals the one-shot aggregate; fan-in bounded per level") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 97)).toDF("k", "v")
+    def aggs(first: Boolean) = {
+      def c(n: String) = if (first) col("v") else col(n)
+      Seq((if (first) count(lit(1)) else sum("n")).as("n"),
+        sum(if (first) col("v") else col("s")).as("s"),
+        min(c("mn")).as("mn"), max(c("mx")).as("mx"))
+    }
+    val tree = Scale.treeAggregate(df, "k", leaves = 64, fanout = 8,
+      partials = aggs(first = true), merges = aggs(first = false))
+    val got = tree.head()
+    val want = df.agg(count(lit(1)).as("n"), sum("v").as("s"),
+      min("v").as("mn"), max("v").as("mx")).head()
+    assert(got === want)
+    // three shuffle levels: 64 leaves -> 8 -> 1 (each merge fan-in <= 8)
+    val exchanges = tree.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 3, s"expected 3 exchanges (64 -> 8 -> 1), got $exchanges")
+    // degenerate single-leaf tree still answers (partials alone)
+    val one = Scale.treeAggregate(df, "k", leaves = 1, fanout = 8,
+      partials = aggs(first = true), merges = aggs(first = false)).head()
+    assert(Seq(one.getLong(0), one.getLong(1)) === Seq(want.getLong(0), want.getLong(1)))
+  }
 }
