@@ -307,6 +307,40 @@ object IO {
     // filter + 1-based indexing are all on the gated path. At 100 TB the
     // parse is one shuffle-free codegen projection per line; the
     // reassembly groupBy shuffles only (key, idx, value) triples.
+    // Sequence-file + object-file roundtrip (reference core RDD binary IO:
+    // rdd/SequenceFileRDDFunctions.scala:88 saveAsSequenceFile /
+    // SparkContext.scala:1145 sequenceFile with the implicit
+    // Long -> LongWritable converters, and rdd/RDD.scala:1481
+    // saveAsObjectFile / SparkContext.scala:1217 objectFile — the
+    // Java-serialized block format). Both formats carry the same
+    // (orderkey, cents) pairs; the gate compares per-bucket aggregates
+    // from BOTH read paths against the original parquet, so either
+    // roundtrip corrupting a row hash-mismatches. The .rdd hop off the
+    // parquet-backed frame is the point here — this IS the RDD API
+    // surface, not a relational operator.
+    "i21_sequence_object_files" -> { (s, dir) =>
+      import s.implicits._
+      val seqPath = s"$scratch/seqfile_orders"
+      val objPath = s"$scratch/objfile_orders"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      Seq(seqPath, objPath).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val pairs = Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .as[(Long, Long)].rdd
+      pairs.saveAsSequenceFile(seqPath)
+      pairs.saveAsObjectFile(objPath)
+      val seq = s.sparkContext.sequenceFile[Long, Long](seqPath)
+        .toDF("o_orderkey", "cents")
+        .groupBy(expr("o_orderkey % 10").as("bucket"))
+        .agg(count(lit(1)).as("n_seq"), sum("cents").as("cents_seq"))
+      val obj = s.sparkContext.objectFile[(Long, Long)](objPath)
+        .toDF("o_orderkey", "cents")
+        .groupBy(expr("o_orderkey % 10").as("bucket"))
+        .agg(count(lit(1)).as("n_obj"), sum("cents").as("cents_obj"))
+      seq.join(obj, "bucket").orderBy("bucket")
+    },
+
     "i19_libsvm_roundtrip" -> { (s, dir) =>
       val path = s"$scratch/libsvm_orders"
       val lines = Tables.orders(s, dir).selectExpr(
@@ -461,6 +495,16 @@ object IO {
     // Reproduced from the ORIGINAL orders parquet: the roundtrip must
     // land exactly back on these per-label sums (f3's zero cases were
     // OMITTED from the written lines and reconstructed by coalesce).
+    // Both binary roundtrips must be invisible: the oracle reads the
+    // original parquet once and emits identical seq/obj aggregate pairs.
+    "i21_sequence_object_files" ->
+      """WITH p AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_seq, CAST(sum(cents) AS BIGINT) AS cents_seq,
+        |  CAST(count(*) AS BIGINT) AS n_obj, CAST(sum(cents) AS BIGINT) AS cents_obj
+        |FROM p GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "i19_libsvm_roundtrip" ->
       """SELECT CAST(o_orderkey % 3 AS BIGINT) AS label,
         |  CAST(count(*) AS BIGINT) AS n,

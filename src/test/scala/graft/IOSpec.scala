@@ -134,4 +134,25 @@ class IOSpec extends SparkSpec {
     assert(back.getSeq[String](1) === Seq("a", "b"))
     assert(back.getStruct(2).getDouble(1) === 2.5)
   }
+
+  test("sequence/object files: row-exact roundtrips; SEQ magic on disk") {
+    val seqPath = tmp("seqfile")
+    val objPath = tmp("objfile")
+    val pairs = (1L to 500L).map(i => (i, i * 7 % 101))
+    val rdd = spark.sparkContext.parallelize(pairs, 4)
+    rdd.saveAsSequenceFile(seqPath)
+    rdd.saveAsObjectFile(objPath)
+    // on-disk format really is a Hadoop SequenceFile (SEQ magic + the
+    // LongWritable key/value classnames in the header)
+    val part = new java.io.File(seqPath).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(200)
+    assert(head.take(3).map(_.toChar).mkString === "SEQ")
+    assert(new String(head, "ISO-8859-1").contains("org.apache.hadoop.io.LongWritable"))
+    // both read paths recover every row
+    val seqBack = spark.sparkContext.sequenceFile[Long, Long](seqPath).collect().sorted
+    assert(seqBack.toSeq === pairs.sorted)
+    val objBack = spark.sparkContext.objectFile[(Long, Long)](objPath).collect().sorted
+    assert(objBack.toSeq === pairs.sorted)
+  }
 }
