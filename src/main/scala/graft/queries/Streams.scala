@@ -307,6 +307,42 @@ object Streams {
     // accumulated state — cumulative-window semantics. peacePeriod = 0
     // here (the file source is one micro-batch); the >0 drop path is
     // StreamingSpec-gated over a 3-batch MemoryStream.
+    // Invertible windowed reduction (reference streaming/.../dstream/
+    // PairDStreamFunctions.scala:249 reduceByKeyAndWindow with an
+    // invReduceFunc, executed by ReducedWindowedDStream.scala:33 — the
+    // DStream API's signature incremental optimization: the new window =
+    // previous window + reduce(entering slices) − invReduce(leaving
+    // slices), never a full re-reduce). The events pre-split into six
+    // minute-residue slice files so the file source delivers REAL
+    // multiple micro-batches (maxFilesPerTrigger = 1); per batch the
+    // carried per-(key, slice) partial state merges additively
+    // (commutative — deterministic under any batch arrival order), and
+    // the emission computes 3-slice windows by the inverse closed form
+    // cum(b) − cum(b−3). The oracle re-reduces every window from scratch
+    // (ROWS 2 PRECEDING), gating the add/subtract identity.
+    "v15_invertible_window" -> { (s, dir) =>
+      import graft.streaming.{Streaming => St}
+      val path = "/tmp/graft_stream_inv"
+      Tables.events(s, dir)
+        .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS vmilli",
+          "CAST(minute(ts) % 6 AS BIGINT) AS b")
+        .repartition(col("b"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("b").parquet(path)
+      val sch = s.read.parquet(path).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      var state = St.zeroBucketState(s).localCheckpoint()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          state = St.addBucketState(state, St.bucketPartials(batch)).localCheckpoint()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      St.inverseWindow(state, buckets = 6, w = 3)
+        .orderBy("event_type", "b")
+    },
+
     "v14_streaming_ttest" -> { (s, dir) =>
       val src = eventStream(s, dir).selectExpr("event_type",
         "CAST(round(value * 1000) AS BIGINT) AS vm")
@@ -471,6 +507,27 @@ object Streams {
     // Mirror of the streaming test: cumulative-window state over one
     // micro-batch equals the batch six sums; shared Welch formula
     // strings (the n18 shape on the signup/error pair).
+    // Full-window re-reduce (ROWS 2 PRECEDING) over the dense
+    // key × slice grid — the non-incremental formulation the
+    // add/subtract recurrence must equal.
+    "v15_invertible_window" ->
+      """WITH pb AS (SELECT event_type, CAST(minute(ts) % 6 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS vmilli
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, g.b,
+        |    COALESCE(p.cnt, 0) AS cnt, COALESCE(p.vmilli, 0) AS vmilli
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, 6)) g
+        |  LEFT JOIN pb p ON p.event_type = t.event_type AND p.b = g.b)
+        |SELECT event_type, b,
+        |  CAST(sum(cnt) OVER w3 AS BIGINT) AS w_cnt,
+        |  CAST(sum(vmilli) OVER w3 AS BIGINT) AS w_vmilli
+        |FROM grid
+        |WINDOW w3 AS (PARTITION BY event_type ORDER BY b
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, b""".stripMargin,
+
     "v14_streaming_ttest" -> {
       val stats = graft.ext.Learn.welchExprs
         .map { case (name, e) => s"$e AS $name" }.mkString(",\n  ")

@@ -52,6 +52,57 @@ object Streaming {
   def withLateness(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
 
+  // ---- invertible windowed reduction (reference streaming/.../dstream/
+  // PairDStreamFunctions.scala:249 reduceByKeyAndWindow with
+  // invReduceFunc + ReducedWindowedDStream.scala:33; compute at :134-166
+  // takes the PREVIOUS window's reduced value, inverse-reduces the
+  // slices leaving the window and reduces the slices entering it —
+  // never re-reducing the full window. The state the recurrence needs is
+  // exactly one reduced partial PER (key, slice); the windowed value is
+  // then prev + new − expired, whose closed form over the slice axis is
+  // cumulative(b) − cumulative(b − W). The state here is that per-slice
+  // partial table, merged ADDITIVELY per micro-batch (commutative, so
+  // the result is independent of batch arrival order), and the emission
+  // applies the inverse-reduce closed form; the oracle gate re-reduces
+  // every window from scratch, proving the identity.) ------------------
+
+  /** Empty per-(key, slice) partial-sum state. */
+  def zeroBucketState(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(String, Long, Long, Long)].toDF("event_type", "b", "cnt", "vmilli")
+  }
+
+  /** One micro-batch's reduced partials per (key, slice). */
+  def bucketPartials(batch: DataFrame): DataFrame =
+    batch.groupBy(col("event_type"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"), sum("vmilli").as("vmilli"))
+
+  /** Additive state merge — the reduceF side of the recurrence. */
+  def addBucketState(state: DataFrame, add: DataFrame): DataFrame =
+    state.unionByName(add).groupBy("event_type", "b")
+      .agg(sum("cnt").as("cnt"), sum("vmilli").as("vmilli"))
+
+  /** Windowed totals from the per-slice state via the INVERSE-reduce
+    * closed form: w(b) = cum(b) − cum(b − `w`), per key over the dense
+    * slice grid 0..`buckets`−1 (absent slices are zero partials, so a
+    * key quiet in some slice still windows correctly). The state table
+    * is (keys × slices) rows — broadcast-small by construction. */
+  def inverseWindow(state: DataFrame, buckets: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = state.select("event_type").distinct()
+      .crossJoin(state.sparkSession.range(0, buckets).select(col("id").as("b")))
+      .join(state, Seq("event_type", "b"), "left")
+      .na.fill(0L, Seq("cnt", "vmilli"))
+    val cum = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy("event_type").orderBy("b")
+    grid.select(col("event_type"), col("b"),
+        sum("cnt").over(cum).as("ccnt"), sum("vmilli").over(cum).as("cvm"))
+      .select(col("event_type"), col("b"),
+        (col("ccnt") - coalesce(lag("ccnt", w).over(ord), lit(0L))).as("w_cnt"),
+        (col("cvm") - coalesce(lag("cvm", w).over(ord), lit(0L))).as("w_vmilli"))
+  }
+
   /** Core sessionization step shared by the batch and streaming paths:
     * fold time-ordered events into gap-delimited sessions, continuing from
     * carried-over sessions (streaming state), empty for batch. */

@@ -748,4 +748,45 @@ class StreamingSpec extends SparkSpec {
     val two = w.head().getLong(2)
     assert(one > 0L && math.abs(two - 458752L) < math.abs(one - 458752L))
   }
+
+  test("invertible window: multi-batch additive state + inverse emission equal full re-reduce") {
+    import spark.implicits._
+    import graft.streaming.{Streaming => St}
+    // three micro-batches; slices deliberately interleaved ACROSS batches
+    // (additive merge is arrival-order independent) and key "y" is quiet
+    // in slices 2-3 (dense-grid zero fill)
+    val b0 = Seq(("x", 0L, 10L), ("x", 1L, 20L), ("y", 0L, 5L))
+    val b1 = Seq(("x", 1L, 30L), ("x", 2L, 40L), ("y", 1L, 7L))
+    val b2 = Seq(("x", 3L, 50L), ("y", 4L, 9L), ("x", 0L, 60L))
+    val ms = MemoryStream[(String, Long, Long)](spark)
+    var state = St.zeroBucketState(spark).localCheckpoint()
+    val q = ms.toDF().toDF("event_type", "b", "vmilli").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        state = St.addBucketState(state, St.bucketPartials(batch)).localCheckpoint()
+      }
+      .start()
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = St.inverseWindow(state, buckets = 5, w = 3)
+      .orderBy("event_type", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full re-reduce from the union of all batches (the oracle's shape)
+    val all = b0 ++ b1 ++ b2
+    val want = for (k <- Seq("x", "y"); b <- 0L to 4L) yield {
+      val in = all.filter(e => e._1 == k && e._2 >= b - 2 && e._2 <= b)
+      (k, b, in.size.toLong, in.map(_._3).sum)
+    }
+    assert(got.toSeq === want)
+    // the windowed total also satisfies the literal ReducedWindowedDStream
+    // recurrence: w(b) = w(b-1) + partial(b) - partial(b-3)
+    def partial(k: String, b: Long) = all.filter(e => e._1 == k && e._2 == b).map(_._3).sum
+    for (k <- Seq("x", "y"); b <- 1L to 4L) {
+      val prev = want.find(e => e._1 == k && e._2 == b - 1).get._4
+      val cur = want.find(e => e._1 == k && e._2 == b).get._4
+      assert(cur === prev + partial(k, b) - partial(k, b - 3))
+    }
+  }
 }
