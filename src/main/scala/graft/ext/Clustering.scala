@@ -376,6 +376,107 @@ object Clustering {
       .select("topic", "rnk", "tok", "phi_micro")
   }
 
+  // ---- smoothed LDA EM (reference mllib/clustering/LDA.scala:418
+  // computePTopic — γ_wjk ∝ (N_wk + η−1)(N_jk + α−1)/(N_k + W(η−1)) —
+  // driven by LDAOptimizer.scala:150 next(): E-step scales γ by the
+  // token count N_wj, M-step re-aggregates expected counts per doc
+  // vertex, per term vertex and globally. This is the reference's
+  // ACTUAL EM (s38's PLSA is its α = η → 1 limit, a declared
+  // deviation; this closes it): the state is EXPECTED COUNTS in micro
+  // units, not normalized mixtures, and the reference's default priors
+  // are kept — α = 50/k + 1 = 26, η = 1.1 (LDA.scala:131,163 document
+  // the -1 → default resolution). DECLARED DEVIATIONS, the s38
+  // conventions: K = 2 topics and a parity-seeded doc split in place of
+  // the randomized γ init (LDAOptimizer.scala:130) — EM needs asymmetry
+  // to leave the symmetric fixed point and randomness is exactly what
+  // the oracle gate cannot allow. The E-step ratio is ONE double
+  // expression over exact integer state with fixed parenthesization
+  // (the gmm convention), re-quantized to micro; every M-step sum is an
+  // exact integer. Resolution bound (s38's note sharpened): the final
+  // φ normalization multiplies a micro count by 1e6, so total corpus
+  // tokens must stay under ~9e6 at BIGINT — past that, widen the
+  // normalization to DECIMAL(38,0). ------------------------------------
+
+  /** Topic-1 responsibility of one (doc, term) cell in micro-units over
+    * exact integer state columns — nw1/nj1/n1 the topic-1 expected
+    * counts (micro), nw/nj/ntot the constant totals, vn the vocabulary
+    * size. η−1 = 0.1 → 100000 micro; α−1 = 25 → 25000000 micro. Strictly
+    * positive numerators (η > 1), so no zero-denominator fallback
+    * exists to mirror. */
+  val ldaRespExpr: String = {
+    def g(nwk: String, njk: String, nk: String) =
+      s"((($nwk + 100000.0) * ($njk + 25000000.0)) / ($nk + (CAST(vn AS DOUBLE) * 100000.0)))"
+    val g1 = g("CAST(nw1 AS DOUBLE)", "CAST(nj1 AS DOUBLE)", "CAST(n1 AS DOUBLE)")
+    val g2 = g("CAST((nw * 1000000) - nw1 AS DOUBLE)",
+      "CAST((nj * 1000000) - nj1 AS DOUBLE)",
+      "CAST((ntot * 1000000) - n1 AS DOUBLE)")
+    s"CAST(round(($g1 / ($g1 + $g2)) * 1000000.0) AS BIGINT)"
+  }
+
+  /** Two-topic smoothed LDA EM over (`idCol`, `textCol`) documents:
+    * `iters` iterations, each ONE counts ⋈ docState ⋈ termState join
+    * (row-linear in distinct (doc, word) pairs; the 1-row global state
+    * broadcasts) plus per-doc / per-term hash aggregates — the exact
+    * relational transcription of the aggregateMessages send/merge above.
+    * Both state tables localCheckpoint per iteration (the pregel
+    * discipline). Returns the top-`topK` terms per topic:
+    * (topic, rnk, tok, phi_micro), φ the unsmoothed normalized
+    * term-topic count, ties toward the smaller token. */
+  def ldaTopics(docs: DataFrame, idCol: String, textCol: String,
+                iters: Int = 2, topK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val docTotals = counts.groupBy("did").agg(sum("c").as("nj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termTotals = counts.groupBy("tok").agg(sum("c").as("nw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = termTotals
+      .agg(sum("nw").as("ntot"), count(lit(1)).as("vn"))
+      .localCheckpoint()
+    var doc = docTotals
+      .selectExpr("did", "nj",
+        "CAST(nj * (250000 + ((did % 2) * 500000)) AS BIGINT) AS nj1")
+      .localCheckpoint()
+    var term = termTotals
+      .selectExpr("tok", "nw", "CAST(nw * 500000 AS BIGINT) AS nw1")
+      .localCheckpoint()
+    var glob = totals.selectExpr("CAST(ntot * 500000 AS BIGINT) AS n1")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val scored = counts
+        .join(doc, "did").join(term, "tok")
+        .crossJoin(broadcast(glob)).crossJoin(broadcast(totals))
+        .selectExpr("did", "tok", "c", s"$ldaRespExpr AS r")
+        .selectExpr("did", "tok", "c * r AS s1c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      doc = scored.groupBy("did").agg(sum("s1c").as("nj1"))
+        .join(docTotals, "did").select("did", "nj", "nj1")
+        .localCheckpoint()
+      term = scored.groupBy("tok").agg(sum("s1c").as("nw1"))
+        .join(termTotals, "tok").select("tok", "nw", "nw1")
+        .localCheckpoint()
+      glob = term.agg(sum("nw1").as("n1")).localCheckpoint()
+      scored.unpersist()
+    }
+    counts.unpersist(); docTotals.unpersist()
+    val phi = term.crossJoin(broadcast(glob)).crossJoin(broadcast(totals))
+      .selectExpr("tok",
+        "CAST((nw1 * 1000000) DIV n1 AS BIGINT) AS p1",
+        "CAST((((nw * 1000000) - nw1) * 1000000) DIV ((ntot * 1000000) - n1) AS BIGINT) AS p2")
+    termTotals.unpersist()
+    phi.select(lit(1L).as("topic"), col("tok"), col("p1").as("phi_micro"))
+      .union(phi.select(lit(2L).as("topic"), col("tok"), col("p2").as("phi_micro")))
+      .select(col("topic"), col("tok"), col("phi_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("phi_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "phi_micro")
+  }
+
   /** The six split sufficient statistics carried (constant) through every
     * EM state row: per mean-split side, exact (count, Σx, Σx²). */
   private val gmmStatCols = Seq("nl", "sl", "ssl", "nh", "sh", "ssh")

@@ -108,6 +108,19 @@ object MlEval {
         .orderBy("topic", "rnk")
     },
 
+    // Smoothed LDA EM (reference mllib/clustering/LDA.scala:418
+    // computePTopic + LDAOptimizer.scala:150 next — the reference's
+    // ACTUAL Dirichlet-smoothed EM with its default priors α = 26,
+    // η = 1.1, closing s38's declared no-smoothing deviation; remaining
+    // deviations in Clustering.ldaTopics' scaladoc): two iterations over
+    // the document-term counts, expected-count state in exact micro
+    // integers, the E-step ratio one shared double formula string.
+    "s46_lda_topics" -> { (s, dir) =>
+      graft.ext.Clustering.ldaTopics(Tables.documents(s, dir),
+          "doc_id", "text", iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // Gaussian mixture EM (reference mllib/clustering/GaussianMixture
     // .scala:161 run / :198 ExpectationSum / :238 update; the 1-D
     // shared-variance thin-slice deviations are declared in
@@ -397,6 +410,49 @@ object MlEval {
          |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
          |  FROM (SELECT 1::BIGINT AS topic, tok, p1 AS phi_micro FROM ph2
          |        UNION ALL SELECT 2::BIGINT, tok, p2 FROM ph2))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
+    },
+
+    // Two unrolled smoothed-EM iterations sharing Clustering.ldaRespExpr
+    // verbatim (pure double arithmetic + round — no DIV seam), the final
+    // φ normalization on // over operands positive by construction.
+    "s46_lda_topics" -> {
+      val resp = graft.ext.Clustering.ldaRespExpr
+      val iters = (1 to 2).map { k =>
+        s"""sc$k AS MATERIALIZED (
+           |  SELECT did, tok, c * r AS s1c FROM (
+           |    SELECT cn.did, cn.tok, cn.c, $resp AS r
+           |    FROM counts cn JOIN d${k - 1} USING (did) JOIN t${k - 1} USING (tok)
+           |    CROSS JOIN g${k - 1} CROSS JOIN tot)),
+           |d$k AS MATERIALIZED (
+           |  SELECT s.did, dt.nj, CAST(sum(s1c) AS BIGINT) AS nj1
+           |  FROM sc$k s JOIN dt USING (did) GROUP BY 1, 2),
+           |t$k AS MATERIALIZED (
+           |  SELECT s.tok, tt.nw, CAST(sum(s1c) AS BIGINT) AS nw1
+           |  FROM sc$k s JOIN tt USING (tok) GROUP BY 1, 2),
+           |g$k AS (SELECT CAST(sum(nw1) AS BIGINT) AS n1 FROM t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |dt AS MATERIALIZED (SELECT did, CAST(sum(c) AS BIGINT) AS nj FROM counts GROUP BY 1),
+         |tt AS MATERIALIZED (SELECT tok, CAST(sum(c) AS BIGINT) AS nw FROM counts GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS ntot, CAST(count(*) AS BIGINT) AS vn FROM tt),
+         |d0 AS MATERIALIZED (SELECT did, nj,
+         |  CAST(nj * (250000 + ((did % 2) * 500000)) AS BIGINT) AS nj1 FROM dt),
+         |t0 AS MATERIALIZED (SELECT tok, nw, CAST(nw * 500000 AS BIGINT) AS nw1 FROM tt),
+         |g0 AS (SELECT CAST(ntot * 500000 AS BIGINT) AS n1 FROM tot),
+         |$iters,
+         |ph AS (SELECT tok,
+         |    CAST((nw1 * 1000000) // n1 AS BIGINT) AS p1,
+         |    CAST((((nw * 1000000) - nw1) * 1000000) // ((ntot * 1000000) - n1) AS BIGINT) AS p2
+         |  FROM t2 CROSS JOIN g2 CROSS JOIN tot)
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, phi_micro FROM (
+         |  SELECT topic, tok, phi_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
+         |  FROM (SELECT 1::BIGINT AS topic, tok, p1 AS phi_micro FROM ph
+         |        UNION ALL SELECT 2::BIGINT, tok, p2 FROM ph))
          |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
     },
 

@@ -144,4 +144,32 @@ class ClusteringSpec extends SparkSpec {
       .orderBy("topic", "rnk").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("smoothed lda separates parity vocabularies; smoothing keeps cross-topic mass positive") {
+    import spark.implicits._
+    // 100-token docs: the doc-side prior α−1 = 25 is 25e6 micro, so doc
+    // counts must dominate it (nj·1e6 = 1e8 here) for the parity seed to
+    // propagate — with 3-token docs the symmetric prior swamps the signal
+    val docs = (1L to 20L).map { i =>
+      (i, (if (i % 2 == 1) "u v " else "x y ") * 50)
+    }.toDF("doc_id", "text")
+    val all = Clustering.ldaTopics(docs, "doc_id", "text", iters = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val top = all.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(-_._3).take(2).map(_._2).toSet
+    }
+    assert(top(1L) === Set("u", "v"))
+    assert(top(2L) === Set("x", "y"))
+    // η = 1.1 smoothing: even the off-parity terms keep strictly positive
+    // emission in BOTH topics (the PLSA limit drives these to ~0; with
+    // α,η > 1 every responsibility is interior so no count collapses)
+    assert(all.forall(_._3 > 0L), s"expected all phi > 0: ${all.mkString(",")}")
+    // partitioning determinism of the full chain (integer state + one
+    // fixed-parenthesization double ratio per cell)
+    val a = Clustering.ldaTopics(docs.repartition(1), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    val b = Clustering.ldaTopics(docs.repartition(7, col("doc_id")), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
 }
