@@ -97,6 +97,64 @@ object Recommend {
       quant(((a11 * b2) - (a12 * b1)) / det).as("f2q"))
   }
 
+  /** One implicit-feedback half-step (Hu/Koren/Volinsky, ICDM'08 —
+    * reference ALS.scala's implicitPrefs path, :91 `implicitPrefs`
+    * param, updateBlock's `implicitPrefs` branch): every observation
+    * becomes preference p = 1 with confidence c = 1 + α·r, and the
+    * normal equation is (YᵀY + Yᵀ(C−I)Y + λI)x = YᵀCp. The term the
+    * reference calls YtY — computed ONCE over the full other-side
+    * factor table and broadcast (its central scale trick: the c = 1
+    * baseline over ALL items collapses to this 1-row Gramian, so the
+    * per-key work is proportional to OBSERVED ratings only, exactly as
+    * in the paper) — is the 3-sum `g` aggregate below; the per-key
+    * correction sums carry the α·r confidence weights (exact integers
+    * for integer α·r), and b = Σ(1 + α·r)·y since p = 1 on observed
+    * pairs. Solve + quantization conventions identical to [[als]]. */
+  private def solveSideImplicit(ratings: DataFrame, other: DataFrame,
+                                solveKey: String, otherKey: String,
+                                alpha: Long): DataFrame = {
+    val g = other.agg(
+      sum(col("f1q") * col("f1q")).as("g11"),
+      sum(col("f1q") * col("f2q")).as("g12"),
+      sum(col("f2q") * col("f2q")).as("g22"))
+    val sums = ratings.join(other, otherKey)
+      .groupBy(solveKey)
+      .agg(
+        sum(lit(alpha) * col("r") * col("f1q") * col("f1q")).as("s11"),
+        sum(lit(alpha) * col("r") * col("f1q") * col("f2q")).as("s12"),
+        sum(lit(alpha) * col("r") * col("f2q") * col("f2q")).as("s22"),
+        sum((lit(1L) + (lit(alpha) * col("r"))) * col("f1q")).as("b1"),
+        sum((lit(1L) + (lit(alpha) * col("r"))) * col("f2q")).as("b2"))
+    val a11 = ((col("g11") + col("s11")) / lit(Q2)) + lit(Lambda)
+    val a12 = (col("g12") + col("s12")) / lit(Q2)
+    val a22 = ((col("g22") + col("s22")) / lit(Q2)) + lit(Lambda)
+    val b1 = col("b1") / lit(Q)
+    val b2 = col("b2") / lit(Q)
+    val det = (a11 * a22) - (a12 * a12)
+    def quant(x: Column): Column = round(x * lit(Q)).cast("long")
+    sums.crossJoin(broadcast(g)).select(col(solveKey),
+      quant(((a22 * b1) - (a12 * b2)) / det).as("f1q"),
+      quant(((a11 * b2) - (a12 * b1)) / det).as("f2q"))
+  }
+
+  /** `iters` implicit-feedback ALS rounds over (u, i, r) with integer
+    * ratings-as-counts: same alternation, init and quantization as
+    * [[als]], each half-step solving against confidences c = 1 + α·r.
+    * α stays integer so every confidence-weighted sum is exact. */
+  def alsImplicit(ratings: DataFrame, iters: Int = 2,
+                  alpha: Long = 40L): (DataFrame, DataFrame) = {
+    val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    var items = initItemFactors(r).localCheckpoint()
+    var users: DataFrame = null
+    for (_ <- 1 to iters) {
+      users = solveSideImplicit(r, items, "u", "i", alpha).localCheckpoint()
+      items = solveSideImplicit(r, users, "i", "u", alpha).localCheckpoint()
+    }
+    r.unpersist()
+    (users, items)
+  }
+
   /** `iters` full ALS rounds (item-init, then per round: solve users
     * against items, solve items against the fresh users) over a
     * (u, i, r) ratings table with integer ratings. Returns the final

@@ -61,6 +61,24 @@ object Ml {
         .orderBy("u")
     },
 
+    // Implicit-feedback ALS (reference mllib/.../recommendation/
+    // ALS.scala:91 implicitPrefs + Hu/Koren/Volinsky ICDM'08): the same
+    // purchase counts as s12 read as CONFIDENCES c = 1 + 40·r over
+    // binary preferences, two alternating rounds of the implicit normal
+    // equation with the 1-row broadcast YᵀY Gramian (the paper's trick:
+    // per-key work stays proportional to observed ratings). Emits the
+    // item-side factor table — exact quantized integers, every solve
+    // reproduced bit-for-bit by the oracle's unrolled half-steps.
+    "s47_implicit_als" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (_, items) = Recommend.alsImplicit(ratings, iters = 2, alpha = 40L)
+      items.select("i", "f1q", "f2q").orderBy("i")
+    },
+
     // SVD++ (reference graphx/lib/SVDPlusPlus.scala — the last GraphX lib
     // algorithm without a counterpart): bias + implicit-feedback factors
     // trained by two full-batch gradient iterations over the same purchase
@@ -409,6 +427,36 @@ object Ml {
     * sums (CAST from DuckDB's HUGEINT), then the Cramer solve with every
     * constant pinned ::DOUBLE and the exact parenthesization of
     * graft.ext.Recommend.solveSide, re-quantized to 2^16 units. */
+  /** Implicit-ALS half-step mirror: the 1-row YᵀY Gramian over the
+    * other-side factors plus the per-key α·r confidence sums, the same
+    * Cramer parenthesization as [[alsSolveCte]] with A = (G + S)/Q². */
+  private def alsImplicitSolveCte(out: String, other: String,
+                                  solveKey: String, otherKey: String,
+                                  alpha: Long): String = {
+    def a(gs: String) = s"((($gs) / 4294967296.0::DOUBLE) + 0.1::DOUBLE)"
+    val (a11, a22) = (a("g11 + s11"), a("g22 + s22"))
+    val a12 = "((g12 + s12) / 4294967296.0::DOUBLE)"
+    val det = s"(($a11 * $a22) - ($a12 * $a12))"
+    s"""g_$out AS (SELECT
+       |    CAST(sum(f1q * f1q) AS BIGINT) AS g11,
+       |    CAST(sum(f1q * f2q) AS BIGINT) AS g12,
+       |    CAST(sum(f2q * f2q) AS BIGINT) AS g22
+       |  FROM $other),
+       |$out AS MATERIALIZED (
+       |  SELECT $solveKey,
+       |    CAST(round(((($a22 * (b1 / 65536.0::DOUBLE)) - ($a12 * (b2 / 65536.0::DOUBLE))) / $det) * 65536.0::DOUBLE) AS BIGINT) AS f1q,
+       |    CAST(round(((($a11 * (b2 / 65536.0::DOUBLE)) - ($a12 * (b1 / 65536.0::DOUBLE))) / $det) * 65536.0::DOUBLE) AS BIGINT) AS f2q
+       |  FROM (
+       |    SELECT r.$solveKey,
+       |      CAST(sum($alpha * r.r * o.f1q * o.f1q) AS BIGINT) AS s11,
+       |      CAST(sum($alpha * r.r * o.f1q * o.f2q) AS BIGINT) AS s12,
+       |      CAST(sum($alpha * r.r * o.f2q * o.f2q) AS BIGINT) AS s22,
+       |      CAST(sum((1 + ($alpha * r.r)) * o.f1q) AS BIGINT) AS b1,
+       |      CAST(sum((1 + ($alpha * r.r)) * o.f2q) AS BIGINT) AS b2
+       |    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey
+       |    GROUP BY r.$solveKey) CROSS JOIN g_$out)""".stripMargin
+  }
+
   private def alsSolveCte(out: String, other: String,
                           solveKey: String, otherKey: String): String = {
     val det = "((((a11 / 4294967296.0::DOUBLE) + 0.1::DOUBLE) * ((a22 / 4294967296.0::DOUBLE) + 0.1::DOUBLE)) - ((a12 / 4294967296.0::DOUBLE) * (a12 / 4294967296.0::DOUBLE)))"
@@ -1251,6 +1299,25 @@ object Ml {
          |    row_number() OVER (PARTITION BY u ORDER BY score_q DESC, i) AS rn
          |  FROM cand)
          |SELECT u, i AS rec_item, score_q FROM ranked WHERE rn = 1 ORDER BY u""".stripMargin,
+
+    // Four unrolled implicit half-steps: per step a fresh 1-row YᵀY
+    // Gramian over the other side plus the per-key confidence sums.
+    "s47_implicit_als" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |y0 AS MATERIALIZED (
+         |  SELECT DISTINCT i,
+         |    (65536 + (i % 7) * 8192)::BIGINT AS f1q,
+         |    (((i % 5) - 2) * 16384)::BIGINT AS f2q
+         |  FROM ratings),
+         |${alsImplicitSolveCte("x1", "y0", "u", "i", 40L)},
+         |${alsImplicitSolveCte("y1", "x1", "i", "u", 40L)},
+         |${alsImplicitSolveCte("x2", "y1", "u", "i", 40L)},
+         |${alsImplicitSolveCte("y2", "x2", "i", "u", 40L)}
+         |SELECT i, f1q, f2q FROM y2 ORDER BY i""".stripMargin,
     // Unrolls the same pipeline: train-slice df counts -> smoothed
     // reciprocal idf -> whole-corpus tf -> rescale -> L2 -> argmax (first
     // index on ties, like array_position). COALESCE(toks, []) pins the

@@ -189,4 +189,53 @@ class RecommendSpec extends SparkSpec {
     assert(sse(u2, i2) <= sse(u1, i1) + 1e-6,
       "a further ALS round must not worsen training fit")
   }
+
+  test("implicit als: first user solve matches a driver-side re-derivation with YtY + confidences") {
+    val Q = Recommend.QuantScale.toDouble
+    val lam = Recommend.Lambda
+    val alpha = 40L
+    def init(i: Long): (Long, Long) =
+      (Recommend.QuantScale + (i % 7) * (Recommend.QuantScale / 8),
+        ((i % 5) - 2) * (Recommend.QuantScale / 4))
+    val all = ratings.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the 1-row Gramian over ALL distinct items (the YtY precompute)
+    var (g11, g12, g22) = (0L, 0L, 0L)
+    all.map(_._2).distinct.foreach { i =>
+      val (y1, y2) = init(i)
+      g11 += y1 * y1; g12 += y1 * y2; g22 += y2 * y2
+    }
+    val expected = all.groupBy(_._1).map { case (u, rs) =>
+      var (s11, s12, s22, b1, b2) = (0L, 0L, 0L, 0L, 0L)
+      rs.foreach { case (_, i, r) =>
+        val (y1, y2) = init(i)
+        s11 += alpha * r * y1 * y1; s12 += alpha * r * y1 * y2; s22 += alpha * r * y2 * y2
+        b1 += (1L + alpha * r) * y1; b2 += (1L + alpha * r) * y2
+      }
+      val (va11, va12, va22) =
+        ((g11 + s11) / (Q * Q) + lam, (g12 + s12) / (Q * Q), (g22 + s22) / (Q * Q) + lam)
+      val (vb1, vb2) = (b1 / Q, b2 / Q)
+      val det = (va11 * va22) - (va12 * va12)
+      def quant(x: Double): Long = java.math.BigDecimal.valueOf(x * Q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      u -> (quant(((va22 * vb1) - (va12 * vb2)) / det),
+        quant(((va11 * vb2) - (va12 * vb1)) / det))
+    }
+    val (users, _) = Recommend.alsImplicit(ratings, iters = 1, alpha = alpha)
+    val got = users.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("implicit als factors are deterministic across partitionings and score in-block higher") {
+    val (u1, i1) = Recommend.alsImplicit(ratings.repartition(1), iters = 2)
+    val (u7, i7) = Recommend.alsImplicit(ratings.repartition(7, col("i")), iters = 2)
+    assert(u1.orderBy("u").collect().toSeq === u7.orderBy("u").collect().toSeq)
+    assert(i1.orderBy("i").collect().toSeq === i7.orderBy("i").collect().toSeq)
+    // user 1 (block A: items 10-12, weak link to 20) must score its
+    // held-out in-block item 12 above the cross-block item 22
+    val uf = u1.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fi = i1.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def score(u: Long, i: Long) = uf(u)._1 * fi(i)._1 + uf(u)._2 * fi(i)._2
+    assert(score(1L, 12L) > score(1L, 22L),
+      s"in-block preference lost: ${score(1L, 12L)} vs ${score(1L, 22L)}")
+  }
 }
