@@ -1085,6 +1085,126 @@ object Learn {
       .select("tok", "chi2_micro")
   }
 
+  // ---- word2vec thin-slice (reference mllib/feature/Word2Vec.scala:41
+  // — skip-gram over a minCount-pruned vocabulary (learnVocab :139, the
+  // vocabulary bound that keeps the model size corpus-independent),
+  // window'd center/context pairs (:320), sigmoid gradient steps on
+  // dot(center, context) (:340-360 with the precomputed expTable :120).
+  // DECLARED DEVIATIONS, the s19/s44 conventions plus two structural
+  // ones: (1) the OBJECTIVE is Mikolov et al.'s negative-sampling
+  // variant (one deterministic rank-hash negative per pair) instead of
+  // the reference's hierarchical softmax — a Huffman path is a per-word
+  // variable-length traversal no oracle can unroll generically, while
+  // the NS form is two sigmoid terms per pair; (2) vectors are 2-d,
+  // ONE full-batch step from a deterministic ascii-hash init (the
+  // reference seeds per-word XORShift randoms, :291), every gradient
+  // sum an exact micro×quant integer and the sigmoid/update each one
+  // shared fixed-parenthesization double expression. -------------------
+
+  /** Sigmoid of a quantized 2-d dot product in micro-units: `dot` is in
+    * Q² = 2^32 units. Shared verbatim with the oracle. */
+  def w2vSigmoidExpr(dot: String): String =
+    s"CAST(round(1000000.0 / (1.0 + exp(-(CAST($dot AS DOUBLE) / 4294967296.0)))) AS BIGINT)"
+
+  /** One vector component's update from its summed micro×quant gradient
+    * (word2vec updates by the SUM over a word's pairs, not the mean).
+    * The step literal is CAST through DOUBLE explicitly — both engines
+    * parse bare decimal literals as DECIMAL, and only the cast pins the
+    * identical nearest-double on each side. */
+  def w2vUpdExpr(wq: String, g: String, lr: Double): String =
+    s"$wq + CAST(round(CAST($lr AS DOUBLE) * (CAST($g AS DOUBLE) / 1000000.0)) AS BIGINT)"
+
+  /** Deterministic token hash for the init — first/last char codes and
+    * length (the s10 HashingTF recipe, middle char dropped); expects a
+    * `tok` column. */
+  val w2vHashExpr: String =
+    "((ascii(substring(tok, 1, 1)) * 97) + " +
+      "(ascii(substring(tok, length(tok), 1)) * 31) + (length(tok) * 7))"
+
+  /** Input- and output-side init components over (h) — the ALS
+    * sign-diverse recipe with different residue mixes per side. */
+  val w2vInitExprs: Seq[(String, String)] = Seq(
+    "u1q" -> "CAST(65536 + ((h % 7) * 8192) AS BIGINT)",
+    "u2q" -> "CAST(((h % 5) - 2) * 16384 AS BIGINT)",
+    "v1q" -> "CAST(65536 + ((h % 5) * 8192) AS BIGINT)",
+    "v2q" -> "CAST(((h % 7) - 3) * 16384 AS BIGINT)")
+
+  /** Skip-gram word2vec over (`idCol`, `textCol`): top-`vocabN` tokens
+    * by (count desc, token) form the vocabulary (minCount's bounded-
+    * model analog — everything downstream is vocabulary-bounded except
+    * the row-linear pair extraction); center/context pairs within
+    * ±`window` positions; per pair one positive sigmoid term and one
+    * deterministic negative (vocab rank (r_center + 7·r_context + 3)
+    * mod V). One full-batch step, then the joined in/out vectors for
+    * the top-`topK` ranks: (tok, rnk, u1q, u2q, v1q, v2q). */
+  def word2vec(docs: DataFrame, idCol: String, textCol: String,
+               vocabN: Int = 30, window: Int = 2, lr: Double = 0.025,
+               topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("did"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(col("tok"), (row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))) - 1).cast("long").as("r"))
+      .filter(col("r") < vocabN)
+      .localCheckpoint() // vocabN rows — broadcast-small by construction
+    // actual vocabulary size (== vocabN unless the corpus has fewer
+    // distinct tokens) — the negative-rank residue must stay inside the
+    // REAL rank range or the negative join would silently drop pairs.
+    // Bounded driver action: vocab is <= vocabN rows.
+    val vsize = vocab.count()
+    val wt = toks.join(broadcast(vocab), "tok")
+      .select(col("did"), col("pos"), col("tok"), col("r"))
+    val pairs = wt.as("a").join(wt.as("b"),
+        col("a.did") === col("b.did") &&
+          col("b.pos") >= col("a.pos") - window &&
+          col("b.pos") <= col("a.pos") + window &&
+          col("b.pos") =!= col("a.pos"))
+      .select(col("a.tok").as("cw"), col("a.r").as("rc"),
+        col("b.tok").as("ct"), col("b.r").as("rx"))
+      .withColumn("rn", (col("rc") + (col("rx") * 7) + 3) % vsize)
+    val init = vocab.selectExpr("tok", "r", s"$w2vHashExpr AS h")
+      .selectExpr(Seq("tok", "r") ++
+        w2vInitExprs.map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    val scored = pairs
+      .join(broadcast(init.select(col("tok").as("cw"), col("u1q"), col("u2q"))), "cw")
+      .join(broadcast(init.select(col("tok").as("ct"),
+        col("v1q").as("p1q"), col("v2q").as("p2q"))), "ct")
+      .join(broadcast(init.select(col("r").as("rn"),
+        col("v1q").as("n1q"), col("v2q").as("n2q"))), "rn")
+      .selectExpr("cw", "ct", "rn", "u1q", "u2q", "p1q", "p2q", "n1q", "n2q",
+        s"${w2vSigmoidExpr("(u1q * p1q) + (u2q * p2q)")} AS sp",
+        s"${w2vSigmoidExpr("(u1q * n1q) + (u2q * n2q)")} AS sn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val du = scored.groupBy("cw")
+      .agg(sum(((lit(1000000L) - col("sp")) * col("p1q")) - (col("sn") * col("n1q"))).as("g1"),
+        sum(((lit(1000000L) - col("sp")) * col("p2q")) - (col("sn") * col("n2q"))).as("g2"))
+    val dvPos = scored.groupBy(col("ct").as("tok"))
+      .agg(sum((lit(1000000L) - col("sp")) * col("u1q")).as("gp1"),
+        sum((lit(1000000L) - col("sp")) * col("u2q")).as("gp2"))
+    val dvNeg = scored.join(broadcast(init.select(col("r").as("rn"), col("tok"))), "rn")
+      .groupBy("tok")
+      .agg(sum(-(col("sn") * col("u1q"))).as("gn1"),
+        sum(-(col("sn") * col("u2q"))).as("gn2"))
+    val vin = init.join(du.withColumnRenamed("cw", "tok"), Seq("tok"), "left")
+      .na.fill(0L, Seq("g1", "g2"))
+      .selectExpr("tok", "r",
+        s"${w2vUpdExpr("u1q", "g1", lr)} AS u1q",
+        s"${w2vUpdExpr("u2q", "g2", lr)} AS u2q")
+    val vout = init.join(dvPos, Seq("tok"), "left").join(dvNeg, Seq("tok"), "left")
+      .na.fill(0L, Seq("gp1", "gp2", "gn1", "gn2"))
+      .selectExpr("tok", "r",
+        s"${w2vUpdExpr("v1q", "(gp1 + gn1)", lr)} AS v1q",
+        s"${w2vUpdExpr("v2q", "(gp2 + gn2)", lr)} AS v2q")
+    val out = vin.join(vout.drop("r"), "tok")
+      .filter(col("r") < topK)
+      .selectExpr("tok", "r + 1 AS rnk", "u1q", "u2q", "v1q", "v2q")
+    scored.unpersist()
+    out
+  }
+
   // ---- chi-squared goodness-of-fit (reference mllib/stat/test/
   // ChiSqTest.scala:105 chiSquared — the Statistics.chiSqTest(Vector)
   // path with the DEFAULT uniform expected distribution, :89; n15 covers

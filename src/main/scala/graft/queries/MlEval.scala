@@ -121,6 +121,19 @@ object MlEval {
         .orderBy("topic", "rnk")
     },
 
+    // Word2vec skip-gram thin-slice (reference mllib/feature/
+    // Word2Vec.scala:41 — minCount-pruned vocabulary :139, ±window
+    // center/context pairs :320, sigmoid gradient steps :340; the
+    // negative-sampling objective and the other declared deviations in
+    // Learn.word2vec's scaladoc): top-30 vocabulary over documents, one
+    // full-batch quantized step, the joined in/out vectors for the 20
+    // most frequent tokens.
+    "s48_word2vec" -> { (s, dir) =>
+      graft.ext.Learn.word2vec(Tables.documents(s, dir), "doc_id", "text",
+          vocabN = 30, window = 2, lr = 0.025, topK = 20)
+        .orderBy("rnk")
+    },
+
     // Gaussian mixture EM (reference mllib/clustering/GaussianMixture
     // .scala:161 run / :198 ExpectationSum / :238 update; the 1-D
     // shared-variance thin-slice deviations are declared in
@@ -411,6 +424,62 @@ object MlEval {
          |  FROM (SELECT 1::BIGINT AS topic, tok, p1 AS phi_micro FROM ph2
          |        UNION ALL SELECT 2::BIGINT, tok, p2 FROM ph2))
          |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
+    },
+
+    // Mirror of Learn.word2vec: positional pairs, rank-hash negative,
+    // the shared sigmoid / init / update formula strings (ascii and
+    // substring behave identically in both engines on these tokens).
+    "s48_word2vec" -> {
+      import graft.ext.Learn
+      val initCols = Learn.w2vInitExprs
+        .map { case (c, e) => s"$e AS $c" }.mkString(", ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT did, i AS pos, toks[i] AS tok FROM (
+         |    SELECT doc_id AS did, string_split(text, ' ') AS toks FROM documents),
+         |    unnest(range(1, len(toks) + 1)) t(i)
+         |  WHERE len(toks[i]) > 0),
+         |vocab AS MATERIALIZED (SELECT tok, r FROM (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS r
+         |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)) WHERE r < 30),
+         |wt AS MATERIALIZED (
+         |  SELECT t.did, t.pos, t.tok, v.r FROM toks t JOIN vocab v USING (tok)),
+         |init AS MATERIALIZED (SELECT tok, r, $initCols FROM (
+         |  SELECT tok, r, ${Learn.w2vHashExpr} AS h FROM vocab)),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.tok AS cw, b.tok AS ct,
+         |    (a.r + (b.r * 7) + 3) % (SELECT count(*) FROM vocab) AS rn
+         |  FROM wt a JOIN wt b ON a.did = b.did
+         |    AND b.pos >= a.pos - 2 AND b.pos <= a.pos + 2 AND b.pos <> a.pos),
+         |scored AS MATERIALIZED (
+         |  SELECT cw, ct, rn, u1q, u2q, p1q, p2q, n1q, n2q,
+         |    ${Learn.w2vSigmoidExpr("(u1q * p1q) + (u2q * p2q)")} AS sp,
+         |    ${Learn.w2vSigmoidExpr("(u1q * n1q) + (u2q * n2q)")} AS sn
+         |  FROM pairs
+         |  JOIN (SELECT tok AS cw, u1q, u2q FROM init) USING (cw)
+         |  JOIN (SELECT tok AS ct, v1q AS p1q, v2q AS p2q FROM init) USING (ct)
+         |  JOIN (SELECT r AS rn, v1q AS n1q, v2q AS n2q FROM init) USING (rn)),
+         |du AS (SELECT cw AS tok,
+         |    CAST(sum(((1000000 - sp) * p1q) - (sn * n1q)) AS BIGINT) AS g1,
+         |    CAST(sum(((1000000 - sp) * p2q) - (sn * n2q)) AS BIGINT) AS g2
+         |  FROM scored GROUP BY 1),
+         |dvp AS (SELECT ct AS tok,
+         |    CAST(sum((1000000 - sp) * u1q) AS BIGINT) AS gp1,
+         |    CAST(sum((1000000 - sp) * u2q) AS BIGINT) AS gp2
+         |  FROM scored GROUP BY 1),
+         |dvn AS (SELECT i.tok,
+         |    CAST(sum(-(s.sn * s.u1q)) AS BIGINT) AS gn1,
+         |    CAST(sum(-(s.sn * s.u2q)) AS BIGINT) AS gn2
+         |  FROM scored s JOIN init i ON i.r = s.rn GROUP BY 1),
+         |vin AS (SELECT i.tok, i.r,
+         |    ${Learn.w2vUpdExpr("u1q", "COALESCE(g1, 0)", 0.025)} AS u1q,
+         |    ${Learn.w2vUpdExpr("u2q", "COALESCE(g2, 0)", 0.025)} AS u2q
+         |  FROM init i LEFT JOIN du USING (tok)),
+         |vout AS (SELECT i.tok,
+         |    ${Learn.w2vUpdExpr("v1q", "(COALESCE(gp1, 0) + COALESCE(gn1, 0))", 0.025)} AS v1q,
+         |    ${Learn.w2vUpdExpr("v2q", "(COALESCE(gp2, 0) + COALESCE(gn2, 0))", 0.025)} AS v2q
+         |  FROM init i LEFT JOIN dvp USING (tok) LEFT JOIN dvn USING (tok))
+         |SELECT vin.tok, CAST(vin.r + 1 AS BIGINT) AS rnk, u1q, u2q, v1q, v2q
+         |FROM vin JOIN vout USING (tok) WHERE vin.r < 20 ORDER BY rnk""".stripMargin
     },
 
     // Two unrolled smoothed-EM iterations sharing Clustering.ldaRespExpr

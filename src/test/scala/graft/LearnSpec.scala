@@ -156,6 +156,57 @@ class LearnSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("word2vec: one step matches a full driver-side re-derivation; partitioning-deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b d e"), (3L, "a c e a"))
+      .toDF("doc_id", "text")
+    // --- driver-side mirror of every formula ---
+    def rnd(x: Double): Long = // SQL round: half away from zero
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val toks = Seq((1L, "a", 0), (1L, "b", 1), (1L, "c", 2),
+      (2L, "b", 0), (2L, "d", 1), (2L, "e", 2),
+      (3L, "a", 0), (3L, "c", 1), (3L, "e", 2), (3L, "a", 3))
+    // counts: a3 b2 c2 e2 d1 -> ranks (count desc, tok)
+    val rank = Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "e" -> 3L, "d" -> 4L)
+    val toksByRank = rank.map(_.swap)
+    def h(t: String) = t.head.toInt * 97 + t.last.toInt * 31 + t.length * 7
+    def initU(t: String) = (65536L + (h(t) % 7) * 8192L, ((h(t) % 5) - 2L) * 16384L)
+    def initV(t: String) = (65536L + (h(t) % 5) * 8192L, ((h(t) % 7) - 3L) * 16384L)
+    val pairs = for {
+      (d1, t1, p1) <- toks; (d2, t2, p2) <- toks
+      if d1 == d2 && p2 >= p1 - 2 && p2 <= p1 + 2 && p2 != p1
+    } yield (t1, t2, toksByRank((rank(t1) + rank(t2) * 7 + 3) % 5))
+    def sig(dot: Long): Long = rnd(1e6 / (1.0 + math.exp(-(dot.toDouble / 4294967296.0))))
+    val du = collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    val dv = collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    pairs.foreach { case (cw, ct, nw) =>
+      val (u1, u2) = initU(cw); val (p1, p2) = initV(ct); val (n1, n2) = initV(nw)
+      val sp = sig(u1 * p1 + u2 * p2); val sn = sig(u1 * n1 + u2 * n2)
+      val (d1, d2) = du(cw)
+      du(cw) = (d1 + (1000000L - sp) * p1 - sn * n1, d2 + (1000000L - sp) * p2 - sn * n2)
+      val (e1, e2) = dv(ct)
+      dv(ct) = (e1 + (1000000L - sp) * u1, e2 + (1000000L - sp) * u2)
+      val (f1, f2) = dv(nw)
+      dv(nw) = (f1 - sn * u1, f2 - sn * u2)
+    }
+    def upd(w: Long, g: Long) = w + rnd(0.025 * (g.toDouble / 1000000.0))
+    val want = rank.keys.toSeq.sortBy(rank).map { t =>
+      val (u1, u2) = initU(t); val (v1, v2) = initV(t)
+      val (g1, g2) = du(t); val (gv1, gv2) = dv(t)
+      (t, rank(t) + 1, upd(u1, g1), upd(u2, g2), upd(v1, gv1), upd(v2, gv2))
+    }
+    val got = Learn.word2vec(docs, "doc_id", "text", vocabN = 30, topK = 20)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === want)
+    // partitioning determinism
+    val a = Learn.word2vec(docs.repartition(1), "doc_id", "text").orderBy("rnk").collect()
+    val b = Learn.word2vec(docs.repartition(7, col("doc_id")), "doc_id", "text")
+      .orderBy("rnk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ksUniform matches a driver-side scalar KS and MLlib's statistic") {
     import spark.implicits._
     // deterministic non-uniform values (quadratic growth skews the ECDF
