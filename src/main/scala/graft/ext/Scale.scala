@@ -348,6 +348,50 @@ object Scale {
       .agg(sum("pv").as("v"))
   }
 
+  // ---- accumulator-audited pass (reference core/src/main/scala/org/
+  // apache/spark/Accumulators.scala:258 Accumulator +
+  // SparkContext.scala:1253/:1265 sc.accumulator — the driver-visible
+  // side channel tasks add into; modern AccumulatorV2/longAccumulator) --
+
+  /** Single-pass cleanse with accumulator-audited reject counts: ONE
+    * action computes the clean aggregate while the map stage counts
+    * every row and every suspect row into named accumulators — the
+    * observability pattern that costs ZERO extra passes over 100 TB
+    * (recomputing the counts relationally is a second full scan).
+    *
+    * The reference's documented caveat applies verbatim here and is the
+    * reason the audit counts are gated against an exact recompute:
+    * accumulator updates inside TRANSFORMATIONS are at-least-once under
+    * task retries/speculation (only action-level updates are
+    * exactly-once), so production treats these as diagnostics, and any
+    * billing-grade count belongs in the aggregate itself. The oracle
+    * equality proves the one-action, no-retry execution counted exactly.
+    *
+    * Returns one row (n_total, n_suspect, n_clean, clean_cents). */
+  def auditedCleanse(values: org.apache.spark.sql.Dataset[Long],
+                     suspectAbove: Long): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val total = s.sparkContext.longAccumulator("audit_total")
+    val suspect = s.sparkContext.longAccumulator("audit_suspect")
+    val tagged = values.mapPartitions { it =>
+      it.map { c =>
+        total.add(1)
+        if (c > suspectAbove) suspect.add(1)
+        c
+      }
+    }
+    // the SINGLE action: the clean aggregate (filter sits downstream of
+    // the counting map, so the map sees every row exactly once)
+    val row = tagged.filter(_ <= suspectAbove).toDF("c")
+      .agg(count(lit(1)).as("n_clean"), sum("c").as("clean_cents")).head()
+    s.range(1).select(
+      lit(total.value.toLong).as("n_total"),
+      lit(suspect.value.toLong).as("n_suspect"),
+      lit(row.getLong(0)).as("n_clean"),
+      lit(row.getLong(1)).as("clean_cents"))
+  }
+
   // ---- tree aggregation (reference core/src/main/scala/org/apache/
   // spark/rdd/RDD.scala:1091 treeAggregate and :1039 treeReduce — the
   // backbone of mllib's GradientDescent.scala:236 and RowMatrix's

@@ -59,6 +59,20 @@ object Scale {
           max("max_cents").as("max_cents")))
     },
 
+    // Accumulator-audited cleanse: one pass computes the clean quantity
+    // aggregate while named accumulators count total/suspect rows in the
+    // map stage — zero-extra-pass observability (the reference's
+    // sc.accumulator side channel; exactly-once caveat in
+    // ext.Scale.auditedCleanse's scaladoc). The oracle recomputes all
+    // four numbers relationally, gating that the audited pass counted
+    // every row exactly once.
+    "x17_accumulator_audit" -> { (s, dir) =>
+      import s.implicits._
+      S.auditedCleanse(
+        Tables.lineitem(s, dir).select(expr(qtyCents).as("c")).as[Long],
+        suspectAbove = 4500L)
+    },
+
     // Salted replicated join: skewed lineitem fans its hot supplier keys
     // over 8 salts; the small supplier side is replicated once per salt.
     // Rolled up per nation so the gate compares a compact exact result.
@@ -395,6 +409,14 @@ object Scale {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "x17_accumulator_audit" ->
+      """WITH v AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS c FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN c > 4500 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+        |  CAST(sum(CASE WHEN c <= 4500 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN c <= 4500 THEN c ELSE 0 END) AS BIGINT) AS clean_cents
+        |FROM v""".stripMargin,
 
     "x16_tree_aggregate" ->
       """SELECT count(*) AS n_rows,

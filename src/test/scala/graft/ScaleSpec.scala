@@ -322,4 +322,21 @@ class ScaleSpec extends SparkSpec {
       partials = aggs(first = true), merges = aggs(first = false)).head()
     assert(Seq(one.getLong(0), one.getLong(1)) === Seq(want.getLong(0), want.getLong(1)))
   }
+
+  test("accumulator audit counts every row exactly once across partitionings") {
+    import spark.implicits._
+    val vals = (1L to 1000L).map(i => i % 97)
+    for (parts <- Seq(1, 13)) {
+      val got = Scale.auditedCleanse(
+        vals.toDS().repartition(parts), suspectAbove = 50L).head()
+      assert(got.getLong(0) === 1000L)
+      assert(got.getLong(1) === vals.count(_ > 50L))
+      assert(got.getLong(2) === vals.count(_ <= 50L))
+      assert(got.getLong(3) === vals.filter(_ <= 50L).sum)
+    }
+    // all-clean edge: zero suspects, sum intact
+    val clean = Scale.auditedCleanse((1L to 10L).toDS(), suspectAbove = 100L).head()
+    assert((clean.getLong(0), clean.getLong(1), clean.getLong(2), clean.getLong(3)) ===
+      ((10L, 0L, 10L, 55L)))
+  }
 }
