@@ -1552,6 +1552,83 @@ object Learn {
     * broadcast. No per-row UDF, no driver loop.
     *
     * Returns (idCol, label AS actual, pred_label, score_q). */
+  // ---- Bernoulli Naive Bayes (reference mllib/classification/
+  // NaiveBayes.scala:49 modelType — the SECOND registered model type
+  // (:42 "multinomial" or "bernoulli", 1.4+): features are document
+  // PRESENCE bits over the training vocabulary, θ_cw = (dfc + λ)/(n_c
+  // + 2λ) (:421 thetaLogDenom = log(n + 2.0*lambda)); scoring adds
+  // log(1−θ) for ABSENT vocabulary words, which the reference
+  // precomputes as negThetaSum (:73-81) so a document costs only its
+  // present words: score = prior + Σ_vocab ln(1−θ) + Σ_present (lnθ −
+  // ln(1−θ)). The prior is the reference's smoothed pi (:414-418).
+  // λ = 1; per-term logs micro-nat quantized BEFORE the exact sums,
+  // the s15 conventions.) ----------------------------------------------
+
+  /** ln θ for a PRESENT vocabulary word over (dfc, n_docs), micro-nats. */
+  val bnbPresentExpr: String =
+    "CAST(round(ln(CAST(dfc + 1 AS DOUBLE) / CAST(n_docs + 2 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** ln(1−θ) for an ABSENT vocabulary word — the exact integer-ratio
+    * complement (n_c + 1 − dfc)/(n_c + 2), micro-nats. */
+  val bnbAbsentExpr: String =
+    "CAST(round(ln(CAST((n_docs + 1) - dfc AS DOUBLE) / CAST(n_docs + 2 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** Bernoulli NB: fit presence-model parameters on `train`, classify
+    * every row of `classify` over the TRAINING vocabulary (tokens unseen
+    * in training are not features — the reference's model shape). The
+    * per-class absent-word mass Σ ln(1−θ) is ONE vocabulary-bounded
+    * aggregate (the negThetaSum precompute), so scoring is row-linear in
+    * distinct (doc, present-vocab-token) pairs × |labels|. Returns
+    * (idCol, actual, pred_label, score_q), argmax ties toward the
+    * smaller label. */
+  def bernoulliNaiveBayes(train: DataFrame, classify: DataFrame,
+                          idCol: String, textCol: String,
+                          labelCol: String): DataFrame = {
+    val pres = train
+      .select(col(idCol).as("tid"), col(labelCol).as("label"),
+        explode(expr(Dedup.tokens(textCol))).as("tok"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTrainDocs = train.count()
+    val classCounts = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nLabels = classCounts.count() // bounded: one row per label
+    val classTotals = classCounts
+      .withColumn("priorq", expr(
+        s"CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST($nTrainDocs + $nLabels AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .localCheckpoint()
+    val dfc = pres.groupBy("label", "tok").agg(count(lit(1)).as("dfc"))
+    val grid = pres.select("tok").distinct()
+      .crossJoin(broadcast(classTotals.select("label", "n_docs")))
+      .join(dfc, Seq("label", "tok"), "left")
+      .na.fill(0L, Seq("dfc"))
+      .selectExpr("label", "tok",
+        s"$bnbPresentExpr AS lnpq", s"$bnbAbsentExpr AS lnnq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = grid.groupBy("label").agg(sum("lnnq").as("baseq"))
+      .localCheckpoint() // negThetaSum: one row per label
+    val adj = grid.selectExpr("label", "tok", "lnpq - lnnq AS adjq")
+      .localCheckpoint() // vocabulary-bounded × |labels|
+    val docPres = classify
+      .select(col(idCol), explode(expr(Dedup.tokens(textCol))).as("tok"))
+      .distinct()
+    val tokScores = docPres.join(adj, "tok") // inner: non-vocab tokens are not features
+      .groupBy(col(idCol), col("label"))
+      .agg(sum("adjq").as("adj_sum"))
+    val scores = classify.select(col(idCol), col(labelCol).as("actual"))
+      .crossJoin(broadcast(classTotals.select("label", "priorq")))
+      .join(broadcast(base), "label")
+      .join(tokScores, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("actual"), col("label"),
+        (col("priorq") + col("baseq") + coalesce(col("adj_sum"), lit(0L))).as("score_q"))
+    pres.unpersist(); grid.unpersist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score_q").desc, col("label"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("actual"), col("label").as("pred_label"), col("score_q"))
+  }
+
   def naiveBayes(train: DataFrame, classify: DataFrame,
                  idCol: String, textCol: String, labelCol: String): DataFrame = {
     val spark = train.sparkSession

@@ -141,6 +141,19 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // Bernoulli Naive Bayes (reference mllib/classification/
+    // NaiveBayes.scala:49 modelType "bernoulli" — presence bits over the
+    // training vocabulary, θ = (dfc+1)/(n_c+2), the negThetaSum
+    // absent-word precompute :73; s15 is the multinomial type): the same
+    // language-ID task and train slice as s15, so the two model types'
+    // disagreements are real and inspectable.
+    "s49_bernoulli_nb" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Learn.bernoulliNaiveBayes(docs.filter(col("doc_id") < 250), docs,
+          "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // PrefixSpan thin-slice (reference mllib/fpm/PrefixSpan.scala):
     // frequent "A then B" event-type sequences across users, mined from
     // per-user time bounds — no event-level pair join. The value > 150
@@ -1192,6 +1205,45 @@ object Ml {
       s"""WITH $nbChainCte
          |SELECT doc_id, actual, label AS pred_label, score_q FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // Mirror of Learn.bernoulliNaiveBayes: presence counts, the dense
+    // vocab × label grid, the shared present/absent log formula strings,
+    // negThetaSum per label, present-word adjustments only.
+    "s49_bernoulli_nb" ->
+      s"""WITH tr AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 250),
+         |pres AS MATERIALIZED (SELECT DISTINCT tid, label, tok FROM (
+         |  SELECT doc_id AS tid, lang AS label,
+         |         unnest(string_split(text, ' ')) AS tok FROM tr)),
+         |cc AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs FROM tr GROUP BY 1),
+         |nn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS nd,
+         |              (SELECT CAST(count(*) AS BIGINT) FROM cc) AS nl),
+         |ct AS MATERIALIZED (SELECT label, n_docs,
+         |    CAST(round(ln(CAST(n_docs + 1 AS DOUBLE) / CAST(nd + nl AS DOUBLE)) * 1000000.0) AS BIGINT) AS priorq
+         |  FROM cc CROSS JOIN nn),
+         |dfct AS (SELECT label, tok, CAST(count(*) AS BIGINT) AS dfc FROM pres GROUP BY 1, 2),
+         |grid AS MATERIALIZED (
+         |  SELECT label, tok, ${Learn.bnbPresentExpr} AS lnpq,
+         |         ${Learn.bnbAbsentExpr} AS lnnq FROM (
+         |    SELECT c.label, v.tok, c.n_docs, COALESCE(d.dfc, 0) AS dfc
+         |    FROM (SELECT DISTINCT tok FROM pres) v CROSS JOIN ct c
+         |    LEFT JOIN dfct d ON d.label = c.label AND d.tok = v.tok)),
+         |base AS (SELECT label, CAST(sum(lnnq) AS BIGINT) AS baseq FROM grid GROUP BY 1),
+         |adj AS (SELECT label, tok, lnpq - lnnq AS adjq FROM grid),
+         |dp AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+         |ts AS MATERIALIZED (
+         |  SELECT dp.doc_id, a.label, CAST(sum(a.adjq) AS BIGINT) AS adj_sum
+         |  FROM dp JOIN adj a USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT d.doc_id, d.lang AS actual, c.label,
+         |    c.priorq + b.baseq + COALESCE(t.adj_sum, 0) AS score_q
+         |  FROM documents d CROSS JOIN ct c JOIN base b ON b.label = c.label
+         |  LEFT JOIN ts t ON t.doc_id = d.doc_id AND t.label = c.label),
+         |r AS (SELECT doc_id, actual, label, score_q,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label) AS rn
+         |  FROM sc)
+         |SELECT doc_id, actual, label AS pred_label, CAST(score_q AS BIGINT) AS score_q
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Per-user per-type time bounds, pattern exists iff min(a) < max(b);
     // 0.12::DOUBLE matches the Scala double-ceil threshold exactly.

@@ -156,6 +156,42 @@ class LearnSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("bernoulli nb: absence evidence classifies; unseen-vocab docs fall back to prior+base") {
+    import spark.implicits._
+    // class p: x appears in EVERY p-doc; class q never says x
+    val train = Seq(
+      (1L, "x y", "p"), (2L, "x z", "p"), (3L, "x y z", "p"),
+      (4L, "y", "q"), (5L, "z y", "q"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (10L, "y z", "q"),   // no x: Bernoulli's absent-x term must favor q
+      (11L, "x y", "p"),   // has x: p
+      (12L, "w w", "q"))   // all tokens unseen: prior+base only
+      .toDF("doc_id", "text", "lang")
+    val got = Learn.bernoulliNaiveBayes(train, test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(10L) === "q", s"missing ubiquitous x must push away from p: $got")
+    assert(got(11L) === "p")
+    // doc 12: score = prior + negThetaSum only; driver-side re-derivation
+    def q(x: Double) = math.round(math.log(x) * 1e6)
+    // p: n=3, vocab x,y,z dfc = 3,2,2 -> absent ln((n+1-dfc)/(n+2))
+    val baseP = q(1.0 / 5) + q(2.0 / 5) + q(2.0 / 5)
+    val baseQ = q(3.0 / 4) + q(1.0 / 4) + q(2.0 / 4) // q: dfc x0 y2 z1, n=2
+    val priorP = q(4.0 / 7); val priorQ = q(3.0 / 7) // (n_c+1)/(5+2)
+    val expected12 = if (priorP + baseP >= priorQ + baseQ) "p" else "q"
+    assert(got(12L) === expected12)
+    val s12 = Learn.bernoulliNaiveBayes(train, test, "doc_id", "text", "lang")
+      .filter(col("doc_id") === 12L).head().getLong(3)
+    assert(s12 === math.max(priorP + baseP, priorQ + baseQ))
+    // partitioning determinism
+    val a = Learn.bernoulliNaiveBayes(train.repartition(1), test, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    val b = Learn.bernoulliNaiveBayes(train.repartition(7, col("lang")), test,
+      "doc_id", "text", "lang").orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("word2vec: one step matches a full driver-side re-derivation; partitioning-deterministic") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "b d e"), (3L, "a c e a"))
