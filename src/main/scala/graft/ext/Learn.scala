@@ -315,6 +315,99 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
 
+  // ---- L-BFGS (reference mllib/optimization/LBFGS.scala:40 — the
+  // second registered optimizer next to GradientDescent; runLBFGS :169
+  // delegates the direction to breeze's LBFGS over a CostFun computing
+  // the same distributed gradient aggregate as s19's. Thin slice:
+  // MEMORY m = 1 (the two-loop recursion :breeze collapses to one
+  // (s, y) correction pair carried as six extra state columns), a FIXED
+  // step in place of breeze's Wolfe line search (declared — the line
+  // search is a driver-side scalar loop outside the oracle's reach),
+  // and the s19 quantization conventions: weights and mean gradients
+  // quantized to exact integers after every iteration, every two-loop
+  // scalar ONE fixed-parenthesization double expression. The curvature
+  // guard sᵀy > 0 (which Wolfe guarantees and a fixed step cannot)
+  // falls back to the plain gradient step — iteration 1, with zero
+  // history, takes that branch by construction. ------------------------
+
+  /** The two-loop recursion as staged column batches over the 1-row
+    * (n, gs0..gs2, w0q..w2q, pw0q..pw2q, pg0..pg2) frame: quantized mean
+    * ascent gradient, minimization-land s/y/q doubles, the three inner
+    * products, guarded alpha/h0, r, beta, and the final direction.
+    * Applied as consecutive `SELECT *, expr AS col` layers — shared
+    * verbatim with the oracle's nested mirror. */
+  val lbfgsStages: Seq[Seq[(String, String)]] = {
+    def sdot(a: Int => String, b: Int => String) =
+      s"(((${a(0)} * ${b(0)}) + (${a(1)} * ${b(1)})) + (${a(2)} * ${b(2)}))"
+    val sd = (i: Int) => s"s${i}d"; val yd = (i: Int) => s"y${i}d"
+    val qd = (i: Int) => s"q${i}d"; val rr = (i: Int) => s"r$i"
+    Seq(
+      (0 to 2).map(i => s"g$i" ->
+        s"CAST(round(CAST(gs$i AS DOUBLE) / n) AS BIGINT)"),
+      (0 to 2).flatMap(i => Seq(
+        s"s${i}d" -> s"(CAST(w${i}q - pw${i}q AS DOUBLE) / 65536.0)",
+        s"y${i}d" -> s"(CAST(pg$i - g$i AS DOUBLE) / 1000000.0)",
+        s"q${i}d" -> s"(CAST(0 - g$i AS DOUBLE) / 1000000.0)")),
+      Seq("sy" -> sdot(sd, yd), "sq" -> sdot(sd, qd), "yy" -> sdot(yd, yd)),
+      Seq("alpha" -> "(CASE WHEN sy > 0.0 THEN sq / sy ELSE 0.0 END)",
+        "h0" -> "(CASE WHEN sy > 0.0 THEN sy / yy ELSE 0.0 END)"),
+      (0 to 2).map(i => s"r$i" -> s"(h0 * (q${i}d - (alpha * y${i}d)))"),
+      Seq("beta" -> s"(CASE WHEN sy > 0.0 THEN ${sdot(yd, rr)} / sy ELSE 0.0 END)"),
+      (0 to 2).map(i => s"d$i" -> s"(0.0 - (r$i + (s${i}d * (alpha - beta))))"))
+  }
+
+  /** The post-two-loop state projection: the guarded update (L-BFGS
+    * direction when curvature holds, the plain ascent step otherwise)
+    * plus the carried (pw, pg) history. */
+  def lbfgsUpdateExprs(step: Double, lr0: Double): Seq[(String, String)] =
+    (0 to 2).flatMap { i =>
+      Seq(
+        s"w${i}q" -> (s"CASE WHEN sy > 0.0 THEN w${i}q + " +
+          s"CAST(round(CAST($step AS DOUBLE) * (d$i * 65536.0)) AS BIGINT) " +
+          s"ELSE w${i}q + CAST(round(CAST($lr0 AS DOUBLE) * " +
+          s"((CAST(g$i AS DOUBLE) / 1000000.0) * 65536.0)) AS BIGINT) END"),
+        s"pw${i}q" -> s"w${i}q",
+        s"pg$i" -> s"g$i")
+    }
+
+  /** Zero state: weights, previous weights and previous gradient all
+    * zero — iteration 1's s = y = 0 routes it to the gradient branch. */
+  def lbfgsInit(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(1).selectExpr(
+      (0 to 2).flatMap(i => Seq(s"CAST(0 AS BIGINT) AS w${i}q",
+        s"CAST(0 AS BIGINT) AS pw${i}q", s"CAST(0 AS BIGINT) AS pg$i")): _*)
+
+  /** ONE L-BFGS(m=1) iteration: the s19 gradient aggregate at the
+    * current weights, then the staged two-loop over the 1-row frame. */
+  def lbfgsStep(feats: DataFrame, state: DataFrame,
+                step: Double = 0.5, lr0: Double = 1.0): DataFrame = {
+    val sums = feats
+      .crossJoin(broadcast(state.select("w0q", "w1q", "w2q")))
+      .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
+      .agg(count(lit(1)).as("n"),
+        sum(col("yq") - col("pq")).as("gs0"),
+        sum((col("yq") - col("pq")) * col("x1")).as("gs1"),
+        sum((col("yq") - col("pq")) * col("x2")).as("gs2"))
+    var cur = sums.crossJoin(state)
+    for (stage <- lbfgsStages)
+      cur = cur.selectExpr(("*" +: stage.map { case (c, e) => s"$e AS $c" }): _*)
+    cur.selectExpr(lbfgsUpdateExprs(step, lr0)
+      .map { case (c, e) => s"$e AS $c" }: _*)
+  }
+
+  /** `iters` L-BFGS(m=1) iterations from zero state; returns the 1-row
+    * (w0q, w1q, w2q) weight frame (history columns dropped). */
+  def lbfgsFit2(feats: DataFrame, iters: Int = 6,
+                step: Double = 0.5, lr0: Double = 1.0): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var st = lbfgsInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      st = lbfgsStep(f, st, step, lr0).localCheckpoint()
+    f.unpersist()
+    st.select("w0q", "w1q", "w2q")
+  }
+
   // ---- multilayer perceptron (reference ml/ann/Layer.scala — AffineLayer
   // :173 forward x·W + b / :194 delta backprop W'·δ, FunctionalLayer
   // sigmoid :528 + its δ·f'(x) backprop; stacked by FeedForwardTopology

@@ -197,6 +197,20 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // L-BFGS (reference mllib/optimization/LBFGS.scala:40 — the second
+    // registered optimizer; runLBFGS :169 drives breeze's two-loop over
+    // the same distributed gradient aggregate): the s19 logistic
+    // objective trained by memory-1 L-BFGS — the (s, y) correction pair
+    // rides the 1-row state frame, every two-loop scalar one shared
+    // double expression, curvature guard falling back to the plain
+    // ascent step (deviations in Learn.lbfgsStages' scaladoc).
+    "s50_lbfgs" -> { (s, dir) =>
+      val feats = lrFeatures(s, dir, 10, 1000000)
+      val w = Learn.lbfgsFit2(feats, iters = 6)
+      Learn.logisticPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Decision tree depth 2 (reference mllib/tree/DecisionTree.scala
     // findBestSplits + impurity/Gini.scala): per-level histogram splits
     // over the same features/label as s19 — the tree's finer thresholds
@@ -680,6 +694,29 @@ object Ml {
        |    ${Learn.lrUpdExpr("w2q", "g2", lr)} AS w2q
        |  FROM ${p}g$k CROSS JOIN ${p}w${k - 1})""".stripMargin
 
+  /** One unrolled L-BFGS(m=1) iteration: the s19 gradient CTE, then the
+    * staged two-loop as nested `SELECT *, ...` layers — every stage and
+    * the guarded update REUSE graft.ext.Learn.lbfgsStages /
+    * lbfgsUpdateExprs verbatim, so the mirror IS the plan. */
+  private def lbfgsIterCte(k: Int, step: Double, lr0: Double): String = {
+    val inner = s"SELECT * FROM lbg$k CROSS JOIN lb${k - 1}"
+    val nested = Learn.lbfgsStages.foldLeft(inner) { (acc, st) =>
+      s"SELECT *, ${st.map { case (c, e) => s"$e AS $c" }.mkString(", ")} FROM ($acc)"
+    }
+    val upd = Learn.lbfgsUpdateExprs(step, lr0)
+      .map { case (c, e) => s"$e AS $c" }.mkString(",\n    ")
+    s"""lbg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(yq - pq) AS BIGINT) AS gs0,
+       |    CAST(sum((yq - pq) * x1) AS BIGINT) AS gs1,
+       |    CAST(sum((yq - pq) * x2) AS BIGINT) AS gs2
+       |  FROM (SELECT yq, x1, x2, ${Learn.lrProbExpr} AS pq
+       |        FROM feats CROSS JOIN lb${k - 1})),
+       |lb$k AS MATERIALIZED (
+       |  SELECT $upd
+       |  FROM ($nested))""".stripMargin
+  }
+
   private[queries] def lrIterCte(k: Int, lr: Double): String =
     s"""g$k AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -853,6 +890,23 @@ object Ml {
 
     // 8 unrolled full-batch gradient iterations sharing Learn's sigmoid /
     // update formula strings, then cohort scoring under w8.
+    // Six unrolled L-BFGS(m=1) iterations over the shared staged
+    // two-loop, then the s19 prediction projection under lb6.
+    "s50_lbfgs" -> {
+      val iters = (1 to 6).map(lbfgsIterCte(_, 0.5, 1.0)).mkString(",\n")
+      val zeros = (0 to 2).flatMap(i => Seq(s"0::BIGINT AS w${i}q",
+        s"0::BIGINT AS pw${i}q", s"0::BIGINT AS pg$i")).mkString(", ")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |lb0 AS (SELECT $zeros),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label,
+         |  ${Learn.lrProbExpr} AS p_micro,
+         |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN lb6 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     "s19_logistic_regression" -> {
       val iters = (1 to 8).map(lrIterCte(_, 1.0)).mkString(",\n")
       s"""WITH $ordersBaseCte,

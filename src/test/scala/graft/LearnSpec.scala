@@ -351,6 +351,29 @@ class LearnSpec extends SparkSpec {
     assert(acc === 1.0, s"separable fixture must fully separate, got $acc")
   }
 
+  test("lbfgs: iteration 1 equals the plain gradient step; converges on the separable fixture") {
+    import spark.implicits._
+    val raw = (1L to 60L).map { i =>
+      (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1000000L else 0L)
+    }
+    val feats = raw.toDF("id", "x1", "x2", "yq")
+    // zero history -> sy = 0 -> the curvature guard must route iteration 1
+    // through the identical plain ascent step
+    val one = Learn.lbfgsFit2(feats, iters = 1, step = 0.5, lr0 = 1.0).head()
+    val gd = Learn.logisticStep(feats, Learn.logisticInit(spark), lr = 1.0).head()
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) ===
+      ((gd.getLong(0), gd.getLong(1), gd.getLong(2))))
+    // after 6 iterations the separable boundary is learned
+    val w = Learn.lbfgsFit2(feats, iters = 6)
+    val scored = Learn.logisticPredict2(feats, w, "id").collect()
+    val acc = scored.count(r => r.getLong(1) === r.getLong(3)).toDouble / scored.length
+    assert(acc >= 0.95, s"lbfgs should separate the fixture, accuracy $acc")
+    // partitioning determinism of the full staged two-loop
+    val a = Learn.lbfgsFit2(feats.repartition(1), iters = 4).head()
+    val b = Learn.lbfgsFit2(feats.repartition(13, col("x2")), iters = 4).head()
+    assert(a === b)
+  }
+
   test("logistic fit is bit-identical across partitionings") {
     import spark.implicits._
     val feats = (1L to 200L).map { i =>
