@@ -677,6 +677,33 @@ object Graph {
     * the reference's similarity-graph contract.
     *
     * Returns (vertex, v_micro, cluster). */
+  /** GraphX structural-operator chain (reference graphx/Graph.scala:296
+    * reverse, :318 subgraph — epred plus BOTH-endpoint vpred, :330 mask —
+    * structural intersection with another graph, GraphOps.scala:70
+    * degrees): weight the multigraph, subgraph it to edges with weight >=
+    * `minW` between vertices < `maxVertex`, reverse, mask against the
+    * FULL weighted graph (reciprocated flows), and emit per subgraph
+    * vertex (vertex, out_deg, in_deg, recip_out). Degrees honor GraphX's
+    * contract — zero-degree vertices never appear in `degrees`; the
+    * vertex set here is the subgraph's edge-endpoint set, so missing
+    * reciprocal counts are genuine zeros. All filters/projections plus
+    * one semi-join — Catalyst broadcast-or-shuffles by stats. */
+  def structuralDegrees(edges: DataFrame, minW: Long, maxVertex: Long): DataFrame = {
+    val g = edges.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val sub = g.filter(col("w") >= minW &&
+      col("src") < maxVertex && col("dst") < maxVertex)
+    val rev = sub.select(col("dst").as("src"), col("src").as("dst"))
+    val masked = rev.join(g.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    val verts = sub.select(col("src").as("vertex"))
+      .union(sub.select(col("dst").as("vertex"))).distinct()
+    val outd = sub.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("out_deg"))
+    val ind = sub.groupBy(col("dst").as("vertex")).agg(count(lit(1)).as("in_deg"))
+    val recip = masked.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("recip_out"))
+    verts.join(outd, Seq("vertex"), "left").join(ind, Seq("vertex"), "left")
+      .join(recip, Seq("vertex"), "left")
+      .na.fill(0L, Seq("out_deg", "in_deg", "recip_out"))
+  }
+
   def powerIterationClustering(rawEdges: DataFrame, iters: Int = 3,
                                lloydIters: Int = 2): DataFrame = {
     val w = rawEdges.select(col("src").as("i"), col("dst").as("j"))

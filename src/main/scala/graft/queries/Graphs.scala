@@ -30,6 +30,23 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // GraphX structural operators (reference graphx/Graph.scala:296
+    // reverse, :318 subgraph (epred AND both-endpoint vpred), :330 mask
+    // (intersect against another graph's structure), GraphOps.scala:70
+    // degrees — the API surface the p-series algorithms sit on top of,
+    // exercised as a chain whose every step is visible in the result):
+    // subgraph = heavy trade edges (weight >= 40) between nations < 20;
+    // reverse it; mask against the FULL graph = heavy trades whose
+    // REVERSE direction also trades (reciprocated flows). Per vertex:
+    // subgraph out/in degree + reciprocated out-degree — degrees follow
+    // GraphX's contract (zero-degree vertices are absent from degrees;
+    // the dense grid here is the subgraph's edge-endpoint set, missing
+    // reciprocal counts are genuine zeros).
+    "p14_graph_operators" -> { (s, dir) =>
+      G.structuralDegrees(tradeEdges(s, dir), minW = 40L, maxVertex = 20L)
+        .orderBy("vertex")
+    },
+
     // HITS over the trade graph: which nations are the big buyers (hubs)
     // vs the big suppliers (authorities) — the two-sided centrality
     // PageRank's single score conflates. Kleinberg 1999; 2 iterations,
@@ -323,6 +340,33 @@ object Graphs {
        |  FROM pv3 CROSS JOIN $centers c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Plain relational mirror: the subgraph/reverse/mask chain is all
+    // filters, projections and a semi-join.
+    "p14_graph_operators" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |g AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY 1, 2),
+        |sub AS MATERIALIZED (
+        |  SELECT src, dst FROM g WHERE w >= 40 AND src < 20 AND dst < 20),
+        |rev AS (SELECT dst AS src, src AS dst FROM sub),
+        |masked AS (SELECT r.src, r.dst FROM rev r
+        |  WHERE EXISTS (SELECT 1 FROM g WHERE g.src = r.src AND g.dst = r.dst)),
+        |verts AS (SELECT DISTINCT vertex FROM (
+        |  SELECT src AS vertex FROM sub UNION ALL SELECT dst FROM sub)),
+        |outd AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS out_deg FROM sub GROUP BY 1),
+        |ind AS (SELECT dst AS vertex, CAST(count(*) AS BIGINT) AS in_deg FROM sub GROUP BY 1),
+        |recip AS (SELECT src AS vertex, CAST(count(*) AS BIGINT) AS recip_out FROM masked GROUP BY 1)
+        |SELECT v.vertex, COALESCE(o.out_deg, 0) AS out_deg,
+        |  COALESCE(i.in_deg, 0) AS in_deg, COALESCE(r.recip_out, 0) AS recip_out
+        |FROM verts v LEFT JOIN outd o USING (vertex)
+        |LEFT JOIN ind i USING (vertex) LEFT JOIN recip r USING (vertex)
+        |ORDER BY vertex""".stripMargin,
+
     // Degree init -> three unrolled integer power-iteration steps ->
     // unrolled 1-dim 2-means on the embedding. Not a double anywhere.
     "p13_trade_pic" ->

@@ -318,4 +318,23 @@ class GraphSpec extends SparkSpec {
       .orderBy("vertex").collect().toSeq
     assert(again === Graph.powerIterationClustering(e).orderBy("vertex").collect().toSeq)
   }
+
+  test("structural chain: subgraph weight/vertex predicates, mask finds reciprocated edges") {
+    import spark.implicits._
+    // 1->2 heavy (w3) with a light 2->1 back-edge; 1->3 heavy; 3->4 heavy
+    // but 4 never sends back. minW=2: sub={1->2, 1->3, 3->4};
+    // rev∩g={2->1} (the light back-edge makes 1->2 reciprocated).
+    val edges = (Seq.fill(3)((1L, 2L)) ++ Seq((2L, 1L)) ++
+      Seq.fill(2)((1L, 3L)) ++ Seq.fill(5)((3L, 4L))).toDF("src", "dst")
+    val got = Graph.structuralDegrees(edges, minW = 2L, maxVertex = 100L)
+      .orderBy("vertex").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 0L, 0L), (2L, 0L, 1L, 1L),
+      (3L, 1L, 1L, 0L), (4L, 0L, 1L, 0L)))
+    // vertex predicate drops BOTH-endpoint-failing edges (3->4 gone when
+    // maxVertex=4 excludes vertex 4; vertex 4 leaves the vertex set too)
+    val cut = Graph.structuralDegrees(edges, minW = 2L, maxVertex = 4L)
+      .orderBy("vertex").collect().map(_.getLong(0))
+    assert(cut.toSeq === Seq(1L, 2L, 3L))
+  }
 }
