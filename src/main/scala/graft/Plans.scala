@@ -383,7 +383,43 @@ object Plans {
         "broadcasts at vocabulary size) + a per-doc and a per-word hash " +
         "aggregate; both state tables localCheckpoint so plan depth " +
         "stays constant across iterations — the EMLDAOptimizer " +
-        "edge-reaggregation cost shape without the graph machinery."))
+        "edge-reaggregation cost shape without the graph machinery."),
+    "s46_lda_topics" ->
+      ("Smoothed LDA EM (s38's shape with Dirichlet priors): the same " +
+        "row-linear counts ⋈ docState ⋈ termState join per iteration, " +
+        "plus TWO 1-row broadcast frames (global topic totals and the " +
+        "(ntot, vn) constants) feeding the smoothed E-step ratio; state " +
+        "is expected COUNTS so every M-step sum is an exact integer."),
+    "s47_implicit_als" ->
+      ("Implicit ALS: the YᵀY Gramian is ONE 3-sum aggregate over the " +
+        "factor table, broadcast as a 1-row frame into every per-key " +
+        "solve — the Hu/Koren/Volinsky trick that keeps per-key work " +
+        "proportional to OBSERVED ratings; the confidence-weighted sums " +
+        "ride the same single equi-join + hash aggregate as s12."),
+    "s48_word2vec" ->
+      ("Word2vec: pair extraction is the only row-linear stage (a " +
+        "per-document positional self-join bounded by the ±2 window); " +
+        "the vocabulary table (30 rows) broadcasts into all three " +
+        "factor joins, and every gradient is a map-side-combined exact " +
+        "integer sum into a vocabulary-bounded model — corpus size " +
+        "never touches model-side shuffle width."),
+    "s50_lbfgs" ->
+      ("L-BFGS(m=1): per iteration one full-scan gradient aggregate " +
+        "(identical to s19's) + the entire two-loop recursion as chained " +
+        "projections over a 1-ROW state frame — the direction algebra " +
+        "costs nothing at any scale; only the gradient pass touches " +
+        "data."),
+    "v15_invertible_window" ->
+      ("Invertible window: per micro-batch ONE map-side-combined " +
+        "aggregate into the (key × slice) partial table (commutative " +
+        "merges — batch arrival order invisible); the emission's " +
+        "cum − lag(cum, W) runs per key over the dense slice grid, " +
+        "never re-reducing a window."),
+    "x16_tree_aggregate" ->
+      ("Tree aggregation: 64 leaf buckets -> 8 -> 1, three small " +
+        "exchanges instead of one final reducer swallowing every " +
+        "partition's wide partial — the treeAggregate shape " +
+        "GradientDescent relies on; result-invisible by associativity."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
