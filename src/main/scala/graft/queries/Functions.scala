@@ -159,6 +159,33 @@ object Functions {
     },
 
     // Generator with position (posexplode — CAT/expressions/generators.scala).
+    // OUTER generator variants + inline (reference CAT/expressions/
+    // generators.scala Explode :94 and the HiveQl LATERAL VIEW OUTER
+    // path — outer keeps the parent row with NULL output when the
+    // generator yields nothing; inline expands an array of structs to
+    // columns). Gated arithmetically: the oracle derives every count
+    // from the array-construction rule, so a generator dropping or
+    // duplicating a row mismatches.
+    "f20_outer_generators" -> { (s, dir) =>
+      val src = Tables.orders(s, dir).selectExpr("o_orderkey",
+        """CASE WHEN o_orderkey % 5 = 0 THEN array()
+          |     WHEN o_orderkey % 7 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+          |     ELSE array(o_orderstatus, o_orderpriority) END AS arr""".stripMargin)
+      val inner = src.select(explode(col("arr")).as("tok"))
+        .agg(count(lit(1)).as("n_inner"))
+      val outer = src.select(explode_outer(col("arr")).as("tok"))
+        .agg(count(lit(1)).as("n_outer"),
+          count(when(col("tok").isNull, lit(1))).as("n_null_tok"))
+      val pos = src.select(posexplode_outer(col("arr")).as(Seq("pos", "tok")))
+        .agg(max("pos").cast("long").as("max_pos"),
+          count(when(col("pos").isNull, lit(1))).as("n_null_pos"))
+      val inl = Tables.orders(s, dir)
+        .selectExpr("inline(array(struct(o_orderkey AS k, o_orderstatus AS v), " +
+          "struct(o_custkey AS k, o_orderpriority AS v)))")
+        .agg(count(lit(1)).as("n_inline"))
+      inner.crossJoin(outer).crossJoin(pos).crossJoin(inl)
+    },
+
     "f11_posexplode" -> { (s, dir) =>
       Tables.part(s, dir)
         .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
@@ -305,6 +332,23 @@ object Functions {
   )
 
   val oracles: Map[String, String] = Map(
+    // Every count derived arithmetically from the construction rule:
+    // %5 -> empty array (outer keeps 1 NULL row), else %7 -> NULL array
+    // (ditto), else 2 elements; inline yields exactly 2 structs per row.
+    "f20_outer_generators" ->
+      """WITH c AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |    CAST(sum(CASE WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |  FROM orders)
+        |SELECT (n - n_empty - n_null) * 2 AS n_inner,
+        |  ((n - n_empty - n_null) * 2) + n_empty + n_null AS n_outer,
+        |  n_empty + n_null AS n_null_tok,
+        |  CAST(1 AS BIGINT) AS max_pos,
+        |  n_empty + n_null AS n_null_pos,
+        |  n * 2 AS n_inline
+        |FROM c""".stripMargin,
+
     "f01_string_functions" ->
       """SELECT c_custkey,
         |  length(c_name) AS name_len,
