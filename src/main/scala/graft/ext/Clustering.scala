@@ -60,6 +60,85 @@ object Clustering {
     df.select(col(idCol).as("vec_id"),
       expr(s"transform(cast($vecCol as array<double>), x -> cast(round(x * $QuantScale) as bigint))").as("vq"))
 
+  // ---- k-means|| initialization (reference mllib/clustering/
+  // KMeans.scala:370 initKMeansParallel — Bahmani et al., VLDB'12, the
+  // DEFAULT init (:55 K_MEANS_PARALLEL): per round every point is
+  // sampled independently with probability ∝ l·cost(x)/φ (:428-432
+  // `rand.nextDouble() < 2.0 * c(r) * k / sumCosts(r)`), the sampled
+  // points join the candidate set, and the candidates are finally
+  // weighted by how many points they're closest to (:440s) before the
+  // local refinement. DECLARED DEVIATIONS: the Bernoulli draw is a
+  // deterministic per-id hash residue (the house no-RNG rule — the
+  // reference's XORShift stream depends on partition layout, :429),
+  // costs are scaled DIV 1024 before the φ sum (keeps φ exact BIGINT
+  // with 2^63 headroom at any corpus size; the selection inequality is
+  // scaled on both sides so the rule is unchanged), and the driver-side
+  // LocalKMeans refinement is elided — s05/s07 already gate Lloyd; the
+  // distributed oversampling + weighting IS this algorithm's content. --
+
+  /** The scaled Bernoulli selection: pick x iff
+    * u(id, round)/2^31 < l·costk(x)/φk, cross-multiplied (one double
+    * comparison, fixed parenthesization, shared with the oracle). The
+    * round number enters the draw — the reference reseeds per round
+    * (:429 `new XORShiftRandom(seed ^ (step << 16) ^ index)`); a draw
+    * reused across rounds correlates them (round 1 consumes exactly the
+    * low-residue points and later rounds starve — measured: 0 of ~8
+    * expected picks in round 2). Points already in the candidate set
+    * have cost 0 and can never re-select. Expects (vec_id, cost, phik)
+    * in scope. */
+  def kppSelExpr(l: Int, round: Int): String =
+    s"(CAST(((vec_id * 2654435761) + ($round * 1013904223)) % 2147483648 AS DOUBLE) * CAST(phik AS DOUBLE)) < " +
+      s"((CAST($l AS DOUBLE) * CAST(cost DIV 1024 AS DOUBLE)) * 2147483648.0)"
+
+  /** Exact integer squared distance between the point's `vq` and a
+    * candidate's `cq` (both quantized BIGINT arrays). */
+  val kppDistExpr: String =
+    "CAST(aggregate(zip_with(vq, cq, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+
+  /** k-means|| oversampling: `rounds` rounds of cost-proportional
+    * selection from the min-id seed, then candidate weighting. Per
+    * round: ONE point × candidate join (candidates are a broadcast
+    * handful by construction) + a per-point min + a 1-row φ aggregate +
+    * the selection filter — row-linear at any corpus size. Returns
+    * (cand_id, round_added, weight), weight = points closest to the
+    * candidate (ties toward the smaller candidate id; a candidate
+    * shadowed by an identical lower-id vector weighs 0). */
+  def kmeansParallelInit(df: DataFrame, idCol: String, vecCol: String,
+                         l: Int = 8, rounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = quantized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    var cands = v.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("cand"), col("vq").as("cq"),
+        lit(0L).as("round_added"))
+      .localCheckpoint()
+    for (r <- 1 to rounds) {
+      val costs = v.crossJoin(broadcast(cands.select("cand", "cq")))
+        .selectExpr("vec_id", s"$kppDistExpr AS d2")
+        .groupBy("vec_id").agg(min("d2").as("cost"))
+      val phik = costs.agg(sum(expr("cost DIV 1024")).as("phik"))
+      val fresh = costs.crossJoin(broadcast(phik))
+        .filter(expr(kppSelExpr(l, r)))
+        .join(v, "vec_id")
+        .select(col("vec_id").as("cand"), col("vq").as("cq"),
+          lit(r.toLong).as("round_added"))
+      cands = cands.unionByName(fresh).localCheckpoint()
+    }
+    val weights = v.crossJoin(broadcast(cands.select("cand", "cq")))
+      .selectExpr("vec_id", "cand", s"$kppDistExpr AS d2")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+      .filter(col("rn") === 1)
+      .groupBy("cand").agg(count(lit(1)).as("weight"))
+    val out = cands.join(weights, Seq("cand"), "left")
+      .na.fill(0L, Seq("weight"))
+      .select(col("cand").as("cand_id"), col("round_added"), col("weight"))
+    v.unpersist()
+    out
+  }
+
   /** Full Lloyd run: returns the per-cluster summary
     * (cluster, n_members, min_member, mean_sqnorm) after `iters`
     * assign/recompute rounds seeded by the `k` smallest-id vectors. */

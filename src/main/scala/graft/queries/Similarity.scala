@@ -68,6 +68,19 @@ object Similarity {
 
     // Relational Lloyd k-means (k=4, 2 iterations, exact-integer
     // quantization): the MLlib-slice analog, 2 stages per iteration.
+    // k-means|| initialization (reference mllib/clustering/
+    // KMeans.scala:370 initKMeansParallel, the DEFAULT init — Bahmani's
+    // cost-proportional oversampling + candidate weighting; the
+    // deterministic-draw and scaled-φ deviations are declared in
+    // Clustering.kmeansParallelInit's scaladoc): two rounds at l = 8
+    // over the embeddings, emitting every candidate with the round it
+    // joined and its closest-point weight.
+    "s51_kmeans_parallel" -> { (s, dir) =>
+      graft.ext.Clustering.kmeansParallelInit(
+          Tables.embeddings(s, dir), "vec_id", "embedding", l = 8, rounds = 2)
+        .orderBy("cand_id")
+    },
+
     "s05_kmeans" -> { (s, dir) =>
       graft.ext.Clustering.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding", Dims)
         .orderBy("cluster")
@@ -267,6 +280,38 @@ object Similarity {
        |  GROUP BY a.m, a.cl, i.i) GROUP BY m, cl)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Two unrolled oversampling rounds sharing the scaled selection
+    // inequality (DIV -> // on non-negative costs), then the weighting.
+    "s51_kmeans_parallel" -> {
+      def sel(r: Int) = graft.ext.Clustering.kppSelExpr(8, r).replace(" DIV ", " // ")
+      def dist(vT: String, cT: String) =
+        s"list_sum(list_transform(range(1, ${Dims + 1}), i -> ($vT.vq[i] - $cT.cq[i]) * ($vT.vq[i] - $cT.cq[i])))"
+      def round(k: Int) =
+        s"""cost$k AS MATERIALIZED (
+           |  SELECT v.vec_id, CAST(min(${dist("v", "c")}) AS BIGINT) AS cost
+           |  FROM v, c${k - 1} c GROUP BY 1),
+           |phi$k AS (SELECT CAST(sum(cost // 1024) AS BIGINT) AS phik FROM cost$k),
+           |n$k AS (SELECT v.vec_id AS cand, v.vq AS cq, ${k}::BIGINT AS round_added
+           |  FROM cost$k JOIN v USING (vec_id) CROSS JOIN phi$k
+           |  WHERE ${sel(k)}),
+           |c$k AS MATERIALIZED (SELECT * FROM c${k - 1} UNION ALL SELECT * FROM n$k)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cand, vq AS cq, 0::BIGINT AS round_added
+         |  FROM v ORDER BY vec_id LIMIT 1),
+         |${round(1)},
+         |${round(2)},
+         |w AS (SELECT cand, CAST(count(*) AS BIGINT) AS weight FROM (
+         |  SELECT vec_id, cand FROM (
+         |    SELECT v.vec_id, c.cand,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${dist("v", "c")}, c.cand) rn
+         |    FROM v, c2 c) WHERE rn = 1) GROUP BY 1)
+         |SELECT c.cand AS cand_id, c.round_added, COALESCE(w.weight, 0) AS weight
+         |FROM c2 c LEFT JOIN w USING (cand) ORDER BY cand_id""".stripMargin
+    },
+
     "s05_kmeans" ->
       s"""WITH v AS (SELECT vec_id,
          |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq

@@ -145,6 +145,28 @@ class ClusteringSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("kmeans|| oversampling reaches the far cluster; weights partition the corpus") {
+    import spark.implicits._
+    // two tight clusters far apart; the seed (min id) sits in cluster A,
+    // so cluster B carries almost all the cost mass and MUST be sampled
+    val docs = ((1L to 50L).map(i => (i, Array.fill(8)(0.001f * (i % 3)))) ++
+      (51L to 100L).map(i => (i, Array.fill(8)(5.0f + 0.001f * (i % 3)))))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kmeansParallelInit(docs, "vec_id", "embedding",
+      l = 6, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).sum === 100L, "weights must partition every point")
+    assert(got.exists(c => c._1 > 50L && c._2 >= 1L),
+      s"oversampling must reach the far cluster: ${got.mkString(",")}")
+    assert(got.count(_._2 === 0L) === 1 && got.head._1 === 1L)
+    // deterministic across partitionings
+    val a = Clustering.kmeansParallelInit(docs.repartition(1), "vec_id", "embedding", 6, 2)
+      .orderBy("cand_id").collect()
+    val b = Clustering.kmeansParallelInit(docs.repartition(7, col("vec_id")),
+      "vec_id", "embedding", 6, 2).orderBy("cand_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("smoothed lda separates parity vocabularies; smoothing keeps cross-topic mass positive") {
     import spark.implicits._
     // 100-token docs: the doc-side prior α−1 = 25 is 25e6 micro, so doc
