@@ -1445,6 +1445,85 @@ object Learn {
     (f0, model.toSeq)
   }
 
+  // ---- gradient-boosted stumps, LOG-LOSS (reference mllib/tree/loss/
+  // LogLoss.scala:48 — gradient −4y/(1+exp(2yF)) for y ∈ {−1, 1};
+  // GradientBoostedTrees.scala's boost() fits a regression tree to the
+  // NEGATED gradient each round and adds its learningRate-scaled
+  // prediction to F — the classification counterpart of s26's L2 chain.
+  // DECLARED DEVIATIONS: F0 = 0 (the reference seeds with a first full
+  // tree on raw labels), learning rate 0.5, stump learners, and the s26
+  // integer conventions — residuals milli-quantized by ONE shared
+  // double expression per row, leaves the lr-scaled residual means
+  // rounded once, the split argmax the same abs-floor-div variance
+  // score. -------------------------------------------------------------
+
+  /** The negated log-loss gradient 4y/(1+exp(2yF)) in milli units over
+    * (ys ∈ {−1,1}, fm milli). Shared verbatim with the oracle. */
+  val gbtLogLossResidExpr: String =
+    "CAST(round(((4.0 * ys) / (1.0 + exp((2.0 * ys) * (CAST(fm AS DOUBLE) / 1000.0)))) * 1000.0) AS BIGINT)"
+
+  /** `rounds` log-loss boosting rounds of depth-1 stumps over
+    * (x1, x2, ys): per round one residual projection (recomputed from
+    * the carried margin fm — log-loss residuals are F-dependent, unlike
+    * s26's once-subtracted L2 chain), one stacked histogram aggregate,
+    * the prefix-sum argmax, and a margin update. Returns the stump list
+    * (round, feat, thr, leftq, rightq) with lr-scaled integer leaves. */
+  def gbtLogLossFit2(rows: DataFrame, rounds: Int = 3,
+                     lr: Double = 0.5): Seq[(Int, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col("x1"), col("x2"), col("ys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    var st = base.withColumn("fm", lit(0L)).localCheckpoint()
+    val model = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
+    for (round <- 1 to rounds) {
+      val r = st.selectExpr("x1", "x2", "ys", "fm", s"$gbtLogLossResidExpr AS rq")
+      val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+      val h = lf.groupBy("feat", "val")
+        .agg(count(lit(1)).as("n"), sum("rq").as("sr"))
+      val wCum = Window.partitionBy("feat").orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("feat")
+      val best = h
+        .withColumn("nl", sum("n").over(wCum)).withColumn("sl", sum("sr").over(wCum))
+        .withColumn("tn", sum("n").over(wTot)).withColumn("st", sum("sr").over(wTot))
+        .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
+        .withColumn("score", expr(
+          "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score").desc, col("feat"), col("val"))))
+        .filter(col("rn") === 1)
+        .selectExpr("feat", "val AS thr",
+          s"CAST(round(CAST($lr AS DOUBLE) * (CAST(sl AS DOUBLE) / nl)) AS BIGINT) AS leftq",
+          s"CAST(round(CAST($lr AS DOUBLE) * (CAST(st - sl AS DOUBLE) / (tn - nl))) AS BIGINT) AS rightq")
+        .head()
+      val (feat, thr, lq, rqv) =
+        (best.getLong(0), best.getLong(1), best.getLong(2), best.getLong(3))
+      model += ((round, feat, thr, lq, rqv))
+      st = st.withColumn("fm", col("fm") + expr(
+          s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rqv}L END"))
+        .localCheckpoint()
+    }
+    base.unpersist()
+    model.toSeq
+  }
+
+  /** Score (idCol, x1, x2, ys) rows under a [[gbtLogLossFit2]] ensemble:
+    * the margin is the sum of lr-scaled stump leaves from F0 = 0; the
+    * class thresholds at margin >= 0. Emits
+    * (idCol, label, f_milli, pred). */
+  def gbtLogLossPredict(score: DataFrame, idCol: String,
+                        model: Seq[(Int, Long, Long, Long, Long)]): DataFrame = {
+    val terms = model.map { case (_, feat, thr, lq, rq) =>
+      s"(CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rq}L END)"
+    }
+    val fm = terms.mkString("(0L + ", " + ", ")")
+    score.selectExpr(idCol, "CAST((ys + 1) DIV 2 AS BIGINT) AS label",
+      s"CAST($fm AS BIGINT) AS f_milli")
+      .withColumn("pred",
+        expr("CAST(CASE WHEN f_milli >= 0 THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
   /** Score rows under a [[gbtFit2]] ensemble: F0 plus each stump's leaf
     * constant — a pure projection, no joins at all (the model is a
     * handful of exact integers). Emits (idCol, ym AS y_milli,

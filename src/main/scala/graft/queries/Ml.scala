@@ -141,6 +141,21 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // Gradient-boosted stumps with LOG-LOSS (reference mllib/tree/loss/
+    // LogLoss.scala:48 — the classification loss next to s26's L2;
+    // deviations declared in Learn.gbtLogLossFit2's scaladoc): three
+    // boosting rounds on the s19 label in {−1, 1}, residuals recomputed
+    // from the carried margin each round, margin-sign predictions for
+    // the bounded cohort.
+    "s52_gbt_logloss" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 10, 1L)
+        .selectExpr("o_orderkey", "x1", "x2", "CAST((yq * 2) - 1 AS BIGINT) AS ys")
+      val model = Learn.gbtLogLossFit2(rows, rounds = 3, lr = 0.5)
+      Learn.gbtLogLossPredict(rows.filter(col("o_orderkey") <= 4000),
+          "o_orderkey", model)
+        .orderBy("o_orderkey")
+    },
+
     // Bernoulli Naive Bayes (reference mllib/classification/
     // NaiveBayes.scala:49 modelType "bernoulli" — presence bits over the
     // training vocabulary, θ = (dfc+1)/(n_c+2), the negThetaSum
@@ -827,6 +842,42 @@ object Ml {
        |  FROM $prev r CROSS JOIN gb$k b)""".stripMargin
   }
 
+  /** One unrolled log-loss boosting round: residuals from the carried
+    * margin via the shared gradient string, the s26 split argmax, the
+    * lr-scaled leaf means, the margin update. */
+  private def gblRoundCte(k: Int): String = {
+    val prev = s"gl${k - 1}"
+    s"""glr$k AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, x2, ys, fm, ${Learn.gbtLogLossResidExpr} AS rq
+       |  FROM $prev),
+       |glb$k AS MATERIALIZED (
+       |  SELECT feat, val AS thr,
+       |    CAST(round(CAST(0.5 AS DOUBLE) * (CAST(sl AS DOUBLE) / nl)) AS BIGINT) AS leftq,
+       |    CAST(round(CAST(0.5 AS DOUBLE) * (CAST(st - sl AS DOUBLE) / (tn - nl))) AS BIGINT) AS rightq
+       |  FROM (
+       |    SELECT feat, val, nl, sl, tn, st,
+       |      row_number() OVER (ORDER BY
+       |        (abs(sl) // nl) * abs(sl) + (abs(st - sl) // (tn - nl)) * abs(st - sl) DESC,
+       |        feat, val) AS rn
+       |    FROM (
+       |      SELECT feat, val,
+       |        CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(sr) OVER w AS BIGINT) AS sl,
+       |        CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(sr) OVER wn AS BIGINT) AS st
+       |      FROM (SELECT feat, val, CAST(count(*) AS BIGINT) AS n, CAST(sum(rq) AS BIGINT) AS sr
+       |            FROM (SELECT rq, 1::BIGINT AS feat, x1 AS val FROM glr$k
+       |                  UNION ALL SELECT rq, 2::BIGINT, x2 FROM glr$k)
+       |            GROUP BY 1, 2)
+       |      WINDOW w AS (PARTITION BY feat ORDER BY val ROWS UNBOUNDED PRECEDING),
+       |             wn AS (PARTITION BY feat))
+       |    WHERE nl > 0 AND tn - nl > 0)
+       |  WHERE rn = 1),
+       |gl$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.ys,
+       |    r.fm + (CASE WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr
+       |            THEN b.leftq ELSE b.rightq END) AS fm
+       |  FROM glr$k r CROSS JOIN glb$k b)""".stripMargin
+  }
+
   /** One stump's contribution to the final prediction. */
   private def gbtTerm(b: String): String =
     s"(CASE WHEN (CASE WHEN $b.feat = 1 THEN c.x1 ELSE c.x2 END) <= $b.thr THEN $b.leftq ELSE $b.rightq END)"
@@ -868,6 +919,21 @@ object Ml {
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.
+    // Three unrolled log-loss rounds sharing the gradient string and the
+    // s26 split machinery; margin-sign predictions under gl3.
+    "s52_gbt_logloss" ->
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1L)},
+         |gl0 AS (SELECT o_orderkey, x1, x2,
+         |  CAST((yq * 2) - 1 AS BIGINT) AS ys, 0::BIGINT AS fm FROM feats),
+         |${gblRoundCte(1)},
+         |${gblRoundCte(2)},
+         |${gblRoundCte(3)}
+         |SELECT o_orderkey, CAST((ys + 1) // 2 AS BIGINT) AS label,
+         |  CAST(fm AS BIGINT) AS f_milli,
+         |  CAST(CASE WHEN fm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM gl3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
     "s26_gradient_boosted" ->
       s"""WITH $ordersBaseCte,
          |gfeats AS MATERIALIZED (

@@ -374,6 +374,28 @@ class LearnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("gbt log-loss: separable fixture classified; margins bounded by the gradient cap") {
+    import spark.implicits._
+    // same separable boundary as the logistic fixture, labels in {-1, 1}
+    val raw = (1L to 60L).map { i =>
+      (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1L else -1L)
+    }
+    val rows = raw.toDF("id", "x1", "x2", "ys")
+    val model = Learn.gbtLogLossFit2(rows, rounds = 3, lr = 0.5)
+    assert(model.size === 3)
+    val scored = Learn.gbtLogLossPredict(rows, "id", model).collect()
+    val acc = scored.count(r => r.getLong(1) === r.getLong(3)).toDouble / scored.length
+    assert(acc >= 0.95, s"log-loss boosting should separate the fixture: $acc")
+    // each stump leaf is an lr-scaled mean of milli residuals; the raw
+    // gradient magnitude caps at 4.0 -> every leaf within lr*4000
+    model.foreach { case (_, _, _, lq, rq) =>
+      assert(math.abs(lq) <= 2000 && math.abs(rq) <= 2000, s"leaf out of range: $lq/$rq")
+    }
+    // partitioning determinism (integer histograms + one double mean per leaf)
+    val m2 = Learn.gbtLogLossFit2(rows.repartition(13, col("x2")), rounds = 3, lr = 0.5)
+    assert(m2 === model)
+  }
+
   test("logistic fit is bit-identical across partitionings") {
     import spark.implicits._
     val feats = (1L to 200L).map { i =>
