@@ -478,4 +478,62 @@ object Pipeline {
         d.withColumn(out, col(in) * k)
       }
   }
+
+  // ---- RFormula (reference ml/feature/RFormula.scala:50 — R-style
+  // model formulas: fit at :82 resolves each RHS term, routing STRING
+  // columns through StringIndexer + OneHotEncoder (dropLast — the
+  // all-zeros reference category) and `a:b` through Interaction (:123),
+  // then assembles `features` and materializes `label` from the LHS.
+  // SUPPORTED SLICE, declared: '+'-joined terms, ':' interactions of
+  // two numeric columns, '.' for every non-label column — no '-'
+  // removal, no nested interactions. Features emit FLAT as f1..fn
+  // BIGINT columns instead of a vector (the comparator-safe house
+  // form); the k−1 dummy expansion keeps the reference's
+  // frequency-desc category order with the alphabetical tiebreak.) -----
+
+  final case class RFormulaStage(formula: String) extends Estimator {
+    def fit(df: DataFrame): RFormulaModel = {
+      val Array(lhs, rhs) = formula.split("~").map(_.trim)
+      val raw = rhs.split("\\+").map(_.trim).filter(_.nonEmpty).toSeq
+      val terms =
+        if (raw == Seq(".")) df.columns.filterNot(_ == lhs).toSeq else raw
+      val indexers = terms
+        .filter(t => !t.contains(":") &&
+          df.schema(t).dataType == org.apache.spark.sql.types.StringType)
+        .map { t =>
+          t -> StringIndexerStage(t, s"__${t}_idx").fit(df)
+        }.toMap
+      RFormulaModel(lhs, terms, indexers)
+    }
+  }
+
+  /** The fitted formula: numeric terms pass through, indexed string
+    * terms expand to k−1 frequency-desc dummies, `a:b` multiplies.
+    * Output columns are f1..fn (expansion order = term order) + label. */
+  final case class RFormulaModel(labelCol: String, terms: Seq[String],
+                                 indexers: Map[String, StringIndexerModel])
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame = {
+      var cur = df
+      var feats = Seq.empty[org.apache.spark.sql.Column]
+      terms.foreach { t =>
+        if (t.contains(":")) {
+          val Array(a, b) = t.split(":").map(_.trim)
+          feats :+= (col(a) * col(b))
+        } else indexers.get(t) match {
+          case Some(m) =>
+            cur = m.transform(cur)
+            val k = m.labels.size
+            feats ++= (0 until k - 1).map(i =>
+              when(col(m.outputCol) === i.toLong, 1L).otherwise(0L))
+          case None =>
+            feats :+= col(t)
+        }
+      }
+      val named = feats.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(s"f${i + 1}")
+      }
+      cur.select((df.columns.map(col).toSeq :+ col(labelCol).as("label")) ++ named: _*)
+    }
+  }
 }

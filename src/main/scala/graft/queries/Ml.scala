@@ -141,6 +141,30 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // RFormula (reference ml/feature/RFormula.scala:50 — R-style model
+    // formulas; fit :82 routes string terms through StringIndexer +
+    // OneHotEncoder(dropLast) and a:b through Interaction :123; the
+    // supported-slice deviations are declared on ext.Pipeline
+    // .RFormulaStage): "cents ~ n_items + qty + o_orderstatus +
+    // n_items:qty" over per-order aggregates — numerics pass through,
+    // the 3-status categorical expands to 2 frequency-desc dummies, the
+    // interaction multiplies; label + flat features for the bounded
+    // cohort.
+    "s53_rformula" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")), "o_orderkey")
+      val model = RFormulaStage(
+        "cents ~ n_items + qty + o_orderstatus + n_items:qty").fit(base)
+      model.transform(base)
+        .filter(col("o_orderkey") <= 2000)
+        .select("o_orderkey", "label", "f1", "f2", "f3", "f4", "f5")
+        .orderBy("o_orderkey")
+    },
+
     // Gradient-boosted stumps with LOG-LOSS (reference mllib/tree/loss/
     // LogLoss.scala:48 — the classification loss next to s26's L2;
     // deviations declared in Learn.gbtLogLossFit2's scaladoc): three
@@ -919,6 +943,28 @@ object Ml {
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.
+    // Mirror of RFormulaStage: the frequency-desc (tie alphabetical)
+    // indexer ranking, k−1 dummies, the interaction product.
+    "s53_rformula" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l GROUP BY 1),
+        |b2 AS MATERIALIZED (
+        |  SELECT b.o_orderkey, b.n_items, b.qty, o.o_orderstatus,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM base b JOIN orders o ON b.o_orderkey = o.o_orderkey),
+        |idx AS (SELECT o_orderstatus,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, o_orderstatus) - 1 AS BIGINT) AS ix
+        |  FROM (SELECT o_orderstatus, count(*) AS cnt FROM b2 GROUP BY 1))
+        |SELECT b.o_orderkey, b.cents AS label,
+        |  b.n_items AS f1, b.qty AS f2,
+        |  CAST(CASE WHEN i.ix = 0 THEN 1 ELSE 0 END AS BIGINT) AS f3,
+        |  CAST(CASE WHEN i.ix = 1 THEN 1 ELSE 0 END AS BIGINT) AS f4,
+        |  CAST(b.n_items * b.qty AS BIGINT) AS f5
+        |FROM b2 b JOIN idx i USING (o_orderstatus)
+        |WHERE b.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
     // Three unrolled log-loss rounds sharing the gradient string and the
     // s26 split machinery; margin-sign predictions under gl3.
     "s52_gbt_logloss" ->

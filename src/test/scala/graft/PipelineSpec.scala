@@ -181,4 +181,23 @@ class PipelineSpec extends SparkSpec {
       .transform(Seq(21L.asInstanceOf[java.lang.Long]).toDF("x1")).head()
     assert(ew.getLong(1) === 42L)
   }
+
+  test("rformula: numeric terms, categorical dummies, interaction, dot wildcard") {
+    import spark.implicits._
+    // c counts: a:2, b:1 -> frequency-desc order a(0), b(1); dropLast
+    // leaves ONE dummy = [c == a]
+    val df = Seq((1L, 2L, "b", 10L), (2L, 3L, "a", 20L), (3L, 4L, "a", 30L))
+      .toDF("x", "y", "c", "lab")
+    val m = RFormulaStage("lab ~ x + c + x:y").fit(df)
+    val out = m.transform(df).select("x", "label", "f1", "f2", "f3")
+      .orderBy("x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 10L, 1L, 0L, 2L),
+      (2L, 20L, 2L, 1L, 6L), (3L, 30L, 3L, 1L, 12L)))
+    // '.' expands to every non-label column (here all numeric)
+    val d2 = Seq((5L, 7L, 100L)).toDF("p", "q", "lab")
+    val m2 = RFormulaStage("lab ~ .").fit(d2)
+    val r2 = m2.transform(d2).select("label", "f1", "f2").head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((100L, 5L, 7L)))
+  }
 }
