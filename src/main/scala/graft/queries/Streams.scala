@@ -112,6 +112,28 @@ object Streams {
     // StreamingSymmetricHashJoin with watermark-bounded state, and the
     // oracle is the plain relational interval join it must equal. The
     // batch complement (bucketed, 100 TB shape) is j02.
+    // Streaming union (reference streaming/dstream/DStream.scala:896
+    // union + StreamingContext.scala:518 the multi-stream overload —
+    // merging DStreams batch-by-batch; Structured Streaming's union of
+    // two independent sources runs both in ONE query with a shared
+    // trigger). Two separately-filtered event streams union THROUGH the
+    // engine into a stateless sink; the oracle is the batch IN-filter,
+    // so a dropped or duplicated source row mismatches. Stateless: zero
+    // state stores — union needs no shuffle at all (asserted in
+    // StreamingSpec).
+    "v16_stream_union" -> { (s, dir) =>
+      val clicks = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val purchases = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      runToMemory(clicks.unionByName(purchases), "v16_sink", statePartitions = 4)
+        .orderBy("event_id")
+    },
+
     "v06_stream_stream_join" -> { (s, dir) =>
       val clicks = eventStream(s, dir).filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -507,6 +529,13 @@ object Streams {
     // Mirror of the streaming test: cumulative-window state over one
     // micro-batch equals the batch six sums; shared Welch formula
     // strings (the n18 shape on the signup/error pair).
+    // Batch mirror of the engine-run union: the IN-filter projection.
+    "v16_stream_union" ->
+      """SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY event_id""".stripMargin,
+
     // Full-window re-reduce (ROWS 2 PRECEDING) over the dense
     // key × slice grid — the non-incremental formulation the
     // add/subtract recurrence must equal.

@@ -749,6 +749,30 @@ class StreamingSpec extends SparkSpec {
     assert(one > 0L && math.abs(two - 458752L) < math.abs(one - 458752L))
   }
 
+  test("stream union: two sources merge statelessly, every row exactly once") {
+    import spark.implicits._
+    val ms1 = MemoryStream[(Long, String)](spark)
+    val ms2 = MemoryStream[(Long, String)](spark)
+    val q = ms1.toDF().toDF("id", "v").unionByName(ms2.toDF().toDF("id", "v"))
+      .writeStream.format("memory").queryName("union_spec_sink")
+      .outputMode("append").start()
+    try {
+      ms1.addData(Seq((1L, "a"), (2L, "b")))
+      ms2.addData(Seq((10L, "x")))
+      q.processAllAvailable()
+      ms2.addData(Seq((11L, "y")))
+      q.processAllAvailable()
+      val got = spark.table("union_spec_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (10L, "x"), (11L, "y")))
+      // stateless: union shuffles nothing and keeps no state store
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StateStore"), s"union must keep no state:\n$plan")
+      assert(!plan.contains("Exchange"), s"union must not shuffle:\n$plan")
+    } finally q.stop()
+  }
+
   test("invertible window: multi-batch additive state + inverse emission equal full re-reduce") {
     import spark.implicits._
     import graft.streaming.{Streaming => St}
