@@ -307,6 +307,36 @@ object IO {
     // filter + 1-based indexing are all on the gated path. At 100 TB the
     // parse is one shuffle-free codegen projection per line; the
     // reassembly groupBy shuffles only (key, idx, value) triples.
+    // wholeTextFiles (reference core SparkContext.scala:867 — one
+    // (path, content) pair PER FILE, the small-files ingestion API the
+    // 1.6 docs point at for per-document corpora): nations written as
+    // one text file per region directory, read back whole, regions
+    // recovered from the PATH and keys re-parsed from the CONTENT — so
+    // the gate catches both a torn file and a mis-paired path. The
+    // anti-pattern warning stands in reverse: at 100 TB this API is for
+    // MANY SMALL files (each file must fit one task); big inputs belong
+    // to the splittable line reader (i03).
+    "i22_whole_text_files" -> { (s, dir) =>
+      import s.implicits._
+      val path = s"$scratch/wtf_nation"
+      Tables.nation(s, dir)
+        .selectExpr("concat(CAST(n_nationkey AS STRING), '|', n_name) AS value",
+          "n_regionkey AS r")
+        .repartition(col("r"))
+        .write.mode(SaveMode.Overwrite).partitionBy("r").text(path)
+      s.sparkContext.wholeTextFiles(s"$path/r=*")
+        .toDF("fname", "content")
+        .selectExpr(
+          "CAST(regexp_extract(fname, 'r=([0-9]+)', 1) AS BIGINT) AS region",
+          "content")
+        .select(col("region"), explode(split(col("content"), "\n")).as("line"))
+        .filter(length(col("line")) > 0)
+        .selectExpr("region", "CAST(split(line, '\\\\|')[0] AS BIGINT) AS k")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_lines"), sum("k").as("sum_keys"))
+        .orderBy("region")
+    },
+
     // Sequence-file + object-file roundtrip (reference core RDD binary IO:
     // rdd/SequenceFileRDDFunctions.scala:88 saveAsSequenceFile /
     // SparkContext.scala:1145 sequenceFile with the implicit
@@ -495,6 +525,13 @@ object IO {
     // Reproduced from the ORIGINAL orders parquet: the roundtrip must
     // land exactly back on these per-label sums (f3's zero cases were
     // OMITTED from the written lines and reconstructed by coalesce).
+    // The whole-file roundtrip must be invisible: per-region line counts
+    // and key sums straight off the source table.
+    "i22_whole_text_files" ->
+      """SELECT n_regionkey AS region, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys
+        |FROM nation GROUP BY 1 ORDER BY region""".stripMargin,
+
     // Both binary roundtrips must be invisible: the oracle reads the
     // original parquet once and emits identical seq/obj aggregate pairs.
     "i21_sequence_object_files" ->
