@@ -479,6 +479,40 @@ object Pipeline {
       }
   }
 
+  // ---- QuantileDiscretizer (reference ml/feature/
+  // QuantileDiscretizer.scala:62 — fit :87 SAMPLES the column
+  // (getSampledInput :103, seed-dependent) and picks approximate split
+  // candidates (:116 findSplitCandidates); DECLARED deviation: EXACT
+  // quantile splits at the power-of-two fractions 1/4, 1/2, 3/4 via the
+  // percentile aggregate — the house no-seeded-sampling rule, and the
+  // quarters interpolate exactly in IEEE so both engines agree
+  // bit-for-bit (the g07 precedent). numBuckets = 4. ------------------
+
+  final case class QuantileDiscretizerStage(inputCol: String,
+                                            outputCol: String) extends Estimator {
+    def fit(df: DataFrame): QuantileSplitsModel = {
+      val r = df.agg(
+        expr(s"percentile($inputCol, 0.25D)").as("q1"),
+        expr(s"percentile($inputCol, 0.5D)").as("q2"),
+        expr(s"percentile($inputCol, 0.75D)").as("q3")).head()
+      QuantileSplitsModel(inputCol, outputCol,
+        Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    }
+  }
+
+  /** The fitted discretizer: bucket = how many splits the value has
+    * reached — identical to Bucketizer's [split, next) buckets with
+    * ±infinity outer rails (a value equal to a split belongs to the
+    * bucket ABOVE it, Bucketizer.scala:92's left-closed convention). */
+  final case class QuantileSplitsModel(inputCol: String, outputCol: String,
+                                       splits: Seq[Double]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        splits.foldLeft(lit(0L)) { (acc, s) =>
+          acc + when(col(inputCol) >= s, 1L).otherwise(0L)
+        })
+  }
+
   // ---- RFormula (reference ml/feature/RFormula.scala:50 — R-style
   // model formulas: fit at :82 resolves each RHS term, routing STRING
   // columns through StringIndexer + OneHotEncoder (dropLast — the

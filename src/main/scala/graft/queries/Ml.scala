@@ -141,6 +141,22 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // QuantileDiscretizer (reference ml/feature/QuantileDiscretizer
+    // .scala:62; exact-quantile deviation declared on the stage): order
+    // totals into quartile buckets, per-bucket count + exact cent
+    // bounds — the bucket edges land where the quantiles do, so the
+    // fitted splits are fully visible in the result.
+    "s54_quantile_discretizer" -> { (s, dir) =>
+      val cents = Tables.orders(s, dir)
+        .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      val model = QuantileDiscretizerStage("cents", "bucket").fit(cents)
+      model.transform(cents)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bucket")
+    },
+
     // RFormula (reference ml/feature/RFormula.scala:50 — R-style model
     // formulas; fit :82 routes string terms through StringIndexer +
     // OneHotEncoder(dropLast) and a:b through Interaction :123; the
@@ -943,6 +959,21 @@ object Ml {
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.
+    // Mirror of QuantileDiscretizerStage: quantile_cont == percentile at
+    // the power-of-two quarters; the same reached-splits bucket rule.
+    "s54_quantile_discretizer" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |sp AS (SELECT quantile_cont(cents, 0.25) AS q1,
+        |              quantile_cont(cents, 0.5) AS q2,
+        |              quantile_cont(cents, 0.75) AS q3 FROM c)
+        |SELECT CAST((CASE WHEN cents >= q1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN cents >= q2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN cents >= q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM c CROSS JOIN sp GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // Mirror of RFormulaStage: the frequency-desc (tie alphabetical)
     // indexer ranking, k−1 dummies, the interaction product.
     "s53_rformula" ->

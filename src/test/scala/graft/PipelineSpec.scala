@@ -182,6 +182,21 @@ class PipelineSpec extends SparkSpec {
     assert(ew.getLong(1) === 42L)
   }
 
+  test("quantile discretizer: exact quartile splits, left-closed buckets, balanced counts") {
+    import spark.implicits._
+    // 1..8: q1 = 2.75, q2 = 4.5, q3 = 6.25 -> buckets {1,2},{3,4},{5,6},{7,8}
+    val df = (1L to 8L).toDF("x")
+    val m = QuantileDiscretizerStage("x", "b").fit(df)
+    assert(m.splits === Seq(2.75, 4.5, 6.25))
+    val got = m.transform(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+    // a value EQUAL to a split goes to the bucket above (left-closed)
+    val m2 = QuantileSplitsModel("x", "b", Seq(3.0))
+    val eq = m2.transform(Seq(3L).toDF("x")).head().getLong(1)
+    assert(eq === 1L)
+  }
+
   test("rformula: numeric terms, categorical dummies, interaction, dot wildcard") {
     import spark.implicits._
     // c counts: a:2, b:1 -> frequency-desc order a(0), b(1); dropLast
