@@ -1674,6 +1674,45 @@ object Learn {
     out
   }
 
+  /** Frequent length-3 sequential patterns A→B→C — the arbitrary-length
+    * prefix-growth step [[frequentSequences2]] elides (reference
+    * mllib/fpm/PrefixSpan.scala:113 genFreqPatterns grows each frequent
+    * prefix by one postfix item per round; this is round 2 for the
+    * distinct-type thin slice). Existence logic: taking a = the EARLIEST
+    * A-event and c = the LATEST C-event is optimal, so the ordered
+    * triple exists iff SOME B-event falls strictly inside
+    * (tmin_A, tmax_C) — one events ⋈ per-user-(A, C)-pair join whose
+    * fan-out is bounded by |types|² per user (the per-user type-pair
+    * table is the prefix working set; event rows never pair with each
+    * other). Same threshold discipline as s18. Returns
+    * (t1, t2, t3, n_users, support_micro). */
+  def frequentSequences3(events: DataFrame, userCol: String, itemCol: String,
+                         tsCol: String, minSupport: Double = 0.05): DataFrame = {
+    val fe = events.select(col(userCol).as("u"), col(itemCol).as("item"),
+        col(tsCol).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = fe.groupBy("u", "item")
+      .agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+      .localCheckpoint()
+    val nUsers = stats.select("u").distinct().count()
+    val thr = math.ceil(minSupport * nUsers).toLong
+    val pairs = stats.select(col("u"), col("item").as("t1"), col("tmin"))
+      .join(stats.select(col("u"), col("item").as("t3"), col("tmax")), "u")
+      .filter(col("t1") =!= col("t3") && col("tmin") < col("tmax"))
+    val out = fe.join(pairs, "u")
+      .filter(col("item") =!= col("t1") && col("item") =!= col("t3") &&
+        col("ts") > col("tmin") && col("ts") < col("tmax"))
+      .select(col("u"), col("t1"), col("item").as("t2"), col("t3"))
+      .distinct()
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n_users"))
+      .filter(col("n_users") >= thr)
+      .select(col("t1"), col("t2"), col("t3"), col("n_users"),
+        expr(s"CAST((n_users * 1000000) DIV $nUsers AS BIGINT)").as("support_micro"))
+      .localCheckpoint()
+    fe.unpersist()
+    out
+  }
+
   /** Multiclass classification metrics (reference
     * mllib/src/main/scala/org/apache/spark/mllib/evaluation/MulticlassMetrics.scala:27
     * computes the same from a (prediction, label) RDD): per-class true

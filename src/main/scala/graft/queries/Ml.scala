@@ -222,6 +222,19 @@ object Ml {
         .orderBy("antecedent", "consequent")
     },
 
+    // Length-3 sequential patterns (reference mllib/fpm/
+    // PrefixSpan.scala:113 genFreqPatterns — the prefix-growth round
+    // s18's length-2 slice elides; existence via a middle event strictly
+    // inside the (earliest-antecedent, latest-consequent) window, the
+    // optimal-endpoints argument in Learn.frequentSequences3's
+    // scaladoc): "A then B then C" event-type chains over the same
+    // sparsified slice as s18, threshold 5% of users.
+    "s55_frequent_triples_seq" -> { (s, dir) =>
+      Learn.frequentSequences3(Tables.events(s, dir).filter(col("value") > 150),
+          "user_id", "event_type", "ts", minSupport = 0.05)
+        .orderBy("t1", "t2", "t3")
+    },
+
     // Model evaluation (reference mllib/evaluation/MulticlassMetrics
     // .scala): per-class precision/recall/F1 of the s15 classifier on the
     // HELD-OUT half (doc_id >= 250 — rows the training slice never saw),
@@ -1441,6 +1454,33 @@ object Ml {
          |  FROM sc)
          |SELECT doc_id, actual, label AS pred_label, CAST(score_q AS BIGINT) AS score_q
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Per-user (A, C) bound pairs joined against raw middle events —
+    // DISTINCT per-user triples, the same ceil threshold discipline.
+    "s55_frequent_triples_seq" ->
+      """WITH fe AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS item, ts
+        |  FROM events WHERE value > 150),
+        |stats AS MATERIALIZED (
+        |  SELECT u, item, min(ts) AS tmin, max(ts) AS tmax FROM fe GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM stats),
+        |thr AS (SELECT CAST(ceil(0.05::DOUBLE * nu) AS BIGINT) AS t FROM n),
+        |pairs AS (
+        |  SELECT a.u, a.item AS t1, a.tmin, c.item AS t3, c.tmax
+        |  FROM stats a JOIN stats c ON a.u = c.u
+        |    AND a.item <> c.item AND a.tmin < c.tmax),
+        |trip AS (
+        |  SELECT DISTINCT p.u, p.t1, e.item AS t2, p.t3
+        |  FROM fe e JOIN pairs p ON e.u = p.u
+        |    AND e.item <> p.t1 AND e.item <> p.t3
+        |    AND e.ts > p.tmin AND e.ts < p.tmax),
+        |freq AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM trip GROUP BY 1, 2, 3
+        |  HAVING count(*) >= (SELECT t FROM thr))
+        |SELECT t1, t2, t3, n_users,
+        |  CAST((n_users * 1000000) // (SELECT nu FROM n) AS BIGINT) AS support_micro
+        |FROM freq ORDER BY t1, t2, t3""".stripMargin,
 
     // Per-user per-type time bounds, pattern exists iff min(a) < max(b);
     // 0.12::DOUBLE matches the Scala double-ceil threshold exactly.

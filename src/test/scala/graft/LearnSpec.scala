@@ -156,6 +156,28 @@ class LearnSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("sequence triples: middle event must fall strictly inside the bounds window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Long) = new Timestamp(m * 60000L)
+    // u1: a@1 b@2 c@3 -> a->b->c exists
+    // u2: a@1 c@2 b@3 -> NO a->b->c (no b strictly inside (1, 2)); but
+    //     a->c->b? needs c inside (tmin_a, tmax_b) = (1, 3): c@2 yes
+    val ev = Seq(
+      (1L, "a", t(1)), (1L, "b", t(2)), (1L, "c", t(3)),
+      (2L, "a", t(1)), (2L, "c", t(2)), (2L, "b", t(3)))
+      .toDF("u", "item", "ts")
+    val got = Learn.frequentSequences3(ev, "u", "item", "ts", minSupport = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.contains(("a", "b", "c", 1L)), s"u1's ordered triple missing: ${got.toSeq}")
+    assert(got.contains(("a", "c", "b", 1L)), s"u2's ordered triple missing: ${got.toSeq}")
+    assert(!got.exists(g => g._1 == "a" && g._2 == "b" && g._3 == "c" && g._4 > 1L),
+      "u2 must NOT count for a->b->c (its b is after c)")
+    // threshold binds: at 100% support nothing survives (no triple in both users)
+    val none = Learn.frequentSequences3(ev, "u", "item", "ts", minSupport = 1.0)
+    assert(none.count() === 0L)
+  }
+
   test("bernoulli nb: absence evidence classifies; unseen-vocab docs fall back to prior+base") {
     import spark.implicits._
     // class p: x appears in EVERY p-doc; class q never says x
