@@ -1172,9 +1172,10 @@ object Learn {
       .na.fill(0L, Seq("o"))
     val chi = grid.selectExpr("tok", s"$chiPairExpr AS cell_micro")
       .groupBy("tok").agg(sum("cell_micro").as("chi2_micro"))
-    chi.select(col("tok"), col("chi2_micro"),
-        row_number().over(Window.orderBy(col("chi2_micro").desc, col("tok"))).as("rn"))
-      .filter(col("rn") <= k)
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition top-k
+    // then a bounded merge), NOT a global-window rank — the rank window
+    // would funnel the whole vocabulary through one partition
+    chi.orderBy(col("chi2_micro").desc, col("tok")).limit(k)
       .select("tok", "chi2_micro")
   }
 
@@ -1237,10 +1238,14 @@ object Learn {
     val toks = docs.select(col(idCol).as("did"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
+    // top-vocabN via orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-k then a bounded merge — never a single-partition sort over
+    // the full distinct-token table); the rank window then runs over
+    // vocabN rows only
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabN)
       .select(col("tok"), (row_number().over(
         Window.orderBy(col("c").desc, col("tok"))) - 1).cast("long").as("r"))
-      .filter(col("r") < vocabN)
       .localCheckpoint() // vocabN rows — broadcast-small by construction
     // actual vocabulary size (== vocabN unless the corpus has fewer
     // distinct tokens) — the negative-rank residue must stay inside the
