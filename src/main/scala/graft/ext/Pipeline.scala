@@ -479,6 +479,45 @@ object Pipeline {
       }
   }
 
+  // ---- PolynomialExpansion (reference ml/feature/
+  // PolynomialExpansion.scala:38 — degree-2 expansion of (x, y) is
+  // (x, x·x, y, x·y, y·y) in exactly that order, :35; over integer
+  // features every term is an exact integer). Pure projection. --------
+
+  final case class PolynomialExpansion2Stage(in1: String, in2: String)
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn("f1", col(in1))
+        .withColumn("f2", col(in1) * col(in1))
+        .withColumn("f3", col(in2))
+        .withColumn("f4", col(in1) * col(in2))
+        .withColumn("f5", col(in2) * col(in2))
+  }
+
+  /** One forward DCT-II output coefficient in milli units over x1..x4
+    * integer inputs (reference ml/feature/DCT.scala:39 delegates to
+    * JTransforms' DoubleDCT_1D.forward with scaling, :62 — the
+    * orthonormal y_k = s_k Σ x_n cos(π(2n+1)k/2N), s_0 = sqrt(1/N),
+    * s_k = sqrt(2/N); N = 4 here, cosine arguments fixed constants so
+    * both engines evaluate libm cos at IDENTICAL doubles). Fixed
+    * parenthesization, shared verbatim with the oracle. */
+  def dct4Expr(k: Int): String = {
+    val n = 4
+    val scale = if (k == 0) "sqrt(1.0 / 4.0)" else "sqrt(2.0 / 4.0)"
+    val sum = (0 until n).map { j =>
+      s"(CAST(x${j + 1} AS DOUBLE) * cos((${math.Pi} * ((2.0 * $j) + 1.0) * $k) / 8.0))"
+    }.reduce((a, b) => s"($a + $b)")
+    s"CAST(round(($scale * $sum) * 1000.0) AS BIGINT)"
+  }
+
+  /** Forward DCT-II over four integer input columns, milli-quantized. */
+  final case class Dct4Stage(prefix: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      (0 until 4).foldLeft(df) { (d, k) =>
+        d.withColumn(s"${prefix}$k", expr(dct4Expr(k)))
+      }
+  }
+
   // ---- QuantileDiscretizer (reference ml/feature/
   // QuantileDiscretizer.scala:62 — fit :87 SAMPLES the column
   // (getSampledInput :103, seed-dependent) and picks approximate split

@@ -141,6 +141,39 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // PolynomialExpansion (reference ml/feature/PolynomialExpansion
+    // .scala:38 — degree-2 of (x, y) = (x, x², y, xy, y²) in exactly
+    // that order, :35; exact integers throughout): the s14 features
+    // expanded for the bounded cohort.
+    "s56_polynomial_expansion" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("x2"))
+        .filter(col("o_orderkey") <= 2000)
+      PolynomialExpansion2Stage("x1", "x2").transform(base)
+        .select("o_orderkey", "f1", "f2", "f3", "f4", "f5")
+        .orderBy("o_orderkey")
+    },
+
+    // Forward DCT-II (reference ml/feature/DCT.scala:39 — JTransforms
+    // DoubleDCT_1D.forward with orthonormal scaling, :62; N = 4, cosine
+    // arguments are fixed constants so both engines hit libm cos at
+    // identical doubles, milli-quantized outputs): the per-order
+    // 4-feature signal's frequency coefficients.
+    "s57_dct" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("x2"),
+          min(expr("CAST(round(l_quantity) AS BIGINT)")).as("x3"),
+          max(expr("CAST(round(l_quantity) AS BIGINT)")).as("x4"))
+        .filter(col("o_orderkey") <= 2000)
+      Dct4Stage("y").transform(base)
+        .select("o_orderkey", "y0", "y1", "y2", "y3")
+        .orderBy("o_orderkey")
+    },
+
     // QuantileDiscretizer (reference ml/feature/QuantileDiscretizer
     // .scala:62; exact-quantile deviation declared on the stage): order
     // totals into quartile buckets, per-bucket count + exact cent
@@ -972,6 +1005,31 @@ object Ml {
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.
+    // Exact integer expansion terms in the reference order.
+    "s56_polynomial_expansion" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, x1 AS f1, CAST(x1 * x1 AS BIGINT) AS f2, x2 AS f3,
+        |  CAST(x1 * x2 AS BIGINT) AS f4, CAST(x2 * x2 AS BIGINT) AS f5
+        |FROM base WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    // Shared dct4Expr formula strings — identical cos arguments, one
+    // rounding per coefficient.
+    "s57_dct" -> {
+      val ys = (0 until 4)
+        .map(k => s"${graft.ext.Pipeline.dct4Expr(k)} AS y$k").mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2,
+         |    CAST(min(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x3,
+         |    CAST(max(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x4
+         |  FROM lineitem GROUP BY 1)
+         |SELECT o_orderkey, $ys
+         |FROM base WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+    },
+
     // Mirror of QuantileDiscretizerStage: quantile_cont == percentile at
     // the power-of-two quarters; the same reached-splits bucket rule.
     "s54_quantile_discretizer" ->

@@ -182,6 +182,26 @@ class PipelineSpec extends SparkSpec {
     assert(ew.getLong(1) === 42L)
   }
 
+  test("polynomial expansion order; dct: constant signal -> DC only, known vector matches scalar mirror") {
+    import spark.implicits._
+    val pe = PolynomialExpansion2Stage("a", "b")
+      .transform(Seq((3L, 5L)).toDF("a", "b")).head()
+    // (x, x*x, y, x*y, y*y) — the reference's documented order
+    assert((2 to 6).map(pe.getLong) === Seq(3L, 9L, 5L, 15L, 25L))
+    val const = Dct4Stage("y").transform(Seq((7L, 7L, 7L, 7L)).toDF("x1", "x2", "x3", "x4")).head()
+    // constant signal: y0 = sqrt(1/4)*4*7 = 14 (milli 14000), others 0
+    assert((4 to 7).map(const.getLong) === Seq(14000L, 0L, 0L, 0L))
+    // known vector vs a driver-side mirror of the same orthonormal DCT-II
+    val got = Dct4Stage("y").transform(Seq((1L, 2L, 3L, 4L)).toDF("x1", "x2", "x3", "x4")).head()
+    val xs = Seq(1.0, 2.0, 3.0, 4.0)
+    val want = (0 until 4).map { k =>
+      val s = if (k == 0) math.sqrt(1.0 / 4.0) else math.sqrt(2.0 / 4.0)
+      val sum = (0 until 4).map(j => xs(j) * math.cos((math.Pi * ((2.0 * j) + 1.0) * k) / 8.0)).sum
+      math.round(s * sum * 1000.0)
+    }
+    assert((4 to 7).map(got.getLong) === want)
+  }
+
   test("quantile discretizer: exact quartile splits, left-closed buckets, balanced counts") {
     import spark.implicits._
     // 1..8: q1 = 2.75, q2 = 4.5, q3 = 6.25 -> buckets {1,2},{3,4},{5,6},{7,8}
