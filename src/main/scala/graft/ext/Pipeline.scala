@@ -479,6 +479,25 @@ object Pipeline {
       }
   }
 
+  // ---- StopWordsRemover (reference ml/feature/
+  // StopWordsRemover.scala:88 — drops stop words from a token array;
+  // caseSensitive defaults FALSE (:121), so matching lowercases the
+  // token but PRESERVES the original casing in the output). Pure
+  // projection; the stop list is a broadcast-inlined literal set. ------
+
+  final case class StopWordsRemoverStage(inputCol: String, outputCol: String,
+                                         stopWords: Seq[String],
+                                         caseSensitive: Boolean = false)
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame = {
+      val list = stopWords.map(w => if (caseSensitive) w else w.toLowerCase)
+        .map(w => s"'${w.replace("'", "''")}'").mkString("array(", ", ", ")")
+      val probe = if (caseSensitive) "t" else "lower(t)"
+      df.withColumn(outputCol,
+        expr(s"filter($inputCol, t -> NOT array_contains($list, $probe))"))
+    }
+  }
+
   // ---- PolynomialExpansion (reference ml/feature/
   // PolynomialExpansion.scala:38 — degree-2 expansion of (x, y) is
   // (x, x·x, y, x·y, y·y) in exactly that order, :35; over integer

@@ -141,6 +141,25 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // StopWordsRemover (reference ml/feature/StopWordsRemover.scala:88;
+    // caseSensitive defaults false :121 — matching lowercases, output
+    // preserves original casing): strip the corpus' five most frequent
+    // filler tokens (given in MIXED case to exercise the
+    // case-insensitive path), per-document before/after token counts +
+    // the per-document digest of the remaining tokens.
+    "s58_stopwords" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          "filter(split(text, ' '), t -> length(t) > 0) AS toks")
+      StopWordsRemoverStage("toks", "kept",
+          Seq("Join", "HASH", "row", "Batch", "scan")).transform(toks)
+        .selectExpr("doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_toks",
+          "CAST(size(kept) AS BIGINT) AS n_kept",
+          "md5(concat_ws(' ', kept)) AS kept_md5")
+        .orderBy("doc_id")
+    },
+
     // PolynomialExpansion (reference ml/feature/PolynomialExpansion
     // .scala:38 — degree-2 of (x, y) = (x, x², y, xy, y²) in exactly
     // that order, :35; exact integers throughout): the s14 features
@@ -1005,6 +1024,20 @@ object Ml {
     // Three unrolled boosting rounds: each round's split constants are
     // re-derived from the previous round's residual table, then the
     // cohort prediction sums F0 and the three stump constants.
+    // Same lowercased stop set; md5 over the space-joined remainder.
+    "s58_stopwords" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |k AS (SELECT doc_id, toks,
+        |    list_filter(toks, x -> NOT list_contains(
+        |      ['join', 'hash', 'row', 'batch', 'scan'], lower(x))) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS kept_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // Exact integer expansion terms in the reference order.
     "s56_polynomial_expansion" ->
       """WITH base AS (

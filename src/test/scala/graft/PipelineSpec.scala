@@ -182,6 +182,16 @@ class PipelineSpec extends SparkSpec {
     assert(ew.getLong(1) === 42L)
   }
 
+  test("stop words: case-insensitive match preserves output casing; caseSensitive keeps mismatches") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("The", "quick", "THE", "fox", "the"))).toDF("id", "toks")
+    val ci = StopWordsRemoverStage("toks", "kept", Seq("the")).transform(df).head()
+    assert(ci.getSeq[String](2) === Seq("quick", "fox"))
+    val cs = StopWordsRemoverStage("toks", "kept", Seq("the"), caseSensitive = true)
+      .transform(df).head()
+    assert(cs.getSeq[String](2) === Seq("The", "quick", "THE", "fox"))
+  }
+
   test("polynomial expansion order; dct: constant signal -> DC only, known vector matches scalar mirror") {
     import spark.implicits._
     val pe = PolynomialExpansion2Stage("a", "b")
