@@ -87,7 +87,12 @@ object Clustering {
     * have cost 0 and can never re-select. Expects (vec_id, cost, phik)
     * in scope. */
   def kppSelExpr(l: Int, round: Int): String =
-    s"(CAST(((vec_id * 2654435761) + ($round * 1013904223)) % 2147483648 AS DOUBLE) * CAST(phik AS DOUBLE)) < " +
+    // vec_id is reduced mod 2^31 BEFORE the Knuth multiply: (2^31-1) ×
+    // 2654435761 ≈ 5.7e18 stays inside BIGINT, whereas the raw product
+    // overflows for vec_id ≳ 3.47e9 — Spark would silently wrap negative
+    // (admitting every point) while DuckDB throws. Identical draws for
+    // all ids < 2^31, so small-SF results are unchanged.
+    s"(CAST((((vec_id % 2147483648) * 2654435761) + ($round * 1013904223)) % 2147483648 AS DOUBLE) * CAST(phik AS DOUBLE)) < " +
       s"((CAST($l AS DOUBLE) * CAST(cost DIV 1024 AS DOUBLE)) * 2147483648.0)"
 
   /** Exact integer squared distance between the point's `vq` and a

@@ -51,6 +51,9 @@ object Evaluate {
   def binaryMetrics(scored: DataFrame): DataFrame = {
     val g = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
+    // unpartitioned windows are safe here: they run over g, the
+    // per-distinct-threshold table (bounded by distinct scores — the
+    // histogram argument in the scaladoc — never by row count)
     val wCum = Window.orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("thr").desc)

@@ -1227,7 +1227,9 @@ object Learn {
     * by (count desc, token) form the vocabulary (minCount's bounded-
     * model analog — everything downstream is vocabulary-bounded except
     * the row-linear pair extraction); center/context pairs within
-    * ±`window` positions; per pair one positive sigmoid term and one
+    * ±`window` positions over the VOCAB-FILTERED sequence (the
+    * reference drops OOV words before building sentences,
+    * Word2Vec.scala:300); per pair one positive sigmoid term and one
     * deterministic negative (vocab rank (r_center + 7·r_context + 3)
     * mod V). One full-batch step, then the joined in/out vectors for
     * the top-`topK` ranks: (tok, rnk, u1q, u2q, v1q, v2q). */
@@ -1252,8 +1254,16 @@ object Learn {
     // REAL rank range or the negative join would silently drop pairs.
     // Bounded driver action: vocab is <= vocabN rows.
     val vsize = vocab.count()
+    // positions are RE-RANKED over the vocab-filtered sequence: the
+    // reference (Word2Vec.scala:300-310) drops non-vocab words before
+    // building sentences, so context windows span the filtered tokens —
+    // an out-of-vocabulary token must not consume a window slot. The
+    // window is per-document (bounded by doc length), and posexplode's
+    // pos is unique per doc, so the rank is deterministic.
     val wt = toks.join(broadcast(vocab), "tok")
-      .select(col("did"), col("pos"), col("tok"), col("r"))
+      .select(col("did"), col("tok"), col("r"),
+        row_number().over(Window.partitionBy("did").orderBy("pos"))
+          .cast("long").as("pos"))
     val pairs = wt.as("a").join(wt.as("b"),
         col("a.did") === col("b.did") &&
           col("b.pos") >= col("a.pos") - window &&
@@ -1365,6 +1375,9 @@ object Learn {
     import org.apache.spark.sql.expressions.Window
     val t = df.groupBy(col(xCol).as("x"))
       .agg(count(lit(1)).as("cnt"), sum(yCol).as("sy"))
+    // unpartitioned window is safe here: it runs over the distinct-x
+    // table (bounded by the binned regressor domain, never row count —
+    // the scaladoc's "bin first" caveat is what keeps this small)
     val w = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = t.select(col("x"), col("cnt"), col("sy"),
@@ -1433,6 +1446,8 @@ object Learn {
         .withColumn("score", expr(
           "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
         .withColumn("rn", row_number().over(
+          // unpartitioned window is safe: h is the (feature x distinct
+          // split value) histogram — bounded by features*bins, not rows
           Window.orderBy(col("score").desc, col("feat"), col("val"))))
         .filter(col("rn") === 1)
         .selectExpr("feat", "val AS thr",
@@ -1496,6 +1511,8 @@ object Learn {
         .withColumn("score", expr(
           "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
         .withColumn("rn", row_number().over(
+          // unpartitioned window is safe: h is the (feature x distinct
+          // split value) histogram — bounded by features*bins, not rows
           Window.orderBy(col("score").desc, col("feat"), col("val"))))
         .filter(col("rn") === 1)
         .selectExpr("feat", "val AS thr",

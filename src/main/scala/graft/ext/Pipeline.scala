@@ -521,12 +521,18 @@ object Pipeline {
     * both engines evaluate libm cos at IDENTICAL doubles). Fixed
     * parenthesization, shared verbatim with the oracle. */
   def dct4Expr(k: Int): String = {
+    // every decimal literal is CAST through DOUBLE explicitly — both
+    // engines parse bare decimals as DECIMAL, and only the cast pins the
+    // identical nearest-double on each side (the w2vUpdExpr convention)
     val n = 4
-    val scale = if (k == 0) "sqrt(1.0 / 4.0)" else "sqrt(2.0 / 4.0)"
+    val scale =
+      if (k == 0) "sqrt(CAST(1.0 AS DOUBLE) / CAST(4.0 AS DOUBLE))"
+      else "sqrt(CAST(2.0 AS DOUBLE) / CAST(4.0 AS DOUBLE))"
     val sum = (0 until n).map { j =>
-      s"(CAST(x${j + 1} AS DOUBLE) * cos((${math.Pi} * ((2.0 * $j) + 1.0) * $k) / 8.0))"
+      s"(CAST(x${j + 1} AS DOUBLE) * cos((CAST(${math.Pi} AS DOUBLE) * " +
+        s"((CAST(2.0 AS DOUBLE) * $j) + CAST(1.0 AS DOUBLE)) * $k) / CAST(8.0 AS DOUBLE)))"
     }.reduce((a, b) => s"($a + $b)")
-    s"CAST(round(($scale * $sum) * 1000.0) AS BIGINT)"
+    s"CAST(round(($scale * $sum) * CAST(1000.0 AS DOUBLE)) AS BIGINT)"
   }
 
   /** Forward DCT-II over four integer input columns, milli-quantized. */

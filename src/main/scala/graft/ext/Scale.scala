@@ -383,8 +383,11 @@ object Scale {
     }
     // the SINGLE action: the clean aggregate (filter sits downstream of
     // the counting map, so the map sees every row exactly once)
+    // coalesce: sum() is NULL over zero rows (all-suspect or empty
+    // input) — the audit must report clean_cents = 0, not throw
     val row = tagged.filter(_ <= suspectAbove).toDF("c")
-      .agg(count(lit(1)).as("n_clean"), sum("c").as("clean_cents")).head()
+      .agg(count(lit(1)).as("n_clean"),
+        coalesce(sum("c"), lit(0L)).as("clean_cents")).head()
     s.range(1).select(
       lit(total.value.toLong).as("n_total"),
       lit(suspect.value.toLong).as("n_suspect"),

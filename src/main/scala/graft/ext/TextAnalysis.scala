@@ -836,9 +836,11 @@ object TextAnalysis {
       .selectExpr("w", "ctx", s"$ppmiExpr AS pmi")
       .filter(col("pmi") > 0)
     val norms = vecs.groupBy("w").agg(sum(col("pmi") * col("pmi")).as("nrm2"))
-    val targets = freq.select(col("tok"), row_number().over(
-        Window.orderBy(col("c").desc, col("tok"))).as("rn"))
-      .filter(col("rn") <= nTargets)
+    // top-nTargets via orderBy+limit (TakeOrderedAndProject: per-partition
+    // top-k then a bounded merge), NOT a global-window rank — the rank
+    // window would funnel the whole token-frequency table through one
+    // partition (same fix as chiSqSelect / word2vecSlice)
+    val targets = freq.orderBy(col("c").desc, col("tok")).limit(nTargets)
       .select(col("tok").as("target"))
     val dots = vecs.join(targets, col("w") === col("target"))
       .select(col("target"), col("ctx"), col("pmi").as("tp"))

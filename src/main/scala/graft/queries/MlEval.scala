@@ -161,11 +161,13 @@ object MlEval {
 
     "s31_multilabel_metrics" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // top-5 vocab via orderBy+limit (TakeOrderedAndProject: per-partition
+      // top-k then a bounded merge), NOT a global-window rank — the rank
+      // window would funnel the whole distinct-token table through one
+      // partition
       val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
-        .select(col("tok"),
-          row_number().over(Window.orderBy(col("c").desc, col("tok"))).as("rn"))
-        .filter(col("rn") <= 5)
+        .orderBy(col("c").desc, col("tok")).limit(5)
         .select("tok")
       val cells = docs.crossJoin(broadcast(vocab))
         .selectExpr("doc_id AS key", "tok",
@@ -442,7 +444,8 @@ object MlEval {
          |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS r
          |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)) WHERE r < 30),
          |wt AS MATERIALIZED (
-         |  SELECT t.did, t.pos, t.tok, v.r FROM toks t JOIN vocab v USING (tok)),
+         |  SELECT t.did, row_number() OVER (PARTITION BY t.did ORDER BY t.pos) AS pos,
+         |    t.tok, v.r FROM toks t JOIN vocab v USING (tok)),
          |init AS MATERIALIZED (SELECT tok, r, $initCols FROM (
          |  SELECT tok, r, ${Learn.w2vHashExpr} AS h FROM vocab)),
          |pairs AS MATERIALIZED (

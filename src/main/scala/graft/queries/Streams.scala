@@ -344,7 +344,10 @@ object Streams {
     // (ROWS 2 PRECEDING), gating the add/subtract identity.
     "v15_invertible_window" -> { (s, dir) =>
       import graft.streaming.{Streaming => St}
-      val path = "/tmp/graft_stream_inv"
+      // per-(dataset, process) scratch path — same isolation convention
+      // as v10's checkpoint dir, so concurrent bench runs on one host
+      // can't clobber each other's slice files mid-stream
+      val path = s"/tmp/graft_io/v15_inv_${Dedup.dirKey(dir)}_${ProcessHandle.current().pid()}"
       Tables.events(s, dir)
         .selectExpr("event_type", "CAST(round(value * 1000) AS BIGINT) AS vmilli",
           "CAST(minute(ts) % 6 AS BIGINT) AS b")
