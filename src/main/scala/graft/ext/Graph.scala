@@ -152,6 +152,40 @@ object Graph {
         .agg(mergeMsg(struct(col("__msg").as("msg"), col("__pre").as("pre"))).as("__m"))
     }
 
+  /** One-shot neighborhood aggregation — the reference's public
+    * aggregateMessages API (graphx/Graph.scala:422: sendMsg runs per
+    * edge and may emit toward src and/or dst; mergeMsg combines all
+    * messages per vertex; GraphOps.scala:89 collectNeighborIds is the
+    * canonical caller). This is the single superstep [[pregel]] runs per
+    * iteration, exposed without the loop: `toDst`/`toSrc` are Columns
+    * over the edge row (src, dst, attrs) — pass None to send nothing in
+    * that direction — and `mergeMsg` is the per-vertex aggregate, which
+    * Spark executes as a map-side-combined hash aggregate (GraphX's
+    * combiner for free; collect-shaped merges get the same [[pregel]]
+    * `preAggregate` hub-safety hook). Returns (vertex, agg) for every
+    * vertex that received at least one message — GraphX's contract
+    * (a VertexRDD aggregate carries no entry for message-less vertices;
+    * degrees joins are LEFT joins at the call site for that reason).
+    *
+    * At 100 TB: one projection per direction, one union, ONE shuffle
+    * (the per-vertex aggregate) — no join at all, since sendMsg here
+    * reads edge attributes only (TripletFields.None/EdgeOnly, the
+    * collectNeighborIds / degree-counting family). Messages needing the
+    * remote vertex's STATE are the pregel loop's job. */
+  def aggregateNeighbors(edges: DataFrame,
+                         toDst: Option[org.apache.spark.sql.Column],
+                         toSrc: Option[org.apache.spark.sql.Column],
+                         mergeMsg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(toDst.nonEmpty || toSrc.nonEmpty,
+      "at least one of toDst/toSrc must send (an edge with no sendMsg aggregates nothing)")
+    val parts = Seq(
+      toDst.map(m => edges.select(col("dst").as("vertex"), m.as("__msg"))),
+      toSrc.map(m => edges.select(col("src").as("vertex"), m.as("__msg")))).flatten
+    val raw = parts.reduce(_.unionByName(_))
+    messageStage(raw, mergeMsg, None).withColumnRenamed("__m", "agg")
+  }
+
   /** Static PageRank (GraphX GraphOps.pageRank semantics: reset 0.15/n +
     * 0.85 x received mass, dangling mass not redistributed), uniform
     * start, fixed `iters` supersteps over [[pregel]] (all vertices

@@ -68,26 +68,51 @@ object Pipeline {
       import spark.implicits._
       val rows = stages.zipWithIndex.map {
         case (Tokenizer(in, out), i) =>
-          (i, "tokenizer", in, out, None: Option[Int], None: Option[String], None: Option[Seq[Double]])
+          (i, "tokenizer", in, out, None: Option[Int], None: Option[String],
+            None: Option[Seq[Double]], None: Option[Seq[String]])
         case (HashingTF(in, out, nf, id), i) =>
-          (i, "hashing_tf", in, out, Some(nf), Some(id), None)
+          (i, "hashing_tf", in, out, Some(nf), Some(id), None, None)
         case (IdfModel(in, out, ws), i) =>
-          (i, "idf_model", in, out, None, None, Some(ws))
+          (i, "idf_model", in, out, None, None, Some(ws), None)
         case (L2Normalizer(in, out), i) =>
-          (i, "l2_normalizer", in, out, None, None, None)
+          (i, "l2_normalizer", in, out, None, None, None, None)
         // two-column numeric stages: cols packed comma-separated, fitted
         // doubles in `weights` (parquet doubles round-trip bit-exact —
         // the scaladoc above is exactly why these are not JSON text)
         case (StandardScaler2Model(i1, i2, o1, o2, m1, sd1, m2, sd2), i) =>
           (i, "std_scaler2", s"$i1,$i2", s"$o1,$o2", None, None,
-            Some(Seq(m1, sd1, m2, sd2)))
+            Some(Seq(m1, sd1, m2, sd2)), None)
         case (Pca2Model(i1, i2, oPc, oEvr, m1, m2, v1, v2, l1, l2), i) =>
           (i, "pca2", s"$i1,$i2", s"$oPc,$oEvr", None, None,
-            Some(Seq(m1, m2, v1, v2, l1, l2)))
+            Some(Seq(m1, m2, v1, v2, l1, l2)), None)
+        // string-array stages land in `labels` (same bit-exactness
+        // argument: parquet strings round-trip verbatim)
+        case (CountVectorizerModel(in, out, vocab, id), i) =>
+          (i, "count_vectorizer", in, out, None, Some(id), None, Some(vocab))
+        case (StringIndexerModel(in, out, labels), i) =>
+          (i, "string_indexer", in, out, None, None, None, Some(labels))
+        case (IndexToStringStage(in, out, labels), i) =>
+          (i, "index_to_string", in, out, None, None, None, Some(labels))
+        case (NGramStage(in, out, n), i) =>
+          (i, "ngram", in, out, Some(n), None, None, None)
+        case (VectorAssemblerStage(cols, out), i) =>
+          (i, "vector_assembler", cols.mkString(","), out, None, None, None, None)
+        case (VectorSlicerStage(in, out, idx), i) =>
+          (i, "vector_slicer", in, out, None, None,
+            Some(idx.map(_.toDouble)), None)
+        case (SQLTransformerStage(stmt), i) =>
+          (i, "sql_transformer", stmt, "", None, None, None, None)
+        // per-feature category maps packed "col|v0,v1,..." one label per
+        // categorical feature; continuous features are absent (exactly
+        // the fitted state)
+        case (VectorIndexerModel(cols, maps), i) =>
+          (i, "vector_indexer", cols.mkString(","), "", None, None, None,
+            Some(cols.flatMap(c =>
+              maps.get(c).map(vs => s"$c|${vs.mkString(",")}"))))
         case (other, i) => throw new IllegalArgumentException(
           s"stage $i (${other.getClass.getName}) has no persistence mapping")
       }.toDF("ordinal", "kind", "input_col", "output_col",
-        "num_features", "id_col", "weights")
+        "num_features", "id_col", "weights", "labels")
       IndexStore.atomically(spark, path) { tmp =>
         rows.coalesce(1).write.mode("overwrite").parquet(tmp)
       }
@@ -116,6 +141,24 @@ object Pipeline {
             val Array(i1, i2) = in.split(","); val Array(oPc, oEvr) = out.split(",")
             val w = r.getSeq[Double](r.fieldIndex("weights"))
             Pca2Model(i1, i2, oPc, oEvr, w(0), w(1), w(2), w(3), w(4), w(5))
+          case "count_vectorizer" => CountVectorizerModel(in, out,
+            r.getSeq[String](r.fieldIndex("labels")).toIndexedSeq,
+            r.getAs[String]("id_col"))
+          case "string_indexer"   => StringIndexerModel(in, out,
+            r.getSeq[String](r.fieldIndex("labels")).toIndexedSeq)
+          case "index_to_string"  => IndexToStringStage(in, out,
+            r.getSeq[String](r.fieldIndex("labels")).toIndexedSeq)
+          case "ngram"            => NGramStage(in, out, r.getAs[Int]("num_features"))
+          case "vector_assembler" => VectorAssemblerStage(in.split(",").toSeq, out)
+          case "vector_slicer"    => VectorSlicerStage(in, out,
+            r.getSeq[Double](r.fieldIndex("weights")).map(_.toInt).toIndexedSeq)
+          case "sql_transformer"  => SQLTransformerStage(in)
+          case "vector_indexer"   => VectorIndexerModel(in.split(",").toSeq,
+            r.getSeq[String](r.fieldIndex("labels")).map { packed =>
+              val Array(c, vs) = packed.split("\\|", 2)
+              c -> (if (vs.isEmpty) Seq.empty[Long]
+                    else vs.split(",").map(_.toLong).toSeq)
+            }.toMap)
           case k => throw new IllegalArgumentException(s"unknown stage kind '$k' in $path")
         }
       }
@@ -633,5 +676,179 @@ object Pipeline {
       }
       cur.select((df.columns.map(col).toSeq :+ col(labelCol).as("label")) ++ named: _*)
     }
+  }
+
+  // ---- CountVectorizer (reference ml/feature/CountVectorizer.scala:110
+  // fit: per-token (total count, document frequency) in one distributed
+  // pass, minDF gate (absolute when >= 1, else a fraction of the doc
+  // count, :135), vocabulary = top-vocabSize by count desc — the
+  // reference's sortBy(-count) leaves equal-count order UNSTABLE, pinned
+  // here to (count DESC, token ASC), the StringIndexer determinism
+  // choice. The fitted state is the vocabulary array (<= vocabSize rows
+  // collected — that IS the model). minTF is left at the reference
+  // default 1.0, where it filters nothing (counts are >= 1), declared. --
+
+  final case class CountVectorizerStage(inputCol: String, outputCol: String,
+                                        vocabSize: Int, minDF: Double = 1.0,
+                                        idCol: String = "doc_id")
+      extends Estimator {
+    def fit(df: DataFrame): CountVectorizerModel = {
+      val toks = df.select(col(idCol), explode(col(inputCol)).as("__t"))
+      // one groupBy carries both sufficient statistics; the doc-frequency
+      // count-distinct expands once and combines map-side
+      val stats = toks.groupBy("__t")
+        .agg(count(lit(1)).as("__tc"), countDistinct(col(idCol)).as("__dc"))
+      val minDfCount =
+        if (minDF >= 1.0) minDF else minDF * df.count().toDouble
+      // top-vocabSize via orderBy+limit (TakeOrderedAndProject — never a
+      // single-partition sort over the full distinct-token table)
+      val vocabulary = stats.filter(col("__dc") >= minDfCount)
+        .orderBy(col("__tc").desc, col("__t").asc).limit(vocabSize)
+        .collect().map(_.getString(0)).toSeq
+      CountVectorizerModel(inputCol, outputCol, vocabulary, idCol)
+    }
+  }
+
+  /** The fitted vectorizer (CountVectorizerModel, reference :192):
+    * token -> vocabulary index by broadcast dictionary join (the
+    * reference broadcasts the same map, :219), then the HashingTF
+    * execution shape — per-(id, index) hash aggregate with map-side
+    * combine, map assembly, join back. Output: dense array<double> of
+    * term counts, length = vocabulary size; out-of-vocabulary tokens
+    * contribute nothing; rows with no vocabulary tokens get the zero
+    * vector. Same idCol-uniqueness contract as [[HashingTF]]. */
+  final case class CountVectorizerModel(inputCol: String, outputCol: String,
+                                        vocabulary: Seq[String],
+                                        idCol: String = "doc_id")
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dict = vocabulary.zipWithIndex
+        .map { case (t, i) => (t, i.toLong) }.toDF("__t", "__j")
+      val counts = df.select(col(idCol), explode(col(inputCol)).as("__t"))
+        .join(broadcast(dict), "__t")
+        .groupBy(idCol, "__j").agg(count(lit(1)).as("__c"))
+        .groupBy(idCol)
+        .agg(map_from_entries(collect_list(struct(col("__j"), col("__c")))).as("__m"))
+      df.join(counts, Seq(idCol), "left")
+        .withColumn(outputCol,
+          expr(s"transform(sequence(0, ${vocabulary.size - 1}), " +
+            "j -> CAST(coalesce(element_at(__m, CAST(j AS BIGINT)), 0L) AS DOUBLE))"))
+        .drop("__m")
+    }
+  }
+
+  // ---- NGram (reference ml/feature/NGram.scala:38 — sliding(n)
+  // withPartial(false) over the token sequence, each n-gram the
+  // space-joined window, :60; inputs shorter than n yield the empty
+  // array, :36). Pure projection over the token array. -----------------
+
+  final case class NGramStage(inputCol: String, outputCol: String,
+                              n: Int = 2) extends Transformer {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def transform(df: DataFrame): DataFrame =
+      // the short-input guard matters: sequence(1, 0) in Spark is the
+      // DESCENDING [1, 0], not empty — slice(x, 1, 0) is the typed
+      // empty array
+      df.withColumn(outputCol, expr(
+        s"CASE WHEN size($inputCol) < $n THEN slice($inputCol, 1, 0) " +
+          s"ELSE transform(sequence(1, size($inputCol) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice($inputCol, i, $n))) END"))
+  }
+
+  // ---- Pipeline plumbing transformers (the pure projections every real
+  // Pipeline threads between learned stages): VectorAssembler (reference
+  // ml/feature/VectorAssembler.scala:39 — numeric columns concatenated
+  // into one feature vector, input order preserved), VectorSlicer
+  // (VectorSlicer.scala:44 — subarray by 0-based indices, order as
+  // given), IndexToString (StringIndexer.scala:246 — the fitted
+  // indexer's inverse, index -> label; out-of-range maps to null, the
+  // StringIndexerModel unseen-label posture), SQLTransformer
+  // (SQLTransformer.scala:43 — a SQL statement over the __THIS__
+  // placeholder view, :67). House vector form is array<double>. --------
+
+  final case class VectorAssemblerStage(inputCols: Seq[String],
+                                        outputCol: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol, array(inputCols.map(c => col(c).cast("double")): _*))
+  }
+
+  final case class VectorSlicerStage(inputCol: String, outputCol: String,
+                                     indices: Seq[Int]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      // element_at is 1-based; indices follow the reference's 0-based API
+      df.withColumn(outputCol,
+        array(indices.map(i => element_at(col(inputCol), i + 1)): _*))
+  }
+
+  final case class IndexToStringStage(inputCol: String, outputCol: String,
+                                      labels: Seq[String]) extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      df.withColumn(outputCol,
+        labels.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (l, i)) => when(col(inputCol) === i.toLong, lit(l)).otherwise(acc)
+        })
+  }
+
+  /** SQL over the running frame via the reference's __THIS__ placeholder
+    * (SQLTransformer.scala:67 registers a uid-derived temp view and
+    * substitutes). The view is dropped immediately after sql() — Spark
+    * analyzes eagerly, so the returned plan is already bound to the
+    * frame, not the view name. */
+  final case class SQLTransformerStage(statement: String) extends Transformer {
+    def transform(df: DataFrame): DataFrame = {
+      val name = s"__this_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(name)
+      try df.sparkSession.sql(statement.replace("__THIS__", name))
+      finally df.sparkSession.catalog.dropTempView(name)
+    }
+  }
+
+  // ---- VectorIndexer (reference ml/feature/VectorIndexer.scala:97 fit:
+  // per-feature distinct-value sets, cut off past maxCategories; a
+  // feature with <= maxCategories distinct values is CATEGORICAL and
+  // gets a value -> index map ordered zero-first then ascending
+  // (:198-203 — sorted non-zero values with 0.0 prepended when present,
+  // so index 0 is always the zero value and sparsity is preserved);
+  // features past the cutoff stay continuous and pass through. House
+  // form: flat integer feature columns; categorical feature `c` emits
+  // `c_idx`, continuous features add nothing. ---------------------------
+
+  final case class VectorIndexerStage(inputCols: Seq[String],
+                                      maxCategories: Int) extends Estimator {
+    def fit(df: DataFrame): VectorIndexerModel = {
+      val maps = inputCols.flatMap { c =>
+        // bounded probe: maxCategories+1 rows decide categorical vs
+        // continuous without ever collecting a large domain
+        val domain = df.select(col(c).cast("long").as("__v")).distinct()
+          .orderBy("__v").limit(maxCategories + 1)
+          .collect().map(_.getLong(0)).toSeq
+        if (domain.size <= maxCategories) {
+          val nonZero = domain.filter(_ != 0L).sorted
+          val cats = if (domain.contains(0L)) 0L +: nonZero else nonZero
+          Some(c -> cats)
+        } else None
+      }.toMap
+      VectorIndexerModel(inputCols, maps)
+    }
+  }
+
+  /** The fitted indexer: per categorical feature one CASE chain
+    * (codegen'd) value -> category index; unseen values map to null
+    * (the handleInvalid-skip posture StringIndexerModel declares). */
+  final case class VectorIndexerModel(inputCols: Seq[String],
+                                      categoryMaps: Map[String, Seq[Long]])
+      extends Transformer {
+    def transform(df: DataFrame): DataFrame =
+      inputCols.foldLeft(df) { (d, c) =>
+        categoryMaps.get(c) match {
+          case Some(cats) => d.withColumn(s"${c}_idx",
+            cats.zipWithIndex.foldLeft(lit(null).cast("long")) {
+              case (acc, (v, i)) => when(col(c) === v, lit(i.toLong)).otherwise(acc)
+            })
+          case None => d
+        }
+      }
   }
 }

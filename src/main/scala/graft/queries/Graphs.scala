@@ -47,6 +47,31 @@ object Graphs {
         .orderBy("vertex")
     },
 
+    // One-shot neighborhood aggregation (reference graphx/Graph.scala:422
+    // aggregateMessages as the public API; GraphOps.scala:89
+    // collectNeighborIds): per nation the sorted distinct neighbor set in
+    // EITHER direction (sendToSrc + sendToDst of the opposite endpoint,
+    // merged by collect_set — flattened to a csv string for the
+    // comparator) and the incoming trade weight (sendToDst of the edge
+    // weight, merged by sum). No loop anywhere — this is the single
+    // superstep API the pregel algorithms are built from.
+    "p15_aggregate_neighbors" -> { (s, dir) =>
+      val e = tradeEdges(s, dir).groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+      val nbrs = G.aggregateNeighbors(e,
+          toDst = Some(col("src")), toSrc = Some(col("dst")),
+          mergeMsg = m => sort_array(collect_set(m)))
+        .select(col("vertex"),
+          size(col("agg")).cast("long").as("n_nbrs"),
+          expr("concat_ws(',', transform(agg, x -> CAST(x AS STRING)))").as("nbrs"))
+      val inW = G.aggregateNeighbors(e,
+          toDst = Some(col("w")), toSrc = None, mergeMsg = m => sum(m))
+        .select(col("vertex"), col("agg").cast("long").as("in_w"))
+      nbrs.join(inW, Seq("vertex"), "left")
+        .na.fill(0L, Seq("in_w"))
+        .orderBy("vertex")
+    },
+
     // HITS over the trade graph: which nations are the big buyers (hubs)
     // vs the big suppliers (authorities) — the two-sided centrality
     // PageRank's single score conflates. Kleinberg 1999; 2 iterations,
@@ -340,6 +365,28 @@ object Graphs {
        |  FROM pv3 CROSS JOIN $centers c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Relational mirror of the two aggregateMessages calls: the
+    // either-direction union for the neighbor set, the dst-grouped sum
+    // for incoming weight; vertices with no incoming edges coalesce to 0.
+    "p15_aggregate_neighbors" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |g AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY 1, 2),
+        |und AS (SELECT dst AS vertex, src AS n FROM g
+        |  UNION ALL SELECT src, dst FROM g),
+        |nbr AS (SELECT vertex, CAST(count(DISTINCT n) AS BIGINT) AS n_nbrs,
+        |    array_to_string(list_sort(list(DISTINCT n)), ',') AS nbrs
+        |  FROM und GROUP BY 1),
+        |inw AS (SELECT dst AS vertex, CAST(sum(w) AS BIGINT) AS in_w FROM g GROUP BY 1)
+        |SELECT v.vertex, v.n_nbrs, v.nbrs, CAST(COALESCE(i.in_w, 0) AS BIGINT) AS in_w
+        |FROM nbr v LEFT JOIN inw i USING (vertex)
+        |ORDER BY vertex""".stripMargin,
+
     // Plain relational mirror: the subgraph/reverse/mask chain is all
     // filters, projections and a semi-join.
     "p14_graph_operators" ->

@@ -160,6 +160,106 @@ object Ml {
         .orderBy("doc_id")
     },
 
+    // CountVectorizer (reference ml/feature/CountVectorizer.scala:110
+    // fit / :192 model): exact-vocabulary term counting next to s10's
+    // HashingTF — vocab = top-10 tokens by (count desc, tok) with
+    // minDF >= 2, then the fitted model's count vectors over the WHOLE
+    // corpus, emitted sparse (posexplode + c > 0) with the vocab term
+    // joined back so the fitted dictionary itself is oracle-gated.
+    "s59_count_vectorizer" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          "filter(split(text, ' '), t -> length(t) > 0) AS toks")
+      val model = CountVectorizerStage("toks", "tf",
+        vocabSize = 10, minDF = 2.0).fit(toks)
+      import s.implicits._
+      val terms = model.vocabulary.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("j", "term")
+      model.transform(toks)
+        .select(col("doc_id"), posexplode(col("tf")).as(Seq("j", "c")))
+        .filter(col("c") > 0)
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          col("c").cast("long").as("cnt"))
+        .join(broadcast(terms), "j")
+        .select("doc_id", "j", "term", "cnt")
+        .orderBy("doc_id", "j")
+    },
+
+    // NGram (reference ml/feature/NGram.scala:38 — sliding(n)
+    // withPartial(false), space-joined windows, empty array below n):
+    // per-document bigram count + digest over the bigram sequence, the
+    // s58 shape; corpus-wide top-5 bigrams would be a groupBy away.
+    "s60_ngram" -> { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .selectExpr("doc_id",
+          "filter(split(text, ' '), t -> length(t) > 0) AS toks")
+      NGramStage("toks", "grams", n = 2).transform(toks)
+        .selectExpr("doc_id",
+          "CAST(size(grams) AS BIGINT) AS n_grams",
+          "md5(concat_ws('|', grams)) AS grams_md5")
+        .orderBy("doc_id")
+    },
+
+    // Pipeline plumbing gauntlet (reference ml/feature/VectorAssembler
+    // .scala:39, VectorSlicer.scala:44, StringIndexer.scala:246
+    // IndexToString, SQLTransformer.scala:43): StringIndexer fits on
+    // o_orderstatus, IndexToString round-trips the index back to the
+    // label (st_rt == o_orderstatus gates the inverse), VectorAssembler
+    // packs (n_items, qty, cents) into the house array<double> vector,
+    // VectorSlicer takes components [0, 2], and SQLTransformer derives
+    // cents + qty over the __THIS__ view. Arrays are flattened via
+    // element_at for the comparator.
+    "s61_plumbing_stages" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")), "o_orderkey")
+      val idx = StringIndexerStage("o_orderstatus", "st_idx").fit(base)
+      val chain = new Model(Seq(
+        idx,
+        IndexToStringStage("st_idx", "st_rt", idx.labels),
+        VectorAssemblerStage(Seq("n_items", "qty", "cents"), "fv"),
+        VectorSlicerStage("fv", "sl", Seq(0, 2)),
+        SQLTransformerStage(
+          "SELECT o_orderkey, st_idx, st_rt, fv, sl, cents + qty AS cq FROM __THIS__")))
+      chain.transform(base)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("st_idx"), col("st_rt"),
+          element_at(col("fv"), 2).as("fv2"),
+          element_at(col("sl"), 1).as("sl1"),
+          element_at(col("sl"), 2).as("sl2"),
+          col("cq").cast("long").as("cq"))
+        .orderBy("o_orderkey")
+    },
+
+    // VectorIndexer (reference ml/feature/VectorIndexer.scala:97 —
+    // per-feature distinct sets decide categorical (<= maxCategories)
+    // vs continuous; category maps order zero-first then ascending,
+    // :198-203): cents stays continuous (passthrough, visible raw),
+    // items_c = least(n_items, 5) (bounded positive domain at ANY scale
+    // factor) and qty%3−1 (domain {−1,0,1} — exercises the zero-first
+    // rule: 0→0, −1→1, 1→2) become indices; n_categorical gates the
+    // decision itself.
+    "s62_vector_indexer" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")), "o_orderkey")
+        .selectExpr("o_orderkey", "cents",
+          "least(n_items, 5) AS items_c", "qty % 3 - 1 AS r3")
+      val model = VectorIndexerStage(Seq("cents", "items_c", "r3"),
+        maxCategories = 10).fit(feats)
+      model.transform(feats)
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("n_categorical", lit(model.categoryMaps.size.toLong))
+        .select("o_orderkey", "cents", "items_c_idx", "r3_idx", "n_categorical")
+        .orderBy("o_orderkey")
+    },
+
     // PolynomialExpansion (reference ml/feature/PolynomialExpansion
     // .scala:38 — degree-2 of (x, y) = (x, x², y, xy, y²) in exactly
     // that order, :35; exact integers throughout): the s14 features
@@ -1037,6 +1137,84 @@ object Ml {
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS kept_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // Mirror of CountVectorizerStage: (count desc, tok) vocabulary with
+    // the df >= 2 gate, sparse per-(doc, term) counts via the same join.
+    "s59_count_vectorizer" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, unnest(
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |st AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS tc,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS dc
+        |  FROM t GROUP BY 1),
+        |voc AS (SELECT tok, CAST(row_number() OVER (ORDER BY tc DESC, tok) - 1 AS BIGINT) AS j
+        |  FROM (SELECT * FROM st WHERE dc >= 2 ORDER BY tc DESC, tok LIMIT 10))
+        |SELECT t.doc_id, v.j, v.tok AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t JOIN voc v USING (tok)
+        |GROUP BY 1, 2, 3 ORDER BY doc_id, j""".stripMargin,
+
+    // Bigrams via range(1, len): i runs 1..len−1, so short docs yield
+    // the empty list and the digest of ''.
+    "s60_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS grams FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  md5(array_to_string(grams, '|')) AS grams_md5
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Mirror of the plumbing chain: the indexer ranking (count desc,
+    // status), the round-trip label is the original status, assembler /
+    // slicer components are plain casts, the SQL stage's derived column.
+    "s61_plumbing_stages" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l GROUP BY 1),
+        |b2 AS MATERIALIZED (
+        |  SELECT b.o_orderkey, b.n_items, b.qty, o.o_orderstatus,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM base b JOIN orders o ON b.o_orderkey = o.o_orderkey),
+        |idx AS (SELECT o_orderstatus,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, o_orderstatus) - 1 AS BIGINT) AS st_idx
+        |  FROM (SELECT o_orderstatus, count(*) AS cnt FROM b2 GROUP BY 1))
+        |SELECT b.o_orderkey, i.st_idx, b.o_orderstatus AS st_rt,
+        |  CAST(b.qty AS DOUBLE) AS fv2,
+        |  CAST(b.n_items AS DOUBLE) AS sl1,
+        |  CAST(b.cents AS DOUBLE) AS sl2,
+        |  CAST(b.cents + b.qty AS BIGINT) AS cq
+        |FROM b2 b JOIN idx i USING (o_orderstatus)
+        |WHERE b.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    // Mirror of VectorIndexerStage: zero-first-then-ascending category
+    // order per small-domain feature; cents passes through raw;
+    // n_categorical re-derives the categorical/continuous decision.
+    "s62_vector_indexer" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT l.l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l GROUP BY 1),
+        |feats AS MATERIALIZED (
+        |  SELECT b.o_orderkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(least(b.n_items, 5) AS BIGINT) AS items_c,
+        |    CAST(b.qty % 3 - 1 AS BIGINT) AS r3
+        |  FROM base b JOIN orders o ON b.o_orderkey = o.o_orderkey),
+        |catn AS (SELECT v, CAST(row_number() OVER (ORDER BY (v <> 0), v) - 1 AS BIGINT) AS ix
+        |  FROM (SELECT DISTINCT items_c AS v FROM feats)),
+        |catr AS (SELECT v, CAST(row_number() OVER (ORDER BY (v <> 0), v) - 1 AS BIGINT) AS ix
+        |  FROM (SELECT DISTINCT r3 AS v FROM feats)),
+        |ncat AS (SELECT CAST(
+        |    (CASE WHEN (SELECT count(DISTINCT cents) FROM feats) <= 10 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN (SELECT count(DISTINCT items_c) FROM feats) <= 10 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN (SELECT count(DISTINCT r3) FROM feats) <= 10 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_categorical)
+        |SELECT f.o_orderkey, f.cents, cn.ix AS items_c_idx, cr.ix AS r3_idx,
+        |  n.n_categorical
+        |FROM feats f JOIN catn cn ON f.items_c = cn.v
+        |JOIN catr cr ON f.r3 = cr.v CROSS JOIN ncat n
+        |WHERE f.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
 
     // Exact integer expansion terms in the reference order.
     "s56_polynomial_expansion" ->

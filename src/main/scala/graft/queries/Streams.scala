@@ -368,6 +368,69 @@ object Streams {
         .orderBy("event_type", "b")
     },
 
+    // Socket streaming source (reference STRM/StreamingContext.scala:327
+    // socketTextStream — the reference's first-listed streaming source;
+    // the one in-sandbox-testable network source, unlike Kafka). A
+    // loopback ServerSocket serves a BOUNDED deterministic slice (the
+    // 200 smallest event_ids — collect is 200 rows by construction) as
+    // csv lines; readStream.format("socket") consumes them as a REAL
+    // network stream (the TextSocketMicroBatchStream wire path, not a
+    // file pretending to be one), then a pass-through append into a
+    // memory sink — no streaming state, so no statePartitions decision.
+    // A socket source has no natural end-of-input, so the drain polls
+    // the sink until all 200 rows landed (bounded by a 60 s deadline);
+    // the server thread blocks on read() until the source disconnects —
+    // no sleeps, no port races (the OS picks the ephemeral port).
+    "v17_socket_source" -> { (s, dir) =>
+      val rows = Tables.events(s, dir)
+        .selectExpr("event_id", "event_type",
+          "CAST(round(value * 1000) AS BIGINT) AS vmilli")
+        .orderBy("event_id").limit(200)
+        .collect()
+      val lines = rows.map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+      val server = new java.net.ServerSocket(0, 1,
+        java.net.InetAddress.getByName("127.0.0.1"))
+      val port = server.getLocalPort
+      val t = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val w = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+            sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+          lines.foreach(w.println)
+          w.flush()
+          // hold the connection until the source side hangs up (read()
+          // returns -1 / throws when the query stops) — closing early
+          // would reset the source mid-batch
+          try sock.getInputStream.read() catch { case _: java.io.IOException => () }
+          sock.close()
+        } catch { case _: java.io.IOException => () }
+        finally server.close()
+      })
+      t.setDaemon(true)
+      t.start()
+      val parsed = s.readStream.format("socket")
+        .option("host", "127.0.0.1").option("port", port.toString).load()
+        .selectExpr(
+          "CAST(split(value, ',')[0] AS BIGINT) AS event_id",
+          "split(value, ',')[1] AS event_type",
+          "CAST(split(value, ',')[2] AS BIGINT) AS vmilli")
+      val q = parsed.writeStream.format("memory").queryName("v17_sink")
+        .outputMode("append").start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000L
+        while (s.table("v17_sink").count() < lines.length &&
+            System.currentTimeMillis() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(50)
+        }
+      } finally q.stop()
+      s.table("v17_sink")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmilli").as("sum_vmilli"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+        .orderBy("event_type")
+    },
+
     "v14_streaming_ttest" -> { (s, dir) =>
       val src = eventStream(s, dir).selectExpr("event_type",
         "CAST(round(value * 1000) AS BIGINT) AS vm")
@@ -418,6 +481,18 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    // The same bounded 200-event slice re-aggregated relationally —
+    // gating that the socket wire path delivered every line exactly once.
+    "v17_socket_source" ->
+      """WITH sub AS (
+        |  SELECT event_id, event_type, CAST(round(value * 1000) AS BIGINT) AS vmilli
+        |  FROM events ORDER BY event_id LIMIT 200)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vmilli) AS BIGINT) AS sum_vmilli,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM sub GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "v01_tumbling_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -337,4 +337,30 @@ class GraphSpec extends SparkSpec {
       .orderBy("vertex").collect().map(_.getLong(0))
     assert(cut.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("aggregateNeighbors: per-direction sends, per-vertex merge, no-message vertices absent") {
+    import spark.implicits._
+    val we = Seq((1L, 2L, 10L), (1L, 3L, 5L), (2L, 3L, 7L))
+      .toDF("src", "dst", "w")
+    // collectNeighborIds(Either): both endpoints hear the opposite one
+    val nbrs = Graph.aggregateNeighbors(we,
+        toDst = Some(col("src")), toSrc = Some(col("dst")),
+        mergeMsg = m => sort_array(collect_set(m)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(nbrs === Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L), 3L -> Seq(1L, 2L)))
+    // in-weight: dst-only sends; vertex 1 receives nothing and is ABSENT
+    // (the GraphX VertexRDD-aggregate contract, not a zero row)
+    val inW = Graph.aggregateNeighbors(we,
+        toDst = Some(col("w")), toSrc = None, mergeMsg = m => sum(m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inW === Map(2L -> 10L, 3L -> 12L))
+    // a message may read any edge attr: max outgoing weight per src
+    val maxOut = Graph.aggregateNeighbors(we,
+        toDst = None, toSrc = Some(col("w")), mergeMsg = m => max(m))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(maxOut === Map(1L -> 10L, 2L -> 7L))
+    intercept[IllegalArgumentException] {
+      Graph.aggregateNeighbors(we, None, None, m => sum(m))
+    }
+  }
 }

@@ -245,4 +245,113 @@ class PipelineSpec extends SparkSpec {
     val r2 = m2.transform(d2).select("label", "f1", "f2").head()
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((100L, 5L, 7L)))
   }
+
+  test("countVectorizer: fit learns the minDF-gated vocab; model applies it to NEW data") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq("aa", "aa", "bb", "cc")),
+      (2L, Seq("aa", "bb")),
+      (3L, Seq("aa", "dd"))).toDF("doc_id", "toks")
+    val model = CountVectorizerStage("toks", "tf", vocabSize = 2, minDF = 2.0)
+      .fit(train)
+    // counts: aa=4 (df 3), bb=2 (df 2), cc=1 (df 1), dd=1 (df 1);
+    // minDF=2 drops cc/dd, vocabSize=2 keeps (aa, bb) in count-desc order
+    assert(model.vocabulary === Seq("aa", "bb"))
+    // transform NEW data with the TRAINING vocabulary: dd is OOV, a
+    // vocab-less doc gets the zero vector
+    val out = model.transform(Seq(
+        (9L, Seq("bb", "bb", "dd")), (10L, Seq("dd"))).toDF("doc_id", "toks"))
+      .orderBy("doc_id")
+      .select(expr("tf[0]"), expr("tf[1]")).collect()
+    assert(out.map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      === Seq((0.0, 2.0), (0.0, 0.0)))
+    // fractional minDF: 0.7 * 3 docs = 2.1 -> only aa (df 3) survives
+    val frac = CountVectorizerStage("toks", "tf", vocabSize = 10, minDF = 0.7)
+      .fit(train)
+    assert(frac.vocabulary === Seq("aa"))
+    // persistence round-trip carries the vocabulary verbatim
+    val path = "/tmp/graft_scale/pipeline_cv_spec"
+    new Model(Seq(model)).save(spark, path)
+    val loaded = Model.load(spark, path)
+      .stages.collectFirst { case m: CountVectorizerModel => m }.get
+    assert(loaded === model)
+  }
+
+  test("nGram: sliding windows, withPartial(false) short-input contract, n=1 identity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a")), (3L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val bi = NGramStage("toks", "g", n = 2).transform(df).orderBy("id")
+      .select(expr("concat_ws('|', g)")).collect().map(_.getString(0))
+    assert(bi.toSeq === Seq("a b|b c", "", ""))
+    val tri = NGramStage("toks", "g", n = 3).transform(df).orderBy("id")
+      .select(expr("size(g)")).collect().map(_.getInt(0))
+    assert(tri.toSeq === Seq(1, 0, 0))
+    val uni = NGramStage("toks", "g", n = 1).transform(df.filter(col("id") === 1))
+      .select(expr("concat_ws('|', g)")).head().getString(0)
+    assert(uni === "a|b|c")
+  }
+
+  test("plumbing stages: assembler order, slicer indices, indexToString inverse, SQL __THIS__") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100L, "F"), (2L, 20L, 200L, "O"), (3L, 30L, 300L, "O"))
+      .toDF("id", "a", "b", "st")
+    val idx = StringIndexerStage("st", "st_idx").fit(df)
+    assert(idx.labels === Seq("O", "F")) // freq desc, tie alphabetical
+    val chain = new Model(Seq(
+      idx,
+      IndexToStringStage("st_idx", "st_rt", idx.labels),
+      VectorAssemblerStage(Seq("a", "b"), "v"),
+      VectorSlicerStage("v", "s", Seq(1)),
+      SQLTransformerStage("SELECT id, st, st_rt, v, s, a + b AS ab FROM __THIS__")))
+    val out = chain.transform(df).orderBy("id").collect()
+    // IndexToString inverts StringIndexer exactly
+    assert(out.map(r => (r.getAs[String]("st"), r.getAs[String]("st_rt")))
+      .forall { case (x, y) => x == y })
+    // assembler preserves input order; slicer picks 0-based component 1
+    val r1 = out.head
+    assert(r1.getAs[Seq[Double]]("v") === Seq(10.0, 100.0))
+    assert(r1.getAs[Seq[Double]]("s") === Seq(100.0))
+    // the SQL stage computed over the running frame and pruned columns
+    assert(r1.getAs[Long]("ab") === 110L)
+    assert(!out.head.schema.fieldNames.contains("st_idx") ||
+      r1.schema.fieldNames.sameElements(
+        Array("id", "st", "st_rt", "v", "s", "ab")))
+    // unseen index maps to null (the handleInvalid-skip posture)
+    val nullRt = IndexToStringStage("i", "l", Seq("x"))
+      .transform(Seq(5L).toDF("i")).select("l").head()
+    assert(nullRt.isNullAt(0))
+    // persistence: the whole plumbing chain round-trips
+    val path = "/tmp/graft_scale/pipeline_plumb_spec"
+    chain.save(spark, path)
+    val loaded = Model.load(spark, path)
+    assert(loaded.transform(df).orderBy("id").collect().toSeq === out.toSeq)
+  }
+
+  test("vectorIndexer: zero-first category order, continuous cutoff, unseen -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, -1L, 10L), (2L, 0L, 20L), (3L, 1L, 30L), (4L, 0L, 40L))
+      .toDF("id", "r", "c")
+    val model = VectorIndexerStage(Seq("r", "c"), maxCategories = 3).fit(df)
+    // r has domain {-1, 0, 1}: zero FIRST, then non-zero ascending
+    assert(model.categoryMaps("r") === Seq(0L, -1L, 1L))
+    // c has 4 distinct > maxCategories -> continuous, no map
+    assert(!model.categoryMaps.contains("c"))
+    val out = model.transform(df).orderBy("id")
+      .select("r_idx").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 0L, 2L, 0L))
+    // unseen value maps to null
+    val unseen = model.transform(Seq((9L, 5L, 1L)).toDF("id", "r", "c"))
+      .select("r_idx").head()
+    assert(unseen.isNullAt(0))
+    // persistence round-trip keeps the category maps (and the absence
+    // of one for the continuous feature)
+    val path = "/tmp/graft_scale/pipeline_vidx_spec"
+    new Model(Seq(model)).save(spark, path)
+    val loaded = Model.load(spark, path)
+      .stages.collectFirst { case m: VectorIndexerModel => m }.get
+    assert(loaded === model)
+  }
 }
