@@ -419,7 +419,48 @@ object Plans {
       ("Tree aggregation: 64 leaf buckets -> 8 -> 1, three small " +
         "exchanges instead of one final reducer swallowing every " +
         "partition's wide partial — the treeAggregate shape " +
-        "GradientDescent relies on; result-invisible by associativity."))
+        "GradientDescent relies on; result-invisible by associativity."),
+    "s51_kmeans_parallel" ->
+      ("k-means|| oversampling: per round ONE point × candidate " +
+        "broadcast join (candidates are a bounded handful by the l·k " +
+        "budget), a per-point min, a 1-row φ broadcast, and the scaled " +
+        "Bernoulli selection filter — row-linear per round at any " +
+        "corpus size, vs k-means++'s k sequential full passes; the " +
+        "final candidate weighting is one more min-distance join + " +
+        "hash aggregate."),
+    "s55_frequent_triples_seq" ->
+      ("PrefixSpan length-3, the optimal-endpoints argument made " +
+        "physical: taking a = the EARLIEST A-event and c = the LATEST " +
+        "C-event is optimal, so A→B→C existence needs only the per-user " +
+        "(item, tmin, tmax) stats table — the (A, C) prefix join is " +
+        "bounded by |types|² per user and event rows NEVER pair with " +
+        "each other; one events ⋈ pair join + distinct + hash aggregate " +
+        "does the support counting."),
+    "s59_count_vectorizer" ->
+      ("CountVectorizer: fit is one explode + per-token hash aggregate " +
+        "carrying BOTH sufficient statistics (count + doc-frequency), " +
+        "then orderBy+limit (TakeOrderedAndProject — per-partition " +
+        "top-k, bounded merge, never a global-window rank) to the " +
+        "vocabSize collect that IS the model; transform joins the " +
+        "BROADCAST dictionary and rides the HashingTF two-level " +
+        "map-side-combined count shape — corpus size never touches " +
+        "the model side."),
+    "s61_plumbing_stages" ->
+      ("Pipeline plumbing: StringIndexer's fit is the only aggregate " +
+        "(k-label collect, bounded); everything after — IndexToString's " +
+        "CASE chain, assembler/slicer array projections, the " +
+        "SQLTransformer statement — fuses into the SAME " +
+        "WholeStageCodegen span as the base join: five logical stages, " +
+        "zero added shuffles."),
+    "p15_aggregate_neighbors" ->
+      ("aggregateMessages one-shot: the operator itself is the " +
+        "Union + per-vertex hash aggregate in the middle of the plan " +
+        "— per-direction edge projections into ONE map-side-combined " +
+        "combine, no join between send and merge (sendMsg reads edge " +
+        "attrs only: the TripletFields.None fast path). The joins " +
+        "visible above/below it are the trade-edge build (broadcast " +
+        "dims) and the query's final neighbor-set ⋈ in-weight " +
+        "assembly of two aggregateNeighbors results."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)

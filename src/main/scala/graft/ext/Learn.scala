@@ -1347,6 +1347,102 @@ object Learn {
         "CAST(k - 1 AS BIGINT) AS dof")
   }
 
+  // ---- AFT survival regression (reference ml/regression/
+  // AFTSurvivalRegression.scala — the Weibull accelerated-failure-time
+  // model over (label t, censor δ, features); AFTAggregator:436 computes
+  // the per-row negative-log-likelihood gradient with ε = (ln t − x'β)/σ:
+  //   ∂L/∂β_j   per row = (δ − e^ε)·x_j/σ          (:484)
+  //   ∂L/∂ln σ  per row = δ + (δ − e^ε)·ε           (:485)
+  // and the loss/gradient are MEANS over the count (:451,:454); the
+  // model's predict is λ = exp(x'β + intercept) and predictQuantiles
+  // λ·exp(ln(−ln(1−q))·σ) (:284,:297). Thin slice, deviations declared
+  // per the house convention: FULL-BATCH fixed-step gradient descent on
+  // the mean loss in place of breeze L-BFGS + Wolfe (s50 proves the
+  // two-loop elsewhere; the line search is a driver-side scalar loop
+  // outside the oracle's reach), parameters (ln σ, β) carried as
+  // micro-quantized BIGINT in a 1-row frame, per-row gradient
+  // contributions micro-quantized BEFORE the exact integer sums
+  // (partitioning-independent; the ln/exp libm seams are absorbed by the
+  // rounding except within ~1e-10 of a boundary — the n22/s19 declared
+  // risk), and rows with t < 1 dropped at the feature stage (a survival
+  // time must be positive to log). ---------------------------------------
+
+  /** σ from the micro-quantized ln σ — shared verbatim with the oracle. */
+  val aftSigmaExpr: String = "exp(CAST(lsm AS DOUBLE) / 1000000.0)"
+
+  /** ε = (ln t − (b0 + b1·x1 + b2·x2))/σ over micro params — shared. */
+  val aftEpsExpr: String =
+    "((ln(CAST(t AS DOUBLE)) - (CAST((b0m + (b1m * x1)) + (b2m * x2) AS DOUBLE) / 1000000.0)) / " +
+      s"$aftSigmaExpr)"
+
+  /** Per-row micro gradient contribution for coefficient j (xj = "1" for
+    * the intercept): (δ − e^ε)·x_j/σ, micro-quantized. Shared. */
+  def aftGradBetaExpr(xj: String): String =
+    s"CAST(round((((CAST(del AS DOUBLE) - exp($aftEpsExpr)) * $xj) / $aftSigmaExpr) * 1000000.0) AS BIGINT)"
+
+  /** Per-row micro gradient contribution for ln σ:
+    * δ + (δ − e^ε)·ε, micro-quantized. Shared. */
+  val aftGradLsExpr: String =
+    s"CAST(round((CAST(del AS DOUBLE) + ((CAST(del AS DOUBLE) - exp($aftEpsExpr)) * $aftEpsExpr)) * 1000000.0) AS BIGINT)"
+
+  /** One parameter's DESCENT update from its exact micro gradient sum:
+    * p − step·(Σg/n), staying in micro units. Shared. */
+  def aftUpdExpr(pm: String, g: String, step: Double): String =
+    s"$pm - CAST(round(CAST($step AS DOUBLE) * (CAST($g AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)"
+
+  /** λ = exp(x'β) over the micro params (intercept inside b0m). Shared. */
+  val aftLambdaExpr: String =
+    "exp(CAST((b0m + (b1m * x1)) + (b2m * x2) AS DOUBLE) / 1000000.0)"
+
+  /** The zero start: β = 0, ln σ = 0 (σ = 1) — the reference's
+    * initialParameters (AFTSurvivalRegression.scala:205). */
+  def aftInit(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(1).selectExpr("CAST(0 AS BIGINT) AS lsm",
+      "CAST(0 AS BIGINT) AS b0m", "CAST(0 AS BIGINT) AS b1m",
+      "CAST(0 AS BIGINT) AS b2m")
+
+  /** ONE full-batch descent step over (t, del, x1, x2) rows from the
+    * 1-row param frame: one scan computing four exact micro gradient
+    * sums (map-side combined), then a 1-row update projection. */
+  def aftStep(feats: DataFrame, p: DataFrame, step: Double): DataFrame = {
+    val g = feats.crossJoin(broadcast(p))
+      .selectExpr(
+        s"${aftGradBetaExpr("1")} AS c0",
+        s"${aftGradBetaExpr("x1")} AS c1",
+        s"${aftGradBetaExpr("x2")} AS c2",
+        s"$aftGradLsExpr AS cs")
+      .agg(count(lit(1)).as("n"),
+        sum("c0").as("g0"), sum("c1").as("g1"),
+        sum("c2").as("g2"), sum("cs").as("gs"))
+    g.crossJoin(p).selectExpr(
+      s"${aftUpdExpr("lsm", "gs", step)} AS lsm",
+      s"${aftUpdExpr("b0m", "g0", step)} AS b0m",
+      s"${aftUpdExpr("b1m", "g1", step)} AS b1m",
+      s"${aftUpdExpr("b2m", "g2", step)} AS b2m")
+  }
+
+  /** `iters` full-batch steps; the param row localCheckpoints each
+    * iteration (constant plan depth — the pregel discipline). */
+  def aftFit2(feats: DataFrame, iters: Int = 3, step: Double = 2e-4): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var p = aftInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      p = aftStep(f, p, step).localCheckpoint()
+    f.unpersist()
+    p
+  }
+
+  /** Score rows under the fitted params: predicted lifetime
+    * λ = exp(x'β) milli-quantized, plus the Weibull median
+    * λ·exp(ln(ln 2)·σ) (predictQuantiles at q = 0.5; −ln(1/2) = ln 2). */
+  def aftPredict(feats: DataFrame, params: DataFrame, idCol: String): DataFrame =
+    feats.crossJoin(broadcast(params))
+      .selectExpr(idCol, "t", "del",
+        s"CAST(round($aftLambdaExpr * 1000.0) AS BIGINT) AS pred_milli",
+        s"CAST(round(($aftLambdaExpr * exp(ln(ln(CAST(2.0 AS DOUBLE))) * $aftSigmaExpr)) * 1000.0) AS BIGINT) AS median_milli",
+        "lsm", "b0m", "b1m", "b2m")
+
   // ---- isotonic regression (reference mllib/src/main/scala/org/apache/
   // spark/mllib/regression/IsotonicRegression.scala:324
   // poolAdjacentViolators — sequential PAVA per partition — and :409

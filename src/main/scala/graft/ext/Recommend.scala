@@ -319,4 +319,28 @@ object Recommend {
       .filter(col("rn") === 1)
       .select(col("u"), col("i").as("rec_item"), col("score_q"))
   }
+
+  /** Batch top-`k` recommendations for EVERY user in `users` (reference
+    * mllib/recommendation/MatrixFactorizationModel.scala:128
+    * recommendProducts and :270 recommendForAll, which blockifies the
+    * same all-items scoring — rated items INCLUDED, unlike
+    * [[recommendTop1]]'s unrated-only serving shape; that difference is
+    * the reference's own API contract). Items broadcast (a catalog is
+    * bounded; the reference blockifies for the same reason), scores are
+    * exact integer dot products, and the per-user top-k rank window is
+    * partitioned by user over the catalog-bounded candidate set — never
+    * a global sort. At billion-item scale this swaps for the ANN index
+    * path (s02-s04), exactly as recommendTop1 documents. Returns
+    * (u, rnk, rec_item, score_q). */
+  def recommendTopK(users: DataFrame, items: DataFrame, k: Int): DataFrame = {
+    val cands = users.crossJoin(broadcast(
+        items.select(col("i"), col("f1q").as("g1q"), col("f2q").as("g2q"))))
+      .select(col("u"), col("i"),
+        (col("f1q") * col("g1q") + col("f2q") * col("g2q")).as("score_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("score_q").desc, col("i"))
+    cands.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u"), col("rnk"), col("i").as("rec_item"), col("score_q"))
+  }
 }

@@ -61,6 +61,23 @@ object Ml {
         .orderBy("u")
     },
 
+    // Batch top-k recommendations for every cohort user (reference
+    // mllib/recommendation/MatrixFactorizationModel.scala:128
+    // recommendProducts / :270 recommendForAll — ALL items scored per
+    // user, rated included, the reference's own contract vs s12's
+    // unrated-only serving): the same two-round ALS factors as s12,
+    // then the top-3 suppliers per customer in the bounded cohort.
+    "s64_recommend_for_all" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (users, items) = Recommend.als(ratings, iters = 2)
+      Recommend.recommendTopK(users.filter(col("u") <= 300), items, k = 3)
+        .orderBy("u", "rnk")
+    },
+
     // Implicit-feedback ALS (reference mllib/.../recommendation/
     // ALS.scala:91 implicitPrefs + Hu/Koren/Volinsky ICDM'08): the same
     // purchase counts as s12 read as CONFIDENCES c = 1 + 40·r over
@@ -148,7 +165,11 @@ object Ml {
     // case-insensitive path), per-document before/after token counts +
     // the per-document digest of the remaining tokens.
     "s58_stopwords" -> { (s, dir) =>
+      // repartition before the interpreted lambda chain — same
+      // single-file-single-core trap and fix as s60 (ratio 4.8x -> the
+      // row-linear band)
       val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
         .selectExpr("doc_id",
           "filter(split(text, ' '), t -> length(t) > 0) AS toks")
       StopWordsRemoverStage("toks", "kept",
@@ -158,6 +179,34 @@ object Ml {
           "CAST(size(kept) AS BIGINT) AS n_kept",
           "md5(concat_ws(' ', kept)) AS kept_md5")
         .orderBy("doc_id")
+    },
+
+    // AFT survival regression (reference ml/regression/
+    // AFTSurvivalRegression.scala — the Weibull accelerated-failure-time
+    // model, the one 1.6 model family the repo didn't yet cover;
+    // deviations declared on ext.Learn.aftFit2): order fulfillment time
+    // t = days from order date to last ship date (positive rows only —
+    // a survival time must be positive to log), censor δ = 1 for
+    // fully-shipped 'F' orders (event observed) else censored; three
+    // full-batch descent steps, then predicted lifetime + Weibull median
+    // for the bounded cohort with the fitted params riding along.
+    "s63_aft_survival" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          max(col("l_shipdate")).as("last_ship"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+        .join(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderdate", "o_orderstatus"), "o_orderkey")
+        .selectExpr("o_orderkey",
+          "CAST(datediff(last_ship, o_orderdate) + 1 AS BIGINT) AS t",
+          "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS del",
+          "CAST(least(n_items, 7) AS BIGINT) AS x1",
+          "CAST(least(qty DIV 20, 10) AS BIGINT) AS x2")
+        .filter(col("t") >= 1)
+      val params = Learn.aftFit2(feats, iters = 3, step = 2e-4)
+      Learn.aftPredict(feats.filter(col("o_orderkey") <= 2000), params, "o_orderkey")
+        .orderBy("o_orderkey")
     },
 
     // CountVectorizer (reference ml/feature/CountVectorizer.scala:110
@@ -190,7 +239,13 @@ object Ml {
     // per-document bigram count + digest over the bigram sequence, the
     // s58 shape; corpus-wide top-5 bigrams would be a groupBy away.
     "s60_ngram" -> { (s, dir) =>
+      // repartition BEFORE the per-doc projection: HOF lambdas run
+      // interpreted and a shuffle-free projection inherits the source
+      // file's split count — a single-file corpus would run the whole
+      // bigram+md5 chain on one core (the s10 lesson; measured 7.7 s ->
+      // 2.2 s at sf1 local[4], scaling ratio 9.7x -> 2.0x per 10x rows)
       val toks = Tables.documents(s, dir)
+        .repartition(col("doc_id"))
         .selectExpr("doc_id",
           "filter(split(text, ' '), t -> length(t) > 0) AS toks")
       NGramStage("toks", "grams", n = 2).transform(toks)
@@ -1138,6 +1193,49 @@ object Ml {
         |  md5(array_to_string(kept, ' ')) AS kept_md5
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // Three unrolled AFT descent rounds sharing the ε / gradient /
+    // update / λ formula strings verbatim; the same positive-t gate.
+    "s63_aft_survival" -> {
+      import graft.ext.Learn
+      val rounds = (1 to 3).map { k =>
+        s"""g$k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(c0) AS BIGINT) AS g0, CAST(sum(c1) AS BIGINT) AS g1,
+           |    CAST(sum(c2) AS BIGINT) AS g2, CAST(sum(cs) AS BIGINT) AS gs
+           |  FROM (SELECT ${Learn.aftGradBetaExpr("1")} AS c0,
+           |      ${Learn.aftGradBetaExpr("x1")} AS c1,
+           |      ${Learn.aftGradBetaExpr("x2")} AS c2,
+           |      ${Learn.aftGradLsExpr} AS cs
+           |    FROM feats CROSS JOIN a${k - 1})),
+           |a$k AS (SELECT ${Learn.aftUpdExpr("lsm", "gs", 2e-4)} AS lsm,
+           |    ${Learn.aftUpdExpr("b0m", "g0", 2e-4)} AS b0m,
+           |    ${Learn.aftUpdExpr("b1m", "g1", 2e-4)} AS b1m,
+           |    ${Learn.aftUpdExpr("b2m", "g2", 2e-4)} AS b2m
+           |  FROM g$k CROSS JOIN a${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f0 AS MATERIALIZED (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         |    max(l_shipdate) AS last_ship,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         |  FROM lineitem GROUP BY 1),
+         |feats AS MATERIALIZED (
+         |  SELECT f.o_orderkey,
+         |    CAST(date_diff('day', o.o_orderdate, f.last_ship) + 1 AS BIGINT) AS t,
+         |    CAST(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS del,
+         |    CAST(least(f.n_items, 7) AS BIGINT) AS x1,
+         |    CAST(least(f.qty // 20, 10) AS BIGINT) AS x2
+         |  FROM f0 f JOIN orders o ON f.o_orderkey = o.o_orderkey
+         |  WHERE date_diff('day', o.o_orderdate, f.last_ship) + 1 >= 1),
+         |a0 AS (SELECT CAST(0 AS BIGINT) AS lsm, CAST(0 AS BIGINT) AS b0m,
+         |    CAST(0 AS BIGINT) AS b1m, CAST(0 AS BIGINT) AS b2m),
+         |$rounds
+         |SELECT f.o_orderkey, f.t, f.del,
+         |  CAST(round(${Learn.aftLambdaExpr} * 1000.0) AS BIGINT) AS pred_milli,
+         |  CAST(round((${Learn.aftLambdaExpr} * exp(ln(ln(CAST(2.0 AS DOUBLE))) * ${Learn.aftSigmaExpr})) * 1000.0) AS BIGINT) AS median_milli,
+         |  lsm, b0m, b1m, b2m
+         |FROM feats f CROSS JOIN a3
+         |WHERE f.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+    },
+
     // Mirror of CountVectorizerStage: (count desc, tok) vocabulary with
     // the df >= 2 gate, sparse per-(doc, term) counts via the same join.
     "s59_count_vectorizer" ->
@@ -1857,6 +1955,35 @@ object Ml {
          |    row_number() OVER (PARTITION BY u ORDER BY score_q DESC, i) AS rn
          |  FROM cand)
          |SELECT u, i AS rec_item, score_q FROM ranked WHERE rn = 1 ORDER BY u""".stripMargin,
+
+    // The same four unrolled ALS half-steps as s12; all items scored
+    // per cohort user (no rated-pair exclusion — the recommendProducts
+    // contract), top-3 per user.
+    "s64_recommend_for_all" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |y0 AS MATERIALIZED (
+         |  SELECT DISTINCT i,
+         |    (65536 + (i % 7) * 8192)::BIGINT AS f1q,
+         |    (((i % 5) - 2) * 16384)::BIGINT AS f2q
+         |  FROM ratings),
+         |${alsSolveCte("x1", "y0", "u", "i")},
+         |${alsSolveCte("y1", "x1", "i", "u")},
+         |${alsSolveCte("x2", "y1", "u", "i")},
+         |${alsSolveCte("y2", "x2", "i", "u")},
+         |cand AS (
+         |  SELECT x.u, y.i,
+         |    CAST(x.f1q * y.f1q + x.f2q * y.f2q AS BIGINT) AS score_q
+         |  FROM x2 x CROSS JOIN y2 y
+         |  WHERE x.u <= 300),
+         |ranked AS (SELECT u, i, score_q,
+         |    row_number() OVER (PARTITION BY u ORDER BY score_q DESC, i) AS rn
+         |  FROM cand)
+         |SELECT u, CAST(rn AS BIGINT) AS rnk, i AS rec_item, score_q
+         |FROM ranked WHERE rn <= 3 ORDER BY u, rnk""".stripMargin,
 
     // Four unrolled implicit half-steps: per step a fresh 1-row YᵀY
     // Gramian over the other side plus the per-key confidence sums.

@@ -786,6 +786,35 @@ class LearnSpec extends SparkSpec {
     assert(got === Seq(("c", 0L), ("x", 4000000L)))
   }
 
+  test("AFT survival: one descent step re-derived by hand; predict at the zero start") {
+    import spark.implicits._
+    // two rows: an observed event at t=1 (ε=0 contributes nothing to β)
+    // and a censored t=3 (ε=ln 3, e^ε=3 — pure hazard mass)
+    val feats = Seq((1L, 1L, 1L, 0L), (2L, 3L, 0L, 2L))
+      .map { case (id, t, del, x1) => (id, t, del, x1, if (id == 2) 1L else 0L) }
+      .toDF("id", "t", "del", "x1", "x2")
+    val p1 = Learn.aftStep(feats.select("t", "del", "x1", "x2"),
+      Learn.aftInit(spark), step = 0.001).head()
+    // hand-derivation (micro units, HALF-AWAY rounding like both engines):
+    // row1: c0=c1=c2=0, cs=+1e6; row2: e^ε=3 → c0=−3e6, c1=−6e6, c2=−3e6,
+    // cs=round(−3·ln3·1e6)=−3295837; sums over n=2, step 1e-3 descent:
+    assert((p1.getLong(0), p1.getLong(1), p1.getLong(2), p1.getLong(3))
+      === ((1148L, 1500L, 3000L, 1500L)))
+    // predict at the zero start: λ=1 → pred 1000 milli; Weibull median
+    // λ·exp(ln(ln 2)·σ) = ln 2 at σ=1 → 693 milli
+    val pr = Learn.aftPredict(feats.filter(col("id") === 1)
+        .select(col("id"), col("t"), col("del"), col("x1"), col("x2")),
+      Learn.aftInit(spark), "id").head()
+    assert(pr.getAs[Long]("pred_milli") === 1000L)
+    assert(pr.getAs[Long]("median_milli") === 693L)
+    // partitioning determinism: micro-quantized contributions sum exactly
+    val many = (1L to 200L).map(i =>
+      (i, 1L + i % 40, i % 2, 1L + i % 5, i % 3)).toDF("id", "t", "del", "x1", "x2")
+    val a = Learn.aftFit2(many.select("t", "del", "x1", "x2"), iters = 3).head()
+    val b = Learn.aftFit2(many.repartition(7).select("t", "del", "x1", "x2"), iters = 3).head()
+    assert(a === b)
+  }
+
   test("lasso zeroes a pure-noise feature exactly; the signal survives") {
     import spark.implicits._
     // y = 7*x2 exactly; x1 is tiny alternating noise orthogonal-ish to y.

@@ -32,6 +32,29 @@ class RecommendSpec extends SparkSpec {
       s"in-block completion failed: $rec")
   }
 
+  test("recommendTopK scores ALL items (rated included), ranks k per user, exact dot products") {
+    val (users, items) = Recommend.als(ratings, iters = 4)
+    val topAll = Recommend.recommendTopK(users, items, k = 100)
+      .collect()
+    // every (user, item) pair is scored — recommendProducts does NOT
+    // exclude rated pairs (the contract difference vs recommendTop1)
+    val nItems = items.count()
+    assert(topAll.length === (users.count() * nItems).toInt)
+    // top-k output agrees with a driver-side re-ranking of the exact scores
+    val uf = users.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fi = items.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val top2 = Recommend.recommendTopK(users, items, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    top2.foreach { case (u, rnk, i, s) =>
+      val expect = fi.toSeq.map { case (ii, (g1, g2)) =>
+        (ii, uf(u)._1 * g1 + uf(u)._2 * g2) }
+        .sortBy { case (ii, sc) => (-sc, ii) }
+      assert((i, s) === expect(rnk.toInt - 1),
+        s"user $u rank $rnk: got ($i, $s), want ${expect(rnk.toInt - 1)}")
+    }
+    assert(top2.count(_._2 == 1L) === uf.size && top2.count(_._2 == 2L) === uf.size)
+  }
+
   test("first user solve matches a driver-side re-derivation exactly (quantized parity)") {
     val Q = Recommend.QuantScale.toDouble
     val lam = Recommend.Lambda
