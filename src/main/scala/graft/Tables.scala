@@ -50,4 +50,23 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** A table spread across the session's parallelism BEFORE per-row-heavy
+    * work (regex/JSON parsing, shingling, interpreted HOF lambdas): a
+    * small single-file parquet table yields ONE input split, so a
+    * shuffle-free projection — and the map side of the first exchange —
+    * would serialize on one core no matter how many executor threads
+    * exist (the s10 lesson; measured 9.7x -> 2.0x per-10x-rows on s60).
+    * The shuffle moves only the tiny raw table bytes; at 100 TB the
+    * corpus arrives as many splits and the source layout makes this
+    * decision instead — which is exactly why it lives HERE, in the
+    * accessor seam where the 100 TB table swap happens. Queries whose
+    * first operation is already a wide shuffle on a high-cardinality key
+    * (plain groupBy/join shapes) don't need it and don't pay it. */
+  def documentsSpread(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(col("doc_id"))
+  def eventsSpread(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).repartition(col("event_id"))
+  def customerSpread(spark: SparkSession, dir: String): DataFrame =
+    customer(spark, dir).repartition(col("c_custkey"))
 }

@@ -39,7 +39,7 @@ object Dedup {
     // MinHash signatures (k=32 over 3-gram shingles), scalar projections of
     // the signature so the parquet/oracle compare stays scalar-typed.
     "d02_minhash_signatures" -> { (s, dir) =>
-      D.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      D.minhashSignatures(Tables.documentsSpread(s, dir), "doc_id", "text")
         .select(col("doc_id"), col("n_shingles"),
           expr("element_at(sig, 1)").as("sig_first"),
           expr("element_at(sig, 32)").as("sig_last"),
@@ -49,25 +49,25 @@ object Dedup {
 
     // LSH candidate pairs: 16 bands x 2 rows, bucket-capped self-join.
     "d03_lsh_candidates" -> { (s, dir) =>
-      D.minhashCandidates(Tables.documents(s, dir), "doc_id", "text")
+      D.minhashCandidates(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
     },
 
     // Candidates verified by exact shingle Jaccard >= 0.5.
     "d04_neardup_pairs_jaccard" -> { (s, dir) =>
-      D.neardupPairs(Tables.documents(s, dir), "doc_id", "text")
+      D.neardupPairs(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
     },
 
     // 32-bit SimHash fingerprints (frequency-weighted token hashing).
     "d05_simhash_fingerprints" -> { (s, dir) =>
-      D.simhashFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      D.simhashFingerprints(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
     // SimHash near-dups: 4-banded join, Hamming <= 1.
     "d06_simhash_neardup_pairs" -> { (s, dir) =>
-      D.simhashNeardupPairs(Tables.documents(s, dir), "doc_id", "text")
+      D.simhashNeardupPairs(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
     },
 
@@ -148,7 +148,7 @@ object Dedup {
     // string, full recall for ed<=1), exact levenshtein verify. The oracle
     // is the brute-force formulation the blocking must reproduce exactly.
     "d09_fuzzy_name_pairs" -> { (s, dir) =>
-      D.fuzzyPairsEd1(Tables.customer(s, dir), "c_custkey", "c_name")
+      D.fuzzyPairsEd1(Tables.customerSpread(s, dir), "c_custkey", "c_name")
         .orderBy("id_a", "id_b")
     },
 
@@ -158,7 +158,7 @@ object Dedup {
     // blocking reproduces it exactly while never materializing the cross
     // join the oracle writes down.
     "d12_jaro_winkler_blocked" -> { (s, dir) =>
-      D.jaroWinklerBlocked(Tables.customer(s, dir), "c_custkey", "c_name",
+      D.jaroWinklerBlocked(Tables.customerSpread(s, dir), "c_custkey", "c_name",
           threshold = 0.9)
         .orderBy("id_a", "id_b")
     },
@@ -167,21 +167,21 @@ object Dedup {
     // substring dedup): maximal runs of 8-token windows shared by >= 2
     // distinct documents.
     "d13_dup_spans" -> { (s, dir) =>
-      D.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text")
+      D.duplicatedSpans(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id", "span_start")
     },
 
     // Per-document duplicated-token coverage over the d13 spans — the
     // threshold signal for span-level corpus filtering.
     "d14_dup_span_coverage" -> { (s, dir) =>
-      D.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
+      D.spanCoverage(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
     // Span surgery: excise every d13 span and reassemble the residual
     // text (symmetric removal; keep-one composes with p05 canonicals).
     "d15_span_excised" -> { (s, dir) =>
-      D.spanExcise(Tables.documents(s, dir), "doc_id", "text")
+      D.spanExcise(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -189,7 +189,7 @@ object Dedup {
     // blocking with pigeonhole recall, exact verify; the oracle is the
     // brute-force all-pairs formulation the blocking must reproduce.
     "d16_containment_pairs" -> { (s, dir) =>
-      D.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+      D.containmentPairs(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")
     },
 

@@ -105,7 +105,7 @@ object Functions {
 
     // jsonExpressions.scala surface: JSON path extraction from event props.
     "f06_json_functions" -> { (s, dir) =>
-      Tables.events(s, dir).select(
+      Tables.eventsSpread(s, dir).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_num"),
@@ -149,7 +149,7 @@ object Functions {
     // + to_json(struct) serialization; null JSON fields are omitted by
     // to_json, mirrored with a CASE in the oracle.
     "f13_json_tuple" -> { (s, dir) =>
-      Tables.events(s, dir)
+      Tables.eventsSpread(s, dir)
         .select(col("event_id"), col("event_type"),
           json_tuple(col("props"), "k", "missing"))
         .toDF("event_id", "event_type", "k_str", "absent")
@@ -238,7 +238,7 @@ object Functions {
     // over f06's string re-parsing is that parse_json runs once per row
     // and every downstream access walks the binary form.
     "f14_variant_json" -> { (s, dir) =>
-      Tables.events(s, dir).createOrReplaceTempView("fx_events")
+      Tables.eventsSpread(s, dir).createOrReplaceTempView("fx_events")
       s.sql(
         """SELECT event_id,
           |  variant_get(parse_json(props), '$.k', 'bigint') AS k_num,
@@ -286,7 +286,7 @@ object Functions {
     // (see ext.Pipeline.HashingTF). This query is the API surface, with
     // the arrays bounded by the row.
     "f17_higher_order" -> { (s, dir) =>
-      Tables.documents(s, dir).createOrReplaceTempView("fx_documents")
+      Tables.documentsSpread(s, dir).createOrReplaceTempView("fx_documents")
       s.sql(
         """SELECT doc_id,
           |  CAST(aggregate(transform(split(text, ' '), t -> length(t)), 0,

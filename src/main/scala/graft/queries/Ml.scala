@@ -25,7 +25,9 @@ object Ml {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_ml_pipeline" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // spread: the HashingTF explode's map side would otherwise run in
+      // the single scan task (Tables.documentsSpread scaladoc)
+      val docs = Tables.documentsSpread(s, dir)
       val pipe = new Chain(Seq(
         Tokenizer("text", "toks"),
         HashingTF("toks", "tf", NumFeatures),
@@ -216,7 +218,7 @@ object Ml {
     // corpus, emitted sparse (posexplode + c > 0) with the vocab term
     // joined back so the fitted dictionary itself is oracle-gated.
     "s59_count_vectorizer" -> { (s, dir) =>
-      val toks = Tables.documents(s, dir)
+      val toks = Tables.documentsSpread(s, dir)
         .selectExpr("doc_id",
           "filter(split(text, ' '), t -> length(t) > 0) AS toks")
       val model = CountVectorizerStage("toks", "tf",

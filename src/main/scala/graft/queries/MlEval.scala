@@ -160,7 +160,9 @@ object MlEval {
     },
 
     "s31_multilabel_metrics" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      // spread: the cells projection does two per-row split()s of the
+      // full text per vocab term (Tables.documentsSpread scaladoc)
+      val docs = Tables.documentsSpread(s, dir)
       // top-5 vocab via orderBy+limit (TakeOrderedAndProject: per-partition
       // top-k then a bounded merge), NOT a global-window rank — the rank
       // window would funnel the whole distinct-token table through one

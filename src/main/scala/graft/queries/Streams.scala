@@ -95,7 +95,10 @@ object Streams {
     // codec must be lossless, including timestamp microseconds (the
     // default ms format would silently truncate and fail this gate).
     "v05_kafka_wire_roundtrip" -> { (s, dir) =>
-      val records = graft.streaming.KafkaSource.encodeEvents(events(s, dir))
+      // spread before the per-row JSON encode/decode round trip — the
+      // Tables.documentsSpread single-file-single-split argument
+      val records = graft.streaming.KafkaSource.encodeEvents(
+        events(s, dir).repartition(col("event_id")))
         .withColumn("topic", lit("events"))
         .withColumn("partition", lit(0))
         .withColumn("offset", monotonically_increasing_id())

@@ -5,24 +5,28 @@ import graft.ext.{TextAnalysis => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis surface over the documents table, DuckDB-mirrored. */
+/** Text-analysis surface over the documents table, DuckDB-mirrored.
+  * Per-row-heavy scans (regex scoring, tokenizing lambdas, LM scoring)
+  * take the documentsSpread accessor — see its scaladoc for the
+  * single-file-single-split argument; queries whose first stage is a
+  * wide shuffle on a high-cardinality key use the plain accessor. */
 object TextAnalysis {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_quality_scores" -> { (s, dir) =>
-      T.qualityScores(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      T.qualityScores(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
     },
     "t02_token_counts" -> { (s, dir) =>
-      T.tokenCounts(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      T.tokenCounts(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
     },
     // Repetition-ratio quality signals (MassiveText/Gopher repetitious-
     // text filters): duplicate {2,3}-gram fraction + most-frequent-gram
     // share per document.
     "t18_repetition_ratio" -> { (s, dir) =>
-      T.repetitionStats(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      T.repetitionStats(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
     },
     "t03_language_id" -> { (s, dir) =>
-      T.languageId(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      T.languageId(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
     },
     // BPE merge-rule training (Sennrich et al. 2016): 8 most-frequent-
     // adjacent-pair merges over the word-frequency table, greedy
@@ -45,7 +49,7 @@ object TextAnalysis {
     // End-to-end curation pipeline: language-ID + quality in one scan,
     // exact dedup (min doc_id per digest), quality floor, per-language rollup.
     "t05_corpus_curation" -> { (s, dir) =>
-      T.curateCorpus(Tables.documents(s, dir), "doc_id", "text").orderBy("best_lang")
+      T.curateCorpus(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("best_lang")
     },
 
     // Top-3 terms per document by smoothed TF-IDF.
@@ -57,18 +61,18 @@ object TextAnalysis {
     // Canonical normalization pass: lowercase, punct -> space, collapse,
     // trim — pure narrow map, no shuffle.
     "t07_normalize" -> { (s, dir) =>
-      T.normalize(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+      T.normalize(Tables.documentsSpread(s, dir), "doc_id", "text").orderBy("doc_id")
     },
 
     // Top-50 vocabulary + per-document out-of-vocabulary rate.
     "t08_vocab_oov" -> { (s, dir) =>
-      T.vocabOov(Tables.documents(s, dir), "doc_id", "text", vocabSize = 50)
+      T.vocabOov(Tables.documentsSpread(s, dir), "doc_id", "text", vocabSize = 50)
         .orderBy("doc_id")
     },
 
     // Boilerplate detection: per-doc repeated 3-gram shingle ratio.
     "t09_boilerplate_ratio" -> { (s, dir) =>
-      T.boilerplateRatio(Tables.documents(s, dir), "doc_id", "text")
+      T.boilerplateRatio(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -82,7 +86,7 @@ object TextAnalysis {
     // id run, a phone-like field, account cents): ordered rule chain —
     // phone pattern must fire before the bare digit-run rule.
     "t11_redact" -> { (s, dir) =>
-      val src = Tables.customer(s, dir).select(col("c_custkey"),
+      val src = Tables.customerSpread(s, dir).select(col("c_custkey"),
         concat(col("c_name"), lit(" ph "),
           format_string("%03d-%04d", col("c_custkey") % 1000, col("c_custkey") % 10000),
           lit(" acct "),
@@ -97,7 +101,7 @@ object TextAnalysis {
     // eval set; the rest of the corpus is scored for shingle overlap
     // against it (broadcast benchmark, one corpus scan).
     "t12_decontaminate" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsSpread(s, dir)
       T.decontaminate(
           docs.filter(col("doc_id") % 20 =!= 0),
           docs.filter(col("doc_id") % 20 === 0),
@@ -108,7 +112,7 @@ object TextAnalysis {
     // Per-document bigram-LM score: average ln P(w2|w1) under the corpus
     // LM, micro-nat-quantized before summing for order-independence.
     "t13_doc_lm_score" -> { (s, dir) =>
-      T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
+      T.docLmScore(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
@@ -131,7 +135,7 @@ object TextAnalysis {
     },
 
     "t21_ccnet_buckets" -> { (s, dir) =>
-      val scored = T.docLmScore(Tables.documents(s, dir), "doc_id", "text")
+      val scored = T.docLmScore(Tables.documentsSpread(s, dir), "doc_id", "text")
         .withColumn("ck",
           struct((col("avg_logp") * -1).as("neg_lp"), col("doc_id").as("d")))
       val ranked = graft.ext.Scale.globalRowIndex(scored, "ck", numPartitions = 8)
@@ -147,7 +151,7 @@ object TextAnalysis {
     // keep rates from sqrt-renormalized shares, per-doc md5 coin in
     // integer ppm.
     "t14_mixture_sample" -> { (s, dir) =>
-      T.mixtureSample(Tables.documents(s, dir), "doc_id", "text")
+      T.mixtureSample(Tables.documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
