@@ -497,6 +497,34 @@ object Scale {
     * Emits (id, u1_micro, u2_micro, sv1_micro, sv2_micro, v11_micro,
     * v21_micro, v12_micro, v22_micro) — factors constant on every row so
     * Σ and V are gated alongside U. */
+  /** CoordinateMatrix -> transpose -> IndexedRowMatrix thin slice
+    * (reference mllib/linalg/distributed/CoordinateMatrix.scala:74
+    * transpose — swap (i, j) on every entry — and :80 toIndexedRowMatrix
+    * — group entries by row index into a sparse row vector; :61
+    * numRows/numCols are max index + 1; IndexedRowMatrix.scala:118
+    * toCoordinateMatrix is the inverse; RowMatrix and BlockMatrix — the
+    * other two distributed types — are covered by s42/x13). Duplicate
+    * coordinates pre-merged by sum, declared: the reference's sparse
+    * vector construction assumes unique indices per row. Each sparse row
+    * emits FLATTENED per the comparator policy: (i, nnz, sum_v, row_md5
+    * over the j-ordered "j:v" entry list, row_block = i div
+    * rowsPerBlock — the toBlockMatrix(:119) block-coordinate
+    * arithmetic), with the matrix dims as constant columns. Everything
+    * is one groupBy over (i, j, v) triples — entries stay triples at any
+    * scale, nothing densifies. */
+  def coordinateTransposeRows(entries: DataFrame, rowsPerBlock: Int): DataFrame = {
+    val t = entries.select(col("j").as("i"), col("i").as("j"), col("v"))
+    val rows = t.groupBy("i").agg(
+      count(lit(1)).as("nnz"), sum("v").as("sum_v"),
+      expr("md5(array_join(transform(sort_array(collect_list(struct(j, v))), " +
+        "e -> concat(CAST(e.j AS STRING), ':', CAST(e.v AS STRING))), ',')) ").as("row_md5"))
+    val dims = t.agg((max("i") + 1).as("n_rows"), (max("j") + 1).as("n_cols"))
+    rows.crossJoin(broadcast(dims))
+      .selectExpr("i", "nnz", "CAST(sum_v AS BIGINT) AS sum_v", "row_md5",
+        s"CAST(i DIV $rowsPerBlock AS BIGINT) AS row_block",
+        "CAST(n_rows AS BIGINT) AS n_rows", "CAST(n_cols AS BIGINT) AS n_cols")
+  }
+
   def tallSkinnySvd(feats: DataFrame, idCol: String, cohort: Long): DataFrame = {
     val gcols = Seq("g11", "g12", "g22")
     val factors = feats

@@ -40,6 +40,20 @@ object Scale {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // Distributed matrix-type conversions (reference mllib/linalg/
+    // distributed/CoordinateMatrix.scala:74 transpose / :80
+    // toIndexedRowMatrix / :61 dims; closes the directory 4-for-4 next
+    // to s42 RowMatrix and x13 BlockMatrix): supplier x order-bucket
+    // quantity entries, transposed, assembled into sparse rows with the
+    // block-coordinate arithmetic and matrix dims gated alongside.
+    "x18_matrix_conversions" -> { (s, dir) =>
+      val entries = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("i"), (col("l_orderkey") % 50).as("j"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("v"))
+      S.coordinateTransposeRows(entries, rowsPerBlock = 8)
+        .orderBy("i")
+    },
+
     // Tree aggregation (RDD.treeAggregate re-expressed relationally):
     // the full-lineitem summary reduces through 64 leaf buckets and an
     // 8-way intermediate level, bounding every merge task's fan-in to 8
@@ -323,6 +337,25 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    // Relational mirror: swap (i, j), group by the new row index,
+    // j-ordered string_agg for the row digest, max+1 dims.
+    "x18_matrix_conversions" ->
+      """WITH entries AS MATERIALIZED (
+        |  SELECT l_suppkey AS i, CAST(l_orderkey % 50 AS BIGINT) AS j,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT j AS i, i AS j, v FROM entries),
+        |dims AS (SELECT CAST(max(i) + 1 AS BIGINT) AS n_rows,
+        |    CAST(max(j) + 1 AS BIGINT) AS n_cols FROM t)
+        |SELECT t.i, CAST(count(*) AS BIGINT) AS nnz,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  md5(string_agg(CAST(j AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY j)) AS row_md5,
+        |  CAST(t.i // 8 AS BIGINT) AS row_block,
+        |  d.n_rows, d.n_cols
+        |FROM t CROSS JOIN dims d
+        |GROUP BY t.i, d.n_rows, d.n_cols
+        |ORDER BY i""".stripMargin,
+
     // Mirror of the generator: the same LCG chain, noise, inverse-CDF
     // exponential, and the shared OLS Cramer strings over the generated
     // stream's nine sums.

@@ -339,4 +339,25 @@ class ScaleSpec extends SparkSpec {
     assert((clean.getLong(0), clean.getLong(1), clean.getLong(2), clean.getLong(3)) ===
       ((10L, 0L, 10L, 55L)))
   }
+
+  test("coordinate transpose -> indexed rows: swap, j-ordered assembly, dims, block ids") {
+    import spark.implicits._
+    // entries of a 3x12 matrix (max i = 2, max j = 11)
+    val entries = Seq(
+      (0L, 11L, 5L), (2L, 0L, 7L), (2L, 3L, 1L), (1L, 3L, 2L))
+      .toDF("i", "j", "v")
+    val out = Scale.coordinateTransposeRows(entries, rowsPerBlock = 8)
+      .orderBy("i").collect()
+    // transposed: rows are the ORIGINAL column indices; dims swap to 12x3
+    assert(out.map(_.getLong(0)).toSeq === Seq(0L, 3L, 11L))
+    val byI = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byI(3L) === ((2L, 3L, 0L, 12L, 3L)))   // nnz 2, sum 1+2, block 0
+    assert(byI(11L) === ((1L, 5L, 1L, 12L, 3L)))  // 11 div 8 = block 1
+    // the row digest is j-ordered: row 3 holds (1,2) then (2,1) after swap
+    val md = out.find(_.getLong(0) == 3L).get.getString(3)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("1:2,2:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md === expect)
+  }
 }
