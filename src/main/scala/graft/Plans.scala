@@ -452,6 +452,25 @@ object Plans {
         "SQLTransformer statement — fuses into the SAME " +
         "WholeStageCodegen span as the base join: five logical stages, " +
         "zero added shuffles."),
+    "s63_aft_survival" ->
+      ("AFT survival regression: three full-batch descent steps, each " +
+        "ONE scan computing four exact micro-quantized gradient sums " +
+        "(map-side combined) + a 1-row parameter update projection — " +
+        "the GradientDescent dataflow; scoring broadcasts the 1-row " +
+        "param frame, so only the feature build shuffles."),
+    "s64_recommend_for_all" ->
+      ("Batch recommendation serving: the ALS fit dominates (per " +
+        "half-step one equi-join + map-side-combined hash aggregate); " +
+        "serving is a broadcast of the bounded item catalog into the " +
+        "cohort with a USER-partitioned top-k rank window — the " +
+        "catalog-bounded frame, never a global sort, and at " +
+        "billion-item scale the ANN index path replaces it."),
+    "x18_matrix_conversions" ->
+      ("Distributed matrix conversions: transpose is a projection " +
+        "(swap i/j), toIndexedRowMatrix ONE hash aggregate grouping " +
+        "entries by row with a j-ordered in-group sort — entries stay " +
+        "(i, j, v) triples end to end, nothing densifies, dims are a " +
+        "1-row broadcast."),
     "p15_aggregate_neighbors" ->
       ("aggregateMessages one-shot: the operator itself is the " +
         "Union + per-vertex hash aggregate in the middle of the plan " +
