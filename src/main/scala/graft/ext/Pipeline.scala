@@ -818,17 +818,34 @@ object Pipeline {
   final case class VectorIndexerStage(inputCols: Seq[String],
                                       maxCategories: Int) extends Estimator {
     def fit(df: DataFrame): VectorIndexerModel = {
+      // ONE corpus scan for every feature (the reference's
+      // CategoryStats mapPartitions+merge is the same single pass,
+      // :125): stack the features into (feature, value) rows, distinct
+      // once, then decide categorical-vs-continuous from per-feature
+      // distinct COUNTS (a hash aggregate — never a window over a
+      // continuous feature's full domain) and collect the domains of
+      // the categorical features only. Both collects are bounded:
+      // nFeatures rows, then <= nFeatures x maxCategories values.
+      val stacked = df.selectExpr(
+          s"stack(${inputCols.size}, " +
+            inputCols.map(c => s"'$c', CAST($c AS BIGINT)").mkString(", ") +
+            ") AS (__f, __v)")
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val catFeatures = stacked.groupBy("__f").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxCategories)
+        .collect().map(_.getString(0)).toSet
+      val domains =
+        if (catFeatures.isEmpty) Map.empty[String, Seq[Long]]
+        else stacked.filter(col("__f").isin(catFeatures.toSeq: _*))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      stacked.unpersist()
       val maps = inputCols.flatMap { c =>
-        // bounded probe: maxCategories+1 rows decide categorical vs
-        // continuous without ever collecting a large domain
-        val domain = df.select(col(c).cast("long").as("__v")).distinct()
-          .orderBy("__v").limit(maxCategories + 1)
-          .collect().map(_.getLong(0)).toSeq
-        if (domain.size <= maxCategories) {
-          val nonZero = domain.filter(_ != 0L).sorted
-          val cats = if (domain.contains(0L)) 0L +: nonZero else nonZero
-          Some(c -> cats)
-        } else None
+        domains.get(c).map { domain =>
+          val nonZero = domain.filter(_ != 0L)
+          c -> (if (domain.contains(0L)) 0L +: nonZero else nonZero)
+        }
       }.toMap
       VectorIndexerModel(inputCols, maps)
     }
