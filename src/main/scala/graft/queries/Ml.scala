@@ -236,6 +236,39 @@ object Ml {
         .orderBy("doc_id", "j")
     },
 
+    // The n-gram TF pipeline the two stages exist to feed (reference
+    // Pipeline.scala:96 fit semantics over NGram.scala:38 +
+    // CountVectorizer.scala:110): Tokenizer -> NGram(2) ->
+    // CountVectorizer chained through ONE Chain.fit — the estimator
+    // sees upstream transforms exactly as the fitted model reproduces
+    // them; the fitted bigram dictionary (top-8, minDF 2) and the
+    // per-doc sparse counts are both oracle-gated.
+    "s65_ngram_tf_pipeline" -> { (s, dir) =>
+      val docs = Tables.documentsSpread(s, dir)
+      // materialize the bigram feature frame ONCE between the lambda
+      // stages and the estimator: the tokenizer+ngram chain is nested
+      // interpreted HOF lambdas, and letting fit + transform each
+      // re-derive it measured ~8x the total (78 -> ~10 s at sf1) —
+      // exactly the intermediate feature table a production pipeline
+      // persists between featurization and fitting
+      val grams = NGramStage("toks", "grams", n = 2)
+        .transform(Tokenizer("text", "toks").transform(docs))
+        .select("doc_id", "grams").localCheckpoint()
+      val cv = CountVectorizerStage("grams", "tf",
+        vocabSize = 8, minDF = 2.0).fit(grams)
+      import s.implicits._
+      val terms = cv.vocabulary.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("j", "gram")
+      cv.transform(grams)
+        .select(col("doc_id"), posexplode(col("tf")).as(Seq("j", "c")))
+        .filter(col("c") > 0)
+        .select(col("doc_id"), col("j").cast("long").as("j"),
+          col("c").cast("long").as("cnt"))
+        .join(broadcast(terms), "j")
+        .select("doc_id", "j", "gram", "cnt")
+        .orderBy("doc_id", "j")
+    },
+
     // NGram (reference ml/feature/NGram.scala:38 — sliding(n)
     // withPartial(false), space-joined windows, empty array below n):
     // per-document bigram count + digest over the bigram sequence, the
@@ -1251,6 +1284,23 @@ object Ml {
         |  FROM (SELECT * FROM st WHERE dc >= 2 ORDER BY tc DESC, tok LIMIT 10))
         |SELECT t.doc_id, v.j, v.tok AS term, CAST(count(*) AS BIGINT) AS cnt
         |FROM t JOIN voc v USING (tok)
+        |GROUP BY 1, 2, 3 ORDER BY doc_id, j""".stripMargin,
+
+    // The chained mirror: regex-split tokens -> bigrams -> the s59
+    // vocabulary/count machinery over bigrams.
+    "s65_ngram_tf_pipeline" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM (
+        |  SELECT doc_id, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1]) AS grams FROM (
+        |    SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0) AS toks FROM documents))),
+        |st AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS tc,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS dc
+        |  FROM t GROUP BY 1),
+        |voc AS (SELECT gram, CAST(row_number() OVER (ORDER BY tc DESC, gram) - 1 AS BIGINT) AS j
+        |  FROM (SELECT * FROM st WHERE dc >= 2 ORDER BY tc DESC, gram LIMIT 8))
+        |SELECT t.doc_id, v.j, v.gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM t JOIN voc v USING (gram)
         |GROUP BY 1, 2, 3 ORDER BY doc_id, j""".stripMargin,
 
     // Bigrams via range(1, len): i runs 1..len−1, so short docs yield
