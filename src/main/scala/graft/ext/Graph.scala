@@ -23,6 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** GraphLoader analog (reference graphx/GraphLoader.scala:54
+    * edgeListFile): parse a whitespace-delimited `src dst` text corpus
+    * into an edge frame. Faithful to the reference's guards — empty
+    * lines and lines whose FIRST CHARACTER is '#' are skipped (:60's
+    * exact check, no trim), every surviving line contributes one edge
+    * with attr = 1 (:69 — parallel edges KEPT, never deduplicated), and
+    * `canonicalOrientation` swaps endpoints when src > dst (:67).
+    * Malformed lines (< 2 tokens), which the reference throws on (:63),
+    * surface as null-keyed edges here — the caller's contract is a
+    * well-formed corpus either way. The parse is one narrow codegen
+    * projection per line over a splittable text scan: no shuffle, so at
+    * 100 TB the loader cost is exactly the read bandwidth. */
+  def edgeListFile(spark: org.apache.spark.sql.SparkSession, path: String,
+                   canonicalOrientation: Boolean = false): DataFrame = {
+    val raw = spark.read.text(path)
+      .filter("value != '' AND substring(value, 1, 1) != '#'")
+      .selectExpr("split(value, '\\\\s+') AS toks")
+      .selectExpr("CAST(toks[0] AS BIGINT) AS s0", "CAST(toks[1] AS BIGINT) AS d0")
+    val oriented =
+      if (canonicalOrientation)
+        raw.selectExpr("CASE WHEN s0 > d0 THEN d0 ELSE s0 END AS src",
+          "CASE WHEN s0 > d0 THEN s0 ELSE d0 END AS dst")
+      else raw.selectExpr("s0 AS src", "d0 AS dst")
+    oriented.withColumn("attr", lit(1L))
+  }
+
+  /** GraphOps.degrees over an edge frame (reference GraphOps.scala:70
+    * degrees / :62 inDegrees / :58 outDegrees): per-vertex counts of
+    * edge-endpoint occurrences, parallel edges counted. GraphX's
+    * contract — vertices touching no edge are ABSENT — falls out of the
+    * full-outer join of the two one-shuffle aggregates. */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("outdeg"))
+    val in = edges.groupBy(col("dst").as("vertex")).agg(count(lit(1)).as("indeg"))
+    out.join(in, Seq("vertex"), "full_outer")
+      .selectExpr("vertex",
+        "CAST(coalesce(outdeg, 0) AS BIGINT) AS outdeg",
+        "CAST(coalesce(indeg, 0) AS BIGINT) AS indeg",
+        "CAST(coalesce(outdeg, 0) + coalesce(indeg, 0) AS BIGINT) AS degree")
+  }
+
   /** Generic Pregel (reference graphx/Pregel.scala:56 exposes exactly
     * these hooks as Scala closures over RDDs): BSP supersteps over a
     * `(vertex, state)` table and a `(src, dst [, edge attrs])` table,

@@ -1,7 +1,38 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** (value, id) element carried by [[TopKByKey]] — `v` is the ranking
+  * measure, `id` the payload and deterministic tiebreak. */
+case class TopKElem(v: Long, id: Long)
+
+/** Bounded per-key top-k Aggregator (reference mllib/rdd/
+  * MLPairRDDFunctions.scala:41 topByKey = aggregateByKey over a
+  * core/util/BoundedPriorityQueue.scala heap): every partial buffer holds
+  * AT MOST k elements, so the map side combines locally and the shuffle
+  * carries <= k rows per (key, map task) — the window-rank formulation by
+  * contrast shuffles EVERY row and sorts whole key groups before
+  * discarding all but k. Ordering matches the reference's implicit tuple
+  * Ordering on (v, id): descending lexicographic, ties on v resolve to
+  * the larger id — deterministic under any partitioning / merge order.
+  * k is a tiny query constant, so the O(k log k) sort-trim per insert is
+  * cheaper than heap bookkeeping at these sizes (same asymptotics as the
+  * reference once k is fixed). */
+class TopKByKey(k: Int) extends Aggregator[TopKElem, Seq[TopKElem], Seq[TopKElem]] {
+  private def desc(a: TopKElem, b: TopKElem): Boolean =
+    a.v > b.v || (a.v == b.v && a.id > b.id)
+  private def trim(s: Seq[TopKElem]): Seq[TopKElem] =
+    if (s.lengthCompare(k) <= 0) s else s.sortWith(desc).take(k)
+  def zero: Seq[TopKElem] = Nil
+  def reduce(b: Seq[TopKElem], a: TopKElem): Seq[TopKElem] = trim(b :+ a)
+  def merge(x: Seq[TopKElem], y: Seq[TopKElem]): Seq[TopKElem] = trim(x ++ y)
+  def finish(r: Seq[TopKElem]): Seq[TopKElem] = r.sortWith(desc)
+  def bufferEncoder: Encoder[Seq[TopKElem]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[TopKElem]] = ExpressionEncoder()
+}
 
 /** Skew-handling utilities for 1000-executor scale. AQE's skew-join
   * splitting handles most cases at runtime; these are the explicit
@@ -9,6 +40,22 @@ import org.apache.spark.sql.functions._
   * hot join key) and you want the plan shape guaranteed.
   */
 object Scale {
+
+  /** Per-key top-k through [[TopKByKey]]: group by `keyCol`, aggregate
+    * (`vCol`, `idCol`) pairs into the k-bounded buffer, posexplode back
+    * to one row per kept element with a 1-based `rk` in (v, id)
+    * descending order. The aggregate is partial-merge distributed like a
+    * built-in (ObjectHashAggregate partial -> final), so per-key state
+    * never exceeds k anywhere in the plan. */
+  def topKByKey(df: DataFrame, keyCol: String, vCol: String, idCol: String,
+                k: Int): DataFrame = {
+    val agg = udaf(new TopKByKey(k))
+    df.groupBy(keyCol)
+      .agg(agg(col(vCol).cast("long"), col(idCol).cast("long")).as("topk"))
+      .select(col(keyCol), posexplode(col("topk")).as(Seq("pos", "e")))
+      .selectExpr(keyCol, "CAST(pos + 1 AS BIGINT) AS rk",
+        s"e.v AS $vCol", s"e.id AS $idCol")
+  }
 
   /** Two-phase (salted) aggregation: spread each hot grouping key over
     * `saltBuckets` partial groups, aggregate, then merge. `partialAggs`

@@ -24,6 +24,32 @@ object Graphs {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Edge-list file loading (reference graphx/GraphLoader.scala:54
+    // edgeListFile + GraphOps.scala:70 degrees): the customer -> order-
+    // bucket graph written as the reference's exact text format —
+    // whitespace-delimited id pairs, '#' comment lines, a blank line —
+    // then loaded back with canonicalOrientation=true (endpoints swapped
+    // whenever src > dst, :67) and reduced to per-vertex in/out/total
+    // degrees. Comment/blank skipping, the swap, and parallel-edge
+    // retention are all on the gated path: the oracle derives the same
+    // canonicalized multigraph straight from the orders parquet. The
+    // id spaces overlap (custkeys vs 1..97 buckets), so the swap fires
+    // in both directions and in-degree is swap-sensitive.
+    "p16_edge_list_load" -> { (s, dir) =>
+      import s.implicits._
+      val path = "/tmp/graft_io/p16_edge_list"
+      val lines = Seq("# trade edge list: custkey  orderbucket",
+          "# src dst", "")
+        .toDF("value")
+        .union(Tables.orders(s, dir).selectExpr(
+          "concat(CAST(o_custkey AS STRING), ' ', " +
+            "CAST(1 + (o_orderkey % 97) AS STRING)) AS value"))
+      lines.write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+      G.degrees(G.edgeListFile(s, path, canonicalOrientation = true))
+        .filter("vertex <= 50")
+        .orderBy("vertex")
+    },
+
     "p01_trade_pagerank" -> { (s, dir) =>
       G.pageRank(tradeEdges(s, dir), iters = 3)
         .select(col("vertex"), round(col("rank"), 6).as("pr"))
@@ -365,6 +391,24 @@ object Graphs {
        |  FROM pv3 CROSS JOIN $centers c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The roundtrip must be invisible: the oracle rebuilds the same
+    // canonicalized multigraph straight from the orders parquet and
+    // counts endpoint occurrences (parallel edges kept).
+    "p16_edge_list_load" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey AS s0, 1 + (o_orderkey % 97) AS d0 FROM orders),
+        |e AS (SELECT CASE WHEN s0 > d0 THEN d0 ELSE s0 END AS src,
+        |             CASE WHEN s0 > d0 THEN s0 ELSE d0 END AS dst FROM e0),
+        |o AS (SELECT src AS vertex, count(*) AS outdeg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS vertex, count(*) AS indeg FROM e GROUP BY 1)
+        |SELECT coalesce(o.vertex, i.vertex) AS vertex,
+        |  CAST(coalesce(outdeg, 0) AS BIGINT) AS outdeg,
+        |  CAST(coalesce(indeg, 0) AS BIGINT) AS indeg,
+        |  CAST(coalesce(outdeg, 0) + coalesce(indeg, 0) AS BIGINT) AS degree
+        |FROM o FULL OUTER JOIN i ON o.vertex = i.vertex
+        |WHERE coalesce(o.vertex, i.vertex) <= 50
+        |ORDER BY vertex""".stripMargin,
+
     // Relational mirror of the two aggregateMessages calls: the
     // either-direction union for the neighbor set, the dst-grouped sum
     // for incoming weight; vertices with no incoming edges coalesce to 0.

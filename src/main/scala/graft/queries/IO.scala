@@ -41,6 +41,72 @@ object IO {
       "'\"><Array n=\"2\" type=\"real\">', CAST(c1 AS STRING), ' ', " +
       "CAST(c2 AS STRING), '</Array></Cluster>')"
 
+  /** GLM PMML scaffolding (reference mllib/pmml/export/
+    * GeneralizedLinearPMMLModelExport.scala:39 — field_i continuous
+    * DataDictionary plus a target field, active/target MiningSchema, one
+    * RegressionTable with a NumericPredictor per weight; and
+    * BinaryClassificationPMMLModelExport.scala:40 — functionName
+    * classification, normalizationMethod logit, a targetCategory="1"
+    * table carrying the weights and a predictor-free targetCategory="0"
+    * table whose intercept is -ln(1/threshold - 1), :48-:56). All
+    * fragments shared verbatim with the oracle so DOCUMENT equality is
+    * the gate. Coefficients are emitted in the repo's integer
+    * quantization units (micro weights, milli ln-intercepts) — a
+    * DECLARED deviation from the reference's raw-double JAXB print,
+    * the repo-wide cross-engine determinism policy. */
+  private val pmmlGlmDict2: String =
+    """<DataDictionary numberOfFields="3">""" +
+      """<DataField name="field_0" optype="continuous" dataType="double"/>""" +
+      """<DataField name="field_1" optype="continuous" dataType="double"/>"""
+  private val pmmlGlmMining: String =
+    """<MiningSchema><MiningField name="field_0" usageType="active"/>""" +
+      """<MiningField name="field_1" usageType="active"/>""" +
+      """<MiningField name="target" usageType="target"/></MiningSchema>"""
+  val pmmlLinHead: String =
+    """<PMML version="4.2"><Header description="linear regression"/>""" +
+      pmmlGlmDict2 +
+      """<DataField name="target" optype="continuous" dataType="double"/></DataDictionary>""" +
+      """<RegressionModel functionName="regression" modelName="linear regression">""" +
+      pmmlGlmMining
+  val pmmlLogitHead: String =
+    """<PMML version="4.2"><Header description="logistic regression"/>""" +
+      pmmlGlmDict2 +
+      """<DataField name="target" optype="categorical" dataType="string"/></DataDictionary>""" +
+      """<RegressionModel functionName="classification" modelName="logistic regression" normalizationMethod="logit">""" +
+      pmmlGlmMining
+  val pmmlGlmTail: String = "</RegressionModel></PMML>"
+
+  /** SQL expression assembling a RegressionTable element over intercept /
+    * coefficient columns; `targetCat` empty for the regression doc. */
+  def pmmlRegTable(icol: String, w1col: String, w2col: String,
+                   targetCat: String): String = {
+    val cat = if (targetCat.isEmpty) "" else s""" targetCategory="$targetCat""""
+    s"""concat('<RegressionTable intercept="', CAST($icol AS STRING), '"$cat>', """ +
+      s"""'<NumericPredictor name="field_0" coefficient="', CAST($w1col AS STRING), '"/>', """ +
+      s"""'<NumericPredictor name="field_1" coefficient="', CAST($w2col AS STRING), '"/>', """ +
+      "'</RegressionTable>')"
+  }
+
+  /** The predictor-free NO table (threshold 0.7 through the reference's
+    * logit inversion) — one constant expression both engines evaluate on
+    * identical doubles. */
+  val pmmlNoTableFrag: String =
+    """concat('<RegressionTable intercept="', """ +
+      "CAST(CAST(round(-ln((CAST(1.0 AS DOUBLE) / CAST(0.7 AS DOUBLE)) - CAST(1.0 AS DOUBLE)) * 1000.0) AS BIGINT) AS STRING), " +
+      """'" targetCategory="0"/>')"""
+
+  /** Class-conditional logit "model" sufficient stats -> quantized
+    * weights, parameterized on the integer-div token (Spark DIV, DuckDB
+    * //). Weights are EXACT integers (mean-difference per feature in
+    * micro units — sums and counts are BIGINT throughout; the
+    * multiply-first form keeps exactness with ~9e12-row headroom at
+    * price-scale features); the intercept is the milli-quantized prior
+    * log-odds ln(n_pos/n_neg). */
+  def logitWeightExprs(div: String): Seq[(String, String)] = Seq(
+    "w0m" -> "CAST(round(ln(CAST(np AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000.0) AS BIGINT)",
+    "w1m" -> s"CAST(((s1p * 1000000) $div np) - ((s1n * 1000000) $div nn) AS BIGINT)",
+    "w2m" -> s"CAST(((s2p * 1000000) $div np) - ((s2n * 1000000) $div nn) AS BIGINT)")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // JSON write -> schema'd read -> aggregate.
     "i01_json_roundtrip" -> { (s, dir) =>
@@ -293,6 +359,57 @@ object IO {
           StructField("n_clusters", LongType)))).json(path)
     },
 
+    // GLM + binary-classification PMML export (reference mllib/pmml/
+    // export/GeneralizedLinearPMMLModelExport.scala:39 and
+    // BinaryClassificationPMMLModelExport.scala:40 — the two remaining
+    // exporter families next to i20's k-means; PMMLModelExportFactory
+    // .scala routes LinearRegression/Ridge/Lasso to the first and
+    // LogisticRegression/SVM to the second). The exporters serialize
+    // whatever model they are handed; the models here are engine-exact —
+    // the linear row is the closed-form OLS fit of extendedprice ~
+    // quantity + partkey-bucket (ext.Learn.olsFit2, micro-quantized
+    // betas), the logistic row a class-conditional mean-difference
+    // direction over order status with the prior log-odds intercept
+    // (exact integer micro weights) and the reference's logit threshold
+    // inversion (-ln(1/0.7 - 1)) as the targetCategory="0" intercept.
+    // Both documents are written to a text-typed sink and read back —
+    // the gated value IS the exported XML, so DataDictionary shape,
+    // MiningSchema, RegressionTable/NumericPredictor structure and the
+    // normalizationMethod path are all on the hash.
+    "i23_pmml_glm_export" -> { (s, dir) =>
+      val path = s"$scratch/pmml_glm"
+      val lin = graft.ext.Learn.olsFit2(
+          Tables.lineitem(s, dir).selectExpr(
+            "CAST(round(l_quantity) AS BIGINT) AS x1",
+            "CAST(l_partkey % 100 AS BIGINT) AS x2",
+            "CAST(round(l_extendedprice) AS BIGINT) AS y"))
+        .selectExpr(
+          "CAST(round(b0 * 1000000.0) AS BIGINT) AS b0m",
+          "CAST(round(b1 * 1000000.0) AS BIGINT) AS b1m",
+          "CAST(round(b2 * 1000000.0) AS BIGINT) AS b2m")
+        .selectExpr("'linear regression' AS model",
+          s"concat('$pmmlLinHead', ${pmmlRegTable("b0m", "b1m", "b2m", "")}, '$pmmlGlmTail') AS xml",
+          "CAST(2 AS BIGINT) AS n_predictors")
+      val logit = Tables.orders(s, dir)
+        .selectExpr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos",
+          "CAST(round(o_totalprice) AS BIGINT) AS x1",
+          "CAST(o_custkey % 100 AS BIGINT) AS x2")
+        .agg(sum("pos").as("np"), sum(expr("1 - pos")).as("nn"),
+          sum(expr("pos * x1")).as("s1p"), sum(expr("(1 - pos) * x1")).as("s1n"),
+          sum(expr("pos * x2")).as("s2p"), sum(expr("(1 - pos) * x2")).as("s2n"))
+        .selectExpr(logitWeightExprs("DIV").map { case (n, e) => s"$e AS $n" }: _*)
+        .selectExpr("'logistic regression' AS model",
+          s"concat('$pmmlLogitHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, " +
+            s"$pmmlNoTableFrag, '$pmmlGlmTail') AS xml",
+          "CAST(2 AS BIGINT) AS n_predictors")
+      lin.union(logit)
+        .write.mode(SaveMode.Overwrite).json(path)
+      s.read.schema(StructType(Seq(StructField("model", StringType),
+          StructField("xml", StringType), StructField("n_predictors", LongType))))
+        .json(path)
+        .orderBy("model")
+    },
+
     // LIBSVM text roundtrip (reference mllib/util/MLUtils.scala:66
     // loadLibSVMFile / :252 saveAsLibSVMFile; the DataFrame source is
     // ml/source/libsvm/LibSVMRelation.scala). Write the reference's
@@ -520,6 +637,46 @@ object IO {
          |SELECT concat('$pmmlHead', string_agg(frag, '' ORDER BY cluster), '$pmmlTail') AS xml,
          |  CAST(count(*) AS BIGINT) AS n_clusters
          |FROM f""".stripMargin
+    },
+
+    // Mirror of both exporters: identical scaffolding/fragment strings,
+    // the OLS closed form over the same nine integer sums (the x15
+    // sharing pattern), and the same exact-integer logit weights.
+    "i23_pmml_glm_export" -> {
+      val betaSel = graft.ext.Learn.olsBetaExprs
+        .map { case (n, e) => s"CAST(round($e * 1000000.0) AS BIGINT) AS ${n}m" }
+        .mkString(",\n    ")
+      val wSel = logitWeightExprs("//")
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      s"""WITH lf AS (SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         |    CAST(l_partkey % 100 AS BIGINT) AS x2,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem),
+         |ls AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |    CAST(sum(x2 * x2) AS BIGINT) AS s22, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y
+         |  FROM lf),
+         |lb AS (SELECT
+         |    $betaSel
+         |  FROM ls),
+         |lx AS (SELECT 'linear regression' AS model,
+         |    concat('$pmmlLinHead', ${pmmlRegTable("b0m", "b1m", "b2m", "")}, '$pmmlGlmTail') AS xml,
+         |    CAST(2 AS BIGINT) AS n_predictors FROM lb),
+         |os AS (SELECT CAST(sum(pos) AS BIGINT) AS np,
+         |    CAST(sum(1 - pos) AS BIGINT) AS nn,
+         |    CAST(sum(pos * x1) AS BIGINT) AS s1p, CAST(sum((1 - pos) * x1) AS BIGINT) AS s1n,
+         |    CAST(sum(pos * x2) AS BIGINT) AS s2p, CAST(sum((1 - pos) * x2) AS BIGINT) AS s2n
+         |  FROM (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         |      CAST(round(o_totalprice) AS BIGINT) AS x1,
+         |      CAST(o_custkey % 100 AS BIGINT) AS x2 FROM orders)),
+         |ob AS (SELECT
+         |    $wSel
+         |  FROM os),
+         |ox AS (SELECT 'logistic regression' AS model,
+         |    concat('$pmmlLogitHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, $pmmlNoTableFrag, '$pmmlGlmTail') AS xml,
+         |    CAST(2 AS BIGINT) AS n_predictors FROM ob)
+         |SELECT * FROM lx UNION ALL SELECT * FROM ox ORDER BY model""".stripMargin
     },
 
     // Reproduced from the ORIGINAL orders parquet: the roundtrip must

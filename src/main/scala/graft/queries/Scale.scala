@@ -27,6 +27,27 @@ object Scale {
   private val expMilliExpr =
     s"CAST(round(-500.0 * ln(1.0 - (CAST(r1 AS DOUBLE) / $LcgMod.0))) AS BIGINT)"
 
+  /** x20's Box-Muller pieces, shared verbatim with the oracle. `unif`
+    * maps an LCG residue in [0, 2^31) to (0, 1] — strictly positive so
+    * ln never sees 0. Every decimal literal is CAST through DOUBLE (the
+    * w2vUpdExpr/dct4Expr convention) and the 2π literal is the nearest
+    * double spelled out, so both engines evaluate libm on IDENTICAL
+    * doubles; milli rounding tolerates the 1-ulp libm slack (the
+    * s57/expMilli precedent). */
+  private def unif(r: String): String =
+    s"((CAST($r AS DOUBLE) + CAST(1.0 AS DOUBLE)) / CAST($LcgMod AS DOUBLE))"
+  private def bmZ1(u1: String, u2: String): String =
+    s"(sqrt(CAST(-2.0 AS DOUBLE) * ln($u1)) * cos(CAST(6.283185307179586 AS DOUBLE) * $u2))"
+  private def bmZ2(u1: String, u2: String): String =
+    s"(sqrt(CAST(-2.0 AS DOUBLE) * ln($u1)) * sin(CAST(6.283185307179586 AS DOUBLE) * $u2))"
+  /** Cluster center: r = 10 × the unit Gaussian of the cluster-seeded
+    * draws (ca, cb); point offset: unit Gaussian of the id-seeded draws
+    * (p1, p2). */
+  private val kgCenter1 = s"(CAST(10.0 AS DOUBLE) * ${bmZ1(unif("ca"), unif("cb"))})"
+  private val kgCenter2 = s"(CAST(10.0 AS DOUBLE) * ${bmZ2(unif("ca"), unif("cb"))})"
+  private val kgPointZ1 = bmZ1(unif("p1"), unif("p2"))
+  private val kgPointZ2 = bmZ2(unif("p1"), unif("p2"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two-phase salted aggregation over the biggest fact table: hot
     // (returnflag, linestatus) keys fan out over 8 salt buckets in phase
@@ -46,6 +67,23 @@ object Scale {
     // to s42 RowMatrix and x13 BlockMatrix): supplier x order-bucket
     // quantity entries, transposed, assembled into sparse rows with the
     // block-coordinate arithmetic and matrix dims gated alongside.
+    // Bounded per-key top-k (reference mllib/rdd/MLPairRDDFunctions
+    // .scala:41 topByKey over core/util/BoundedPriorityQueue.scala):
+    // top-3 suppliers by account balance per nation through the
+    // k-bounded Aggregator — partial buffers cap at k, so the shuffle
+    // carries at most k rows per (nation, map task) instead of the
+    // window formulation's every-row shuffle + whole-group sort; at
+    // 100 TB that's the difference between an all-rows exchange and a
+    // keys-times-k one. Gated on result transparency: the oracle IS the
+    // window-rank formulation.
+    "x19_topk_by_key" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir).select(col("s_nationkey"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("bal_cents"),
+        col("s_suppkey"))
+      S.topKByKey(sup, "s_nationkey", "bal_cents", "s_suppkey", k = 3)
+        .orderBy("s_nationkey", "rk")
+    },
+
     "x18_matrix_conversions" -> { (s, dir) =>
       val entries = Tables.lineitem(s, dir)
         .groupBy(col("l_suppkey").as("i"), (col("l_orderkey") % 50).as("j"))
@@ -198,6 +236,47 @@ object Scale {
     // centered-uniform (no Box-Muller: cos is not in the engine-shared
     // libm set), exponential comes from the exact inverse CDF. The
     // generated stream is validated THROUGH ITS PURPOSE: the s14 OLS fit
+    // Clustered synthetic data generation (reference mllib/util/
+    // KMeansDataGenerator.scala:48 generateKMeansRDD — k centers drawn
+    // from a d-dim Gaussian scaled by r (:59), each point = center(idx %
+    // k) + unit Gaussian (:62-:64); LinearDataGenerator's labeled-point
+    // analog is x15). Randomness is the house counter-based LCG +
+    // Box-Muller instead of the reference's java.util.Random — a
+    // DECLARED deviation that makes generation driver-free and
+    // reproducible at ANY parallelism (the reference already re-seeds
+    // per point, `new Random(42 + idx)`, for the same reason — :63).
+    // The center is a pure function of the cluster id, so no center
+    // table materializes anywhere: at 100 TB generation is one narrow
+    // codegen projection over a key range — write bandwidth is the only
+    // cost. Gated on per-cluster recovery: milli-quantized point means
+    // vs the exact center both engines compute from the same draws.
+    // The mean's integer division runs over NEGATIVE sums here (all five
+    // seeded centers land negative): Spark DIV and DuckDB BIGINT `//`
+    // both truncate toward zero (verified on the gated path; DuckDB's
+    // floor-vs-trunc caveat in the verify notes applies to its DOUBLE
+    // `//` overload, not BIGINT).
+    "x20_kmeans_datagen" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id", "CAST(o_orderkey % 5 AS BIGINT) AS cluster")
+        .selectExpr("id", "cluster", s"${lcgExpr("id")} AS p0")
+        .selectExpr("id", "cluster", s"${lcgExpr("p0")} AS p1")
+        .selectExpr("id", "cluster", "p1", s"${lcgExpr("p1")} AS p2")
+        .selectExpr("id", "cluster", "p1", "p2",
+          s"${lcgExpr("(cluster + 77)")} AS c0")
+        .selectExpr("id", "cluster", "p1", "p2", s"${lcgExpr("c0")} AS ca")
+        .selectExpr("id", "cluster", "p1", "p2", "ca", s"${lcgExpr("ca")} AS cb")
+        .selectExpr("cluster",
+          s"CAST(round($kgCenter1 * 1000.0) AS BIGINT) AS c1_milli",
+          s"CAST(round($kgCenter2 * 1000.0) AS BIGINT) AS c2_milli",
+          s"CAST(round(($kgCenter1 + $kgPointZ1) * 1000.0) AS BIGINT) AS x1_milli",
+          s"CAST(round(($kgCenter2 + $kgPointZ2) * 1000.0) AS BIGINT) AS x2_milli")
+        .groupBy("cluster", "c1_milli", "c2_milli")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(x1_milli) DIV count(*) AS BIGINT)").as("mean1_milli"),
+          expr("CAST(sum(x2_milli) DIV count(*) AS BIGINT)").as("mean2_milli"))
+        .orderBy("cluster")
+    },
+
     // over all generated rows must recover (intercept, w1, w2) — those
     // betas ride every output row. Cohort id <= 50 emits the values.
     "x15_random_data" -> { (s, dir) =>
@@ -339,6 +418,21 @@ object Scale {
   val oracles: Map[String, String] = Map(
     // Relational mirror: swap (i, j), group by the new row index,
     // j-ordered string_agg for the row digest, max+1 dims.
+    // The window-rank formulation the bounded aggregate must be
+    // indistinguishable from (ties on bal_cents resolve to the larger
+    // suppkey — the reference's descending tuple order).
+    "x19_topk_by_key" ->
+      """WITH r AS (
+        |  SELECT s_nationkey,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents, s_suppkey,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY CAST(round(s_acctbal * 100) AS BIGINT) DESC,
+        |               s_suppkey DESC) AS rk
+        |  FROM supplier)
+        |SELECT s_nationkey, CAST(rk AS BIGINT) AS rk, bal_cents,
+        |  CAST(s_suppkey AS BIGINT) AS s_suppkey
+        |FROM r WHERE rk <= 3 ORDER BY s_nationkey, rk""".stripMargin,
+
     "x18_matrix_conversions" ->
       """WITH entries AS MATERIALIZED (
         |  SELECT l_suppkey AS i, CAST(l_orderkey % 50 AS BIGINT) AS j,
@@ -359,6 +453,27 @@ object Scale {
     // Mirror of the generator: the same LCG chain, noise, inverse-CDF
     // exponential, and the shared OLS Cramer strings over the generated
     // stream's nine sums.
+    // Same LCG chains, same Box-Muller strings, `//` for integer div.
+    "x20_kmeans_datagen" ->
+      s"""WITH ids AS (SELECT o_orderkey AS id,
+         |    CAST(o_orderkey % 5 AS BIGINT) AS cluster FROM orders),
+         |q0 AS (SELECT id, cluster, ${lcgExpr("id")} AS p0 FROM ids),
+         |q1 AS (SELECT id, cluster, ${lcgExpr("p0")} AS p1 FROM q0),
+         |q2 AS (SELECT id, cluster, p1, ${lcgExpr("p1")} AS p2 FROM q1),
+         |q3 AS (SELECT id, cluster, p1, p2, ${lcgExpr("(cluster + 77)")} AS c0 FROM q2),
+         |q4 AS (SELECT id, cluster, p1, p2, ${lcgExpr("c0")} AS ca FROM q3),
+         |q5 AS (SELECT id, cluster, p1, p2, ca, ${lcgExpr("ca")} AS cb FROM q4),
+         |pts AS (SELECT cluster,
+         |    CAST(round($kgCenter1 * 1000.0) AS BIGINT) AS c1_milli,
+         |    CAST(round($kgCenter2 * 1000.0) AS BIGINT) AS c2_milli,
+         |    CAST(round(($kgCenter1 + $kgPointZ1) * 1000.0) AS BIGINT) AS x1_milli,
+         |    CAST(round(($kgCenter2 + $kgPointZ2) * 1000.0) AS BIGINT) AS x2_milli
+         |  FROM q5)
+         |SELECT cluster, c1_milli, c2_milli, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(sum(x1_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean1_milli,
+         |  CAST(CAST(sum(x2_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean2_milli
+         |FROM pts GROUP BY 1, 2, 3 ORDER BY cluster""".stripMargin,
+
     "x15_random_data" -> {
       val betaSel = graft.ext.Learn.olsBetaExprs
         .map { case (n, e) => s"CAST(round($e * 1000000.0) AS BIGINT) AS ${n}_micro" }

@@ -363,4 +363,36 @@ class GraphSpec extends SparkSpec {
       Graph.aggregateNeighbors(we, None, None, m => sum(m))
     }
   }
+
+  test("edgeListFile: comments/blank skipped, whitespace split, canonical swap, parallel edges kept") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_edgelist").toString
+    val text = Seq(
+      "# comment line",
+      "5 2",            // swaps to 2->5 under canonical orientation
+      "1\t3",           // tab separator
+      "2   4",          // run of spaces
+      "",               // blank line — skipped
+      "5 2",            // parallel edge — KEPT
+      "# another comment",
+      "2 6").mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "edges.txt"), text.getBytes("UTF-8"))
+
+    val plain = Graph.edgeListFile(spark, dir, canonicalOrientation = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plain.count(_ == ((5L, 2L, 1L))) === 2) // dups preserved, attr 1
+    assert(plain.length === 5)
+
+    val canon = Graph.edgeListFile(spark, dir, canonicalOrientation = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(canon.toSeq === Seq(
+      (1L, 3L), (2L, 4L), (2L, 5L), (2L, 5L), (2L, 6L)))
+
+    // degrees: parallel edges counted, zero-degree vertices absent
+    val deg = Graph.degrees(Graph.edgeListFile(spark, dir, canonicalOrientation = true))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(deg === Map(
+      1L -> ((1L, 0L, 1L)), 2L -> ((4L, 0L, 4L)), 3L -> ((0L, 1L, 1L)),
+      4L -> ((0L, 1L, 1L)), 5L -> ((0L, 2L, 2L)), 6L -> ((0L, 1L, 1L))))
+  }
 }

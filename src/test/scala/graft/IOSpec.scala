@@ -125,6 +125,37 @@ class IOSpec extends SparkSpec {
       s"""<Cluster name="cluster_0"><Array n="2" type="real">${c0.getLong(0)} ${c0.getLong(1)}</Array></Cluster>"""))
   }
 
+  test("pmml glm export: regression and classification documents carry the reference structure") {
+    val rows = graft.queries.IO.defs("i23_pmml_glm_export")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set("linear regression", "logistic regression"))
+
+    val lin = rows("linear regression")
+    assert(lin.startsWith("""<PMML version="4.2"><Header description="linear regression"/>"""))
+    assert(lin.contains("""<RegressionModel functionName="regression""""))
+    assert(lin.contains("""<MiningField name="target" usageType="target"/>"""))
+    assert(lin.contains("""<DataField name="target" optype="continuous" dataType="double"/>"""))
+    assert("<NumericPredictor ".r.findAllIn(lin).size === 2)
+    assert(lin.endsWith("</RegressionModel></PMML>"))
+    // the serialized intercept equals the direct closed-form fit
+    val b = graft.ext.Learn.olsFit2(Tables.lineitem(spark, sf001).selectExpr(
+        "CAST(round(l_quantity) AS BIGINT) AS x1",
+        "CAST(l_partkey % 100 AS BIGINT) AS x2",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y"))
+      .selectExpr("CAST(round(b0 * 1000000.0) AS BIGINT)").head().getLong(0)
+    assert(lin.contains(s"""<RegressionTable intercept="$b">"""))
+
+    val log = rows("logistic regression")
+    assert(log.contains("""functionName="classification""""))
+    assert(log.contains("""normalizationMethod="logit""""))
+    assert(log.contains("""<DataField name="target" optype="categorical" dataType="string"/>"""))
+    assert(log.contains("""targetCategory="1""""))
+    // the NO table is predictor-free with the logit-inverted threshold:
+    // -ln(1/0.7 - 1) milli-quantized = 847
+    assert(log.contains("""<RegressionTable intercept="847" targetCategory="0"/>"""))
+    assert("<NumericPredictor ".r.findAllIn(log).size === 2)
+  }
+
   test("json preserves nested structs and arrays") {
     val path = tmp("jsonnest")
     import spark.implicits._

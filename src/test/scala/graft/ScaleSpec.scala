@@ -360,4 +360,59 @@ class ScaleSpec extends SparkSpec {
       .digest("1:2,2:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(md === expect)
   }
+
+  test("kmeans datagen: per-cluster means recover the generating centers") {
+    val out = graft.queries.Scale.defs("x20_kmeans_datagen")(spark, sf01).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      val (c1, c2, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (m1, m2) = (r.getLong(4), r.getLong(5))
+      assert(n > 1000)
+      // unit-Gaussian point noise: the mean's sampling error is
+      // ~1000/sqrt(n) milli — allow 5 sigma plus the DIV floor unit
+      val tol = (5000.0 / math.sqrt(n.toDouble)).toLong + 1
+      assert(math.abs(m1 - c1) <= tol, s"cluster ${r.getLong(0)}: $m1 vs $c1")
+      assert(math.abs(m2 - c2) <= tol, s"cluster ${r.getLong(0)}: $m2 vs $c2")
+    }
+  }
+
+  test("topKByKey: bounded aggregate equals window rank, ties break on larger id") {
+    import spark.implicits._
+    // key 1: four values with a tie at 30 (ids 7 and 9 — 9 must win the
+    // earlier rank); key 2: exactly k; key 3: fewer than k
+    val df = Seq(
+      (1L, 30L, 7L), (1L, 30L, 9L), (1L, 50L, 1L), (1L, 10L, 2L),
+      (2L, 5L, 4L), (2L, 6L, 3L), (2L, 4L, 8L),
+      (3L, 99L, 6L))
+      .toDF("k", "v", "id").repartition(5) // arbitrary incoming layout
+    val got = Scale.topKByKey(df, "k", "v", "id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 50L, 1L), (1L, 2L, 30L, 9L), (1L, 3L, 30L, 7L),
+      (2L, 1L, 6L, 3L), (2L, 2L, 5L, 4L), (2L, 3L, 4L, 8L),
+      (3L, 1L, 99L, 6L)))
+  }
+
+  test("topKByKey matches the window formulation on a real table and combines map-side") {
+    val sup = Tables.supplier(spark, sf001).select(
+      col("s_nationkey").cast("long").as("s_nationkey"),
+      expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("cents"), col("s_suppkey"))
+    val agg = Scale.topKByKey(sup, "s_nationkey", "cents", "s_suppkey", k = 3)
+    val win = {
+      import org.apache.spark.sql.expressions.Window
+      sup.withColumn("rk", row_number().over(Window.partitionBy("s_nationkey")
+          .orderBy(col("cents").desc, col("s_suppkey").desc)))
+        .filter("rk <= 3")
+        .selectExpr("s_nationkey", "CAST(rk AS BIGINT) AS rk", "cents", "s_suppkey")
+    }
+    val a = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = win.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a === w)
+    // the plan is a partial+final object aggregate — per-key state is
+    // k-bounded on BOTH sides of the exchange (no whole-group sort)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("(?i)objecthashaggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("WindowExec"))
+  }
 }
