@@ -479,7 +479,28 @@ object Plans {
         "attrs only: the TripletFields.None fast path). The joins " +
         "visible above/below it are the trade-edge build (broadcast " +
         "dims) and the query's final neighbor-set ⋈ in-weight " +
-        "assembly of two aggregateNeighbors results."))
+        "assembly of two aggregateNeighbors results."),
+    "x19_topk_by_key" ->
+      ("Bounded per-key top-k: ObjectHashAggregate partial+final around " +
+        "ONE exchange — each partial buffer caps at k elements, so the " +
+        "shuffle carries at most k rows per (key, map task) and no " +
+        "WindowExec sort appears anywhere; the window-rank formulation " +
+        "(the oracle) would shuffle every row and sort whole key groups " +
+        "before discarding all but k."),
+    "p16_edge_list_load" ->
+      ("Edge-list loading: the parse (comment/blank filter, whitespace " +
+        "split, casts, canonical swap) is one narrow codegen projection " +
+        "fused into the text scan — zero shuffles until the degrees " +
+        "aggregate, so loader cost IS read bandwidth; degrees are two " +
+        "map-side-combined hash aggregates meeting in a co-partitioned " +
+        "full-outer join on vertex."),
+    "x20_kmeans_datagen" ->
+      ("Synthetic cluster generation: the whole generator (LCG chains, " +
+        "Box-Muller, center arithmetic) is one codegen projection over " +
+        "the key scan — centers are pure functions of the cluster id, " +
+        "so no center table and no join exist; the only exchange is the " +
+        "final 5-group recovery aggregate. At 100 TB generation cost is " +
+        "write bandwidth."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
