@@ -607,12 +607,30 @@ object Learn {
     s"CAST(round(((${terms(0)} + ${terms(1)}) + (${terms(2)} + ${terms(3)})) * 1000.0) AS BIGINT)"
   }
 
-  def decisionTree2(rows: DataFrame, maxDepth: Int = 2,
-                    impurity: String = "gini"): (DataFrame, DataFrame) = {
+  /** The variance-reduction split score over the candidate columns
+    * (lp, nl, tp, tn) where lp/tp are SUMS of the (possibly signed)
+    * target, not positive counts (reference tree/impurity/Variance
+    * .scala:52 — impurity = (Σy² − (Σy)²/n)/n; Σy² is
+    * split-invariant, so minimizing weighted child variance ≡
+    * maximizing Σ_child (Σy)²/n — the same monotone abs-floor-div
+    * currency as [[gbtFit2]]'s: `(|sl| div nl)·|sl|` is engine-portable
+    * because Spark's DIV truncates toward zero and DuckDB's `//` floors,
+    * agreeing only on non-negatives). `div` is the engine's integer
+    * division keyword (`DIV` Spark / `//` DuckDB). */
+  def varianceScoreExpr(div: String): String =
+    s"CAST((abs(lp) $div nl) * abs(lp) + (abs(tp - lp) $div (tn - nl)) * abs(tp - lp) AS BIGINT)"
+
+  /** The shared per-level fit loop over (x1, x2, y, node) rows: one
+    * (node, feature, value) histogram hash aggregate per level, the
+    * prefix-sum candidate table, the per-node argmax under `scoreExpr`
+    * (ties to the smallest (feat, val)), and the node → 2·node /
+    * 2·node+1 routing. Returns (final routed rows, all chosen splits) —
+    * the leaf aggregation is the caller's (majority label for
+    * classification, mean target for regression). */
+  private def treeLevels(rows0: DataFrame, maxDepth: Int,
+                         scoreExpr: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val spark = rows.sparkSession
-    var r = rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node"))
-      .localCheckpoint()
+    var r = rows0.localCheckpoint()
     var allSplits: DataFrame = null
     for (_ <- 1 to maxDepth) {
       val lf = r.selectExpr("node", "y", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
@@ -625,10 +643,7 @@ object Learn {
         .withColumn("nl", sum("n").over(wCum)).withColumn("lp", sum("np").over(wCum))
         .withColumn("tn", sum("n").over(wTot)).withColumn("tp", sum("np").over(wTot))
         .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
-        .withColumn("score", expr(
-          if (impurity == "entropy") entropyScoreExpr
-          else "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
-            " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"))
+        .withColumn("score", expr(scoreExpr))
       val best = cand
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(col("score").desc, col("feat"), col("val"))))
@@ -638,10 +653,54 @@ object Learn {
       allSplits = if (allSplits == null) best else allSplits.union(best)
       r = routeOneLevel(r, best.drop("score")).localCheckpoint()
     }
+    (r, allSplits)
+  }
+
+  def decisionTree2(rows: DataFrame, maxDepth: Int = 2,
+                    impurity: String = "gini"): (DataFrame, DataFrame) = {
+    val scoreExpr =
+      if (impurity == "entropy") entropyScoreExpr
+      else "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
+        " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"
+    val (r, allSplits) = treeLevels(
+      rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node")),
+      maxDepth, scoreExpr)
     val leaves = r.groupBy(col("node").as("leaf"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
       .withColumn("pred",
         expr("CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS BIGINT)"))
+    (leaves, allSplits)
+  }
+
+  /** Depth-`maxDepth` REGRESSION tree over a (x1, x2, ym) table (BIGINT
+    * features, milli-quantized BIGINT target) — reference
+    * mllib/tree/DecisionTree.scala:248 trainRegressor with
+    * impurity/Variance.scala:52 (impurity = (Σy² − (Σy)²/n)/n): the
+    * identical findBestSplits per-level histogram machinery as
+    * [[decisionTree2]], with the label-count histogram replaced by the
+    * (count, Σtarget) sufficient statistics Variance.calculate consumes
+    * and the split argmax under [[varianceScoreExpr]] (Σy² is
+    * split-invariant, so it never needs aggregating — exactly why the
+    * reference's VarianceAggregator carries it but the argmax cancels
+    * it). Leaf predictions are the mean target (the reference's
+    * ImpurityCalculator.predict = Σy/n), rounded ONCE from a double
+    * division of exact integers.
+    *
+    * Overflow headroom: the score needs |mean| · |Σ child target| below
+    * 2^63 — at milli quantization and targets under ~1e6 milli-units
+    * that clears ~1e13 rows; past that the target currency drops to
+    * centi-units.
+    *
+    * Returns (leaves, splits): leaves = (leaf, n, sy, pred_milli),
+    * splits = (node, feat, thr, score) for every internal node. */
+  def regressionTree2(rows: DataFrame, maxDepth: Int = 2): (DataFrame, DataFrame) = {
+    val (r, allSplits) = treeLevels(
+      rows.select(col("x1"), col("x2"), col("ym").as("y"), lit(1L).as("node")),
+      maxDepth, varianceScoreExpr("DIV"))
+    val leaves = r.groupBy(col("node").as("leaf"))
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .withColumn("pred_milli",
+        expr("CAST(round(CAST(sy AS DOUBLE) / n) AS BIGINT)"))
     (leaves, allSplits)
   }
 

@@ -594,6 +594,28 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Variance-impurity REGRESSION tree (reference mllib/tree/
+    // DecisionTree.scala:248 trainRegressor + impurity/Variance.scala:52
+    // — the third and last of the reference's impurities, closing the
+    // family next to s20's Gini and s45's entropy; mechanics and the
+    // Σy²-cancellation argument on Learn.regressionTree2): two histogram
+    // levels on the s26 continuous target, leaves predicting rounded
+    // mean milli-targets, every chosen split gated through the parent
+    // join like s45.
+    "s66_regression_tree" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      val (leaves, splits) = Learn.regressionTree2(rows)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "sy", "pred_milli",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // StandardScaler + closed-form 2-feature PCA (reference mllib/
     // feature/{StandardScaler,PCA}.scala) wired as PIPELINE stages (the
     // s10 contract gains a numeric path): both fitted from ONE exact-
@@ -1442,6 +1464,39 @@ object Ml {
          |  CAST(fm AS BIGINT) AS f_milli,
          |  CAST(CASE WHEN fm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM gl3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    // The s20/s45 per-level CTE chain with the variance score string
+    // substituted (abs-floor-div — `//` on absolute sums matches Spark's
+    // toward-zero DIV) and mean-target leaves, plus the parent-split
+    // join — the oracle re-derives every split of the regression tree.
+    "s66_regression_tree" -> {
+      val score = Learn.varianceScoreExpr("//")
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |vr0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym AS y, 1::BIGINT AS node FROM gfeats),
+         |${dtLevelCte("v", 1, score)},
+         |${dtLevelCte("v", 2, score)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS pred_milli
+         |  FROM vr2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM vb1 b
+         |    JOIN vs1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM vb2 b
+         |    JOIN vs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, sy, pred_milli,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin
+    },
 
     "s26_gradient_boosted" ->
       s"""WITH $ordersBaseCte,

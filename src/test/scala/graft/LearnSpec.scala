@@ -588,6 +588,35 @@ class LearnSpec extends SparkSpec {
     assert(r2.getLong(3) === math.round(8.0 * math.log(0.5) * 1000.0))
   }
 
+  test("variance impurity regression tree: hand-checked argmax, mean leaves, signed targets") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L, 1000L), (1L, 20L, 1000L), (2L, 10L, 1000L),
+      (2L, 20L, 5000L), (3L, 10L, 5000L), (3L, 20L, 5000L)).toDF("x1", "x2", "ym")
+    val (leaves, splits) = Learn.regressionTree2(rows, maxDepth = 1)
+    val root = splits.head()
+    // x1<=1: (2000 div 2)·2000 + (16000 div 4)·16000 = 66,000,000 TIES
+    // x1<=2's (8000 div 4)·8000 + (10000 div 2)·10000; x2<=10 only
+    // reaches (7000 div 3)·7000 + (11000 div 3)·11000 = 56,657,000.
+    // The (feat, val) tie-break picks thr 1.
+    assert((root.getLong(1), root.getLong(2), root.getLong(3)) ===
+      ((1L, 1L, 66000000L)))
+    val lv = leaves.orderBy("leaf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(lv === Map(2L -> (2L, 2000L, 1000L), 3L -> (4L, 16000L, 4000L)))
+    // signed targets route through the abs-floor-div currency: children
+    // at constant −3000 / +3000 score (6000 div 2)·6000 twice
+    val signed = Seq((1L, 0L, -3000L), (1L, 0L, -3000L),
+      (2L, 0L, 3000L), (2L, 0L, 3000L)).toDF("x1", "x2", "ym")
+    val (slv, ssp) = Learn.regressionTree2(signed, maxDepth = 1)
+    assert(ssp.head().getLong(3) === 36000000L)
+    assert(slv.orderBy("leaf").collect().map(_.getLong(3)).toSeq ===
+      Seq(-3000L, 3000L))
+    // partitioning-deterministic
+    val (l13, _) = Learn.regressionTree2(rows.repartition(13, col("x2")), maxDepth = 1)
+    assert(l13.orderBy("leaf").collect().toSeq ===
+      leaves.orderBy("leaf").collect().toSeq)
+  }
+
   test("mlp backprop reduces xor loss and is partitioning-deterministic") {
     import spark.implicits._
     // XOR x 8 copies: the problem no linear model separates; the
