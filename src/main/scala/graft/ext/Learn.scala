@@ -1637,22 +1637,21 @@ object Learn {
   val gbtLogLossResidExpr: String =
     "CAST(round(((4.0 * ys) / (1.0 + exp((2.0 * ys) * (CAST(fm AS DOUBLE) / 1000.0)))) * 1000.0) AS BIGINT)"
 
-  /** `rounds` log-loss boosting rounds of depth-1 stumps over
-    * (x1, x2, ys): per round one residual projection (recomputed from
-    * the carried margin fm — log-loss residuals are F-dependent, unlike
+  /** The shared margin-carried boosting loop over (x1, x2, `targetCol`,
+    * fm) rows: per round one residual projection under `residExpr`
+    * (recomputed from the carried margin fm — F-dependent losses, unlike
     * s26's once-subtracted L2 chain), one stacked histogram aggregate,
-    * the prefix-sum argmax, and a margin update. Returns the stump list
+    * the abs-floor-div prefix-sum argmax, and a margin update with the
+    * lr-scaled leaf means. Returns the stump list
     * (round, feat, thr, leftq, rightq) with lr-scaled integer leaves. */
-  def gbtLogLossFit2(rows: DataFrame, rounds: Int = 3,
-                     lr: Double = 0.5): Seq[(Int, Long, Long, Long, Long)] = {
+  private def gbtMarginRounds(st0: DataFrame, targetCol: String,
+                              residExpr: String, rounds: Int,
+                              lr: Double): Seq[(Int, Long, Long, Long, Long)] = {
     import org.apache.spark.sql.expressions.Window
-    val base = rows.select(col("x1"), col("x2"), col("ys"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    var st = base.withColumn("fm", lit(0L)).localCheckpoint()
+    var st = st0.localCheckpoint()
     val model = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
     for (round <- 1 to rounds) {
-      val r = st.selectExpr("x1", "x2", "ys", "fm", s"$gbtLogLossResidExpr AS rq")
+      val r = st.selectExpr("x1", "x2", targetCol, "fm", s"$residExpr AS rq")
       val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
       val h = lf.groupBy("feat", "val")
         .agg(count(lit(1)).as("n"), sum("rq").as("sr"))
@@ -1681,8 +1680,61 @@ object Learn {
           s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rqv}L END"))
         .localCheckpoint()
     }
-    base.unpersist()
     model.toSeq
+  }
+
+  /** `rounds` log-loss boosting rounds of depth-1 stumps over
+    * (x1, x2, ys) — the [[gbtMarginRounds]] loop seeded at F0 = 0 with
+    * the log-loss gradient string. Returns the stump list
+    * (round, feat, thr, leftq, rightq) with lr-scaled integer leaves. */
+  def gbtLogLossFit2(rows: DataFrame, rounds: Int = 3,
+                     lr: Double = 0.5): Seq[(Int, Long, Long, Long, Long)] = {
+    val base = rows.select(col("x1"), col("x2"), col("ys"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val model = gbtMarginRounds(base.withColumn("fm", lit(0L)), "ys",
+      gbtLogLossResidExpr, rounds, lr)
+    base.unpersist()
+    model
+  }
+
+  // ---- gradient-boosted stumps, ABSOLUTE-ERROR loss (reference
+  // mllib/tree/loss/AbsoluteError.scala:46 — gradient sign(F−y), so the
+  // boost fits each round's tree to sign(y−F) with ties at y = F taking
+  // +1, the else-branch of the reference's `label - prediction < 0`
+  // test; GradientBoostedTrees.scala:54's boost() shape as in s26/s52.
+  // DECLARED DEVIATIONS: F0 is the FLOORED EXACT MEDIAN of the target
+  // (the L1-optimal constant; the reference instead seeds with a full
+  // first tree on the raw labels), stump learners, learning rate 0.5,
+  // and the house integer conventions — the sign residual is
+  // milli-quantized (±1000), leaves the lr-scaled residual means
+  // rounded once, the split argmax the shared abs-floor-div variance
+  // score. --------------------------------------------------------------
+
+  /** The negated absolute-error gradient sign(y − F) in milli units over
+    * (ym, fm) BIGINT milli columns — integer comparison only, shared
+    * verbatim with the oracle (ties at ym = fm take +1000, matching
+    * AbsoluteError.scala:46's else branch). */
+  val gbtAbsResidExpr: String =
+    "CAST(CASE WHEN ym - fm < 0 THEN -1000 ELSE 1000 END AS BIGINT)"
+
+  /** `rounds` absolute-error boosting rounds of depth-1 stumps over
+    * (x1, x2, ym) — the [[gbtMarginRounds]] loop seeded at the floored
+    * exact median (both engines interpolate the even-n midpoint in
+    * doubles below 2^53, so the floor is engine-identical) with the
+    * sign-gradient string. Returns (f0, stump list); score with
+    * [[gbtPredict2]] — the prediction is F0 plus the stump leaves,
+    * exactly the L2 chain's projection. */
+  def gbtAbsFit2(rows: DataFrame, rounds: Int = 3,
+                 lr: Double = 0.5): (Long, Seq[(Int, Long, Long, Long, Long)]) = {
+    val base = rows.select(col("x1"), col("x2"), col("ym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f0 = base.agg(expr("CAST(floor(percentile(ym, 0.5)) AS BIGINT)"))
+      .head().getLong(0)
+    val model = gbtMarginRounds(base.withColumn("fm", lit(f0)), "ym",
+      gbtAbsResidExpr, rounds, lr)
+    base.unpersist()
+    (f0, model)
   }
 
   /** Score (idCol, x1, x2, ys) rows under a [[gbtLogLossFit2]] ensemble:

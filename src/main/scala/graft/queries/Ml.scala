@@ -438,6 +438,21 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Gradient-boosted stumps with ABSOLUTE-ERROR loss (reference
+    // mllib/tree/loss/AbsoluteError.scala:46 — sign gradients, the third
+    // and last of the reference's GBT losses next to s26's L2 and s52's
+    // log-loss; deviations declared on Learn.gbtAbsFit2): floored-median
+    // F0, three sign-residual rounds on the s26 continuous target, the
+    // cohort scored by the same stump-sum projection as s26.
+    "s67_gbt_absolute" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      val (f0, model) = Learn.gbtAbsFit2(rows, rounds = 3, lr = 0.5)
+      Learn.gbtPredict2(rows.filter(col("o_orderkey") <= 4000), "o_orderkey", f0, model)
+        .orderBy("o_orderkey")
+    },
+
     // Bernoulli Naive Bayes (reference mllib/classification/
     // NaiveBayes.scala:49 modelType "bernoulli" — presence bits over the
     // training vocabulary, θ = (dfc+1)/(n_c+2), the negThetaSum
@@ -1159,6 +1174,42 @@ object Ml {
        |  FROM $prev r CROSS JOIN gb$k b)""".stripMargin
   }
 
+  /** One unrolled absolute-error boosting round: sign residuals from
+    * the carried margin via the shared gradient string, the s26 split
+    * argmax, the lr-scaled leaf means, the margin update. */
+  private def gbaRoundCte(k: Int): String = {
+    val prev = s"ga${k - 1}"
+    s"""gar$k AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, x2, ym, fm, ${Learn.gbtAbsResidExpr} AS rq
+       |  FROM $prev),
+       |gab$k AS MATERIALIZED (
+       |  SELECT feat, val AS thr,
+       |    CAST(round(CAST(0.5 AS DOUBLE) * (CAST(sl AS DOUBLE) / nl)) AS BIGINT) AS leftq,
+       |    CAST(round(CAST(0.5 AS DOUBLE) * (CAST(st - sl AS DOUBLE) / (tn - nl))) AS BIGINT) AS rightq
+       |  FROM (
+       |    SELECT feat, val, nl, sl, tn, st,
+       |      row_number() OVER (ORDER BY
+       |        (abs(sl) // nl) * abs(sl) + (abs(st - sl) // (tn - nl)) * abs(st - sl) DESC,
+       |        feat, val) AS rn
+       |    FROM (
+       |      SELECT feat, val,
+       |        CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(sr) OVER w AS BIGINT) AS sl,
+       |        CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(sr) OVER wn AS BIGINT) AS st
+       |      FROM (SELECT feat, val, CAST(count(*) AS BIGINT) AS n, CAST(sum(rq) AS BIGINT) AS sr
+       |            FROM (SELECT rq, 1::BIGINT AS feat, x1 AS val FROM gar$k
+       |                  UNION ALL SELECT rq, 2::BIGINT, x2 FROM gar$k)
+       |            GROUP BY 1, 2)
+       |      WINDOW w AS (PARTITION BY feat ORDER BY val ROWS UNBOUNDED PRECEDING),
+       |             wn AS (PARTITION BY feat))
+       |    WHERE nl > 0 AND tn - nl > 0)
+       |  WHERE rn = 1),
+       |ga$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.ym,
+       |    r.fm + (CASE WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr
+       |            THEN b.leftq ELSE b.rightq END) AS fm
+       |  FROM gar$k r CROSS JOIN gab$k b)""".stripMargin
+  }
+
   /** One unrolled log-loss boosting round: residuals from the carried
     * margin via the shared gradient string, the s26 split argmax, the
     * lr-scaled leaf means, the margin update. */
@@ -1464,6 +1515,26 @@ object Ml {
          |  CAST(fm AS BIGINT) AS f_milli,
          |  CAST(CASE WHEN fm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM gl3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    // Three unrolled sign-gradient rounds from the floored-median F0,
+    // sharing the residual string and the s26 split machinery; the final
+    // carried margin IS the prediction (identical to the Spark side's
+    // F0 + stump-sum projection over the same cohort).
+    "s67_gbt_absolute" ->
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |af0 AS (SELECT CAST(floor(quantile_cont(ym, 0.5)) AS BIGINT) AS f0
+         |  FROM gfeats),
+         |ga0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym, f0 AS fm FROM gfeats CROSS JOIN af0),
+         |${gbaRoundCte(1)},
+         |${gbaRoundCte(2)},
+         |${gbaRoundCte(3)}
+         |SELECT o_orderkey, ym AS y_milli, CAST(fm AS BIGINT) AS pred_milli
+         |FROM ga3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
 
     // The s20/s45 per-level CTE chain with the variance score string
     // substituted (abs-floor-div — `//` on absolute sums matches Spark's

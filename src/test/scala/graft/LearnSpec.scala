@@ -617,6 +617,30 @@ class LearnSpec extends SparkSpec {
       leaves.orderBy("leaf").collect().toSeq)
   }
 
+  test("absolute-error boosting: floored-median init, sign-gradient stump, tie takes +1") {
+    import spark.implicits._
+    // median of (1000, 2000, 3000, 10000) interpolates to 2500 — the L1
+    // init is robust to the 10000 outlier where s26's mean init is not
+    val rows = Seq((1L, 1L, 0L, 1000L), (2L, 2L, 0L, 2000L),
+      (3L, 3L, 0L, 3000L), (4L, 4L, 0L, 10000L)).toDF("id", "x1", "x2", "ym")
+    val (f0, model) = Learn.gbtAbsFit2(rows, rounds = 1, lr = 0.5)
+    assert(f0 === 2500L)
+    // sign residuals (−1000, −1000, 1000, 1000): x1<=2 scores
+    // (2000 div 2)·2000 twice = 4,000,000, beating x1<=1/x1<=3 at
+    // 1,333,000; x2 is constant (no valid split). Leaves ±round(0.5·1000)
+    assert(model === Seq((1, 1L, 2L, -500L, 500L)))
+    val preds = Learn.gbtPredict2(rows, "id", f0, model).orderBy("id").collect()
+    assert(preds.map(_.getLong(2)).toSeq === Seq(2000L, 2000L, 3000L, 3000L))
+    // a row sitting exactly at F takes the reference's else-branch +1
+    val tied = Seq((1L, 1L, 0L, 2000L), (2L, 2L, 0L, 2000L),
+      (3L, 3L, 0L, 1000L)).toDF("id", "x1", "x2", "ym")
+    val (tf0, tmodel) = Learn.gbtAbsFit2(tied, rounds = 1, lr = 1.0)
+    assert(tf0 === 2000L)
+    // residuals (+1000, +1000, −1000): x1<=2 isolates the two tied rows
+    // (leaf +1000) from the below-median row (leaf −1000)
+    assert(tmodel === Seq((1, 1L, 2L, 1000L, -1000L)))
+  }
+
   test("mlp backprop reduces xor loss and is partitioning-deterministic") {
     import spark.implicits._
     // XOR x 8 copies: the problem no linear model separates; the
