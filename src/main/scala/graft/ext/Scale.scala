@@ -572,6 +572,64 @@ object Scale {
         "CAST(n_rows AS BIGINT) AS n_rows", "CAST(n_cols AS BIGINT) AS n_cols")
   }
 
+  // ---- tall-skinny QR (reference mllib/linalg/distributed/RowMatrix
+  // .scala:526 tallSkinnyQR — per-partition local breeze QRs whose R
+  // factors treeReduce by stack-and-requalify, then Q = A·R⁻¹ when
+  // computeQ (:545 inv(combinedR), this.multiply). Re-expressed through
+  // the Gramian: R is the upper-triangular CHOLESKY factor of AᵀA —
+  // for full-rank A the unique upper-triangular factor with positive
+  // diagonal, which is the reference's Householder-chain R up to that
+  // sign convention (DECLARED; breeze may emit negative-diagonal rows).
+  // The distributed work is therefore the identical ONE Gramian scan as
+  // s42's SVD — d(d+1)/2 exact integer sums, nothing else shuffles —
+  // and Q = A·R⁻¹ is a broadcast projection against the 1-row factor
+  // frame, never a materialized inverse join. ---------------------------
+
+  /** Closed-form 2-column Cholesky of the exact Gramian sums, layer 1:
+    * r11 = sqrt(g11). Formula strings shared verbatim with the oracle —
+    * operands are one CAST-to-DOUBLE of exact integers. */
+  def qrLevel1: Seq[(String, String)] =
+    Seq("r11" -> "sqrt(CAST(g11 AS DOUBLE))")
+
+  /** Layer 2 — r12 = g12/r11 and r22 = sqrt(g22 − r12²) (r12 re-derived
+    * inline so the layer only references r11; the string is the shared
+    * currency, so the IEEE op order is engine-identical). */
+  def qrLevel2: Seq[(String, String)] = Seq(
+    "r12" -> "(CAST(g12 AS DOUBLE) / r11)",
+    "r22" -> ("sqrt(CAST(g22 AS DOUBLE) - ((CAST(g12 AS DOUBLE) / r11)" +
+      " * (CAST(g12 AS DOUBLE) / r11)))"))
+
+  /** Per-row Q = A·R⁻¹ coordinates in micro-units: q1 = x1/r11,
+    * q2 = (x2 − x1·r12/r11)/r22 — the back-substitution of the
+    * upper-triangular solve, one shared string each. */
+  def qr2RowExprs: Seq[(String, String)] = Seq(
+    "q1_micro" -> "CAST(round((CAST(x1 AS DOUBLE) / r11) * 1000000.0) AS BIGINT)",
+    "q2_micro" -> ("CAST(round(((CAST(x2 AS DOUBLE) - ((CAST(x1 AS DOUBLE) * r12) / r11))" +
+      " / r22) * 1000000.0) AS BIGINT)"))
+
+  /** Tall-skinny QR of the (idCol, x1, x2) matrix: ONE Gramian scan
+    * (the same three exact integer sums as [[tallSkinnySvd]]), the
+    * closed-form Cholesky R, then Q rows for the `cohort` keys as a
+    * broadcast projection. Emits (id, q1_micro, q2_micro, r11_micro,
+    * r12_micro, r22_micro) — R constant on every row so the factor is
+    * gated alongside Q. */
+  def tallSkinnyQr(feats: DataFrame, idCol: String, cohort: Long): DataFrame = {
+    val gcols = Seq("g11", "g12", "g22")
+    val factors = feats
+      .agg(sum(expr("x1 * x1")).as("g11"), sum(expr("x1 * x2")).as("g12"),
+        sum(expr("x2 * x2")).as("g22"))
+      .selectExpr(gcols ++ qrLevel1.map { case (n, e) => s"$e AS $n" }: _*)
+      .selectExpr(gcols ++ qrLevel1.map(_._1) ++
+        qrLevel2.map { case (n, e) => s"$e AS $n" }: _*)
+    feats.filter(col(idCol) <= cohort)
+      .crossJoin(broadcast(factors))
+      .selectExpr(Seq(s"$idCol AS id") ++
+        qr2RowExprs.map { case (n, e) => s"$e AS $n" } ++
+        Seq("r11", "r12", "r22").map(c =>
+          s"CAST(round($c * 1000000.0) AS BIGINT) AS ${c}_micro"): _*)
+      .orderBy("id")
+  }
+
   def tallSkinnySvd(feats: DataFrame, idCol: String, cohort: Long): DataFrame = {
     val gcols = Seq("g11", "g12", "g22")
     val factors = feats

@@ -350,6 +350,21 @@ object Scale {
       S.tallSkinnySvd(feats, "o_orderkey", 2000L)
     },
 
+    // Tall-skinny QR (reference mllib/linalg/distributed/RowMatrix
+    // .scala:526 tallSkinnyQR + :545 Q = A·R⁻¹ — the other tall-skinny
+    // factorization next to s42's SVD; Gramian-Cholesky re-expression
+    // and the positive-diagonal R convention declared on
+    // Scale.tallSkinnyQr): the same per-order (n_lineitems, qty)
+    // matrix, one Gramian scan, Q for o_orderkey <= 2000 as a broadcast
+    // projection with R riding every row.
+    "x21_tall_skinny_qr" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("x2"))
+      S.tallSkinnyQr(feats, "o_orderkey", 2000L)
+    },
+
     "x13_block_matmul" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -522,6 +537,35 @@ object Scale {
         |SELECT event_type, event_id, pos, CAST(wsum // 3 AS BIGINT) AS avg3_milli
         |FROM w WHERE wn = 3 AND event_id <= 3000
         |ORDER BY event_type, pos""".stripMargin,
+
+    // Mirror of Scale.tallSkinnyQr: the same Gramian sums, the shared
+    // Cholesky formula strings layered through two CTEs, Q per row.
+    "x21_tall_skinny_qr" -> {
+      val l1 = S.qrLevel1.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val l2 = S.qrLevel2.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val q = S.qr2RowExprs.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+      val rmicro = Seq("r11", "r12", "r22")
+        .map(c => s"CAST(round($c * 1000000.0) AS BIGINT) AS ${c}_micro").mkString(",\n  ")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem GROUP BY 1),
+         |g AS (SELECT CAST(sum(x1 * x1) AS BIGINT) AS g11,
+         |             CAST(sum(x1 * x2) AS BIGINT) AS g12,
+         |             CAST(sum(x2 * x2) AS BIGINT) AS g22 FROM feats),
+         |e1 AS (SELECT g11, g12, g22,
+         |    $l1
+         |  FROM g),
+         |f AS (SELECT g11, g12, g22, r11,
+         |    $l2
+         |  FROM e1)
+         |SELECT o_orderkey AS id,
+         |  $q,
+         |  $rmicro
+         |FROM feats CROSS JOIN f
+         |WHERE o_orderkey <= 2000
+         |ORDER BY id""".stripMargin
+    },
 
     // Mirror of Scale.tallSkinnySvd: the same Gramian sums, the shared
     // eigen/σ/V formula strings layered through two CTEs, U per row.

@@ -280,6 +280,31 @@ class ScaleSpec extends SparkSpec {
     assert((d1.getLong(1), d1.getLong(2)) === ((1000000L, 0L))) // row (0,4): u1=1
   }
 
+  test("tall-skinny qr: hand-solved cholesky R, orthonormal Q, partitioning-deterministic") {
+    import spark.implicits._
+    // A = [[3,1],[4,2]]: Gramian [[25,11],[11,5]] -> R = [[5, 2.2],
+    // [0, 0.4]], Q = [[0.6, -0.8], [0.8, 0.6]] (a rotation)
+    val feats = Seq((1L, 3L, 1L), (2L, 4L, 2L)).toDF("id", "x1", "x2")
+    val out = graft.ext.Scale.tallSkinnyQr(feats, "id", 10L).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert((r1.getLong(3), r1.getLong(4), r1.getLong(5)) ===
+      ((5000000L, 2200000L, 400000L)))
+    assert((r1.getLong(1), r1.getLong(2)) === ((600000L, -800000L)))
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert((r2.getLong(1), r2.getLong(2)) === ((800000L, 600000L)))
+    // Q columns orthonormal to micro tolerance
+    val q = out.map(r => (r.getLong(1) / 1e6, r.getLong(2) / 1e6))
+    val (d11, d12, d22) = q.foldLeft((0.0, 0.0, 0.0)) { case ((a, b, c), (u, v)) =>
+      (a + u * u, b + u * v, c + v * v) }
+    assert(math.abs(d11 - 1.0) < 1e-5)
+    assert(math.abs(d12) < 1e-5)
+    assert(math.abs(d22 - 1.0) < 1e-5)
+    // exact integer Gramian makes the factors partitioning-deterministic
+    val p = graft.ext.Scale.tallSkinnyQr(feats.repartition(7, col("x2")), "id", 10L)
+      .collect()
+    assert(p.toSeq === out.toSeq)
+  }
+
   test("block multiply reproduces the dense product and is block-size invariant") {
     import spark.implicits._
     // A = [[1,2],[3,4]], B = [[5,6],[7,8]] -> C = [[19,22],[43,50]]
