@@ -572,6 +572,27 @@ object Scale {
         "CAST(n_rows AS BIGINT) AS n_rows", "CAST(n_cols AS BIGINT) AS n_cols")
   }
 
+  // ---- secondary sort (reference core rdd/OrderedRDDFunctions.scala:74
+  // repartitionAndSortWithinPartitions — "more efficient than calling
+  // repartition and then sorting within each partition because it can
+  // push the sorting down into the shuffle machinery"; the classic
+  // per-key ordered-processing primitive). ------------------------------
+
+  /** Secondary sort: shuffle ONCE on `keyCol` and sort each partition
+    * by (key, orderCols...) — never a global sort. A downstream window
+    * PARTITION BY key ORDER BY orderCols consumes the layout without
+    * adding an Exchange or Sort of its own (Catalyst sees its required
+    * distribution and child ordering already satisfied — ScaleSpec pins
+    * exactly one Exchange and one Sort in the windowed plan). At 100 TB
+    * this is the shape for per-entity ordered passes (sessionization,
+    * history assembly, ordered log replay): one key-proportional
+    * shuffle, in-partition sorts bounded by partition volume, no stage
+    * that funnels the corpus into one task. */
+  def secondarySorted(df: DataFrame, keyCol: String,
+                      orderCols: Seq[String]): DataFrame =
+    df.repartition(col(keyCol))
+      .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
+
   // ---- tall-skinny QR (reference mllib/linalg/distributed/RowMatrix
   // .scala:526 tallSkinnyQR — per-partition local breeze QRs whose R
   // factors treeReduce by stack-and-requalify, then Q = A·R⁻¹ when

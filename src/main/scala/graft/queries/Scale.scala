@@ -350,6 +350,26 @@ object Scale {
       S.tallSkinnySvd(feats, "o_orderkey", 2000L)
     },
 
+    // Secondary sort (reference core rdd/OrderedRDDFunctions.scala:74
+    // repartitionAndSortWithinPartitions — shuffle once on the key,
+    // sort INSIDE the shuffle, never globally; plan shape pinned in
+    // ScaleSpec: the per-customer window consumes the layout without
+    // adding an Exchange or Sort): each customer's first three orders
+    // by (date, key) — the per-entity ordered-history assembly pass.
+    "x22_secondary_sort" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"))
+      val sorted = S.secondarySorted(ord, "o_custkey",
+        Seq("o_orderdate", "o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      sorted.withColumn("pos", row_number().over(w).cast("long"))
+        .filter(col("pos") <= 3 && col("o_custkey") <= 1500)
+        .selectExpr("o_custkey", "pos", "o_orderkey", "o_orderstatus")
+        .orderBy("o_custkey", "pos")
+    },
+
     // Tall-skinny QR (reference mllib/linalg/distributed/RowMatrix
     // .scala:526 tallSkinnyQR + :545 Q = A·R⁻¹ — the other tall-skinny
     // factorization next to s42's SVD; Gramian-Cholesky re-expression
@@ -537,6 +557,17 @@ object Scale {
         |SELECT event_type, event_id, pos, CAST(wsum // 3 AS BIGINT) AS avg3_milli
         |FROM w WHERE wn = 3 AND event_id <= 3000
         |ORDER BY event_type, pos""".stripMargin,
+
+    // The layout is result-invisible: the oracle is the plain ranked
+    // formulation.
+    "x22_secondary_sort" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS pos
+        |  FROM orders)
+        |SELECT o_custkey, pos, o_orderkey, o_orderstatus
+        |FROM r WHERE pos <= 3 AND o_custkey <= 1500
+        |ORDER BY o_custkey, pos""".stripMargin,
 
     // Mirror of Scale.tallSkinnyQr: the same Gramian sums, the shared
     // Cholesky formula strings layered through two CTEs, Q per row.

@@ -280,6 +280,29 @@ class ScaleSpec extends SparkSpec {
     assert((d1.getLong(1), d1.getLong(2)) === ((1000000L, 0L))) // row (0,4): u1=1
   }
 
+  test("secondary sort: the shuffle-riding sort feeds the window — one exchange, one sort") {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderstatus"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val ranked = Scale.secondarySorted(ord, "o_custkey",
+        Seq("o_orderdate", "o_orderkey"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 3)
+    val plan = ranked.queryExecution.executedPlan.toString
+    // the window's required distribution and child ordering are both
+    // satisfied by the secondary-sorted layout — it must NOT add its own
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected the single key shuffle, got $exchanges:\n${plan.take(1500)}")
+    assert(sorts === 1, s"expected only the within-partition sort, got $sorts:\n${plan.take(1500)}")
+    // and the layout is result-invisible
+    val naive = ord.withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= 3)
+    assert(ranked.collect().toSet === naive.collect().toSet)
+  }
+
   test("tall-skinny qr: hand-solved cholesky R, orthonormal Q, partitioning-deterministic") {
     import spark.implicits._
     // A = [[3,1],[4,2]]: Gramian [[25,11],[11,5]] -> R = [[5, 2.2],
