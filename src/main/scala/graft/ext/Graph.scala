@@ -821,4 +821,47 @@ object Graph {
     sym.unpersist()
     out
   }
+
+  // ---- edge partition strategies (reference graphx/src/main/scala/org/
+  // apache/spark/graphx/PartitionStrategy.scala:74 EdgePartition2D —
+  // pid = (col·√P + row) % P over hashed endpoints, guaranteeing each
+  // vertex's edges touch at most 2·⌈√P⌉ partitions (:71's sparsity-
+  // pattern argument); :103 EdgePartition1D hashes src alone, so a hub
+  // vertex's edges can touch all P partitions. DECLARED DEVIATION: the
+  // reference's 1125899906842597 mixing prime relies on JVM 64-bit
+  // wrap-around multiplication (DuckDB throws on overflow), so the
+  // house hash reduces the id mod 2^31 first and mixes with 1000003 —
+  // same role, overflow-free for any BIGINT id. ------------------------
+
+  /** EdgePartition2D pid for non-negative (src, dst) — the :78
+    * perfect-square fast path; `ceil` = √numParts. Shared verbatim with
+    * the oracle. */
+  def ep2dExpr(ceil: Int, numParts: Int): String =
+    s"CAST((((((src % 2147483648) * 1000003) % $ceil) * $ceil" +
+      s" + (((dst % 2147483648) * 1000003) % $ceil)) % $numParts) AS BIGINT)"
+
+  /** EdgePartition1D pid — src-only hashing (:103). */
+  def ep1dExpr(numParts: Int): String =
+    s"CAST((((src % 2147483648) * 1000003) % $numParts) AS BIGINT)"
+
+  /** Per-vertex replication audit of the two strategies over a (src,
+    * dst) edge table: how many distinct partitions each vertex's
+    * incident edges land in. Under 2D the answer is ≤ 2·√P by
+    * construction — THE scale argument for 2D partitioning: a vertex
+    * update broadcasts to √P-bounded partitions instead of up to P
+    * (at 1024 partitions: ≤ 64, not 1024). `numParts` must be a
+    * perfect square. Emits (vertex, parts_2d, parts_1d, bound_2d). */
+  def partitionStrategyAudit(edges: DataFrame, numParts: Int): DataFrame = {
+    val ceil = math.sqrt(numParts.toDouble).toInt
+    require(ceil * ceil == numParts, s"numParts $numParts must be a perfect square")
+    val p = edges.selectExpr("src", "dst",
+      s"${ep2dExpr(ceil, numParts)} AS pid2d", s"${ep1dExpr(numParts)} AS pid1d")
+    p.selectExpr("src AS vertex", "pid2d", "pid1d")
+      .union(p.selectExpr("dst AS vertex", "pid2d", "pid1d"))
+      .groupBy("vertex")
+      .agg(countDistinct("pid2d").as("parts_2d"),
+        countDistinct("pid1d").as("parts_1d"))
+      .withColumn("bound_2d", lit(2L * ceil))
+      .orderBy("vertex")
+  }
 }

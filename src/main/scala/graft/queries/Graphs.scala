@@ -35,6 +35,16 @@ object Graphs {
     // canonicalized multigraph straight from the orders parquet. The
     // id spaces overlap (custkeys vs 1..97 buckets), so the swap fires
     // in both directions and in-degree is swap-sensitive.
+    // Edge partition strategies (reference graphx/PartitionStrategy
+    // .scala:74 EdgePartition2D vs :103 EdgePartition1D — mixing-prime
+    // deviation declared on Graph.partitionStrategyAudit): per-nation
+    // replication audit of the trade multigraph at P = 9. The 2D bound
+    // (every parts_2d <= 2·√P = 6) is asserted in GraphSpec; here both
+    // strategies' placement arithmetic is value-gated.
+    "p17_partition_strategy" -> { (s, dir) =>
+      G.partitionStrategyAudit(tradeEdges(s, dir), numParts = 9)
+    },
+
     "p16_edge_list_load" -> { (s, dir) =>
       import s.implicits._
       val path = "/tmp/graft_io/p16_edge_list"
@@ -391,6 +401,26 @@ object Graphs {
        |  FROM pv3 CROSS JOIN $centers c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Both strategies' placement arithmetic via the shared pid strings
+    // over the same trade edges.
+    "p17_partition_strategy" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |p AS MATERIALIZED (SELECT src, dst,
+         |    ${G.ep2dExpr(3, 9)} AS pid2d,
+         |    ${G.ep1dExpr(9)} AS pid1d
+         |  FROM edges),
+         |v AS (SELECT src AS vertex, pid2d, pid1d FROM p
+         |      UNION ALL SELECT dst, pid2d, pid1d FROM p)
+         |SELECT vertex, CAST(count(DISTINCT pid2d) AS BIGINT) AS parts_2d,
+         |  CAST(count(DISTINCT pid1d) AS BIGINT) AS parts_1d,
+         |  CAST(6 AS BIGINT) AS bound_2d
+         |FROM v GROUP BY 1 ORDER BY vertex""".stripMargin,
+
     // The roundtrip must be invisible: the oracle rebuilds the same
     // canonicalized multigraph straight from the orders parquet and
     // counts endpoint occurrences (parallel edges kept).

@@ -395,4 +395,19 @@ class GraphSpec extends SparkSpec {
       1L -> ((1L, 0L, 1L)), 2L -> ((4L, 0L, 4L)), 3L -> ((0L, 1L, 1L)),
       4L -> ((0L, 1L, 1L)), 5L -> ((0L, 2L, 2L)), 6L -> ((0L, 1L, 1L))))
   }
+
+  test("edge partition strategies: 2D bounds hub replication at 2·sqrt(P), 1D scatters it") {
+    import spark.implicits._
+    // a hub as the DST of 40 distinct sources: under 2D its row index is
+    // pinned by its own hash, so every incident edge lands in one column
+    // stripe of the 3x3 grid (<= 3 partitions); under 1D the pid follows
+    // the 40 source hashes (4i mod 9 cycles) and hits all 9
+    val hub = (1L to 40L).map(i => (i, 0L)).toDF("src", "dst")
+    val audit = Graph.partitionStrategyAudit(hub, 9).collect()
+    val h = audit.find(_.getLong(0) == 0L).get
+    assert(h.getLong(1) === 3L)
+    assert(h.getLong(2) === 9L)
+    // the 2·√P guarantee holds for every vertex
+    assert(audit.forall(r => r.getLong(1) <= r.getLong(3)))
+  }
 }
