@@ -728,6 +728,36 @@ object Learn {
     r
   }
 
+  /** REGRESSION random forest (reference mllib/src/main/scala/org/
+    * apache/spark/mllib/tree/RandomForest.scala:96 trainRegressor —
+    * bagged variance-impurity trees; treeEnsembleModels average the
+    * member predictions at scoring instead of voting). Same declared
+    * deviations as [[randomForest2]] (deterministic
+    * complement-of-residue-class bagging, featureSubsetStrategy
+    * effectively "all" at two features); the members are
+    * [[regressionTree2]]s and the majority vote becomes the rounded
+    * mean of the `trees` exact-integer leaf means (ONE double division
+    * at the end). Emits (idCol, y_milli, p0..p{trees−1}, pred_milli) —
+    * every member's leaf constant rides the row, so each tree is gated,
+    * not just the ensemble mean. */
+  def randomForestReg2(train: DataFrame, score: DataFrame, idCol: String,
+                       trees: Int = 3, maxDepth: Int = 2): DataFrame = {
+    val t = train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTree = (0 until trees).map { k =>
+      val (leaves, splits) = regressionTree2(t.filter(col(idCol) % trees =!= k), maxDepth)
+      decisionTreeRoute(score, splits, maxDepth)
+        .join(broadcast(leaves.select(col("leaf").as("node"), col("pred_milli"))), "node")
+        .select(col(idCol), col("pred_milli").as(s"p$k"))
+    }
+    val sumExpr = (0 until trees).map(k => s"p$k").mkString(" + ")
+    val out = perTree.reduce((a, b) => a.join(b, idCol))
+      .join(score.select(col(idCol), col("ym").as("y_milli")), idCol)
+      .selectExpr(Seq(idCol, "y_milli") ++ (0 until trees).map(k => s"p$k") :+
+        s"CAST(round(CAST($sumExpr AS DOUBLE) / $trees) AS BIGINT) AS pred_milli": _*)
+    t.unpersist()
+    out
+  }
+
   /** Random forest of depth-2 trees (reference
     * mllib/src/main/scala/org/apache/spark/mllib/tree/RandomForest.scala:
     * 70 — an ensemble of [[decisionTree2]]-style histogram trees over

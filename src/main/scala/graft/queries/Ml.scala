@@ -609,6 +609,21 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // REGRESSION random forest (reference mllib/tree/RandomForest
+    // .scala:96 trainRegressor — bagged variance trees, predictions
+    // AVERAGED; bagging/feature-subset deviations declared on
+    // Learn.randomForestReg2): three depth-2 s66-machinery trees on the
+    // s26 continuous target, each member's leaf constant gated on every
+    // cohort row alongside the ensemble mean.
+    "s69_rf_regression" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      Learn.randomForestReg2(rows, rows.filter(col("o_orderkey") <= 4000),
+          "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Variance-impurity REGRESSION tree (reference mllib/tree/
     // DecisionTree.scala:248 trainRegressor + impurity/Variance.scala:52
     // — the third and last of the reference's impurities, closing the
@@ -1122,6 +1137,25 @@ object Ml {
        |         ELSE q.node * 2 + 1 END AS node
        |  FROM $in q LEFT JOIN ${p}b$k b USING (node))""".stripMargin
 
+  /** One REGRESSION forest member: the rfTreeCtes shape with the
+    * variance score substituted and mean-target leaf predictions. */
+  private def rfRegTreeCtes(t: Int): String = {
+    val p = s"v$t"
+    val score = Learn.varianceScoreExpr("//")
+    s"""${p}r0 AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, x2, ym AS y, 1::BIGINT AS node
+       |  FROM gfeats WHERE o_orderkey % 3 <> $t),
+       |${dtLevelCte(p, 1, score)},
+       |${dtLevelCte(p, 2, score)},
+       |${p}lp AS (SELECT node,
+       |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS pred
+       |  FROM ${p}r2 GROUP BY 1),
+       |${dtRouteCte(p, 1, "coh")},
+       |${dtRouteCte(p, 2, s"${p}q1")},
+       |${p}p AS MATERIALIZED (
+       |  SELECT q.o_orderkey, lp.pred FROM ${p}q2 q JOIN ${p}lp lp USING (node))""".stripMargin
+  }
+
   /** One forest member: train the two-level tree on the id % 3 != t
     * subset, derive its leaf predictions, route the cohort through it. */
   private def rfTreeCtes(t: Int): String = {
@@ -1515,6 +1549,31 @@ object Ml {
          |  CAST(fm AS BIGINT) AS f_milli,
          |  CAST(CASE WHEN fm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM gl3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    // Three unrolled per-tree regression chains (subset -> 2 variance
+    // split levels -> mean leaves -> cohort routing), then the rounded
+    // ensemble mean — every member's every split re-derived.
+    "s69_rf_regression" ->
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |coh AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym AS y, 1::BIGINT AS node
+         |  FROM gfeats WHERE o_orderkey <= 4000),
+         |${rfRegTreeCtes(0)},
+         |${rfRegTreeCtes(1)},
+         |${rfRegTreeCtes(2)}
+         |SELECT c.o_orderkey, CAST(c.y AS BIGINT) AS y_milli,
+         |  CAST(v0p.pred AS BIGINT) AS p0, CAST(v1p.pred AS BIGINT) AS p1,
+         |  CAST(v2p.pred AS BIGINT) AS p2,
+         |  CAST(round(CAST(v0p.pred + v1p.pred + v2p.pred AS DOUBLE) / 3) AS BIGINT) AS pred_milli
+         |FROM coh c
+         |JOIN v0p ON v0p.o_orderkey = c.o_orderkey
+         |JOIN v1p ON v1p.o_orderkey = c.o_orderkey
+         |JOIN v2p ON v2p.o_orderkey = c.o_orderkey
+         |ORDER BY c.o_orderkey""".stripMargin,
 
     // Three unrolled sign-gradient rounds from the floored-median F0,
     // sharing the residual string and the s26 split machinery; the final

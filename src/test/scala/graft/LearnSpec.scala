@@ -617,6 +617,22 @@ class LearnSpec extends SparkSpec {
       leaves.orderBy("leaf").collect().toSeq)
   }
 
+  test("regression forest: constant target is reproduced exactly, partitioning-deterministic") {
+    import spark.implicits._
+    // every tree's every leaf mean is the constant, so the ensemble mean
+    // is too — any deviation would expose a drifting member
+    val rows = (1L to 60L).map(i => (i, i % 5, (i * 7) % 23, 4200L))
+      .toDF("o_orderkey", "x1", "x2", "ym")
+    val out = Learn.randomForestReg2(rows, rows, "o_orderkey").collect()
+    assert(out.length === 60)
+    assert(out.forall(r => r.getLong(5) === 4200L))
+    assert(out.forall(r => Seq(2, 3, 4).forall(c => r.getLong(c) === 4200L)))
+    val p = Learn.randomForestReg2(rows.repartition(11, col("x2")), rows,
+      "o_orderkey").orderBy("o_orderkey").collect()
+    assert(p.map(_.getLong(5)).toSeq ===
+      out.sortBy(_.getLong(0)).map(_.getLong(5)).toSeq)
+  }
+
   test("absolute-error boosting: floored-median init, sign-gradient stump, tie takes +1") {
     import spark.implicits._
     // median of (1000, 2000, 3000, 10000) interpolates to 2500 — the L1
