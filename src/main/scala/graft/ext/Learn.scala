@@ -1650,6 +1650,70 @@ object Learn {
     (f0, model.toSeq)
   }
 
+  // ---- gradient-boosted regression TREES (reference mllib/tree/
+  // GradientBoostedTrees.scala:54 boost — the reference's actual
+  // learner shape: each round fits a variance-impurity REGRESSION TREE
+  // (not a stump) to the L2 residuals, and :150's first iteration fits
+  // the raw labels — which at learningRate 1.0 is exactly a residual
+  // round from F = 0, so the seed needs no special case. House
+  // conventions as s26: milli-quantized target, leaf means rounded once
+  // per round, residuals carried as exact integers; the fitted trees
+  // re-embed as literal nested CASEs so the chain has zero cross-engine
+  // drift surface. ------------------------------------------------------
+
+  /** A fitted [[regressionTree2]] as ONE nested CASE expression over
+    * (x1, x2) literals — the model is ≤ 2^maxDepth leaf constants plus
+    * the split table, all exact integers. Branches no training row
+    * reached default to 0. */
+  def treeCaseExpr(splits: Map[Long, (Long, Long)], leaves: Map[Long, Long],
+                   maxDepth: Int): String = {
+    def node(id: Long, depth: Int): String =
+      if (depth == maxDepth || !splits.contains(id))
+        s"CAST(${leaves.getOrElse(id, 0L)} AS BIGINT)"
+      else {
+        val (f, t) = splits(id)
+        s"(CASE WHEN (CASE WHEN $f = 1 THEN x1 ELSE x2 END) <= $t" +
+          s" THEN ${node(id * 2, depth + 1)} ELSE ${node(id * 2 + 1, depth + 1)} END)"
+      }
+    node(1L, 0)
+  }
+
+  /** `rounds` L2 boosting rounds of depth-`maxDepth` regression trees
+    * over (x1, x2, ym). Returns one (splits, leaves) pair per round —
+    * both collected (tree-sized: ≤ 2^d−1 splits + 2^d leaves of exact
+    * integers) and re-embedded as literals for the residual updates. */
+  def gbtTreesFit2(rows: DataFrame, rounds: Int = 3, maxDepth: Int = 2)
+      : Seq[(Map[Long, (Long, Long)], Map[Long, Long])] = {
+    val base = rows.select(col("x1"), col("x2"), col("ym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    var r = base.withColumn("rq", col("ym")).localCheckpoint()
+    val model = scala.collection.mutable.ArrayBuffer[(Map[Long, (Long, Long)], Map[Long, Long])]()
+    for (_ <- 1 to rounds) {
+      val (leaves, splits) = regressionTree2(r.selectExpr("x1", "x2", "rq AS ym"), maxDepth)
+      val sp = splits.select("node", "feat", "thr").collect()
+        .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+      val lv = leaves.select("leaf", "pred_milli").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      model += ((sp, lv))
+      r = r.withColumn("rq", col("rq") - expr(treeCaseExpr(sp, lv, maxDepth)))
+        .localCheckpoint()
+    }
+    base.unpersist()
+    model.toSeq
+  }
+
+  /** Score rows under a [[gbtTreesFit2]] ensemble: the sum of the
+    * rounds' nested-CASE trees — a pure projection, no joins. Emits
+    * (idCol, ym AS y_milli, pred_milli). */
+  def gbtTreesPredict2(score: DataFrame, idCol: String,
+                       model: Seq[(Map[Long, (Long, Long)], Map[Long, Long])],
+                       maxDepth: Int = 2): DataFrame = {
+    val pred = model.map { case (sp, lv) => treeCaseExpr(sp, lv, maxDepth) }
+      .mkString("(", " + ", ")")
+    score.selectExpr(idCol, "ym AS y_milli", s"CAST($pred AS BIGINT) AS pred_milli")
+  }
+
   // ---- gradient-boosted stumps, LOG-LOSS (reference mllib/tree/loss/
   // LogLoss.scala:48 — gradient −4y/(1+exp(2yF)) for y ∈ {−1, 1};
   // GradientBoostedTrees.scala's boost() fits a regression tree to the

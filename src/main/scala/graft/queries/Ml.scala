@@ -609,6 +609,23 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Gradient-boosted regression TREES (reference GradientBoostedTrees
+    // .scala:54 — the reference's real learner shape next to the
+    // declared-stump chains s26/s52/s67: three rounds of depth-2
+    // variance trees on the s26 continuous target at learningRate 1.0,
+    // where round 1 on raw labels IS the reference's :150 seed tree;
+    // see Learn.gbtTreesFit2): the whole three-tree residual chain is
+    // re-derived split-by-split by the oracle.
+    "s68_gbt_trees" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      val model = Learn.gbtTreesFit2(rows, rounds = 3, maxDepth = 2)
+      Learn.gbtTreesPredict2(rows.filter(col("o_orderkey") <= 4000),
+          "o_orderkey", model)
+        .orderBy("o_orderkey")
+    },
+
     // REGRESSION random forest (reference mllib/tree/RandomForest
     // .scala:96 trainRegressor — bagged variance trees, predictions
     // AVERAGED; bagging/feature-subset deviations declared on
@@ -1137,6 +1154,25 @@ object Ml {
        |         ELSE q.node * 2 + 1 END AS node
        |  FROM $in q LEFT JOIN ${p}b$k b USING (node))""".stripMargin
 
+  /** One unrolled tree-boosting round: fit a full two-level variance
+    * tree on the carried residuals (the s66 per-level chain), derive
+    * its mean leaves, subtract each row's leaf constant. gt`k` carries
+    * (o_orderkey, x1, x2, rq). */
+  private def gbtTreeRoundCte(k: Int): String = {
+    val p = s"g$k"
+    val score = Learn.varianceScoreExpr("//")
+    s"""${p}r0 AS MATERIALIZED (
+       |  SELECT o_orderkey, x1, x2, rq AS y, 1::BIGINT AS node FROM gt${k - 1}),
+       |${dtLevelCte(p, 1, score)},
+       |${dtLevelCte(p, 2, score)},
+       |${p}lp AS (SELECT node,
+       |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS pred
+       |  FROM ${p}r2 GROUP BY 1),
+       |gt$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.y - lp.pred AS rq
+       |  FROM ${p}r2 r JOIN ${p}lp lp USING (node))""".stripMargin
+  }
+
   /** One REGRESSION forest member: the rfTreeCtes shape with the
     * variance score substituted and mean-target leaf predictions. */
   private def rfRegTreeCtes(t: Int): String = {
@@ -1549,6 +1585,25 @@ object Ml {
          |  CAST(fm AS BIGINT) AS f_milli,
          |  CAST(CASE WHEN fm >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM gl3 WHERE o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin,
+
+    // Three unrolled tree-boosting rounds; training rows' final carried
+    // residual gives F = y − rq, identical to the Spark side's
+    // literal-CASE tree-sum projection over the same cohort.
+    "s68_gbt_trees" ->
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |gt0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym AS rq FROM gfeats),
+         |${gbtTreeRoundCte(1)},
+         |${gbtTreeRoundCte(2)},
+         |${gbtTreeRoundCte(3)}
+         |SELECT g.o_orderkey, g.ym AS y_milli,
+         |  CAST(g.ym - t.rq AS BIGINT) AS pred_milli
+         |FROM gfeats g JOIN gt3 t ON g.o_orderkey = t.o_orderkey
+         |WHERE g.o_orderkey <= 4000 ORDER BY g.o_orderkey""".stripMargin,
 
     // Three unrolled per-tree regression chains (subset -> 2 variance
     // split levels -> mean leaves -> cohort routing), then the rounded

@@ -617,6 +617,22 @@ class LearnSpec extends SparkSpec {
       leaves.orderBy("leaf").collect().toSeq)
   }
 
+  test("boosted regression trees: a perfectly fitting round zeroes the chain") {
+    import spark.implicits._
+    // x1 separates two constant-target groups; the depth-2 round-1 tree
+    // fits exactly, so every later round's leaves are all zero and the
+    // ensemble projection reproduces ym bit-for-bit
+    val rows = Seq((1L, 1L, 10L, 2000L), (2L, 1L, 20L, 2000L),
+      (3L, 2L, 10L, 7000L), (4L, 2L, 20L, 7000L))
+      .toDF("o_orderkey", "x1", "x2", "ym")
+    val model = Learn.gbtTreesFit2(rows, rounds = 2, maxDepth = 2)
+    assert(model(1)._2.values.forall(_ === 0L))
+    val preds = Learn.gbtTreesPredict2(rows, "o_orderkey", model)
+      .orderBy("o_orderkey").collect()
+    assert(preds.map(r => (r.getLong(1), r.getLong(2)))
+      .forall { case (y, p) => y === p })
+  }
+
   test("regression forest: constant target is reproduced exactly, partitioning-deterministic") {
     import spark.implicits._
     // every tree's every leaf mean is the constant, so the ensemble mean
