@@ -500,7 +500,28 @@ object Plans {
         "the key scan — centers are pure functions of the cluster id, " +
         "so no center table and no join exist; the only exchange is the " +
         "final 5-group recovery aggregate. At 100 TB generation cost is " +
-        "write bandwidth."))
+        "write bandwidth."),
+    "x22_secondary_sort" ->
+      ("Secondary sort: ONE hash exchange on the key whose in-partition " +
+        "sort the per-key window consumes directly — the window adds no " +
+        "Sort or Exchange of its own (the only other pair is the final " +
+        "output ORDER BY), and the rank filter turns into a " +
+        "WindowGroupLimit so each group stops at k. The cohort predicate " +
+        "pushes through the repartition to the scan (PushedFilters). The " +
+        "per-entity ordered pass never funnels the corpus into one task."),
+    "s68_gbt_trees" ->
+      ("Boosted regression trees: each round's tree fit is the s20 " +
+        "histogram shape (ONE map-side-combined hash aggregate per level " +
+        "— the histogram shuffles, never the rows), and the fitted tree " +
+        "re-enters as a LITERAL nested CASE projection, so the residual " +
+        "update is zero-join codegen; plan depth is rounds x levels, " +
+        "corpus cost is rounds x scans."),
+    "x21_tall_skinny_qr" ->
+      ("Tall-skinny QR: the ONLY aggregate is the 3-sum exact-integer " +
+        "Gramian (one partial+final pair); R is derived on the 1-row " +
+        "factor frame and Q is a broadcast back-substitution projection " +
+        "over the cohort scan — no inverse materializes, no row shuffles " +
+        "besides the Gramian's."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
