@@ -74,7 +74,19 @@ object IO {
       """<DataField name="target" optype="categorical" dataType="string"/></DataDictionary>""" +
       """<RegressionModel functionName="classification" modelName="logistic regression" normalizationMethod="logit">""" +
       pmmlGlmMining
+  val pmmlSvmHead: String =
+    """<PMML version="4.2"><Header description="linear SVM"/>""" +
+      pmmlGlmDict2 +
+      """<DataField name="target" optype="categorical" dataType="string"/></DataDictionary>""" +
+      """<RegressionModel functionName="classification" modelName="linear SVM" normalizationMethod="none">""" +
+      pmmlGlmMining
   val pmmlGlmTail: String = "</RegressionModel></PMML>"
+
+  /** The SVM NO table: interceptNO is the model's 0.0 threshold VERBATIM
+    * (BinaryClassificationPMMLModelExport.scala:50 only inverts under
+    * LOGIT normalization; under NONE the threshold passes through). */
+  val pmmlSvmNoTableFrag: String =
+    """'<RegressionTable intercept="0" targetCategory="0"/>'"""
 
   /** SQL expression assembling a RegressionTable element over intercept /
     * coefficient columns; `targetCat` empty for the regression doc. */
@@ -364,7 +376,10 @@ object IO {
     // BinaryClassificationPMMLModelExport.scala:40 — the two remaining
     // exporter families next to i20's k-means; PMMLModelExportFactory
     // .scala routes LinearRegression/Ridge/Lasso to the first and
-    // LogisticRegression/SVM to the second). The exporters serialize
+    // LogisticRegression/SVM to the second — BOTH binary routes
+    // exercised: logit normalization with the threshold inversion, and
+    // the SVM leg with normalizationMethod="none" and the raw 0.0
+    // threshold as the NO-table intercept). The exporters serialize
     // whatever model they are handed; the models here are engine-exact —
     // the linear row is the closed-form OLS fit of extendedprice ~
     // quantity + partkey-bucket (ext.Learn.olsFit2, micro-quantized
@@ -390,7 +405,7 @@ object IO {
         .selectExpr("'linear regression' AS model",
           s"concat('$pmmlLinHead', ${pmmlRegTable("b0m", "b1m", "b2m", "")}, '$pmmlGlmTail') AS xml",
           "CAST(2 AS BIGINT) AS n_predictors")
-      val logit = Tables.orders(s, dir)
+      val binWeights = Tables.orders(s, dir)
         .selectExpr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos",
           "CAST(round(o_totalprice) AS BIGINT) AS x1",
           "CAST(o_custkey % 100 AS BIGINT) AS x2")
@@ -398,11 +413,20 @@ object IO {
           sum(expr("pos * x1")).as("s1p"), sum(expr("(1 - pos) * x1")).as("s1n"),
           sum(expr("pos * x2")).as("s2p"), sum(expr("(1 - pos) * x2")).as("s2n"))
         .selectExpr(logitWeightExprs("DIV").map { case (n, e) => s"$e AS $n" }: _*)
+      val logit = binWeights
         .selectExpr("'logistic regression' AS model",
           s"concat('$pmmlLogitHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, " +
             s"$pmmlNoTableFrag, '$pmmlGlmTail') AS xml",
           "CAST(2 AS BIGINT) AS n_predictors")
-      lin.union(logit)
+      // the factory's third route: SVMModel through the SAME binary
+      // exporter with normalizationMethod="none" and the raw 0.0
+      // threshold as the NO-table intercept
+      val svm = binWeights
+        .selectExpr("'linear svm' AS model",
+          s"concat('$pmmlSvmHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, " +
+            s"$pmmlSvmNoTableFrag, '$pmmlGlmTail') AS xml",
+          "CAST(2 AS BIGINT) AS n_predictors")
+      lin.union(logit).union(svm)
         .write.mode(SaveMode.Overwrite).json(path)
       s.read.schema(StructType(Seq(StructField("model", StringType),
           StructField("xml", StringType), StructField("n_predictors", LongType))))
@@ -675,8 +699,12 @@ object IO {
          |  FROM os),
          |ox AS (SELECT 'logistic regression' AS model,
          |    concat('$pmmlLogitHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, $pmmlNoTableFrag, '$pmmlGlmTail') AS xml,
+         |    CAST(2 AS BIGINT) AS n_predictors FROM ob),
+         |sx AS (SELECT 'linear svm' AS model,
+         |    concat('$pmmlSvmHead', ${pmmlRegTable("w0m", "w1m", "w2m", "1")}, $pmmlSvmNoTableFrag, '$pmmlGlmTail') AS xml,
          |    CAST(2 AS BIGINT) AS n_predictors FROM ob)
-         |SELECT * FROM lx UNION ALL SELECT * FROM ox ORDER BY model""".stripMargin
+         |SELECT * FROM lx UNION ALL SELECT * FROM ox UNION ALL SELECT * FROM sx
+         |ORDER BY model""".stripMargin
     },
 
     // Reproduced from the ORIGINAL orders parquet: the roundtrip must

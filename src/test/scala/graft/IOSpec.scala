@@ -128,7 +128,7 @@ class IOSpec extends SparkSpec {
   test("pmml glm export: regression and classification documents carry the reference structure") {
     val rows = graft.queries.IO.defs("i23_pmml_glm_export")(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(rows.keySet === Set("linear regression", "logistic regression"))
+    assert(rows.keySet === Set("linear regression", "logistic regression", "linear svm"))
 
     val lin = rows("linear regression")
     assert(lin.startsWith("""<PMML version="4.2"><Header description="linear regression"/>"""))
@@ -154,6 +154,17 @@ class IOSpec extends SparkSpec {
     // -ln(1/0.7 - 1) milli-quantized = 847
     assert(log.contains("""<RegressionTable intercept="847" targetCategory="0"/>"""))
     assert("<NumericPredictor ".r.findAllIn(log).size === 2)
+
+    // the SVM route: same binary exporter, normalizationMethod="none",
+    // the raw 0.0 threshold passes through as the NO-table intercept
+    val svm = rows("linear svm")
+    assert(svm.contains("""functionName="classification""""))
+    assert(svm.contains("""normalizationMethod="none""""))
+    assert(svm.contains("""<RegressionTable intercept="0" targetCategory="0"/>"""))
+    assert("<NumericPredictor ".r.findAllIn(svm).size === 2)
+    // identical weights as the logit row — only the normalization differs
+    val wOf = (x: String) => x.split("coefficient=\"").drop(1).map(_.takeWhile(_ != '"')).toSeq
+    assert(wOf(svm) === wOf(log))
   }
 
   test("json preserves nested structs and arrays") {
