@@ -383,6 +383,22 @@ object Scale {
     * SUMMA data movement: both sides shuffle once on k, and the second
     * aggregate moves one row per (block-pair, cell), never per source
     * entry. Returns (ib, jb, i, j, v). */
+  /** Block-matrix ADD (reference mllib/linalg/distributed/BlockMatrix
+    * .scala:327 add — blocks cogroup on their (rowBlock, colBlock)
+    * coordinate and sum element-wise, a block present on only one side
+    * passing through, :337's branch). Coordinate form: ONE full-outer
+    * equi-join on the element coordinate; block ids carried like
+    * [[blockMultiply]]'s so the grid routing stays result-transparent.
+    * Zero-valued sums are KEPT as entries — in the reference they live
+    * as explicit zeros inside the dense block, and dropping them would
+    * make add non-associative under later block cogroups. */
+  def blockAdd(a: DataFrame, b: DataFrame, blockSize: Int): DataFrame =
+    a.select(col("i"), col("j"), col("va"))
+      .join(b.select(col("i"), col("j"), col("vb")), Seq("i", "j"), "full_outer")
+      .selectExpr(s"CAST(i DIV $blockSize AS BIGINT) AS ib",
+        s"CAST(j DIV $blockSize AS BIGINT) AS jb", "i", "j",
+        "CAST(coalesce(va, 0) + coalesce(vb, 0) AS BIGINT) AS v")
+
   def blockMultiply(a: DataFrame, b: DataFrame, blockSize: Int): DataFrame = {
     val partials = a.select(col("i"), col("k"), col("va"))
       .join(b.select(col("k"), col("j"), col("vb")), "k")

@@ -385,6 +385,27 @@ object Scale {
       S.tallSkinnyQr(feats, "o_orderkey", 2000L)
     },
 
+    // Block-matrix ADD (reference BlockMatrix.scala:327 — the remaining
+    // BlockMatrix public op next to x13's multiply; zero-keeping and the
+    // one-side pass-through documented on Scale.blockAdd): the low-band
+    // count matrix plus the high-band quantity-sum matrix over the same
+    // (custkey, suppkey) grid — the quantity bands overlap on (25, 40],
+    // so the both-present branch AND both one-side pass-throughs all
+    // fire on real cells of the gated hash.
+    "x23_block_add" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      val a = base.filter(expr("l_quantity <= 40"))
+        .groupBy(col("o_custkey").as("i"), col("l_suppkey").as("j"))
+        .agg(count(lit(1)).as("va"))
+      val b = base.filter(expr("l_quantity > 25"))
+        .groupBy(col("o_custkey").as("i"), col("l_suppkey").as("j"))
+        .agg(expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("vb"))
+      S.blockAdd(a, b, 64)
+        .filter(col("i") <= 200)
+        .orderBy("i", "j")
+    },
+
     "x13_block_matmul" -> { (s, dir) =>
       val a = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -681,6 +702,24 @@ object Scale {
     "x07_compacted_scan" ->
       """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Element-wise sum over the full-outer coordinate join; block ids
+    // derived, zero sums kept.
+    "x23_block_add" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o.o_custkey, l.l_suppkey, l.l_quantity
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |a AS MATERIALIZED (
+        |  SELECT o_custkey AS i, l_suppkey AS j, CAST(count(*) AS BIGINT) AS va
+        |  FROM base WHERE l_quantity <= 40 GROUP BY 1, 2),
+        |b AS MATERIALIZED (
+        |  SELECT o_custkey AS i, l_suppkey AS j,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS vb
+        |  FROM base WHERE l_quantity > 25 GROUP BY 1, 2)
+        |SELECT CAST(i // 64 AS BIGINT) AS ib, CAST(j // 64 AS BIGINT) AS jb, i, j,
+        |  CAST(coalesce(va, 0) + coalesce(vb, 0) AS BIGINT) AS v
+        |FROM a FULL OUTER JOIN b USING (i, j)
+        |WHERE i <= 200 ORDER BY i, j""".stripMargin,
 
     // The block routing must be result-transparent: the direct
     // join+group matrix product (vb = 1, so sum(va·vb) = sum(va)).

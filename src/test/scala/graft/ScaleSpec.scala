@@ -346,6 +346,19 @@ class ScaleSpec extends SparkSpec {
     assert(sp.count() === 0L)
   }
 
+  test("block add: both-present sum, one-side pass-through, zero sums kept") {
+    import spark.implicits._
+    val a = Seq((0L, 0L, 5L), (0L, 1L, 2L), (130L, 2L, -7L)).toDF("i", "j", "va")
+    val b = Seq((0L, 0L, 3L), (1L, 1L, 9L), (130L, 2L, 7L)).toDF("i", "j", "vb")
+    val got = Scale.blockAdd(a, b, 64).orderBy("i", "j").collect()
+      .map(r => (r.getLong(2), r.getLong(3)) -> (r.getLong(0), r.getLong(1), r.getLong(4))).toMap
+    assert(got === Map(
+      (0L, 0L) -> ((0L, 0L, 8L)),     // both present: 5 + 3
+      (0L, 1L) -> ((0L, 0L, 2L)),     // left only passes through
+      (1L, 1L) -> ((0L, 0L, 9L)),     // right only passes through
+      (130L, 2L) -> ((2L, 0L, 0L)))) // -7 + 7 KEPT as an explicit zero
+  }
+
   test("tree aggregate equals the one-shot aggregate; fan-in bounded per level") {
     import spark.implicits._
     val df = (1L to 5000L).map(i => (i, i % 97)).toDF("k", "v")
