@@ -813,4 +813,38 @@ class StreamingSpec extends SparkSpec {
       assert(cur === prev + partial(k, b) - partial(k, b - 3))
     }
   }
+
+  test("streaming listener: per-batch progress events account for every input row") {
+    // reference STRM/scheduler/StreamingListener.scala:31 — the
+    // onBatchCompleted callback stream carrying per-batch numRecords /
+    // processing times; modern equivalent is StreamingQueryListener's
+    // QueryProgressEvent with progress.numInputRows. Three explicit
+    // batches: the listener's per-batch counts must sum to the rows fed.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import spark.implicits._
+    val batchRows = new scala.collection.concurrent.TrieMap[Long, Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batchRows.put(e.progress.batchId, e.progress.numInputRows)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[Event](spark)
+      val agg = ms.toDF().groupBy("event_type").count()
+      val q = agg.writeStream.format("memory").queryName("listener_audit")
+        .outputMode(OutputMode.Complete).start()
+      try {
+        val ev = sampleEvents
+        ms.addData(ev.take(100)); q.processAllAvailable()
+        ms.addData(ev.slice(100, 250)); q.processAllAvailable()
+        ms.addData(ev.slice(250, 300)); q.processAllAvailable()
+      } finally q.stop()
+      // every fed row appears in exactly one batch's progress count
+      assert(batchRows.values.sum === 300L)
+      // and the batch sizes arrived as fed (empty flush batches carry 0)
+      assert(batchRows.values.filter(_ > 0).toSeq.sorted === Seq(50L, 100L, 150L))
+    } finally spark.streams.removeListener(listener)
+  }
 }
