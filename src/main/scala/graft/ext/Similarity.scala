@@ -346,6 +346,81 @@ object Similarity {
       .filter(col("probe_id") =!= col("vec_id")), k)
   }
 
+  /** Per-element residual vq − round(center_cl) — the IVFADC residual
+    * r(x) = x − q1(x) (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011, §IV-A). Centers are
+    * engine-identical doubles (exact integer sums / count), rounded
+    * HALF-AWAY-FROM-ZERO (the SQL round both engines share — Scala's
+    * math.round is HALF-UP and differs on negative halves), so the
+    * integer residuals are exact and shared. */
+  def residUdf(centers: Seq[(Long, Array[Double])]): UserDefinedFunction = {
+    def rnd(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val m = centers.map { case (l, c) => l -> c.map(rnd) }.toMap
+    udf { (vq: Seq[Long], cl: Long) =>
+      if (vq == null) None
+      else {
+        val c = m.getOrElse(cl, throw new IllegalStateException(
+          s"resid: cluster $cl absent from the coarse codebook"))
+        Some(vq.indices.map(i => vq(i) - (if (i < c.length) c(i) else 0L)).toSeq)
+      }
+    }
+  }
+
+  /** IVF-PQ composite ANN (the IVFADC system of Jégou et al. 2011 §IV:
+    * a sample-trained coarse quantizer routes vectors to inverted lists,
+    * each vector stores only the PQ CODES OF ITS RESIDUAL from its
+    * coarse center, and a probe runs the asymmetric-distance scan over
+    * the nprobe probed lists' codes — the standard billion-scale ANN
+    * index shape). Composition of the house pieces: s09's sampled-Lloyd
+    * coarse training + s06's residual-input PQ train/encode/ADC, cluster
+    * as the join key so each probe touches nprobe/nCoarse of the CODE
+    * table (8 bytes/vector), never the raw vectors. Residual encoding is
+    * what makes the composite beat flat PQ at equal code budget: within
+    * a list the residual magnitudes are center-bounded, so the shared
+    * global codebook spends its 16 codes on a tighter distribution.
+    * Output: (probe_id, rank, vec_id, cluster, adc_dist). */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, dims: Int, nCoarse: Int = 8,
+                nprobe: Int = 2, m: Int = 8, k: Int = 16,
+                coarseIters: Int = 2, sampleMod: Int = 4,
+                pqIters: Int = 1, topK: Int = 5): DataFrame = {
+    require(dims % m == 0, s"ivfPqTopK: dims=$dims not divisible by m=$m")
+    val subDims = dims / m
+    val centers = Clustering.sampledCenters(
+      corpus, idCol, vecCol, dims, nCoarse, coarseIters, sampleMod)
+    val resid = Clustering.quantized(corpus, idCol, vecCol)
+      .withColumn("cluster",
+        Clustering.assignUdf(centers)(col("vq")).cast("long"))
+      .withColumn("rq", residUdf(centers)(col("vq"), col("cluster")))
+      .select(col("vec_id"), col("cluster"), col("rq").as("vq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sub = pqSubvectors(resid.select("vec_id", "vq"), m, subDims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbs = pqTrain(sub, resid.select("vec_id", "vq"), m, subDims, k, pqIters)
+    val codes = resid.withColumn("codes", pqEncodeUdf(cbs, subDims)(col("vq")))
+      .select(col("vec_id"), col("cluster"), col("codes"))
+    val probeC = broadcast(probes
+      .transform(Clustering.quantized(_, idCol, vecCol))
+      .select(col("vec_id").as("probe_id"), col("vq").as("pvq"))
+      .withColumn("cluster",
+        explode(nearestClustersUdf(centers, nprobe)(col("pvq"))))
+      .withColumn("cluster", col("cluster").cast("long"))
+      .withColumn("prq", residUdf(centers)(col("pvq"), col("cluster"))))
+    val qs2 = Clustering.QuantScale.toDouble * Clustering.QuantScale
+    val ranked = probeC.join(codes, Seq("cluster"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("adc_q", pqAdcUdf(cbs, subDims)(col("prq"), col("codes")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adc_q"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cluster"),
+        round(col("adc_q") / qs2, 4).as("adc_dist"))
+      .localCheckpoint()
+    sub.unpersist(); resid.unpersist()
+    ranked
+  }
+
   /** IVF ANN with the cluster as the STORAGE partition key — the scale
     * shape [[ivfTopK]]'s design note promises: the indexed corpus is
     * written `partitionBy(cluster)` once, and a probe batch reads ONLY

@@ -172,6 +172,19 @@ object Similarity {
       val e = Tables.embeddings(s, dir)
       S.pqTopK(probes(e), e, "vec_id", "embedding", Dims)
         .orderBy("probe_id", "rank")
+    },
+
+    // IVF-PQ composite (the IVFADC index of Jégou et al., TPAMI 2011
+    // §IV — the standard billion-scale shape: coarse lists + residual
+    // codes + asymmetric scan; composition notes on Similarity
+    // .ivfPqTopK): 8-cluster sampled-Lloyd coarse quantizer, global
+    // 8x16 RESIDUAL codebooks, ADC over only the probed 2 lists' code
+    // tables. The oracle re-derives coarse training, rounded centers,
+    // residuals, codebooks, codes, and the scan.
+    "s70_ivfpq_adc" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.ivfPqTopK(probes(e), e, "vec_id", "embedding", Dims)
+        .orderBy("probe_id", "rank")
     }
   )
 
@@ -525,6 +538,55 @@ object Similarity {
          |  round(n.nrm, 4) AS norm
          |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+
+    // Coarse training (s09's sampled-Lloyd chain at k=8), rounded
+    // centers, residuals, then the s06 PQ chain over the RESIDUAL
+    // subvectors and the cluster-scoped ADC scan.
+    "s70_ivfpq_adc" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |t AS (SELECT * FROM v WHERE vec_id % 4 = 0),
+         |c0 AS (SELECT vec_id cl, list_transform(vq, q -> q::DOUBLE) c FROM t ORDER BY vec_id LIMIT 8),
+         |${kmAssign("a1", "c0", "t")},
+         |${kmCent("c1", "a1", "t")},
+         |${kmAssign("a2", "c1", "t")},
+         |${kmCent("c2", "a2", "t")},
+         |${kmAssign("af", "c2")},
+         |crc AS (SELECT cl, list_transform(c, x -> CAST(round(x) AS BIGINT)) cq FROM c2),
+         |rv AS MATERIALIZED (SELECT v.vec_id, af.cl AS cluster,
+         |    list_transform(range(1, ${Dims + 1}), i -> v.vq[i] - crc.cq[i]) vq
+         |  FROM v JOIN af USING (vec_id) JOIN crc ON crc.cl = af.cl),
+         |sub AS MATERIALIZED (SELECT vec_id, m.m, list_slice(vq, m.m * 8 + 1, m.m * 8 + 8) sq
+         |  FROM rv CROSS JOIN range(0, 8) m(m)),
+         |pc0 AS (SELECT sub.m, sub.vec_id cl, list_transform(sq, q -> q::DOUBLE) c
+         |  FROM sub WHERE vec_id IN (SELECT vec_id FROM rv ORDER BY vec_id LIMIT 16)),
+         |${pqAssign("qa1", "pc0")},
+         |${pqCent("qc1", "qa1")},
+         |${pqAssign("codes", "qc1")},
+         |pp AS (SELECT vec_id, cl AS cluster FROM (
+         |  SELECT v.vec_id, c2.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, ${Dims + 1}), i -> (v.vq[i] - c2.c[i]) * (v.vq[i] - c2.c[i]))), c2.cl) rn
+         |  FROM v, c2 WHERE v.vec_id % 50 = 0 AND v.vec_id < 1600) WHERE rn <= 2),
+         |pr AS (SELECT pp.vec_id AS probe_id, pp.cluster,
+         |    list_transform(range(1, ${Dims + 1}), i -> v.vq[i] - crc.cq[i]) prq
+         |  FROM pp JOIN v USING (vec_id) JOIN crc ON crc.cl = pp.cluster),
+         |psub AS MATERIALIZED (SELECT probe_id, cluster, m.m,
+         |    list_slice(prq, m.m * 8 + 1, m.m * 8 + 8) sq
+         |  FROM pr CROSS JOIN range(0, 8) m(m)),
+         |pd AS (SELECT p.probe_id, rv.vec_id, p.cluster, p.m,
+         |    list_sum(list_transform(range(1, 9), i -> (p.sq[i] - c.c[i]) * (p.sq[i] - c.c[i]))) d
+         |  FROM psub p
+         |  JOIN rv ON rv.cluster = p.cluster AND rv.vec_id <> p.probe_id
+         |  JOIN codes q ON q.vec_id = rv.vec_id AND q.m = p.m
+         |  JOIN qc1 c ON c.m = q.m AND c.cl = q.cl),
+         |adc AS (SELECT probe_id, vec_id, cluster, list_sum(list(d ORDER BY m)) adc_q
+         |  FROM pd GROUP BY 1, 2, 3)
+         |SELECT probe_id, rank, vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |  round(adc_q / ($QS::DOUBLE * $QS), 4) AS adc_dist FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_q, vec_id) AS INT) rank FROM adc)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "s06_pq_adc" ->
       s"""WITH v AS (SELECT vec_id,

@@ -113,6 +113,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ivf-pq: hits scoped to the probed coarse lists; deterministic across partitionings") {
+    import spark.implicits._
+    // recompute the same coarse training directly: every hit must come
+    // from one of its probe's two probed lists, and the reported cluster
+    // must be that corpus vector's own list — the inverted-list routing
+    // is the half of IVFADC the oracle's hash alone can't localize
+    val centers = graft.ext.Clustering.sampledCenters(
+      emb, "vec_id", "embedding", Dims, k = 8, iters = 2, sampleMod = 4)
+    val quant = graft.ext.Clustering.quantized(emb, "vec_id", "embedding")
+    val corpusCl = quant
+      .withColumn("cluster", graft.ext.Clustering.assignUdf(centers)(col("vq")))
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    val probeCl = quant.filter(col("vec_id") % 50 === 0)
+      .withColumn("cls", Similarity.nearestClustersUdf(centers, 2)(col("vq")))
+      .select("vec_id", "cls").as[(Long, Seq[Long])].collect().toMap
+    val got = Similarity.ivfPqTopK(probeSet, emb, "vec_id", "embedding", Dims)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (p, _, v, cl, d) =>
+      assert(corpusCl(v) === cl)
+      assert(probeCl(p).contains(cl))
+      assert(d >= 0.0)
+    }
+    // ranks contiguous from 1 within each probe
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq === (1 to g.size).toSeq)
+    }
+    // exact-integer training + shared kernels: partitioning-invariant
+    val again = Similarity.ivfPqTopK(probeSet,
+        emb.repartition(7, col("vec_id")), "vec_id", "embedding", Dims)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("rp near-dup pairs: dedup-first expansion equals the raw banded self-join") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, expr, round}
