@@ -392,6 +392,78 @@ object TextAnalysis {
     out
   }
 
+  /** The DSIR per-bucket log importance ratio in micro-nats over
+    * (ct, tt, cr, tr) — Laplace-smoothed (+1 / +buckets) bucket
+    * probabilities under the target and raw models, one shared formula
+    * string so both engines evaluate ln on identical doubles (micro
+    * rounding absorbs the 1-ulp libm slack, the t13 precedent). */
+  def dsirRatioExpr(buckets: Int): String =
+    s"CAST(round((ln((CAST(ct AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tt AS DOUBLE) + CAST($buckets.0 AS DOUBLE)))" +
+      s" - ln((CAST(cr AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(tr AS DOUBLE) + CAST($buckets.0 AS DOUBLE))))" +
+      " * 1000000.0) AS BIGINT)"
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023, §3:
+    * hashed n-gram bag-of-words models of the TARGET and RAW
+    * distributions; every raw doc weighted by the log importance ratio
+    * Σ_b c_b·(ln p_tgt(b) − ln p_raw(b)); resample by the weights).
+    * Thin-slice conventions, declared: features are md5-hashed
+    * unigram+bigram buckets (the paper's hashed n-grams; `buckets` of
+    * them), both models Laplace-smoothed, the per-bucket log-ratio
+    * quantized ONCE to integer micro-nats ([[dsirRatioExpr]]) so the
+    * per-doc weight is an exact integer sum, and the paper's
+    * Gumbel-top-k resampling is replaced by deterministic top-`selectK`
+    * on (weight, doc_id) — the house no-RNG rule. The target set is the
+    * deterministic doc_id % targetMod == 0 residue class standing in
+    * for the paper's high-quality corpus.
+    *
+    * Scale shape: one (doc, bucket) count aggregate; both bucket models
+    * are `buckets`-bounded aggregates of it; the ratio table broadcasts
+    * back onto the doc-bucket counts; one groupBy(doc) produces the
+    * weights; selection is orderBy+limit (TakeOrderedAndProject), never
+    * a global window. At 100 TB the models are two tiny aggregates and
+    * the weighting rides a single corpus-proportional shuffle. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 buckets: Int = 64, targetMod: Long = 7L,
+                 selectK: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(idCol).as("doc_id"), expr(Dedup.tokens(textCol)).as("ts"))
+    val grams = d.select(col("doc_id"), explode(col("ts")).as("g"))
+      .union(d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1), " +
+          "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1))) " +
+          "ELSE array() END")).as("g")))
+    val db = grams.selectExpr("doc_id",
+        s"cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint) % $buckets AS b")
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = db.filter(col("doc_id") % targetMod === 0)
+      .groupBy("b").agg(sum("c").as("ct"))
+    val raw = db.groupBy("b").agg(sum("c").as("cr"))
+    val models = df.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .selectExpr("b", "coalesce(ct, CAST(0 AS BIGINT)) AS ct",
+        "coalesce(cr, CAST(0 AS BIGINT)) AS cr")
+    val lr = models
+      .crossJoin(broadcast(models.agg(
+        sum("ct").as("tt"), sum("cr").as("tr"))))
+      .selectExpr("b", s"${dsirRatioExpr(buckets)} AS lr_micro")
+    val w = db.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("lr_micro")).as("w_micro"))
+    // top-k FIRST (TakeOrderedAndProject), then rank over <= selectK rows
+    val out = w.orderBy(col("w_micro").desc, col("doc_id")).limit(selectK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("w_micro").desc, col("doc_id"))).cast("long"))
+      .selectExpr("rank", "doc_id", "CAST(w_micro AS BIGINT) AS w_micro",
+        "CAST(n_grams AS BIGINT) AS n_grams")
+      .orderBy("rank")
+      .localCheckpoint()
+    db.unpersist()
+    out
+  }
+
   /** Rule-chain redaction — the PII-scrubbing stage of corpus curation:
     * apply (regex -> placeholder) rules IN ORDER (order matters: a phone
     * pattern must fire before a bare digit-run pattern eats its digits),

@@ -116,6 +116,16 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // DSIR importance resampling (Xie et al. NeurIPS 2023 — hashed
+    // n-gram importance weights against a target distribution, the
+    // domain-targeted pretraining-data selection step; hashing/
+    // smoothing/top-k conventions declared on TextAnalysis.dsirSelect):
+    // 64 md5-hashed unigram+bigram buckets, doc_id % 7 as the stand-in
+    // target, top-30 by exact integer micro-nat weight.
+    "t22_dsir_select" -> { (s, dir) =>
+      T.dsirSelect(Tables.documentsSpread(s, dir), "doc_id", "text")
+    },
+
     // CCNet-style quality bucketing: rank every document by its LM score
     // (t13's micro-nat-exact average) and cut the corpus into
     // head/middle/tail terciles — the pretraining-mix partitioning step.
@@ -460,6 +470,34 @@ object TextAnalysis {
 
     // Per-bigram ln P quantized to micro-nats BEFORE the per-doc sum, so
     // the aggregate matches the engine under any summation order.
+    // The same hashed-bucket models, the shared ratio string, the exact
+    // integer weight sum, the top-30 cut.
+    "t22_dsir_select" -> {
+      val ratio = graft.ext.TextAnalysis.dsirRatioExpr(64)
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+         |g AS (SELECT doc_id, unnest(ts) g FROM d
+         |      UNION ALL
+         |      SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+         |        i -> ts[i] || ' ' || ts[i + 1])) g FROM d),
+         |db AS MATERIALIZED (SELECT doc_id,
+         |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 64 AS b,
+         |    CAST(count(*) AS BIGINT) c
+         |  FROM g GROUP BY 1, 2),
+         |tgt AS (SELECT b, CAST(sum(c) AS BIGINT) ct FROM db WHERE doc_id % 7 = 0 GROUP BY 1),
+         |rawm AS (SELECT b, CAST(sum(c) AS BIGINT) cr FROM db GROUP BY 1),
+         |mo AS (SELECT CAST(r.b AS BIGINT) b, coalesce(t.ct, 0) ct, coalesce(r2.cr, 0) cr
+         |  FROM range(0, 64) r(b) LEFT JOIN tgt t ON t.b = r.b LEFT JOIN rawm r2 ON r2.b = r.b),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) tt, CAST(sum(cr) AS BIGINT) tr FROM mo),
+         |lr AS (SELECT b, $ratio AS lr_micro FROM mo CROSS JOIN tot),
+         |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_grams,
+         |    CAST(sum(c * lr_micro) AS BIGINT) w_micro
+         |  FROM db JOIN lr USING (b) GROUP BY 1),
+         |sel AS (SELECT * FROM w ORDER BY w_micro DESC, doc_id LIMIT 30)
+         |SELECT CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id) AS BIGINT) rank,
+         |  doc_id, w_micro, n_grams
+         |FROM sel ORDER BY rank""".stripMargin
+    },
+
     "t13_doc_lm_score" ->
       """WITH bg AS (SELECT doc_id, x.w1 w1, x.w2 w2 FROM (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),

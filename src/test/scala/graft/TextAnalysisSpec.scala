@@ -347,4 +347,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("x") === (("y", 1000000L)))
     assert(got("y") === (("x", 1000000L)))
   }
+
+  test("dsir: target-like documents outweigh off-target ones; deterministic") {
+    import spark.implicits._
+    // target class (doc_id % 7 == 0) speaks only "alpha": alpha-rich
+    // docs must carry higher importance weights than beta-only docs,
+    // whose buckets have zero target mass
+    val docs = (Seq(0L, 7L).map(i => (i, "alpha alpha")) ++
+      (1L to 6L).map(i => (i, "alpha")) ++
+      (8L to 13L).map(i => (i, "beta"))).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text", selectK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 14)
+    assert(got.map(_._1).toSeq === (1L to 14L))          // contiguous ranks
+    val w = got.map(x => x._2 -> x._3).toMap
+    val alphaMin = (Seq(0L, 7L) ++ (1L to 6L)).map(w).min
+    val betaMax = (8L to 13L).map(w).max
+    assert(alphaMin > betaMax)
+    // at this corpus size the +1/+B smoothing dominates, so every ratio
+    // is negative and LONGER docs accumulate more negative mass: the
+    // expected order is single-alpha > double-alpha > beta — a
+    // hand-derivable consequence of the exact formula, pinned here
+    // (ln(5/70)−ln(11/82) per alpha unigram; the alpha-alpha bigram
+    // bucket is the only positive ratio, ln(3/70)−ln(3/82))
+    assert((1L to 6L).map(w).min > Seq(0L, 7L).map(w).max)
+    assert(w(1L) === math.round((math.log(5.0 / 70.0) - math.log(11.0 / 82.0)) * 1e6))
+    // exact integer weights: partitioning-invariant
+    val p = TextAnalysis.dsirSelect(docs.repartition(5, col("text")),
+      "doc_id", "text", selectK = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(p.toSeq === got.toSeq)
+  }
 }
