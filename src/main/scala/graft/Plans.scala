@@ -521,7 +521,21 @@ object Plans {
         "Gramian (one partial+final pair); R is derived on the 1-row " +
         "factor frame and Q is a broadcast back-substitution projection " +
         "over the cohort scan — no inverse materializes, no row shuffles " +
-        "besides the Gramian's."))
+        "besides the Gramian's."),
+    "s70_ivfpq_adc" ->
+      ("IVF-PQ composite: coarse training touches only the hash sample; " +
+        "the corpus pays ONE assignment+residual+encode pass (compiled " +
+        "kernels, no interpreted lambdas); the probe scan is a broadcast " +
+        "hash join on the CLUSTER key, so each probe reads nprobe/nCoarse " +
+        "of the 8-byte code table and never a raw vector — at storage " +
+        "scale cluster becomes the partition key and the scan prunes at " +
+        "the source (the x04 layout)."),
+    "t22_dsir_select" ->
+      ("DSIR selection: one (doc, bucket) count shuffle; both bucket " +
+        "models are B-bounded aggregates of it; the B-row log-ratio " +
+        "table broadcasts back onto the counts; selection is " +
+        "TakeOrderedAndProject (orderBy+limit), never a global window " +
+        "sort — the corpus is read once and shuffled once."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
