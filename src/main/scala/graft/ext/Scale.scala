@@ -649,7 +649,10 @@ object Scale {
     * closed-form Cholesky R, then Q rows for the `cohort` keys as a
     * broadcast projection. Emits (id, q1_micro, q2_micro, r11_micro,
     * r12_micro, r22_micro) — R constant on every row so the factor is
-    * gated alongside Q. */
+    * gated alongside Q. Rank-deficient input (g11 = 0 or r22 = 0)
+    * divides by zero and yields null/NaN Q columns — the analog of the
+    * reference's :545 MatrixSingularException → null-Q branch; callers
+    * wanting a hard failure should assert r22_micro > 0. */
   def tallSkinnyQr(feats: DataFrame, idCol: String, cohort: Long): DataFrame = {
     val gcols = Seq("g11", "g12", "g22")
     val factors = feats
