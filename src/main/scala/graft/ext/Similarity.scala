@@ -346,6 +346,69 @@ object Similarity {
       .filter(col("probe_id") =!= col("vec_id")), k)
   }
 
+  // ---- scalar quantization (SQ8) ----------------------------------------
+  // The OTHER classic compressed-domain scan next to PQ: each dimension
+  // maps independently to an 8-bit code by per-dim min/max scaling
+  // (FAISS ScalarQuantizer QT_8bit with RANGE training), so a 64-dim
+  // vector stores as 64 bytes with NO codebook — cheaper training than
+  // PQ, 8x compression instead of 32x, and the symmetric code-domain
+  // distance is exact integer arithmetic both engines share verbatim.
+
+  /** Per-dim 8-bit code: (255·(v − mn)) div spread, clamped to [0, 255]
+    * (probes may fall outside the trained range). `src` is a quantized
+    * BIGINT vector column name; mn/spread are literal 64-element arrays
+    * collected from ONE corpus aggregate (bounded by dims, the
+    * centers-collect convention). Emitted as DOUBLE elements so the
+    * native DotProduct kernel consumes the code arrays directly. */
+  def sq8CodeExpr(src: String, dims: Int, mnLit: String, spLit: String): String =
+    s"transform(sequence(1, $dims), i -> CAST(greatest(0L, least(255L, " +
+      s"(255 * (element_at($src, i) - element_at($mnLit, i))) DIV element_at($spLit, i)" +
+      s")) AS DOUBLE))"
+
+  /** SQ8 top-k: train per-dim (min, max) in one corpus aggregate, code
+    * corpus and probes to 8-bit arrays, scan the CODE table with the
+    * exact symmetric squared-L2 — |p|² + |c|² − 2·p·c through the native
+    * codegen DotProduct, every operand an integer-valued double, so the
+    * distance is an exact BIGINT (≤ dims·255² — no rounding surface).
+    * Constant dimensions train spread 0 and clamp to code 0 on both
+    * sides (the guard keeps the div defined). Scale shape: one stats
+    * aggregate (dims rows collected), one narrow coding pass per side,
+    * broadcast probes x corpus codes — the scan reads dims bytes per
+    * vector, never the raw doubles. Emits (probe_id, rank, vec_id,
+    * sqdist_code). */
+  def sq8TopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, dims: Int, topK: Int = 5): DataFrame = {
+    val quant = Clustering.quantized(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = quant.select(posexplode(col("vq")).as(Seq("i", "v")))
+      .groupBy("i").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("i").collect() // dims rows — bounded by construction
+    val mn = stats.map(_.getLong(1))
+    val spread = stats.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val mnLit = mn.mkString("array(", "L, ", "L)")
+    val spLit = spread.mkString("array(", "L, ", "L)")
+    def coded(df: DataFrame, idAs: String) = df
+      .withColumn("c", expr(sq8CodeExpr("vq", dims, mnLit, spLit)))
+      .select(col("vec_id").as(idAs), col("c"),
+        graft.functions.VectorFunctions.dot(col("c"), col("c")).as("n2"))
+    val corpusC = coded(quant, "vec_id")
+    val probeC = broadcast(
+      coded(probes.transform(Clustering.quantized(_, idCol, vecCol)), "probe_id")
+        .withColumnRenamed("c", "pc").withColumnRenamed("n2", "pn2"))
+    val ranked = probeC.join(corpusC, col("probe_id") =!= col("vec_id"))
+      .withColumn("sqdist_code",
+        (col("pn2") + col("n2") -
+          lit(2.0) * graft.functions.VectorFunctions.dot(col("pc"), col("c")))
+          .cast("bigint"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sqdist_code"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("sqdist_code"))
+      .localCheckpoint()
+    quant.unpersist()
+    ranked
+  }
+
   /** Per-element residual vq − round(center_cl) — the IVFADC residual
     * r(x) = x − q1(x) (Jégou, Douze, Schmid, "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011, §IV-A). Centers are

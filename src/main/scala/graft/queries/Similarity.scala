@@ -174,6 +174,17 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // Scalar quantization SQ8 (FAISS ScalarQuantizer QT_8bit with range
+    // training — the codebook-free compressed scan next to s06's PQ:
+    // per-dim min/max to 8-bit codes, symmetric exact-integer
+    // code-domain L2 through the native DotProduct kernel; conventions
+    // on Similarity.sq8TopK).
+    "s71_sq8_ann" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.sq8TopK(probes(e), e, "vec_id", "embedding", Dims)
+        .orderBy("probe_id", "rank")
+    },
+
     // IVF-PQ composite (the IVFADC index of Jégou et al., TPAMI 2011
     // §IV — the standard billion-scale shape: coarse lists + residual
     // codes + asymmetric scan; composition notes on Similarity
@@ -538,6 +549,31 @@ object Similarity {
          |  round(n.nrm, 4) AS norm
          |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+
+    // Per-dim min/max stats, the shared clamp-and-scale code formula
+    // (// on non-negative operands matches Spark's DIV), exact integer
+    // code-domain distances.
+    "s71_sq8_ann" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |st AS (SELECT i.i AS i, CAST(min(vq[i.i]) AS BIGINT) mn,
+         |    CAST(greatest(max(vq[i.i]) - min(vq[i.i]), 1) AS BIGINT) sp
+         |  FROM v CROSS JOIN range(1, ${Dims + 1}) i(i) GROUP BY 1),
+         |mna AS (SELECT list(mn ORDER BY i) mn, list(sp ORDER BY i) sp FROM st),
+         |c AS MATERIALIZED (SELECT vec_id, list_transform(range(1, ${Dims + 1}), i ->
+         |    greatest(0, least(255, (255 * (vq[i] - mn[i])) // sp[i]))) c
+         |  FROM v CROSS JOIN mna),
+         |p AS (SELECT vec_id probe_id, c pc FROM c
+         |  WHERE vec_id % 50 = 0 AND vec_id < 1600),
+         |d AS (SELECT p.probe_id, q.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dims + 1}),
+         |      i -> (p.pc[i] - q.c[i]) * (p.pc[i] - q.c[i]))) AS BIGINT) sqdist_code
+         |  FROM p JOIN c q ON p.probe_id <> q.vec_id)
+         |SELECT probe_id, rank, vec_id, sqdist_code FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY probe_id ORDER BY sqdist_code, vec_id) AS INT) rank FROM d)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     // Coarse training (s09's sampled-Lloyd chain at k=8), rounded
     // centers, residuals, then the s06 PQ chain over the RESIDUAL

@@ -113,6 +113,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sq8: code-domain top-3 tracks exact integer L2 top-3; deterministic") {
+    import spark.implicits._
+    val got = Similarity.sq8TopK(probeSet, emb, "vec_id", "embedding", Dims, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._4 >= 0L))
+    // exact L2 ground truth over the SAME quantized integers, driver-side
+    val vecs = graft.ext.Clustering.quantized(emb, "vec_id", "embedding")
+      .as[(Long, Seq[Long])].collect().toMap
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probes = vecs.keys.filter(_ % 50 == 0).toSeq
+    val truth = probes.flatMap { p =>
+      vecs.toSeq.filter(_._1 != p)
+        .sortBy { case (v, x) => (l2(vecs(p), x), v) }.take(3)
+        .map { case (v, _) => (p, v) }
+    }.toSet
+    val hits = got.filter { case (p, _, v, _) => truth((p, v)) }.length
+    // 8-bit range quantization distorts little: recall@3 clears 0.8
+    assert(hits.toDouble / got.length >= 0.8, s"recall ${hits.toDouble / got.length}")
+    val again = Similarity.sq8TopK(probeSet, emb.repartition(7, col("vec_id")),
+        "vec_id", "embedding", Dims, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("ivf-pq: hits scoped to the probed coarse lists; deterministic across partitionings") {
     import spark.implicits._
     // recompute the same coarse training directly: every hit must come
