@@ -409,6 +409,28 @@ object Similarity {
     ranked
   }
 
+  /** Coarse-to-fine retrieval: the SQ8 code scan recalls `candK`
+    * candidates per probe (the cheap 8-bytes-per-dim stage), then ONLY
+    * those candidates pay the exact cosine (the precision stage) and
+    * re-rank to `topK` — the standard two-stage production retrieval
+    * shape (compressed first pass, exact rerank of a bounded survivor
+    * set; FAISS's refine/RFlat wrapper). The rerank repairs any
+    * quantization-induced misordering INSIDE the candidate set, so the
+    * emitted scores are exact cosines, bit-identical to s01's on the
+    * same pairs. Scale shape: stage 1 is the s71 code scan; stage 2
+    * touches probes x candK raw vectors — bounded by construction,
+    * never a second corpus scan (the candidate list joins the corpus by
+    * id). */
+  def sq8RerankTopK(probes: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, dims: Int, candK: Int = 20,
+                    topK: Int = 5): DataFrame = {
+    val cands = sq8TopK(probes, corpus, idCol, vecCol, dims, topK = candK)
+      .select(col("probe_id"), col("vec_id"))
+    val p = broadcast(normed(probes, idCol, vecCol, "probe"))
+    val q = normed(corpus, idCol, vecCol, "vec")
+    rankTopK(cands.join(p, "probe_id").join(q, "vec_id"), topK)
+  }
+
   /** Per-element residual vq − round(center_cl) — the IVFADC residual
     * r(x) = x − q1(x) (Jégou, Douze, Schmid, "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011, §IV-A). Centers are

@@ -185,6 +185,18 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // Coarse-to-fine rerank (the FAISS refine wrapper shape: SQ8 code
+    // scan recalls 20 candidates, only those pay the exact cosine and
+    // re-rank to 5 — compressed recall stage + exact precision stage;
+    // notes on Similarity.sq8RerankTopK). Emitted scores are exact
+    // cosines, so the oracle's rerank stage is s01's formulation
+    // restricted to the candidate set.
+    "s72_sq8_rerank" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+      S.sq8RerankTopK(probes(e), e, "vec_id", "embedding", Dims)
+        .orderBy("probe_id", "rank")
+    },
+
     // IVF-PQ composite (the IVFADC index of Jégou et al., TPAMI 2011
     // §IV — the standard billion-scale shape: coarse lists + residual
     // codes + asymmetric scan; composition notes on Similarity
@@ -549,6 +561,37 @@ object Similarity {
          |  round(n.nrm, 4) AS norm
          |FROM n JOIN sigs USING (vec_id) JOIN adots USING (vec_id)
          |ORDER BY vec_id""".stripMargin,
+
+    // The s71 code-scan chain cut at 20 candidates, then s01's exact
+    // cosine restricted to the survivors.
+    "s72_sq8_rerank" ->
+      s"""$normCte,
+         |v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |st AS (SELECT i.i AS i, CAST(min(vq[i.i]) AS BIGINT) mn,
+         |    CAST(greatest(max(vq[i.i]) - min(vq[i.i]), 1) AS BIGINT) sp
+         |  FROM v CROSS JOIN range(1, ${Dims + 1}) i(i) GROUP BY 1),
+         |mna AS (SELECT list(mn ORDER BY i) mn, list(sp ORDER BY i) sp FROM st),
+         |c AS MATERIALIZED (SELECT vec_id, list_transform(range(1, ${Dims + 1}), i ->
+         |    greatest(0, least(255, (255 * (vq[i] - mn[i])) // sp[i]))) c
+         |  FROM v CROSS JOIN mna),
+         |pp AS (SELECT vec_id probe_id, c pc FROM c
+         |  WHERE vec_id % 50 = 0 AND vec_id < 1600),
+         |d AS (SELECT pp.probe_id, cq.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dims + 1}),
+         |      i -> (pp.pc[i] - cq.c[i]) * (pp.pc[i] - cq.c[i]))) AS BIGINT) sqdist_code
+         |  FROM pp JOIN c cq ON pp.probe_id <> cq.vec_id),
+         |cand AS (SELECT probe_id, vec_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY probe_id ORDER BY sqdist_code, vec_id) rk FROM d) WHERE rk <= 20),
+         |scored AS (SELECT cand.probe_id, cand.vec_id, $dot / (p.nrm*q.nrm) c_raw
+         |  FROM cand JOIN n p ON p.vec_id = cand.probe_id
+         |  JOIN n q ON q.vec_id = cand.vec_id)
+         |SELECT probe_id, rank, vec_id, round(c_raw, 4) AS cosine FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
+         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     // Per-dim min/max stats, the shared clamp-and-scale code formula
     // (// on non-negative operands matches Spark's DIV), exact integer

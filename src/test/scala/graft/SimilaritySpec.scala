@@ -139,6 +139,24 @@ class SimilaritySpec extends SparkSpec {
     assert(again.sortBy(x => (x._1, x._2)).toSeq === got.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("sq8 rerank: candK covering the corpus reproduces brute force exactly") {
+    // with the candidate stage recalling EVERYTHING, the rerank stage IS
+    // s01 — equality pins that stage 2 is the exact cosine, not an
+    // approximation of one
+    val all = Similarity.sq8RerankTopK(probeSet, emb, "vec_id", "embedding",
+        Dims, candK = 100000, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteForceTopK(probeSet, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(all.sortBy(x => (x._1, x._2)).toSeq === brute.sortBy(x => (x._1, x._2)).toSeq)
+    // and the bounded-candidate path emits a subset of its own stage-1 set
+    val cands = Similarity.sq8TopK(probeSet, emb, "vec_id", "embedding", Dims, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.sq8RerankTopK(probeSet, emb, "vec_id", "embedding", Dims)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.forall(cands))
+  }
+
   test("ivf-pq: hits scoped to the probed coarse lists; deterministic across partitionings") {
     import spark.implicits._
     // recompute the same coarse training directly: every hit must come
