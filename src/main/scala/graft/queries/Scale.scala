@@ -255,6 +255,31 @@ object Scale {
     // both truncate toward zero (verified on the gated path; DuckDB's
     // floor-vs-trunc caveat in the verify notes applies to its DOUBLE
     // `//` overload, not BIGINT).
+    // Logistic-regression data generation (reference mllib/util/
+    // LogisticRegressionDataGenerator.scala:55 — y = idx % 2, features
+    // gaussian + y·eps: class-shifted Gaussians; closes the generator
+    // family next to x15's linear stream and x20's k-means clusters).
+    // Same no-RNG machinery as x20: per-id LCG seeds -> one Box-Muller
+    // pair -> the +y·eps shift, all ONE codegen projection over the key
+    // scan; the per-class recovery aggregate (counts + milli feature
+    // means, which land near 0 and near eps) is the gated value, and
+    // its signed sums ride the BIGINT-division seam x20 established.
+    "x24_logit_datagen" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id", "CAST(o_orderkey % 2 AS BIGINT) AS y")
+        .selectExpr("id", "y", s"${lcgExpr("id")} AS p0")
+        .selectExpr("id", "y", s"${lcgExpr("p0")} AS p1")
+        .selectExpr("id", "y", "p1", s"${lcgExpr("p1")} AS p2")
+        .selectExpr("y",
+          s"CAST(round(($kgPointZ1 + (CAST(y AS DOUBLE) * CAST(3.0 AS DOUBLE))) * 1000.0) AS BIGINT) AS x1_milli",
+          s"CAST(round(($kgPointZ2 + (CAST(y AS DOUBLE) * CAST(3.0 AS DOUBLE))) * 1000.0) AS BIGINT) AS x2_milli")
+        .groupBy("y")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(x1_milli) DIV count(*) AS BIGINT)").as("mean1_milli"),
+          expr("CAST(sum(x2_milli) DIV count(*) AS BIGINT)").as("mean2_milli"))
+        .orderBy("y")
+    },
+
     "x20_kmeans_datagen" -> { (s, dir) =>
       Tables.orders(s, dir)
         .selectExpr("o_orderkey AS id", "CAST(o_orderkey % 5 AS BIGINT) AS cluster")
@@ -514,6 +539,24 @@ object Scale {
     // exponential, and the shared OLS Cramer strings over the generated
     // stream's nine sums.
     // Same LCG chains, same Box-Muller strings, `//` for integer div.
+    // The same LCG -> Box-Muller -> +y·eps chain; signed mean sums
+    // divide on the BIGINT//BIGINT seam (truncates toward zero, matching
+    // Spark's DIV — the x20 precedent).
+    "x24_logit_datagen" ->
+      s"""WITH ids AS (SELECT o_orderkey AS id,
+         |    CAST(o_orderkey % 2 AS BIGINT) AS y FROM orders),
+         |q0 AS (SELECT id, y, ${lcgExpr("id")} AS p0 FROM ids),
+         |q1 AS (SELECT id, y, ${lcgExpr("p0")} AS p1 FROM q0),
+         |q2 AS (SELECT id, y, p1, ${lcgExpr("p1")} AS p2 FROM q1),
+         |pts AS (SELECT y,
+         |    CAST(round(($kgPointZ1 + (CAST(y AS DOUBLE) * CAST(3.0 AS DOUBLE))) * 1000.0) AS BIGINT) AS x1_milli,
+         |    CAST(round(($kgPointZ2 + (CAST(y AS DOUBLE) * CAST(3.0 AS DOUBLE))) * 1000.0) AS BIGINT) AS x2_milli
+         |  FROM q2)
+         |SELECT y, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(CAST(sum(x1_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean1_milli,
+         |  CAST(CAST(sum(x2_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean2_milli
+         |FROM pts GROUP BY 1 ORDER BY y""".stripMargin,
+
     "x20_kmeans_datagen" ->
       s"""WITH ids AS (SELECT o_orderkey AS id,
          |    CAST(o_orderkey % 5 AS BIGINT) AS cluster FROM orders),

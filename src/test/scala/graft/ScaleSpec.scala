@@ -346,6 +346,23 @@ class ScaleSpec extends SparkSpec {
     assert(sp.count() === 0L)
   }
 
+  test("logit datagen: classes split evenly and feature means separate by ~eps") {
+    val rows = graft.queries.Scale.defs("x24_logit_datagen")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(0L, 1L))
+    // parity labels: the two classes differ by at most one example
+    assert(math.abs(rows(0L)._1 - rows(1L)._1) <= 1L)
+    // class-0 means sit near 0, class-1 near eps = 3000 milli (the
+    // Box-Muller draws are unit-Gaussian, so sample means over ~1500
+    // rows land well inside ±300 milli of their targets)
+    for (c <- Seq(2, 3)) {
+      val m0 = if (c == 2) rows(0L)._2 else rows(0L)._3
+      val m1 = if (c == 2) rows(1L)._2 else rows(1L)._3
+      assert(math.abs(m0) < 300, s"class-0 mean $m0")
+      assert(math.abs(m1 - 3000) < 300, s"class-1 mean $m1")
+    }
+  }
+
   test("block add: both-present sum, one-side pass-through, zero sums kept") {
     import spark.implicits._
     val a = Seq((0L, 0L, 5L), (0L, 1L, 2L), (130L, 2L, -7L)).toDF("i", "j", "va")
