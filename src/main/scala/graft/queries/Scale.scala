@@ -255,6 +255,35 @@ object Scale {
     // both truncate toward zero (verified on the gated path; DuckDB's
     // floor-vs-trunc caveat in the verify notes applies to its DOUBLE
     // `//` overload, not BIGINT).
+    // Matrix-factorization data generation (reference mllib/util/
+    // MFDataGenerator.scala:30 — A = U·Vᵀ at a chosen rank, a sampled
+    // subset of entries emitted as the training set, optional noise;
+    // the last member of the generator family). Thin-slice conventions,
+    // DECLARED: rank 2, integer-uniform factor entries in [−1000, 1000]
+    // milli from the shared LCG stream in place of randn (the house
+    // no-RNG rule), deterministic LCG-residue sampling of ~1/4 of the
+    // (i, j) key pairs in place of the oversampling-factor draw, and
+    // bounded ±10000 LCG noise in place of gaussian sigma. Every row
+    // carries its factor entries, so the oracle gates the LOW-RANK
+    // STRUCTURE itself: rating − noise factors exactly through u·v.
+    "x25_mf_datagen" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr("CAST(o_orderkey % 200 AS BIGINT) AS i",
+          "CAST((o_orderkey DIV 200) % 100 AS BIGINT) AS j")
+        .distinct()
+        .filter(expr(s"${lcgExpr("((i * 997) + j)")} % 4 = 0"))
+        .selectExpr("i", "j",
+          s"CAST((${lcgExpr("((i * 2) + 1)")} % 2001) - 1000 AS BIGINT) AS u1",
+          s"CAST((${lcgExpr("((i * 2) + 2)")} % 2001) - 1000 AS BIGINT) AS u2",
+          s"CAST((${lcgExpr("(200000 + ((j * 2) + 1))")} % 2001) - 1000 AS BIGINT) AS v1",
+          s"CAST((${lcgExpr("(200000 + ((j * 2) + 2))")} % 2001) - 1000 AS BIGINT) AS v2",
+          s"CAST((${lcgExpr("((i * 100003) + j)")} % 20001) - 10000 AS BIGINT) AS noise_micro2")
+        .selectExpr("i", "j", "u1", "u2", "v1", "v2",
+          "CAST(((u1 * v1) + (u2 * v2)) + noise_micro2 AS BIGINT) AS rating_micro2")
+        .filter(col("i") <= 20)
+        .orderBy("i", "j")
+    },
+
     // Logistic-regression data generation (reference mllib/util/
     // LogisticRegressionDataGenerator.scala:55 — y = idx % 2, features
     // gaussian + y·eps: class-shifted Gaussians; closes the generator
@@ -539,6 +568,23 @@ object Scale {
     // exponential, and the shared OLS Cramer strings over the generated
     // stream's nine sums.
     // Same LCG chains, same Box-Muller strings, `//` for integer div.
+    // The same LCG factor/sampling/noise chain; pure integer arithmetic,
+    // no division anywhere.
+    "x25_mf_datagen" ->
+      s"""WITH ids AS (SELECT DISTINCT CAST(o_orderkey % 200 AS BIGINT) AS i,
+         |    CAST((o_orderkey // 200) % 100 AS BIGINT) AS j FROM orders),
+         |samp AS (SELECT i, j FROM ids WHERE ${lcgExpr("((i * 997) + j)")} % 4 = 0),
+         |f AS (SELECT i, j,
+         |    CAST((${lcgExpr("((i * 2) + 1)")} % 2001) - 1000 AS BIGINT) AS u1,
+         |    CAST((${lcgExpr("((i * 2) + 2)")} % 2001) - 1000 AS BIGINT) AS u2,
+         |    CAST((${lcgExpr("(200000 + ((j * 2) + 1))")} % 2001) - 1000 AS BIGINT) AS v1,
+         |    CAST((${lcgExpr("(200000 + ((j * 2) + 2))")} % 2001) - 1000 AS BIGINT) AS v2,
+         |    CAST((${lcgExpr("((i * 100003) + j)")} % 20001) - 10000 AS BIGINT) AS noise_micro2
+         |  FROM samp)
+         |SELECT i, j, u1, u2, v1, v2,
+         |  CAST(((u1 * v1) + (u2 * v2)) + noise_micro2 AS BIGINT) AS rating_micro2
+         |FROM f WHERE i <= 20 ORDER BY i, j""".stripMargin,
+
     // The same LCG -> Box-Muller -> +y·eps chain; signed mean sums
     // divide on the BIGINT//BIGINT seam (truncates toward zero, matching
     // Spark's DIV — the x20 precedent).

@@ -346,6 +346,25 @@ class ScaleSpec extends SparkSpec {
     assert(sp.count() === 0L)
   }
 
+  test("mf datagen: every emitted rating factors through its rank-2 entries plus bounded noise") {
+    val rows = graft.queries.Scale.defs("x25_mf_datagen")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(u1, u2, v1, v2, rating) = (2 to 6).map(r.getLong)
+      val noise = rating - (u1 * v1 + u2 * v2)
+      assert(noise >= -10000L && noise <= 10000L)
+      Seq(u1, u2, v1, v2).foreach(x => assert(x >= -1000L && x <= 1000L))
+    }
+    // the same (i, j) always draws the same factors: rows with a shared
+    // i agree on (u1, u2), rows with a shared j on (v1, v2)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(r => (r.getLong(2), r.getLong(3))).distinct.length === 1)
+    }
+    rows.groupBy(_.getLong(1)).values.foreach { g =>
+      assert(g.map(r => (r.getLong(4), r.getLong(5))).distinct.length === 1)
+    }
+  }
+
   test("logit datagen: classes split evenly and feature means separate by ~eps") {
     val rows = graft.queries.Scale.defs("x24_logit_datagen")(spark, sf001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
