@@ -649,4 +649,64 @@ object Clustering {
     f.unpersist()
     out
   }
+
+  // ---- greedy k-center coreset (Gonzalez 1985 farthest-point
+  // traversal, the classic 2-approximation for the k-center objective —
+  // the diversity-selection / data-pruning primitive: pick the point
+  // farthest from everything selected so far, k times; the selected set
+  // covers the corpus within the last pick's radius). -------------------
+
+  /** Exact minimum squared distance from a quantized vector to the
+    * selected center set — integer arithmetic end to end, so the argmax
+    * and the emitted radii are partition-order-free and shared with the
+    * oracle's integer min. */
+  private def minSqDistUdf(centers: Seq[Array[Long]]) = udf { (vq: Seq[Long]) =>
+    if (vq == null) None
+    else {
+      val x = vq.toArray
+      var best = Long.MaxValue
+      var j = 0
+      while (j < centers.length) {
+        val c = centers(j); val n = math.min(c.length, x.length)
+        var d = 0L; var i = 0
+        while (i < n) { val t = x(i) - c(i); d += t * t; i += 1 }
+        if (d < best) best = d
+        j += 1
+      }
+      Some(best)
+    }
+  }
+
+  /** Greedy k-center selection over (idCol, vecCol): the seed is the
+    * LOWEST id (the house deterministic-init rule); each round scans the
+    * corpus once for every point's min squared distance to the selected
+    * set and takes the argmax via orderBy+limit (TakeOrderedAndProject —
+    * never a global window), ties to the lowest id. Emits (sel_rank,
+    * vec_id, d_q) where d_q is the pick's exact integer distance-to-set
+    * at selection time (the seed's is 0) — the radii are NONINCREASING
+    * by construction, and the final one bounds the covering radius of
+    * the whole selection (the Gonzalez guarantee). Cost: k corpus scans,
+    * each a narrow projection + top-1; the center set is k-bounded on
+    * the driver, the x20/centers-collect convention. Duplicate-heavy
+    * corpora exhaust at distance 0 and simply re-rank by id. */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = quantized(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = v.orderBy("vec_id").limit(1)
+      .as[(Long, Seq[Long])].head()
+    var picks = Vector((1L, seed._1, 0L))
+    var centers = Vector(seed._2.toArray)
+    for (r <- 2 to k) {
+      val next = v.withColumn("d", minSqDistUdf(centers)(col("vq")))
+        .orderBy(col("d").desc, col("vec_id")).limit(1)
+        .as[(Long, Seq[Long], Long)].head()
+      picks = picks :+ ((r.toLong, next._1, next._3))
+      centers = centers :+ next._2.toArray
+    }
+    v.unpersist()
+    picks.toDF("sel_rank", "vec_id", "d_q")
+  }
 }

@@ -174,6 +174,17 @@ object Similarity {
         .orderBy("probe_id", "rank")
     },
 
+    // Greedy k-center coreset (Gonzalez 1985 farthest-point traversal —
+    // the diversity-selection / data-pruning primitive; mechanics and
+    // the nonincreasing-radius guarantee on Clustering.kCenterCoreset):
+    // 5 picks over the embeddings, every pick's argmax and exact
+    // integer radius gated.
+    "s73_kcenter_coreset" -> { (s, dir) =>
+      graft.ext.Clustering.kCenterCoreset(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy("sel_rank")
+    },
+
     // Scalar quantization SQ8 (FAISS ScalarQuantizer QT_8bit with range
     // training — the codebook-free compressed scan next to s06's PQ:
     // per-dim min/max to 8-bit codes, symmetric exact-integer
@@ -592,6 +603,36 @@ object Similarity {
          |  SELECT *, CAST(ROW_NUMBER() OVER (
          |    PARTITION BY probe_id ORDER BY c_raw DESC, vec_id) AS INT) rank FROM scored)
          |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // Five unrolled farthest-point rounds: per round one min-distance
+    // scan against the selected set and the (d DESC, vec_id) argmax.
+    "s73_kcenter_coreset" -> {
+      val dist = s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+        "i -> (v.vq[i] - c.vq[i]) * (v.vq[i] - c.vq[i])))"
+      def round(r: Int) =
+        s"""d$r AS (SELECT v.vec_id, v.vq, min($dist) AS d
+           |  FROM v, s${r - 1} c GROUP BY v.vec_id, v.vq),
+           |p$r AS MATERIALIZED (SELECT vec_id, vq, ${r}::BIGINT AS sel_rank,
+           |    CAST(d AS BIGINT) AS d_q
+           |  FROM d$r ORDER BY d DESC, vec_id LIMIT 1),
+           |s$r AS MATERIALIZED (SELECT vec_id, vq FROM s${r - 1}
+           |  UNION ALL SELECT vec_id, vq FROM p$r)""".stripMargin
+      s"""WITH v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * $QS) AS BIGINT)) vq
+         |  FROM embeddings),
+         |s1 AS MATERIALIZED (SELECT vec_id, vq FROM v ORDER BY vec_id LIMIT 1),
+         |p1 AS (SELECT vec_id, 1::BIGINT AS sel_rank, 0::BIGINT AS d_q FROM s1),
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)}
+         |SELECT sel_rank, vec_id, d_q FROM p1
+         |UNION ALL SELECT sel_rank, vec_id, d_q FROM p2
+         |UNION ALL SELECT sel_rank, vec_id, d_q FROM p3
+         |UNION ALL SELECT sel_rank, vec_id, d_q FROM p4
+         |UNION ALL SELECT sel_rank, vec_id, d_q FROM p5
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     // Per-dim min/max stats, the shared clamp-and-scale code formula
     // (// on non-negative operands matches Spark's DIV), exact integer

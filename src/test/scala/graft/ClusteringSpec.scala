@@ -194,4 +194,26 @@ class ClusteringSpec extends SparkSpec {
       .orderBy("topic", "rnk").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("k-center coreset: farthest-point picks with exact radii; radii nonincreasing") {
+    import spark.implicits._
+    // a line 0 — 10 — 100: seed is the lowest id, pick 2 the far end,
+    // pick 3 the middle, each radius the exact integer squared distance
+    val pts = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 0.0)), (3L, Seq(100.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kCenterCoreset(pts, "vec_id", "embedding", 3)
+      .orderBy("sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u = 1L << 20
+    assert(got.toSeq === Seq((1L, 1L, 0L),
+      (2L, 3L, 10000L * u * u), (3L, 2L, 100L * u * u)))
+    // the Gonzalez invariant on the real corpus: radii nonincreasing
+    // after the seed, picks distinct
+    val sel = Clustering.kCenterCoreset(
+        Tables.embeddings(spark, sf001), "vec_id", "embedding", 5)
+      .orderBy("sel_rank").collect()
+    assert(sel.map(_.getLong(1)).distinct.length === 5)
+    val radii = sel.map(_.getLong(2)).drop(1)
+    assert(radii.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)), radii.toSeq)
+  }
 }
