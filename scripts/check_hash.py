@@ -16,6 +16,9 @@ def main(out_dir, sf_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = {n for n in os.environ.get("CHECK_ONLY", "").split(",") if n}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     nfail = 0
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))

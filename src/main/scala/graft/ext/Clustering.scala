@@ -691,12 +691,14 @@ object Clustering {
     * corpora exhaust at distance 0 and simply re-rank by id. */
   def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
+    require(k >= 1, s"kCenterCoreset needs k >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val v = quantized(df, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seed = v.orderBy("vec_id").limit(1)
-      .as[(Long, Seq[Long])].head()
+    val seedRows = v.orderBy("vec_id").limit(1).as[(Long, Seq[Long])].collect()
+    require(seedRows.nonEmpty, "kCenterCoreset needs a non-empty input")
+    val seed = seedRows.head
     var picks = Vector((1L, seed._1, 0L))
     var centers = Vector(seed._2.toArray)
     for (r <- 2 to k) {

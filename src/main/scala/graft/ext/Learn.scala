@@ -612,11 +612,13 @@ object Learn {
     * target, not positive counts (reference tree/impurity/Variance
     * .scala:52 — impurity = (Σy² − (Σy)²/n)/n; Σy² is
     * split-invariant, so minimizing weighted child variance ≡
-    * maximizing Σ_child (Σy)²/n — the same monotone abs-floor-div
-    * currency as [[gbtFit2]]'s: `(|sl| div nl)·|sl|` is engine-portable
-    * because Spark's DIV truncates toward zero and DuckDB's `//` floors,
-    * agreeing only on non-negatives). `div` is the engine's integer
-    * division keyword (`DIV` Spark / `//` DuckDB). */
+    * maximizing Σ_child (Σy)²/n — the same monotone abs-div currency
+    * as [[gbtFit2]]'s: `(|sl| div nl)·|sl|` is engine-portable because
+    * abs() keeps both operands non-negative, where Spark's DIV and
+    * DuckDB's BIGINT `//` agree exactly (both truncate; DuckDB's
+    * floor-vs-trunc caveat applies only to its DOUBLE `//` overload —
+    * see queries/Scale.scala's x20 seam note). `div` is the engine's
+    * integer division keyword (`DIV` Spark / `//` DuckDB). */
   def varianceScoreExpr(div: String): String =
     s"CAST((abs(lp) $div nl) * abs(lp) + (abs(tp - lp) $div (tn - nl)) * abs(tp - lp) AS BIGINT)"
 

@@ -263,7 +263,11 @@ object Scale {
     // milli from the shared LCG stream in place of randn (the house
     // no-RNG rule), deterministic LCG-residue sampling of ~1/4 of the
     // (i, j) key pairs in place of the oversampling-factor draw, and
-    // bounded ±10000 LCG noise in place of gaussian sigma. Every row
+    // bounded ±10000 LCG noise in place of gaussian sigma. The four
+    // LCG streams (u factors 1..400, v factors 200001..200200, sampling
+    // 10M+i·200+j, noise 20M+i·200+j) use DISJOINT seed ranges so no
+    // sampled/noise cell shares a seed with the factor entry it
+    // perturbs — MFDataGenerator's streams are independent. Every row
     // carries its factor entries, so the oracle gates the LOW-RANK
     // STRUCTURE itself: rating − noise factors exactly through u·v.
     "x25_mf_datagen" -> { (s, dir) =>
@@ -271,13 +275,13 @@ object Scale {
         .selectExpr("CAST(o_orderkey % 200 AS BIGINT) AS i",
           "CAST((o_orderkey DIV 200) % 100 AS BIGINT) AS j")
         .distinct()
-        .filter(expr(s"${lcgExpr("((i * 997) + j)")} % 4 = 0"))
+        .filter(expr(s"${lcgExpr("(10000000 + ((i * 200) + j))")} % 4 = 0"))
         .selectExpr("i", "j",
           s"CAST((${lcgExpr("((i * 2) + 1)")} % 2001) - 1000 AS BIGINT) AS u1",
           s"CAST((${lcgExpr("((i * 2) + 2)")} % 2001) - 1000 AS BIGINT) AS u2",
           s"CAST((${lcgExpr("(200000 + ((j * 2) + 1))")} % 2001) - 1000 AS BIGINT) AS v1",
           s"CAST((${lcgExpr("(200000 + ((j * 2) + 2))")} % 2001) - 1000 AS BIGINT) AS v2",
-          s"CAST((${lcgExpr("((i * 100003) + j)")} % 20001) - 10000 AS BIGINT) AS noise_micro2")
+          s"CAST((${lcgExpr("(20000000 + ((i * 200) + j))")} % 20001) - 10000 AS BIGINT) AS noise_micro2")
         .selectExpr("i", "j", "u1", "u2", "v1", "v2",
           "CAST(((u1 * v1) + (u2 * v2)) + noise_micro2 AS BIGINT) AS rating_micro2")
         .filter(col("i") <= 20)
@@ -573,13 +577,13 @@ object Scale {
     "x25_mf_datagen" ->
       s"""WITH ids AS (SELECT DISTINCT CAST(o_orderkey % 200 AS BIGINT) AS i,
          |    CAST((o_orderkey // 200) % 100 AS BIGINT) AS j FROM orders),
-         |samp AS (SELECT i, j FROM ids WHERE ${lcgExpr("((i * 997) + j)")} % 4 = 0),
+         |samp AS (SELECT i, j FROM ids WHERE ${lcgExpr("(10000000 + ((i * 200) + j))")} % 4 = 0),
          |f AS (SELECT i, j,
          |    CAST((${lcgExpr("((i * 2) + 1)")} % 2001) - 1000 AS BIGINT) AS u1,
          |    CAST((${lcgExpr("((i * 2) + 2)")} % 2001) - 1000 AS BIGINT) AS u2,
          |    CAST((${lcgExpr("(200000 + ((j * 2) + 1))")} % 2001) - 1000 AS BIGINT) AS v1,
          |    CAST((${lcgExpr("(200000 + ((j * 2) + 2))")} % 2001) - 1000 AS BIGINT) AS v2,
-         |    CAST((${lcgExpr("((i * 100003) + j)")} % 20001) - 10000 AS BIGINT) AS noise_micro2
+         |    CAST((${lcgExpr("(20000000 + ((i * 200) + j))")} % 20001) - 10000 AS BIGINT) AS noise_micro2
          |  FROM samp)
          |SELECT i, j, u1, u2, v1, v2,
          |  CAST(((u1 * v1) + (u2 * v2)) + noise_micro2 AS BIGINT) AS rating_micro2
