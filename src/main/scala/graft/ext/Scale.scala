@@ -365,6 +365,42 @@ object Scale {
       .filter(col("pick") <= m)
       .select(col("grp"), col("id"), col("pick"))
 
+  /** Exact per-stratum sampling (reference core/.../rdd/
+    * PairRDDFunctions.scala:291 sampleByKeyExact — exactly
+    * ceil(n_k · f_k) rows per key with probability 1, where plain
+    * sampleByKey only hits the rate in expectation). The reference
+    * earns exactness with acceptance sampling plus a per-stratum
+    * selection threshold over random scores (StratifiedSamplingUtils'
+    * two-pass design); the same contract here is the [[groupSample]]
+    * hash-order machinery generalized to per-key QUOTAS: rows rank
+    * deterministically inside their stratum by portable md5 order and
+    * the first quota_k win. Fractions arrive as parts-per-million
+    * BIGINTs so the quota is pure integer arithmetic
+    * (ceil(a/b) = (a + b − 1) DIV b) — no float edge can make two
+    * engines disagree by one row. Keys absent from `fracsPpm` are
+    * excluded (the reference throws on them instead — declared
+    * deviation). Cost: one count aggregate + one partitioned rank
+    * window; scale-safe under the x11/x19 per-stratum-fits-a-partition
+    * caveat, and the quota table is key-cardinality-bounded
+    * (broadcast). Returns (grp, id, pick, n, quota). */
+  def sampleByKeyExact(df: DataFrame, keyCol: String, idCol: String,
+                       fracsPpm: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fracs = fracsPpm.toSeq.sortBy(_._1).toDF("grp", "ppm")
+    val base = df.select(col(keyCol).as("grp"), col(idCol).as("id"))
+    val quotas = base.groupBy("grp").agg(count(lit(1)).as("n"))
+      .join(broadcast(fracs), Seq("grp"))
+      .selectExpr("grp", "n", "CAST((n * ppm + 999999) DIV 1000000 AS BIGINT) AS quota")
+    base.join(broadcast(quotas), Seq("grp"))
+      .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'sbke'")))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("h"), col("id"))).cast("long"))
+      .filter(col("pick") <= col("quota"))
+      .select(col("grp"), col("id"), col("pick"), col("n"), col("quota"))
+  }
+
   /** Distributed sparse matrix multiply in block-coordinate form — the
     * reference's BlockMatrix.multiply (mllib/linalg/distributed/
     * BlockMatrix.scala:399), whose two-phase shape (:369

@@ -457,6 +457,18 @@ object Stats {
           |FROM (SELECT explode(approx_top_k(event_type, 3, 1000)) AS x
           |      FROM nx_events)
           |ORDER BY n DESC, item""".stripMargin)
+    },
+
+    // sampleByKeyExact (reference PairRDDFunctions.scala:291): the
+    // EXACT-size companion to n11's rate contract — every stratum
+    // yields exactly ceil(n_k · f_k) rows, and the hash-order draw is
+    // deterministic, so the oracle gates the SAMPLED ROWS themselves,
+    // not a bounds check. Fractions in ppm: O 5%, F 15%, P 30%.
+    "n24_sample_by_key_exact" -> { (s, dir) =>
+      graft.ext.Scale.sampleByKeyExact(
+          Tables.orders(s, dir), "o_orderstatus", "o_orderkey",
+          Map("O" -> 50000L, "F" -> 150000L, "P" -> 300000L))
+        .orderBy("grp", "pick")
     }
   )
 
@@ -731,6 +743,27 @@ object Stats {
         |    AS stat_micro FROM cells)
         |SELECT CAST((SELECT count(*) - 1 FROM rm) * (SELECT count(*) - 1 FROM cm) AS BIGINT) AS dof,
         |  stat_micro, TRUE AS ml_agrees, TRUE AS dof_agrees
-        |FROM stat""".stripMargin
+        |FROM stat""".stripMargin,
+
+    // Mirror of Scale.sampleByKeyExact: same md5 rank order, same pure
+    // integer ceil quota ((n·ppm + 999999) // 1000000 on BIGINTs —
+    // both engines truncate positive operands identically).
+    "n24_sample_by_key_exact" ->
+      """WITH base AS (SELECT o_orderstatus AS grp, o_orderkey AS id FROM orders),
+        |q AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST((count(*) * ppm + 999999) // 1000000 AS BIGINT) AS quota
+        |  FROM base
+        |  JOIN (VALUES ('O', CAST(50000 AS BIGINT)), ('F', CAST(150000 AS BIGINT)),
+        |               ('P', CAST(300000 AS BIGINT))) f(grp, ppm) USING (grp)
+        |  GROUP BY grp, ppm),
+        |r AS (SELECT grp, id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY CAST('0x' || substr(md5('sbke:' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT),
+        |               id) AS BIGINT) AS pick
+        |  FROM base)
+        |SELECT r.grp, r.id, r.pick, q.n, q.quota
+        |FROM r JOIN q ON q.grp = r.grp
+        |WHERE r.pick <= q.quota
+        |ORDER BY r.grp, r.pick""".stripMargin
   )
 }

@@ -512,4 +512,24 @@ class ScaleSpec extends SparkSpec {
     assert("(?i)objecthashaggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
     assert(!plan.contains("WindowExec"))
   }
+
+  test("sampleByKeyExact: exactly ceil(n_k * f_k) rows per stratum, edge fractions included") {
+    import spark.implicits._
+    // strata: a (7 rows), b (3 rows), c (5 rows, absent from fractions)
+    val df = ((1 to 7).map(i => ("a", i.toLong)) ++ (8 to 10).map(i => ("b", i.toLong)) ++
+      (11 to 15).map(i => ("c", i.toLong))).toDF("k", "id")
+    // a: 100% -> all 7; b: 1 ppm -> ceil(3e-6) = 1 row (the ceil floor)
+    val got = Scale.sampleByKeyExact(df, "k", "id", Map("a" -> 1000000L, "b" -> 1L))
+      .collect().groupBy(_.getString(0))
+    assert(got("a").length === 7)
+    assert(got("b").length === 1)
+    assert(!got.contains("c")) // keys without a fraction are excluded
+    // quota column is the exact integer ceil, and picks are 1..quota
+    assert(got("a").map(_.getLong(2)).sorted.toSeq === (1L to 7L))
+    assert(got("b").head.getLong(4) === 1L)
+    // deterministic: a rerun picks the identical ids
+    val again = Scale.sampleByKeyExact(df, "k", "id", Map("a" -> 1000000L, "b" -> 1L))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === got.values.flatten.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
 }
