@@ -227,6 +227,35 @@ object Graph {
     messageStage(raw, mergeMsg, None).withColumnRenamed("__m", "agg")
   }
 
+  /** Vertex-attribute OUTER join — the reference's public
+    * outerJoinVertices (graphx/Graph.scala:489: mapFunc sees
+    * `Option[U]`, None for vertices the attribute table misses, and
+    * EVERY vertex is rewritten). `vertices` is (vertex, attr), `attrs`
+    * is (vertex, u); `mapExpr` is a SQL expression over `attr` and `u`
+    * where a missing attribute surfaces as SQL NULL `u` — the Option
+    * seam, so the expression must decide the None branch itself
+    * (`CASE WHEN u IS NULL ...`), exactly like mapFunc pattern-matching
+    * the Option. One equi-join on the vertex id: both sides shuffle on
+    * their key once (in GraphX terms the attrs RDD adopts the vertex
+    * partitioning), nothing vertex-count-bounded on the driver. */
+  def outerJoinVertices(vertices: DataFrame, attrs: DataFrame,
+                        mapExpr: String): DataFrame =
+    vertices.join(attrs, Seq("vertex"), "left")
+      .selectExpr("vertex", s"CAST(($mapExpr) AS BIGINT) AS attr")
+
+  /** Vertex-attribute INNER-update join — the reference's joinVertices
+    * (graphx/GraphOps.scala:215): mapFunc runs only for vertices WITH a
+    * match and unmatched vertices KEEP their old attribute — the
+    * reference implements it as outerJoinVertices with an
+    * identity-on-None wrapper (:221), mirrored here as the NULL-guard
+    * CASE around the caller's expression. Same one-shuffle join shape
+    * as [[outerJoinVertices]]. */
+  def joinVertices(vertices: DataFrame, attrs: DataFrame,
+                   mapExpr: String): DataFrame =
+    vertices.join(attrs, Seq("vertex"), "left")
+      .selectExpr("vertex",
+        s"CAST((CASE WHEN u IS NULL THEN attr ELSE ($mapExpr) END) AS BIGINT) AS attr")
+
   /** Static PageRank (GraphX GraphOps.pageRank semantics: reset 0.15/n +
     * 0.85 x received mass, dangling mass not redistributed), uniform
     * start, fixed `iters` supersteps over [[pregel]] (all vertices

@@ -45,6 +45,34 @@ object Graphs {
       G.partitionStrategyAudit(tradeEdges(s, dir), numParts = 9)
     },
 
+    // The vertex-attribute join half of the GraphX mutation API
+    // (reference graphx/Graph.scala:489 outerJoinVertices vs
+    // GraphOps.scala:215 joinVertices — p15 closed aggregateMessages;
+    // this closes the join). Vertices carry their total touching trade
+    // weight; the attribute table is the nation relation RESTRICTED to
+    // every third key, so the missing-attribute contract is on the
+    // gated path: joinVertices KEEPS the old weight where the join
+    // misses, outerJoinVertices rewrites every vertex with the
+    // expression's explicit None (-1) branch. Both run side by side on
+    // the same vertex set so each row exhibits the divergence.
+    "p18_vertex_join" -> { (s, dir) =>
+      val e = tradeEdges(s, dir).groupBy("src", "dst")
+        .agg(count(lit(1)).as("w"))
+      val verts = G.aggregateNeighbors(e,
+          toDst = Some(col("w")), toSrc = Some(col("w")), mergeMsg = m => sum(m))
+        .select(col("vertex"), col("agg").cast("long").as("attr"))
+      val attrs = Tables.nation(s, dir).filter("n_nationkey % 3 = 0")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS vertex",
+          "CAST(n_regionkey AS BIGINT) AS u")
+      val joined = G.joinVertices(verts, attrs, "attr * 10 + u")
+        .withColumnRenamed("attr", "joined_attr")
+      val outer = G.outerJoinVertices(verts, attrs,
+          "CASE WHEN u IS NULL THEN -1 ELSE attr * 10 + u END")
+        .withColumnRenamed("attr", "outer_attr")
+      verts.join(joined, Seq("vertex")).join(outer, Seq("vertex"))
+        .orderBy("vertex")
+    },
+
     "p16_edge_list_load" -> { (s, dir) =>
       import s.implicits._
       val path = "/tmp/graft_io/p16_edge_list"
@@ -420,6 +448,29 @@ object Graphs {
          |  CAST(count(DISTINCT pid1d) AS BIGINT) AS parts_1d,
          |  CAST(6 AS BIGINT) AS bound_2d
          |FROM v GROUP BY 1 ORDER BY vertex""".stripMargin,
+
+    // Relational mirror of the two vertex joins: one LEFT join, the
+    // NULL-guard CASE for joinVertices' keep-old contract and the
+    // expression's own NULL branch for outerJoinVertices.
+    "p18_vertex_join" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |g AS MATERIALIZED (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY 1, 2),
+        |und AS (SELECT dst AS vertex, w FROM g UNION ALL SELECT src, w FROM g),
+        |v AS (SELECT vertex, CAST(sum(w) AS BIGINT) AS attr FROM und GROUP BY 1),
+        |a AS (SELECT CAST(n_nationkey AS BIGINT) AS vertex,
+        |             CAST(n_regionkey AS BIGINT) AS u
+        |      FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT v.vertex, v.attr,
+        |  CAST(CASE WHEN a.u IS NULL THEN v.attr ELSE v.attr * 10 + a.u END AS BIGINT) AS joined_attr,
+        |  CAST(CASE WHEN a.u IS NULL THEN -1 ELSE v.attr * 10 + a.u END AS BIGINT) AS outer_attr
+        |FROM v LEFT JOIN a ON a.vertex = v.vertex
+        |ORDER BY v.vertex""".stripMargin,
 
     // The roundtrip must be invisible: the oracle rebuilds the same
     // canonicalized multigraph straight from the orders parquet and

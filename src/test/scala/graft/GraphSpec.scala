@@ -410,4 +410,17 @@ class GraphSpec extends SparkSpec {
     // the 2·√P guarantee holds for every vertex
     assert(audit.forall(r => r.getLong(1) <= r.getLong(3)))
   }
+
+  test("joinVertices keeps the old attribute on a miss; outerJoinVertices rewrites every vertex") {
+    import spark.implicits._
+    val verts = Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("vertex", "attr")
+    val attrs = Seq((2L, 7L)).toDF("vertex", "u") // 1 and 3 are ABSENT
+    val j = Graph.joinVertices(verts, attrs, "attr + u")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(j === Map(1L -> 100L, 2L -> 207L, 3L -> 300L)) // misses untouched
+    val o = Graph.outerJoinVertices(verts, attrs,
+        "CASE WHEN u IS NULL THEN 0 ELSE attr + u END")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(o === Map(1L -> 0L, 2L -> 207L, 3L -> 0L)) // every vertex rewritten
+  }
 }
