@@ -628,7 +628,14 @@ object Learn {
     * (ties to the smallest (feat, val)), and the node → 2·node /
     * 2·node+1 routing. Returns (final routed rows, all chosen splits) —
     * the leaf aggregation is the caller's (majority label for
-    * classification, mean target for regression). */
+    * classification, mean target for regression).
+    *
+    * The candidate windows here are bounded by the DISTINCT feature
+    * values, which is only scale-safe for bounded-domain features
+    * (counts, residues, bin ids). Genuinely continuous features
+    * (prices, scores) must pass through [[binnedFeatures]] first —
+    * the reference's own maxBins design — which caps every window
+    * below features·maxBins rows per node. */
   private def treeLevels(rows0: DataFrame, maxDepth: Int,
                          scoreExpr: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -728,6 +735,79 @@ object Learn {
     for (_ <- 1 to maxDepth)
       r = routeOneLevel(r, splits.select("node", "feat", "thr"))
     r
+  }
+
+  /** Quantile split candidates for CONTINUOUS features — the
+    * reference's maxBins binning (mllib/tree/DecisionTree.scala:966
+    * findSplitsBins / :1000 findSplitsBinsBySorting: sample the input
+    * so the per-feature sample is ~10000·maxBins rows, sort each
+    * feature's sampled values in memory, take maxBins−1 evenly spaced
+    * elements as the split thresholds). Deterministic replica: the
+    * sample is a portable md5-hash residue class of `idCol`
+    * (`sampleMod` = 1 keeps everything — exact mode; at scale the
+    * caller sizes sampleMod ≈ rows/(10000·maxBins), the reference's
+    * own fraction), and the thresholds are the sample's per-feature
+    * order statistics at ranks (cnt·b) DIV maxBins for b ∈
+    * [1, maxBins), dedup'd — pure integer rank arithmetic, no
+    * percentile interpolation seam. The rank window partitions by
+    * feature over the SAMPLE, bounded by construction — the same
+    * contract as the reference's in-memory sample sort; every
+    * DOWNSTREAM tree window then runs over ≤ features·maxBins bins
+    * regardless of the raw value cardinality.
+    *
+    * Input `lf`: (idCol, feat, val) BIGINT rows (one row per
+    * row-feature pair, the [[treeLevels]] stack shape). Returns
+    * (feat, thr) — at most maxBins−1 distinct thresholds per feature. */
+  def quantileBinThresholds(lf: DataFrame, idCol: String, maxBins: Int,
+                            sampleMod: Int = 1): DataFrame = {
+    require(maxBins >= 2, s"maxBins must be >= 2, got $maxBins")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    import org.apache.spark.sql.expressions.Window
+    val samp = lf.filter(expr(
+      s"${Dedup.portableHash(s"cast($idCol as string)", "'bin'")} % $sampleMod = 0"))
+    val cnt = samp.groupBy("feat").agg(count(lit(1)).as("cnt"))
+    val pos = cnt
+      .withColumn("b", explode(expr(s"sequence(1, ${maxBins - 1})")))
+      .selectExpr("feat", s"CAST((cnt * b) DIV $maxBins AS BIGINT) AS rnk")
+      .filter(col("rnk") >= 1).distinct()
+    samp
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("feat").orderBy(col("val"), col(idCol))).cast("long"))
+      .join(broadcast(pos), Seq("feat", "rnk"))
+      .select(col("feat"), col("val").as("thr")).distinct()
+  }
+
+  /** Rows above every threshold land in the open top bin. 2^62 keeps
+    * the routing CASEs' `<=` compares overflow-free. */
+  val binSentinel: Long = 1L << 62
+
+  /** Replace continuous feature columns with their quantile-bin UPPER
+    * EDGES (the reference's Bin boundaries, DecisionTree.scala:1015):
+    * each value maps to the smallest [[quantileBinThresholds]]
+    * threshold ≥ it, else [[binSentinel]]. Because the edges are real
+    * data values, a fitted split `val <= thr` routes RAW values
+    * identically to binned ones — scoring needs no bin pass. The
+    * threshold table is collected (bounded: features × maxBins exact
+    * integers) and re-embedded as one codegen'd CASE per feature, so
+    * binning adds zero joins to the per-level fit loop. */
+  def binnedFeatures(rows: DataFrame, feats: Seq[String], idCol: String,
+                     maxBins: Int, sampleMod: Int = 1): DataFrame = {
+    val stack = feats.zipWithIndex
+      .map { case (f, i) => s"${i + 1}L, $f" }.mkString(", ")
+    val lf = rows.selectExpr(idCol,
+      s"stack(${feats.size}, $stack) AS (feat, val)")
+    val thr = quantileBinThresholds(lf, idCol, maxBins, sampleMod)
+      .collect() // bounded: features x (maxBins - 1) rows
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    feats.zipWithIndex.foldLeft(rows) { case (df, (f, i)) =>
+      val ts = thr.getOrElse((i + 1).toLong, Array.empty[Long])
+      val e =
+        if (ts.isEmpty) s"CAST($binSentinel AS BIGINT)"
+        else ts.map(t => s"WHEN $f <= ${t}L THEN ${t}L")
+          .mkString("CASE ", " ", s" ELSE CAST($binSentinel AS BIGINT) END")
+      df.withColumn(f, expr(e))
+    }
   }
 
   /** REGRESSION random forest (reference mllib/src/main/scala/org/

@@ -568,6 +568,36 @@ object Ml {
         .orderBy("leaf")
     },
 
+    // maxBins quantile binning on a genuinely CONTINUOUS feature
+    // (reference mllib/tree/DecisionTree.scala:966 findSplitsBins /
+    // :1000 findSplitsBinsBySorting): x1 is the raw order price in
+    // cents — 14999 distinct values in 15000 rows at sf0.01, the shape
+    // whose per-value histogram the s20 machinery must NOT sweep — and
+    // x2 the order date's day offset. A deterministic 1-in-4 hash
+    // sample feeds the per-feature rank pass (the reference samples to
+    // ~10000·maxBins before its in-memory sort), thresholds land on
+    // the sample's order statistics at ranks (cnt·b) DIV 8, and the
+    // gini tree then fits on bin UPPER EDGES, so every split window is
+    // ≤ 2·8 candidate rows per node. Gated output: the leaves AND each
+    // leaf's parent split — the chosen thresholds are bin edges, so
+    // the quantile pass itself is on the gated path.
+    "s74_binned_tree" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x1"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("x2"),
+        expr("CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)").as("y"))
+      val binned = Learn.binnedFeatures(rows, Seq("x1", "x2"), "o_orderkey",
+        maxBins = 8, sampleMod = 4)
+      val (leaves, splits) = Learn.decisionTree2(binned)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "n_pos", "pred",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // Random forest (reference mllib/tree/RandomForest.scala — bagged
     // histogram trees, majority vote): three depth-2 trees over the
     // s19/s20 features, each trained on the deterministic id % 3 != t
@@ -1756,6 +1786,61 @@ object Ml {
          |  UNION ALL
          |  SELECT b.node, b.feat, b.thr, s.score FROM eb2 b
          |    JOIN es2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin,
+
+    // Mirror of binnedFeatures + decisionTree2: the hash sample, the
+    // per-feature rank order statistics at (cnt·b) // 8, the
+    // min-threshold-≥-value bin mapping (a join aggregate standing in
+    // for the Spark side's collected CASE — same values), then the
+    // s20 level CTEs over the binned features and the s45 parent join.
+    "s74_binned_tree" ->
+      s"""WITH rows0 AS MATERIALIZED (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x1,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x2,
+         |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM orders),
+         |lfall AS MATERIALIZED (
+         |  SELECT o_orderkey, 1::BIGINT AS feat, x1 AS val FROM rows0
+         |  UNION ALL SELECT o_orderkey, 2::BIGINT, x2 FROM rows0),
+         |samp AS (SELECT * FROM lfall
+         |  WHERE CAST('0x' || substr(md5('bin:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0),
+         |cnts AS (SELECT feat, CAST(count(*) AS BIGINT) AS cnt FROM samp GROUP BY 1),
+         |pos AS (SELECT DISTINCT feat, CAST((cnt * b) // 8 AS BIGINT) AS rnk
+         |  FROM cnts CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) bb(b)
+         |  WHERE (cnt * b) // 8 >= 1),
+         |rankt AS (SELECT feat, val,
+         |    CAST(row_number() OVER (PARTITION BY feat ORDER BY val, o_orderkey) AS BIGINT) AS rnk
+         |  FROM samp),
+         |tht AS MATERIALIZED (SELECT DISTINCT r.feat, r.val AS thr
+         |  FROM rankt r JOIN pos p ON p.feat = r.feat AND p.rnk = r.rnk),
+         |bx AS MATERIALIZED (SELECT l.o_orderkey, l.feat,
+         |    coalesce(min(CASE WHEN t.thr >= l.val THEN t.thr END),
+         |             4611686018427387904) AS bval
+         |  FROM lfall l JOIN tht t ON t.feat = l.feat
+         |  GROUP BY l.o_orderkey, l.feat, l.val),
+         |zr0 AS MATERIALIZED (
+         |  SELECT r.o_orderkey, bxa.bval AS x1, bxb.bval AS x2, r.y, 1::BIGINT AS node
+         |  FROM rows0 r
+         |  JOIN bx bxa ON bxa.o_orderkey = r.o_orderkey AND bxa.feat = 1
+         |  JOIN bx bxb ON bxb.o_orderkey = r.o_orderkey AND bxb.feat = 2),
+         |${dtLevelCte("z", 1)},
+         |${dtLevelCte("z", 2)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM zr2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb1 b
+         |    JOIN zs1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb2 b
+         |    JOIN zs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
          |SELECT leaf, n, n_pos, pred,
          |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
          |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,

@@ -915,4 +915,28 @@ class LearnSpec extends SparkSpec {
       .orderBy("o_orderkey").head()
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
+
+  test("maxBins binning changes the chosen split: thresholds are sample quantiles, not raw values") {
+    import spark.implicits._
+    // x1 = 1..100, y = 1 iff x1 <= 37; x2 constant (never splittable).
+    // Raw tree: the pure split at 37 wins. maxBins=4 exact binning puts
+    // candidates only at ranks 25/50/75 -> edges {25, 50, 75}; the gini
+    // argmax over those picks 50 (left 37/13, pure right beats 25's
+    // pure-left). The split moving 37 -> 50 is binning on the gated path.
+    val rows = (1L to 100L).map(i => (i, i, 0L, if (i <= 37) 1L else 0L))
+      .toDF("id", "x1", "x2", "y")
+    val rawThr = Learn.decisionTree2(rows, maxDepth = 1)._2.head()
+    assert(rawThr.getLong(1) === 1L && rawThr.getLong(2) === 37L)
+    val binned = Learn.binnedFeatures(rows, Seq("x1", "x2"), "id", maxBins = 4)
+    // x1 collapsed to the 3 edges + sentinel; x2's single value binned to 0
+    assert(binned.select("x1").distinct().collect().map(_.getLong(0)).sorted
+      === Array(25L, 50L, 75L, Learn.binSentinel))
+    val binThr = Learn.decisionTree2(binned, maxDepth = 1)._2.head()
+    assert(binThr.getLong(1) === 1L && binThr.getLong(2) === 50L)
+    // thresholds are exact order statistics at (cnt*b) DIV maxBins
+    val lf = rows.selectExpr("id", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+    val thr = Learn.quantileBinThresholds(lf, "id", maxBins = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
+  }
 }
