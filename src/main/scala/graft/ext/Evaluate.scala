@@ -41,19 +41,44 @@ object Evaluate {
     * every row (auc_micro) so one result table gates curve AND area.
     *
     * The sweep windows are unpartitioned but run over the score-GROUPED
-    * table — bounded by the number of distinct scores (the histogram
-    * argument of s20), never by row count; the only row-linear stage is
-    * the initial groupBy. AUC is the exact trapezoid over the tie-grouped
-    * ROC including the (0,0) endpoint (lag default 0) and the (1,1) final
-    * cumulative group: 2·area·P·N = Σ Δfp·(tp_prev + tp_cur), an exact
-    * integer — equal to the Mann-Whitney statistic with the standard
-    * half-credit for ties. */
-  def binaryMetrics(scored: DataFrame): DataFrame = {
-    val g = scored.groupBy(col("score").as("thr"))
+    * table — bounded by the number of distinct scores, which is only a
+    * real bound for bounded-domain scores (counts, quantized margins).
+    * For CONTINUOUS scores pass `numBins` > 0 — the reference's own
+    * curve-downsampling knob (BinaryClassificationMetrics.scala:157-165:
+    * grouping = distinctScores / numBins; chunks of `grouping`
+    * consecutive scores in descending order collapse to one curve point
+    * carrying the chunk's FIRST — highest — score and its summed
+    * counts; grouping < 2 leaves the curve exact). The equal-count rank
+    * underneath is [[Scale.globalRowIndex]]'s range-repartition
+    * zipWithIndex, so no stage sorts the world in one task; the sweep
+    * windows then run over ≤ numBins+1 rows. Declared deviation: the
+    * reference chunks per-PARTITION (bin boundaries depend on the RDD
+    * partitioning); here the chunking is global — deterministic and
+    * partitioning-independent, same equal-count contract.
+    *
+    * AUC is the exact trapezoid over the (possibly binned) tie-grouped
+    * ROC including the (0,0) endpoint (lag default 0) and the (1,1)
+    * final cumulative group: 2·area·P·N = Σ Δfp·(tp_prev + tp_cur), an
+    * exact integer — with numBins = 0 equal to the Mann-Whitney
+    * statistic with the standard half-credit for ties. */
+  def binaryMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+    val g0 = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
+    val g =
+      if (numBins == 0) g0
+      else {
+        val cnt = g0.count() // one action over the distinct-score table
+        val grouping = cnt / numBins
+        if (grouping < 2) g0 // the reference's too-small short-circuit
+        else Scale.globalRowIndex(g0.withColumn("negthr", -col("thr")), "negthr")
+          .withColumn("bin", expr(s"CAST((global_index - 1) DIV ${grouping}L AS BIGINT)"))
+          .groupBy("bin")
+          .agg(max("thr").as("thr"), sum("n").as("n"), sum("np").as("np"))
+          .drop("bin")
+      }
     // unpartitioned windows are safe here: they run over g, the
-    // per-distinct-threshold table (bounded by distinct scores — the
-    // histogram argument in the scaladoc — never by row count)
+    // per-curve-point table — numBins+1 rows when binned, else the
+    // distinct scores (callers with continuous scores set numBins)
     val wCum = Window.orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("thr").desc)

@@ -31,6 +31,24 @@ object MlEval {
       Evaluate.binaryMetrics(scored).orderBy(col("thr").desc)
     },
 
+    // The numBins curve-downsampling leg of s28 (reference
+    // BinaryClassificationMetrics.scala:157-165, the `numBins`
+    // constructor knob): score = raw order price in CENTS — 14999
+    // distinct values at sf0.01, the continuous shape whose exact curve
+    // the sweep windows must not carry — down-grouped to ~20 equal-count
+    // points (grouping = 14999 DIV 20 = 749 consecutive scores per
+    // point, first-score representative, counts summed) before the
+    // cumulative sweep. The label's hash-noise term keeps the curve
+    // non-degenerate. Every curve point + the binned trapezoid AUC is
+    // value-gated against the same grouping rule in SQL.
+    "s77_binned_pr_curve" -> { (s, dir) =>
+      val scored = Tables.orders(s, dir).selectExpr(
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS score",
+        "CAST(CASE WHEN CAST(round(o_totalprice) AS BIGINT) + 500 * (o_orderkey % 13) > 180000" +
+          " THEN 1 ELSE 0 END AS BIGINT) AS label")
+      Evaluate.binaryMetrics(scored, numBins = 20).orderBy(col("thr").desc)
+    },
+
     // Regression evaluation (reference mllib/evaluation/RegressionMetrics
     // .scala:80/:89/:98/:107): the s14 OLS problem re-fit in WHOLE DOLLARS
     // (so Σe² keeps BIGINT headroom to ~sf100), scored over the full
@@ -264,6 +282,45 @@ object MlEval {
          |      // (2 * max(pos) * max(neg)) AS BIGINT) AS auc_micro FROM curve)
          |SELECT thr, tp, fp, precision_micro, recall_micro, fpr_micro, auc_micro
          |FROM curve CROSS JOIN auc ORDER BY thr DESC""".stripMargin,
+
+    // Mirror of binaryMetrics(numBins = 20): the same distinct-score
+    // table, rank DESC, grouping = count // 20, equal-count chunks
+    // keyed (rnk - 1) // grouping with max-score representatives, then
+    // the s28 cumulative sweep verbatim over the ~21 binned points.
+    "s77_binned_pr_curve" ->
+      """WITH sc AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+        |    CAST(CASE WHEN CAST(round(o_totalprice) AS BIGINT) + 500 * (o_orderkey % 13) > 180000
+        |         THEN 1 ELSE 0 END AS BIGINT) AS label
+        |  FROM orders),
+        |g AS MATERIALIZED (SELECT score AS thr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS np FROM sc GROUP BY 1),
+        |grp AS (SELECT CAST(count(*) // 20 AS BIGINT) AS grouping FROM g),
+        |idx AS (SELECT thr, n, np,
+        |    CAST(row_number() OVER (ORDER BY thr DESC) AS BIGINT) AS rnk FROM g),
+        |b AS MATERIALIZED (SELECT CAST((rnk - 1) // grouping AS BIGINT) AS bin,
+        |    CAST(max(thr) AS BIGINT) AS thr, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(np) AS BIGINT) AS np
+        |  FROM idx CROSS JOIN grp GROUP BY 1),
+        |cum AS (SELECT thr,
+        |    CAST(sum(np) OVER w AS BIGINT) AS tp,
+        |    CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
+        |    CAST(sum(np) OVER wa AS BIGINT) AS pos,
+        |    CAST(sum(n) OVER wa - sum(np) OVER wa AS BIGINT) AS neg
+        |  FROM b
+        |  WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING),
+        |         wa AS (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |lg AS (SELECT *, COALESCE(lag(tp) OVER (ORDER BY thr DESC), 0) AS tp0,
+        |    COALESCE(lag(fp) OVER (ORDER BY thr DESC), 0) AS fp0 FROM cum),
+        |curve AS MATERIALIZED (SELECT thr, tp, fp,
+        |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+        |    CAST((tp * 1000000) // pos AS BIGINT) AS recall_micro,
+        |    CAST((fp * 1000000) // neg AS BIGINT) AS fpr_micro,
+        |    (fp - fp0) * (tp + tp0) AS trap2, pos, neg FROM lg),
+        |auc AS (SELECT CAST((CAST(sum(trap2) AS BIGINT) * 1000000)
+        |      // (2 * max(pos) * max(neg)) AS BIGINT) AS auc_micro FROM curve)
+        |SELECT thr, tp, fp, precision_micro, recall_micro, fpr_micro, auc_micro
+        |FROM curve CROSS JOIN auc ORDER BY thr DESC""".stripMargin,
 
     // The s14 oracle chain in dollars, then Evaluate.regressionMetrics'
     // exact sums and shared sqrt/R² formula strings.

@@ -75,4 +75,24 @@ class EvaluateSpec extends SparkSpec {
     assert(r.getLong(5) === 666666L)  // micro recall: 2/3
     assert(r.getLong(6) === 800000L)  // micro F1: 4/5
   }
+
+  test("binaryMetrics numBins: equal-count chunks, first-score representative, small-curve no-op") {
+    import spark.implicits._
+    // 10 distinct scores 1..10, one row each, label = 1 for score > 5
+    val scored = (1L to 10L).map(i => (i, if (i > 5) 1L else 0L)).toDF("score", "label")
+    val exact = graft.ext.Evaluate.binaryMetrics(scored).collect()
+    assert(exact.length === 10)
+    // numBins = 5 -> grouping = 2: descending chunks {10,9},{8,7},... each
+    // carrying its FIRST (max) score and both rows' counts
+    val binned = graft.ext.Evaluate.binaryMetrics(scored, numBins = 5)
+      .orderBy(col("thr").desc).collect()
+    assert(binned.map(_.getLong(0)).toSeq === Seq(10L, 8L, 6L, 4L, 2L))
+    assert(binned.map(_.getLong(1)).toSeq === Seq(2L, 4L, 5L, 5L, 5L)) // cumulative tp
+    // the {6,5} chunk straddles the class boundary: the binned trapezoid
+    // pays exactly that half-credit — 2·area·P·N = 1·(4+5) + 2·10 + 2·10
+    assert(binned.head.getLong(6) === 980000L)
+    // grouping < 2 (numBins more than half the curve) leaves the curve exact
+    val noop = graft.ext.Evaluate.binaryMetrics(scored, numBins = 6).collect()
+    assert(noop.length === 10)
+  }
 }
