@@ -1700,36 +1700,112 @@ object Learn {
     var r = base.withColumn("rq", col("ym") - lit(f0)).localCheckpoint()
     val model = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
     for (round <- 1 to rounds) {
-      val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
-      val h = lf.groupBy("feat", "val")
-        .agg(count(lit(1)).as("n"), sum("rq").as("sr"))
-      val wCum = Window.partitionBy("feat").orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTot = Window.partitionBy("feat")
-      val best = h
-        .withColumn("nl", sum("n").over(wCum)).withColumn("sl", sum("sr").over(wCum))
-        .withColumn("tn", sum("n").over(wTot)).withColumn("st", sum("sr").over(wTot))
-        .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
-        .withColumn("score", expr(
-          "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
-        .withColumn("rn", row_number().over(
-          // unpartitioned window is safe: h is the (feature x distinct
-          // split value) histogram — bounded by features*bins, not rows
-          Window.orderBy(col("score").desc, col("feat"), col("val"))))
-        .filter(col("rn") === 1)
-        .selectExpr("feat", "val AS thr",
-          "CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq",
-          "CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq")
-        .head()
-      val (feat, thr, lq, rqv) =
-        (best.getLong(0), best.getLong(1), best.getLong(2), best.getLong(3))
+      val (feat, thr, lq, rqv) = stumpFitRound(r)
       model += ((round, feat, thr, lq, rqv))
-      r = r.withColumn("rq", col("rq") - expr(
-          s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rqv}L END"))
+      r = r.withColumn("rq", col("rq") - expr(stumpCaseExpr(feat, thr, lq, rqv)))
         .localCheckpoint()
     }
     base.unpersist()
     (f0, model.toSeq)
+  }
+
+  /** One L2 stump fit over (x1, x2, rq) residual rows — [[gbtFit2]]'s
+    * per-round body: the (feat, val) histogram, prefix sums, the
+    * abs-div variance argmax, the rounded mean leaves. Returns
+    * (feat, thr, leftq, rightq) — 4 exact longs off one head(). */
+  private def stumpFitRound(r: DataFrame): (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+    val h = lf.groupBy("feat", "val")
+      .agg(count(lit(1)).as("n"), sum("rq").as("sr"))
+    val wCum = Window.partitionBy("feat").orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("feat")
+    val best = h
+      .withColumn("nl", sum("n").over(wCum)).withColumn("sl", sum("sr").over(wCum))
+      .withColumn("tn", sum("n").over(wTot)).withColumn("st", sum("sr").over(wTot))
+      .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
+      .withColumn("score", expr(
+        "(abs(sl) DIV nl) * abs(sl) + (abs(st - sl) DIV (tn - nl)) * abs(st - sl)"))
+      .withColumn("rn", row_number().over(
+        // unpartitioned window is safe: h is the (feature x distinct
+        // split value) histogram — bounded by features*bins, not rows
+        Window.orderBy(col("score").desc, col("feat"), col("val"))))
+      .filter(col("rn") === 1)
+      .selectExpr("feat", "val AS thr",
+        "CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq",
+        "CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq")
+      .head()
+    (best.getLong(0), best.getLong(1), best.getLong(2), best.getLong(3))
+  }
+
+  private def stumpCaseExpr(feat: Long, thr: Long, lq: Long, rq: Long): String =
+    s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rq}L END"
+
+  /** Validation-driven early stopping for L2 stump boosting — the
+    * reference's runWithValidation (GradientBoostedTrees.scala:94;
+    * boost() at :255: after fitting round m, if
+    * bestError − currentError < validationTol · max(currentError, 0.01)
+    * stop; an error INCREASE stops too; the returned model is sliced to
+    * the best-error round). Integerized house mirror: the error
+    * currency is the exact mean squared validation residual in milli²
+    * units, verr = Σrq² DIV n (non-negative operands — no DIV seam),
+    * the tolerance is ppm (`tolMicro`), and 0.01's degeneracy floor
+    * becomes 10 milli² — stop when
+    * (best − cur) · 1000000 < tolMicro · max(cur, 10). The f0-only
+    * model plays the reference's before-the-loop first tree: it
+    * initializes best, and rounds 1..maxRounds test against it.
+    *
+    * Returns one row per EXECUTED round (training genuinely halts at
+    * the stop — later rounds never run): (round, feat, thr, leftq,
+    * rightq, verr_milli2, in_model, stopped); round 0 is the f0 seed
+    * carrying (f0, f0) as its leaves. `in_model` marks the reference's
+    * bestM slice — the rounds a scoring call would keep.
+    *
+    * Overflow headroom: Σrq² at milli quantization clears ~1e11 rows
+    * for residuals under ~1e5 milli-units; past that the caller drops
+    * the target to centi-units (the s26 note).
+    *
+    * Cost per round: the stump histogram + ONE 1-row validation
+    * aggregate — the validation pass adds no shuffle (a narrow map +
+    * agg over the checkpointed residual frame). */
+  def gbtFitValidated(train: DataFrame, valid: DataFrame,
+                      maxRounds: Int = 6, tolMicro: Long = 10000L): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val base = train.select(col("x1"), col("x2"), col("ym"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f0 = base.agg(sum("ym").as("s"), count(lit(1)).as("n"))
+      .selectExpr("CAST(s DIV n AS BIGINT)").head().getLong(0)
+    def verrOf(rv: DataFrame): Long = rv
+      .selectExpr("CAST(sum(rq * rq) DIV count(1) AS BIGINT) AS v").head().getLong(0)
+    var rt = base.withColumn("rq", col("ym") - lit(f0)).localCheckpoint()
+    var rv = valid.select(col("x1"), col("x2"), col("ym"))
+      .withColumn("rq", col("ym") - lit(f0)).localCheckpoint()
+    var best = verrOf(rv)
+    var bestM = 0
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long, Boolean)]()
+    rows += ((0, 0L, -1L, f0, f0, best, false))
+    var stopped = false
+    var m = 1
+    while (m <= maxRounds && !stopped) {
+      val (feat, thr, lq, rqv) = stumpFitRound(rt)
+      val upd = stumpCaseExpr(feat, thr, lq, rqv)
+      rt = rt.withColumn("rq", col("rq") - expr(upd)).localCheckpoint()
+      rv = rv.withColumn("rq", col("rq") - expr(upd)).localCheckpoint()
+      val cur = verrOf(rv)
+      stopped = (best - cur) * 1000000L < tolMicro * math.max(cur, 10L)
+      if (!stopped && cur < best) { best = cur; bestM = m }
+      rows += ((m, feat, thr, lq, rqv, cur, stopped))
+      m += 1
+    }
+    base.unpersist()
+    val bm = bestM
+    rows.toSeq
+      .map { case (r, f, t, l, q, v, st) =>
+        (r.toLong, f, t, l, q, v, if (r <= bm) 1L else 0L, if (st) 1L else 0L) }
+      .toDF("round", "feat", "thr", "leftq", "rightq", "verr_milli2",
+        "in_model", "stopped")
   }
 
   // ---- gradient-boosted regression TREES (reference mllib/tree/

@@ -639,6 +639,28 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // Validation-driven early stopping (reference GradientBoostedTrees
+    // .scala:94 runWithValidation; :255's stop test inside boost()):
+    // the s26 stump chain re-run with a deterministic 3:1 split
+    // (o_orderkey % 4 — the randomSplit stand-in, declared), the exact
+    // integer mean-squared validation residual tracked per round, and
+    // training HALTING at the first round whose improvement over the
+    // best-so-far falls under tolMicro ppm of max(cur, 10) — the
+    // reference's validationTol·max(err, 0.01) test integerized. Every
+    // executed round is a gated row carrying its split, its validation
+    // error, the reference's bestM in_model slice, and the stop marker;
+    // the oracle unrolls all rounds, re-derives the stop round from the
+    // same error series, and emits exactly the executed prefix.
+    "s76_gbt_validated" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      Learn.gbtFitValidated(
+          feats.filter("o_orderkey % 4 != 0"), feats.filter("o_orderkey % 4 = 0"),
+          maxRounds = 8, tolMicro = 100000L)
+        .orderBy("round")
+    },
+
     // Gradient-boosted regression TREES (reference GradientBoostedTrees
     // .scala:54 — the reference's real learner shape next to the
     // declared-stump chains s26/s52/s67: three rounds of depth-2
@@ -1274,6 +1296,47 @@ object Ml {
        |  FROM $prev r CROSS JOIN gb$k b)""".stripMargin
   }
 
+  /** One unrolled VALIDATED boosting round (the s76 chain): the s26
+    * stump argmax over the TRAIN residuals tr{k−1}, then the residual
+    * update applied to BOTH the train frame and the held-out valid
+    * frame tv{k−1}, and the round's exact integer mean squared
+    * validation residual ve{k}. */
+  private def gbvRoundCte(k: Int): String = {
+    val prev = s"tr${k - 1}"
+    val prevV = s"tv${k - 1}"
+    val upd = s"""(CASE WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr
+       |            THEN b.leftq ELSE b.rightq END)""".stripMargin
+    s"""tb$k AS MATERIALIZED (
+       |  SELECT feat, val AS thr,
+       |    CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq,
+       |    CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq
+       |  FROM (
+       |    SELECT feat, val, nl, sl, tn, st,
+       |      row_number() OVER (ORDER BY
+       |        (abs(sl) // nl) * abs(sl) + (abs(st - sl) // (tn - nl)) * abs(st - sl) DESC,
+       |        feat, val) AS rn
+       |    FROM (
+       |      SELECT feat, val,
+       |        CAST(sum(n) OVER w AS BIGINT) AS nl, CAST(sum(sr) OVER w AS BIGINT) AS sl,
+       |        CAST(sum(n) OVER wn AS BIGINT) AS tn, CAST(sum(sr) OVER wn AS BIGINT) AS st
+       |      FROM (SELECT feat, val, CAST(count(*) AS BIGINT) AS n, CAST(sum(rq) AS BIGINT) AS sr
+       |            FROM (SELECT rq, 1::BIGINT AS feat, x1 AS val FROM $prev
+       |                  UNION ALL SELECT rq, 2::BIGINT, x2 FROM $prev)
+       |            GROUP BY 1, 2)
+       |      WINDOW w AS (PARTITION BY feat ORDER BY val ROWS UNBOUNDED PRECEDING),
+       |             wn AS (PARTITION BY feat))
+       |    WHERE nl > 0 AND tn - nl > 0)
+       |  WHERE rn = 1),
+       |tr$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.ym, r.rq - $upd AS rq
+       |  FROM $prev r CROSS JOIN tb$k b),
+       |tv$k AS MATERIALIZED (
+       |  SELECT r.o_orderkey, r.x1, r.x2, r.ym, r.rq - $upd AS rq
+       |  FROM $prevV r CROSS JOIN tb$k b),
+       |ve$k AS (SELECT CAST(CAST(sum(rq * rq) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS verr
+       |  FROM tv$k)""".stripMargin
+  }
+
   /** One unrolled absolute-error boosting round: sign residuals from
     * the carried margin via the shared gradient string, the s26 split
     * argmax, the lr-scaled leaf means, the margin update. */
@@ -1732,6 +1795,56 @@ object Ml {
          |CROSS JOIN gb1 b1 CROSS JOIN gb2 b2 CROSS JOIN gb3 b3
          |WHERE c.o_orderkey <= 4000
          |ORDER BY c.o_orderkey""".stripMargin,
+
+    // All 8 rounds unrolled, then the stop round re-derived from the
+    // error series (pre-stop errors are provably monotone under the
+    // always-stop-on-increase rule, so best-so-far = previous verr)
+    // and the output filtered to the executed prefix — the same rows
+    // the halting Spark loop emits.
+    "s76_gbt_validated" -> {
+      val rounds = (1 to 8).map(gbvRoundCte).mkString(",\n")
+      val errs = (1 to 8).map(k => s"SELECT $k AS round, verr FROM ve$k")
+        .mkString("\n  UNION ALL ")
+      val model = (1 to 8)
+        .map(k => s"SELECT $k AS round, feat, thr, leftq, rightq FROM tb$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |gf0 AS (SELECT CAST(CAST(sum(ym) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS f0
+         |  FROM gfeats WHERE o_orderkey % 4 != 0),
+         |tr0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym, ym - f0 AS rq
+         |  FROM gfeats CROSS JOIN gf0 WHERE o_orderkey % 4 != 0),
+         |tv0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym, ym - f0 AS rq
+         |  FROM gfeats CROSS JOIN gf0 WHERE o_orderkey % 4 = 0),
+         |ve0 AS (SELECT CAST(CAST(sum(rq * rq) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS verr
+         |  FROM tv0),
+         |$rounds,
+         |errs AS (SELECT 0 AS round, verr FROM ve0
+         |  UNION ALL $errs),
+         |tests AS (SELECT round, verr,
+         |    min(verr) OVER (ORDER BY round ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
+         |  FROM errs),
+         |sr AS (SELECT coalesce(min(round), 9) AS stopm FROM tests
+         |  WHERE round >= 1 AND (best - verr) * 1000000 < 100000 * greatest(verr, 10)),
+         |modelr AS (SELECT 0 AS round, 0::BIGINT AS feat, CAST(-1 AS BIGINT) AS thr,
+         |    f0 AS leftq, f0 AS rightq FROM gf0
+         |  UNION ALL $model)
+         |SELECT CAST(m.round AS BIGINT) AS round, CAST(m.feat AS BIGINT) AS feat,
+         |  CAST(m.thr AS BIGINT) AS thr, CAST(m.leftq AS BIGINT) AS leftq,
+         |  CAST(m.rightq AS BIGINT) AS rightq, CAST(e.verr AS BIGINT) AS verr_milli2,
+         |  CAST(CASE WHEN m.round < s.stopm THEN 1 ELSE 0 END AS BIGINT) AS in_model,
+         |  CAST(CASE WHEN m.round = s.stopm THEN 1 ELSE 0 END AS BIGINT) AS stopped
+         |FROM modelr m
+         |JOIN errs e ON e.round = m.round
+         |CROSS JOIN sr s
+         |WHERE m.round <= least(s.stopm, 8)
+         |ORDER BY m.round""".stripMargin
+    },
 
     // 8 unrolled full-batch gradient iterations sharing Learn's sigmoid /
     // update formula strings, then cohort scoring under w8.

@@ -939,4 +939,23 @@ class LearnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
   }
+
+  test("gbtFitValidated stops on a validation-error increase and slices to bestM") {
+    import spark.implicits._
+    // train: ym tracks x1 exactly; valid: the SAME x1 with inverted
+    // targets — the round-1 stump that helps train hurts valid, so the
+    // error rises and the reference's overfit branch stops immediately
+    val train = (1L to 40L).map(i => (i, 0L, if (i <= 20) 1000L else 3000L))
+      .toDF("x1", "x2", "ym")
+    val valid = (1L to 40L).map(i => (i, 0L, if (i <= 20) 3000L else 1000L))
+      .toDF("x1", "x2", "ym")
+    val out = Learn.gbtFitValidated(train, valid, maxRounds = 5, tolMicro = 1000L)
+      .orderBy("round").collect()
+    assert(out.length === 2) // f0 row + the stopping round only
+    assert(out(0).getLong(0) === 0L && out(0).getLong(6) === 1L) // f0 in model
+    assert(out(1).getLong(0) === 1L)
+    assert(out(1).getLong(7) === 1L) // stopped
+    assert(out(1).getLong(6) === 0L) // the overfit round is NOT in the model
+    assert(out(1).getLong(5) > out(0).getLong(5)) // the error really rose
+  }
 }
