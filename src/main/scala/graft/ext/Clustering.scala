@@ -561,6 +561,124 @@ object Clustering {
       .select("topic", "rnk", "tok", "phi_micro")
   }
 
+  // ---- ONLINE variational LDA (reference mllib/clustering/
+  // LDAOptimizer.scala:231 OnlineLDAOptimizer — the second registered
+  // optimizer and the production-corpus path: instead of EM's full
+  // doc-topic-term re-aggregation, each iteration samples a MINIBATCH,
+  // runs per-doc variational inference against the broadcast topic
+  // state (:538 variationalTopicInference), and blends the batch's
+  // sufficient statistics into λ at learning rate
+  // ρ_t = (τ0 + t)^−κ (:467 updateLambda). DECLARED DEVIATIONS, the
+  // s38/s46 conventions sharpened for the online path: K = 2;
+  // deterministic hash-residue minibatches (¼ of the docs per
+  // iteration, disjoint across iterations — the sample-with-replacement
+  // draw is exactly what the oracle gate cannot allow); parity-seeded
+  // λ and γ inits in place of the random Gamma(100, 0.01) matrices;
+  // ONE γ update per doc instead of the 1e-3-convergence inner loop;
+  // and exp∘digamma(x) ≈ x − 1/2 (exact to O(1/x) for the x ≥ 0.5
+  // shapes every state here keeps), which turns the reference's
+  // expElogbeta/expElogtheta rows into pure integer ratio expressions.
+  // Defaults kept: α = η = 1/k = 0.5, τ0 = 1024, κ = 0.51. All state
+  // is micro-unit BIGINT; the only doubles are the ρ-blend update, ONE
+  // shared formula string rounded once per cell. ----------------------
+
+  /** exp(digamma(a) − digamma(s)) ≈ (a − ½)/(s − ½) over micro-unit
+    * state, emitted in micro units. Non-negative operands (state never
+    * drops below ½ micro-scaled), so `div` is seam-free. */
+  def oldaRatioExpr(a: String, s: String, div: String): String =
+    s"CAST((($a - 500000) * 1000000) $div ($s - 500000) AS BIGINT)"
+
+  /** The per-(doc, term, topic) responsibility fraction
+    * et_k·eb_k/φ in micro units over the exact integer φ = Σ_k et·eb;
+    * a zero φ (every topic's mass rounded away) falls back to the
+    * uninformative ½ like [[plsaRespExpr]]. */
+  def oldaFracExpr(et: String, eb: String, pn: String, div: String): String =
+    s"CAST(CASE WHEN $pn = 0 THEN 500000 ELSE (($et * $eb) * 1000000) $div $pn END AS BIGINT)"
+
+  /** The reference's updateLambda blend (LDAOptimizer.scala:467):
+    * λ := (1−ρ)λ + ρ(stat·D/S + η), η = ½. One double expression over
+    * the micro state, `rho` a shared power() literal, rounded ONCE. */
+  def oldaLambdaUpdExpr(lk: String, br: String, rho: String): String =
+    s"CAST(round(((1.0 - $rho) * CAST($lk AS DOUBLE)) + ($rho * ((CAST($br AS DOUBLE) * " +
+      s"(CAST(dd AS DOUBLE) / CAST(ss AS DOUBLE))) + 500000.0))) AS BIGINT)"
+
+  /** ρ_t = (τ0 + t)^−κ with the reference defaults, as a shared libm
+    * literal (1-ulp pow slack is absorbed by the micro rounding). */
+  def oldaRho(t: Int): String = s"power(${1024 + t}.0, -0.51)"
+
+  /** Two-topic online variational LDA over (`idCol`, `textCol`)
+    * documents: `iters` minibatch iterations, each ONE batch ⋈ γ ⋈
+    * expElogbeta join (row-linear in the BATCH's (doc, word) pairs —
+    * the corpus is never re-aggregated, the point of the online path)
+    * plus a per-doc γ aggregate, a per-term sufficient-statistics
+    * aggregate, and the vocabulary-sized λ blend; λ localCheckpoints
+    * per iteration (the pregel discipline). At 100 TB the per-iteration
+    * cost is batch-proportional and λ is vocabulary-bounded — the exact
+    * reason the reference ships this optimizer next to EM. Returns the
+    * top-`topK` terms per topic: (topic, rnk, tok, lambda_micro), ties
+    * toward the smaller token. */
+  def onlineLdaTopics(docs: DataFrame, idCol: String, textCol: String,
+                      iters: Int = 2, topK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val dTot = counts.select("did").distinct()
+      .agg(count(lit(1)).as("dd")).localCheckpoint()
+    val tokPar = s"(${Dedup.portableHash("tok", "'olda'")} % 2)"
+    var lambda = counts.select("tok").distinct()
+      .selectExpr("tok",
+        s"CAST(1000000 + $tokPar * 500000 AS BIGINT) AS l1",
+        s"CAST(1500000 - $tokPar * 500000 AS BIGINT) AS l2")
+      .localCheckpoint()
+    for (t <- 1 to iters) {
+      val lsum = lambda.agg(sum("l1").as("ls1"), sum("l2").as("ls2"))
+      val eb = lambda.crossJoin(broadcast(lsum))
+        .selectExpr("tok", s"${oldaRatioExpr("l1", "ls1", "DIV")} AS eb1",
+          s"${oldaRatioExpr("l2", "ls2", "DIV")} AS eb2")
+      val bc = counts.filter(expr(
+        s"pmod(${Dedup.portableHash("cast(did as string)", "'oldab'")}, 4) = ${t - 1}"))
+      val g0 = bc.select("did").distinct()
+        .selectExpr("did", "CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1",
+          "CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2")
+      def score(g: DataFrame): DataFrame = bc.join(g, "did").join(eb, "tok")
+        .selectExpr("did", "tok", "c",
+          s"${oldaRatioExpr("g1", "(g1 + g2)", "DIV")} AS et1",
+          s"${oldaRatioExpr("g2", "(g1 + g2)", "DIV")} AS et2", "eb1", "eb2")
+        .selectExpr("did", "tok", "c", "et1", "et2", "eb1", "eb2",
+          "(et1 * eb1) + (et2 * eb2) AS pn")
+        .selectExpr("did", "tok", "c",
+          s"${oldaFracExpr("et1", "eb1", "pn", "DIV")} AS f1",
+          s"${oldaFracExpr("et2", "eb2", "pn", "DIV")} AS f2")
+      // one γ update (the declared inner-loop slice), then the batch
+      // sufficient statistics under the UPDATED γ — the reference's
+      // post-loop sstats shape
+      val g1 = score(g0).groupBy("did")
+        .agg(sum(expr("c * f1")).as("s1"), sum(expr("c * f2")).as("s2"))
+        .selectExpr("did", "CAST(500000 + s1 AS BIGINT) AS g1",
+          "CAST(500000 + s2 AS BIGINT) AS g2")
+      val br = score(g1).groupBy("tok")
+        .agg(sum(expr("c * f1")).as("br1"), sum(expr("c * f2")).as("br2"))
+      val bs = bc.select("did").distinct().agg(count(lit(1)).as("ss"))
+      lambda = lambda.join(br, Seq("tok"), "left")
+        .na.fill(0L, Seq("br1", "br2"))
+        .crossJoin(broadcast(dTot)).crossJoin(broadcast(bs))
+        .selectExpr("tok", s"${oldaLambdaUpdExpr("l1", "br1", oldaRho(t))} AS l1",
+          s"${oldaLambdaUpdExpr("l2", "br2", oldaRho(t))} AS l2")
+        .localCheckpoint()
+    }
+    counts.unpersist()
+    lambda.select(lit(1L).as("topic"), col("tok"), col("l1").as("lambda_micro"))
+      .union(lambda.select(lit(2L).as("topic"), col("tok"), col("l2").as("lambda_micro")))
+      .select(col("topic"), col("tok"), col("lambda_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("lambda_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "lambda_micro")
+  }
+
   /** The six split sufficient statistics carried (constant) through every
     * EM state row: per mean-split side, exact (count, Σx, Σx²). */
   private val gmmStatCols = Seq("nl", "sl", "ssl", "nh", "sh", "ssh")

@@ -139,6 +139,20 @@ object MlEval {
         .orderBy("topic", "rnk")
     },
 
+    // ONLINE variational LDA (reference LDAOptimizer.scala:231
+    // OnlineLDAOptimizer / :538 variationalTopicInference / :467
+    // updateLambda — the second registered optimizer, closing the
+    // s38/s46 EM-only coverage; deviations declared in
+    // Clustering.onlineLdaTopics' scaladoc): two minibatch iterations
+    // over disjoint hash-residue quarters of the corpus, one quantized
+    // γ update per doc, sufficient statistics blended into λ at
+    // ρ_t = (1024 + t)^−0.51. Top-8 terms per topic by λ.
+    "s75_online_lda" -> { (s, dir) =>
+      graft.ext.Clustering.onlineLdaTopics(Tables.documents(s, dir),
+          "doc_id", "text", iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // Word2vec skip-gram thin-slice (reference mllib/feature/
     // Word2Vec.scala:41 — minCount-pruned vocabulary :139, ±window
     // center/context pairs :320, sigmoid gradient steps :340; the
@@ -584,6 +598,72 @@ object MlEval {
          |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
          |  FROM (SELECT 1::BIGINT AS topic, tok, p1 AS phi_micro FROM ph
          |        UNION ALL SELECT 2::BIGINT, tok, p2 FROM ph))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
+    },
+
+    // Two unrolled online iterations sharing Clustering's ratio /
+    // fraction / λ-blend formula strings (`//` for DIV — non-negative
+    // operands throughout): hash minibatch, one γ update, sufficient
+    // stats under the updated γ, the ρ_t power() blend over every
+    // vocabulary row.
+    "s75_online_lda" -> {
+      import graft.ext.Clustering
+      val tokHash = "CAST('0x' || substr(md5('olda:' || tok), 1, 15) AS BIGINT)"
+      val didHash = "CAST('0x' || substr(md5('oldab:' || CAST(did AS VARCHAR)), 1, 15) AS BIGINT)"
+      def scoreCte(name: String, t: Int, gTab: String): String =
+        s"""$name AS (SELECT did, tok, c,
+           |    ${Clustering.oldaFracExpr("et1", "eb1", "pn", "//")} AS f1,
+           |    ${Clustering.oldaFracExpr("et2", "eb2", "pn", "//")} AS f2
+           |  FROM (SELECT did, tok, c, et1, et2, eb1, eb2,
+           |      (et1 * eb1) + (et2 * eb2) AS pn
+           |    FROM (SELECT b.did, b.tok, b.c,
+           |        ${Clustering.oldaRatioExpr("g1", "(g1 + g2)", "//")} AS et1,
+           |        ${Clustering.oldaRatioExpr("g2", "(g1 + g2)", "//")} AS et2,
+           |        e.eb1, e.eb2
+           |      FROM bc$t b JOIN $gTab USING (did) JOIN eb$t e USING (tok))))""".stripMargin
+      val iters = (1 to 2).map { t =>
+        s"""ls$t AS (SELECT CAST(sum(l1) AS BIGINT) AS ls1, CAST(sum(l2) AS BIGINT) AS ls2
+           |  FROM lam${t - 1}),
+           |eb$t AS MATERIALIZED (SELECT tok,
+           |    ${Clustering.oldaRatioExpr("l1", "ls1", "//")} AS eb1,
+           |    ${Clustering.oldaRatioExpr("l2", "ls2", "//")} AS eb2
+           |  FROM lam${t - 1} CROSS JOIN ls$t),
+           |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${t - 1}),
+           |gz$t AS (SELECT did, CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1,
+           |    CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2
+           |  FROM (SELECT DISTINCT did FROM bc$t)),
+           |${scoreCte(s"sa$t", t, s"gz$t")},
+           |gu$t AS MATERIALIZED (SELECT did,
+           |    CAST(500000 + sum(c * f1) AS BIGINT) AS g1,
+           |    CAST(500000 + sum(c * f2) AS BIGINT) AS g2
+           |  FROM sa$t GROUP BY 1),
+           |${scoreCte(s"sb$t", t, s"gu$t")},
+           |br$t AS MATERIALIZED (SELECT tok, CAST(sum(c * f1) AS BIGINT) AS br1,
+           |    CAST(sum(c * f2) AS BIGINT) AS br2 FROM sb$t GROUP BY 1),
+           |bs$t AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS ss FROM bc$t),
+           |lam$t AS MATERIALIZED (SELECT tok,
+           |    ${Clustering.oldaLambdaUpdExpr("l1", "br1", Clustering.oldaRho(t))} AS l1,
+           |    ${Clustering.oldaLambdaUpdExpr("l2", "br2", Clustering.oldaRho(t))} AS l2
+           |  FROM (SELECT l.tok, l.l1, l.l2, coalesce(b.br1, 0) AS br1,
+           |      coalesce(b.br2, 0) AS br2
+           |    FROM lam${t - 1} l LEFT JOIN br$t b USING (tok))
+           |  CROSS JOIN dtot CROSS JOIN bs$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |dtot AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS dd FROM counts),
+         |lam0 AS MATERIALIZED (SELECT tok,
+         |    CAST(1000000 + ($tokHash % 2) * 500000 AS BIGINT) AS l1,
+         |    CAST(1500000 - ($tokHash % 2) * 500000 AS BIGINT) AS l2
+         |  FROM (SELECT DISTINCT tok FROM counts)),
+         |$iters
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, lambda_micro FROM (
+         |  SELECT topic, tok, lambda_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY lambda_micro DESC, tok) AS rn
+         |  FROM (SELECT 1::BIGINT AS topic, tok, l1 AS lambda_micro FROM lam2
+         |        UNION ALL SELECT 2::BIGINT, tok, l2 FROM lam2))
          |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
     },
 

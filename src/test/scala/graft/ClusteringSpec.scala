@@ -195,6 +195,35 @@ class ClusteringSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("online lda separates parity vocabularies; lambda moves off its seed; deterministic") {
+    import spark.implicits._
+    // odd docs speak {u, v} (γ seed leans topic 1), even docs {x, y}
+    // (leans topic 2); after two minibatch blends λ must rank each
+    // parity's vocabulary on top of its own topic, whatever the token
+    // hash parities seeded — the doc-side 5x et asymmetry dominates the
+    // ≤2x eb init spread
+    val docs = (1L to 40L).map { i =>
+      (i, (if (i % 2 == 1) "u v " else "x y ") * 10)
+    }.toDF("doc_id", "text")
+    val out = Clustering.onlineLdaTopics(docs, "doc_id", "text", iters = 2, topK = 4)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    val top = out.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(-_._3).take(2).map(_._2).toSet
+    }
+    assert(top(1L) === Set("u", "v"), out.mkString(","))
+    assert(top(2L) === Set("x", "y"), out.mkString(","))
+    // the blend really ran: no token is still at a seed value
+    val seeds = Set(1000000L, 1500000L)
+    assert(out.forall(r => !seeds.contains(r._3)), out.mkString(","))
+    // partitioning determinism (integer state; the only double is the
+    // fixed-parenthesization rho blend rounded once per cell)
+    val a = Clustering.onlineLdaTopics(docs.repartition(1), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    val b = Clustering.onlineLdaTopics(docs.repartition(7, col("doc_id")), "doc_id", "text", 2, 4)
+      .orderBy("topic", "rnk").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("k-center coreset: farthest-point picks with exact radii; radii nonincreasing") {
     import spark.implicits._
     // a line 0 — 10 — 100: seed is the lowest id, pick 2 the far end,
