@@ -1638,13 +1638,23 @@ object Learn {
     * EXACTLY round(1e6 · exact PAVA level) — no double-floor slack.
     * Returns one row per distinct x: (x, n, sy, level_micro),
     * level monotone non-decreasing in x by construction. */
-  def isotonicFit(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def isotonicFit(df: DataFrame, xCol: String, yCol: String,
+                  maxDistinct: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = df.groupBy(col(xCol).as("x"))
       .agg(count(lit(1)).as("cnt"), sum(yCol).as("sy"))
+    // ENFORCED contract (r16 verdict nit): the whole sweep is bounded
+    // by d = |distinct x| (the window below plus d^2/d^3 theta-joins),
+    // so a continuous regressor must be binned BEFORE calling — fail
+    // loudly instead of letting one task sort an unbounded table. The
+    // count is one cheap aggregate over the already-grouped frame.
+    val d = t.count()
+    require(d <= maxDistinct,
+      s"isotonicFit: $d distinct regressor values exceed maxDistinct=$maxDistinct — " +
+        "bin the regressor first (binnedFeatures / width bucketing); the minimax sweep is O(d^3)")
     // unpartitioned window is safe here: it runs over the distinct-x
-    // table (bounded by the binned regressor domain, never row count —
-    // the scaladoc's "bin first" caveat is what keeps this small)
+    // table, require-bounded above (the binned regressor domain, never
+    // row count)
     val w = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = t.select(col("x"), col("cnt"), col("sy"),
