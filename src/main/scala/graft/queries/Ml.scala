@@ -715,6 +715,32 @@ object Ml {
         .orderBy("leaf")
     },
 
+    // The s74 binning mechanism under the VARIANCE impurity (reference
+    // DecisionTree.scala:966 findSplitsBins feeding :248 trainRegressor
+    // — continuous features AND a continuous target: raw price cents +
+    // date offset regress the noisy dollar total through maxBins=8
+    // quantile edges, so the s66 histogram machinery runs bins-bounded
+    // on inputs whose raw distinct count equals the row count). Target
+    // stays in WHOLE DOLLARS (the s29 convention): the variance argmax's
+    // mean·Σ|target| product needs |mean| ≈ 5e5 · Σ ≈ 7.5e9 ≈ 4e15 —
+    // milli units would overflow BIGINT at this price scale.
+    "s78_binned_reg_tree" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x1"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("x2"),
+        expr("CAST(round(o_totalprice) + 100 * (o_orderkey % 13) AS BIGINT)").as("ym"))
+      val binned = Learn.binnedFeatures(rows, Seq("x1", "x2"), "o_orderkey",
+        maxBins = 8, sampleMod = 4)
+      val (leaves, splits) = Learn.regressionTree2(binned)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "sy", "pred_milli AS pred_dollars",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // StandardScaler + closed-form 2-feature PCA (reference mllib/
     // feature/{StandardScaler,PCA}.scala) wired as PIPELINE stages (the
     // s10 contract gains a numeric path): both fitted from ONE exact-
@@ -1769,6 +1795,60 @@ object Ml {
          |  SELECT b.node, b.feat, b.thr, s.score FROM vb2 b
          |    JOIN vs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
          |SELECT leaf, n, sy, pred_milli,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin
+    },
+
+    // The s74 binning chain with ym carried through, then the s66
+    // variance-score level CTEs over the binned features.
+    "s78_binned_reg_tree" -> {
+      val score = Learn.varianceScoreExpr("//")
+      s"""WITH rows0 AS MATERIALIZED (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x1,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x2,
+         |    CAST(round(o_totalprice) + 100 * (o_orderkey % 13) AS BIGINT) AS ym
+         |  FROM orders),
+         |lfall AS MATERIALIZED (
+         |  SELECT o_orderkey, 1::BIGINT AS feat, x1 AS val FROM rows0
+         |  UNION ALL SELECT o_orderkey, 2::BIGINT, x2 FROM rows0),
+         |samp AS (SELECT * FROM lfall
+         |  WHERE CAST('0x' || substr(md5('bin:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0),
+         |cnts AS (SELECT feat, CAST(count(*) AS BIGINT) AS cnt FROM samp GROUP BY 1),
+         |pos AS (SELECT DISTINCT feat, CAST((cnt * b) // 8 AS BIGINT) AS rnk
+         |  FROM cnts CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) bb(b)
+         |  WHERE (cnt * b) // 8 >= 1),
+         |rankt AS (SELECT feat, val,
+         |    CAST(row_number() OVER (PARTITION BY feat ORDER BY val, o_orderkey) AS BIGINT) AS rnk
+         |  FROM samp),
+         |tht AS MATERIALIZED (SELECT DISTINCT r.feat, r.val AS thr
+         |  FROM rankt r JOIN pos p ON p.feat = r.feat AND p.rnk = r.rnk),
+         |bx AS MATERIALIZED (SELECT l.o_orderkey, l.feat,
+         |    coalesce(min(CASE WHEN t.thr >= l.val THEN t.thr END),
+         |             4611686018427387904) AS bval
+         |  FROM lfall l JOIN tht t ON t.feat = l.feat
+         |  GROUP BY l.o_orderkey, l.feat, l.val),
+         |ur0 AS MATERIALIZED (
+         |  SELECT r.o_orderkey, bxa.bval AS x1, bxb.bval AS x2, r.ym AS y, 1::BIGINT AS node
+         |  FROM rows0 r
+         |  JOIN bx bxa ON bxa.o_orderkey = r.o_orderkey AND bxa.feat = 1
+         |  JOIN bx bxb ON bxb.o_orderkey = r.o_orderkey AND bxb.feat = 2),
+         |${dtLevelCte("u", 1, score)},
+         |${dtLevelCte("u", 2, score)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS pred_dollars
+         |  FROM ur2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM ub1 b
+         |    JOIN us1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM ub2 b
+         |    JOIN us2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, sy, pred_dollars,
          |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
          |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
          |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
