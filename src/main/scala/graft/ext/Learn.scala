@@ -1675,6 +1675,22 @@ object Learn {
       .selectExpr("xi AS x", "CAST(cnt AS BIGINT) AS n", "sy", "level_micro")
   }
 
+  /** Antitonic (monotone NON-INCREASING) fit — the reference's
+    * `setIsotonic(false)` leg (IsotonicRegression.scala:284 run: :287
+    * negates the LABEL, runs the identical PAVA, :293 negates the
+    * fitted predictions back; the feature order never flips). Every
+    * stage is [[isotonicFit]]'s; exactness survives the double
+    * negation because round() is half-away-from-zero — an odd
+    * function — so −round(1e6·level(−y)) = round(1e6·level_anti(y))
+    * bit-exactly. Returns (x, n, sy, level_micro) with sy the ORIGINAL
+    * target sum and level monotone non-increasing in x. */
+  def antitonicFit(df: DataFrame, xCol: String, yCol: String,
+                   maxDistinct: Int = 10000): DataFrame =
+    isotonicFit(df.select(col(xCol), (-col(yCol)).as("__ny")), xCol, "__ny",
+        maxDistinct)
+      .select(col("x"), col("n"), (-col("sy")).as("sy"),
+        (-col("level_micro")).as("level_micro"))
+
   // ---- gradient-boosted trees (reference mllib/src/main/scala/org/
   // apache/spark/mllib/tree/GradientBoostedTrees.scala:54 — squared-loss
   // boosting: each round fits a regression tree to the current

@@ -101,6 +101,21 @@ object MlEval {
       graft.ext.Learn.isotonicFit(rows, "x", "y").orderBy("x")
     },
 
+    // The antitonic leg (reference IsotonicRegression.scala:268
+    // setIsotonic(false); run(:284) negates the label, PAVAs, negates
+    // back — closing s32's increasing-only coverage): the s32 relation
+    // INVERTED (700000 − dollars, a declared synthetic inversion so the
+    // decreasing trend genuinely pools several deciles), fitted
+    // non-increasing. sy gates the ORIGINAL sums; level_micro is
+    // exactly −round(1e6 · PAVA level of −y) — round is odd, so the
+    // double negation is bit-exact.
+    "s79_antitonic_regression" -> { (s, dir) =>
+      val rows = dollarFeats(s, dir)
+        .selectExpr("CAST(x2 DIV 10 AS BIGINT) AS x",
+          "CAST(700000 - y AS BIGINT) AS y")
+      graft.ext.Learn.antitonicFit(rows, "x", "y").orderBy("x")
+    },
+
     // Lasso (reference mllib/regression/Lasso.scala:88 + optimization/
     // Updater.scala L1Updater): 8 ISTA iterations — full-batch squared-
     // loss gradient step + integer soft-threshold — on the s19 feature
@@ -440,6 +455,34 @@ object MlEval {
         |  FROM cum i JOIN pairs p ON p.xj <= i.x AND i.x <= p.xk
         |  GROUP BY 1, 2, 3, 4)
         |SELECT xi AS x, cnt AS n, sy, CAST(max(mn) AS BIGINT) AS level_micro
+        |FROM mn GROUP BY 1, 2, 3 ORDER BY x""".stripMargin,
+
+    // The s32 PAVA chain verbatim over the NEGATED inverted target,
+    // with the final projection negating sums and levels back.
+    "s79_antitonic_regression" ->
+      """WITH feats AS MATERIALIZED (
+        |  SELECT l.l_orderkey AS o_orderkey,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem l GROUP BY 1),
+        |rows_ AS (SELECT CAST(f.qty // 10 AS BIGINT) AS x,
+        |    -(CAST(700000 - round(o.o_totalprice) AS BIGINT)) AS y
+        |  FROM feats f JOIN orders o USING (o_orderkey)),
+        |t AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM rows_ GROUP BY 1),
+        |cum AS MATERIALIZED (SELECT x, cnt, sy,
+        |    CAST(sum(cnt) OVER w AS BIGINT) AS cc, CAST(sum(sy) OVER w AS BIGINT) AS cs
+        |  FROM t WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.xj, b.xk,
+        |    CAST(round((CAST(b.csk - a.cs0 AS DOUBLE) / CAST(b.cck - a.cc0 AS DOUBLE)) * 1000000.0) AS BIGINT) AS avg_micro
+        |  FROM (SELECT x AS xj, cs - sy AS cs0, cc - cnt AS cc0 FROM cum) a
+        |  JOIN (SELECT x AS xk, cs AS csk, cc AS cck FROM cum) b ON a.xj <= b.xk),
+        |mn AS (SELECT i.x AS xi, i.cnt, i.sy, p.xj,
+        |    CAST(min(p.avg_micro) AS BIGINT) AS mn
+        |  FROM cum i JOIN pairs p ON p.xj <= i.x AND i.x <= p.xk
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT xi AS x, cnt AS n, CAST(-sy AS BIGINT) AS sy,
+        |  CAST(-max(mn) AS BIGINT) AS level_micro
         |FROM mn GROUP BY 1, 2, 3 ORDER BY x""".stripMargin,
 
     // 8 unrolled ISTA iterations sharing Learn's prediction / update /

@@ -940,6 +940,20 @@ class LearnSpec extends SparkSpec {
     assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
   }
 
+  test("antitonicFit: violators pool to the decreasing fit; exact dual of isotonic on -y") {
+    import spark.implicits._
+    // per-x means 11, 8, 9, 2: the 8 < 9 violation pools to 8.5
+    val rows = Seq((1L, 10L), (1L, 12L), (2L, 8L), (3L, 9L), (4L, 2L)).toDF("x", "y")
+    val got = Learn.antitonicFit(rows, "x", "y").orderBy("x").collect()
+    assert(got.map(_.getLong(3)).toSeq ===
+      Seq(11000000L, 8500000L, 8500000L, 2000000L))
+    assert(got.map(_.getLong(2)).toSeq === Seq(22L, 8L, 9L, 2L)) // ORIGINAL sums
+    // bit-exact duality with the isotonic fit of the negated target
+    val iso = Learn.isotonicFit(rows.select(col("x"), (-col("y")).as("y")), "x", "y")
+      .orderBy("x").collect()
+    assert(got.map(-_.getLong(3)).toSeq === iso.map(_.getLong(3)).toSeq)
+  }
+
   test("gbtFitValidated stops on a validation-error increase and slices to bestM") {
     import spark.implicits._
     // train: ym tracks x1 exactly; valid: the SAME x1 with inverted
