@@ -637,7 +637,8 @@ object Learn {
     * the reference's own maxBins design — which caps every window
     * below features·maxBins rows per node. */
   private def treeLevels(rows0: DataFrame, maxDepth: Int,
-                         scoreExpr: String): (DataFrame, DataFrame) = {
+                         scoreExpr: String,
+                         candFilter: Option[String] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     var r = rows0.localCheckpoint()
     var allSplits: DataFrame = null
@@ -648,11 +649,15 @@ object Learn {
       val wCum = Window.partitionBy("node", "feat").orderBy("val")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wTot = Window.partitionBy("node", "feat")
-      val cand = h
+      val cand0 = h
         .withColumn("nl", sum("n").over(wCum)).withColumn("lp", sum("np").over(wCum))
         .withColumn("tn", sum("n").over(wTot)).withColumn("tp", sum("np").over(wTot))
         .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
         .withColumn("score", expr(scoreExpr))
+      // stopping criteria (reference DecisionTree.scala:736/:753): a
+      // node whose EVERY candidate fails the filter gets no split row
+      // and the route's left join leaves it a leaf
+      val cand = candFilter.map(f => cand0.filter(expr(f))).getOrElse(cand0)
       val best = cand
         .withColumn("rn", row_number().over(
           Window.partitionBy("node").orderBy(col("score").desc, col("feat"), col("val"))))
@@ -665,15 +670,40 @@ object Learn {
     (r, allSplits)
   }
 
+  /** The split-candidate stopping filter over the (nl, tn, tp, score)
+    * candidate columns — reference DecisionTree.scala:736 (both
+    * children must carry >= minInstancesPerNode rows) and :753 (the
+    * split's gain must reach minInfoGain). Gain currency: the gini
+    * score here is Σ_child (Σ_class count²)·1000/n_child, whose parent
+    * analog is ((tp² + (tn−tp)²)·1000) div tn; the reference's
+    * normalized gain g maps to (score − parent) ≥ round(1000·g)·tn —
+    * pure integers, `minGainMilli` = milli-units of the impurity
+    * decrease. GINI-specific (tp = positive counts); entropy/variance
+    * callers keep the default no-filter path. */
+  def treeCandFilterExpr(minInstances: Long, minGainMilli: Long,
+                         div: String): String =
+    s"(nl >= $minInstances AND (tn - nl) >= $minInstances AND " +
+      s"(score - CAST((((tp * tp) + ((tn - tp) * (tn - tp))) * 1000) $div tn AS BIGINT))" +
+      s" >= $minGainMilli * tn)"
+
   def decisionTree2(rows: DataFrame, maxDepth: Int = 2,
-                    impurity: String = "gini"): (DataFrame, DataFrame) = {
+                    impurity: String = "gini",
+                    minInstancesPerNode: Long = 1L,
+                    minGainMilli: Long = 0L): (DataFrame, DataFrame) = {
     val scoreExpr =
       if (impurity == "entropy") entropyScoreExpr
       else "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
         " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"
+    val candFilter =
+      if (minInstancesPerNode <= 1L && minGainMilli <= 0L) None
+      else {
+        require(impurity == "gini",
+          "minInstancesPerNode/minGainMilli pruning is the gini leg; entropy keeps defaults")
+        Some(treeCandFilterExpr(minInstancesPerNode, minGainMilli, "DIV"))
+      }
     val (r, allSplits) = treeLevels(
       rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node")),
-      maxDepth, scoreExpr)
+      maxDepth, scoreExpr, candFilter)
     val leaves = r.groupBy(col("node").as("leaf"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
       .withColumn("pred",

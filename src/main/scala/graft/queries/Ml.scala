@@ -548,6 +548,32 @@ object Ml {
       Learn.decisionTree2(rows)._1.orderBy("leaf")
     },
 
+    // Pre-pruning stopping criteria (reference DecisionTree.scala:736
+    // minInstancesPerNode — both children must keep >= the floor —
+    // and :753 minInfoGain; Strategy.scala:78-79 carries both): the
+    // s20 tree re-fit with the criteria tight enough that a level-2
+    // node's best surviving split is REJECTED and the node stays a
+    // leaf — the output has 3 leaves where s20 has 4, and the pruned
+    // node surfaces at depth 1. Gated alongside the surviving splits,
+    // so the filter itself (not just the final shape) is on the
+    // oracle path.
+    "s80_pruned_tree" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 25, 1)
+        .withColumnRenamed("yq", "y")
+      // gains at sf0.01: node 2's best split improves 36.7 milli/row,
+      // node 3's 45.4 — the 40-milli floor rejects exactly one, so the
+      // pruned tree is 3 leaves (2, 6, 7) where s20 has 4
+      val (leaves, splits) = Learn.decisionTree2(rows,
+        minInstancesPerNode = 500L, minGainMilli = 40L)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "n_pos", "pred",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // Entropy-impurity decision tree (reference mllib/tree/impurity/
     // Entropy.scala:40 −Σ p·log p, selected via Strategy.impurity and
     // Impurities.scala:30 — same findBestSplits histogram machinery as
@@ -1195,7 +1221,8 @@ object Ml {
     * one chain per tree. */
   private def dtLevelCte(p: String, k: Int, score: String =
       "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl" +
-        " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT)"): String = {
+        " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT)",
+      extraFilter: String = ""): String = {
     val prev = s"${p}r${k - 1}"
     s"""${p}lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
        |  UNION ALL SELECT node, y, 2::BIGINT, x2 FROM $prev),
@@ -1208,13 +1235,13 @@ object Ml {
        |  FROM ${p}h$k
        |  WINDOW w AS (PARTITION BY node, feat ORDER BY val ROWS UNBOUNDED PRECEDING),
        |         wn AS (PARTITION BY node, feat)),
-       |${p}s$k AS (SELECT node, feat, val,
+       |${p}s$k AS (SELECT node, feat, val, nl, tn, tp,
        |    $score AS score
        |  FROM ${p}c$k WHERE nl > 0 AND tn - nl > 0),
        |${p}b$k AS MATERIALIZED (SELECT node, feat, val AS thr FROM (
        |    SELECT node, feat, val,
        |      row_number() OVER (PARTITION BY node ORDER BY score DESC, feat, val) AS rn
-       |    FROM ${p}s$k) WHERE rn = 1),
+       |    FROM ${p}s$k${if (extraFilter.isEmpty) "" else s" WHERE $extraFilter"}) WHERE rn = 1),
        |${p}r$k AS MATERIALIZED (
        |  SELECT r.o_orderkey, r.x1, r.x2, r.y,
        |    CASE WHEN b.node IS NULL THEN r.node
@@ -1985,6 +2012,35 @@ object Ml {
          |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
          |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
          |ORDER BY leaf""".stripMargin,
+
+    // The s20 chain with the shared stopping-filter string applied
+    // inside each level's argmax — a node whose every candidate fails
+    // gets no split row and stays a leaf through the route's left join.
+    "s80_pruned_tree" -> {
+      val f = Learn.treeCandFilterExpr(500L, 40L, "//")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(25, 1L)},
+         |yr0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node FROM feats),
+         |${dtLevelCte("y", 1, extraFilter = f)},
+         |${dtLevelCte("y", 2, extraFilter = f)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM yr2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM yb1 b
+         |    JOIN ys1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM yb2 b
+         |    JOIN ys2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin
+    },
 
     // Mirror of binnedFeatures + decisionTree2: the hash sample, the
     // per-feature rank order statistics at (cnt·b) // 8, the

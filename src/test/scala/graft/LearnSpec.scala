@@ -940,6 +940,25 @@ class LearnSpec extends SparkSpec {
     assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
   }
 
+  test("minInstancesPerNode moves the chosen split; minGainMilli prunes a node to a leaf") {
+    import spark.implicits._
+    // y = 1 only at x1 = 10: the unconstrained best split isolates it
+    // (thr 9, a 1-row child); minInstancesPerNode = 2 forbids that and
+    // the argmax falls back to thr 8
+    val rows = (1L to 10L).map(i => (i, 0L, if (i == 10) 1L else 0L))
+      .toDF("x1", "x2", "y")
+    val free = Learn.decisionTree2(rows, maxDepth = 1)._2.head()
+    assert(free.getLong(2) === 9L)
+    val floored = Learn.decisionTree2(rows, maxDepth = 1,
+      minInstancesPerNode = 2L)._2.head()
+    assert(floored.getLong(2) === 8L)
+    // an impossible gain floor leaves the root unsplit: a 1-leaf tree
+    val (leaves, splits) = Learn.decisionTree2(rows, maxDepth = 1,
+      minGainMilli = 1000000L)
+    assert(splits.count() === 0L)
+    assert(leaves.collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("antitonicFit: violators pool to the decreasing fit; exact dual of isotonic on -y") {
     import spark.implicits._
     // per-x means 11, 8, 9, 2: the 8 < 9 violation pools to 8.5
