@@ -1751,7 +1751,8 @@ object Learn {
     * per-round split constants are collected (5 longs per round, exact
     * integers) and re-embedded as literals, so chained residuals carry
     * no cross-engine drift surface at all. */
-  def gbtFit2(rows: DataFrame, rounds: Int = 3): (Long, Seq[(Int, Long, Long, Long, Long)]) = {
+  def gbtFit2(rows: DataFrame, rounds: Int = 3,
+              lr: Double = 1.0): (Long, Seq[(Int, Long, Long, Long, Long)]) = {
     import org.apache.spark.sql.expressions.Window
     val base = rows.select(col("x1"), col("x2"), col("ym"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1760,7 +1761,7 @@ object Learn {
     var r = base.withColumn("rq", col("ym") - lit(f0)).localCheckpoint()
     val model = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
     for (round <- 1 to rounds) {
-      val (feat, thr, lq, rqv) = stumpFitRound(r)
+      val (feat, thr, lq, rqv) = stumpFitRound(r, lr)
       model += ((round, feat, thr, lq, rqv))
       r = r.withColumn("rq", col("rq") - expr(stumpCaseExpr(feat, thr, lq, rqv)))
         .localCheckpoint()
@@ -1773,7 +1774,8 @@ object Learn {
     * per-round body: the (feat, val) histogram, prefix sums, the
     * abs-div variance argmax, the rounded mean leaves. Returns
     * (feat, thr, leftq, rightq) — 4 exact longs off one head(). */
-  private def stumpFitRound(r: DataFrame): (Long, Long, Long, Long) = {
+  private def stumpFitRound(r: DataFrame,
+                            lr: Double = 1.0): (Long, Long, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
     val lf = r.selectExpr("rq", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
     val h = lf.groupBy("feat", "val")
@@ -1792,12 +1794,23 @@ object Learn {
         // split value) histogram — bounded by features*bins, not rows
         Window.orderBy(col("score").desc, col("feat"), col("val"))))
       .filter(col("rn") === 1)
-      .selectExpr("feat", "val AS thr",
-        "CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq",
-        "CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq")
+      .selectExpr("feat", "val AS thr", leafExpr(lr, "sl", "nl") + " AS leftq",
+        leafExpr(lr, "(st - sl)", "(tn - nl)") + " AS rightq")
       .head()
     (best.getLong(0), best.getLong(1), best.getLong(2), best.getLong(3))
   }
+
+  /** The stump leaf constant: the rounded (possibly shrinkage-scaled)
+    * mean residual. The reference applies learningRate as the base
+    * learner WEIGHT (GradientBoostedTrees.scala:245
+    * baseLearnerWeights(m) = learningRate; the :209 first tree keeps
+    * weight 1.0 — the f0 seed's role here); scaling the leaf means is
+    * the same model, and doing it INSIDE the single round() keeps the
+    * chain one-rounding exact. lr = 1.0 emits the historical unscaled
+    * string so the existing oracle formulas stay shared verbatim. */
+  def leafExpr(lr: Double, s: String, n: String): String =
+    if (lr == 1.0) s"CAST(round(CAST($s AS DOUBLE) / $n) AS BIGINT)"
+    else s"CAST(round(CAST($lr AS DOUBLE) * (CAST($s AS DOUBLE) / $n)) AS BIGINT)"
 
   private def stumpCaseExpr(feat: Long, thr: Long, lq: Long, rq: Long): String =
     s"CASE WHEN (CASE WHEN $feat = 1 THEN x1 ELSE x2 END) <= $thr THEN ${lq}L ELSE ${rq}L END"

@@ -687,6 +687,22 @@ object Ml {
         .orderBy("round")
     },
 
+    // learningRate shrinkage (reference GradientBoostedTrees.scala:245
+    // baseLearnerWeights(m) = learningRate, the :209 first tree keeping
+    // weight 1.0 — f0's role here; closes s26's declared lr = 1.0
+    // deviation): four L2 stump rounds at lr = 0.5, the leaf means
+    // scaled INSIDE the single round() so the residual chain stays
+    // one-rounding exact. More, smaller steps — the regularization
+    // users actually run GBT with.
+    "s81_gbt_shrinkage" -> { (s, dir) =>
+      val rows = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT)").as("ym"))
+      val (f0, model) = Learn.gbtFit2(rows, rounds = 4, lr = 0.5)
+      Learn.gbtPredict2(rows.filter(col("o_orderkey") <= 4000), "o_orderkey", f0, model)
+        .orderBy("o_orderkey")
+    },
+
     // Gradient-boosted regression TREES (reference GradientBoostedTrees
     // .scala:54 — the reference's real learner shape next to the
     // declared-stump chains s26/s52/s67: three rounds of depth-2
@@ -1319,12 +1335,12 @@ object Ml {
     * -> abs-floor-div variance-reduction argmax (graft.ext.Learn.gbtFit2's
     * shape; `//` on the ABSOLUTE sums matches Spark's toward-zero DIV) ->
     * residual update. */
-  private def gbtRoundCte(k: Int): String = {
+  private def gbtRoundCte(k: Int, lr: Double = 1.0): String = {
     val prev = s"gr${k - 1}"
     s"""gb$k AS MATERIALIZED (
        |  SELECT feat, val AS thr,
-       |    CAST(round(CAST(sl AS DOUBLE) / nl) AS BIGINT) AS leftq,
-       |    CAST(round(CAST(st - sl AS DOUBLE) / (tn - nl)) AS BIGINT) AS rightq
+       |    ${Learn.leafExpr(lr, "sl", "nl")} AS leftq,
+       |    ${Learn.leafExpr(lr, "(st - sl)", "(tn - nl)")} AS rightq
        |  FROM (
        |    SELECT feat, val, nl, sl, tn, st,
        |      row_number() OVER (ORDER BY
@@ -1900,6 +1916,29 @@ object Ml {
          |  CAST(g.f0 + ${gbtTerm("b1")} + ${gbtTerm("b2")} + ${gbtTerm("b3")} AS BIGINT) AS pred_milli
          |FROM gfeats c CROSS JOIN gf0 g
          |CROSS JOIN gb1 b1 CROSS JOIN gb2 b2 CROSS JOIN gb3 b3
+         |WHERE c.o_orderkey <= 4000
+         |ORDER BY c.o_orderkey""".stripMargin,
+
+    // The s26 chain at lr = 0.5 over four rounds — the leaf strings
+    // carry the shrinkage multiplier inside the shared round().
+    "s81_gbt_shrinkage" ->
+      s"""WITH $ordersBaseCte,
+         |gfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST((qty + 5 * (o_orderkey % 13)) * 1000 AS BIGINT) AS ym
+         |  FROM base),
+         |gf0 AS (SELECT CAST(CAST(sum(ym) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS f0
+         |  FROM gfeats),
+         |gr0 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, ym, ym - f0 AS rq FROM gfeats CROSS JOIN gf0),
+         |${gbtRoundCte(1, 0.5)},
+         |${gbtRoundCte(2, 0.5)},
+         |${gbtRoundCte(3, 0.5)},
+         |${gbtRoundCte(4, 0.5)}
+         |SELECT c.o_orderkey, c.ym AS y_milli,
+         |  CAST(g.f0 + ${gbtTerm("b1")} + ${gbtTerm("b2")} + ${gbtTerm("b3")} + ${gbtTerm("b4")} AS BIGINT) AS pred_milli
+         |FROM gfeats c CROSS JOIN gf0 g
+         |CROSS JOIN gb1 b1 CROSS JOIN gb2 b2 CROSS JOIN gb3 b3 CROSS JOIN gb4 b4
          |WHERE c.o_orderkey <= 4000
          |ORDER BY c.o_orderkey""".stripMargin,
 
