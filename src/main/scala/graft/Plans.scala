@@ -535,7 +535,22 @@ object Plans {
         "models are B-bounded aggregates of it; the B-row log-ratio " +
         "table broadcasts back onto the counts; selection is " +
         "TakeOrderedAndProject (orderBy+limit), never a global window " +
-        "sort — the corpus is read once and shuffled once."))
+        "sort — the corpus is read once and shuffled once."),
+    "s74_binned_tree" ->
+      ("maxBins quantile binning: the rank window runs over the HASH " +
+        "SAMPLE only (the reference's own in-memory sample sort, " +
+        "bounded by sampleMod sizing); the full corpus pays one " +
+        "codegen CASE projection per feature (the collected " +
+        "features x maxBins edge table — no join), and every per-level " +
+        "tree window then sweeps <= features x maxBins candidate rows " +
+        "per node, however many distinct raw values the data carries."),
+    "s77_binned_pr_curve" ->
+      ("numBins curve downsampling: the only row-linear stage is the " +
+        "initial score groupBy; the equal-count rank is " +
+        "globalRowIndex's range-repartition + per-partition window + " +
+        "broadcast offsets (no single-task sort), and the cumulative " +
+        "sweep windows run over <= numBins+1 binned points instead of " +
+        "every distinct score."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
