@@ -903,6 +903,39 @@ object Learn {
     out
   }
 
+  /** Feature-subsampled forest — the reference's featureSubsetStrategy
+    * (RandomForest.scala:121: classification "auto" resolves to "sqrt";
+    * DecisionTreeMetadata computes numFeaturesPerNode and :158's
+    * selectNodesToSplit draws the subset): at 2 features, √2 rounds to
+    * ONE feature per tree. Deterministic ROTATION — tree t sees feature
+    * (t % 2) + 1 — declared in place of the seeded draw (and per-TREE
+    * rather than the reference's per-node granularity, also declared).
+    * The restriction is enforced structurally: the excluded column is
+    * zeroed for the fit, its now-constant histogram keeps no valid
+    * split (tn − nl = 0 filters every candidate), so the fitted split
+    * table provably never references it and RAW rows route unchanged
+    * at scoring. Same complement-of-residue bagging + majority vote as
+    * [[randomForest2]]. */
+  def featureSubsetForest2(train: DataFrame, score: DataFrame, idCol: String,
+                           trees: Int = 3, maxDepth: Int = 2): DataFrame = {
+    val t = train.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perTree = (0 until trees).map { k =>
+      val excluded = if (k % 2 == 0) "x2" else "x1"
+      val sub = t.filter(col(idCol) % trees =!= k).withColumn(excluded, lit(0L))
+      val (leaves, splits) = decisionTree2(sub, maxDepth)
+      decisionTreeRoute(score, splits, maxDepth)
+        .join(broadcast(leaves.select(col("leaf").as("node"), col("pred"))), "node")
+        .select(col(idCol), col("pred").as(s"p$k"))
+    }
+    val out = perTree.reduce((a, b) => a.join(b, idCol))
+      .withColumn("votes", (0 until trees).map(k => col(s"p$k")).reduce(_ + _))
+      .join(score.select(col(idCol), col("y").as("label")), idCol)
+      .select(col(idCol), col("label"), col("votes"),
+        expr(s"CAST(CASE WHEN 2 * votes > $trees THEN 1 ELSE 0 END AS BIGINT)").as("pred"))
+    t.unpersist()
+    out
+  }
+
   // ---- linear SVM (reference mllib/src/main/scala/org/apache/spark/
   // mllib/classification/SVM.scala:34 trains the same hinge-loss model
   // through GradientDescent with HingeGradient — optimization/

@@ -635,6 +635,23 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // featureSubsetStrategy (reference RandomForest.scala:121 "auto" →
+    // "sqrt" for classification; √2 = 1 feature per tree at this
+    // width — the column subsampling that separates a random FOREST
+    // from plain bagging; deterministic rotation + per-tree granularity
+    // declared in Learn.featureSubsetForest2's scaladoc): the s25
+    // forest re-fit with tree t restricted to feature (t % 2) + 1 by
+    // structurally zeroing the other column — its constant histogram
+    // keeps no valid split, so the restriction is provable in the
+    // gated split tables, and single-feature trees genuinely disagree
+    // with s25's two-feature members on the cohort votes.
+    "s83_rf_feature_subset" -> { (s, dir) =>
+      val rows = lrFeatures(s, dir, 25, 1).withColumnRenamed("yq", "y")
+      Learn.featureSubsetForest2(rows, rows.filter(col("o_orderkey") <= 4000),
+          "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Linear SVM (reference mllib/classification/SVM.scala +
     // optimization/Gradient.scala HingeGradient): 8 full-batch hinge
     // subgradient steps on the s19 features with x2 CENTERED (hinge GD
@@ -1319,6 +1336,27 @@ object Ml {
     val p = s"t$t"
     s"""${p}r0 AS MATERIALIZED (
        |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node
+       |  FROM feats WHERE o_orderkey % 3 <> $t),
+       |${dtLevelCte(p, 1)},
+       |${dtLevelCte(p, 2)},
+       |${p}lp AS (SELECT node,
+       |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |  FROM ${p}r2 GROUP BY 1),
+       |${dtRouteCte(p, 1, "coh")},
+       |${dtRouteCte(p, 2, s"${p}q1")},
+       |${p}p AS MATERIALIZED (
+       |  SELECT q.o_orderkey, lp.pred FROM ${p}q2 q JOIN ${p}lp lp USING (node))""".stripMargin
+  }
+
+  /** One FEATURE-RESTRICTED forest member (the s83 chain): the
+    * rfTreeCtes shape with tree t's excluded column zeroed in the
+    * training base — its constant histogram keeps no valid split —
+    * while the cohort routes with RAW features. */
+  private def rfFsTreeCtes(t: Int): String = {
+    val p = s"u$t"
+    val (x1e, x2e) = if (t % 2 == 0) ("x1", "0::BIGINT") else ("0::BIGINT", "x2")
+    s"""${p}r0 AS MATERIALIZED (
+       |  SELECT o_orderkey, $x1e AS x1, $x2e AS x2, yq AS y, 1::BIGINT AS node
        |  FROM feats WHERE o_orderkey % 3 <> $t),
        |${dtLevelCte(p, 1)},
        |${dtLevelCte(p, 2)},
@@ -2147,6 +2185,26 @@ object Ml {
          |  CAST(sum(y) AS BIGINT) AS n_pos,
          |  CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM r2 GROUP BY 1 ORDER BY leaf""".stripMargin,
+
+    // The s25 vote with each tree's training base feature-restricted
+    // by the zeroed column.
+    "s83_rf_feature_subset" ->
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(25, 1L)},
+         |coh AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, yq AS y, 1::BIGINT AS node
+         |  FROM feats WHERE o_orderkey <= 4000),
+         |${rfFsTreeCtes(0)},
+         |${rfFsTreeCtes(1)},
+         |${rfFsTreeCtes(2)}
+         |SELECT c.o_orderkey, CAST(c.y AS BIGINT) AS label,
+         |  CAST(u0p.pred + u1p.pred + u2p.pred AS BIGINT) AS votes,
+         |  CAST(CASE WHEN 2 * (u0p.pred + u1p.pred + u2p.pred) > 3 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM coh c
+         |JOIN u0p ON u0p.o_orderkey = c.o_orderkey
+         |JOIN u1p ON u1p.o_orderkey = c.o_orderkey
+         |JOIN u2p ON u2p.o_orderkey = c.o_orderkey
+         |ORDER BY c.o_orderkey""".stripMargin,
 
     // Three unrolled per-tree (subset -> 2 split levels -> leaf preds ->
     // cohort routing) chains, then the majority vote — every tree's

@@ -959,6 +959,20 @@ class LearnSpec extends SparkSpec {
     assert(leaves.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("feature-restricted trees provably never split on the zeroed column") {
+    import spark.implicits._
+    // both features individually informative; zeroing x2 must leave a
+    // split table that references ONLY feature 1 at every level
+    val rows = (1L to 100L)
+      .map(i => (i, i % 50, (i * 7) % 100, if (i % 50 < 25 && (i * 7) % 100 < 50) 1L else 0L))
+      .toDF("id", "x1", "x2", "y")
+    val (_, full) = Learn.decisionTree2(rows)
+    assert(full.collect().map(_.getLong(1)).toSet === Set(1L, 2L)) // both used
+    val (_, restricted) = Learn.decisionTree2(rows.withColumn("x2", lit(0L)))
+    val feats = restricted.collect().map(_.getLong(1)).toSet
+    assert(feats === Set(1L), s"restricted tree split on $feats")
+  }
+
   test("antitonicFit: violators pool to the decreasing fit; exact dual of isotonic on -y") {
     import spark.implicits._
     // per-x means 11, 8, 9, 2: the 8 < 9 violation pools to 8.5
