@@ -606,20 +606,49 @@ object Clustering {
     * literal (1-ulp pow slack is absorbed by the micro rounding). */
   def oldaRho(t: Int): String = s"power(${1024 + t}.0, -0.51)"
 
-  /** Two-topic online variational LDA over (`idCol`, `textCol`)
-    * documents: `iters` minibatch iterations, each ONE batch ⋈ γ ⋈
-    * expElogbeta join (row-linear in the BATCH's (doc, word) pairs —
-    * the corpus is never re-aggregated, the point of the online path)
-    * plus a per-doc γ aggregate, a per-term sufficient-statistics
-    * aggregate, and the vocabulary-sized λ blend; λ localCheckpoints
-    * per iteration (the pregel discipline). At 100 TB the per-iteration
-    * cost is batch-proportional and λ is vocabulary-bounded — the exact
-    * reason the reference ships this optimizer next to EM. Returns the
-    * top-`topK` terms per topic: (topic, rnk, tok, lambda_micro), ties
-    * toward the smaller token. */
-  def onlineLdaTopics(docs: DataFrame, idCol: String, textCol: String,
-                      iters: Int = 2, topK: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The per-(doc, term, topic) responsibility stage shared by the fit
+    * and the perplexity evaluation: γ ⋈ expElogbeta over `cells`,
+    * emitting (did, tok, c, f1, f2, pn). */
+  private def oldaScore(cells: DataFrame, g: DataFrame,
+                        eb: DataFrame): DataFrame =
+    cells.join(g, "did").join(eb, "tok")
+      .selectExpr("did", "tok", "c",
+        s"${oldaRatioExpr("g1", "(g1 + g2)", "DIV")} AS et1",
+        s"${oldaRatioExpr("g2", "(g1 + g2)", "DIV")} AS et2", "eb1", "eb2")
+      .selectExpr("did", "tok", "c", "et1", "et2", "eb1", "eb2",
+        "(et1 * eb1) + (et2 * eb2) AS pn")
+      .selectExpr("did", "tok", "c", "pn",
+        s"${oldaFracExpr("et1", "eb1", "pn", "DIV")} AS f1",
+        s"${oldaFracExpr("et2", "eb2", "pn", "DIV")} AS f2")
+
+  /** Parity γ seeds for a doc set (the declared Gamma(100, 0.01)
+    * stand-in). */
+  private def oldaGammaInit(cells: DataFrame): DataFrame =
+    cells.select("did").distinct()
+      .selectExpr("did", "CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1",
+        "CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2")
+
+  /** One γ update from a scored frame (the declared inner-loop
+    * slice). */
+  private def oldaGammaStep(scored: DataFrame): DataFrame =
+    scored.groupBy("did")
+      .agg(sum(expr("c * f1")).as("s1"), sum(expr("c * f2")).as("s2"))
+      .selectExpr("did", "CAST(500000 + s1 AS BIGINT) AS g1",
+        "CAST(500000 + s2 AS BIGINT) AS g2")
+
+  /** expElogbeta rows for a λ state. */
+  private def oldaEb(lambda: DataFrame): DataFrame = {
+    val lsum = lambda.agg(sum("l1").as("ls1"), sum("l2").as("ls2"))
+    lambda.crossJoin(broadcast(lsum))
+      .selectExpr("tok", s"${oldaRatioExpr("l1", "ls1", "DIV")} AS eb1",
+        s"${oldaRatioExpr("l2", "ls2", "DIV")} AS eb2")
+  }
+
+  /** The [[onlineLdaTopics]] fitting loop, returning (counts — still
+    * persisted, caller unpersists — and the final λ state). */
+  private def onlineLdaState(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             iters: Int): (DataFrame, DataFrame) = {
     val counts = docs.select(col(idCol).as("did"),
         explode(split(col(textCol), " ")).as("tok"))
       .groupBy("did", "tok").agg(count(lit(1)).as("c"))
@@ -634,32 +663,14 @@ object Clustering {
         s"CAST(1500000 - $tokPar * 500000 AS BIGINT) AS l2")
       .localCheckpoint()
     for (t <- 1 to iters) {
-      val lsum = lambda.agg(sum("l1").as("ls1"), sum("l2").as("ls2"))
-      val eb = lambda.crossJoin(broadcast(lsum))
-        .selectExpr("tok", s"${oldaRatioExpr("l1", "ls1", "DIV")} AS eb1",
-          s"${oldaRatioExpr("l2", "ls2", "DIV")} AS eb2")
+      val eb = oldaEb(lambda)
       val bc = counts.filter(expr(
         s"pmod(${Dedup.portableHash("cast(did as string)", "'oldab'")}, 4) = ${t - 1}"))
-      val g0 = bc.select("did").distinct()
-        .selectExpr("did", "CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1",
-          "CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2")
-      def score(g: DataFrame): DataFrame = bc.join(g, "did").join(eb, "tok")
-        .selectExpr("did", "tok", "c",
-          s"${oldaRatioExpr("g1", "(g1 + g2)", "DIV")} AS et1",
-          s"${oldaRatioExpr("g2", "(g1 + g2)", "DIV")} AS et2", "eb1", "eb2")
-        .selectExpr("did", "tok", "c", "et1", "et2", "eb1", "eb2",
-          "(et1 * eb1) + (et2 * eb2) AS pn")
-        .selectExpr("did", "tok", "c",
-          s"${oldaFracExpr("et1", "eb1", "pn", "DIV")} AS f1",
-          s"${oldaFracExpr("et2", "eb2", "pn", "DIV")} AS f2")
       // one γ update (the declared inner-loop slice), then the batch
       // sufficient statistics under the UPDATED γ — the reference's
       // post-loop sstats shape
-      val g1 = score(g0).groupBy("did")
-        .agg(sum(expr("c * f1")).as("s1"), sum(expr("c * f2")).as("s2"))
-        .selectExpr("did", "CAST(500000 + s1 AS BIGINT) AS g1",
-          "CAST(500000 + s2 AS BIGINT) AS g2")
-      val br = score(g1).groupBy("tok")
+      val g1 = oldaGammaStep(oldaScore(bc, oldaGammaInit(bc), eb))
+      val br = oldaScore(bc, g1, eb).groupBy("tok")
         .agg(sum(expr("c * f1")).as("br1"), sum(expr("c * f2")).as("br2"))
       val bs = bc.select("did").distinct().agg(count(lit(1)).as("ss"))
       lambda = lambda.join(br, Seq("tok"), "left")
@@ -669,6 +680,70 @@ object Clustering {
           s"${oldaLambdaUpdExpr("l2", "br2", oldaRho(t))} AS l2")
         .localCheckpoint()
     }
+    (counts, lambda)
+  }
+
+  /** The per-cell log-probability in milli-nats over the exact integer
+    * φ-norm pn (= θ·β scaled by 1e12): one shared libm ln, rounded
+    * once per cell so the corpus sum is an exact integer; a zero pn
+    * (every topic's mass rounded away) pins the literal floor
+    * round(1000·ln(1e-12)) = −27631. */
+  def oldaLnCellExpr: String =
+    "CAST(CASE WHEN pn = 0 THEN -27631 ELSE " +
+      "round(ln(CAST(pn AS DOUBLE) / 1000000000000.0) * 1000.0) END AS BIGINT)"
+
+  /** The perplexity projection over (n_tokens, ll_milli): exp of the
+    * negative mean token log-probability, micro-rounded once. */
+  def oldaPerpExpr: String =
+    "CAST(round(exp(-(CAST(ll_milli AS DOUBLE) / 1000.0) / CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** logPerplexity of the fitted online model (reference
+    * LDAModel.scala:255 logPerplexity = −logLikelihood / corpus token
+    * count, with :235 logLikelihood delegating to the :280
+    * variational bound): run the [[onlineLdaState]] fit, then — like
+    * the reference — variational inference per doc over the FULL
+    * corpus (γ init + one update, the fit's declared inner slice)
+    * and the bound's dominant token term Σ_dw c·ln(θ_d·β_w), each
+    * cell milli-rounded through ONE shared ln so the corpus sum is an
+    * exact integer. DECLARED DEVIATION beyond the s75 set: the
+    * Dirichlet prior/entropy terms of the bound (E[log p(θ|α)] −
+    * E[log q(θ|γ)] and the topic analogs) are omitted — they need
+    * lgamma, which Spark SQL lacks; the token term is the
+    * data-dependent part perplexity comparisons rank by. Returns ONE
+    * row: (n_cells, n_tokens, ll_milli, perplexity_micro). */
+  def onlineLdaPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                          iters: Int = 2): DataFrame = {
+    val (counts, lambda) = onlineLdaState(docs, idCol, textCol, iters)
+    val eb = oldaEb(lambda)
+    val g1 = oldaGammaStep(oldaScore(counts, oldaGammaInit(counts), eb))
+    val out = oldaScore(counts, g1, eb)
+      .selectExpr("c", s"$oldaLnCellExpr AS lnq")
+      .agg(count(lit(1)).as("n_cells"), sum("c").as("n_tokens"),
+        sum(expr("c * lnq")).as("ll_milli"))
+      .selectExpr("CAST(n_cells AS BIGINT) AS n_cells",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+        "CAST(ll_milli AS BIGINT) AS ll_milli",
+        s"$oldaPerpExpr AS perplexity_micro")
+      .localCheckpoint() // eager 1-row: safe to release counts below
+    counts.unpersist()
+    out
+  }
+
+  /** Two-topic online variational LDA over (`idCol`, `textCol`)
+    * documents: `iters` minibatch iterations, each ONE batch ⋈ γ ⋈
+    * expElogbeta join (row-linear in the BATCH's (doc, word) pairs —
+    * the corpus is never re-aggregated, the point of the online path)
+    * plus a per-doc γ aggregate, a per-term sufficient-statistics
+    * aggregate, and the vocabulary-sized λ blend; λ localCheckpoints
+    * per iteration (the pregel discipline). At 100 TB the per-iteration
+    * cost is batch-proportional and λ is vocabulary-bounded — the exact
+    * reason the reference ships this optimizer next to EM. Returns the
+    * top-`topK` terms per topic: (topic, rnk, tok, lambda_micro), ties
+    * toward the smaller token. */
+  def onlineLdaTopics(docs: DataFrame, idCol: String, textCol: String,
+                      iters: Int = 2, topK: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (counts, lambda) = onlineLdaState(docs, idCol, textCol, iters)
     counts.unpersist()
     lambda.select(lit(1L).as("topic"), col("tok"), col("l1").as("lambda_micro"))
       .union(lambda.select(lit(2L).as("topic"), col("tok"), col("l2").as("lambda_micro")))

@@ -168,6 +168,19 @@ object MlEval {
         .orderBy("topic", "rnk")
     },
 
+    // logPerplexity of the fitted online model (reference
+    // LDAModel.scala:255 logPerplexity = −logLikelihood / corpus
+    // tokens, :235 via the variational bound): per-doc inference over
+    // the FULL corpus against the final λ, then the bound's token term
+    // with one milli-rounded ln per cell and exp(−mean) at the end.
+    // The Dirichlet prior/entropy terms need lgamma (absent from Spark
+    // SQL) and are omitted — declared in
+    // Clustering.onlineLdaPerplexity's scaladoc.
+    "s82_lda_perplexity" -> { (s, dir) =>
+      graft.ext.Clustering.onlineLdaPerplexity(Tables.documents(s, dir),
+        "doc_id", "text", iters = 2)
+    },
+
     // Word2vec skip-gram thin-slice (reference mllib/feature/
     // Word2Vec.scala:41 — minCount-pruned vocabulary :139, ±window
     // center/context pairs :320, sigmoid gradient steps :340; the
@@ -252,6 +265,71 @@ object MlEval {
         expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
       .selectExpr("o_orderkey", "x1", "CAST(qty DIV 10 AS BIGINT) AS x2",
         "CAST(qty + 5 * (o_orderkey % 13) AS BIGINT) AS y")
+
+  /** One online-LDA responsibility stage: cells ⋈ γ ⋈ expElogbeta,
+    * emitting (did, tok, c, pn, f1, f2) from the shared ratio/fraction
+    * strings (`//` for DIV — non-negative operands). */
+  private def oldaScoreCte(name: String, cellsTab: String, gTab: String,
+                           ebTab: String): String = {
+    import graft.ext.Clustering
+    s"""$name AS (SELECT did, tok, c, pn,
+       |    ${Clustering.oldaFracExpr("et1", "eb1", "pn", "//")} AS f1,
+       |    ${Clustering.oldaFracExpr("et2", "eb2", "pn", "//")} AS f2
+       |  FROM (SELECT did, tok, c, et1, et2, eb1, eb2,
+       |      (et1 * eb1) + (et2 * eb2) AS pn
+       |    FROM (SELECT b.did, b.tok, b.c,
+       |        ${Clustering.oldaRatioExpr("g1", "(g1 + g2)", "//")} AS et1,
+       |        ${Clustering.oldaRatioExpr("g2", "(g1 + g2)", "//")} AS et2,
+       |        e.eb1, e.eb2
+       |      FROM $cellsTab b JOIN $gTab USING (did) JOIN $ebTab e USING (tok))))""".stripMargin
+  }
+
+  /** The s75 online-LDA fitting chain: corpus counts, parity λ seed,
+    * two unrolled minibatch iterations ending at `lam2`. Shared by the
+    * s75 and s82 oracles. */
+  private def oldaChainCtes: String = {
+    import graft.ext.Clustering
+    val tokHash = "CAST('0x' || substr(md5('olda:' || tok), 1, 15) AS BIGINT)"
+    val didHash = "CAST('0x' || substr(md5('oldab:' || CAST(did AS VARCHAR)), 1, 15) AS BIGINT)"
+    val iters = (1 to 2).map { t =>
+      s"""ls$t AS (SELECT CAST(sum(l1) AS BIGINT) AS ls1, CAST(sum(l2) AS BIGINT) AS ls2
+         |  FROM lam${t - 1}),
+         |eb$t AS MATERIALIZED (SELECT tok,
+         |    ${Clustering.oldaRatioExpr("l1", "ls1", "//")} AS eb1,
+         |    ${Clustering.oldaRatioExpr("l2", "ls2", "//")} AS eb2
+         |  FROM lam${t - 1} CROSS JOIN ls$t),
+         |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${t - 1}),
+         |gz$t AS (SELECT did, CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1,
+         |    CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2
+         |  FROM (SELECT DISTINCT did FROM bc$t)),
+         |${oldaScoreCte(s"sa$t", s"bc$t", s"gz$t", s"eb$t")},
+         |gu$t AS MATERIALIZED (SELECT did,
+         |    CAST(500000 + sum(c * f1) AS BIGINT) AS g1,
+         |    CAST(500000 + sum(c * f2) AS BIGINT) AS g2
+         |  FROM sa$t GROUP BY 1),
+         |${oldaScoreCte(s"sb$t", s"bc$t", s"gu$t", s"eb$t")},
+         |br$t AS MATERIALIZED (SELECT tok, CAST(sum(c * f1) AS BIGINT) AS br1,
+         |    CAST(sum(c * f2) AS BIGINT) AS br2 FROM sb$t GROUP BY 1),
+         |bs$t AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS ss FROM bc$t),
+         |lam$t AS MATERIALIZED (SELECT tok,
+         |    ${Clustering.oldaLambdaUpdExpr("l1", "br1", Clustering.oldaRho(t))} AS l1,
+         |    ${Clustering.oldaLambdaUpdExpr("l2", "br2", Clustering.oldaRho(t))} AS l2
+         |  FROM (SELECT l.tok, l.l1, l.l2, coalesce(b.br1, 0) AS br1,
+         |      coalesce(b.br2, 0) AS br2
+         |    FROM lam${t - 1} l LEFT JOIN br$t b USING (tok))
+         |  CROSS JOIN dtot CROSS JOIN bs$t)""".stripMargin
+    }.mkString(",\n")
+    s"""counts AS MATERIALIZED (
+       |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |dtot AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS dd FROM counts),
+       |lam0 AS MATERIALIZED (SELECT tok,
+       |    CAST(1000000 + ($tokHash % 2) * 500000 AS BIGINT) AS l1,
+       |    CAST(1500000 - ($tokHash % 2) * 500000 AS BIGINT) AS l2
+       |  FROM (SELECT DISTINCT tok FROM counts)),
+       |$iters""".stripMargin
+  }
 
   private val qtyCte =
     """base AS MATERIALIZED (
@@ -649,65 +727,46 @@ object MlEval {
     // operands throughout): hash minibatch, one γ update, sufficient
     // stats under the updated γ, the ρ_t power() blend over every
     // vocabulary row.
-    "s75_online_lda" -> {
-      import graft.ext.Clustering
-      val tokHash = "CAST('0x' || substr(md5('olda:' || tok), 1, 15) AS BIGINT)"
-      val didHash = "CAST('0x' || substr(md5('oldab:' || CAST(did AS VARCHAR)), 1, 15) AS BIGINT)"
-      def scoreCte(name: String, t: Int, gTab: String): String =
-        s"""$name AS (SELECT did, tok, c,
-           |    ${Clustering.oldaFracExpr("et1", "eb1", "pn", "//")} AS f1,
-           |    ${Clustering.oldaFracExpr("et2", "eb2", "pn", "//")} AS f2
-           |  FROM (SELECT did, tok, c, et1, et2, eb1, eb2,
-           |      (et1 * eb1) + (et2 * eb2) AS pn
-           |    FROM (SELECT b.did, b.tok, b.c,
-           |        ${Clustering.oldaRatioExpr("g1", "(g1 + g2)", "//")} AS et1,
-           |        ${Clustering.oldaRatioExpr("g2", "(g1 + g2)", "//")} AS et2,
-           |        e.eb1, e.eb2
-           |      FROM bc$t b JOIN $gTab USING (did) JOIN eb$t e USING (tok))))""".stripMargin
-      val iters = (1 to 2).map { t =>
-        s"""ls$t AS (SELECT CAST(sum(l1) AS BIGINT) AS ls1, CAST(sum(l2) AS BIGINT) AS ls2
-           |  FROM lam${t - 1}),
-           |eb$t AS MATERIALIZED (SELECT tok,
-           |    ${Clustering.oldaRatioExpr("l1", "ls1", "//")} AS eb1,
-           |    ${Clustering.oldaRatioExpr("l2", "ls2", "//")} AS eb2
-           |  FROM lam${t - 1} CROSS JOIN ls$t),
-           |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${t - 1}),
-           |gz$t AS (SELECT did, CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1,
-           |    CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2
-           |  FROM (SELECT DISTINCT did FROM bc$t)),
-           |${scoreCte(s"sa$t", t, s"gz$t")},
-           |gu$t AS MATERIALIZED (SELECT did,
-           |    CAST(500000 + sum(c * f1) AS BIGINT) AS g1,
-           |    CAST(500000 + sum(c * f2) AS BIGINT) AS g2
-           |  FROM sa$t GROUP BY 1),
-           |${scoreCte(s"sb$t", t, s"gu$t")},
-           |br$t AS MATERIALIZED (SELECT tok, CAST(sum(c * f1) AS BIGINT) AS br1,
-           |    CAST(sum(c * f2) AS BIGINT) AS br2 FROM sb$t GROUP BY 1),
-           |bs$t AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS ss FROM bc$t),
-           |lam$t AS MATERIALIZED (SELECT tok,
-           |    ${Clustering.oldaLambdaUpdExpr("l1", "br1", Clustering.oldaRho(t))} AS l1,
-           |    ${Clustering.oldaLambdaUpdExpr("l2", "br2", Clustering.oldaRho(t))} AS l2
-           |  FROM (SELECT l.tok, l.l1, l.l2, coalesce(b.br1, 0) AS br1,
-           |      coalesce(b.br2, 0) AS br2
-           |    FROM lam${t - 1} l LEFT JOIN br$t b USING (tok))
-           |  CROSS JOIN dtot CROSS JOIN bs$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH counts AS MATERIALIZED (
-         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  GROUP BY 1, 2),
-         |dtot AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS dd FROM counts),
-         |lam0 AS MATERIALIZED (SELECT tok,
-         |    CAST(1000000 + ($tokHash % 2) * 500000 AS BIGINT) AS l1,
-         |    CAST(1500000 - ($tokHash % 2) * 500000 AS BIGINT) AS l2
-         |  FROM (SELECT DISTINCT tok FROM counts)),
-         |$iters
+    "s75_online_lda" ->
+      s"""WITH $oldaChainCtes
          |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, lambda_micro FROM (
          |  SELECT topic, tok, lambda_micro,
          |    row_number() OVER (PARTITION BY topic ORDER BY lambda_micro DESC, tok) AS rn
          |  FROM (SELECT 1::BIGINT AS topic, tok, l1 AS lambda_micro FROM lam2
          |        UNION ALL SELECT 2::BIGINT, tok, l2 FROM lam2))
-         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin,
+
+    // The s75 chain, then the reference's logPerplexity evaluation:
+    // full-corpus per-doc variational inference against the final λ
+    // (γ init + one update, the fit's inner slice), the bound's token
+    // term with one milli-rounded ln per cell, exp of the negative
+    // mean at the end — every stage the shared formula strings.
+    "s82_lda_perplexity" -> {
+      import graft.ext.Clustering
+      s"""WITH $oldaChainCtes,
+         |lsF AS (SELECT CAST(sum(l1) AS BIGINT) AS ls1, CAST(sum(l2) AS BIGINT) AS ls2
+         |  FROM lam2),
+         |ebF AS MATERIALIZED (SELECT tok,
+         |    ${Clustering.oldaRatioExpr("l1", "ls1", "//")} AS eb1,
+         |    ${Clustering.oldaRatioExpr("l2", "ls2", "//")} AS eb2
+         |  FROM lam2 CROSS JOIN lsF),
+         |gzF AS (SELECT did, CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1,
+         |    CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2
+         |  FROM (SELECT DISTINCT did FROM counts)),
+         |${oldaScoreCte("saF", "counts", "gzF", "ebF")},
+         |guF AS MATERIALIZED (SELECT did,
+         |    CAST(500000 + sum(c * f1) AS BIGINT) AS g1,
+         |    CAST(500000 + sum(c * f2) AS BIGINT) AS g2
+         |  FROM saF GROUP BY 1),
+         |${oldaScoreCte("sbF", "counts", "guF", "ebF")},
+         |lncells AS (SELECT c, ${Clustering.oldaLnCellExpr} AS lnq FROM sbF),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(c * lnq) AS BIGINT) AS ll_milli
+         |  FROM lncells)
+         |SELECT n_cells, n_tokens, ll_milli,
+         |  ${Clustering.oldaPerpExpr} AS perplexity_micro
+         |FROM agg""".stripMargin
     },
 
     // Three unrolled EM iterations sharing Clustering's responsibility /

@@ -224,6 +224,26 @@ class ClusteringSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("online lda perplexity: parity corpus beats a shuffled one; partitioning-deterministic") {
+    import spark.implicits._
+    // the separable parity corpus the model CAN fit...
+    val sep = (1L to 40L).map { i =>
+      (i, (if (i % 2 == 1) "u v " else "x y ") * 10)
+    }.toDF("doc_id", "text")
+    // ...vs the same tokens dealt so every doc mixes both vocabularies
+    val mixed = (1L to 40L).map(i => (i, "u v x y " * 5)).toDF("doc_id", "text")
+    val pSep = Clustering.onlineLdaPerplexity(sep, "doc_id", "text").head()
+    val pMix = Clustering.onlineLdaPerplexity(mixed, "doc_id", "text").head()
+    // both corpora have 4 tokens; a 2-topic model separates the parity
+    // corpus (per-topic support ~2 tokens) but not the mixed one
+    assert(pSep.getLong(3) < pMix.getLong(3),
+      s"sep=${pSep.getLong(3)} mix=${pMix.getLong(3)}")
+    assert(pSep.getLong(1) === 840L) // 40 docs x (20 tokens + the trailing-space empty)
+    val again = Clustering.onlineLdaPerplexity(sep.repartition(7, col("doc_id")),
+      "doc_id", "text").head()
+    assert(again.getLong(2) === pSep.getLong(2)) // exact ll across partitionings
+  }
+
   test("k-center coreset: farthest-point picks with exact radii; radii nonincreasing") {
     import spark.implicits._
     // a line 0 — 10 — 100: seed is the lowest id, pick 2 the far end,
