@@ -305,6 +305,32 @@ object Learn {
     w
   }
 
+  /** runMiniBatchSGD at miniBatchFraction < 1 — the reference's ACTUAL
+    * stochastic path (optimization/GradientDescent.scala:177: each
+    * iteration `sample`s the fraction and :201 averages the gradient
+    * over the SAMPLE's size; every repo fit so far ran the
+    * fraction = 1.0 degenerate case). Deterministic minibatches,
+    * declared: iteration t takes the hash residue class
+    * (h(id) + t − 1) mod `batches` = 0 — ~1/batches of the rows,
+    * ROTATING so `batches` consecutive iterations cover the corpus
+    * (the seeded Bernoulli sample is exactly what the oracle gate
+    * cannot allow). The per-iteration scan touches only the batch;
+    * at 100 TB that is the whole point of the knob. */
+  def logisticFitMiniBatch(feats: DataFrame, idCol: String,
+                           iters: Int = 8, lr: Double = 1.0,
+                           batches: Int = 4): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = logisticInit(f.sparkSession).localCheckpoint()
+    for (t <- 1 to iters) {
+      val b = f.filter(expr(
+        s"pmod(${Dedup.portableHash(s"cast($idCol as string)", "'sgd'")} + ${t - 1}, $batches) = 0"))
+      w = logisticStep(b, w, lr).localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
   /** Score (idCol, x1, x2, yq) rows under fitted 1-row weights: broadcast
     * the weights, emit (idCol, label, p_micro, pred) — pred thresholds at
     * p >= 0.5, exact on the integer micro-probability. */

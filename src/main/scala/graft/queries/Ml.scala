@@ -522,6 +522,23 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // runMiniBatchSGD at miniBatchFraction < 1 (reference
+    // GradientDescent.scala:177 per-iteration sample, :201 gradient
+    // averaged over the SAMPLE size — the reference's actual stochastic
+    // path; s19 is its fraction = 1.0 degenerate case): the s19
+    // objective trained on rotating deterministic quarter-batches
+    // (declared in Learn.logisticFitMiniBatch's scaladoc). Eight
+    // noisier, 4x-cheaper steps — each batch's exact gradient sums are
+    // the oracle's to re-derive, so the whole stochastic trajectory is
+    // gated, not just the final boundary.
+    "s84_minibatch_sgd" -> { (s, dir) =>
+      val feats = lrFeatures(s, dir, 10, 1000000)
+      val w = Learn.logisticFitMiniBatch(feats, "o_orderkey", iters = 8,
+        lr = 1.0, batches = 4)
+      Learn.logisticPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // L-BFGS (reference mllib/optimization/LBFGS.scala:40 — the second
     // registered optimizer; runLBFGS :169 drives breeze's two-loop over
     // the same distributed gradient aggregate): the s19 logistic
@@ -1231,6 +1248,26 @@ object Ml {
        |lb$k AS MATERIALIZED (
        |  SELECT $upd
        |  FROM ($nested))""".stripMargin
+  }
+
+  /** One unrolled MINIBATCH gradient iteration: the s19 gradient CTE
+    * over iteration k's rotating hash-residue quarter, n = the BATCH
+    * size (the reference's :201 miniBatchSize divisor). */
+  private def sgdIterCte(k: Int, lr: Double, batches: Int): String = {
+    val h = "CAST('0x' || substr(md5('sgd:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    s"""sg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(yq - pq) AS BIGINT) AS g0,
+       |    CAST(sum((yq - pq) * x1) AS BIGINT) AS g1,
+       |    CAST(sum((yq - pq) * x2) AS BIGINT) AS g2
+       |  FROM (SELECT yq, x1, x2, ${Learn.lrProbExpr} AS pq
+       |        FROM (SELECT * FROM feats WHERE ($h + ${k - 1}) % $batches = 0)
+       |        CROSS JOIN sw${k - 1})),
+       |sw$k AS MATERIALIZED (
+       |  SELECT ${Learn.lrUpdExpr("w0q", "g0", lr)} AS w0q,
+       |    ${Learn.lrUpdExpr("w1q", "g1", lr)} AS w1q,
+       |    ${Learn.lrUpdExpr("w2q", "g2", lr)} AS w2q
+       |  FROM sg$k CROSS JOIN sw${k - 1})""".stripMargin
   }
 
   private[queries] def lrIterCte(k: Int, lr: Double): String =
@@ -2059,6 +2096,21 @@ object Ml {
          |  ${Learn.lrProbExpr} AS p_micro,
          |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM feats CROSS JOIN w8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Eight unrolled rotating-quarter-batch iterations sharing the s19
+    // sigmoid/update strings, then cohort scoring under sw8.
+    "s84_minibatch_sgd" -> {
+      val iters = (1 to 8).map(sgdIterCte(_, 1.0, 4)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |sw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label,
+         |  ${Learn.lrProbExpr} AS p_micro,
+         |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN sw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
 

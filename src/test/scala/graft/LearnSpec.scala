@@ -959,6 +959,25 @@ class LearnSpec extends SparkSpec {
     assert(leaves.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("minibatch SGD separates the boundary; trajectory genuinely differs from full batch") {
+    import spark.implicits._
+    // the CENTERED separable fixture of the full-batch spec, 200 rows
+    val feats = (1L to 200L)
+      .map(i => (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1000000L else 0L))
+      .toDF("id", "x1", "x2", "yq")
+    val wMb = Learn.logisticFitMiniBatch(feats, "id", iters = 8, lr = 1.0, batches = 4)
+    val scored = Learn.logisticPredict2(feats, wMb, "id").collect()
+    val acc = scored.count(r => r.getLong(3) === r.getLong(1)).toDouble / scored.length
+    assert(acc >= 0.9, s"minibatch accuracy $acc")
+    // quarter-batch gradients are not the full-batch gradients: the
+    // stochastic trajectory must land on different quantized weights
+    val wFull = Learn.logisticFit2(feats, iters = 8, lr = 1.0).head()
+    assert(wMb.head().toSeq !== wFull.toSeq)
+    // deterministic: the same rotation reproduces the same weights
+    val again = Learn.logisticFitMiniBatch(feats.repartition(5), "id", 8, 1.0, 4)
+    assert(again.head().toSeq === wMb.head().toSeq)
+  }
+
   test("feature-restricted trees provably never split on the zeroed column") {
     import spark.implicits._
     // both features individually informative; zeroing x2 must leave a
