@@ -305,6 +305,50 @@ object Learn {
     w
   }
 
+  /** One weight's DECAYED, L2-REGULARIZED ascent update — the
+    * reference's two remaining GradientDescent knobs in one expression
+    * (GradientDescent.scala:226 thisIterStepSize = stepSize/√iter;
+    * Updater.scala:93 SquaredL2Updater w(1 − step·λ) − step·∇loss,
+    * ascent form w + step·(ḡ − λ·w)): iteration t's step is a
+    * DRIVER-COMPUTED double literal pinned CAST AS DOUBLE, so both
+    * engines parse the identical value and the per-update arithmetic
+    * stays one fixed-parenthesization double expression rounded once.
+    * The intercept is regularized like the weights — the appendBias
+    * path's behavior in the reference's simple-updater flow. */
+  def lrUpdDecayL2Expr(wq: String, g: String, lr0: Double, t: Int,
+                       lambda: Double): String = {
+    val step = lr0 / math.sqrt(t.toDouble)
+    s"$wq + CAST(round((CAST($step AS DOUBLE) * (((CAST($g AS DOUBLE) / 1000000.0) / n)" +
+      s" - (CAST($lambda AS DOUBLE) * (CAST($wq AS DOUBLE) / 65536.0)))) * 65536.0) AS BIGINT)"
+  }
+
+  /** [[logisticFit2]] under the √t step decay + SquaredL2Updater —
+    * closes the constant-step / no-regularizer declared deviations the
+    * full-batch fits carry. Same scan shape; only the 1-row update
+    * projection changes per iteration. */
+  def logisticFitDecayL2(feats: DataFrame, iters: Int = 8,
+                         lr0: Double = 1.0,
+                         lambda: Double = 0.001): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = logisticInit(f.sparkSession).localCheckpoint()
+    for (t <- 1 to iters) {
+      val g = f.crossJoin(broadcast(w))
+        .selectExpr(s"$lrProbExpr AS pq", "yq", "x1", "x2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("yq") - col("pq")).as("g0"),
+          sum((col("yq") - col("pq")) * col("x1")).as("g1"),
+          sum((col("yq") - col("pq")) * col("x2")).as("g2"))
+      w = g.crossJoin(w).selectExpr(
+        s"${lrUpdDecayL2Expr("w0q", "g0", lr0, t, lambda)} AS w0q",
+        s"${lrUpdDecayL2Expr("w1q", "g1", lr0, t, lambda)} AS w1q",
+        s"${lrUpdDecayL2Expr("w2q", "g2", lr0, t, lambda)} AS w2q")
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
   /** runMiniBatchSGD at miniBatchFraction < 1 — the reference's ACTUAL
     * stochastic path (optimization/GradientDescent.scala:177: each
     * iteration `sample`s the fraction and :201 averages the gradient

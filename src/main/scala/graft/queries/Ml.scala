@@ -522,6 +522,20 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // The √t step decay + SquaredL2Updater (reference
+    // GradientDescent.scala:226 stepSize/sqrt(iter); Updater.scala:93
+    // w(1 − step·λ) − step·∇ — the two GradientDescent knobs every
+    // full-batch fit here declared away): the s19 objective under
+    // decaying, ridge-shrunk ascent steps. Each iteration's step is a
+    // driver double literal pinned CAST AS DOUBLE in the shared
+    // update string, so the whole 8-step trajectory is gated.
+    "s85_sgd_decay_l2" -> { (s, dir) =>
+      val feats = lrFeatures(s, dir, 10, 1000000)
+      val w = Learn.logisticFitDecayL2(feats, iters = 8, lr0 = 1.0, lambda = 0.001)
+      Learn.logisticPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // runMiniBatchSGD at miniBatchFraction < 1 (reference
     // GradientDescent.scala:177 per-iteration sample, :201 gradient
     // averaged over the SAMPLE size — the reference's actual stochastic
@@ -2096,6 +2110,34 @@ object Ml {
          |  ${Learn.lrProbExpr} AS p_micro,
          |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM feats CROSS JOIN w8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Eight unrolled full-batch iterations under the per-iteration
+    // decayed + L2 update strings, then cohort scoring under dw8.
+    "s85_sgd_decay_l2" -> {
+      val iters = (1 to 8).map { k =>
+        s"""dg$k AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(yq - pq) AS BIGINT) AS g0,
+           |    CAST(sum((yq - pq) * x1) AS BIGINT) AS g1,
+           |    CAST(sum((yq - pq) * x2) AS BIGINT) AS g2
+           |  FROM (SELECT yq, x1, x2, ${Learn.lrProbExpr} AS pq
+           |        FROM feats CROSS JOIN dw${k - 1})),
+           |dw$k AS MATERIALIZED (
+           |  SELECT ${Learn.lrUpdDecayL2Expr("w0q", "g0", 1.0, k, 0.001)} AS w0q,
+           |    ${Learn.lrUpdDecayL2Expr("w1q", "g1", 1.0, k, 0.001)} AS w1q,
+           |    ${Learn.lrUpdDecayL2Expr("w2q", "g2", 1.0, k, 0.001)} AS w2q
+           |  FROM dg$k CROSS JOIN dw${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |dw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label,
+         |  ${Learn.lrProbExpr} AS p_micro,
+         |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN dw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
 

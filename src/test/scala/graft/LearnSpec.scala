@@ -959,6 +959,20 @@ class LearnSpec extends SparkSpec {
     assert(leaves.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("decayed L2 SGD: lambda shrinks the boundary weight; decay changes the trajectory") {
+    import spark.implicits._
+    val feats = (1L to 200L)
+      .map(i => (i, i % 3, (i % 10) - 5, if ((i % 10) - 5 >= 0) 1000000L else 0L))
+      .toDF("id", "x1", "x2", "yq")
+    val w0 = Learn.logisticFitDecayL2(feats, iters = 8, lr0 = 1.0, lambda = 0.0).head()
+    val wL = Learn.logisticFitDecayL2(feats, iters = 8, lr0 = 1.0, lambda = 0.5).head()
+    assert(math.abs(wL.getLong(2)) < math.abs(w0.getLong(2)), // x2 carries the boundary
+      s"l2 did not shrink: ${w0.getLong(2)} -> ${wL.getLong(2)}")
+    // the sqrt(t) decay genuinely diverges from the constant-step fit
+    val wConst = Learn.logisticFit2(feats, iters = 8, lr = 1.0).head()
+    assert(w0.toSeq !== wConst.toSeq)
+  }
+
   test("minibatch SGD separates the boundary; trajectory genuinely differs from full batch") {
     import spark.implicits._
     // the CENTERED separable fixture of the full-batch spec, 200 rows
