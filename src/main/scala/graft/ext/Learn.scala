@@ -1060,6 +1060,43 @@ object Learn {
     w
   }
 
+  /** [[svmUpdExpr]] under SquaredL2Updater (Updater.scala:93; the
+    * reference's SVMWithSGD DEFAULTS to regParam 0.01 — SVM.scala:71 —
+    * so the regularized path is its normal mode, closing s27's
+    * regParam = 0 declared setting): ascent form
+    * w + lr·(ḡ − λ·w), one fixed-parenthesization double, rounded
+    * once. The intercept shares the shrinkage (the appendBias-path
+    * behavior, as in [[lrUpdDecayL2Expr]]). */
+  def svmUpdL2Expr(wq: String, g: String, lr: Double,
+                   lambda: Double): String =
+    s"$wq + CAST(round(($lr * ((CAST($g AS DOUBLE) / n)" +
+      s" - (CAST($lambda AS DOUBLE) * (CAST($wq AS DOUBLE) / 65536.0)))) * 65536.0) AS BIGINT)"
+
+  /** [[svmFit2]] with the reference's default L2 regularization. */
+  def svmFitL2(feats: DataFrame, iters: Int = 8, lr: Double = 0.5,
+               lambda: Double = 0.01): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = f.sparkSession.range(1)
+      .selectExpr("CAST(0 AS BIGINT) AS w0q", "CAST(0 AS BIGINT) AS w1q",
+        "CAST(0 AS BIGINT) AS w2q")
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val g = f.crossJoin(broadcast(w))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(svmGradTerm(""))).as("g0"),
+          sum(expr(svmGradTerm(" * x1"))).as("g1"),
+          sum(expr(svmGradTerm(" * x2"))).as("g2"))
+      w = g.crossJoin(w).selectExpr(
+          s"${svmUpdL2Expr("w0q", "g0", lr, lambda)} AS w0q",
+          s"${svmUpdL2Expr("w1q", "g1", lr, lambda)} AS w1q",
+          s"${svmUpdL2Expr("w2q", "g2", lr, lambda)} AS w2q")
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
   /** Score (idCol, x1, x2, ys) under fitted weights: the quantized
     * decision value and the sign prediction — both exact integers. */
   def svmPredict2(feats: DataFrame, weights: DataFrame, idCol: String): DataFrame =

@@ -698,6 +698,19 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // The reference's DEFAULT SVM (SVM.scala:71 regParam 0.01 through
+    // SquaredL2Updater — s27 runs the regParam = 0 setting): the same
+    // hinge violator set with ridge-shrunk ascent steps, margins pulled
+    // toward zero while the sign boundary holds.
+    "s86_svm_l2" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST((qty DIV 10) - 10 AS BIGINT)").as("x2"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT)").as("ys"))
+      val w = Learn.svmFitL2(feats, iters = 8, lr = 0.5, lambda = 0.01)
+      Learn.svmPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Gradient-boosted trees (reference mllib/tree/GradientBoostedTrees
     // .scala — squared-loss boosting, each round a regression tree on the
     // residuals): three boosted stumps on a milli-quantized continuous
@@ -1573,6 +1586,19 @@ object Ml {
 
   /** One unrolled SVM hinge step (Learn.svmGradTerm/svmUpdExpr shared
     * verbatim — the integer margin test and the one double update). */
+  private def svmL2IterCte(k: Int, lr: Double, lambda: Double): String =
+    s"""zg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(${Learn.svmGradTerm("")}) AS BIGINT) AS g0,
+       |    CAST(sum(${Learn.svmGradTerm(" * x1")}) AS BIGINT) AS g1,
+       |    CAST(sum(${Learn.svmGradTerm(" * x2")}) AS BIGINT) AS g2
+       |  FROM feats CROSS JOIN zw${k - 1}),
+       |zw$k AS MATERIALIZED (
+       |  SELECT ${Learn.svmUpdL2Expr("w0q", "g0", lr, lambda)} AS w0q,
+       |    ${Learn.svmUpdL2Expr("w1q", "g1", lr, lambda)} AS w1q,
+       |    ${Learn.svmUpdL2Expr("w2q", "g2", lr, lambda)} AS w2q
+       |  FROM zg$k CROSS JOIN zw${k - 1})""".stripMargin
+
   private def svmIterCte(k: Int, lr: Double): String =
     s"""vg$k AS MATERIALIZED (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1587,6 +1613,23 @@ object Ml {
        |  FROM vg$k CROSS JOIN vw${k - 1})""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The s27 chain under the L2-shrunk update strings.
+    "s86_svm_l2" -> {
+      val iters = (1 to 8).map(svmL2IterCte(_, 0.5, 0.01)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST((qty // 10) - 10 AS BIGINT) AS x2,
+         |         CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT) AS ys
+         |  FROM base),
+         |zw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, CAST(ys AS BIGINT) AS label,
+         |  CAST((w0q + (w1q * x1)) + (w2q * x2) AS BIGINT) AS score_q,
+         |  CAST(CASE WHEN (w0q + (w1q * x1)) + (w2q * x2) >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN zw8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     // 8 unrolled hinge subgradient steps sharing Learn's margin-test and
     // update formula strings, then cohort scoring under vw8.
     "s27_linear_svm" -> {
