@@ -2335,6 +2335,43 @@ object Learn {
       .selectExpr("CAST(n AS BIGINT) AS n", s"$spearmanRhoExpr AS rho_micro")
   }
 
+  /** Spearman correlation MATRIX (reference stat/correlation/
+    * Correlations.scala corrMatrix dispatching method = "spearman" →
+    * SpearmanCorrelation.scala:49, which ranks every column with
+    * averaged ties and hands the ranks to PearsonCorrelation's matrix —
+    * n21's Pearson matrix and n17's pairwise Spearman composed): the
+    * [[spearman]] double-rank machinery once per column — each ranking
+    * a distinct-value hash aggregate + the range-repartition prefix
+    * sum, joined back by value — then ONE aggregate of every pairwise
+    * DECIMAL(38,0) rank sum and the shared [[pearsonExpr]] string per
+    * (i < j) pair. DECIMAL because double-ranks reach 2n: the squared
+    * sums pass BIGINT's 2^63 near 2e6 rows. Returns one row per
+    * unordered pair: (c1, c2, rho_micro). */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least two columns")
+    var ranked = df.select(cols.map(col): _*)
+    for (c <- cols) {
+      val counts = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("cnt"))
+      val r = Scale.packByTokenBudget(counts, "__v", "cnt", Long.MaxValue)
+        .select(col("__v").as(c),
+          ((lit(2L) * col("cum_before")) + col("cnt") + lit(1L)).as(s"r_$c"))
+      ranked = ranked.join(r, c)
+    }
+    val rd = ranked.selectExpr(
+      cols.map(c => s"CAST(r_$c AS DECIMAL(38,0)) AS d_$c"): _*)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = cols.map(c => sum(col(s"d_$c")).as(s"s_$c")) ++
+      cols.map(c => sum(col(s"d_$c") * col(s"d_$c")).as(s"ss_$c")) ++
+      pairs.map { case (a, b) => sum(col(s"d_$a") * col(s"d_$b")).as(s"sp_${a}_$b") }
+    val sums = rd.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', ${pearsonExpr(s"s_$a", s"s_$b", s"ss_$a", s"ss_$b", s"sp_${a}_$b")}"
+    }.mkString(", ")
+    sums.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (c1, c2, rho_micro)")
+  }
+
   /** Frequent length-2 sequential patterns (reference
     * mllib/src/main/scala/org/apache/spark/mllib/fpm/PrefixSpan.scala:79
     * mines general gapped sequences by iterative prefix projection; at

@@ -459,6 +459,22 @@ object Stats {
           |ORDER BY n DESC, item""".stripMargin)
     },
 
+    // Spearman correlation MATRIX (reference Correlations.scala
+    // corrMatrix with method = "spearman": rank every column with
+    // averaged ties, Pearson matrix on the ranks — closes the matrix
+    // leg next to n17's pairwise and n21's Pearson matrix) over the
+    // n21 triple: quantity's ~50 distinct values tie-stress all three
+    // rankings.
+    "n25_spearman_matrix" -> { (s, dir) =>
+      graft.ext.Learn.spearmanMatrix(
+          Tables.lineitem(s, dir).select(
+            expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+            expr("CAST(round(l_extendedprice) AS BIGINT)").as("price"),
+            expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc")),
+          Seq("qty", "price", "disc"))
+        .orderBy("c1", "c2")
+    },
+
     // sampleByKeyExact (reference PairRDDFunctions.scala:291): the
     // EXACT-size companion to n11's rate contract — every stratum
     // yields exactly ceil(n_k · f_k) rows, and the hash-order draw is
@@ -744,6 +760,41 @@ object Stats {
         |SELECT CAST((SELECT count(*) - 1 FROM rm) * (SELECT count(*) - 1 FROM cm) AS BIGINT) AS dof,
         |  stat_micro, TRUE AS ml_agrees, TRUE AS dof_agrees
         |FROM stat""".stripMargin,
+
+    // The n17 double-rank CTEs once per column, one sums row, the
+    // shared Pearson string per pair.
+    "n25_spearman_matrix" -> {
+      import graft.ext.Learn.pearsonExpr
+      def rankCte(c: String): String =
+        s"""r_$c AS (SELECT v AS $c, (2 * cb) + cnt + 1 AS rk_$c FROM (
+           |  SELECT v, cnt, COALESCE(sum(cnt) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+           |  FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)))""".stripMargin
+      val prs = Seq(("qty", "price"), ("qty", "disc"), ("price", "disc"))
+      val stackRows = prs.map { case (a, b) =>
+        s"SELECT '$a' AS c1, '$b' AS c2, ${pearsonExpr(s"s_$a", s"s_$b", s"ss_$a", s"ss_$b", s"sp_${a}_$b")} AS rho_micro FROM sums"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         |         CAST(round(l_extendedprice) AS BIGINT) AS price,
+         |         CAST(round(l_discount * 100) AS BIGINT) AS disc
+         |  FROM lineitem),
+         |${rankCte("qty")},
+         |${rankCte("price")},
+         |${rankCte("disc")},
+         |j AS (SELECT rk_qty, rk_price, rk_disc
+         |  FROM p JOIN r_qty USING (qty) JOIN r_price USING (price) JOIN r_disc USING (disc)),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(rk_qty) AS s_qty, sum(rk_price) AS s_price, sum(rk_disc) AS s_disc,
+         |    sum(rk_qty * rk_qty) AS ss_qty, sum(rk_price * rk_price) AS ss_price,
+         |    sum(rk_disc * rk_disc) AS ss_disc,
+         |    sum(rk_qty * rk_price) AS sp_qty_price,
+         |    sum(rk_qty * rk_disc) AS sp_qty_disc,
+         |    sum(rk_price * rk_disc) AS sp_price_disc
+         |  FROM j)
+         |$stackRows
+         |ORDER BY c1, c2""".stripMargin
+    },
 
     // Mirror of Scale.sampleByKeyExact: same md5 rank order, same pure
     // integer ceil quota ((n·ppm + 999999) // 1000000 on BIGINTs —

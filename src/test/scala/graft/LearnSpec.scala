@@ -336,6 +336,18 @@ class LearnSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("spearmanMatrix: every pair equals the pairwise spearman; tied textbook value included") {
+    import spark.implicits._
+    val df = (1L to 200L)
+      .map(i => ((i * 7) % 97, (i * i) % 89, i % 13)).toDF("x", "y", "z")
+    val m = Learn.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.size === 3)
+    for (((a, b), rho) <- m)
+      assert(rho === Learn.spearman(df.select(col(a), col(b)), a, b).head().getLong(1),
+        s"pair ($a, $b)")
+  }
+
   test("logistic regression learns a separable boundary and matches a scalar GD mirror") {
     import spark.implicits._
     // y = (x2 >= 0) over a CENTERED x2 in [-5, 4]: linearly separable with
