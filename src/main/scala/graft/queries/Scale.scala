@@ -313,6 +313,32 @@ object Scale {
         .orderBy("y")
     },
 
+    // Log-normal data generation (reference mllib/random/RandomRDDs
+    // .scala logNormalRDD + random/RandomDataGenerator.scala:126
+    // LogNormalGenerator — exp of a (mean, std) gaussian; extends the
+    // x15/x20/x24/x25 generator family with the heavy-tailed member).
+    // Same no-RNG machinery: per-id LCG seeds -> one Box-Muller draw ->
+    // exp(mu + sigma·z) at mu = 0, sigma = 0.5, micro-quantized through
+    // ONE shared libm expression. Gated through the purpose: per
+    // id-residue class the exact count/sum/extremes and the integer
+    // mean, whose log-normal expectation exp(mu + sigma^2/2) ≈ 1.133
+    // the recovered means sit on.
+    "x26_lognormal_datagen" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id")
+        .selectExpr("id", s"${lcgExpr("id")} AS p0")
+        .selectExpr("id", s"${lcgExpr("p0")} AS p1")
+        .selectExpr("id", "p1", s"${lcgExpr("p1")} AS p2")
+        .selectExpr("CAST(id % 4 AS BIGINT) AS grp",
+          s"CAST(round(exp(CAST(0.0 AS DOUBLE) + (CAST(0.5 AS DOUBLE) * $kgPointZ1)) * 1000000.0) AS BIGINT) AS x_micro")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("x_micro").as("sx"),
+          min("x_micro").as("min_micro"), max("x_micro").as("max_micro"))
+        .selectExpr("grp", "n", "sx", "min_micro", "max_micro",
+          "CAST(sx DIV n AS BIGINT) AS mean_micro")
+        .orderBy("grp")
+    },
+
     "x20_kmeans_datagen" -> { (s, dir) =>
       Tables.orders(s, dir)
         .selectExpr("o_orderkey AS id", "CAST(o_orderkey % 5 AS BIGINT) AS cluster")
@@ -606,6 +632,23 @@ object Scale {
          |  CAST(CAST(sum(x1_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean1_milli,
          |  CAST(CAST(sum(x2_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean2_milli
          |FROM pts GROUP BY 1 ORDER BY y""".stripMargin,
+
+    // The same LCG -> Box-Muller -> exp chain; integer sums and the
+    // BIGINT-division mean.
+    "x26_lognormal_datagen" ->
+      s"""WITH ids AS (SELECT o_orderkey AS id FROM orders),
+         |q0 AS (SELECT id, ${lcgExpr("id")} AS p0 FROM ids),
+         |q1 AS (SELECT id, ${lcgExpr("p0")} AS p1 FROM q0),
+         |q2 AS (SELECT id, p1, ${lcgExpr("p1")} AS p2 FROM q1),
+         |pts AS (SELECT CAST(id % 4 AS BIGINT) AS grp,
+         |    CAST(round(exp(CAST(0.0 AS DOUBLE) + (CAST(0.5 AS DOUBLE) * $kgPointZ1)) * 1000000.0) AS BIGINT) AS x_micro
+         |  FROM q2)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x_micro) AS BIGINT) AS sx,
+         |  CAST(min(x_micro) AS BIGINT) AS min_micro,
+         |  CAST(max(x_micro) AS BIGINT) AS max_micro,
+         |  CAST(CAST(sum(x_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
+         |FROM pts GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "x20_kmeans_datagen" ->
       s"""WITH ids AS (SELECT o_orderkey AS id,
