@@ -385,6 +385,74 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
 
+  // ---- MULTINOMIAL (softmax) logistic regression (reference
+  // mllib/classification/LogisticRegression.scala:91: numClasses > 2
+  // trains K−1 pivoted weight blocks — class 0 is the pivot — and
+  // optimization/Gradient.scala:60 LogisticGradient's multinomial
+  // branch computes exactly the p_k = e^{z_k}/(1 + Σ e^{z_j}) softmax
+  // below; the s43 one-vs-rest row is the REDUCTION, this is the joint
+  // model). House conventions: 2^16-quantized weights per block, micro
+  // probabilities through ONE shared exp/denominator string, exact
+  // integer gradient sums, constant step (declared like s19). --------
+
+  private def smZ(k: Int): String =
+    s"(CAST(((w0${k}q + (w1${k}q * x1)) + (w2${k}q * x2)) AS DOUBLE) / 65536.0)"
+
+  /** Class-k micro softmax probability over the two pivoted weight
+    * blocks (k ∈ {1, 2}; class 0 carries the remaining mass). */
+  def smProbExpr(k: Int): String =
+    s"CAST(round((exp(${smZ(k)}) / (1.0 + (exp(${smZ(1)}) + exp(${smZ(2)})))) * 1000000.0) AS BIGINT)"
+
+  /** The six-zero starting row (two blocks × three weights). */
+  def softmaxInit(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(1).selectExpr(
+      (for (k <- 1 to 2; j <- 0 to 2) yield s"CAST(0 AS BIGINT) AS w$j${k}q"): _*)
+
+  /** One full-batch softmax ascent step: six exact integer gradient
+    * sums Σ(1e6·[y = k] − p_k)·x_j, then the shared [[lrUpdExpr]]
+    * update per weight. */
+  def softmaxStep(feats: DataFrame, w: DataFrame, lr: Double): DataFrame = {
+    val scored = feats.crossJoin(broadcast(w))
+      .selectExpr("y", "x1", "x2",
+        s"${smProbExpr(1)} AS pm1", s"${smProbExpr(2)} AS pm2")
+      .selectExpr("x1", "x2",
+        "CAST(CASE WHEN y = 1 THEN 1000000 ELSE 0 END AS BIGINT) - pm1 AS e1",
+        "CAST(CASE WHEN y = 2 THEN 1000000 ELSE 0 END AS BIGINT) - pm2 AS e2")
+    val g = scored.agg(count(lit(1)).as("n"),
+      sum("e1").as("g01"), sum(col("e1") * col("x1")).as("g11"),
+      sum(col("e1") * col("x2")).as("g21"),
+      sum("e2").as("g02"), sum(col("e2") * col("x1")).as("g12"),
+      sum(col("e2") * col("x2")).as("g22"))
+    g.crossJoin(w).selectExpr(
+      (for (k <- 1 to 2; j <- 0 to 2)
+        yield s"${lrUpdExpr(s"w$j${k}q", s"g$j$k", lr)} AS w$j${k}q"): _*)
+  }
+
+  def softmaxFit2(feats: DataFrame, iters: Int = 6,
+                  lr: Double = 1.0): DataFrame = {
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = softmaxInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      w = softmaxStep(f, w, lr).localCheckpoint()
+    f.unpersist()
+    w
+  }
+
+  /** Score rows under fitted blocks: micro p1/p2, p0 the exact
+    * complement, argmax prediction with ties to the SMALLEST class
+    * (reference :108's first-max scan order). */
+  def softmaxPredict2(feats: DataFrame, weights: DataFrame,
+                      idCol: String): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(idCol, "CAST(y AS BIGINT) AS label",
+        s"${smProbExpr(1)} AS p1_micro", s"${smProbExpr(2)} AS p2_micro")
+      .selectExpr(idCol, "label", "p1_micro", "p2_micro",
+        "CAST(1000000 - (p1_micro + p2_micro) AS BIGINT) AS p0_micro")
+      .selectExpr(idCol, "label", "p0_micro", "p1_micro", "p2_micro",
+        "CAST(CASE WHEN p0_micro >= p1_micro AND p0_micro >= p2_micro THEN 0" +
+          " WHEN p1_micro >= p2_micro THEN 1 ELSE 2 END AS BIGINT) AS pred")
+
   // ---- L-BFGS (reference mllib/optimization/LBFGS.scala:40 — the
   // second registered optimizer next to GradientDescent; runLBFGS :169
   // delegates the direction to breeze's LBFGS over a CostFun computing

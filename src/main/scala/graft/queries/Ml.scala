@@ -522,6 +522,24 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // MULTINOMIAL softmax regression (reference LogisticRegression
+    // .scala:91 numClasses > 2 — K−1 pivoted weight blocks, class 0
+    // the pivot; Gradient.scala:60's multinomial branch IS the shared
+    // softmax string; s43's OVR is the reduction, this the joint
+    // model): three qty bands over centered features, twelve
+    // full-batch ascent steps (enough that all three classes carry
+    // predictions), cohort scored with the exact-complement p0 and
+    // smallest-class tie argmax.
+    "s87_softmax_regression" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST((qty DIV 10) - 10 AS BIGINT)").as("x2"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 150 THEN 2" +
+          " WHEN qty + 5 * (o_orderkey % 13) > 115 THEN 1 ELSE 0 END AS BIGINT)").as("y"))
+      val w = Learn.softmaxFit2(feats, iters = 12, lr = 2.0)
+      Learn.softmaxPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // The √t step decay + SquaredL2Updater (reference
     // GradientDescent.scala:226 stepSize/sqrt(iter); Updater.scala:93
     // w(1 − step·λ) − step·∇ — the two GradientDescent knobs every
@@ -2154,6 +2172,51 @@ object Ml {
          |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM feats CROSS JOIN w8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Twelve unrolled softmax iterations: the shared probability
+    // strings, six exact gradient sums per round, the s19 update per
+    // block weight.
+    "s87_softmax_regression" -> {
+      val iters = (1 to 12).map { k =>
+        val upds = (for (kk <- 1 to 2; j <- 0 to 2)
+          yield s"${Learn.lrUpdExpr(s"w$j${kk}q", s"g$j$kk", 2.0)} AS w$j${kk}q")
+          .mkString(",\n    ")
+        s"""mg$k AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(e1) AS BIGINT) AS g01, CAST(sum(e1 * x1) AS BIGINT) AS g11,
+           |    CAST(sum(e1 * x2) AS BIGINT) AS g21,
+           |    CAST(sum(e2) AS BIGINT) AS g02, CAST(sum(e2 * x1) AS BIGINT) AS g12,
+           |    CAST(sum(e2 * x2) AS BIGINT) AS g22
+           |  FROM (SELECT x1, x2,
+           |      CAST(CASE WHEN y = 1 THEN 1000000 ELSE 0 END AS BIGINT) - ${Learn.smProbExpr(1)} AS e1,
+           |      CAST(CASE WHEN y = 2 THEN 1000000 ELSE 0 END AS BIGINT) - ${Learn.smProbExpr(2)} AS e2
+           |    FROM mfeats CROSS JOIN mw${k - 1})),
+           |mw$k AS MATERIALIZED (
+           |  SELECT $upds
+           |  FROM mg$k CROSS JOIN mw${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val zeros = (for (kk <- 1 to 2; j <- 0 to 2)
+        yield s"0::BIGINT AS w$j${kk}q").mkString(", ")
+      s"""WITH $ordersBaseCte,
+         |mfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST((qty // 10) - 10 AS BIGINT) AS x2,
+         |    CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 150 THEN 2
+         |         WHEN qty + 5 * (o_orderkey % 13) > 115 THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM base),
+         |mw0 AS (SELECT $zeros),
+         |$iters,
+         |scored AS (
+         |  SELECT o_orderkey, CAST(y AS BIGINT) AS label,
+         |    ${Learn.smProbExpr(1)} AS p1_micro, ${Learn.smProbExpr(2)} AS p2_micro
+         |  FROM mfeats CROSS JOIN mw12 WHERE o_orderkey <= 4000)
+         |SELECT o_orderkey, label,
+         |  CAST(1000000 - (p1_micro + p2_micro) AS BIGINT) AS p0_micro,
+         |  p1_micro, p2_micro,
+         |  CAST(CASE WHEN 1000000 - (p1_micro + p2_micro) >= p1_micro
+         |         AND 1000000 - (p1_micro + p2_micro) >= p2_micro THEN 0
+         |       WHEN p1_micro >= p2_micro THEN 1 ELSE 2 END AS BIGINT) AS pred
+         |FROM scored ORDER BY o_orderkey""".stripMargin
     },
 
     // Eight unrolled full-batch iterations under the per-iteration

@@ -971,6 +971,24 @@ class LearnSpec extends SparkSpec {
     assert(leaves.collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("softmax regression separates three corner classes; probabilities complement exactly") {
+    import spark.implicits._
+    // three separable bands on x2
+    val feats = (1L to 300L).map { i =>
+      val x2 = (i % 15) - 7 // -7..7
+      (i, i % 3, x2, if (x2 <= -3) 0L else if (x2 <= 2) 1L else 2L)
+    }.toDF("id", "x1", "x2", "y")
+    val w = Learn.softmaxFit2(feats, iters = 20, lr = 2.0)
+    val scored = Learn.softmaxPredict2(feats, w, "id").collect()
+    val acc = scored.count(r => r.getLong(5) === r.getLong(1)).toDouble / scored.length
+    assert(acc >= 0.95, s"softmax accuracy $acc")
+    // p0 is the EXACT integer complement on every row
+    assert(scored.forall(r => r.getLong(2) + r.getLong(3) + r.getLong(4) === 1000000L))
+    // partitioning-deterministic
+    val w2 = Learn.softmaxFit2(feats.repartition(7), iters = 20, lr = 2.0)
+    assert(w2.head().toSeq === w.head().toSeq)
+  }
+
   test("decayed L2 SGD: lambda shrinks the boundary weight; decay changes the trajectory") {
     import spark.implicits._
     val feats = (1L to 200L)
