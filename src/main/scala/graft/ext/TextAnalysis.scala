@@ -613,6 +613,40 @@ object TextAnalysis {
     out
   }
 
+  /** [[tfidfTopTerms]] under the reference's minDocFreq floor (mllib
+    * feature/IDF.scala:40; :34: a term in fewer than minDocFreq
+    * documents gets idf 0, zeroing its TF-IDF — the vocabulary-pruning
+    * knob production TF-IDF always runs with) and the reference's
+    * UNSMOOTHED mllib formula ln((m + 1)/(df + 1)) (t06 uses the
+    * +1-smoothed ml variant). Scores micro-quantized through ONE
+    * shared formula so the gate is integer-exact; zeroed terms still
+    * rank (deterministically, by term) so the floor's effect is on
+    * the gated path. Same one-scan persist discipline as
+    * [[tfidfTopTerms]]. */
+  def tfidfMinDf(docs: DataFrame, idCol: String, textCol: String,
+                 topK: Int = 3, minDocFreq: Long = 100L): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct("doc_id").as("n"))
+    val out = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_micro", expr(
+        s"CAST(round(CASE WHEN df >= $minDocFreq THEN " +
+          "CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) * 1000000.0 " +
+          "ELSE 0.0 END) AS BIGINT)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf_micro").desc, col("term"))))
+      .filter(col("rn") <= topK)
+      .select("doc_id", "term", "tf", "df", "tfidf_micro")
+      .localCheckpoint()
+    tf.unpersist()
+    out
+  }
+
   /** Fixed-size chunking — context-window preprocessing: each document's
     * token run splits into ceil(n/L) order-preserving chunks of at most
     * L tokens (final chunk ragged). The complement to the x10 packer

@@ -58,6 +58,17 @@ object TextAnalysis {
         .orderBy("doc_id", "term")
     },
 
+    // IDF's minDocFreq floor + the UNSMOOTHED mllib formula (reference
+    // feature/IDF.scala:40/:34 — rare terms' idf pinned to 0, the
+    // vocabulary-pruning knob; t06 is the ml +1-smoothed variant):
+    // df < 100 terms zero out of the ranking at sf0.01 while the
+    // common vocabulary keeps exact micro scores.
+    "t23_tfidf_mindf" -> { (s, dir) =>
+      T.tfidfMinDf(Tables.documents(s, dir), "doc_id", "text",
+          topK = 3, minDocFreq = 100L)
+        .orderBy("doc_id", "term")
+    },
+
     // Canonical normalization pass: lowercase, punct -> space, collapse,
     // trim — pure narrow map, no shuffle.
     "t07_normalize" -> { (s, dir) =>
@@ -381,6 +392,28 @@ object TextAnalysis {
         |      ORDER BY tf.tf::DOUBLE * (ln((nn.n + 1)::DOUBLE / (dfreq.df + 1)::DOUBLE) + 1.0::DOUBLE) DESC,
         |        tf.term) AS rn
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+        |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
+
+    // The t06 chain under the minDocFreq CASE and the unsmoothed
+    // formula, micro-quantized once.
+    "t23_tfidf_mindf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(round(CASE WHEN dfreq.df >= 100 THEN
+        |      CAST(tf.tf AS DOUBLE) * ln((CAST(nn.n AS DOUBLE) + 1.0) / (CAST(dfreq.df AS DOUBLE) + 1.0)) * 1000000.0
+        |      ELSE 0.0 END) AS BIGINT) AS tfidf_micro
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+        |SELECT doc_id, term, tf, df, tfidf_micro FROM (
+        |  SELECT doc_id, term, tf, df, tfidf_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf_micro DESC, term) AS rn
+        |  FROM scored)
         |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin,
 
     "t07_normalize" ->
