@@ -664,8 +664,11 @@ object Clustering {
       .localCheckpoint()
     for (t <- 1 to iters) {
       val eb = oldaEb(lambda)
+      // residue rotates mod 4 so iters > 4 reuses the batches instead of
+      // selecting an empty one (pmod ∈ {0..3} never equals t-1 ≥ 4, and an
+      // empty batch makes ss = 0 → dd/0 → NaN λ)
       val bc = counts.filter(expr(
-        s"pmod(${Dedup.portableHash("cast(did as string)", "'oldab'")}, 4) = ${t - 1}"))
+        s"pmod(${Dedup.portableHash("cast(did as string)", "'oldab'")}, 4) = ${(t - 1) % 4}"))
       // one γ update (the declared inner-loop slice), then the batch
       // sufficient statistics under the UPDATED γ — the reference's
       // post-loop sstats shape

@@ -396,7 +396,12 @@ object Learn {
   // integer gradient sums, constant step (declared like s19). --------
 
   private def smZ(k: Int): String =
-    s"(CAST(((w0${k}q + (w1${k}q * x1)) + (w2${k}q * x2)) AS DOUBLE) / 65536.0)"
+    // least(·, 700) keeps exp finite for |z| beyond the IEEE overflow knee
+    // (~709.78) — without it one wide margin turns the softmax into
+    // Inf/Inf = NaN → null, unlike lrProbExpr's 1/(1+exp(−z)) which
+    // saturates gracefully. Shared verbatim with the oracle, so both
+    // engines clamp identically; a no-op at the gated magnitudes.
+    s"least((CAST(((w0${k}q + (w1${k}q * x1)) + (w2${k}q * x2)) AS DOUBLE) / 65536.0), 700.0)"
 
   /** Class-k micro softmax probability over the two pivoted weight
     * blocks (k ∈ {1, 2}; class 0 carries the remaining mass). */

@@ -2022,7 +2022,7 @@ object Ml {
          |bx AS MATERIALIZED (SELECT l.o_orderkey, l.feat,
          |    coalesce(min(CASE WHEN t.thr >= l.val THEN t.thr END),
          |             4611686018427387904) AS bval
-         |  FROM lfall l JOIN tht t ON t.feat = l.feat
+         |  FROM lfall l LEFT JOIN tht t ON t.feat = l.feat
          |  GROUP BY l.o_orderkey, l.feat, l.val),
          |ur0 AS MATERIALIZED (
          |  SELECT r.o_orderkey, bxa.bval AS x1, bxb.bval AS x2, r.ym AS y, 1::BIGINT AS node
@@ -2348,7 +2348,7 @@ object Ml {
          |bx AS MATERIALIZED (SELECT l.o_orderkey, l.feat,
          |    coalesce(min(CASE WHEN t.thr >= l.val THEN t.thr END),
          |             4611686018427387904) AS bval
-         |  FROM lfall l JOIN tht t ON t.feat = l.feat
+         |  FROM lfall l LEFT JOIN tht t ON t.feat = l.feat
          |  GROUP BY l.o_orderkey, l.feat, l.val),
          |zr0 AS MATERIALIZED (
          |  SELECT r.o_orderkey, bxa.bval AS x1, bxb.bval AS x2, r.y, 1::BIGINT AS node

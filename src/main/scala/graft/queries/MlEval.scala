@@ -298,7 +298,7 @@ object MlEval {
          |    ${Clustering.oldaRatioExpr("l1", "ls1", "//")} AS eb1,
          |    ${Clustering.oldaRatioExpr("l2", "ls2", "//")} AS eb2
          |  FROM lam${t - 1} CROSS JOIN ls$t),
-         |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${t - 1}),
+         |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${(t - 1) % 4}),
          |gz$t AS (SELECT did, CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1,
          |    CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2
          |  FROM (SELECT DISTINCT did FROM bc$t)),
@@ -405,10 +405,14 @@ object MlEval {
         |grp AS (SELECT CAST(count(*) // 20 AS BIGINT) AS grouping FROM g),
         |idx AS (SELECT thr, n, np,
         |    CAST(row_number() OVER (ORDER BY thr DESC) AS BIGINT) AS rnk FROM g),
-        |b AS MATERIALIZED (SELECT CAST((rnk - 1) // grouping AS BIGINT) AS bin,
+        |b AS MATERIALIZED (
+        |  SELECT CAST((rnk - 1) // grouping AS BIGINT) AS bin,
         |    CAST(max(thr) AS BIGINT) AS thr, CAST(sum(n) AS BIGINT) AS n,
         |    CAST(sum(np) AS BIGINT) AS np
-        |  FROM idx CROSS JOIN grp GROUP BY 1),
+        |  FROM idx CROSS JOIN grp WHERE grouping >= 2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT rnk AS bin, thr, n, np
+        |  FROM idx CROSS JOIN grp WHERE grouping < 2),
         |cum AS (SELECT thr,
         |    CAST(sum(np) OVER w AS BIGINT) AS tp,
         |    CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
