@@ -345,25 +345,90 @@ object Scale {
     }
   }
 
+  /** Deterministic md5-hash-order rank WITHIN each stratum, computed
+    * PARTITION-parallel — the [[globalRowIndex]] partition-offset
+    * machinery applied per (stratum × partition), replacing the per-
+    * stratum rank window the r17 audit flagged: a
+    * `Window.partitionBy(grp)` funnels each stratum's FULL row set
+    * through one task, which is exactly wrong for the operator's common
+    * use (a 100 TB corpus stratified by a handful of languages/domains).
+    * The reference earns the same exactness partition-parallel
+    * (core/.../util/random/StratifiedSamplingUtils.scala: per-partition
+    * acceptance counts + a driver-merged bounded selection set).
+    *
+    * Mechanics: range-repartition on (grp, h, id) — global order across
+    * partitions — sort within partitions, and take the partition-LOCAL
+    * row number from `monotonically_increasing_id` (sequential per
+    * partition, assigned above the sort; nondeterministic-flagged, so
+    * Catalyst never reorders it past the sort). One tiny aggregate
+    * collects (partition, stratum) → (first id, row count) — bounded by
+    * numPartitions × strata, the same driver-side budget the reference's
+    * selection sets use — and a broadcast literal map folds each cell's
+    * cumulative stratum offset and local origin into ONE additive
+    * constant. No WindowExec anywhere; every task ranks only its own
+    * slice. The ranked frame stays persisted (mids must be read back,
+    * not recomputed); callers filter, checkpoint their small result,
+    * then `release()`. Ranks equal the old global window's by
+    * construction: range partitioning makes (h, id) order within a
+    * stratum consistent across partitions.
+    *
+    * Returns (ranked frame with (grp, id, pick), per-stratum total rows
+    * keyed by grp-as-string, release thunk). */
+  private[graft] def stratumRank(base: DataFrame, salt: String,
+                                 numPartitions: Int = 32)
+      : (DataFrame, Map[String, Long], () => Unit) = {
+    val ranged = base
+      .withColumn("h", expr(Dedup.portableHash("cast(id as string)", salt)))
+      .repartitionByRange(numPartitions, col("grp"), col("h"), col("id"))
+      .sortWithinPartitions("grp", "h", "id")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = ranged
+      .groupBy(col("__pid"), col("grp").cast("string").as("__gs"))
+      .agg(min("__mid").as("lo"), count(lit(1)).as("c"))
+      .collect() // bounded: numPartitions × strata rows
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val adj = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val totals = scala.collection.mutable.LinkedHashMap[String, Long]()
+    cells.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (gs, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1).foreach { case (pid, _, lo, c) =>
+        adj(s"$pid:$gs") = acc - lo + 1L // pick = __mid + adj
+        acc += c
+      }
+      totals(gs) = acc
+    }
+    val adjCol =
+      if (adj.isEmpty) lit(null).cast("bigint")
+      else element_at(
+        map(adj.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        concat(col("__pid").cast("string"), lit(":"), col("grp").cast("string")))
+    val ranked = ranged.withColumn("pick", col("__mid") + adjCol)
+      .select(col("grp"), col("id"), col("pick"))
+    (ranked, totals.toMap, () => { ranged.unpersist(); () })
+  }
+
   /** Fixed-SIZE deterministic per-group sample: exactly min(m, |group|)
     * rows per group, picked by md5-hash order with an id tiebreak — the
     * eval-set construction primitive. Rate-based samplers (`sampleBy`,
     * the t14 mixture coin) give binomially-distributed group sizes;
     * benchmark/eval sets need EXACT counts, reproducible regardless of
     * ingestion order or partitioning — which is what hash order (a
-    * deterministic shuffle of each group) provides. One shuffle: the
-    * per-group window; at 100 TB the window partitions by the group key,
-    * never globally, and m rows per group stream out of each partition's
-    * top-m heap. */
+    * deterministic shuffle of each group) provides. Ranks come from
+    * [[stratumRank]]'s partition-parallel machinery (one range shuffle +
+    * a strata-bounded driver aggregate; NO per-group window), so a group
+    * holding half the corpus never funnels through one task. */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
-                  m: Int): DataFrame =
-    df.select(col(groupCol).as("grp"), col(idCol).as("id"))
-      .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'gs'")))
-      .withColumn("pick", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("grp").orderBy(col("h"), col("id"))).cast("int"))
-      .filter(col("pick") <= m)
-      .select(col("grp"), col("id"), col("pick"))
+                  m: Int): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"))
+    val (ranked, _, release) = stratumRank(base, "'gs'")
+    val out = ranked.filter(col("pick") <= m)
+      .select(col("grp"), col("id"), col("pick").cast("int").as("pick"))
+      .localCheckpoint() // eager, m-per-group bounded: safe to release
+    release()
+    out
+  }
 
   /** Exact per-stratum sampling (reference core/.../rdd/
     * PairRDDFunctions.scala:291 sampleByKeyExact — exactly
@@ -371,34 +436,37 @@ object Scale {
     * sampleByKey only hits the rate in expectation). The reference
     * earns exactness with acceptance sampling plus a per-stratum
     * selection threshold over random scores (StratifiedSamplingUtils'
-    * two-pass design); the same contract here is the [[groupSample]]
-    * hash-order machinery generalized to per-key QUOTAS: rows rank
-    * deterministically inside their stratum by portable md5 order and
-    * the first quota_k win. Fractions arrive as parts-per-million
-    * BIGINTs so the quota is pure integer arithmetic
-    * (ceil(a/b) = (a + b − 1) DIV b) — no float edge can make two
-    * engines disagree by one row. Keys absent from `fracsPpm` are
-    * excluded (the reference throws on them instead — declared
-    * deviation). Cost: one count aggregate + one partitioned rank
-    * window; scale-safe under the x11/x19 per-stratum-fits-a-partition
-    * caveat, and the quota table is key-cardinality-bounded
-    * (broadcast). Returns (grp, id, pick, n, quota). */
+    * two-pass design); here the [[stratumRank]] hash order is the
+    * random score and the first quota_k ranks win — same contract,
+    * same partition-parallel shape (per-partition stratum counts to
+    * the driver, broadcast offsets back, partition-local rank; no
+    * stratum ever sorts in one task). Fractions arrive as
+    * parts-per-million BIGINTs so the quota is pure integer arithmetic
+    * (ceil(a/b) = (a + b − 1) DIV b over nonnegative longs — identical
+    * in Scala, Spark and the oracle); stratum totals fall out of the
+    * rank pass, so no second count aggregate runs. Keys absent from
+    * `fracsPpm` are excluded (the reference throws on them instead —
+    * declared deviation). Returns (grp, id, pick, n, quota). */
   def sampleByKeyExact(df: DataFrame, keyCol: String, idCol: String,
                        fracsPpm: Map[String, Long]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val fracs = fracsPpm.toSeq.sortBy(_._1).toDF("grp", "ppm")
     val base = df.select(col(keyCol).as("grp"), col(idCol).as("id"))
-    val quotas = base.groupBy("grp").agg(count(lit(1)).as("n"))
-      .join(broadcast(fracs), Seq("grp"))
-      .selectExpr("grp", "n", "CAST((n * ppm + 999999) DIV 1000000 AS BIGINT) AS quota")
-    base.join(broadcast(quotas), Seq("grp"))
-      .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'sbke'")))
-      .withColumn("pick", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("grp").orderBy(col("h"), col("id"))).cast("long"))
-      .filter(col("pick") <= col("quota"))
+    val (ranked, totals, release) = stratumRank(base, "'sbke'")
+    val nq = totals.toSeq.sortBy(_._1).flatMap { case (gs, n) =>
+      fracsPpm.get(gs).map(ppm => (gs, n, (n * ppm + 999999L) / 1000000L))
+    }
+    def lookup(vals: Seq[(String, Long)]): org.apache.spark.sql.Column =
+      if (vals.isEmpty) lit(null).cast("bigint")
+      else element_at(
+        map(vals.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("grp").cast("string"))
+    val out = ranked
+      .withColumn("n", lookup(nq.map(t => t._1 -> t._2)))
+      .withColumn("quota", lookup(nq.map(t => t._1 -> t._3)))
+      .filter(col("quota").isNotNull && col("pick") <= col("quota"))
       .select(col("grp"), col("id"), col("pick"), col("n"), col("quota"))
+      .localCheckpoint() // eager, quota-bounded: safe to release
+    release()
+    out
   }
 
   /** Distributed sparse matrix multiply in block-coordinate form — the

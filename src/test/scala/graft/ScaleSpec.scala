@@ -188,6 +188,33 @@ class ScaleSpec extends SparkSpec {
     assert(picked.toSet === reparted.toSet)
   }
 
+  test("stratumRank: partition-parallel — no WindowExec, ranks match the window's") {
+    import spark.implicits._
+    // 3 strata of very different sizes spread over several partitions
+    val rows = ((1 to 80).map(i => ("en", i.toLong)) ++
+      (1 to 9).map(i => ("de", 200L + i)) ++ Seq(("fr", 500L)))
+      .toDF("grp", "id").repartition(7)
+    val (ranked, totals, release) = Scale.stratumRank(rows, "'gs'", numPartitions = 5)
+    // the rank plan never funnels a stratum through one task
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+    val got = ranked.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    release()
+    assert(totals === Map("en" -> 80L, "de" -> 9L, "fr" -> 1L))
+    // ranks are a permutation 1..n_k per stratum…
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to totals(g)), s"stratum $g")
+    }
+    // …and equal the per-stratum hash-order window rank they replaced
+    val expected = rows
+      .withColumn("h", expr(graft.ext.Dedup.portableHash("cast(id as string)", "'gs'")))
+      .withColumn("pick", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("h"), col("id"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("pick"))).toSet
+    assert(got.toSet === expected)
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     import spark.implicits._
     // one hot key carrying ~all rows of the left side vs a tiny right side:
