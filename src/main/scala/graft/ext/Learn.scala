@@ -916,10 +916,15 @@ object Learn {
     * so the per-feature sample is ~10000·maxBins rows, sort each
     * feature's sampled values in memory, take maxBins−1 evenly spaced
     * elements as the split thresholds). Deterministic replica: the
-    * sample is a portable md5-hash residue class of `idCol`
-    * (`sampleMod` = 1 keeps everything — exact mode; at scale the
-    * caller sizes sampleMod ≈ rows/(10000·maxBins), the reference's
-    * own fraction), and the thresholds are the sample's per-feature
+    * sample is a portable md5-hash residue class of `idCol`. The
+    * default `sampleMod` = 0 AUTO-SIZES the residue class from one
+    * cheap count so the per-feature sample is ≈ 10000·maxBins rows —
+    * the reference's own fraction, now enforced rather than advisory
+    * (the reference never exposes an unsampled path at all:
+    * DecisionTree.scala:966+ always subsamples before the in-memory
+    * sort). An explicit `sampleMod` ≥ 1 pins the class width instead
+    * (1 keeps everything — exact mode, for inputs the CALLER knows are
+    * small). The thresholds are the sample's per-feature
     * order statistics at ranks (cnt·b) DIV maxBins for b ∈
     * [1, maxBins), dedup'd — pure integer rank arithmetic, no
     * percentile interpolation seam. The rank window partitions by
@@ -932,12 +937,22 @@ object Learn {
     * row-feature pair, the [[treeLevels]] stack shape). Returns
     * (feat, thr) — at most maxBins−1 distinct thresholds per feature. */
   def quantileBinThresholds(lf: DataFrame, idCol: String, maxBins: Int,
-                            sampleMod: Int = 1): DataFrame = {
+                            sampleMod: Int = 0): DataFrame = {
     require(maxBins >= 2, s"maxBins must be >= 2, got $maxBins")
-    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    require(sampleMod >= 0, s"sampleMod must be >= 0, got $sampleMod")
     import org.apache.spark.sql.expressions.Window
+    val sm =
+      if (sampleMod >= 1) sampleMod
+      else {
+        val s = lf.agg(count(lit(1)).as("n"),
+          countDistinct(col("feat")).as("k")).head()
+        val perFeat = s.getLong(0) / math.max(1L, s.getLong(1))
+        val target = 10000L * maxBins
+        math.min(Int.MaxValue.toLong,
+          math.max(1L, (perFeat + target - 1) / target)).toInt
+      }
     val samp = lf.filter(expr(
-      s"${Dedup.portableHash(s"cast($idCol as string)", "'bin'")} % $sampleMod = 0"))
+      s"${Dedup.portableHash(s"cast($idCol as string)", "'bin'")} % $sm = 0"))
     val cnt = samp.groupBy("feat").agg(count(lit(1)).as("cnt"))
     val pos = cnt
       .withColumn("b", explode(expr(s"sequence(1, ${maxBins - 1})")))
@@ -964,7 +979,7 @@ object Learn {
     * integers) and re-embedded as one codegen'd CASE per feature, so
     * binning adds zero joins to the per-level fit loop. */
   def binnedFeatures(rows: DataFrame, feats: Seq[String], idCol: String,
-                     maxBins: Int, sampleMod: Int = 1): DataFrame = {
+                     maxBins: Int, sampleMod: Int = 0): DataFrame = {
     val stack = feats.zipWithIndex
       .map { case (f, i) => s"${i + 1}L, $f" }.mkString(", ")
     val lf = rows.selectExpr(idCol,

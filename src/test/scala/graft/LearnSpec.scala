@@ -952,6 +952,22 @@ class LearnSpec extends SparkSpec {
     assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
   }
 
+  test("quantileBinThresholds default auto-sizes the hash sample from the row count") {
+    import spark.implicits._
+    // one feature, 45000 rows, maxBins = 2 -> target 20000 sampled rows
+    // per feature -> auto sampleMod = ceil(45000 / 20000) = 3; the
+    // default must match an explicit sampleMod = 3, not exact mode
+    val lf = (1L to 45000L).map(i => (i, 1L, i)).toDF("id", "feat", "val")
+    val auto = Learn.quantileBinThresholds(lf, "id", maxBins = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit3 = Learn.quantileBinThresholds(lf, "id", maxBins = 2, sampleMod = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Learn.quantileBinThresholds(lf, "id", maxBins = 2, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit3)
+    assert(auto !== exact) // the sampled median differs from the exact one
+  }
+
   test("minInstancesPerNode moves the chosen split; minGainMilli prunes a node to a leaf") {
     import spark.implicits._
     // y = 1 only at x1 = 10: the unconstrained best split isolates it
