@@ -969,6 +969,97 @@ object Learn {
     * the routing CASEs' `<=` compares overflow-free. */
   val binSentinel: Long = 1L << 62
 
+  /** Centroid ordering for an UNORDERED categorical feature — the
+    * reference's ordered-categorical trick (mllib/tree/DecisionTree
+    * .scala:966 findSplitsBins' categorical branch + Strategy.scala:77
+    * categoricalFeaturesInfo): for binary classification / regression,
+    * categories sort by their label centroid (mean label) and the tree
+    * then splits on centroid-order PREFIXES — Breiman's result that the
+    * optimal subset split is always a prefix of the centroid order, so
+    * K−1 candidates cover all 2^(K−1)−1 subsets. Deterministic replica:
+    * the centroid compares as the nano-quantized integer quotient
+    * (sy·10⁹) DIV n with a category-value tiebreak (declared deviation:
+    * the reference compares exact double centroids; two categories whose
+    * means differ below 1e-9 order by value here — no cross-engine float
+    * seam). The rank window is unpartitioned but runs over the per-
+    * category aggregate — arity-bounded, the same in-memory budget as
+    * the reference's centroid sort. Returns (cat, crank, n, sy), crank
+    * ∈ 1..K ascending by centroid. */
+  def centroidCategoryRanks(df: DataFrame, catCol: String,
+                            labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(catCol).as("cat"))
+      .agg(count(lit(1)).as("n"), sum(labelCol).as("sy"))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(expr("(sy * 1000000000) DIV n"), col("cat"))).cast("long"))
+      .select("cat", "crank", "n", "sy")
+  }
+
+  /** Depth-`maxDepth` classification tree over (catCol STRING
+    * unordered-categorical, x2 BIGINT ordered, y 0/1) — the reference's
+    * categoricalFeaturesInfo leg: feature 1's candidates are centroid-
+    * order prefixes from [[centroidCategoryRanks]] (subset splits, not
+    * value-order cuts), feature 2 stays an ordered numeric. The fit
+    * itself is [[decisionTree2]] over the rank-encoded frame — the
+    * encode join broadcasts the arity-bounded rank table, so the
+    * per-level histogram machinery (and its bins-bounded windows) is
+    * reused unchanged. Scoring never re-encodes: fitted feat-1 splits
+    * translate to membership sets (crank ≤ thr ⟺ cat ∈ prefix) and RAW
+    * rows route through one codegen'd IN-set CASE per level — the split
+    * tables are nodes-bounded, the rank table arity-bounded, both
+    * collected like [[binnedFeatures]]' threshold CASE.
+    *
+    * Returns one row per leaf: (leaf, n, n_pos, pred, parent_feat,
+    * parent_cut) where parent_cut is the parent's membership set as a
+    * comma-joined centroid-ordered string for feat 1, the threshold
+    * rendered as a string for feat 2, '-' for the root. */
+  def categoricalTree2(rows: DataFrame, catCol: String, x2Col: String,
+                       labelCol: String, maxDepth: Int = 2): DataFrame = {
+    val base = rows.select(col(catCol).as("cat"), col(x2Col).as("x2"),
+      col(labelCol).as("y"))
+    val ranks = centroidCategoryRanks(base, "cat", "y")
+    val enc = base.join(broadcast(ranks.select("cat", "crank")), "cat")
+      .select(col("crank").as("x1"), col("x2"), col("y"))
+    val (_, splits) = decisionTree2(enc, maxDepth)
+    val rk = ranks.select("cat", "crank").collect() // arity-bounded
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val sp = splits.select("node", "feat", "thr").collect() // nodes-bounded
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def quote(s: String) = s"'${s.replace("'", "''")}'"
+    def cond(feat: Long, thr: Long): String =
+      if (feat == 1L) s"cat IN (${rk.filter(_._2 <= thr).map(t => quote(t._1)).mkString(", ")})"
+      else s"x2 <= ${thr}L"
+    // one routing CASE per level over the RAW columns
+    var routed = base.withColumn("node", lit(1L))
+    for (d <- 1 to maxDepth) {
+      val level = sp.filter { case (n, _, _) =>
+        n >= (1L << (d - 1)) && n < (1L << d) }
+      if (level.nonEmpty) {
+        val e = level.map { case (n, f, t) =>
+          s"WHEN node = ${n}L THEN (CASE WHEN ${cond(f, t)}" +
+            s" THEN node * 2 ELSE node * 2 + 1 END)"
+        }.mkString("CASE ", " ", " ELSE node END")
+        routed = routed.withColumn("node", expr(e))
+      }
+    }
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cuts = sp.map { case (n, f, t) =>
+      val cut =
+        if (f == 1L) rk.filter(_._2 <= t).map(_._1).mkString(",")
+        else t.toString
+      (n, f, cut)
+    }.toSeq.toDF("pnode", "parent_feat", "parent_cut")
+    routed.groupBy(col("node").as("leaf"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("pred",
+        expr("CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS BIGINT)"))
+      .join(broadcast(cuts), expr("leaf DIV 2") === col("pnode"), "left")
+      .selectExpr("leaf", "n", "n_pos", "pred",
+        "CAST(coalesce(parent_feat, 0) AS BIGINT) AS parent_feat",
+        "coalesce(parent_cut, '-') AS parent_cut")
+  }
+
   /** Replace continuous feature columns with their quantile-bin UPPER
     * EDGES (the reference's Bin boundaries, DecisionTree.scala:1015):
     * each value maps to the smallest [[quantileBinThresholds]]

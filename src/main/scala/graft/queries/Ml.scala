@@ -673,6 +673,32 @@ object Ml {
         .orderBy("leaf")
     },
 
+    // UNORDERED categorical feature splits (reference mllib/tree/
+    // configuration/Strategy.scala:77 categoricalFeaturesInfo + the
+    // categorical branch of DecisionTree.scala:966 findSplitsBins):
+    // feature 1 is o_orderstatus — split candidates are centroid-order
+    // PREFIXES (membership sets), not value-order cuts. The label is a
+    // per-status keyed coin (O ≈ 0.1, F ≈ 0.9, P ≈ 0.8 positive rate),
+    // so the centroid order is O < P < F while the codepoint order is
+    // F < O < P: the optimal root split {O} | {F, P} is NOT contiguous
+    // in value order — an ordered-integer tree cannot express it
+    // (LearnSpec pins the divergence on a fixture). x2 = o_orderkey % 7
+    // is label-independent noise the argmax must reject. Gated output:
+    // per-leaf counts/vote from routing RAW statuses through the fitted
+    // IN-set CASE, plus each leaf's parent split rendered as its
+    // membership set — the centroid ranking, the subset translation AND
+    // the categorical routing are all on the gated path.
+    "s88_categorical_tree" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).selectExpr(
+        "o_orderstatus AS cat",
+        "CAST(o_orderkey % 7 AS BIGINT) AS x2",
+        "CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 1 THEN 1 ELSE 0 END" +
+          " WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END" +
+          " ELSE CASE WHEN o_orderkey % 10 < 8 THEN 1 ELSE 0 END END AS BIGINT) AS y")
+      Learn.categoricalTree2(rows, "cat", "x2", "y", maxDepth = 2)
+        .orderBy("leaf")
+    },
+
     // Random forest (reference mllib/tree/RandomForest.scala — bagged
     // histogram trees, majority vote): three depth-2 trees over the
     // s19/s20 features, each trained on the deterministic id % 3 != t
@@ -2318,6 +2344,45 @@ object Ml {
          |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
          |ORDER BY leaf""".stripMargin
     },
+
+    // Mirror of categoricalTree2: per-status label centroids, the
+    // nano-quantized centroid rank order (value tiebreak), the s20
+    // level CTEs over the rank-encoded frame, and feat-1 splits
+    // rendered as centroid-order membership prefixes.
+    "s88_categorical_tree" ->
+      s"""WITH rows0 AS MATERIALIZED (
+         |  SELECT o_orderkey, o_orderstatus AS cat,
+         |    CAST(o_orderkey % 7 AS BIGINT) AS x2,
+         |    CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 1 THEN 1 ELSE 0 END
+         |         WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END
+         |         ELSE CASE WHEN o_orderkey % 10 < 8 THEN 1 ELSE 0 END END AS BIGINT) AS y
+         |  FROM orders),
+         |cstat AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy FROM rows0 GROUP BY 1),
+         |cranks AS MATERIALIZED (SELECT cat,
+         |    CAST(row_number() OVER (ORDER BY (sy * 1000000000) // n, cat) AS BIGINT) AS crank
+         |  FROM cstat),
+         |zr0 AS MATERIALIZED (
+         |  SELECT r.o_orderkey, c.crank AS x1, r.x2, r.y, 1::BIGINT AS node
+         |  FROM rows0 r JOIN cranks c USING (cat)),
+         |${dtLevelCte("z", 1)},
+         |${dtLevelCte("z", 2)},
+         |allsplits AS (SELECT node, feat, thr FROM zb1
+         |  UNION ALL SELECT node, feat, thr FROM zb2),
+         |cuts AS (SELECT s.node, s.feat AS parent_feat,
+         |    CASE WHEN s.feat = 1 THEN
+         |      (SELECT string_agg(cat, ',' ORDER BY crank) FROM cranks WHERE crank <= s.thr)
+         |    ELSE CAST(s.thr AS VARCHAR) END AS parent_cut
+         |  FROM allsplits s),
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM zr2 GROUP BY 1)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.parent_feat, 0) AS BIGINT) AS parent_feat,
+         |  coalesce(p.parent_cut, '-') AS parent_cut
+         |FROM leaves LEFT JOIN cuts p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin,
 
     // Mirror of binnedFeatures + decisionTree2: the hash sample, the
     // per-feature rank order statistics at (cnt·b) // 8, the

@@ -952,6 +952,45 @@ class LearnSpec extends SparkSpec {
     assert(thr === Set((1L, 25L), (1L, 50L), (1L, 75L), (2L, 0L)))
   }
 
+  test("categorical splits: centroid order isolates a category no ordered encoding can") {
+    import spark.implicits._
+    // categories with positive rates a = 0.9, b = 0.1, c = 0.8: codepoint
+    // order a < b < c, centroid order b < c < a. The optimal root split
+    // {b} | {a, c} is not contiguous in codepoint order, so an
+    // ordered-integer tree (a=1, b=2, c=3) cannot express it.
+    val rows = (
+      (1 to 10).map(i => ("a", 0L, if (i <= 9) 1L else 0L)) ++
+      (1 to 10).map(i => ("b", 0L, if (i <= 1) 1L else 0L)) ++
+      (1 to 10).map(i => ("c", 0L, if (i <= 8) 1L else 0L))
+    ).toDF("cat", "x2", "y")
+    val ranks = Learn.centroidCategoryRanks(rows, "cat", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks === Map("b" -> 1L, "c" -> 2L, "a" -> 3L))
+    val leaves = Learn.categoricalTree2(rows, "cat", "x2", "y", maxDepth = 1)
+      .collect().sortBy(_.getLong(0))
+    // root split is the membership set {b}: leaf 2 = b (10 rows, 1 pos),
+    // leaf 3 = {a, c} (20 rows, 17 pos)
+    assert(leaves.map(_.getString(5)).toSet === Set("b"))
+    val l2 = leaves.find(_.getLong(0) == 2L).get
+    val l3 = leaves.find(_.getLong(0) == 3L).get
+    assert((l2.getLong(1), l2.getLong(2), l2.getLong(3)) === ((10L, 1L, 0L)))
+    assert((l3.getLong(1), l3.getLong(2), l3.getLong(3)) === ((20L, 17L, 1L)))
+    // the ordered-integer tree over codepoint codes picks a strictly
+    // worse split: its best gini score is below the categorical one
+    val ordered = rows.selectExpr(
+      "CAST(CASE cat WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 3 END AS BIGINT) AS x1",
+      "x2", "y")
+    val ordScore = Learn.decisionTree2(ordered, maxDepth = 1)._2
+      .head().getLong(3)
+    val centroid = rows.join(
+        Learn.centroidCategoryRanks(rows, "cat", "y").select("cat", "crank"), "cat")
+      .selectExpr("crank AS x1", "x2", "y")
+    val catScore = Learn.decisionTree2(centroid, maxDepth = 1)._2
+      .head().getLong(3)
+    assert(catScore > ordScore,
+      s"centroid split ($catScore) must beat the ordered best ($ordScore)")
+  }
+
   test("quantileBinThresholds default auto-sizes the hash sample from the row count") {
     import spark.implicits._
     // one feature, 45000 rows, maxBins = 2 -> target 20000 sampled rows
