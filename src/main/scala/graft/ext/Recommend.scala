@@ -97,6 +97,69 @@ object Recommend {
       quant(((a11 * b2) - (a12 * b1)) / det).as("f2q"))
   }
 
+  /** One NONNEGATIVE half-step (reference mllib/optimization/NNLS
+    * .scala:65 solve — projected conjugate gradient per key, wired in
+    * by recommendation/ALS.scala:85,173 setNonnegative): at rank 2 the
+    * NNLS KKT point is found by exact active-set ENUMERATION instead of
+    * the reference's iterative CG (declared deviation — same convex QP,
+    * same unique optimum, but a closed form both engines reproduce
+    * bit-for-bit): take the unconstrained Cramer solve when it is
+    * already nonnegative (the usual case once the alternation settles
+    * in the positive cone); otherwise the optimum lies on a boundary —
+    * evaluate both single-variable candidates x2 = 0 (x1 = max(0,
+    * b1/a11)) and x1 = 0 (x2 = max(0, b2/a22)) and keep the one with
+    * the lower objective ½xᵀAx − bᵀx (ties to the x2 = 0 branch).
+    * Sums, λ, quantization identical to [[als]]'s solve. */
+  private def solveSideNonneg(ratings: DataFrame, other: DataFrame,
+                              solveKey: String, otherKey: String): DataFrame = {
+    val sums = ratings.join(other, otherKey)
+      .groupBy(solveKey)
+      .agg(
+        sum(col("f1q") * col("f1q")).as("a11"),
+        sum(col("f1q") * col("f2q")).as("a12"),
+        sum(col("f2q") * col("f2q")).as("a22"),
+        sum(col("r") * col("f1q")).as("b1"),
+        sum(col("r") * col("f2q")).as("b2"))
+    val a11 = (col("a11") / lit(Q2)) + lit(Lambda)
+    val a12 = col("a12") / lit(Q2)
+    val a22 = (col("a22") / lit(Q2)) + lit(Lambda)
+    val bd1 = col("b1") / lit(Q)
+    val bd2 = col("b2") / lit(Q)
+    val det = (a11 * a22) - (a12 * a12)
+    val x1u = ((a22 * bd1) - (a12 * bd2)) / det
+    val x2u = ((a11 * bd2) - (a12 * bd1)) / det
+    val c1 = when(col("b1") > 0, bd1 / a11).otherwise(lit(0.0))
+    val c2 = when(col("b2") > 0, bd2 / a22).otherwise(lit(0.0))
+    val o1 = ((lit(0.5) * a11) * (c1 * c1)) - (bd1 * c1)
+    val o2 = ((lit(0.5) * a22) * (c2 * c2)) - (bd2 * c2)
+    val interior = (x1u >= lit(0.0)) && (x2u >= lit(0.0))
+    def quant(x: Column): Column = round(x * lit(Q)).cast("long")
+    sums.select(col(solveKey),
+      quant(when(interior, x1u).when(o1 <= o2, c1).otherwise(lit(0.0))).as("f1q"),
+      quant(when(interior, x2u).when(o1 <= o2, lit(0.0)).otherwise(c2)).as("f2q"))
+  }
+
+  /** `iters` NONNEGATIVE ALS rounds — [[als]]'s alternation with every
+    * solve through [[solveSideNonneg]], the reference's setNonnegative
+    * mode: both final factor tables are elementwise ≥ 0, the
+    * interpretable-parts contract (NMF) users ask the third ALS mode
+    * for. Init stays the sign-diverse [[initItemFactors]] — only SOLVED
+    * sides are constrained (as in the reference, which clamps inside
+    * each solve, not the init); after the first user half-step every
+    * subsequent generation lives in the positive cone. */
+  def alsNonneg(ratings: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+    val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    var items = initItemFactors(r).localCheckpoint()
+    var users: DataFrame = null
+    for (_ <- 1 to iters) {
+      users = solveSideNonneg(r, items, "u", "i").localCheckpoint()
+      items = solveSideNonneg(r, users, "i", "u").localCheckpoint()
+    }
+    r.unpersist()
+    (users, items)
+  }
+
   /** One implicit-feedback half-step (Hu/Koren/Volinsky, ICDM'08 —
     * reference ALS.scala's implicitPrefs path, :91 `implicitPrefs`
     * param, updateBlock's `implicitPrefs` branch): every observation

@@ -98,6 +98,29 @@ object Ml {
       items.select("i", "f1q", "f2q").orderBy("i")
     },
 
+    // Nonnegative ALS (reference mllib/optimization/NNLS.scala:65 +
+    // recommendation/ALS.scala:85,173 setNonnegative — the third ALS
+    // mode, for interpretable nonnegative factors): ratings are PLANTED
+    // from a nonnegative rank-2 model over the real purchase sparsity
+    // pattern (r = (1 + u%3)(1 + i%4) + (u%2)(i%3) on observed (u, i)
+    // pairs), so the constrained alternation has a true nonnegative
+    // optimum to find. The sign-diverse init forces round-1 clamps (the
+    // boundary branches of the rank-2 NNLS enumeration are exercised on
+    // the gated path); the emitted item factors are all ≥ 0 by the
+    // solve's construction. RecommendSpec pins factors ≥ 0 on BOTH
+    // sides plus the planted-model RMSE comparison vs the clamp-free
+    // fit.
+    "s89_nonneg_als" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_suppkey").as("i")).distinct()
+        .selectExpr("u", "i",
+          "CAST((1 + u % 3) * (1 + i % 4) + (u % 2) * (i % 3) AS BIGINT) AS r")
+      val (_, items) = Recommend.alsNonneg(ratings, iters = 2)
+      items.select("i", "f1q", "f2q").orderBy("i")
+    },
+
     // SVD++ (reference graphx/lib/SVDPlusPlus.scala — the last GraphX lib
     // algorithm without a counterpart): bias + implicit-feedback factors
     // trained by two full-batch gradient iterations over the same purchase
@@ -1086,6 +1109,42 @@ object Ml {
        |      CAST(sum((1 + ($alpha * r.r)) * o.f2q) AS BIGINT) AS b2
        |    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey
        |    GROUP BY r.$solveKey) CROSS JOIN g_$out)""".stripMargin
+  }
+
+  /** Nonnegative half-step mirror: the same five sums and Cramer
+    * doubles as [[alsSolveCte]], then Recommend.solveSideNonneg's
+    * rank-2 NNLS enumeration CASE verbatim (interior solve if
+    * nonnegative, else the lower-objective boundary candidate). */
+  private def alsNonnegSolveCte(out: String, other: String,
+                                solveKey: String, otherKey: String): String = {
+    val a11 = "((a11 / 4294967296.0::DOUBLE) + 0.1::DOUBLE)"
+    val a22 = "((a22 / 4294967296.0::DOUBLE) + 0.1::DOUBLE)"
+    val a12 = "(a12 / 4294967296.0::DOUBLE)"
+    val bd1 = "(b1 / 65536.0::DOUBLE)"
+    val bd2 = "(b2 / 65536.0::DOUBLE)"
+    val det = s"(($a11 * $a22) - ($a12 * $a12))"
+    val x1u = s"((($a22 * $bd1) - ($a12 * $bd2)) / $det)"
+    val x2u = s"((($a11 * $bd2) - ($a12 * $bd1)) / $det)"
+    val c1 = s"(CASE WHEN b1 > 0 THEN ($bd1 / $a11) ELSE 0.0::DOUBLE END)"
+    val c2 = s"(CASE WHEN b2 > 0 THEN ($bd2 / $a22) ELSE 0.0::DOUBLE END)"
+    val o1 = s"(((0.5::DOUBLE * $a11) * ($c1 * $c1)) - ($bd1 * $c1))"
+    val o2 = s"(((0.5::DOUBLE * $a22) * ($c2 * $c2)) - ($bd2 * $c2))"
+    val interior = s"($x1u >= 0.0::DOUBLE AND $x2u >= 0.0::DOUBLE)"
+    def quant(x: String) =
+      s"CAST(round(($x) * 65536.0::DOUBLE) AS BIGINT)"
+    s"""$out AS MATERIALIZED (
+       |  SELECT $solveKey,
+       |    ${quant(s"CASE WHEN $interior THEN $x1u WHEN $o1 <= $o2 THEN $c1 ELSE 0.0::DOUBLE END")} AS f1q,
+       |    ${quant(s"CASE WHEN $interior THEN $x2u WHEN $o1 <= $o2 THEN 0.0::DOUBLE ELSE $c2 END")} AS f2q
+       |  FROM (
+       |    SELECT r.$solveKey,
+       |      CAST(sum(o.f1q * o.f1q) AS BIGINT) AS a11,
+       |      CAST(sum(o.f1q * o.f2q) AS BIGINT) AS a12,
+       |      CAST(sum(o.f2q * o.f2q) AS BIGINT) AS a22,
+       |      CAST(sum(r.r * o.f1q) AS BIGINT) AS b1,
+       |      CAST(sum(r.r * o.f2q) AS BIGINT) AS b2
+       |    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey
+       |    GROUP BY r.$solveKey))""".stripMargin
   }
 
   private def alsSolveCte(out: String, other: String,
@@ -2972,6 +3031,26 @@ object Ml {
          |  FROM cand)
          |SELECT u, CAST(rn AS BIGINT) AS rnk, i AS rec_item, score_q
          |FROM ranked WHERE rn <= 3 ORDER BY u, rnk""".stripMargin,
+
+    // Four unrolled NONNEGATIVE half-steps over the planted-model
+    // ratings: each step the shared five sums, the Cramer doubles, and
+    // the rank-2 NNLS enumeration CASE verbatim.
+    "s89_nonneg_als" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT u, i,
+         |    CAST((1 + u % 3) * (1 + i % 4) + (u % 2) * (i % 3) AS BIGINT) AS r
+         |  FROM (SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS i
+         |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)),
+         |y0 AS MATERIALIZED (
+         |  SELECT DISTINCT i,
+         |    (65536 + (i % 7) * 8192)::BIGINT AS f1q,
+         |    (((i % 5) - 2) * 16384)::BIGINT AS f2q
+         |  FROM ratings),
+         |${alsNonnegSolveCte("x1", "y0", "u", "i")},
+         |${alsNonnegSolveCte("y1", "x1", "i", "u")},
+         |${alsNonnegSolveCte("x2", "y1", "u", "i")},
+         |${alsNonnegSolveCte("y2", "x2", "i", "u")}
+         |SELECT i, f1q, f2q FROM y2 ORDER BY i""".stripMargin,
 
     // Four unrolled implicit half-steps: per step a fresh 1-row YᵀY
     // Gramian over the other side plus the per-key confidence sums.
