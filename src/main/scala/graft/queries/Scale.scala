@@ -40,6 +40,39 @@ object Scale {
     s"(sqrt(CAST(-2.0 AS DOUBLE) * ln($u1)) * cos(CAST(6.283185307179586 AS DOUBLE) * $u2))"
   private def bmZ2(u1: String, u2: String): String =
     s"(sqrt(CAST(-2.0 AS DOUBLE) * ln($u1)) * sin(CAST(6.283185307179586 AS DOUBLE) * $u2))"
+  /** x27's Poisson inverse CDF as ONE shared threshold CASE: the
+    * cumulative probabilities for Poisson(λ) are fixed constants, so
+    * inversion (the reference's sampling method — mllib/random/
+    * RandomRDDs.scala:149 poissonRDD via commons-math
+    * PoissonDistribution inversion) becomes a precomputed driver-side
+    * table of double literals embedded VERBATIM in both engines'
+    * expressions — the smallest k with CDF(k) ≥ u. Declared deviation:
+    * the table stops at `kMax` and lumps the residual tail mass
+    * (≈1.2e-6 at λ = 3, kMax = 12) into kMax, where the reference's
+    * search is unbounded. */
+  private def poissonInvCdf(lam: Double, kMax: Int, u: String): String = {
+    var p = math.exp(-lam)
+    var cdf = p
+    val cases = (0 until kMax).map { k =>
+      val w = s"WHEN $u <= CAST($cdf AS DOUBLE) THEN $k"
+      p = p * lam / (k + 1)
+      cdf += p
+      w
+    }
+    cases.mkString("(CASE ", " ", s" ELSE $kMax END)")
+  }
+
+  /** x27's Gamma(shape 3, scale 2) draw in milli-units — the sum of
+    * three exponentials (reference RandomRDDs.scala:260 gammaRDD /
+    * RandomDataGenerator.scala GammaGenerator; at integer shape the
+    * Marsaglia-Tsang sampler's law equals Σ_k Exp(θ), the form both
+    * engines reproduce exactly through shared ln calls — the x15
+    * expMilli convention, θ·1000 = 2000 folded into one round). */
+  private val gammaMilliExpr: String = {
+    def e(r: String) = s"ln(1.0 - (CAST($r AS DOUBLE) / $LcgMod.0))"
+    s"CAST(round(-2000.0 * ((${e("g1")} + ${e("g2")}) + ${e("g3")})) AS BIGINT)"
+  }
+
   /** Cluster center: r = 10 × the unit Gaussian of the cluster-seeded
     * draws (ca, cb); point offset: unit Gaussian of the id-seeded draws
     * (p1, p2). */
@@ -336,6 +369,45 @@ object Scale {
           min("x_micro").as("min_micro"), max("x_micro").as("max_micro"))
         .selectExpr("grp", "n", "sx", "min_micro", "max_micro",
           "CAST(sx DIV n AS BIGINT) AS mean_micro")
+        .orderBy("grp")
+    },
+
+    // Poisson + gamma data generation (reference mllib/random/
+    // RandomRDDs.scala:149 poissonRDD + :260 gammaRDD — the two
+    // remaining members of the distribution directory next to
+    // x15/x20/x24/x25/x26). Counter-based LCG streams as ever: the
+    // Poisson draw inverts a precomputed CDF threshold table at λ = 3
+    // (one shared literal CASE — see poissonInvCdf's deviation note),
+    // the gamma draw is the exact sum of three Exp(2) inverse-CDF
+    // draws (shape 3, scale 2). Gated through planted-parameter
+    // recovery per id-residue class: exact integer sums and sums of
+    // squares ride the rows (mean ≈ λ = 3000 milli and ≈ kθ = 6000
+    // milli; ScaleSpec re-derives the variances ≈ λ and kθ²).
+    "x27_poisson_gamma_datagen" -> { (s, dir) =>
+      val uP = s"(CAST(r1 AS DOUBLE) / $LcgMod.0)"
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id")
+        .selectExpr("id", s"${lcgExpr("id")} AS r0")
+        .selectExpr("id", s"${lcgExpr("r0")} AS r1")
+        .selectExpr("id", "r1", s"${lcgExpr("(id + 50000000)")} AS g0")
+        .selectExpr("id", "r1", s"${lcgExpr("g0")} AS g1")
+        .selectExpr("id", "r1", "g1", s"${lcgExpr("g1")} AS g2")
+        .selectExpr("id", "r1", "g1", "g2", s"${lcgExpr("g2")} AS g3")
+        .selectExpr("CAST(id % 4 AS BIGINT) AS grp",
+          s"CAST(${poissonInvCdf(3.0, 12, uP)} * 1000 AS BIGINT) AS pois_milli",
+          s"$gammaMilliExpr AS gamma_milli")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum("pois_milli").as("sp"),
+          sum(expr("pois_milli * pois_milli")).as("spp"),
+          max("pois_milli").as("max_pois_milli"),
+          sum("gamma_milli").as("sg"),
+          sum(expr("gamma_milli * gamma_milli")).as("sgg"),
+          max("gamma_milli").as("max_gamma_milli"))
+        .selectExpr("grp", "n", "sp", "spp", "max_pois_milli",
+          "sg", "sgg", "max_gamma_milli",
+          "CAST(sp DIV n AS BIGINT) AS pois_mean_milli",
+          "CAST(sg DIV n AS BIGINT) AS gamma_mean_milli")
         .orderBy("grp")
     },
 
@@ -649,6 +721,33 @@ object Scale {
          |  CAST(max(x_micro) AS BIGINT) AS max_micro,
          |  CAST(CAST(sum(x_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
          |FROM pts GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // The same LCG chains, the shared Poisson threshold CASE and the
+    // three-exponential gamma sum; integer sums + BIGINT-division means.
+    "x27_poisson_gamma_datagen" -> {
+      val uP = s"(CAST(r1 AS DOUBLE) / $LcgMod.0)"
+      s"""WITH ids AS (SELECT o_orderkey AS id FROM orders),
+         |c0 AS (SELECT id, ${lcgExpr("id")} AS r0 FROM ids),
+         |c1 AS (SELECT id, ${lcgExpr("r0")} AS r1 FROM c0),
+         |d0 AS (SELECT id, r1, ${lcgExpr("(id + 50000000)")} AS g0 FROM c1),
+         |d1 AS (SELECT id, r1, ${lcgExpr("g0")} AS g1 FROM d0),
+         |d2 AS (SELECT id, r1, g1, ${lcgExpr("g1")} AS g2 FROM d1),
+         |d3 AS (SELECT id, r1, g1, g2, ${lcgExpr("g2")} AS g3 FROM d2),
+         |pts AS (SELECT CAST(id % 4 AS BIGINT) AS grp,
+         |    CAST(${poissonInvCdf(3.0, 12, uP)} * 1000 AS BIGINT) AS pois_milli,
+         |    $gammaMilliExpr AS gamma_milli
+         |  FROM d3)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(pois_milli) AS BIGINT) AS sp,
+         |  CAST(sum(pois_milli * pois_milli) AS BIGINT) AS spp,
+         |  CAST(max(pois_milli) AS BIGINT) AS max_pois_milli,
+         |  CAST(sum(gamma_milli) AS BIGINT) AS sg,
+         |  CAST(sum(gamma_milli * gamma_milli) AS BIGINT) AS sgg,
+         |  CAST(max(gamma_milli) AS BIGINT) AS max_gamma_milli,
+         |  CAST(CAST(sum(pois_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS pois_mean_milli,
+         |  CAST(CAST(sum(gamma_milli) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS gamma_mean_milli
+         |FROM pts GROUP BY 1 ORDER BY grp""".stripMargin
+    },
 
     "x20_kmeans_datagen" ->
       s"""WITH ids AS (SELECT o_orderkey AS id,

@@ -188,6 +188,26 @@ class ScaleSpec extends SparkSpec {
     assert(picked.toSet === reparted.toSet)
   }
 
+  test("poisson + gamma datagen recover the planted parameters") {
+    val rows = graft.queries.Scale.defs("x27_poisson_gamma_datagen")(spark, sf001)
+      .collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      // Poisson(3): mean ≈ 3, variance ≈ 3 (milli units; ~375 draws/group)
+      val pm = r.getAs[Long]("sp") / n / 1000.0
+      val pv = (r.getAs[Long]("spp") / n - math.pow(r.getAs[Long]("sp") / n, 2)) / 1e6
+      assert(math.abs(pm - 3.0) < 0.35, s"poisson mean $pm")
+      assert(math.abs(pv - 3.0) < 1.0, s"poisson var $pv")
+      // Gamma(shape 3, scale 2): mean ≈ 6, variance ≈ 12
+      val gm = r.getAs[Long]("sg") / n / 1000.0
+      val gv = (r.getAs[Long]("sgg") / n - math.pow(r.getAs[Long]("sg") / n, 2)) / 1e6
+      assert(math.abs(gm - 6.0) < 0.7, s"gamma mean $gm")
+      assert(math.abs(gv - 12.0) < 5.0, s"gamma var $gv")
+      assert(r.getAs[Long]("max_pois_milli") <= 12000L) // the declared cap
+    }
+  }
+
   test("stratumRank: partition-parallel — no WindowExec, ranks match the window's") {
     import spark.implicits._
     // 3 strata of very different sizes spread over several partitions
