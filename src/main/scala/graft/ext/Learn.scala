@@ -1639,6 +1639,21 @@ object Learn {
     s"CAST(round(($num / sqrt($vx * $vy)) * 1000000.0) AS BIGINT)"
   }
 
+  /** One SAMPLE-covariance cell in micro-units from exact integer sums —
+    * reference mllib/linalg/distributed/RowMatrix.scala:327
+    * computeCovariance: Cov = (G − n·m·mᵀ)/(n−1) over the one-scan
+    * Gramian, which over integer sums is exactly
+    * (n·Σxy − Σx·Σy)/(n·(n−1)). One shared double formula (the
+    * [[pearsonExpr]] convention): both engines consume identical exact
+    * BIGINTs through the identical op tree, so the rounded micro value
+    * cannot drift. */
+  def covExpr(sx: String, sy: String, sxy: String): String = {
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val num = s"((${d("n")} * ${d(sxy)}) - (${d(sx)} * ${d(sy)}))"
+    val den = s"(${d("n")} * (${d("n")} - 1.0))"
+    s"CAST(round(($num / $den) * 1000000.0) AS BIGINT)"
+  }
+
   // ---- chi-squared feature selection (reference mllib/src/main/scala/
   // org/apache/spark/mllib/feature/ChiSqSelector.scala:181 — fit at :192
   // runs Statistics.chiSqTest per feature and keeps the top-k by

@@ -379,6 +379,41 @@ object Stats {
         .orderBy("c1", "c2")
     },
 
+    // Covariance MATRIX (reference mllib/linalg/distributed/RowMatrix
+    // .scala:327 computeCovariance — Cov = (G − n·m·mᵀ)/(n−1) from the
+    // same one-scan Gramian as s42/n21; the matrix companion to n21's
+    // Pearson): the full 3×3 upper triangle over (qty, price, disc) in
+    // micro-units of the input units' product, every cell one shared
+    // exact-integer-sums formula. ONE aggregate scan at any scale —
+    // nine BIGINT sums, d(d+1)/2 projected cells. StatsSpec pins the
+    // cells against mllib RowMatrix.computeCovariance itself.
+    "n26_covariance_matrix" -> { (s, dir) =>
+      import graft.ext.Learn.covExpr
+      val cells = Seq(
+        ("disc", "disc", covExpr("sd", "sd", "ssd")),
+        ("disc", "price", covExpr("sd", "sp", "spd")),
+        ("disc", "qty", covExpr("sd", "sq", "sqd")),
+        ("price", "price", covExpr("sp", "sp", "ssp")),
+        ("price", "qty", covExpr("sp", "sq", "sqp")),
+        ("qty", "qty", covExpr("sq", "sq", "ssq")))
+      val stackArgs = cells
+        .map { case (a, b, e) => s"'$a', '$b', $e" }.mkString(", ")
+      Tables.lineitem(s, dir)
+        .selectExpr("CAST(round(l_quantity) AS BIGINT) AS xq",
+          "CAST(round(l_extendedprice) AS BIGINT) AS xp",
+          "CAST(round(l_discount * 100) AS BIGINT) AS xd")
+        .agg(count(lit(1)).as("n"),
+          sum("xq").as("sq"), sum("xp").as("sp"), sum("xd").as("sd"),
+          sum(col("xq") * col("xq")).as("ssq"),
+          sum(col("xp") * col("xp")).as("ssp"),
+          sum(col("xd") * col("xd")).as("ssd"),
+          sum(col("xq") * col("xp")).as("sqp"),
+          sum(col("xq") * col("xd")).as("sqd"),
+          sum(col("xp") * col("xd")).as("spd"))
+        .selectExpr(s"stack(6, $stackArgs) AS (c1, c2, cov_micro)")
+        .orderBy("c1", "c2")
+    },
+
     // Gaussian kernel density (reference mllib/stat/KernelDensity
     // .scala:83 — mechanics and the pico-quantization determinism
     // argument on Learn.kernelDensity): order values in whole dollars,
@@ -552,6 +587,33 @@ object Stats {
          |  SELECT 'disc', 'qty', ${pearsonExpr("sd", "sq", "ssd", "ssq", "sqd")} FROM g
          |  UNION ALL
          |  SELECT 'disc', 'price', ${pearsonExpr("sd", "sp", "ssd", "ssp", "spd")} FROM g)
+         |ORDER BY c1, c2""".stripMargin
+    },
+
+    // The n21 sums with the shared covariance cell formula per pair.
+    "n26_covariance_matrix" -> {
+      import graft.ext.Learn.covExpr
+      s"""WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS xq,
+         |    CAST(round(l_extendedprice) AS BIGINT) AS xp,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS xd FROM lineitem),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xq) AS BIGINT) AS sq, CAST(sum(xp) AS BIGINT) AS sp,
+         |    CAST(sum(xd) AS BIGINT) AS sd,
+         |    CAST(sum(xq * xq) AS BIGINT) AS ssq,
+         |    CAST(sum(xp * xp) AS BIGINT) AS ssp,
+         |    CAST(sum(xd * xd) AS BIGINT) AS ssd,
+         |    CAST(sum(xq * xp) AS BIGINT) AS sqp,
+         |    CAST(sum(xq * xd) AS BIGINT) AS sqd,
+         |    CAST(sum(xp * xd) AS BIGINT) AS spd
+         |  FROM q)
+         |SELECT c1, c2, cov_micro FROM (
+         |  SELECT 'disc' AS c1, 'disc' AS c2,
+         |    ${covExpr("sd", "sd", "ssd")} AS cov_micro FROM g
+         |  UNION ALL SELECT 'disc', 'price', ${covExpr("sd", "sp", "spd")} FROM g
+         |  UNION ALL SELECT 'disc', 'qty', ${covExpr("sd", "sq", "sqd")} FROM g
+         |  UNION ALL SELECT 'price', 'price', ${covExpr("sp", "sp", "ssp")} FROM g
+         |  UNION ALL SELECT 'price', 'qty', ${covExpr("sp", "sq", "sqp")} FROM g
+         |  UNION ALL SELECT 'qty', 'qty', ${covExpr("sq", "sq", "ssq")} FROM g)
          |ORDER BY c1, c2""".stripMargin
     },
 

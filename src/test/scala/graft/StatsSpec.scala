@@ -79,4 +79,25 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(4))
     assert(r.getLong(1) === r.getLong(4))
   }
+
+  test("covariance matrix cells equal mllib RowMatrix.computeCovariance") {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = graft.Tables.lineitem(spark, sf001)
+      .selectExpr("CAST(round(l_quantity) AS BIGINT) AS xq",
+        "CAST(round(l_extendedprice) AS BIGINT) AS xp",
+        "CAST(round(l_discount * 100) AS BIGINT) AS xd")
+    val rm = new RowMatrix(rows.rdd.map(r =>
+      Vectors.dense(r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble)))
+    val ref = rm.computeCovariance() // 0 = qty, 1 = price, 2 = disc
+    val got = graft.queries.Stats.defs("n26_covariance_matrix")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val idx = Map("qty" -> 0, "price" -> 1, "disc" -> 2)
+    got.foreach { case ((a, b), micro) =>
+      val expect = ref(idx(a), idx(b)) * 1e6
+      assert(math.abs(micro - expect) <= math.max(1.0, math.abs(expect) * 1e-9),
+        s"cell ($a, $b): $micro vs mllib $expect")
+    }
+  }
 }
