@@ -226,6 +226,59 @@ object Learn {
       .selectExpr(s"CAST($nn AS BIGINT) AS n", "d_micro")
   }
 
+  /** Standard normal CDF as ONE shared formula string — the declared
+    * erf-free convention for the [[ksNormal]] branch (reference
+    * mllib/stat/test/KolmogorovSmirnovTest.scala's "norm" distribution
+    * delegates to commons-math NormalDistribution, whose erf Spark SQL
+    * and DuckDB lack): Abramowitz–Stegun 26.2.17, the five-term Horner
+    * polynomial in t = 1/(1 + 0.2316419·|z|) times the normal density,
+    * |error| < 7.5e-8 — two orders below the micro rounding the KS
+    * statistic is gated at. Every literal CASTs through DOUBLE and the
+    * text is embedded verbatim in both engines. */
+  def normCdfExpr(z: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val az = s"abs($z)"
+    val t = s"(${d("1.0")} / (${d("1.0")} + (${d("0.2316419")} * $az)))"
+    val horner = s"((((((((${d("1.330274429")} * $t) - ${d("1.821255978")}) * $t) + " +
+      s"${d("1.781477937")}) * $t) - ${d("0.356563782")}) * $t) + ${d("0.31938153")})"
+    val fa = s"(${d("1.0")} - ((${d("0.3989422804014327")} * " +
+      s"exp(${d("-0.5")} * ($az * $az))) * ($horner * $t)))"
+    s"(CASE WHEN $z < ${d("0.0")} THEN (${d("1.0")} - $fa) ELSE $fa END)"
+  }
+
+  /** One-sample Kolmogorov–Smirnov against a NORMAL(μ, σ) CDF —
+    * reference KolmogorovSmirnovTest.scala's "norm" branch next to
+    * [[ksUniform]]'s uniform one: D = max_i max(i/n − F(x_i),
+    * F(x_i) − (i−1)/n) over the globally ranked sample, F the
+    * [[normCdfExpr]] convention on z = (x − μ)/σ. Values arrive
+    * milli-quantized (BIGINT), μ/σ as milli BIGINTs, so the rank key
+    * and every F input are exact integers; ranking is the x05
+    * range-repartition prefix sum (no global window). Same packed-key
+    * headroom guards as ksUniform. Returns ONE row (n, d_micro). */
+  def ksNormal(df: DataFrame, idCol: String, valCol: String,
+               meanMilli: Long, sdMilli: Long): DataFrame = {
+    require(sdMilli > 0, s"ksNormal: sdMilli must be positive, got $sdMilli")
+    val o = df.select(col(idCol).as("__id"), col(valCol).as("y"))
+    val b = o.agg(min("y"), max("y"), count(lit(1)), min("__id"), max("__id")).head()
+    val nn = b.getLong(2)
+    val (idLo, idHi) = (b.getLong(3), b.getLong(4))
+    require(idLo >= 0L && idHi < 100000000L,
+      s"ksNormal: id range [$idLo, $idHi] outside the packed-key headroom")
+    require(math.max(math.abs(b.getLong(0)), math.abs(b.getLong(1))) < 92233720368L,
+      "ksNormal: |value| bound would overflow the packed BIGINT sort key")
+    val keyed = o.select(col("__id"), col("y"),
+      (col("y") * lit(100000000L) + col("__id")).as("kskey"))
+    val f = normCdfExpr(
+      s"(CAST(y - $meanMilli AS DOUBLE) / CAST($sdMilli AS DOUBLE))")
+    Scale.globalRowIndex(keyed, "kskey")
+      .selectExpr(
+        s"greatest(" +
+          s"CAST(round(((CAST(global_index AS DOUBLE) / CAST($nn AS DOUBLE)) - $f) * 1e6) AS BIGINT), " +
+          s"CAST(round(($f - (CAST(global_index - 1 AS DOUBLE) / CAST($nn AS DOUBLE))) * 1e6) AS BIGINT)) AS dd")
+      .agg(max(col("dd")).as("d_micro"))
+      .selectExpr(s"CAST($nn AS BIGINT) AS n", "d_micro")
+  }
+
   // ---- logistic regression (reference mllib/src/main/scala/org/apache/
   // spark/mllib/classification/LogisticRegression.scala:213 trains by
   // mllib/optimization/GradientDescent.scala:215's full-gradient loop:

@@ -372,6 +372,26 @@ object Scale {
         .orderBy("grp")
     },
 
+    // KS test against a theoretical NORMAL CDF (reference mllib/stat/
+    // test/KolmogorovSmirnovTest.scala's "norm" branch — n16 gates the
+    // uniform one): the sample is a PLANTED standard gaussian (the x20
+    // LCG → Box-Muller chain, milli-quantized), tested against
+    // Φ((x − 0)/1) through Learn.normCdfExpr's declared
+    // Abramowitz–Stegun convention. The correctly-specified null keeps
+    // D small (≈ the quantization floor) — the planted-parameter
+    // recovery; StatsSpec pins a mean-shifted alternative to a LARGE D.
+    // Ranking is the x05 prefix-sum machinery; one scan + one bounded
+    // aggregate at any scale.
+    "n27_ks_normal" -> { (s, dir) =>
+      val zs = Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id")
+        .selectExpr("id", s"${lcgExpr("id")} AS p0")
+        .selectExpr("id", s"${lcgExpr("p0")} AS p1")
+        .selectExpr("id", "p1", s"${lcgExpr("p1")} AS p2")
+        .selectExpr("id", s"CAST(round($kgPointZ1 * 1000.0) AS BIGINT) AS y")
+      graft.ext.Learn.ksNormal(zs, "id", "y", meanMilli = 0L, sdMilli = 1000L)
+    },
+
     // Poisson + gamma data generation (reference mllib/random/
     // RandomRDDs.scala:149 poissonRDD + :260 gammaRDD — the two
     // remaining members of the distribution directory next to
@@ -721,6 +741,24 @@ object Scale {
          |  CAST(max(x_micro) AS BIGINT) AS max_micro,
          |  CAST(CAST(sum(x_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
          |FROM pts GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // The x20 generator chain, then n16's ranked-sweep shape with the
+    // shared A&S normal-CDF string in place of the uniform CDF.
+    "n27_ks_normal" -> {
+      val f = graft.ext.Learn.normCdfExpr("(CAST(y - 0 AS DOUBLE) / CAST(1000 AS DOUBLE))")
+      s"""WITH ids AS (SELECT o_orderkey AS id FROM orders),
+         |q0 AS (SELECT id, ${lcgExpr("id")} AS p0 FROM ids),
+         |q1 AS (SELECT id, ${lcgExpr("p0")} AS p1 FROM q0),
+         |q2 AS (SELECT id, p1, ${lcgExpr("p1")} AS p2 FROM q1),
+         |o AS (SELECT id, CAST(round($kgPointZ1 * 1000.0) AS BIGINT) AS y FROM q2),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM o),
+         |r AS (SELECT y, CAST(row_number() OVER (ORDER BY y, id) AS BIGINT) AS gi FROM o),
+         |d AS (SELECT max(greatest(
+         |    CAST(round(((CAST(gi AS DOUBLE) / CAST(nn AS DOUBLE)) - $f) * 1e6) AS BIGINT),
+         |    CAST(round(($f - (CAST(gi - 1 AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e6) AS BIGINT))) AS d_micro
+         |  FROM r CROSS JOIN b)
+         |SELECT b.nn AS n, d.d_micro FROM b CROSS JOIN d""".stripMargin
+    },
 
     // The same LCG chains, the shared Poisson threshold CASE and the
     // three-exponential gamma sum; integer sums + BIGINT-division means.

@@ -80,6 +80,34 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) === r.getLong(4))
   }
 
+  test("ks-normal: small D under the true null, large D under a shifted mean") {
+    import spark.implicits._
+    // the gated query: planted standard gaussian vs N(0, 1) — D sits
+    // near the sampling floor (95% critical value ≈ 1.36/√n ≈ 35000
+    // micro at n = 1500)
+    val r = graft.queries.Scale.defs("n27_ks_normal")(spark, sf001).head()
+    assert(r.getAs[Long]("n") >= 1000L)
+    assert(r.getAs[Long]("d_micro") < 60000L,
+      s"true-null D ${r.getAs[Long]("d_micro")} should be near the sampling floor")
+    // a misspecified null (mean shifted by 2σ) must blow D up to ≈ 0.47
+    val rnd = new java.util.Random(42)
+    val vals = (1L to 2000L).map(i => (i, math.round(rnd.nextGaussian() * 1000)))
+      .toDF("id", "y")
+    val shifted = graft.ext.Learn.ksNormal(vals, "id", "y",
+      meanMilli = 2000L, sdMilli = 1000L).head()
+    assert(shifted.getAs[Long]("d_micro") > 300000L,
+      s"shifted D ${shifted.getAs[Long]("d_micro")} should be large")
+    // the A&S CDF convention itself: |Φ_as − Φ_exact| < 1e-7 on a grid
+    val zs = (-40 to 40).map(_ / 10.0)
+    val cdf = zs.toDF("z").selectExpr(
+        s"${graft.ext.Learn.normCdfExpr("z")} AS f")
+      .collect().map(_.getDouble(0))
+    zs.zip(cdf).foreach { case (z, f) =>
+      val exact = 0.5 * (1.0 + org.apache.commons.math3.special.Erf.erf(z / math.sqrt(2.0)))
+      assert(math.abs(f - exact) < 1e-7, s"z=$z: $f vs $exact")
+    }
+  }
+
   test("covariance matrix cells equal mllib RowMatrix.computeCovariance") {
     import org.apache.spark.mllib.linalg.Vectors
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
