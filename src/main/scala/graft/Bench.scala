@@ -15,9 +15,11 @@ import org.apache.spark.sql.SparkSession
   * hand-probe them. Now the harness does it itself: the previous
   * committed artifact (the output path's existing content, or
   * SPARK_GRAFT_BENCH_REF) is loaded before the loop, and any query whose
-  * min-of-2 spikes past its committed time (3x for quick rows, 2x once
-  * the committed time exceeds 3 s — round-16 item 7: a 2.84x spike on a
-  * 5.8 s row slid under a uniform 3x gate) gets a THIRD timed iteration;
+  * min-of-2 spikes past its committed time (3x for sub-second rows,
+  * 2.5x for 1-3 s rows, 2x once the committed time exceeds 3 s —
+  * round-16 item 7 + round-18 item 8: a 2.84x spike on a 5.8 s row and
+  * a 2.56x drift on a 1.5 s row each slid under the earlier, coarser
+  * tiers) gets a THIRD timed iteration;
   * if the min still spikes, the query lands in the summary's
   * `"suspect"` list — "this number disagrees with the committed history
   * even after a re-time; treat it as contention until an isolated probe
@@ -91,12 +93,13 @@ object Bench {
       val hs = rs.filter { case (k, _) => headlineCodes(k.takeWhile(_ != '_')) }
       (hs.values.sum, hs.size)
     }
-    // Suspect-spike threshold (round-16 verdict item 7): 3x for quick
-    // rows, but 2x once the committed time exceeds 3 s — a 2.8x spike on
-    // a 5.8 s query (s25, r16) is 10+ lost seconds and slid under the
-    // old uniform 3x gate, while a 2x blip on a 0.2 s row is noise.
+    // Suspect-spike threshold (round-16 item 7, tightened round 18):
+    // 3x for sub-second rows (2x blips there are noise), 2.5x for 1-3 s
+    // rows (d12's 2.56x drift on a 1.5 s row slid under the old 3x tier
+    // in the r17 driver run), 2x once the committed time exceeds 3 s
+    // (a 2.8x spike on a 5.8 s query is 10+ lost seconds).
     def spiked(prev: Option[Double], t: Double): Boolean =
-      prev.exists(p => t > (if (p > 3.0) 2.0 else 3.0) * p)
+      prev.exists(p => t > (if (p > 3.0) 2.0 else if (p > 1.0) 2.5 else 3.0) * p)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -907,6 +907,167 @@ object Learn {
     (leaves, allSplits)
   }
 
+  /** The categorical-feature REGRESSION tree — the other half of the
+    * reference's centroid-ordering rule (DecisionTree.scala:966's
+    * categorical branch orders by label centroid for BINARY
+    * CLASSIFICATION AND REGRESSION; [[categoricalTree2]] is the former):
+    * categories rank by mean TARGET through the same
+    * [[centroidCategoryRanks]] (sy here is a milli-target sum — the
+    * nano quotient compares means to 1e-9 of a milli-unit), the fit is
+    * [[regressionTree2]] over the rank-encoded frame, and raw rows
+    * route through the same IN-set CASE translation. Returns one row
+    * per leaf: (leaf, n, sy, pred_milli, parent_feat, parent_cut). */
+  def categoricalRegressionTree2(rows: DataFrame, catCol: String,
+                                 x2Col: String, labelCol: String,
+                                 maxDepth: Int = 2): DataFrame = {
+    val base = rows.select(col(catCol).as("cat"), col(x2Col).as("x2"),
+      col(labelCol).as("ym"))
+    val ranks = centroidCategoryRanks(base, "cat", "ym")
+    val enc = base.join(broadcast(ranks.select("cat", "crank")), "cat")
+      .select(col("crank").as("x1"), col("x2"), col("ym"))
+    val (_, splits) = regressionTree2(enc, maxDepth)
+    val rk = ranks.select("cat", "crank").collect() // arity-bounded
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    val sp = splits.select("node", "feat", "thr").collect() // nodes-bounded
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def quote(s: String) = s"'${s.replace("'", "''")}'"
+    def cond(feat: Long, thr: Long): String =
+      if (feat == 1L) s"cat IN (${rk.filter(_._2 <= thr).map(t => quote(t._1)).mkString(", ")})"
+      else s"x2 <= ${thr}L"
+    var routed = base.withColumn("node", lit(1L))
+    for (d <- 1 to maxDepth) {
+      val level = sp.filter { case (n, _, _) =>
+        n >= (1L << (d - 1)) && n < (1L << d) }
+      if (level.nonEmpty) {
+        val e = level.map { case (n, f, t) =>
+          s"WHEN node = ${n}L THEN (CASE WHEN ${cond(f, t)}" +
+            s" THEN node * 2 ELSE node * 2 + 1 END)"
+        }.mkString("CASE ", " ", " ELSE node END")
+        routed = routed.withColumn("node", expr(e))
+      }
+    }
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cuts = sp.map { case (n, f, t) =>
+      val cut =
+        if (f == 1L) rk.filter(_._2 <= t).map(_._1).mkString(",")
+        else t.toString
+      (n, f, cut)
+    }.toSeq.toDF("pnode", "parent_feat", "parent_cut")
+    routed.groupBy(col("node").as("leaf"))
+      .agg(count(lit(1)).as("n"), sum("ym").as("sy"))
+      .withColumn("pred_milli",
+        expr("CAST(round(CAST(sy AS DOUBLE) / n) AS BIGINT)"))
+      .join(broadcast(cuts), expr("leaf DIV 2") === col("pnode"), "left")
+      .selectExpr("leaf", "n", "sy", "pred_milli",
+        "CAST(coalesce(parent_feat, 0) AS BIGINT) AS parent_feat",
+        "coalesce(parent_cut, '-') AS parent_cut")
+  }
+
+  /** MULTICLASS tree over ONE unordered categorical feature — the
+    * reference's SUBSET-enumeration branch (DecisionTree.scala:966
+    * findSplitsBins: for multiclass classification an unordered
+    * categorical feature gets all 2^(K−1)−1 subset splits as
+    * candidates, because the binary/regression centroid-ordering trick
+    * is NOT valid with >2 classes — no single ordering makes the
+    * optimal subset a prefix; LearnSpec pins a fixture where the best
+    * subset isolates the MIDDLE category of the label-mean order).
+    *
+    * Mechanics per level: ONE (node, cat, class) histogram over the
+    * data — the only full-data pass, map-side combined — then every
+    * evaluation runs over nodes × K × subsets BOUNDED rows: the
+    * driver-enumerated membership table (canonical half: subsets of
+    * the value-sorted categories excluding the last one, sid = the
+    * bitmask over the first K−1) joins the histogram, per-(node,
+    * subset) class counts aggregate, and the three-class gini currency
+    * Σ_c count_c²·1000 DIV n scores both sides. Argmax ties to the
+    * smallest sid; routing is a broadcast membership join (cat ∈
+    * S_best(node) → left). Labels y ∈ {0, 1, 2}. Returns (leaf, n,
+    * n0, n1, n2, pred, parent_sid, parent_cats). */
+  /** The three-class gini split currency over (l0, l1, l2, t0, t1, t2,
+    * nl, tn) candidate columns — Σ_c count_c²·1000 DIV n per side,
+    * shared with the oracle (`div` = DIV / //). */
+  def mc3ScoreExpr(div: String): String =
+    s"CAST(((l0 * l0) + ((l1 * l1) + (l2 * l2))) * 1000 $div nl" +
+      s" + (((t0 - l0) * (t0 - l0)) + (((t1 - l1) * (t1 - l1)) +" +
+      s" ((t2 - l2) * (t2 - l2)))) * 1000 $div (tn - nl) AS BIGINT)"
+
+  def multiclassCategoricalTree(rows: DataFrame, catCol: String,
+                                labelCol: String,
+                                maxDepth: Int = 2): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = rows.select(col(catCol).as("cat"), col(labelCol).as("y"))
+    val cats = base.select("cat").distinct().collect() // arity-bounded
+      .map(_.getString(0)).sorted
+    require(cats.length >= 2 && cats.length <= 12,
+      s"multiclassCategoricalTree: arity ${cats.length} outside [2, 12] " +
+        "(subset enumeration is 2^(K-1)-1 candidates)")
+    val members = (1 until (1 << (cats.length - 1))).flatMap { sid =>
+      cats.dropRight(1).zipWithIndex.collect {
+        case (c, i) if (sid & (1 << i)) != 0 => (sid.toLong, c)
+      }
+    }.toDF("sid", "cat")
+    val labels = members.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).sorted.mkString(",")).toMap
+    val score = mc3ScoreExpr("DIV")
+    var r = base.withColumn("node", lit(1L)).localCheckpoint()
+    var allSplits: DataFrame = null
+    for (_ <- 1 to maxDepth) {
+      val h = r.groupBy("node", "cat").agg(
+        sum(expr("CASE WHEN y = 0 THEN 1 ELSE 0 END")).as("c0"),
+        sum(expr("CASE WHEN y = 1 THEN 1 ELSE 0 END")).as("c1"),
+        sum(expr("CASE WHEN y = 2 THEN 1 ELSE 0 END")).as("c2"))
+      val tot = h.groupBy("node").agg(
+        sum("c0").as("t0"), sum("c1").as("t1"), sum("c2").as("t2"),
+        sum(expr("c0 + (c1 + c2)")).as("tn"))
+      val cand = h.join(broadcast(members), "cat")
+        .groupBy("node", "sid")
+        .agg(sum("c0").as("l0"), sum("c1").as("l1"), sum("c2").as("l2"))
+        .join(tot, "node")
+        .withColumn("nl", expr("l0 + (l1 + l2)"))
+        .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
+        .withColumn("score", expr(score))
+      val best = cand
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("node").orderBy(col("score").desc, col("sid"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("sid"), col("score"))
+        .localCheckpoint() // nodes-bounded; feeds the route AND the union
+      allSplits = if (allSplits == null) best else allSplits.union(best)
+      val routeSet = best.join(broadcast(members), "sid")
+        .select(col("node"), col("cat"), lit(1L).as("inset"))
+      // a node with NO valid candidate (e.g. single-category) keeps its
+      // id — the treeLevels leaf convention
+      val splitNodes = best.select(col("node"), lit(1L).as("hassplit"))
+      r = r.join(broadcast(splitNodes), Seq("node"), "left")
+        .join(broadcast(routeSet), Seq("node", "cat"), "left")
+        .withColumn("node", expr(
+          "CASE WHEN hassplit IS NULL THEN node" +
+            " WHEN inset IS NOT NULL THEN node * 2 ELSE node * 2 + 1 END"))
+        .drop("hassplit", "inset")
+        .localCheckpoint()
+    }
+    val labelOf = labels // stable reference for the closure below
+    val cuts = allSplits.select("node", "sid").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), labelOf(r0.getLong(1))))
+      .toSeq.toDF("pnode", "parent_sid", "parent_cats")
+    r.groupBy(col("node").as("leaf"))
+      .agg(sum(expr("CASE WHEN y = 0 THEN 1 ELSE 0 END")).as("n0"),
+        sum(expr("CASE WHEN y = 1 THEN 1 ELSE 0 END")).as("n1"),
+        sum(expr("CASE WHEN y = 2 THEN 1 ELSE 0 END")).as("n2"))
+      .selectExpr("leaf", "CAST(n0 + (n1 + n2) AS BIGINT) AS n",
+        "CAST(n0 AS BIGINT) AS n0", "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n2 AS BIGINT) AS n2",
+        "CAST(CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0" +
+          " WHEN n1 >= n2 THEN 1 ELSE 2 END AS BIGINT) AS pred")
+      .join(broadcast(cuts), expr("leaf DIV 2") === col("pnode"), "left")
+      .selectExpr("leaf", "n", "n0", "n1", "n2", "pred",
+        "CAST(coalesce(parent_sid, 0) AS BIGINT) AS parent_sid",
+        "coalesce(parent_cats, '-') AS parent_cats")
+  }
+
   /** Depth-`maxDepth` REGRESSION tree over a (x1, x2, ym) table (BIGINT
     * features, milli-quantized BIGINT target) — reference
     * mllib/tree/DecisionTree.scala:248 trainRegressor with
@@ -1036,8 +1197,12 @@ object Learn {
     * means differ below 1e-9 order by value here — no cross-engine float
     * seam). The rank window is unpartitioned but runs over the per-
     * category aggregate — arity-bounded, the same in-memory budget as
-    * the reference's centroid sort. Returns (cat, crank, n, sy), crank
-    * ∈ 1..K ascending by centroid. */
+    * the reference's centroid sort. Overflow headroom: the nano compare
+    * needs |Σlabel| per category < 2^63/10⁹ ≈ 9.2e9 — binary labels
+    * clear it to ~10⁹ rows per category, milli regression targets to
+    * ~10⁶; past that, pre-scale the label (the compare only needs
+    * ORDER, not units). Returns (cat, crank, n, sy), crank ∈ 1..K
+    * ascending by centroid. */
   def centroidCategoryRanks(df: DataFrame, catCol: String,
                             labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

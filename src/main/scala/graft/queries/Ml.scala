@@ -722,6 +722,45 @@ object Ml {
         .orderBy("leaf")
     },
 
+    // MULTICLASS unordered categorical splits (reference DecisionTree
+    // .scala:966's SUBSET-enumeration branch: with > 2 classes the
+    // centroid-ordering trick is invalid — no single ordering makes the
+    // optimal subset a prefix — so an unordered feature gets all
+    // 2^(K−1)−1 subset candidates). o_orderstatus against a 3-class
+    // keyed label (O ≈ 80/0/20, F ≈ 20/0/80, P ≈ 10/90/0 over classes
+    // 0/1/2): every split of {F, O, P} is evaluated as a SET, the
+    // per-level work after the one (node, cat, class) histogram pass is
+    // nodes × K × subsets bounded, and leaves carry full per-class
+    // counts + the parent's membership set. LearnSpec pins the fixture
+    // where the best subset isolates the MIDDLE category of the
+    // label-mean order — unreachable for any prefix scheme.
+    "s90_multiclass_categorical" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).selectExpr(
+        "o_orderstatus AS cat",
+        "CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 8 THEN 0 ELSE 2 END" +
+          " WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 8 THEN 2 ELSE 0 END" +
+          " ELSE CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END END AS BIGINT) AS y")
+      Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 2)
+        .orderBy("leaf")
+    },
+
+    // Categorical REGRESSION tree (the centroid rule's other half —
+    // DecisionTree.scala:966 orders categories by label centroid for
+    // binary classification AND regression): per-status milli targets
+    // put O's mean far below P and F (codepoint order F < O < P,
+    // centroid order O < P < F), so the variance-optimal root split
+    // {O} | {F, P} is again non-contiguous in value order.
+    "s91_categorical_reg_tree" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).selectExpr(
+        "o_orderstatus AS cat",
+        "CAST(o_orderkey % 7 AS BIGINT) AS x2",
+        "CAST(CASE WHEN o_orderstatus = 'O' THEN 1000" +
+          " WHEN o_orderstatus = 'F' THEN 9000 ELSE 8000 END" +
+          " + (o_orderkey % 100) * 10 AS BIGINT) AS ym")
+      Learn.categoricalRegressionTree2(rows, "cat", "x2", "ym", maxDepth = 2)
+        .orderBy("leaf")
+    },
+
     // Random forest (reference mllib/tree/RandomForest.scala — bagged
     // histogram trees, majority vote): three depth-2 trees over the
     // s19/s20 features, each trained on the deterministic id % 3 != t
@@ -2442,6 +2481,114 @@ object Ml {
          |  coalesce(p.parent_cut, '-') AS parent_cut
          |FROM leaves LEFT JOIN cuts p ON leaf // 2 = p.node
          |ORDER BY leaf""".stripMargin,
+
+    // Mirror of multiclassCategoricalTree: the driver-enumerated subset
+    // membership VALUES, per-level (node, cat, class) histograms, the
+    // shared three-class gini currency, sid-tiebroken argmax, and the
+    // membership-join routing with the no-split stay-put branch.
+    "s90_multiclass_categorical" -> {
+      import graft.ext.Learn
+      val cats = Seq("F", "O", "P") // o_orderstatus domain, value-sorted
+      val memVals = (1 until (1 << (cats.length - 1))).flatMap { sid =>
+        cats.dropRight(1).zipWithIndex.collect {
+          case (c, i) if (sid & (1 << i)) != 0 => s"($sid, '$c')"
+        }
+      }.mkString(", ")
+      def lvl(k: Int): String = {
+        val prev = s"mr${k - 1}"
+        s"""h$k AS (SELECT node, cat,
+           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM $prev GROUP BY 1, 2),
+           |t$k AS (SELECT node, CAST(sum(c0) AS BIGINT) AS t0,
+           |    CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+           |    CAST(sum(c0 + (c1 + c2)) AS BIGINT) AS tn
+           |  FROM h$k GROUP BY 1),
+           |c$k AS (SELECT node, sid, ${Learn.mc3ScoreExpr("//")} AS score
+           |  FROM (SELECT h.node, m.sid, CAST(sum(c0) AS BIGINT) AS l0,
+           |      CAST(sum(c1) AS BIGINT) AS l1, CAST(sum(c2) AS BIGINT) AS l2,
+           |      CAST(sum(c0 + (c1 + c2)) AS BIGINT) AS nl
+           |    FROM h$k h JOIN mem m USING (cat) GROUP BY 1, 2) JOIN t$k USING (node)
+           |  WHERE nl > 0 AND tn - nl > 0),
+           |b$k AS MATERIALIZED (SELECT node, sid FROM (SELECT node, sid,
+           |    row_number() OVER (PARTITION BY node ORDER BY score DESC, sid) AS rn
+           |  FROM c$k) WHERE rn = 1),
+           |mr$k AS MATERIALIZED (SELECT r.cat, r.y,
+           |    CASE WHEN b.node IS NULL THEN r.node
+           |         WHEN m.cat IS NOT NULL THEN r.node * 2
+           |         ELSE r.node * 2 + 1 END AS node
+           |  FROM $prev r
+           |  LEFT JOIN b$k b ON b.node = r.node
+           |  LEFT JOIN (SELECT b2.node, mem.cat FROM b$k b2 JOIN mem USING (sid)) m
+           |    ON m.node = r.node AND m.cat = r.cat)""".stripMargin
+      }
+      s"""WITH mem AS (SELECT * FROM (VALUES $memVals) AS v(sid, cat)),
+         |mr0 AS MATERIALIZED (SELECT o_orderstatus AS cat,
+         |    CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 8 THEN 0 ELSE 2 END
+         |         WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 8 THEN 2 ELSE 0 END
+         |         ELSE CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END END AS BIGINT) AS y,
+         |    1::BIGINT AS node
+         |  FROM orders),
+         |${lvl(1)},
+         |${lvl(2)},
+         |slabel AS (SELECT sid, string_agg(cat, ',' ORDER BY cat) AS cats
+         |  FROM mem GROUP BY 1),
+         |allsplits AS (SELECT node, sid FROM b1 UNION ALL SELECT node, sid FROM b2),
+         |leaves AS (SELECT node AS leaf,
+         |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM mr2 GROUP BY 1)
+         |SELECT leaf, CAST(n0 + (n1 + n2) AS BIGINT) AS n, n0, n1, n2,
+         |  CAST(CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0
+         |       WHEN n1 >= n2 THEN 1 ELSE 2 END AS BIGINT) AS pred,
+         |  CAST(coalesce(p.sid, 0) AS BIGINT) AS parent_sid,
+         |  coalesce(sl.cats, '-') AS parent_cats
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |LEFT JOIN slabel sl ON sl.sid = p.sid
+         |ORDER BY leaf""".stripMargin
+    },
+
+    // Mirror of categoricalRegressionTree2: target-mean centroid ranks,
+    // the s78 variance level CTEs over the rank-encoded frame, and
+    // feat-1 splits rendered as centroid-order membership prefixes.
+    "s91_categorical_reg_tree" -> {
+      val score = Learn.varianceScoreExpr("//")
+      s"""WITH rows0 AS MATERIALIZED (
+         |  SELECT o_orderkey, o_orderstatus AS cat,
+         |    CAST(o_orderkey % 7 AS BIGINT) AS x2,
+         |    CAST(CASE WHEN o_orderstatus = 'O' THEN 1000
+         |         WHEN o_orderstatus = 'F' THEN 9000 ELSE 8000 END
+         |      + (o_orderkey % 100) * 10 AS BIGINT) AS ym
+         |  FROM orders),
+         |cstat AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ym) AS BIGINT) AS sy FROM rows0 GROUP BY 1),
+         |cranks AS MATERIALIZED (SELECT cat,
+         |    CAST(row_number() OVER (ORDER BY (sy * 1000000000) // n, cat) AS BIGINT) AS crank
+         |  FROM cstat),
+         |ur0 AS MATERIALIZED (
+         |  SELECT r.o_orderkey, c.crank AS x1, r.x2, r.ym AS y, 1::BIGINT AS node
+         |  FROM rows0 r JOIN cranks c USING (cat)),
+         |${dtLevelCte("u", 1, score)},
+         |${dtLevelCte("u", 2, score)},
+         |allsplits AS (SELECT node, feat, thr FROM ub1
+         |  UNION ALL SELECT node, feat, thr FROM ub2),
+         |cuts AS (SELECT s.node, s.feat AS parent_feat,
+         |    CASE WHEN s.feat = 1 THEN
+         |      (SELECT string_agg(cat, ',' ORDER BY crank) FROM cranks WHERE crank <= s.thr)
+         |    ELSE CAST(s.thr AS VARCHAR) END AS parent_cut
+         |  FROM allsplits s),
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS pred_milli
+         |  FROM ur2 GROUP BY 1)
+         |SELECT leaf, n, sy, pred_milli,
+         |  CAST(coalesce(p.parent_feat, 0) AS BIGINT) AS parent_feat,
+         |  coalesce(p.parent_cut, '-') AS parent_cut
+         |FROM leaves LEFT JOIN cuts p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin
+    },
 
     // Mirror of binnedFeatures + decisionTree2: the hash sample, the
     // per-feature rank order statistics at (cnt·b) // 8, the

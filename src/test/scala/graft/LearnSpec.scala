@@ -991,6 +991,47 @@ class LearnSpec extends SparkSpec {
       s"centroid split ($catScore) must beat the ordered best ($ordScore)")
   }
 
+  test("multiclass categorical: subset enumeration isolates the middle-mean category") {
+    import spark.implicits._
+    // label means: a = 0.8 < b = 1.0 < c = 1.2, but b is PURE class 1 —
+    // the gini-best split {b} | {a, c} is the middle of the mean order,
+    // unreachable for any prefix/centroid scheme (the reason the
+    // reference enumerates subsets for multiclass)
+    val rows = (
+      (1 to 6).map(_ => ("a", 0L)) ++ (1 to 4).map(_ => ("a", 2L)) ++
+      (1 to 10).map(_ => ("b", 1L)) ++
+      (1 to 4).map(_ => ("c", 0L)) ++ (1 to 6).map(_ => ("c", 2L))
+    ).toDF("cat", "y")
+    val l1 = Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 1)
+      .collect().sortBy(_.getLong(0))
+    assert(l1.map(_.getString(7)).toSet === Set("b"),
+      s"root must isolate the middle-mean category: ${l1.mkString("; ")}")
+    val left = l1.find(_.getLong(0) == 2L).get
+    assert((left.getLong(1), left.getLong(2), left.getLong(3), left.getLong(4),
+      left.getLong(5)) === ((10L, 0L, 10L, 0L, 1L)))
+    // depth 2: the pure {b} node has no valid candidate and KEEPS its id
+    // (the stay-put branch); the {a, c} node splits {a} off
+    val l2 = Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(l2.toSeq === Seq(2L, 6L, 7L), s"leaves ${l2.toSeq}")
+  }
+
+  test("categorical regression tree isolates a codepoint-middle category by target mean") {
+    import spark.implicits._
+    // means: b = 1004.5 << c = 8004.5 < a = 9004.5 — centroid order
+    // b < c < a makes the variance-best root split {b}, which is not
+    // contiguous in codepoint order a < b < c
+    val rows = (1L to 10L).flatMap { i =>
+      Seq(("a", 0L, 9000L + i), ("b", 0L, 1000L + i), ("c", 0L, 8000L + i))
+    }.toDF("cat", "x2", "ym")
+    val leaves = Learn.categoricalRegressionTree2(rows, "cat", "x2", "ym", maxDepth = 1)
+      .collect().sortBy(_.getLong(0))
+    assert(leaves.map(_.getString(5)).toSet === Set("b"))
+    val left = leaves.find(_.getLong(0) == 2L).get
+    assert(left.getLong(1) === 10L)
+    assert(left.getLong(3) === 1006L) // round(mean of 1001..1010) = 1006 (half-up)
+  }
+
   test("quantileBinThresholds default auto-sizes the hash sample from the row count") {
     import spark.implicits._
     // one feature, 45000 rows, maxBins = 2 -> target 20000 sampled rows
