@@ -415,19 +415,40 @@ object Scale {
     * the t14 mixture coin) give binomially-distributed group sizes;
     * benchmark/eval sets need EXACT counts, reproducible regardless of
     * ingestion order or partitioning — which is what hash order (a
-    * deterministic shuffle of each group) provides. Ranks come from
-    * [[stratumRank]]'s partition-parallel machinery (one range shuffle +
-    * a strata-bounded driver aggregate; NO per-group window), so a group
-    * holding half the corpus never funnels through one task. */
+    * deterministic shuffle of each group) provides.
+    *
+    * Two scale regimes, SAME result by construction (spec-pinned), the
+    * skew axis picking the plan: few-strata corpora (≤
+    * `maxOffsetStrata` groups — language/domain stratification, where a
+    * single group can hold half the corpus) rank through
+    * [[stratumRank]]'s partition-parallel offsets, no per-group window
+    * anywhere; high-cardinality group keys (where the offsets path's
+    * partitions × strata driver state would blow up, but no group is
+    * corpus-sized) keep the per-group rank window, whose literal
+    * `pick ≤ m` filter compiles to WindowGroupLimit — every partition
+    * retains only m candidate rows per group ahead of the final
+    * per-group top-m, so window state is m-bounded, never
+    * group-sized. */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
-                  m: Int): DataFrame = {
+                  m: Int, maxOffsetStrata: Int = 4096): DataFrame = {
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"))
-    val (ranked, _, release) = stratumRank(base, "'gs'")
-    val out = ranked.filter(col("pick") <= m)
-      .select(col("grp"), col("id"), col("pick").cast("int").as("pick"))
-      .localCheckpoint() // eager, m-per-group bounded: safe to release
-    release()
-    out
+    val k = base.agg(countDistinct("grp")).head().getLong(0)
+    if (k > maxOffsetStrata) {
+      base
+        .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'gs'")))
+        .withColumn("pick", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("grp").orderBy(col("h"), col("id"))).cast("int"))
+        .filter(col("pick") <= m)
+        .select(col("grp"), col("id"), col("pick"))
+    } else {
+      val (ranked, _, release) = stratumRank(base, "'gs'")
+      val out = ranked.filter(col("pick") <= m)
+        .select(col("grp"), col("id"), col("pick").cast("int").as("pick"))
+        .localCheckpoint() // eager, m-per-group bounded: safe to release
+      release()
+      out
+    }
   }
 
   /** Exact per-stratum sampling (reference core/.../rdd/
@@ -446,10 +467,19 @@ object Scale {
     * in Scala, Spark and the oracle); stratum totals fall out of the
     * rank pass, so no second count aggregate runs. Keys absent from
     * `fracsPpm` are excluded (the reference throws on them instead —
-    * declared deviation). Returns (grp, id, pick, n, quota). */
+    * declared deviation). The exclusion happens BEFORE ranking (a
+    * broadcast semi-join on the fracs keys), which also bounds the
+    * offset machinery's driver state by |fracsPpm| × partitions — the
+    * caller already holds the fracs Map driver-side, so the strata set
+    * is driver-bounded by construction. Returns (grp, id, pick, n,
+    * quota). */
   def sampleByKeyExact(df: DataFrame, keyCol: String, idCol: String,
                        fracsPpm: Map[String, Long]): DataFrame = {
-    val base = df.select(col(keyCol).as("grp"), col(idCol).as("id"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = fracsPpm.keys.toSeq.sorted.toDF("grp")
+    val base = df.select(col(keyCol).cast("string").as("grp"), col(idCol).as("id"))
+      .join(broadcast(keys), Seq("grp"), "left_semi")
     val (ranked, totals, release) = stratumRank(base, "'sbke'")
     val nq = totals.toSeq.sortBy(_._1).flatMap { case (gs, n) =>
       fracsPpm.get(gs).map(ppm => (gs, n, (n * ppm + 999999L) / 1000000L))

@@ -208,6 +208,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("groupSample regimes agree: offsets path == high-cardinality window fallback") {
+    import spark.implicits._
+    // 60 groups x 5 rows: force each regime via maxOffsetStrata and
+    // compare picks — the two plans must be result-identical
+    val rows = (1L to 300L).map(i => (s"g${i % 60}", i)).toDF("g", "id")
+    val offsets = Scale.groupSample(rows, "g", "id", m = 2, maxOffsetStrata = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val window = Scale.groupSample(rows, "g", "id", m = 2, maxOffsetStrata = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(offsets === window)
+    assert(offsets.size === 120) // exactly m = 2 per group
+  }
+
   test("stratumRank: partition-parallel — no WindowExec, ranks match the window's") {
     import spark.implicits._
     // 3 strata of very different sizes spread over several partitions
