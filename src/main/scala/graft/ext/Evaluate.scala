@@ -65,8 +65,19 @@ object Evaluate {
     val g0 = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
     val g =
-      if (numBins == 0) g0
-      else {
+      if (numBins == 0) {
+        // enforce the bounded-domain contract instead of just documenting
+        // it: the exact path's sweep windows carry one row per DISTINCT
+        // score in a single task — fine for counts/quantized margins,
+        // catastrophic for continuous scores. The extra count is one
+        // narrow aggregate over the distinct-score table.
+        val cnt = g0.count()
+        require(cnt <= 2000000L,
+          s"binaryMetrics: $cnt distinct scores on the exact (numBins = 0) " +
+            "path — the curve sweep would single-task a multi-million-row " +
+            "window; pass numBins > 0 (the reference's curve downsampling)")
+        g0
+      } else {
         val cnt = g0.count() // one action over the distinct-score table
         val grouping = cnt / numBins
         if (grouping < 2) g0 // the reference's too-small short-circuit

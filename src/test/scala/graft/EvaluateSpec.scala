@@ -95,4 +95,20 @@ class EvaluateSpec extends SparkSpec {
     val noop = graft.ext.Evaluate.binaryMetrics(scored, numBins = 6).collect()
     assert(noop.length === 10)
   }
+
+  test("binaryMetrics exact path enforces the bounded-domain contract") {
+    import spark.implicits._
+    // a continuous-score table past the guard must be refused on the
+    // numBins = 0 path (the sweep would single-task the whole curve)...
+    val wide = spark.range(1, 2000002)
+      .selectExpr("id AS score", "CAST(id % 2 AS BIGINT) AS label")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Evaluate.binaryMetrics(wide, numBins = 0).collect()
+    }
+    assert(e.getMessage.contains("numBins"))
+    // ...while the same table passes once downsampling is requested
+    val ok = graft.ext.Evaluate.binaryMetrics(wide, numBins = 20)
+      .orderBy(col("thr").desc).collect()
+    assert(ok.length === 21)
+  }
 }
