@@ -61,32 +61,38 @@ object Evaluate {
     * final cumulative group: 2·area·P·N = Σ Δfp·(tp_prev + tp_cur), an
     * exact integer — with numBins = 0 equal to the Mann-Whitney
     * statistic with the standard half-credit for ties. */
-  def binaryMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+  /** The shared (thr, n, np) curve-point table behind [[binaryMetrics]]
+    * and [[prMetrics]]: distinct-score counts, down-grouped when
+    * `numBins` > 0, count-guarded on the exact path. */
+  private def curvePoints(scored: DataFrame, numBins: Int): DataFrame = {
     val g0 = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
-    val g =
-      if (numBins == 0) {
-        // enforce the bounded-domain contract instead of just documenting
-        // it: the exact path's sweep windows carry one row per DISTINCT
-        // score in a single task — fine for counts/quantized margins,
-        // catastrophic for continuous scores. The extra count is one
-        // narrow aggregate over the distinct-score table.
-        val cnt = g0.count()
-        require(cnt <= 2000000L,
-          s"binaryMetrics: $cnt distinct scores on the exact (numBins = 0) " +
-            "path — the curve sweep would single-task a multi-million-row " +
-            "window; pass numBins > 0 (the reference's curve downsampling)")
-        g0
-      } else {
-        val cnt = g0.count() // one action over the distinct-score table
-        val grouping = cnt / numBins
-        if (grouping < 2) g0 // the reference's too-small short-circuit
-        else Scale.globalRowIndex(g0.withColumn("negthr", -col("thr")), "negthr")
-          .withColumn("bin", expr(s"CAST((global_index - 1) DIV ${grouping}L AS BIGINT)"))
-          .groupBy("bin")
-          .agg(max("thr").as("thr"), sum("n").as("n"), sum("np").as("np"))
-          .drop("bin")
-      }
+    if (numBins == 0) {
+      // enforce the bounded-domain contract instead of just documenting
+      // it: the exact path's sweep windows carry one row per DISTINCT
+      // score in a single task — fine for counts/quantized margins,
+      // catastrophic for continuous scores. The extra count is one
+      // narrow aggregate over the distinct-score table.
+      val cnt = g0.count()
+      require(cnt <= 2000000L,
+        s"binaryMetrics: $cnt distinct scores on the exact (numBins = 0) " +
+          "path — the curve sweep would single-task a multi-million-row " +
+          "window; pass numBins > 0 (the reference's curve downsampling)")
+      g0
+    } else {
+      val cnt = g0.count() // one action over the distinct-score table
+      val grouping = cnt / numBins
+      if (grouping < 2) g0 // the reference's too-small short-circuit
+      else Scale.globalRowIndex(g0.withColumn("negthr", -col("thr")), "negthr")
+        .withColumn("bin", expr(s"CAST((global_index - 1) DIV ${grouping}L AS BIGINT)"))
+        .groupBy("bin")
+        .agg(max("thr").as("thr"), sum("n").as("n"), sum("np").as("np"))
+        .drop("bin")
+    }
+  }
+
+  def binaryMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+    val g = curvePoints(scored, numBins)
     // unpartitioned windows are safe here: they run over g, the
     // per-curve-point table — numBins+1 rows when binned, else the
     // distinct scores (callers with continuous scores set numBins)
@@ -113,6 +119,56 @@ object Evaluate {
       .selectExpr("CAST((t2 * 1000000) DIV (2 * pos * neg) AS BIGINT) AS auc_micro")
     curve.select("thr", "tp", "fp", "precision_micro", "recall_micro", "fpr_micro")
       .crossJoin(broadcast(auc))
+  }
+
+  /** Exact precision at the current curve point, as the one shared
+    * double expression over the exact integer (tp, fp). */
+  val prPrecisionExpr: String =
+    "(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+
+  /** One PR trapezoid term in micro-units over (tp, tp0, pcur, pprev,
+    * pos): ((Δtp/P)·(p + p_prev)/2)·10⁶, rounded ONCE per curve point so
+    * the area sum is an exact integer under any partitioning (declared
+    * deviation: the reference sums raw doubles in RDD order —
+    * AreaUnderCurve.scala's sliding fold; per-point micro rounding
+    * bounds the difference by 5e-7·points). */
+  val prTrapMicroExpr: String =
+    "CAST(round(((CAST(tp - tp0 AS DOUBLE) * (pcur + pprev)) / " +
+      "(2.0 * CAST(pos AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+  /** Precision-recall curve + area (reference BinaryClassificationMetrics
+    * .scala:104 pr — the curve PREPENDS (recall 0, precision 1.0), so the
+    * first trapezoid runs from (0, 1) to the highest-threshold point —
+    * and :115 areaUnderPR via AreaUnderCurve; fMeasureByThreshold:128 is
+    * the f1 column, exact integers: f1 = 2tp/(2tp+fp+fn) =
+    * (2·10⁶·tp) DIV (tp + fp + P)). Same curve-point table, windows and
+    * numBins contract as [[binaryMetrics]]; the area is the per-point
+    * micro-rounded trapezoid sum ([[prTrapMicroExpr]]), replicated onto
+    * every row. Returns (thr, tp, fp, precision_micro, recall_micro,
+    * f1_micro, pr_auc_micro). */
+  def prMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+    val g = curvePoints(scored, numBins)
+    val wCum = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLag = Window.orderBy(col("thr").desc)
+    val cum = g.select(col("thr"),
+        sum("np").over(wCum).as("tp"),
+        (sum("n").over(wCum) - sum("np").over(wCum)).as("fp"),
+        sum("np").over(wAll).as("pos"))
+      .withColumn("tp0", lag("tp", 1, 0L).over(wLag))
+      .withColumn("pcur", expr(prPrecisionExpr))
+      .withColumn("pprev", lag(col("pcur"), 1, 1.0).over(wLag))
+    val curve = cum.selectExpr("thr", "tp", "fp",
+      "CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) AS precision_micro",
+      "CAST((tp * 1000000) DIV pos AS BIGINT) AS recall_micro",
+      "CAST((tp * 2000000) DIV ((tp + fp) + pos) AS BIGINT) AS f1_micro",
+      s"$prTrapMicroExpr AS term_micro")
+    val area = curve.agg(sum("term_micro").as("a"))
+      .selectExpr("CAST(a AS BIGINT) AS pr_auc_micro")
+    curve.select("thr", "tp", "fp", "precision_micro", "recall_micro", "f1_micro")
+      .crossJoin(broadcast(area))
   }
 
   /** Regression metrics over (y, pred) BIGINT columns, one aggregate

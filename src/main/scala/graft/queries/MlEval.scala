@@ -31,6 +31,20 @@ object MlEval {
       Evaluate.binaryMetrics(scored).orderBy(col("thr").desc)
     },
 
+    // Precision-recall curve + areaUnderPR (reference
+    // BinaryClassificationMetrics.scala:104 pr / :115 areaUnderPR /
+    // :128 fMeasureByThreshold — the LAST public metrics of the class
+    // next to s28's ROC/AUC): the same imperfect-score fixture, the
+    // reference's (recall 0, precision 1) curve start, exact-integer
+    // F1 per threshold, and the per-point micro-rounded trapezoid area
+    // riding every row.
+    "s92_pr_curve_auc" -> { (s, dir) =>
+      val scored = ordersQty(s, dir).selectExpr(
+        "qty AS score",
+        "CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE 0 END AS BIGINT) AS label")
+      Evaluate.prMetrics(scored).orderBy(col("thr").desc)
+    },
+
     // The numBins curve-downsampling leg of s28 (reference
     // BinaryClassificationMetrics.scala:157-165, the `numBins`
     // constructor knob): score = raw order price in CENTS — 14999
@@ -389,6 +403,38 @@ object MlEval {
          |      // (2 * max(pos) * max(neg)) AS BIGINT) AS auc_micro FROM curve)
          |SELECT thr, tp, fp, precision_micro, recall_micro, fpr_micro, auc_micro
          |FROM curve CROSS JOIN auc ORDER BY thr DESC""".stripMargin,
+
+    // Mirror of prMetrics: the s28 cumulative chain minus the negatives,
+    // the (0, 1) curve-start lag default, the exact-integer F1, and the
+    // shared per-point trapezoid string summed exactly.
+    "s92_pr_curve_auc" ->
+      s"""WITH $qtyCte,
+         |sc AS (SELECT qty AS score,
+         |    CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE 0 END AS BIGINT) AS label
+         |  FROM base),
+         |g AS MATERIALIZED (SELECT score AS thr, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(label) AS BIGINT) AS np FROM sc GROUP BY 1),
+         |cum AS (SELECT thr,
+         |    CAST(sum(np) OVER w AS BIGINT) AS tp,
+         |    CAST(sum(n) OVER w - sum(np) OVER w AS BIGINT) AS fp,
+         |    CAST(sum(np) OVER wa AS BIGINT) AS pos
+         |  FROM g
+         |  WINDOW w AS (ORDER BY thr DESC ROWS UNBOUNDED PRECEDING),
+         |         wa AS (ORDER BY thr DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |pc AS (SELECT *, ${Evaluate.prPrecisionExpr} AS pcur,
+         |    COALESCE(lag(tp) OVER (ORDER BY thr DESC), 0) AS tp0 FROM cum),
+         |lg AS (SELECT *,
+         |    COALESCE(lag(pcur) OVER (ORDER BY thr DESC), CAST(1.0 AS DOUBLE)) AS pprev
+         |  FROM pc),
+         |curve AS MATERIALIZED (SELECT thr, tp, fp,
+         |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+         |    CAST((tp * 1000000) // pos AS BIGINT) AS recall_micro,
+         |    CAST((tp * 2000000) // ((tp + fp) + pos) AS BIGINT) AS f1_micro,
+         |    ${Evaluate.prTrapMicroExpr} AS term_micro
+         |  FROM lg),
+         |area AS (SELECT CAST(sum(term_micro) AS BIGINT) AS pr_auc_micro FROM curve)
+         |SELECT thr, tp, fp, precision_micro, recall_micro, f1_micro, pr_auc_micro
+         |FROM curve CROSS JOIN area ORDER BY thr DESC""".stripMargin,
 
     // Mirror of binaryMetrics(numBins = 20): the same distinct-score
     // table, rank DESC, grouping = count // 20, equal-count chunks

@@ -96,6 +96,31 @@ class EvaluateSpec extends SparkSpec {
     assert(noop.length === 10)
   }
 
+  test("prMetrics matches mllib areaUnderPR and pins the (0, 1) curve start") {
+    import spark.implicits._
+    // imperfect ranking so the PR curve is non-trivial
+    val data = Seq((10L, 1L), (9L, 0L), (8L, 1L), (7L, 1L), (6L, 0L),
+      (5L, 1L), (4L, 0L), (3L, 0L), (2L, 1L), (1L, 0L))
+    val df = data.toDF("score", "label")
+    val got = graft.ext.Evaluate.prMetrics(df).orderBy(col("thr").desc).collect()
+    assert(got.length === 10)
+    val prauc = got.head.getAs[Long]("pr_auc_micro")
+    val mllibAuc = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+      spark.sparkContext.parallelize(data.map { case (s, l) => (s.toDouble, l.toDouble) }))
+      .areaUnderPR()
+    // per-point micro rounding bounds the difference by 5e-7 * points
+    assert(math.abs(prauc - mllibAuc * 1e6) <= 10,
+      s"pr_auc_micro $prauc vs mllib ${mllibAuc * 1e6}")
+    // exact-integer F1 at the full-recall end: tp=5, fp=5, pos=5
+    val last = got.last
+    assert(last.getAs[Long]("f1_micro") === (5L * 2000000L) / 15L)
+    // a perfect ranking integrates to exactly 1.0 (the (0,1) start
+    // joins the all-precision-1 staircase seamlessly)
+    val perfect = (1L to 10L).map(i => (i, if (i > 5) 1L else 0L)).toDF("score", "label")
+    assert(graft.ext.Evaluate.prMetrics(perfect).head()
+      .getAs[Long]("pr_auc_micro") === 1000000L)
+  }
+
   test("binaryMetrics exact path enforces the bounded-domain contract") {
     import spark.implicits._
     // a continuous-score table past the guard must be refused on the
