@@ -182,16 +182,28 @@ object Evaluate {
     * floor(1000·s/n) = 1000·(s div n) + (1000·(s mod n)) div n so the
     * ×1000 never multiplies the full Σe² (which already overflowed the
     * naive form at sf1 — Σe² ≈ 1.5e16 there). */
+  /** explainedVariance = Σ(ŷ − ȳ)²/n (reference RegressionMetrics
+    * .scala:67,71 — the class's fifth public metric) over the exact
+    * integer sums (n, sy, sp, spp), milli-rounded through ONE shared
+    * double expression (the r2 convention: the squared-sum terms must
+    * never touch the integer domain). */
+  val explainedVarMilliExpr: String =
+    "CAST(round(((CAST(spp AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+      "((2.0 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) * (CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))) + " +
+      "((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000.0) AS BIGINT)"
+
   def regressionMetrics(preds: DataFrame, yCol: String, predCol: String): DataFrame =
     preds.selectExpr(s"CAST($yCol AS BIGINT) AS y", s"CAST($predCol AS BIGINT) AS p")
-      .selectExpr("y", "abs(y - p) AS ae", "(y - p) * (y - p) AS se")
+      .selectExpr("y", "p", "abs(y - p) AS ae", "(y - p) * (y - p) AS se")
       .agg(count(lit(1)).as("n"), sum("ae").as("sae"), sum("se").as("sse"),
-        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"))
+        sum("y").as("sy"), sum(col("y") * col("y")).as("syy"),
+        sum("p").as("sp"), sum(col("p") * col("p")).as("spp"))
       .selectExpr("n", "sae", "sse",
         "CAST((sae * 1000) DIV n AS BIGINT) AS mae_milli",
         "CAST(((sse DIV n) * 1000) + (((sse % n) * 1000) DIV n) AS BIGINT) AS mse_milli",
         "CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli",
-        "CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro")
+        "CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro",
+        s"$explainedVarMilliExpr AS explained_var_milli")
 
   /** The micro-quantized DCG discount at rank k: round(1e6 / log2(k+1)).
     * One ln-ratio libm expression shared verbatim with the oracle. */

@@ -507,13 +507,15 @@ object MlEval {
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(abs(y - p)) AS BIGINT) AS sae,
          |    CAST(sum((y - p) * (y - p)) AS BIGINT) AS sse,
-         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+         |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(p) AS BIGINT) AS sp, CAST(sum(p * p) AS BIGINT) AS spp
          |  FROM preds)
          |SELECT n, sae, sse,
          |  CAST((sae * 1000) // n AS BIGINT) AS mae_milli,
          |  CAST(((sse // n) * 1000) + (((sse % n) * 1000) // n) AS BIGINT) AS mse_milli,
          |  CAST(round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0) AS BIGINT) AS rmse_milli,
-         |  CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro
+         |  CAST(round((1.0 - (CAST(sse AS DOUBLE) / (CAST(syy AS DOUBLE) - ((CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))))) * 1000000.0) AS BIGINT) AS r2_micro,
+         |  ${Evaluate.explainedVarMilliExpr} AS explained_var_milli
          |FROM m""".stripMargin
     },
 

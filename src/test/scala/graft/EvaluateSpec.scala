@@ -43,6 +43,13 @@ class EvaluateSpec extends SparkSpec {
     assert(r.getLong(4) === 6666L)                       // mse_milli (floor)
     assert(r.getLong(5) === math.round(math.sqrt(20.0 / 3.0) * 1000.0)) // 2582
     assert(r.getLong(6) === 900000L)                     // r2_micro
+    // explainedVariance = var of preds around ybar = mean(y) = 20:
+    // ((12-20)^2 + 0 + (26-20)^2)/3 = 100/3 -> 33333 milli
+    assert(r.getLong(7) === 33333L)
+    // cross-check the formula against mllib RegressionMetrics itself
+    val mllib = new org.apache.spark.mllib.evaluation.RegressionMetrics(
+      spark.sparkContext.parallelize(Seq((12.0, 10.0), (20.0, 20.0), (26.0, 30.0))))
+    assert(math.abs(r.getLong(7) - mllib.explainedVariance * 1000.0) <= 1.0)
   }
 
   test("ranking metrics: AP and NDCG on a single-key fixture") {
