@@ -2891,6 +2891,39 @@ object Learn {
           "ELSE CAST((2 * precision_micro * recall_micro) DIV (precision_micro + recall_micro) AS BIGINT) END"))
   }
 
+  /** The AGGREGATE half of MulticlassMetrics (reference
+    * MulticlassMetrics.scala:143 accuracy, :170 weightedPrecision, :178
+    * weightedRecall, :186/:197 weightedFMeasure, :95 falsePositiveRate +
+    * :162 weightedFalsePositiveRate — everything [[multiclassMetrics]]'s
+    * per-label rows don't carry): one row of label-count-weighted
+    * averages, Σ n_actual_l · metric_micro_l DIV N over the per-label
+    * integer micro metrics (declared: per-label micro floors happen
+    * BEFORE weighting, so each weighted value sits within #labels
+    * micro-units of the reference's double average — spec-pinned
+    * against mllib itself). The per-label table is labels-bounded, so
+    * every stage past the one confusion count aggregate is tiny. */
+  def multiclassWeighted(scored: DataFrame, actualCol: String,
+                         predCol: String): DataFrame = {
+    val per = multiclassMetrics(scored, actualCol, predCol)
+      .localCheckpoint() // labels-bounded; feeds the total AND the blend
+    val tot = per.agg(sum("n_actual").as("nn"), sum("tp").as("stp"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("fpr_micro",
+        expr("CASE WHEN nn - n_actual = 0 THEN 0 ELSE " +
+          "CAST(((n_pred - tp) * 1000000) DIV (nn - n_actual) AS BIGINT) END"))
+      .agg(max("nn").as("n"), max("stp").as("stp"),
+        sum(expr("n_actual * precision_micro")).as("swp"),
+        sum(expr("n_actual * recall_micro")).as("swr"),
+        sum(expr("n_actual * f1_micro")).as("swf"),
+        sum(expr("n_actual * fpr_micro")).as("swfpr"))
+      .selectExpr("CAST(n AS BIGINT) AS n",
+        "CAST((stp * 1000000) DIV n AS BIGINT) AS accuracy_micro",
+        "CAST(swp DIV n AS BIGINT) AS weighted_precision_micro",
+        "CAST(swr DIV n AS BIGINT) AS weighted_recall_micro",
+        "CAST(swf DIV n AS BIGINT) AS weighted_f1_micro",
+        "CAST(swfpr DIV n AS BIGINT) AS weighted_fpr_micro")
+  }
+
   /** Multinomial Naive Bayes with Laplace (+1) smoothing: train per-label
     * priors and token likelihoods on `train`, classify every `classify`
     * row by argmax of the micro-nat-quantized log score

@@ -528,6 +528,20 @@ object Ml {
         .orderBy("label")
     },
 
+    // The weighted/aggregate half of MulticlassMetrics (reference
+    // MulticlassMetrics.scala:143 accuracy + :162-:197 the weighted*
+    // family + :95 falsePositiveRate — completing s17's per-label
+    // rows): one row of label-count-weighted averages over the same
+    // held-out NB confusion counts, every value an exact integer from
+    // the per-label micro metrics.
+    "s93_multiclass_weighted" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val scored = Learn.naiveBayes(docs.filter(col("doc_id") < 250), docs,
+          "doc_id", "text", "lang")
+        .filter(col("doc_id") >= 250)
+      Learn.multiclassWeighted(scored, "actual", "pred_label")
+    },
+
     // Logistic regression (reference mllib/classification/
     // LogisticRegression.scala + optimization/GradientDescent.scala —
     // the most-used reference classifier): 8 full-batch quantized-
@@ -3088,6 +3102,47 @@ object Ml {
          |  CASE WHEN precision_micro + recall_micro = 0 THEN 0
          |       ELSE CAST((2 * precision_micro * recall_micro) // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
          |FROM m ORDER BY label""".stripMargin,
+
+    // The s17 confusion algebra, then the label-count-weighted blend:
+    // per-label micro metrics floored first (the declared convention),
+    // weighted sums exact integers, one output row.
+    "s93_multiclass_weighted" ->
+      s"""WITH $nbChainCte,
+         |predh AS MATERIALIZED (
+         |  SELECT doc_id, actual, label AS pred FROM r WHERE rn = 1 AND doc_id >= 250),
+         |counts AS MATERIALIZED (
+         |  SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM predh GROUP BY 1, 2),
+         |tp AS (SELECT actual AS label, n AS tp FROM counts WHERE actual = pred),
+         |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM counts GROUP BY 1),
+         |at AS (SELECT actual AS label, CAST(sum(n) AS BIGINT) AS n_actual FROM counts GROUP BY 1),
+         |base AS (
+         |  SELECT COALESCE(at.label, pt.label) AS label,
+         |    COALESCE(tp.tp, 0) AS tp,
+         |    COALESCE(pt.n_pred, 0) AS n_pred,
+         |    COALESCE(at.n_actual, 0) AS n_actual
+         |  FROM at FULL OUTER JOIN pt ON at.label = pt.label
+         |  LEFT JOIN tp ON tp.label = COALESCE(at.label, pt.label)),
+         |m AS (
+         |  SELECT label, tp, n_pred, n_actual,
+         |    CASE WHEN n_pred = 0 THEN 0 ELSE CAST((tp * 1000000) // n_pred AS BIGINT) END AS precision_micro,
+         |    CASE WHEN n_actual = 0 THEN 0 ELSE CAST((tp * 1000000) // n_actual AS BIGINT) END AS recall_micro
+         |  FROM base),
+         |f AS (SELECT *,
+         |    CASE WHEN precision_micro + recall_micro = 0 THEN 0
+         |         ELSE CAST((2 * precision_micro * recall_micro) // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
+         |  FROM m),
+         |tot AS (SELECT CAST(sum(n_actual) AS BIGINT) AS nn, CAST(sum(tp) AS BIGINT) AS stp FROM f),
+         |wf AS (SELECT *,
+         |    CASE WHEN nn - n_actual = 0 THEN 0
+         |         ELSE CAST(((n_pred - tp) * 1000000) // (nn - n_actual) AS BIGINT) END AS fpr_micro
+         |  FROM f CROSS JOIN tot)
+         |SELECT CAST(max(nn) AS BIGINT) AS n,
+         |  CAST((max(stp) * 1000000) // max(nn) AS BIGINT) AS accuracy_micro,
+         |  CAST(CAST(sum(n_actual * precision_micro) AS BIGINT) // max(nn) AS BIGINT) AS weighted_precision_micro,
+         |  CAST(CAST(sum(n_actual * recall_micro) AS BIGINT) // max(nn) AS BIGINT) AS weighted_recall_micro,
+         |  CAST(CAST(sum(n_actual * f1_micro) AS BIGINT) // max(nn) AS BIGINT) AS weighted_f1_micro,
+         |  CAST(CAST(sum(n_actual * fpr_micro) AS BIGINT) // max(nn) AS BIGINT) AS weighted_fpr_micro
+         |FROM wf""".stripMargin,
 
     // Two unrolled SVD++ gradient iterations over the s12 ratings table:
     // exact-integer sums everywhere, the one double expression per update

@@ -991,6 +991,25 @@ class LearnSpec extends SparkSpec {
       s"centroid split ($catScore) must beat the ordered best ($ordScore)")
   }
 
+  test("weighted multiclass metrics match mllib within the per-label floor bound") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L),
+      (2L, 2L), (2L, 2L), (2L, 0L), (1L, 1L), (0L, 0L))
+    val got = Learn.multiclassWeighted(
+      pairs.toDF("actual", "pred_label"), "actual", "pred_label").head()
+    val m = new org.apache.spark.mllib.evaluation.MulticlassMetrics(
+      spark.sparkContext.parallelize(
+        pairs.map { case (a, p) => (p.toDouble, a.toDouble) }))
+    assert(got.getLong(0) === 10L)
+    // per-label micro floors happen before weighting: each weighted
+    // value sits within a few micro of the reference double
+    assert(math.abs(got.getLong(1) - m.accuracy * 1e6) <= 1)
+    assert(math.abs(got.getLong(2) - m.weightedPrecision * 1e6) <= 5)
+    assert(math.abs(got.getLong(3) - m.weightedRecall * 1e6) <= 5)
+    assert(math.abs(got.getLong(4) - m.weightedFMeasure * 1e6) <= 5)
+    assert(math.abs(got.getLong(5) - m.weightedFalsePositiveRate * 1e6) <= 5)
+  }
+
   test("multiclass categorical: subset enumeration isolates the middle-mean category") {
     import spark.implicits._
     // label means: a = 0.8 < b = 1.0 < c = 1.2, but b is PURE class 1 —
