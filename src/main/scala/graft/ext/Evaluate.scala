@@ -257,6 +257,24 @@ object Evaluate {
         "CAST((dcg_micro * 1000000) DIV idcg_micro AS BIGINT) AS ndcg_micro")
   }
 
+  /** The aggregate values RankingMetrics actually RETURNS (reference
+    * RankingMetrics.scala:60 precisionAt, :96 meanAveragePrecision, :130
+    * ndcgAt — each is the MEAN of its per-query value over the query
+    * set; [[rankingMetrics]] emits the per-query rows): integer means of
+    * the per-key micro metrics (declared: per-key micro floors happen
+    * before the mean, within 1 micro each — the s93 convention).
+    * Returns ONE row (n_queries, mean_p_at_k_micro, map_micro,
+    * mean_ndcg_micro). */
+  def rankingMeans(pred: DataFrame, rel: DataFrame, k: Int): DataFrame =
+    rankingMetrics(pred, rel, k)
+      .agg(count(lit(1)).as("n_queries"),
+        sum("p_at_k_micro").as("sp"), sum("ap_micro").as("sa"),
+        sum("ndcg_micro").as("sn"))
+      .selectExpr("CAST(n_queries AS BIGINT) AS n_queries",
+        "CAST(sp DIV n_queries AS BIGINT) AS mean_p_at_k_micro",
+        "CAST(sa DIV n_queries AS BIGINT) AS map_micro",
+        "CAST(sn DIV n_queries AS BIGINT) AS mean_ndcg_micro")
+
   /** Corpus-level multilabel metrics over per-row label SETS.
     *
     * Input: (key, label, in_actual 0/1, in_pred 0/1) — one row per

@@ -96,6 +96,27 @@ object MlEval {
       Evaluate.rankingMetrics(pred, rel, 5).orderBy("key")
     },
 
+    // The corpus means RankingMetrics actually returns (reference
+    // RankingMetrics.scala:60 precisionAt / :96 meanAveragePrecision /
+    // :130 ndcgAt — each the mean over the query set of s30's per-query
+    // values): one row of integer means, floors before the mean (the
+    // s93 convention).
+    "s94_ranking_means" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_custkey") <= 300)
+      val pred = li.groupBy(col("o_custkey").as("key"), col("l_suppkey").as("item"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("key"), col("item"),
+          row_number().over(Window.partitionBy("key")
+            .orderBy(col("c").desc, col("item"))).cast("long").as("rnk"))
+        .filter(col("rnk") <= 5)
+      val rel = li.filter(col("l_returnflag") === "R")
+        .select(col("o_custkey").as("key"), col("l_suppkey").as("item"))
+        .distinct()
+      Evaluate.rankingMeans(pred, rel, 5)
+    },
+
     // Multilabel evaluation (reference mllib/evaluation/MultilabelMetrics
     // .scala): labels = the corpus's top-5 tokens (data-derived,
     // deterministic tiebreak); a document's ACTUAL set = labels present
@@ -373,6 +394,45 @@ object MlEval {
        |        FROM lg$k CROSS JOIN lw${k - 1}))""".stripMargin
   }
 
+  /** The s30 ranking chain through the per-query metric rows (`pkm`) —
+    * shared by the s30 and s94 oracles. */
+  private def rankingChainCte: String = {
+    val disc = Evaluate.dcgDiscountExpr
+    s"""li AS MATERIALIZED (
+       |  SELECT o.o_custkey AS key, l.l_suppkey AS item, l.l_returnflag
+       |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |  WHERE o.o_custkey <= 300),
+       |cnt AS (SELECT key, item, count(*) AS c FROM li GROUP BY 1, 2),
+       |pred AS MATERIALIZED (SELECT key, item, CAST(rn AS BIGINT) AS rnk FROM (
+       |    SELECT key, item,
+       |      row_number() OVER (PARTITION BY key ORDER BY c DESC, item) AS rn
+       |    FROM cnt) WHERE rn <= 5),
+       |rel AS MATERIALIZED (
+       |  SELECT DISTINCT key, item FROM li WHERE l_returnflag = 'R'),
+       |relsets AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+       |hits AS (SELECT p.key, p.rnk,
+       |    CASE WHEN r.item IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM pred p LEFT JOIN rel r ON r.key = p.key AND r.item = p.item),
+       |runs AS (SELECT key, rnk, hit,
+       |    CAST(sum(hit) OVER (PARTITION BY key ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits_up_to
+       |  FROM hits),
+       |perkey AS MATERIALIZED (SELECT key, CAST(sum(hit) AS BIGINT) AS hits,
+       |    CAST(sum(CASE WHEN hit = 1 THEN (hits_up_to * 1000000) // rnk ELSE 0 END) AS BIGINT) AS sum_prec,
+       |    CAST(sum(CASE WHEN hit = 1 THEN $disc ELSE 0 END) AS BIGINT) AS dcg_micro
+       |  FROM runs GROUP BY 1),
+       |ideal AS (SELECT rnk,
+       |    CAST(sum($disc) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS idcg_micro
+       |  FROM (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk)),
+       |pkm AS MATERIALIZED (SELECT rs.key, rs.n_rel,
+       |    CAST(COALESCE(pk.hits, 0) AS BIGINT) AS hits,
+       |    CAST((COALESCE(pk.hits, 0) * 1000000) // 5 AS BIGINT) AS p_at_k_micro,
+       |    CAST(COALESCE(pk.sum_prec, 0) // rs.n_rel AS BIGINT) AS ap_micro,
+       |    CAST((COALESCE(pk.dcg_micro, 0) * 1000000) // i.idcg_micro AS BIGINT) AS ndcg_micro
+       |  FROM relsets rs
+       |  LEFT JOIN perkey pk USING (key)
+       |  JOIN ideal i ON i.rnk = least(rs.n_rel, 5))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Mirror of Evaluate.binaryMetrics: score-grouped cumulative counts,
     // micro ratios by `//` (all operands non-negative), trapezoid AUC
@@ -521,43 +581,20 @@ object MlEval {
 
     // Mirror of Evaluate.rankingMetrics over the purchase-count
     // recommender, sharing the DCG discount formula string.
-    "s30_ranking_metrics" -> {
-      val disc = Evaluate.dcgDiscountExpr
-      s"""WITH li AS MATERIALIZED (
-         |  SELECT o.o_custkey AS key, l.l_suppkey AS item, l.l_returnflag
-         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-         |  WHERE o.o_custkey <= 300),
-         |cnt AS (SELECT key, item, count(*) AS c FROM li GROUP BY 1, 2),
-         |pred AS MATERIALIZED (SELECT key, item, CAST(rn AS BIGINT) AS rnk FROM (
-         |    SELECT key, item,
-         |      row_number() OVER (PARTITION BY key ORDER BY c DESC, item) AS rn
-         |    FROM cnt) WHERE rn <= 5),
-         |rel AS MATERIALIZED (
-         |  SELECT DISTINCT key, item FROM li WHERE l_returnflag = 'R'),
-         |relsets AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
-         |hits AS (SELECT p.key, p.rnk,
-         |    CASE WHEN r.item IS NOT NULL THEN 1 ELSE 0 END AS hit
-         |  FROM pred p LEFT JOIN rel r ON r.key = p.key AND r.item = p.item),
-         |runs AS (SELECT key, rnk, hit,
-         |    CAST(sum(hit) OVER (PARTITION BY key ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits_up_to
-         |  FROM hits),
-         |perkey AS MATERIALIZED (SELECT key, CAST(sum(hit) AS BIGINT) AS hits,
-         |    CAST(sum(CASE WHEN hit = 1 THEN (hits_up_to * 1000000) // rnk ELSE 0 END) AS BIGINT) AS sum_prec,
-         |    CAST(sum(CASE WHEN hit = 1 THEN $disc ELSE 0 END) AS BIGINT) AS dcg_micro
-         |  FROM runs GROUP BY 1),
-         |ideal AS (SELECT rnk,
-         |    CAST(sum($disc) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS BIGINT) AS idcg_micro
-         |  FROM (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS rnk))
-         |SELECT rs.key, rs.n_rel,
-         |  CAST(COALESCE(pk.hits, 0) AS BIGINT) AS hits,
-         |  CAST((COALESCE(pk.hits, 0) * 1000000) // 5 AS BIGINT) AS p_at_k_micro,
-         |  CAST(COALESCE(pk.sum_prec, 0) // rs.n_rel AS BIGINT) AS ap_micro,
-         |  CAST((COALESCE(pk.dcg_micro, 0) * 1000000) // i.idcg_micro AS BIGINT) AS ndcg_micro
-         |FROM relsets rs
-         |LEFT JOIN perkey pk USING (key)
-         |JOIN ideal i ON i.rnk = least(rs.n_rel, 5)
-         |ORDER BY rs.key""".stripMargin
-    },
+    "s30_ranking_metrics" ->
+      s"""WITH $rankingChainCte
+         |SELECT * FROM pkm ORDER BY key""".stripMargin,
+
+    // The means the reference API actually returns (RankingMetrics
+    // .scala:60/:96/:130) over the s30 per-query rows — the s93
+    // floor-before-mean convention.
+    "s94_ranking_means" ->
+      s"""WITH $rankingChainCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(CAST(sum(p_at_k_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_p_at_k_micro,
+         |  CAST(CAST(sum(ap_micro) AS BIGINT) // count(*) AS BIGINT) AS map_micro,
+         |  CAST(CAST(sum(ndcg_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_ndcg_micro
+         |FROM pkm""".stripMargin,
 
     // Mirror of Learn.isotonicFit: distinct-x aggregation, prefix sums,
     // the d² block-average pair table, then the minimax sweep. All window

@@ -103,6 +103,25 @@ class EvaluateSpec extends SparkSpec {
     assert(noop.length === 10)
   }
 
+  test("rankingMeans matches mllib RankingMetrics' aggregate values") {
+    import spark.implicits._
+    val pred = Seq(("u", "a", 1L), ("u", "b", 2L), ("u", "c", 3L),
+      ("u", "d", 4L), ("u", "e", 5L),
+      ("v", "a", 1L), ("v", "f", 2L), ("v", "g", 3L), ("v", "h", 4L), ("v", "b", 5L))
+      .toDF("key", "item", "rnk")
+    val rel = Seq(("u", "a"), ("u", "c"), ("u", "f"), ("u", "g"),
+      ("v", "f"), ("v", "b")).toDF("key", "item")
+    val got = graft.ext.Evaluate.rankingMeans(pred, rel, 5).head()
+    val m = new org.apache.spark.mllib.evaluation.RankingMetrics(
+      spark.sparkContext.parallelize(Seq(
+        (Array("a", "b", "c", "d", "e"), Array("a", "c", "f", "g")),
+        (Array("a", "f", "g", "h", "b"), Array("f", "b")))))
+    assert(got.getLong(0) === 2L)
+    assert(math.abs(got.getLong(1) - m.precisionAt(5) * 1e6) <= 2)
+    assert(math.abs(got.getLong(2) - m.meanAveragePrecision * 1e6) <= 2)
+    assert(math.abs(got.getLong(3) - m.ndcgAt(5) * 1e6) <= 2)
+  }
+
   test("prMetrics matches mllib areaUnderPR and pins the (0, 1) curve start") {
     import spark.implicits._
     // imperfect ranking so the PR curve is non-trivial
