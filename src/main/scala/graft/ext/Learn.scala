@@ -973,17 +973,22 @@ object Learn {
     * optimal subset a prefix; LearnSpec pins a fixture where the best
     * subset isolates the MIDDLE category of the label-mean order).
     *
-    * Mechanics per level: ONE (node, cat, class) histogram over the
-    * data — the only full-data pass, map-side combined — then every
-    * evaluation runs over nodes × K × subsets BOUNDED rows: the
-    * driver-enumerated membership table (canonical half: subsets of
-    * the value-sorted categories excluding the last one, sid = the
-    * bitmask over the first K−1) joins the histogram, per-(node,
-    * subset) class counts aggregate, and the three-class gini currency
-    * Σ_c count_c²·1000 DIV n scores both sides. Argmax ties to the
-    * smallest sid; routing is a broadcast membership join (cat ∈
-    * S_best(node) → left). Labels y ∈ {0, 1, 2}. Returns (leaf, n,
-    * n0, n1, n2, pred, parent_sid, parent_cats). */
+    * Mechanics per level: two (node, feature-value, class) histograms
+    * over the data — the only full-data passes, map-side combined —
+    * then every evaluation runs over nodes × (K × subsets + distinct
+    * x2) BOUNDED rows: the driver-enumerated membership table
+    * (canonical half: subsets of the value-sorted categories excluding
+    * the last one, sid = the bitmask over the first K−1) joins the cat
+    * histogram, and the optional ORDERED feature `x2Col` contributes
+    * prefix-threshold candidates from its own histogram — both kinds
+    * compete in ONE argmax under the three-class gini currency
+    * Σ_c count_c²·1000 DIV n, exactly the reference's findBestSplits
+    * mixing categorical and continuous candidates per node. Argmax
+    * ties: subsets before numeric, then the smaller key; routing is a
+    * broadcast membership join (cat ∈ S_best → left) or the x2 ≤ thr
+    * CASE. Labels y ∈ {0, 1, 2}; x2 must be bounded-domain (the
+    * treeLevels contract). Returns (leaf, n, n0, n1, n2, pred,
+    * parent_kind 1=subset/2=numeric, parent_cut). */
   /** The three-class gini split currency over (l0, l1, l2, t0, t1, t2,
     * nl, tn) candidate columns — Σ_c count_c²·1000 DIV n per side,
     * shared with the oracle (`div` = DIV / //). */
@@ -994,11 +999,14 @@ object Learn {
 
   def multiclassCategoricalTree(rows: DataFrame, catCol: String,
                                 labelCol: String,
-                                maxDepth: Int = 2): DataFrame = {
+                                maxDepth: Int = 2,
+                                x2Col: String = ""): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = rows.select(col(catCol).as("cat"), col(labelCol).as("y"))
+    val x2 = if (x2Col.isEmpty) lit(0L) else col(x2Col)
+    val base = rows.select(col(catCol).as("cat"), x2.as("x2"),
+      col(labelCol).as("y"))
     val cats = base.select("cat").distinct().collect() // arity-bounded
       .map(_.getString(0)).sorted
     require(cats.length >= 2 && cats.length <= 12,
@@ -1022,37 +1030,61 @@ object Learn {
       val tot = h.groupBy("node").agg(
         sum("c0").as("t0"), sum("c1").as("t1"), sum("c2").as("t2"),
         sum(expr("c0 + (c1 + c2)")).as("tn"))
-      val cand = h.join(broadcast(members), "cat")
+      // kind 1: unordered subset candidates (key = sid)
+      val candCat = h.join(broadcast(members), "cat")
         .groupBy("node", "sid")
         .agg(sum("c0").as("l0"), sum("c1").as("l1"), sum("c2").as("l2"))
+        .select(col("node"), lit(1L).as("kind"), col("sid").as("key"),
+          col("l0"), col("l1"), col("l2"))
+      // kind 2: ordered numeric-threshold candidates (key = x2 value;
+      // the reference's findBestSplits evaluates BOTH feature types in
+      // one argmax). Prefix window bounded by the node's DISTINCT x2
+      // values — the treeLevels bounded-domain contract; a constant x2
+      // (the single-feature mode) yields none (tn − nl > 0 fails).
+      val wCum = Window.partitionBy("node").orderBy("x2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val candNum = r.groupBy("node", "x2").agg(
+          sum(expr("CASE WHEN y = 0 THEN 1 ELSE 0 END")).as("c0"),
+          sum(expr("CASE WHEN y = 1 THEN 1 ELSE 0 END")).as("c1"),
+          sum(expr("CASE WHEN y = 2 THEN 1 ELSE 0 END")).as("c2"))
+        .select(col("node"), lit(2L).as("kind"), col("x2").as("key"),
+          sum("c0").over(wCum).as("l0"), sum("c1").over(wCum).as("l1"),
+          sum("c2").over(wCum).as("l2"))
+      val cand = candCat.union(candNum)
         .join(tot, "node")
         .withColumn("nl", expr("l0 + (l1 + l2)"))
         .filter(col("nl") > 0 && col("tn") - col("nl") > 0)
         .withColumn("score", expr(score))
+      // ties: higher score first, subsets before numeric, smaller key
       val best = cand
         .withColumn("rn", row_number().over(
-          Window.partitionBy("node").orderBy(col("score").desc, col("sid"))))
+          Window.partitionBy("node")
+            .orderBy(col("score").desc, col("kind"), col("key"))))
         .filter(col("rn") === 1)
-        .select(col("node"), col("sid"), col("score"))
+        .select(col("node"), col("kind"), col("key"), col("score"))
         .localCheckpoint() // nodes-bounded; feeds the route AND the union
       allSplits = if (allSplits == null) best else allSplits.union(best)
-      val routeSet = best.join(broadcast(members), "sid")
+      val routeSet = best.filter(col("kind") === 1L)
+        .join(broadcast(members), col("key") === col("sid"))
         .select(col("node"), col("cat"), lit(1L).as("inset"))
-      // a node with NO valid candidate (e.g. single-category) keeps its
-      // id — the treeLevels leaf convention
-      val splitNodes = best.select(col("node"), lit(1L).as("hassplit"))
-      r = r.join(broadcast(splitNodes), Seq("node"), "left")
+      // a node with NO valid candidate (single category AND constant
+      // x2) keeps its id — the treeLevels leaf convention
+      r = r.join(broadcast(best.select("node", "kind", "key")), Seq("node"), "left")
         .join(broadcast(routeSet), Seq("node", "cat"), "left")
         .withColumn("node", expr(
-          "CASE WHEN hassplit IS NULL THEN node" +
-            " WHEN inset IS NOT NULL THEN node * 2 ELSE node * 2 + 1 END"))
-        .drop("hassplit", "inset")
+          "CASE WHEN kind IS NULL THEN node" +
+            " WHEN kind = 1 THEN (CASE WHEN inset IS NOT NULL THEN node * 2 ELSE node * 2 + 1 END)" +
+            " ELSE (CASE WHEN x2 <= key THEN node * 2 ELSE node * 2 + 1 END) END"))
+        .drop("kind", "key", "inset")
         .localCheckpoint()
     }
     val labelOf = labels // stable reference for the closure below
-    val cuts = allSplits.select("node", "sid").collect()
-      .map(r0 => (r0.getLong(0), r0.getLong(1), labelOf(r0.getLong(1))))
-      .toSeq.toDF("pnode", "parent_sid", "parent_cats")
+    val cuts = allSplits.select("node", "kind", "key").collect()
+      .map { r0 =>
+        val (n, k, key) = (r0.getLong(0), r0.getLong(1), r0.getLong(2))
+        (n, k, if (k == 1L) labelOf(key) else key.toString)
+      }
+      .toSeq.toDF("pnode", "parent_kind", "parent_cut")
     r.groupBy(col("node").as("leaf"))
       .agg(sum(expr("CASE WHEN y = 0 THEN 1 ELSE 0 END")).as("n0"),
         sum(expr("CASE WHEN y = 1 THEN 1 ELSE 0 END")).as("n1"),
@@ -1064,8 +1096,8 @@ object Learn {
           " WHEN n1 >= n2 THEN 1 ELSE 2 END AS BIGINT) AS pred")
       .join(broadcast(cuts), expr("leaf DIV 2") === col("pnode"), "left")
       .selectExpr("leaf", "n", "n0", "n1", "n2", "pred",
-        "CAST(coalesce(parent_sid, 0) AS BIGINT) AS parent_sid",
-        "coalesce(parent_cats, '-') AS parent_cats")
+        "CAST(coalesce(parent_kind, 0) AS BIGINT) AS parent_kind",
+        "coalesce(parent_cut, '-') AS parent_cut")
   }
 
   /** Depth-`maxDepth` REGRESSION tree over a (x1, x2, ym) table (BIGINT

@@ -740,21 +740,28 @@ object Ml {
     // .scala:966's SUBSET-enumeration branch: with > 2 classes the
     // centroid-ordering trick is invalid — no single ordering makes the
     // optimal subset a prefix — so an unordered feature gets all
-    // 2^(K−1)−1 subset candidates). o_orderstatus against a 3-class
-    // keyed label (O ≈ 80/0/20, F ≈ 20/0/80, P ≈ 10/90/0 over classes
-    // 0/1/2): every split of {F, O, P} is evaluated as a SET, the
-    // per-level work after the one (node, cat, class) histogram pass is
-    // nodes × K × subsets bounded, and leaves carry full per-class
-    // counts + the parent's membership set. LearnSpec pins the fixture
-    // where the best subset isolates the MIDDLE category of the
-    // label-mean order — unreachable for any prefix scheme.
+    // 2^(K−1)−1 subset candidates, COMPETING in the same per-node
+    // argmax as the ordered feature's thresholds, findBestSplits'
+    // mixed-feature semantics). o_orderstatus against a 3-class keyed
+    // label (O ≈ 80/0/20, F ≈ 20/0/80, P ≈ 10/90/0 over classes 0/1/2)
+    // plus x2 = o_orderkey % 7 label-independent noise the argmax must
+    // reject where the categorical signal lives: every split of
+    // {F, O, P} is evaluated as a SET next to the seven numeric
+    // thresholds, per-level work after the two histogram passes is
+    // nodes × (K·subsets + 7) bounded, and leaves carry full per-class
+    // counts + the parent's cut (membership set or threshold).
+    // LearnSpec pins the fixture where the best subset isolates the
+    // MIDDLE category of the label-mean order — unreachable for any
+    // prefix scheme — and a numeric-signal fixture where the threshold
+    // candidate must win.
     "s90_multiclass_categorical" -> { (s, dir) =>
       val rows = Tables.orders(s, dir).selectExpr(
         "o_orderstatus AS cat",
+        "CAST(o_orderkey % 7 AS BIGINT) AS x2",
         "CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 8 THEN 0 ELSE 2 END" +
           " WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 8 THEN 2 ELSE 0 END" +
           " ELSE CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END END AS BIGINT) AS y")
-      Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 2)
+      Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 2, x2Col = "x2")
         .orderBy("leaf")
     },
 
@@ -2497,9 +2504,11 @@ object Ml {
          |ORDER BY leaf""".stripMargin,
 
     // Mirror of multiclassCategoricalTree: the driver-enumerated subset
-    // membership VALUES, per-level (node, cat, class) histograms, the
-    // shared three-class gini currency, sid-tiebroken argmax, and the
-    // membership-join routing with the no-split stay-put branch.
+    // membership VALUES, per-level (node, cat, class) AND (node, x2,
+    // class) histograms, subset + prefix-threshold candidates unioned
+    // into one argmax under the shared three-class gini currency
+    // (ties: kind then key), and the kind-routed membership/threshold
+    // CASE with the no-split stay-put branch.
     "s90_multiclass_categorical" -> {
       import graft.ext.Learn
       val cats = Seq("F", "O", "P") // o_orderstatus domain, value-sorted
@@ -2519,26 +2528,44 @@ object Ml {
            |    CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
            |    CAST(sum(c0 + (c1 + c2)) AS BIGINT) AS tn
            |  FROM h$k GROUP BY 1),
-           |c$k AS (SELECT node, sid, ${Learn.mc3ScoreExpr("//")} AS score
-           |  FROM (SELECT h.node, m.sid, CAST(sum(c0) AS BIGINT) AS l0,
-           |      CAST(sum(c1) AS BIGINT) AS l1, CAST(sum(c2) AS BIGINT) AS l2,
-           |      CAST(sum(c0 + (c1 + c2)) AS BIGINT) AS nl
-           |    FROM h$k h JOIN mem m USING (cat) GROUP BY 1, 2) JOIN t$k USING (node)
+           |hn$k AS (SELECT node, x2,
+           |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+           |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN y = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |  FROM $prev GROUP BY 1, 2),
+           |uc$k AS (
+           |  SELECT h.node, 1::BIGINT AS kind, m.sid AS key,
+           |    CAST(sum(c0) AS BIGINT) AS l0, CAST(sum(c1) AS BIGINT) AS l1,
+           |    CAST(sum(c2) AS BIGINT) AS l2
+           |  FROM h$k h JOIN mem m USING (cat) GROUP BY 1, 2, 3
+           |  UNION ALL
+           |  SELECT node, 2::BIGINT, x2,
+           |    CAST(sum(c0) OVER wc AS BIGINT), CAST(sum(c1) OVER wc AS BIGINT),
+           |    CAST(sum(c2) OVER wc AS BIGINT)
+           |  FROM hn$k
+           |  WINDOW wc AS (PARTITION BY node ORDER BY x2 ROWS UNBOUNDED PRECEDING)),
+           |c$k AS (SELECT node, kind, key, ${Learn.mc3ScoreExpr("//")} AS score
+           |  FROM (SELECT *, CAST(l0 + (l1 + l2) AS BIGINT) AS nl
+           |    FROM uc$k JOIN t$k USING (node))
            |  WHERE nl > 0 AND tn - nl > 0),
-           |b$k AS MATERIALIZED (SELECT node, sid FROM (SELECT node, sid,
-           |    row_number() OVER (PARTITION BY node ORDER BY score DESC, sid) AS rn
+           |b$k AS MATERIALIZED (SELECT node, kind, key FROM (SELECT node, kind, key,
+           |    row_number() OVER (PARTITION BY node ORDER BY score DESC, kind, key) AS rn
            |  FROM c$k) WHERE rn = 1),
-           |mr$k AS MATERIALIZED (SELECT r.cat, r.y,
+           |mr$k AS MATERIALIZED (SELECT r.cat, r.x2, r.y,
            |    CASE WHEN b.node IS NULL THEN r.node
-           |         WHEN m.cat IS NOT NULL THEN r.node * 2
-           |         ELSE r.node * 2 + 1 END AS node
+           |         WHEN b.kind = 1 THEN
+           |           (CASE WHEN m.cat IS NOT NULL THEN r.node * 2 ELSE r.node * 2 + 1 END)
+           |         ELSE (CASE WHEN r.x2 <= b.key THEN r.node * 2 ELSE r.node * 2 + 1 END)
+           |    END AS node
            |  FROM $prev r
            |  LEFT JOIN b$k b ON b.node = r.node
-           |  LEFT JOIN (SELECT b2.node, mem.cat FROM b$k b2 JOIN mem USING (sid)) m
+           |  LEFT JOIN (SELECT b2.node, mem.cat FROM b$k b2 JOIN mem ON mem.sid = b2.key
+           |             WHERE b2.kind = 1) m
            |    ON m.node = r.node AND m.cat = r.cat)""".stripMargin
       }
       s"""WITH mem AS (SELECT * FROM (VALUES $memVals) AS v(sid, cat)),
          |mr0 AS MATERIALIZED (SELECT o_orderstatus AS cat,
+         |    CAST(o_orderkey % 7 AS BIGINT) AS x2,
          |    CAST(CASE WHEN o_orderstatus = 'O' THEN CASE WHEN o_orderkey % 10 < 8 THEN 0 ELSE 2 END
          |         WHEN o_orderstatus = 'F' THEN CASE WHEN o_orderkey % 10 < 8 THEN 2 ELSE 0 END
          |         ELSE CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE 0 END END AS BIGINT) AS y,
@@ -2548,7 +2575,12 @@ object Ml {
          |${lvl(2)},
          |slabel AS (SELECT sid, string_agg(cat, ',' ORDER BY cat) AS cats
          |  FROM mem GROUP BY 1),
-         |allsplits AS (SELECT node, sid FROM b1 UNION ALL SELECT node, sid FROM b2),
+         |allsplits AS (SELECT node, kind, key FROM b1
+         |  UNION ALL SELECT node, kind, key FROM b2),
+         |cuts AS (SELECT s.node, s.kind AS parent_kind,
+         |    CASE WHEN s.kind = 1 THEN (SELECT cats FROM slabel WHERE sid = s.key)
+         |         ELSE CAST(s.key AS VARCHAR) END AS parent_cut
+         |  FROM allsplits s),
          |leaves AS (SELECT node AS leaf,
          |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
          |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -2557,10 +2589,9 @@ object Ml {
          |SELECT leaf, CAST(n0 + (n1 + n2) AS BIGINT) AS n, n0, n1, n2,
          |  CAST(CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0
          |       WHEN n1 >= n2 THEN 1 ELSE 2 END AS BIGINT) AS pred,
-         |  CAST(coalesce(p.sid, 0) AS BIGINT) AS parent_sid,
-         |  coalesce(sl.cats, '-') AS parent_cats
-         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
-         |LEFT JOIN slabel sl ON sl.sid = p.sid
+         |  CAST(coalesce(p.parent_kind, 0) AS BIGINT) AS parent_kind,
+         |  coalesce(p.parent_cut, '-') AS parent_cut
+         |FROM leaves LEFT JOIN cuts p ON leaf // 2 = p.node
          |ORDER BY leaf""".stripMargin
     },
 

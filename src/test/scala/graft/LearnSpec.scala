@@ -1028,11 +1028,28 @@ class LearnSpec extends SparkSpec {
     val left = l1.find(_.getLong(0) == 2L).get
     assert((left.getLong(1), left.getLong(2), left.getLong(3), left.getLong(4),
       left.getLong(5)) === ((10L, 0L, 10L, 0L, 1L)))
-    // depth 2: the pure {b} node has no valid candidate and KEEPS its id
-    // (the stay-put branch); the {a, c} node splits {a} off
+    // depth 2: the pure {b} node has no valid candidate (single
+    // category, no numeric feature) and KEEPS its id (the stay-put
+    // branch); the {a, c} node splits {a} off
     val l2 = Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 2)
       .collect().map(_.getLong(0)).sorted
     assert(l2.toSeq === Seq(2L, 6L, 7L), s"leaves ${l2.toSeq}")
+  }
+
+  test("multiclass tree: a numeric threshold beats every subset when the signal is ordered") {
+    import spark.implicits._
+    // label follows x2 (y = 0 iff x2 <= 4), categories carry no signal:
+    // findBestSplits' mixed argmax must pick the kind-2 threshold 4
+    val rows = (1L to 60L).map { i =>
+      (Seq("a", "b", "c")((i % 3).toInt), i % 10, if (i % 10 <= 4) 0L else 2L)
+    }.toDF("cat", "x2", "y")
+    val leaves = Learn.multiclassCategoricalTree(rows, "cat", "y",
+        maxDepth = 1, x2Col = "x2")
+      .collect().sortBy(_.getLong(0))
+    assert(leaves.map(r => (r.getLong(6), r.getString(7))).toSet === Set((2L, "4")),
+      s"expected the numeric cut: ${leaves.mkString("; ")}")
+    val left = leaves.find(_.getLong(0) == 2L).get
+    assert((left.getLong(1), left.getLong(2), left.getLong(4)) === ((30L, 30L, 0L)))
   }
 
   test("categorical regression tree isolates a codepoint-middle category by target mean") {
