@@ -372,6 +372,45 @@ object Scale {
         .orderBy("grp")
     },
 
+    // SVM data generation (reference mllib/util/SVMDataGenerator
+    // .scala:57-69 — uniform features in [−1, 1], a fixed true weight
+    // vector, label = [w·x + 0.1·gaussian ≥ 0]; the last member of the
+    // util data-generator directory next to x15/x20/x24/x25/x26/x27).
+    // House replica: milli features from the LCG uniform stream,
+    // PLANTED weights (0.700, −0.400) declared in place of the
+    // reference's seeded gaussian weights (the no-RNG rule — the
+    // reference's own trueWeights are frozen by seed 94720 anyway),
+    // noise = 0.1·Box-Muller in micro, margin an exact micro integer.
+    // Gated through planted-weight recovery: per label, exact counts,
+    // feature means (signed BIGINT division — the x20 convention) and
+    // the margin sum; w1 > 0 puts mean x1 | y=1 above mean x1 | y=0,
+    // w2 < 0 reverses it (ScaleSpec pins both separations + the ~50%
+    // base rate of the symmetric hyperplane).
+    "x28_svm_datagen" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey AS id")
+        .selectExpr("id", s"${lcgExpr("id")} AS r0")
+        .selectExpr("id", s"${lcgExpr("r0")} AS r1")
+        .selectExpr("id", "r1", s"${lcgExpr("r1")} AS r2")
+        .selectExpr("id", "r1", "r2", s"${lcgExpr("r2")} AS p1")
+        .selectExpr("id", "r1", "r2", "p1", s"${lcgExpr("p1")} AS p2")
+        .selectExpr(
+          s"CAST((r1 * 2000) DIV $LcgMod AS BIGINT) - 1000 AS x1",
+          s"CAST((r2 * 2000) DIV $LcgMod AS BIGINT) - 1000 AS x2",
+          s"CAST(round($kgPointZ1 * 100000.0) AS BIGINT) AS nz")
+        .selectExpr("x1", "x2",
+          "CAST(((700 * x1) + ((-400) * x2)) + nz AS BIGINT) AS m_micro")
+        .selectExpr("x1", "x2", "m_micro",
+          "CAST(CASE WHEN m_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS y")
+        .groupBy("y")
+        .agg(count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("m_micro").as("sm"))
+        .selectExpr("y", "n", "s1", "s2", "sm",
+          "CAST(CAST(s1 AS BIGINT) DIV CAST(n AS BIGINT) AS BIGINT) AS mean_x1_milli",
+          "CAST(CAST(s2 AS BIGINT) DIV CAST(n AS BIGINT) AS BIGINT) AS mean_x2_milli")
+        .orderBy("y")
+    },
+
     // KS test against a theoretical NORMAL CDF (reference mllib/stat/
     // test/KolmogorovSmirnovTest.scala's "norm" branch — n16 gates the
     // uniform one): the sample is a PLANTED standard gaussian (the x20
@@ -741,6 +780,33 @@ object Scale {
          |  CAST(max(x_micro) AS BIGINT) AS max_micro,
          |  CAST(CAST(sum(x_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_micro
          |FROM pts GROUP BY 1 ORDER BY grp""".stripMargin,
+
+    // The same LCG/Box-Muller chain, planted weights, exact micro
+    // margin; signed BIGINT-division means (both operands cast).
+    "x28_svm_datagen" ->
+      s"""WITH ids AS (SELECT o_orderkey AS id FROM orders),
+         |c0 AS (SELECT id, ${lcgExpr("id")} AS r0 FROM ids),
+         |c1 AS (SELECT id, ${lcgExpr("r0")} AS r1 FROM c0),
+         |c2 AS (SELECT id, r1, ${lcgExpr("r1")} AS r2 FROM c1),
+         |c3 AS (SELECT id, r1, r2, ${lcgExpr("r2")} AS p1 FROM c2),
+         |c4 AS (SELECT id, r1, r2, p1, ${lcgExpr("p1")} AS p2 FROM c3),
+         |v AS (SELECT
+         |    CAST((r1 * 2000) // $LcgMod AS BIGINT) - 1000 AS x1,
+         |    CAST((r2 * 2000) // $LcgMod AS BIGINT) - 1000 AS x2,
+         |    CAST(round($kgPointZ1 * 100000.0) AS BIGINT) AS nz
+         |  FROM c4),
+         |g AS (SELECT x1, x2,
+         |    CAST(((700 * x1) + ((-400) * x2)) + nz AS BIGINT) AS m_micro
+         |  FROM v),
+         |lab AS (SELECT x1, x2, m_micro,
+         |    CAST(CASE WHEN m_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM g)
+         |SELECT y, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |  CAST(sum(m_micro) AS BIGINT) AS sm,
+         |  CAST(CAST(sum(x1) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_x1_milli,
+         |  CAST(CAST(sum(x2) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS mean_x2_milli
+         |FROM lab GROUP BY 1 ORDER BY y""".stripMargin,
 
     // The x20 generator chain, then n16's ranked-sweep shape with the
     // shared A&S normal-CDF string in place of the uniform CDF.

@@ -221,6 +221,22 @@ class ScaleSpec extends SparkSpec {
     assert(offsets.size === 120) // exactly m = 2 per group
   }
 
+  test("svm datagen recovers the planted hyperplane") {
+    val rows = graft.queries.Scale.defs("x28_svm_datagen")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val (neg, pos) = (rows(0L), rows(1L))
+    // symmetric hyperplane through the origin -> ~50% base rate
+    val total = (neg.getAs[Long]("n") + pos.getAs[Long]("n")).toDouble
+    assert(math.abs(pos.getAs[Long]("n") / total - 0.5) < 0.05)
+    // w1 = +0.7: x1 separates upward; w2 = -0.4: x2 separates downward
+    assert(pos.getAs[Long]("mean_x1_milli") > 100 &&
+      neg.getAs[Long]("mean_x1_milli") < -100)
+    assert(pos.getAs[Long]("mean_x2_milli") < -50 &&
+      neg.getAs[Long]("mean_x2_milli") > 50)
+    // margins sit on their label's side by construction
+    assert(pos.getAs[Long]("sm") > 0 && neg.getAs[Long]("sm") < 0)
+  }
+
   test("stratumRank: partition-parallel — no WindowExec, ranks match the window's") {
     import spark.implicits._
     // 3 strata of very different sizes spread over several partitions
