@@ -140,12 +140,14 @@ object Evaluate {
     * .scala:104 pr — the curve PREPENDS (recall 0, precision 1.0), so the
     * first trapezoid runs from (0, 1) to the highest-threshold point —
     * and :115 areaUnderPR via AreaUnderCurve; fMeasureByThreshold:128 is
-    * the f1 column, exact integers: f1 = 2tp/(2tp+fp+fn) =
-    * (2·10⁶·tp) DIV (tp + fp + P)). Same curve-point table, windows and
-    * numBins contract as [[binaryMetrics]]; the area is the per-point
-    * micro-rounded trapezoid sum ([[prTrapMicroExpr]]), replicated onto
-    * every row. Returns (thr, tp, fp, precision_micro, recall_micro,
-    * f1_micro, pr_auc_micro). */
+    * the f1 column and its beta overload:124 the f2 column, exact
+    * integers: F_β = (1+β²)tp/((1+β²)tp + β²·fn + fp), so
+    * f1 = (2·10⁶·tp) DIV (tp + fp + P) and
+    * f2 = (5·10⁶·tp) DIV (tp + fp + 4P)). Same curve-point table,
+    * windows and numBins contract as [[binaryMetrics]]; the area is the
+    * per-point micro-rounded trapezoid sum ([[prTrapMicroExpr]]),
+    * replicated onto every row. Returns (thr, tp, fp, precision_micro,
+    * recall_micro, f1_micro, f2_micro, pr_auc_micro). */
   def prMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
     val g = curvePoints(scored, numBins)
     val wCum = Window.orderBy(col("thr").desc)
@@ -164,10 +166,12 @@ object Evaluate {
       "CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) AS precision_micro",
       "CAST((tp * 1000000) DIV pos AS BIGINT) AS recall_micro",
       "CAST((tp * 2000000) DIV ((tp + fp) + pos) AS BIGINT) AS f1_micro",
+      "CAST((tp * 5000000) DIV ((tp + fp) + (4 * pos)) AS BIGINT) AS f2_micro",
       s"$prTrapMicroExpr AS term_micro")
     val area = curve.agg(sum("term_micro").as("a"))
       .selectExpr("CAST(a AS BIGINT) AS pr_auc_micro")
-    curve.select("thr", "tp", "fp", "precision_micro", "recall_micro", "f1_micro")
+    curve.select("thr", "tp", "fp", "precision_micro", "recall_micro",
+        "f1_micro", "f2_micro")
       .crossJoin(broadcast(area))
   }
 

@@ -490,10 +490,11 @@ object MlEval {
          |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
          |    CAST((tp * 1000000) // pos AS BIGINT) AS recall_micro,
          |    CAST((tp * 2000000) // ((tp + fp) + pos) AS BIGINT) AS f1_micro,
+         |    CAST((tp * 5000000) // ((tp + fp) + (4 * pos)) AS BIGINT) AS f2_micro,
          |    ${Evaluate.prTrapMicroExpr} AS term_micro
          |  FROM lg),
          |area AS (SELECT CAST(sum(term_micro) AS BIGINT) AS pr_auc_micro FROM curve)
-         |SELECT thr, tp, fp, precision_micro, recall_micro, f1_micro, pr_auc_micro
+         |SELECT thr, tp, fp, precision_micro, recall_micro, f1_micro, f2_micro, pr_auc_micro
          |FROM curve CROSS JOIN area ORDER BY thr DESC""".stripMargin,
 
     // Mirror of binaryMetrics(numBins = 20): the same distinct-score

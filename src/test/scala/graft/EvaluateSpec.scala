@@ -137,9 +137,12 @@ class EvaluateSpec extends SparkSpec {
     // per-point micro rounding bounds the difference by 5e-7 * points
     assert(math.abs(prauc - mllibAuc * 1e6) <= 10,
       s"pr_auc_micro $prauc vs mllib ${mllibAuc * 1e6}")
-    // exact-integer F1 at the full-recall end: tp=5, fp=5, pos=5
+    // exact-integer F1/F2 at the full-recall end: tp=5, fp=5, pos=5
+    // (F2 = 5tp/(tp+fp+4P) = 25e6/30; mllib fMeasureByThreshold(2.0)
+    // at the lowest threshold agrees: p=0.5, r=1 -> 2.5/3)
     val last = got.last
     assert(last.getAs[Long]("f1_micro") === (5L * 2000000L) / 15L)
+    assert(last.getAs[Long]("f2_micro") === (5L * 5000000L) / 30L)
     // a perfect ranking integrates to exactly 1.0 (the (0,1) start
     // joins the all-precision-1 staircase seamlessly)
     val perfect = (1L to 10L).map(i => (i, if (i > 5) 1L else 0L)).toDF("score", "label")
