@@ -64,7 +64,16 @@ object Evaluate {
   /** The shared (thr, n, np) curve-point table behind [[binaryMetrics]]
     * and [[prMetrics]]: distinct-score counts, down-grouped when
     * `numBins` > 0, count-guarded on the exact path. */
-  private def curvePoints(scored: DataFrame, numBins: Int): DataFrame = {
+  /** Ceiling on distinct scores the exact (numBins = 0) curve path will
+    * sweep in one window task. Callers with known-bounded domains
+    * slightly above this can raise it via `binaryMetrics`'
+    * `maxExactDistinct`; the intent is to refuse CONTINUOUS scores
+    * (≈ one distinct value per row), not quantized margins. */
+  val DefaultMaxExactDistinct = 2000000L
+
+  private def curvePoints(scored: DataFrame, numBins: Int,
+                          maxExactDistinct: Long = DefaultMaxExactDistinct)
+      : DataFrame = {
     val g0 = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
     if (numBins == 0) {
@@ -74,10 +83,11 @@ object Evaluate {
       // catastrophic for continuous scores. The extra count is one
       // narrow aggregate over the distinct-score table.
       val cnt = g0.count()
-      require(cnt <= 2000000L,
+      require(cnt <= maxExactDistinct,
         s"binaryMetrics: $cnt distinct scores on the exact (numBins = 0) " +
-          "path — the curve sweep would single-task a multi-million-row " +
-          "window; pass numBins > 0 (the reference's curve downsampling)")
+          s"path (cap $maxExactDistinct) — the curve sweep would " +
+          "single-task a multi-million-row window; pass numBins > 0 " +
+          "(the reference's curve downsampling) or raise maxExactDistinct")
       g0
     } else {
       val cnt = g0.count() // one action over the distinct-score table
@@ -91,8 +101,13 @@ object Evaluate {
     }
   }
 
-  def binaryMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
-    val g = curvePoints(scored, numBins)
+  /** See [[DefaultMaxExactDistinct]] for the exact-path cap contract;
+    * `maxExactDistinct` lets bounded-domain callers above the default
+    * opt in instead of being refused. */
+  def binaryMetrics(scored: DataFrame, numBins: Int = 0,
+                    maxExactDistinct: Long = DefaultMaxExactDistinct)
+      : DataFrame = {
+    val g = curvePoints(scored, numBins, maxExactDistinct)
     // unpartitioned windows are safe here: they run over g, the
     // per-curve-point table — numBins+1 rows when binned, else the
     // distinct scores (callers with continuous scores set numBins)
@@ -148,8 +163,10 @@ object Evaluate {
     * per-point micro-rounded trapezoid sum ([[prTrapMicroExpr]]),
     * replicated onto every row. Returns (thr, tp, fp, precision_micro,
     * recall_micro, f1_micro, f2_micro, pr_auc_micro). */
-  def prMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
-    val g = curvePoints(scored, numBins)
+  def prMetrics(scored: DataFrame, numBins: Int = 0,
+                maxExactDistinct: Long = DefaultMaxExactDistinct)
+      : DataFrame = {
+    val g = curvePoints(scored, numBins, maxExactDistinct)
     val wCum = Window.orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("thr").desc)

@@ -1007,11 +1007,15 @@ object Learn {
     val x2 = if (x2Col.isEmpty) lit(0L) else col(x2Col)
     val base = rows.select(col(catCol).as("cat"), x2.as("x2"),
       col(labelCol).as("y"))
-    val cats = base.select("cat").distinct().collect() // arity-bounded
+    // fail-fast arity probe: 14 rows prove arity > 12 without pulling a
+    // high-cardinality domain (e.g. a comment column) to the driver
+    val probe = base.select("cat").distinct().limit(14).collect()
       .map(_.getString(0)).sorted
-    require(cats.length >= 2 && cats.length <= 12,
-      s"multiclassCategoricalTree: arity ${cats.length} outside [2, 12] " +
+    require(probe.length >= 2 && probe.length <= 12,
+      s"multiclassCategoricalTree: arity ${if (probe.length > 12) "> 12"
+        else probe.length.toString} outside [2, 12] " +
         "(subset enumeration is 2^(K-1)-1 candidates)")
+    val cats = probe // arity-bounded: the limit(14) saw the full domain
     val members = (1 until (1 << (cats.length - 1))).flatMap { sid =>
       cats.dropRight(1).zipWithIndex.collect {
         case (c, i) if (sid & (1 << i)) != 0 => (sid.toLong, c)

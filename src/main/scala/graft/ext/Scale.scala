@@ -372,22 +372,45 @@ object Scale {
     * construction: range partitioning makes (h, id) order within a
     * stratum consistent across partitions.
     *
+    * NULL group keys are first-class: the offset-map key coalesces a
+    * NULL grp to a sentinel string, so null-group rows rank as one
+    * stratum exactly like the window regime's `partitionBy` treats
+    * them (before this guard, the NULL map key made `element_at`
+    * return NULL and the pick filter silently dropped the stratum).
+    * The sentinel appears only in the internal map/totals keys, never
+    * in the returned `grp` column.
+    *
+    * `numPartitions ≤ 0` (the default) auto-sizes the rank stage to
+    * the INPUT's partition count, floored at 32 and capped at 4096:
+    * a fixed 32 caps a 100 TB rank at 32 tasks (~3 TB/task), while
+    * 4096 keeps the driver-side cells collect at `:390` bounded —
+    * 4096 partitions × a few-thousand-strata contract is millions of
+    * tiny rows at worst, and both public callers bound the strata
+    * axis before ranking (groupSample ≤ maxOffsetStrata,
+    * sampleByKeyExact semi-joins to the driver-held fracs keys).
+    *
     * Returns (ranked frame with (grp, id, pick), per-stratum total rows
     * keyed by grp-as-string, release thunk). */
+  private[graft] val NullStratum = " __graft_null_stratum__"
+
   private[graft] def stratumRank(base: DataFrame, salt: String,
-                                 numPartitions: Int = 32)
+                                 numPartitions: Int = 0)
       : (DataFrame, Map[String, Long], () => Unit) = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.min(4096, math.max(32, base.rdd.getNumPartitions))
     val ranged = base
       .withColumn("h", expr(Dedup.portableHash("cast(id as string)", salt)))
-      .repartitionByRange(numPartitions, col("grp"), col("h"), col("id"))
+      .repartitionByRange(parts, col("grp"), col("h"), col("id"))
       .sortWithinPartitions("grp", "h", "id")
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gs = coalesce(col("grp").cast("string"), lit(NullStratum))
     val cells = ranged
-      .groupBy(col("__pid"), col("grp").cast("string").as("__gs"))
+      .groupBy(col("__pid"), gs.as("__gs"))
       .agg(min("__mid").as("lo"), count(lit(1)).as("c"))
-      .collect() // bounded: numPartitions × strata rows
+      .collect() // bounded: parts × strata rows
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val adj = scala.collection.mutable.LinkedHashMap[String, Long]()
     val totals = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -403,7 +426,7 @@ object Scale {
       if (adj.isEmpty) lit(null).cast("bigint")
       else element_at(
         map(adj.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
-        concat(col("__pid").cast("string"), lit(":"), col("grp").cast("string")))
+        concat(col("__pid").cast("string"), lit(":"), gs))
     val ranked = ranged.withColumn("pick", col("__mid") + adjCol)
       .select(col("grp"), col("id"), col("pick"))
     (ranked, totals.toMap, () => { ranged.unpersist(); () })
@@ -428,12 +451,29 @@ object Scale {
     * `pick ≤ m` filter compiles to WindowGroupLimit — every partition
     * retains only m candidate rows per group ahead of the final
     * per-group top-m, so window state is m-bounded, never
-    * group-sized. */
+    * group-sized. NULL group keys form one group in BOTH regimes
+    * ([[stratumRank]]'s sentinel guard on the offsets side matches
+    * `Window.partitionBy`'s null handling on the window side).
+    *
+    * `regime` pins the plan — "offsets" / "window" skip the
+    * countDistinct probe entirely (callers who know their key
+    * cardinality at 100 TB shouldn't pay a corpus scan to rediscover
+    * it); "auto" keeps the probe. `numPartitions` forwards to
+    * [[stratumRank]] (≤ 0 auto-sizes from the input). */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
-                  m: Int, maxOffsetStrata: Int = 4096): DataFrame = {
+                  m: Int, maxOffsetStrata: Int = 4096,
+                  regime: String = "auto",
+                  numPartitions: Int = 0): DataFrame = {
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"))
-    val k = base.agg(countDistinct("grp")).head().getLong(0)
-    if (k > maxOffsetStrata) {
+    val useWindow = regime match {
+      case "offsets" => false
+      case "window"  => true
+      case "auto" =>
+        base.agg(countDistinct("grp")).head().getLong(0) > maxOffsetStrata
+      case other => throw new IllegalArgumentException(
+        s"groupSample: regime '$other' (expected auto | offsets | window)")
+    }
+    if (useWindow) {
       base
         .withColumn("h", expr(Dedup.portableHash("cast(id as string)", "'gs'")))
         .withColumn("pick", row_number().over(
@@ -442,7 +482,7 @@ object Scale {
         .filter(col("pick") <= m)
         .select(col("grp"), col("id"), col("pick"))
     } else {
-      val (ranked, _, release) = stratumRank(base, "'gs'")
+      val (ranked, _, release) = stratumRank(base, "'gs'", numPartitions)
       val out = ranked.filter(col("pick") <= m)
         .select(col("grp"), col("id"), col("pick").cast("int").as("pick"))
         .localCheckpoint() // eager, m-per-group bounded: safe to release
@@ -472,15 +512,20 @@ object Scale {
     * offset machinery's driver state by |fracsPpm| × partitions — the
     * caller already holds the fracs Map driver-side, so the strata set
     * is driver-bounded by construction. Returns (grp, id, pick, n,
-    * quota). */
+    * quota). Return-schema contract: `grp` is STRING regardless of the
+    * input key type — the key is cast to string up front to match
+    * `fracsPpm`'s string keys (and the quota/offset maps built from
+    * them); callers needing the native key type re-join on `id`.
+    * `numPartitions` forwards to [[stratumRank]] (≤ 0 auto-sizes). */
   def sampleByKeyExact(df: DataFrame, keyCol: String, idCol: String,
-                       fracsPpm: Map[String, Long]): DataFrame = {
+                       fracsPpm: Map[String, Long],
+                       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = fracsPpm.keys.toSeq.sorted.toDF("grp")
     val base = df.select(col(keyCol).cast("string").as("grp"), col(idCol).as("id"))
       .join(broadcast(keys), Seq("grp"), "left_semi")
-    val (ranked, totals, release) = stratumRank(base, "'sbke'")
+    val (ranked, totals, release) = stratumRank(base, "'sbke'", numPartitions)
     val nq = totals.toSeq.sortBy(_._1).flatMap { case (gs, n) =>
       fracsPpm.get(gs).map(ppm => (gs, n, (n * ppm + 999999L) / 1000000L))
     }

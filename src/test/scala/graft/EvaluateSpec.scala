@@ -25,6 +25,19 @@ class EvaluateSpec extends SparkSpec {
     assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) === ((2L, 2L, 1000000L)))
   }
 
+  test("binaryMetrics exact-path cap is a named, caller-adjustable parameter") {
+    import spark.implicits._
+    val scored = (1L to 40L).map(i => (i % 9, i % 2)).toDF("score", "label")
+    val e = intercept[IllegalArgumentException] {
+      Evaluate.binaryMetrics(scored, maxExactDistinct = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxExactDistinct"), e.getMessage)
+    // bounded-domain opt-in: raising the cap admits the same call
+    val ok = Evaluate.binaryMetrics(scored, maxExactDistinct = 9L).collect()
+    assert(ok.length === 9)
+    assert(Evaluate.DefaultMaxExactDistinct === 2000000L)
+  }
+
   test("binary metrics are deterministic across partitionings") {
     import spark.implicits._
     val scored = (1L to 500L).map(i => (i % 37, (i * 7 % 11) % 2)).toDF("score", "label")

@@ -1036,6 +1036,17 @@ class LearnSpec extends SparkSpec {
     assert(l2.toSeq === Seq(2L, 6L, 7L), s"leaves ${l2.toSeq}")
   }
 
+  test("multiclass tree: high-cardinality category fails fast without collecting the domain") {
+    import spark.implicits._
+    // a mistaken free-text column: the limit(14) probe must reject on
+    // 14 rows, never materializing the full distinct domain
+    val rows = (1L to 5000L).map(i => (s"comment-$i", i % 3)).toDF("cat", "y")
+    val e = intercept[IllegalArgumentException] {
+      Learn.multiclassCategoricalTree(rows, "cat", "y", maxDepth = 1)
+    }
+    assert(e.getMessage.contains("> 12"), e.getMessage)
+  }
+
   test("multiclass tree: a numeric threshold beats every subset when the signal is ordered") {
     import spark.implicits._
     // label follows x2 (y = 0 iff x2 <= 4), categories carry no signal:

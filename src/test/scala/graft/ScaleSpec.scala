@@ -221,6 +221,35 @@ class ScaleSpec extends SparkSpec {
     assert(offsets.size === 120) // exactly m = 2 per group
   }
 
+  test("groupSample: NULL group keys survive both regimes identically") {
+    import spark.implicits._
+    // before the r19 sentinel guard, the offsets path's NULL map key
+    // silently dropped the whole null-group stratum
+    val rows = ((1 to 20).map(i => (Some(s"g${i % 4}"), i.toLong)) ++
+      (1 to 6).map(i => (None: Option[String], 100L + i))).toDF("g", "id")
+    val offsets = Scale.groupSample(rows, "g", "id", m = 3, regime = "offsets")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2))).toSet
+    val window = Scale.groupSample(rows, "g", "id", m = 3, regime = "window")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2))).toSet
+    assert(offsets === window)
+    assert(offsets.count(_._1.isEmpty) === 3) // null group sampled like any other
+    // pinned regimes bypass the countDistinct probe but match auto
+    val auto = Scale.groupSample(rows, "g", "id", m = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getInt(2))).toSet
+    assert(auto === offsets)
+  }
+
+  test("stratumRank: default partition count tracks the input, floored at 32") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val (wide, _, releaseW) = Scale.stratumRank(rows.repartition(48), "'gs'")
+    assert(wide.rdd.getNumPartitions === 48) // auto-size follows the input
+    releaseW()
+    val (narrow, _, releaseN) = Scale.stratumRank(rows.repartition(4), "'gs'")
+    assert(narrow.rdd.getNumPartitions === 32) // floor keeps small inputs parallel
+    releaseN()
+  }
+
   test("svm datagen recovers the planted hyperplane") {
     val rows = graft.queries.Scale.defs("x28_svm_datagen")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r).toMap
