@@ -893,4 +893,85 @@ object Similarity {
       .join(nn.select(col("d").as("dj"), col("nrm2").as("nb")), "dj")
       .selectExpr("di", "dj", "gram", s"$colCosExpr AS cos_micro")
   }
+
+  /** DIMSUM oversampling factor — the reference's exact formula
+    * (RowMatrix.scala:505-509: γ = 10·log(n)/threshold, n = numCols).
+    * Computed DRIVER-side and embedded as one shortest-round-trip double
+    * literal in BOTH engines' expressions, so no libm `ln` seam can
+    * desynchronize the sampling coin. */
+  def dimsumGamma(dim: Int, threshold: Double): Double =
+    10.0 * math.log(dim.toDouble) / threshold
+
+  /** The shared per-engine scalar seeds of the DIMSUM sampler for a given
+    * (dim, threshold): (`sg` = sqrt(γ) as a formula over the γ literal —
+    * sqrt is correctly rounded in every IEEE engine, so the value is
+    * bit-identical given the identical literal). */
+  def dimsumSgExpr(dim: Int, threshold: Double): String =
+    s"sqrt(CAST(${dimsumGamma(dim, threshold)} AS DOUBLE))"
+
+  /** Thresholded DIMSUM column similarities — the reference's actual
+    * scale algorithm for this operator (mllib/linalg/distributed/
+    * RowMatrix.scala:497 `columnSimilarities(threshold)`, sampling core
+    * at :573 `columnSimilaritiesDIMSUM`; papers arxiv 1206.2082 /
+    * 1304.1467): per column c, keep probability p_c = √γ/‖c‖ and scale
+    * divisor q_c = min(√γ, ‖c‖); each row emits the product
+    * (v_i/q_i)·(v_j/q_j) for the pairs whose BOTH cells survive their
+    * coin, and the sum over rows is an unbiased cosine estimate — exact
+    * for small-magnitude columns (p ≥ 1), sampled for heavy ones, with
+    * above-threshold pairs correct to ~20% relative error w.h.p.
+    * Declared deviations: (a) the coin is ONE draw per (row, column)
+    * CELL — the paper's per-entry form — rather than the reference
+    * implementation's fresh j-coin per (i, j) pair visit; expectations
+    * are identical (p_i·p_j per pair) and the cell form is what a
+    * relational plan can express as a filter. (b) The coin is the house
+    * deterministic md5 residue (the x15 LCG/residue discipline), not
+    * XORShiftRandom — so the SAMPLED estimator itself is reproducible
+    * in any engine and the oracle equality is exact, not statistical.
+    *
+    * Shape (the 100 TB path): cells scan → 64-row broadcast of
+    * per-column (p, q) → the coin FILTER cuts cells BEFORE the per-row
+    * pair self-join, so the quadratic pair emission runs on ~p·d cells
+    * per row instead of d — the reference's O(n·log n·L/(γ·A)) shuffle
+    * bound vs the brute-force O(m·L²). Magnitudes come off the exact
+    * integer Gramian diagonal (one aggregate), never a double sum.
+    *
+    * Output: (di, dj, n_terms, sim_micro) — surviving-pair term count
+    * and the micro-quantized similarity estimate; pairs whose every
+    * co-occurrence was coin-dropped are absent (the sparse convention,
+    * like the reference's CoordinateMatrix). */
+  def columnSimilaritiesDIMSUM(df: DataFrame, idCol: String,
+                               vecCol: String, dim: Int,
+                               threshold: Double,
+                               salt: String = "'dimsum'"): DataFrame = {
+    require(dimsumGamma(dim, threshold) > 1.0,
+      s"DIMSUM oversampling must exceed 1 (got ${dimsumGamma(dim, threshold)})")
+    val sg = dimsumSgExpr(dim, threshold)
+    val cells = df.select(col(idCol).as("rid"),
+        posexplode(expr(s"transform(cast($vecCol as array<double>), x -> cast(round(x * 1048576) as bigint))")))
+      .selectExpr("rid", "CAST(pos + 1 AS BIGINT) AS d", "col AS v")
+      .filter(col("v") =!= 0L)
+    // per-column magnitude in the matrix's REAL units (the quantization
+    // is an encoding, not a rescale of the DIMSUM probabilities)
+    val cols = cells.groupBy("d")
+      .agg(sum(col("v") * col("v")).as("nrm2"))
+      .selectExpr("d",
+        "sqrt(CAST(nrm2 AS DOUBLE)) / CAST(1048576.0 AS DOUBLE) AS mag")
+      .selectExpr("d", s"least($sg, mag) AS qd",
+        s"CAST(floor(($sg / mag) * 1000000.0) AS BIGINT) AS keep_micro")
+    val kept = cells.join(broadcast(cols), "d")
+      .filter(expr(Dedup.portableHash(
+        "concat(cast(rid as string), ':', cast(d as string))", salt) +
+        " % 1000000 < keep_micro"))
+      .selectExpr("rid", "d",
+        "(CAST(v AS DOUBLE) / CAST(1048576.0 AS DOUBLE)) / qd AS s")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.rid") === col("b.rid") && col("a.d") < col("b.d"))
+      .groupBy(col("a.d").as("di"), col("b.d").as("dj"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("CAST(round((a.s * b.s) * 1000000000000.0) AS BIGINT)"))
+          .as("gram_pico"))
+      .selectExpr("di", "dj", "n_terms",
+        "CAST(round((CAST(gram_pico AS DOUBLE) / 1000000000000.0) * 1000000.0) AS BIGINT) AS sim_micro")
+  }
 }

@@ -101,6 +101,24 @@ object Similarity {
         .orderBy("di", "dj")
     },
 
+    // THRESHOLDED DIMSUM column similarities (reference RowMatrix.scala:
+    // 497 columnSimilarities(threshold) / :573 columnSimilaritiesDIMSUM)
+    // — the reference's own sub-quadratic scale path for s36, sampling
+    // cells with p = sqrt(gamma)/||col|| and rescaling by
+    // q = min(sqrt(gamma), ||col||). Threshold 7.0 makes gamma ~ 5.94 >
+    // 1 (the reference's require) and sqrt(gamma) ~ 2.44 sit BELOW every
+    // column magnitude at sf0.01 (~2.6-3.0, growing with sqrt(rows)), so
+    // the coin genuinely gates every column — keep ~ 87% per cell at
+    // sf0.01, ~ 28% at sf0.1 — and the estimate is a real sample, not
+    // the exact degeneration. The md5 cell coin is deterministic and
+    // mirrored verbatim in the oracle, so the sampled estimator is
+    // oracle-exact.
+    "s95_dimsum_similarities" -> { (s, dir) =>
+      S.columnSimilaritiesDIMSUM(Tables.embeddings(s, dir), "vec_id",
+          "embedding", Dims, threshold = 7.0)
+        .orderBy("di", "dj")
+    },
+
     "s11_mmr_rerank" -> { (s, dir) =>
       val e = Tables.embeddings(s, dir)
       S.mmrTopK(probes(e), e, "vec_id", "embedding")
@@ -430,6 +448,39 @@ object Similarity {
          |SELECT di, dj, gram, ${S.colCosExpr} AS cos_micro FROM (
          |  SELECT g.di, g.dj, g.gram, na.nrm2 AS na, nb.nrm2 AS nb
          |  FROM g JOIN nn na ON na.d = g.di JOIN nn nb ON nb.d = g.dj)
+         |ORDER BY di, dj""".stripMargin,
+
+    // Mirror of Similarity.columnSimilaritiesDIMSUM at threshold 7.0:
+    // same quantized cells, same gamma literal (driver-computed, embedded
+    // verbatim in both engines so no libm ln seam), same md5 cell coin,
+    // same per-term pico rounding before the integer sum.
+    "s95_dimsum_similarities" ->
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1048576) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |cells AS MATERIALIZED (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS d, vq[i] AS v
+         |  FROM q, (SELECT unnest(range(1, 65)) AS i)
+         |  WHERE vq[i] <> 0),
+         |cols AS (
+         |  SELECT d, least(${S.dimsumSgExpr(Dims, 7.0)}, mag) AS qd,
+         |    CAST(floor((${S.dimsumSgExpr(Dims, 7.0)} / mag) * 1000000.0) AS BIGINT) AS keep_micro
+         |  FROM (SELECT d, sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE))
+         |          / CAST(1048576.0 AS DOUBLE) AS mag
+         |        FROM cells GROUP BY 1)),
+         |kept AS MATERIALIZED (
+         |  SELECT c.vec_id, c.d,
+         |    (CAST(c.v AS DOUBLE) / CAST(1048576.0 AS DOUBLE)) / o.qd AS s
+         |  FROM cells c JOIN cols o ON o.d = c.d
+         |  WHERE (CAST('0x' || substr(md5('dimsum:' || CAST(c.vec_id AS VARCHAR)
+         |      || ':' || CAST(c.d AS VARCHAR)), 1, 15) AS BIGINT) % 1000000)
+         |    < o.keep_micro)
+         |SELECT a.d AS di, b.d AS dj, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(round((CAST(CAST(sum(CAST(round((a.s * b.s) * 1000000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / 1000000000000.0) * 1000000.0) AS BIGINT) AS sim_micro
+         |FROM kept a JOIN kept b ON a.vec_id = b.vec_id AND a.d < b.d
+         |GROUP BY 1, 2
          |ORDER BY di, dj""".stripMargin,
 
     "s11_mmr_rerank" ->

@@ -344,6 +344,75 @@ class SimilaritySpec extends SparkSpec {
       "removed set must be exactly the larger ids of same-cluster pairs (greedy rule)")
   }
 
+  test("DIMSUM: sampled estimate tracks exact within the paper bound; mllib concurs") {
+    import spark.implicits._
+    // 1000 rows x 8 cols, deterministic pseudo-noise; col 2 = col 1 plus
+    // small noise -> cos(1,2) ~ 0.97, far above threshold 0.05. Column
+    // magnitudes ~ 39 exceed sqrt(gamma) ~ 20.4, so every column SAMPLES
+    // (p ~ 0.5) — a genuine DIMSUM sample, not the exact degeneration —
+    // while gamma ~ 416 keeps the relative error ~ 5%, well inside the
+    // paper's 20% band (error scales ~ 1/sqrt(gamma), NOT with rows).
+    def noise(i: Long, j: Int): Float = (((i * 31 + j * 17) % 13) - 6) / 3.0f
+    val data = (1L to 1000L).map { i =>
+      val base = Array.tabulate(6)(j => noise(i, j + 2))
+      (i, (Seq(noise(i, 1), noise(i, 1) + noise(i, 99) * 0.2f) ++ base).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val thr = 0.05
+    val est = Similarity.columnSimilaritiesDIMSUM(df, "vec_id", "embedding",
+        dim = 8, threshold = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val exact = Similarity.columnSimilarities(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(exact((1L, 2L)) > 900000L, s"fixture cos(1,2) = ${exact((1L, 2L))}")
+    // the paper's guarantee: above-threshold pairs within ~20% relative
+    assert(math.abs(est((1L, 2L)) - exact((1L, 2L))).toDouble
+      / exact((1L, 2L)) < 0.2, s"est ${est((1L, 2L))} vs ${exact((1L, 2L))}")
+    // mllib's own thresholded DIMSUM lands inside the same bound on the
+    // same matrix — pins our convention to the reference's contract
+    // (coins differ: theirs XORShift, ours deterministic md5)
+    import org.apache.spark.mllib.linalg.{Vectors => MlV}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rm = new RowMatrix(spark.sparkContext.parallelize(
+      data.map { case (_, v) => MlV.dense(v.map(_.toDouble).toArray) }, 4))
+    val ml = rm.columnSimilarities(thr).entries.collect()
+      .map(e => (e.i + 1, e.j + 1) -> e.value).toMap
+    assert(math.abs(ml((1L, 2L)) * 1e6 - exact((1L, 2L))) / exact((1L, 2L))
+      < 0.2, s"mllib ${ml((1L, 2L))} vs exact ${exact((1L, 2L))}")
+    // the coin really gates: sampled term counts fall short of the
+    // co-occurrence count (1000 shared rows for the dense pair)
+    val terms = Similarity.columnSimilaritiesDIMSUM(df, "vec_id", "embedding",
+        dim = 8, threshold = thr)
+      .filter(col("di") === 1 && col("dj") === 2).head().getLong(2)
+    assert(terms > 0 && terms < 1000, s"n_terms $terms should be sampled")
+    // deterministic across physical layout
+    val a = Similarity.columnSimilaritiesDIMSUM(df.repartition(1), "vec_id",
+      "embedding", 8, thr).orderBy("di", "dj").collect()
+    val b = Similarity.columnSimilaritiesDIMSUM(df.repartition(7, col("vec_id")),
+      "vec_id", "embedding", 8, thr).orderBy("di", "dj").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("DIMSUM: rarely-co-occurring heavy pairs can vanish; light columns stay exact") {
+    import spark.implicits._
+    // cols 1/2: heavy (two rows of value 40 -> mag ~ 56, p ~ 0.11),
+    // co-occurring in ONE row — the pair survives only if both cells win
+    // a ~11% coin. col 3: light (mag ~ 1.4 < sqrt(gamma) -> p >= 1,
+    // never sampled) — its pairs keep EXACT contributions.
+    val df = Seq(
+      (1L, Seq(40f, 0f, 1f)), (2L, Seq(40f, 40f, 0f)),
+      (3L, Seq(0f, 40f, 1f)), (4L, Seq(0f, 0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.columnSimilaritiesDIMSUM(df, "vec_id", "embedding",
+        dim = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // light col 3's pairs carry every co-occurrence that survived the
+    // HEAVY side's coin; the heavy-heavy pair (1,2) must not carry more
+    // terms than its single co-occurrence
+    assert(got.getOrElse((1L, 2L), 0L) <= 1L)
+    assert(got.keys.forall { case (i, j) => i < j && j <= 3 })
+  }
+
   test("column similarities: proportional columns hit cosine 1, orthogonal 0") {
     import spark.implicits._
     // columns: c1=(1,0,2), c2=(0,1,0), c3=2*c1 -> cos(1,3)=1; the
