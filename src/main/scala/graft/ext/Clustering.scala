@@ -846,6 +846,147 @@ object Clustering {
     out
   }
 
+  // ---- 2-D FULL-covariance Gaussian mixture (reference mllib/
+  // clustering/GaussianMixture.scala:161 run — the reference model is
+  // d-dimensional with full Σ via MultivariateGaussian; this is the
+  // d = 2 member with the closed-form 2×2 inverse/determinant as shared
+  // formula strings over the same quantized EM scaffolding as
+  // [[gmmFit1d]]. Declared deviations (as for the 1-D slice):
+  // deterministic mean-split init on the FIRST coordinate instead of
+  // random sampling; responsibilities and parameters quantized to
+  // micro/milli integers each step so every state is engine-portable;
+  // diagonal covariance entries floored at 1 micro so the closed-form
+  // inverse never divides by a collapsed variance. ---------------------
+
+  /** Constant per-corpus sufficient statistics carried through every EM
+    * state row: count, exact coordinate sums and second moments. The
+    * second moments are DECIMAL(38,0) sums (HUGEINT in the oracle) —
+    * exact at any corpus size where a BIGINT Σx² would overflow; the
+    * shared formula strings only ever CAST them to DOUBLE. */
+  val gmm2ConstCols = Seq("n", "sx", "sy", "sxx", "sxy", "syy")
+
+  private def g2s(k: Int, ij: String) = s"(CAST(c$k$ij AS DOUBLE) / 1000000.0)"
+  private def g2dx(k: Int) = s"(CAST(x - m${k}x AS DOUBLE) / 1000.0)"
+  private def g2dy(k: Int) = s"(CAST(y - m${k}y AS DOUBLE) / 1000.0)"
+
+  /** det Σ_k of the closed-form 2×2, over the micro-quantized entries. */
+  def gmm2DetExpr(k: Int): String =
+    s"((${g2s(k, "11")} * ${g2s(k, "22")}) - (${g2s(k, "12")} * ${g2s(k, "12")}))"
+
+  /** Mahalanobis quadratic form dᵀΣ⁻¹d via the 2×2 adjugate. */
+  private def g2q(k: Int) =
+    s"(((((${g2dx(k)} * ${g2dx(k)}) * ${g2s(k, "22")}) - (((2.0 * ${g2dx(k)}) * ${g2dy(k)}) * ${g2s(k, "12")})) + ((${g2dy(k)} * ${g2dy(k)}) * ${g2s(k, "11")})) / ${gmm2DetExpr(k)})"
+
+  /** Component-1 responsibility in micro-units: sigmoid of the
+    * log-odds ln(w2/w1) + ½ln(det1/det2) + ½(q1 − q2) — the 2π
+    * normalizers cancel; exp overflow saturates identically to exactly
+    * 0 / 1e6 in both engines (the [[gmmRespExpr]] argument). */
+  val gmm2RespExpr: String =
+    s"CAST(round(1000000.0 / (1.0 + exp(ln((1000000.0 - w1u) / CAST(w1u AS DOUBLE)) + ((0.5 * ln(${gmm2DetExpr(1)} / ${gmm2DetExpr(2)})) + (0.5 * (${g2q(1)} - ${g2q(2)})))))) AS BIGINT)"
+
+  private val m1xD = "(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE))"
+  private val m1yD = "(CAST(sry AS DOUBLE) / CAST(sr AS DOUBLE))"
+  private val sr2D = "((CAST(n AS DOUBLE) * 1000000.0) - CAST(sr AS DOUBLE))"
+  private def comp2D(tot: String, s1: String) =
+    s"(((CAST($tot AS DOUBLE) * 1000000.0) - CAST($s1 AS DOUBLE)) / $sr2D)"
+
+  /** M-step over (sr, srx, sry, srxx, srxy, sryy) plus the constant
+    * totals: component 2's sums are exact complements (no second scan);
+    * covariance entries are E[ab] − E[a]E[b] in micro units, diagonals
+    * floored at 1. */
+  val gmm2UpdateExprs: Seq[(String, String)] = Seq(
+    "w1u" -> "CAST(sr DIV n AS BIGINT)",
+    "m1x" -> s"CAST(round($m1xD) AS BIGINT)",
+    "m1y" -> s"CAST(round($m1yD) AS BIGINT)",
+    "m2x" -> s"CAST(round(${comp2D("sx", "srx")}) AS BIGINT)",
+    "m2y" -> s"CAST(round(${comp2D("sy", "sry")}) AS BIGINT)",
+    "c111" -> s"greatest(CAST(round((CAST(srxx AS DOUBLE) / CAST(sr AS DOUBLE)) - ($m1xD * $m1xD)) AS BIGINT), 1)",
+    "c112" -> s"CAST(round((CAST(srxy AS DOUBLE) / CAST(sr AS DOUBLE)) - ($m1xD * $m1yD)) AS BIGINT)",
+    "c122" -> s"greatest(CAST(round((CAST(sryy AS DOUBLE) / CAST(sr AS DOUBLE)) - ($m1yD * $m1yD)) AS BIGINT), 1)",
+    "c211" -> s"greatest(CAST(round(${comp2D("sxx", "srxx")} - (${comp2D("sx", "srx")} * ${comp2D("sx", "srx")})) AS BIGINT), 1)",
+    "c212" -> s"CAST(round(${comp2D("sxy", "srxy")} - (${comp2D("sx", "srx")} * ${comp2D("sy", "sry")})) AS BIGINT)",
+    "c222" -> s"greatest(CAST(round(${comp2D("syy", "sryy")} - (${comp2D("sy", "sry")} * ${comp2D("sy", "sry")})) AS BIGINT), 1)")
+
+  private def sideMeanD(s: String, nn: String) =
+    s"(CAST($s AS DOUBLE) / CAST($nn AS DOUBLE))"
+  private def sideCov(ab: String, a: String, b: String, nn: String) =
+    s"CAST(round((CAST($ab AS DOUBLE) / CAST($nn AS DOUBLE)) - (${sideMeanD(a, nn)} * ${sideMeanD(b, nn)})) AS BIGINT)"
+
+  /** Deterministic init from the x-mean split: weight = low fraction,
+    * per-side means AND full per-side covariances. */
+  val gmm2InitExprs: Seq[(String, String)] = Seq(
+    "w1u" -> "CAST((nl * 1000000) DIV n AS BIGINT)",
+    "m1x" -> s"CAST(round(${sideMeanD("slx", "nl")}) AS BIGINT)",
+    "m1y" -> s"CAST(round(${sideMeanD("sly", "nl")}) AS BIGINT)",
+    "m2x" -> s"CAST(round(${sideMeanD("shx", "nh")}) AS BIGINT)",
+    "m2y" -> s"CAST(round(${sideMeanD("shy", "nh")}) AS BIGINT)",
+    "c111" -> s"greatest(${sideCov("slxx", "slx", "slx", "nl")}, 1)",
+    "c112" -> sideCov("slxy", "slx", "sly", "nl"),
+    "c122" -> s"greatest(${sideCov("slyy", "sly", "sly", "nl")}, 1)",
+    "c211" -> s"greatest(${sideCov("shxx", "shx", "shx", "nh")}, 1)",
+    "c212" -> sideCov("shxy", "shx", "shy", "nh"),
+    "c222" -> s"greatest(${sideCov("shyy", "shy", "shy", "nh")}, 1)")
+
+  /** EM fit over a 2-column (x, y BIGINT milli) table: one init scan for
+    * the global totals, one for the x-mean-split side statistics, then
+    * `iters` iterations of ONE scan each (responsibilities from the
+    * broadcast 1-row state, six exact sums) plus a 1-row update
+    * projection, localCheckpointed — the gmmFit1d/logisticFit2
+    * discipline. Returns two rows (comp, weight_micro, mean_x_milli,
+    * mean_y_milli, var_x_micro, cov_xy_micro, var_y_micro, n_hard). */
+  def gmmFit2d(xs: DataFrame, iters: Int = 3): DataFrame = {
+    val f = xs.select(col("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val tot = f.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+      sum(expr("CAST(y * y AS DECIMAL(38,0))")).as("syy"))
+    val split = f.crossJoin(broadcast(tot))
+      .selectExpr(gmm2ConstCols :+ "x" :+ "y" :+
+        s"CASE WHEN $gmmSplitExpr THEN 1 ELSE 0 END AS lo": _*)
+      .groupBy(gmm2ConstCols.map(col): _*)
+      .agg(sum(expr("lo")).as("nl"),
+        sum(expr("x * lo")).as("slx"), sum(expr("y * lo")).as("sly"),
+        sum(expr("CAST(x * x * lo AS DECIMAL(38,0))")).as("slxx"),
+        sum(expr("CAST(x * y * lo AS DECIMAL(38,0))")).as("slxy"),
+        sum(expr("CAST(y * y * lo AS DECIMAL(38,0))")).as("slyy"),
+        sum(expr("1 - lo")).as("nh"),
+        sum(expr("x * (1 - lo)")).as("shx"), sum(expr("y * (1 - lo)")).as("shy"),
+        sum(expr("CAST(x * x * (1 - lo) AS DECIMAL(38,0))")).as("shxx"),
+        sum(expr("CAST(x * y * (1 - lo) AS DECIMAL(38,0))")).as("shxy"),
+        sum(expr("CAST(y * y * (1 - lo) AS DECIMAL(38,0))")).as("shyy"))
+    var state = split.selectExpr(gmm2ConstCols ++
+        gmm2InitExprs.map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = f.crossJoin(broadcast(state))
+        .selectExpr(s"$gmm2RespExpr AS r", "x", "y")
+        .agg(sum("r").as("sr"),
+          sum(expr("CAST(r * x AS DECIMAL(38,0))")).as("srx"),
+          sum(expr("CAST(r * y AS DECIMAL(38,0))")).as("sry"),
+          sum(expr("CAST(r * x AS DECIMAL(38,0)) * x")).as("srxx"),
+          sum(expr("CAST(r * x AS DECIMAL(38,0)) * y")).as("srxy"),
+          sum(expr("CAST(r * y AS DECIMAL(38,0)) * y")).as("sryy"))
+      state = sums.crossJoin(state)
+        .selectExpr(gmm2ConstCols ++
+          gmm2UpdateExprs.map { case (c, e) => s"$e AS $c" }: _*)
+        .localCheckpoint()
+    }
+    val hard = f.crossJoin(broadcast(state))
+      .selectExpr(s"CAST(CASE WHEN $gmm2RespExpr >= 500000 THEN 1 ELSE 2 END AS BIGINT) AS comp")
+      .groupBy("comp").agg(count(lit(1)).as("n_hard"))
+    val comps = state.selectExpr("CAST(1 AS BIGINT) AS comp",
+        "w1u AS weight_micro", "m1x AS mean_x_milli", "m1y AS mean_y_milli",
+        "c111 AS var_x_micro", "c112 AS cov_xy_micro", "c122 AS var_y_micro")
+      .union(state.selectExpr("CAST(2 AS BIGINT)",
+        "CAST(1000000 - w1u AS BIGINT)", "m2x", "m2y", "c211", "c212", "c222"))
+    val out = comps.join(hard, Seq("comp"), "left")
+      .na.fill(0L, Seq("n_hard"))
+    f.unpersist()
+    out
+  }
+
   // ---- greedy k-center coreset (Gonzalez 1985 farthest-point
   // traversal, the classic 2-approximation for the k-center objective —
   // the diversity-selection / data-pruning primitive: pick the point

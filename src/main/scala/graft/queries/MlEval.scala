@@ -242,6 +242,21 @@ object MlEval {
       graft.ext.Clustering.gmmFit1d(xs, iters = 3).orderBy("comp")
     },
 
+    // Multivariate (2-D, FULL-covariance) Gaussian mixture EM (reference
+    // mllib/clustering/GaussianMixture.scala:161 run, density via
+    // MultivariateGaussian — closed-form 2×2 Σ⁻¹/det as shared formula
+    // strings; deviations declared in Clustering.gmmFit2d's scaladoc):
+    // three EM iterations over (quantity, price-in-thousands) — a
+    // strongly correlated pair where the off-diagonal entry carries real
+    // signal. Two rows with weight, mean vector, full covariance and
+    // hard counts — the whole training loop oracle-gated through them.
+    "s96_gmm_2d" -> { (s, dir) =>
+      val xs = Tables.lineitem(s, dir).selectExpr(
+        "CAST(round(l_quantity * 1000.0) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y")
+      graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
+    },
+
     // Chi-squared feature selection (reference mllib/feature/
     // ChiSqSelector.scala:181; model contract :44 requires ascending
     // selected indices — hence the final token sort): the 10 tokens whose
@@ -898,6 +913,69 @@ object MlEval {
          |comps AS (SELECT 1::BIGINT AS comp, w1u AS weight_micro, m1m AS mean_milli FROM g3
          |  UNION ALL SELECT 2::BIGINT, CAST(1000000 - w1u AS BIGINT), m2m FROM g3)
          |SELECT c.comp, c.weight_micro, c.mean_milli, COALESCE(h.n_hard, 0) AS n_hard
+         |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
+    },
+
+    // Mirror of Clustering.gmmFit2d: three unrolled 2-D EM iterations
+    // sharing the responsibility / update / init formula strings.
+    // Second-moment sums are HUGEINT here where Spark carries
+    // DECIMAL(38,0) — same exact integers, and the shared formulas only
+    // ever CAST them to DOUBLE.
+    "s96_gmm_2d" -> {
+      import graft.ext.Clustering
+      val cc = Clustering.gmm2ConstCols.mkString(", ")
+      val init = Clustering.gmm2InitExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n  ")
+      val upd = Clustering.gmm2UpdateExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n    ")
+      val iters = (1 to 3).map { k =>
+        s"""ga$k AS MATERIALIZED (
+           |  SELECT CAST(sum(r) AS BIGINT) AS sr,
+           |    sum(CAST(r * x AS HUGEINT)) AS srx, sum(CAST(r * y AS HUGEINT)) AS sry,
+           |    sum(CAST(r * x AS HUGEINT) * x) AS srxx,
+           |    sum(CAST(r * x AS HUGEINT) * y) AS srxy,
+           |    sum(CAST(r * y AS HUGEINT) * y) AS sryy
+           |  FROM (SELECT ${Clustering.gmm2RespExpr} AS r, x, y FROM xs CROSS JOIN g${k - 1})),
+           |g$k AS MATERIALIZED (SELECT $cc, $upd FROM ga$k CROSS JOIN g${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xs AS MATERIALIZED (
+         |  SELECT CAST(round(l_quantity * 1000.0) AS BIGINT) AS x,
+         |         CAST(round(l_extendedprice) AS BIGINT) AS y
+         |  FROM lineitem),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  sum(CAST(x * x AS HUGEINT)) AS sxx, sum(CAST(x * y AS HUGEINT)) AS sxy,
+         |  sum(CAST(y * y AS HUGEINT)) AS syy FROM xs),
+         |g0 AS MATERIALIZED (SELECT $cc,
+         |  $init
+         |  FROM (
+         |  SELECT n, sx, sy, sxx, sxy, syy,
+         |    CAST(sum(lo) AS BIGINT) AS nl, CAST(sum(x * lo) AS BIGINT) AS slx,
+         |    CAST(sum(y * lo) AS BIGINT) AS sly,
+         |    sum(CAST(x * x * lo AS HUGEINT)) AS slxx,
+         |    sum(CAST(x * y * lo AS HUGEINT)) AS slxy,
+         |    sum(CAST(y * y * lo AS HUGEINT)) AS slyy,
+         |    CAST(sum(1 - lo) AS BIGINT) AS nh, CAST(sum(x * (1 - lo)) AS BIGINT) AS shx,
+         |    CAST(sum(y * (1 - lo)) AS BIGINT) AS shy,
+         |    sum(CAST(x * x * (1 - lo) AS HUGEINT)) AS shxx,
+         |    sum(CAST(x * y * (1 - lo) AS HUGEINT)) AS shxy,
+         |    sum(CAST(y * y * (1 - lo) AS HUGEINT)) AS shyy
+         |  FROM (SELECT x, y, n, sx, sy, sxx, sxy, syy,
+         |          CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 0 END AS lo
+         |        FROM xs CROSS JOIN tot)
+         |  GROUP BY n, sx, sy, sxx, sxy, syy)),
+         |$iters,
+         |hard AS (SELECT CAST(CASE WHEN ${Clustering.gmm2RespExpr} >= 500000 THEN 1 ELSE 2 END AS BIGINT) AS comp
+         |  FROM xs CROSS JOIN g3),
+         |hc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_hard FROM hard GROUP BY 1),
+         |comps AS (SELECT 1::BIGINT AS comp, w1u AS weight_micro,
+         |    m1x AS mean_x_milli, m1y AS mean_y_milli,
+         |    c111 AS var_x_micro, c112 AS cov_xy_micro, c122 AS var_y_micro FROM g3
+         |  UNION ALL SELECT 2::BIGINT, CAST(1000000 - w1u AS BIGINT),
+         |    m2x, m2y, c211, c212, c222 FROM g3)
+         |SELECT c.comp, c.weight_micro, c.mean_x_milli, c.mean_y_milli,
+         |  c.var_x_micro, c.cov_xy_micro, c.var_y_micro,
+         |  COALESCE(h.n_hard, 0) AS n_hard
          |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
     },
 

@@ -116,6 +116,66 @@ class ClusteringSpec extends SparkSpec {
     assert((h1, h2) === ((20L, 10L)))
   }
 
+  test("gmm2d recovers a planted anisotropic mixture a diagonal fit misassigns") {
+    import spark.implicits._
+    // Two equal-size ridge clusters: A centered (0,0) elongated along
+    // +diag (cov_xy > 0), B centered (4,-4) elongated along the
+    // ANTI-diagonal (cov_xy < 0). 41 ridge positions x 3 perpendicular
+    // offsets each = 123 points per component, milli-quantized.
+    val a = for (i <- 0 to 40; p <- Seq(-150L, 0L, 150L)) yield {
+      val t = (i - 20L) * 100L; (t + p, t - p)
+    }
+    val b = for (i <- 0 to 40; p <- Seq(-150L, 0L, 150L)) yield {
+      val t = (i - 20L) * 100L; (4000L + t + p, -4000L - t + p)
+    }
+    val xs = (a ++ b).toDF("x", "y")
+    val got = Clustering.gmmFit2d(xs, iters = 5).orderBy("comp").collect()
+    assert(got.length === 2)
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))
+    val (w1, m1x, m1y, v1x, c1, v1y, h1) = row(got(0))
+    val (w2, m2x, m2y, v2x, c2, v2y, h2) = row(got(1))
+    assert(w1 + w2 === 1000000L)
+    assert(math.abs(w1 - 500000L) < 30000, s"weight ~ 1/2: $w1")
+    assert(math.abs(m1x) < 300 && math.abs(m1y) < 300, s"A mean ($m1x, $m1y)")
+    assert(math.abs(m2x - 4000) < 300 && math.abs(m2y + 4000) < 300,
+      s"B mean ($m2x, $m2y)")
+    // anisotropy recovered WITH orientation: A correlates +, B -
+    assert(c1 > 1000000L, s"A cov_xy must be strongly positive: $c1")
+    assert(c2 < -1000000L, s"B cov_xy must be strongly negative: $c2")
+    assert((h1, h2) === ((123L, 123L)))
+    // the probe (1.9, -1.9): Euclidean-closer to A's mean, but lying
+    // along B's major axis — the FULL model must assign B while the
+    // diagonal-Σ degeneration of the SAME fit assigns A. This is the
+    // case a diagonal GMM provably cannot get right.
+    def assign(zeroCov: Boolean): Int = {
+      val (px, py) = (1.9, -1.9)
+      def q(mx: Long, my: Long, vx: Long, cxy: Long, vy: Long): (Double, Double) = {
+        val (sxx, sxy, syy) =
+          (vx / 1e6, if (zeroCov) 0.0 else cxy / 1e6, vy / 1e6)
+        val (dx, dy) = (px - mx / 1000.0, py - my / 1000.0)
+        val det = sxx * syy - sxy * sxy
+        ((dx * dx * syy - 2 * dx * dy * sxy + dy * dy * sxx) / det, det)
+      }
+      val (q1, d1) = q(m1x, m1y, v1x, c1, v1y)
+      val (q2, d2) = q(m2x, m2y, v2x, c2, v2y)
+      val l = math.log(w2.toDouble / w1) + 0.5 * math.log(d1 / d2) +
+        0.5 * (q1 - q2)
+      if (1.0 / (1.0 + math.exp(l)) >= 0.5) 1 else 2
+    }
+    assert(assign(zeroCov = false) === 2, "full covariance assigns B")
+    assert(assign(zeroCov = true) === 1, "diagonal degeneration misassigns to A")
+  }
+
+  test("gmm2d is deterministic across partitionings") {
+    import spark.implicits._
+    val xs = (1L to 400L).map(i => ((i * i) % 157, (i * 7) % 211)).toDF("x", "y")
+    val a = Clustering.gmmFit2d(xs.repartition(1), iters = 2).orderBy("comp").collect()
+    val b = Clustering.gmmFit2d(xs.repartition(17, col("x")), iters = 2).orderBy("comp").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("gmm state is deterministic across partitionings") {
     import spark.implicits._
     val xs = (1L to 300L).map(i => (i * i) % 157).toDF("x")
