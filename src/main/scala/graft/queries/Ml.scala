@@ -1065,6 +1065,19 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // General k-dim PCA (reference mllib/linalg/distributed/RowMatrix
+    // .scala:385 computePrincipalComponents — s21 is the closed-form
+    // d = 2 slice; this is the general driver-bounded eigensolve,
+    // conventions in Pca's scaladoc): top-2 components of the 4-feature
+    // lineitem matrix (qty, price-in-hundreds, discount%, tax%) — the
+    // qty/price correlation dominates pc1. The cyclic-Jacobi layers are
+    // generated expression strings shared verbatim with the oracle, so
+    // the whole eigensolve is oracle-gated, not just the projection.
+    "s97_pca_k" -> { (s, dir) =>
+      graft.ext.Pca.pcaK(pcaFeats(Tables.lineitem(s, dir)), d = 4, k = 2)
+        .orderBy("pc", "dim")
+    },
+
     // Ridge regression (reference mllib/regression/RidgeRegression.scala
     // — SGD + SquaredL2Updater there; the penalized normal equations stay
     // closed-form at 2 features): the s14 problem with lambda = 0.1 on the
@@ -1108,6 +1121,18 @@ object Ml {
       .groupBy(col("l_orderkey").as("o_orderkey"))
       .agg(count(lit(1)).as("x1"),
         expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("qty"))
+
+  /** The s97 PCA base: four per-lineitem features with one dominant
+    * correlation (qty ↔ price) and two near-independent percent columns.
+    * The SQL body is shared with the oracle's feats CTE. */
+  private val pcaFeatsSql = Seq(
+    "CAST(round(l_quantity) AS BIGINT) AS x1",
+    "CAST(round(l_extendedprice / 100.0) AS BIGINT) AS x2",
+    "CAST(round(l_discount * 100.0) AS BIGINT) AS x3",
+    "CAST(round(l_tax * 100.0) AS BIGINT) AS x4")
+
+  private def pcaFeats(lineitem: DataFrame): DataFrame =
+    lineitem.selectExpr(pcaFeatsSql: _*)
 
   /** The s43 OVR base: s19's (x1, x2 = qty div 10) features with a
     * three-way qty-tercile class label. */
@@ -2898,6 +2923,13 @@ object Ml {
          |FROM feats f CROSS JOIN model
          |WHERE f.o_orderkey <= 4000 ORDER BY o_orderkey""".stripMargin
     },
+
+    // Mirror of Pca.pcaK: every generated Jacobi layer as a MATERIALIZED
+    // 1-row CTE (plain CTEs would re-inline each layer per reference —
+    // the p09 exponential lesson), HUGEINT second moments, identical
+    // expression text throughout.
+    "s97_pca_k" -> graft.ext.Pca.oracleSql(d = 4, k = 2,
+      featsCte = s"SELECT ${pcaFeatsSql.mkString(", ")} FROM lineitem"),
 
     // The s14 oracle with the ridge-penalized Cramer matrix — the same
     // shared formula strings, lambda literal included.

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.Pca
+import org.apache.spark.sql.functions._
+
+/** The Jacobi eigensolve beyond the oracle mirror: pinned against
+  * mllib's own computePrincipalComponentsAndExplainedVariance (the free
+  * second oracle on /opt/spark/jars), planted-direction recovery, and
+  * layout determinism. */
+class PcaSpec extends SparkSpec {
+
+  // deterministic 4-feature fixture: x1/x2 share a dominant direction,
+  // x3 adds independent spread, x4 is small-range noise
+  private def fixture = {
+    import spark.implicits._
+    (1L to 300L).map { i =>
+      val t = (i % 37) - 18L
+      (t * 3 + (i % 5), t * 2 - (i % 7), (i * i) % 23, (i * 11) % 6)
+    }.toDF("x1", "x2", "x3", "x4")
+  }
+
+  test("pcaK matches mllib computePrincipalComponents on all 4 components") {
+    import org.apache.spark.mllib.linalg.{Vectors => MlV}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val got = Pca.pcaK(fixture, d = 4, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val rows = fixture.collect()
+      .map(r => MlV.dense(Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        .map(_.toDouble)))
+    val (pcs, evr) = new RowMatrix(spark.sparkContext.parallelize(rows.toSeq, 4))
+      .computePrincipalComponentsAndExplainedVariance(4)
+    for (r <- 1 to 4) {
+      val ours = (1 to 4).map(i => got((r.toLong, i.toLong))._1 / 1e6)
+      val ml = (0 until 4).map(i => pcs(i, r - 1))
+      // eigenvector sign is arbitrary: compare |cosine| of the columns
+      val dot = math.abs(ours.zip(ml).map { case (a, b) => a * b }.sum)
+      val nn = math.sqrt(ours.map(x => x * x).sum) * math.sqrt(ml.map(x => x * x).sum)
+      assert(dot / nn > 0.9999, s"pc$r loadings: ours $ours vs mllib $ml")
+      val evrOurs = got((r.toLong, 1L))._2 / 1e6
+      assert(math.abs(evrOurs - evr(r - 1)) < 1e-4,
+        s"pc$r evr $evrOurs vs mllib ${evr(r - 1)}")
+    }
+    // sign convention: largest-|coordinate| loading is positive
+    for (r <- 1 to 4) {
+      val col = (1 to 4).map(i => got((r.toLong, i.toLong))._1)
+      assert(col.maxBy(math.abs) >= 0, s"pc$r sign: $col")
+    }
+  }
+
+  test("pcaK recovers a planted dominant direction at d = 3") {
+    import spark.implicits._
+    // x = t*(3, -4, 0) + tiny independent jitter: pc1 must align with
+    // (0.6, -0.8, 0) and carry nearly all the variance
+    val df = (1L to 240L).map { i =>
+      val t = (i % 25) - 12L
+      (t * 30 + (i % 3), t * -40 + ((i * 7) % 3), (i * 13) % 3)
+    }.toDF("x1", "x2", "x3")
+    val got = Pca.pcaK(df, d = 3, k = 1).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val v = (1 to 3).map(i => got(i.toLong)._1 / 1e6)
+    assert(math.abs(math.abs(v(0)) - 0.6) < 0.01, s"pc1 = $v")
+    assert(math.abs(math.abs(v(1)) - 0.8) < 0.01, s"pc1 = $v")
+    assert(math.abs(v(2)) < 0.02, s"pc1 = $v")
+    assert(v(0) * v(1) < 0, s"opposite signs preserved: $v")
+    assert(got(1L)._2 > 990000L, "pc1 carries ~ all variance")
+  }
+
+  test("pcaK is deterministic across partitionings and guards its bounds") {
+    val a = Pca.pcaK(fixture.repartition(1), 4, 2).orderBy("pc", "dim").collect()
+    val b = Pca.pcaK(fixture.repartition(13, col("x3")), 4, 2)
+      .orderBy("pc", "dim").collect()
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException](Pca.pcaK(fixture, d = 9, k = 2))
+    intercept[IllegalArgumentException](Pca.pcaK(fixture, d = 4, k = 5))
+  }
+}
