@@ -1613,6 +1613,50 @@ object Learn {
     w
   }
 
+  /** Elastic-net L2 divisor 1 + lr·λ·(1−α): the proximal operator of the
+    * mixed penalty λ(α‖w‖₁ + (1−α)/2·‖w‖₂²) is soft-threshold by
+    * lr·λ·α followed by division by this constant — a driver-computed
+    * round-trip double literal in the shared formula strings. */
+  def elasticL2Div(lr: Double, lambda: Double, alpha: Double): Double =
+    1.0 + (lr * lambda * (1.0 - alpha))
+
+  /** Elastic-net proximal step on one quantized weight (reference
+    * ml/regression/LinearRegression.scala:113-114 setElasticNetParam —
+    * the mixed L1+L2 penalty of 1.6 ml's flagship solver configuration,
+    * here as the ISTA proximal form): α = 1 degenerates EXACTLY to the
+    * lasso [[softThresholdExpr]] (the divisor branch disappears, not
+    * just rounds); α = 0 leaves a pure L2 decay (shrinkq = 0 makes the
+    * threshold the identity). The division is one rounded double over
+    * the integer threshold output — round half-away in both engines. */
+  def elasticStepExpr(wq: String, shrinkq: Long, l2div: Double): String =
+    if (l2div == 1.0) softThresholdExpr(wq, shrinkq)
+    else s"CAST(round(CAST((${softThresholdExpr(wq, shrinkq)}) AS DOUBLE) / CAST($l2div AS DOUBLE)) AS BIGINT)"
+
+  /** Elastic-net regression over (x1, x2, y): [[lassoFit2]]'s ISTA loop
+    * with the mixed proximal step — soft-threshold by lr·λ·α, then the
+    * L2 shrink division; the intercept stays unpenalized (the s23/s33
+    * convention, declared there). α = 1 IS lassoFit2 by construction;
+    * α = 0 converges to [[ridgeFit2]]'s normal-equation solution with
+    * the SAME λ (both minimize (1/n)Σr² + λ‖w‖₂² up to the shared
+    * factor — spec-pinned). Per iteration ONE scan. */
+  def elasticNetFit2(feats: DataFrame, iters: Int = 8, lr: Double = 0.002,
+                     lambda: Double = 20.0, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"elasticNetFit2: alpha $alpha outside [0, 1]")
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val shrinkq = lassoShrinkQ(lr, lambda * alpha)
+    val l2div = elasticL2Div(lr, lambda, alpha)
+    var w = logisticInit(f.sparkSession).localCheckpoint()
+    for (_ <- 1 to iters)
+      w = linearStep(f, w, lr).selectExpr(
+          "w0q",
+          s"${elasticStepExpr("w1q", shrinkq, l2div)} AS w1q",
+          s"${elasticStepExpr("w2q", shrinkq, l2div)} AS w2q")
+        .localCheckpoint()
+    f.unpersist()
+    w
+  }
+
   /** Score (idCol, x1, x2, y) under fitted quantized linear weights. */
   def linPredict2(feats: DataFrame, weights: DataFrame, idCol: String): DataFrame =
     feats.crossJoin(broadcast(weights))

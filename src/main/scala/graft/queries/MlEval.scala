@@ -165,6 +165,20 @@ object MlEval {
         .orderBy("o_orderkey")
     },
 
+    // Elastic-net regression (reference ml/regression/LinearRegression
+    // .scala:113-114 setElasticNetParam — the mixed L1+L2 penalty):
+    // s33's ISTA loop with the mixed proximal step at alpha = 0.5 —
+    // soft-threshold by lr*lambda*alpha then the L2 shrink division.
+    // Same feature base and cohort scoring as s33, so the two gated
+    // rows differ exactly by the penalty mix.
+    "s98_elastic_net" -> { (s, dir) =>
+      val feats = lassoFeats(s, dir)
+      val w = graft.ext.Learn.elasticNetFit2(feats, iters = 8, lr = 0.002,
+        lambda = 20.0, alpha = 0.5)
+      graft.ext.Learn.linPredict2(feats.filter(col("o_orderkey") <= 4000), w, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // Two-topic PLSA (reference mllib/clustering/LDA.scala:46 via the
     // EMLDAOptimizer path, LDAOptimizer.scala:79/:150 — deviations
     // declared in Clustering.plsaTopics' scaladoc): two integer-exact EM
@@ -403,6 +417,29 @@ object MlEval {
        |  SELECT u0 AS w0q,
        |    ${Learn.softThresholdExpr("u1", shrinkq)} AS w1q,
        |    ${Learn.softThresholdExpr("u2", shrinkq)} AS w2q
+       |  FROM (SELECT ${Learn.linUpdExpr("w0q", "g0", lr)} AS u0,
+       |          ${Learn.linUpdExpr("w1q", "g1", lr)} AS u1,
+       |          ${Learn.linUpdExpr("w2q", "g2", lr)} AS u2
+       |        FROM lg$k CROSS JOIN lw${k - 1}))""".stripMargin
+  }
+
+  /** The s98 iteration CTE: [[lassoIterCte]] with the elastic proximal
+    * step (shared elasticStepExpr strings) in place of the bare
+    * soft-threshold. */
+  private def elasticIterCte(k: Int, lr: Double, shrinkq: Long,
+                             l2div: Double): String = {
+    import graft.ext.Learn
+    s"""lg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(r) AS BIGINT) AS g0,
+       |    CAST(sum(r * x1) AS BIGINT) AS g1,
+       |    CAST(sum(r * x2) AS BIGINT) AS g2
+       |  FROM (SELECT y - ${Learn.linPredExpr} AS r, x1, x2
+       |        FROM feats CROSS JOIN lw${k - 1})),
+       |lw$k AS MATERIALIZED (
+       |  SELECT u0 AS w0q,
+       |    ${Learn.elasticStepExpr("u1", shrinkq, l2div)} AS w1q,
+       |    ${Learn.elasticStepExpr("u2", shrinkq, l2div)} AS w2q
        |  FROM (SELECT ${Learn.linUpdExpr("w0q", "g0", lr)} AS u0,
        |          ${Learn.linUpdExpr("w1q", "g1", lr)} AS u1,
        |          ${Learn.linUpdExpr("w2q", "g2", lr)} AS u2
@@ -673,6 +710,24 @@ object MlEval {
     "s33_lasso" -> {
       val shrinkq = graft.ext.Learn.lassoShrinkQ(0.002, 20.0)
       val iters = (1 to 8).map(lassoIterCte(_, 0.002, shrinkq)).mkString(",\n")
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST(qty + 5 * (o_orderkey % 13) AS BIGINT) AS y
+         |  FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         |        FROM lineitem GROUP BY 1)),
+         |lw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q),
+         |$iters
+         |SELECT o_orderkey, y, ${graft.ext.Learn.linPredExpr} AS predq
+         |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // The s33 oracle with the elastic proximal step at alpha = 0.5.
+    "s98_elastic_net" -> {
+      val shrinkq = graft.ext.Learn.lassoShrinkQ(0.002, 20.0 * 0.5)
+      val l2div = graft.ext.Learn.elasticL2Div(0.002, 20.0, 0.5)
+      val iters = (1 to 8).map(elasticIterCte(_, 0.002, shrinkq, l2div)).mkString(",\n")
       s"""WITH feats AS MATERIALIZED (
          |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
          |         CAST(qty + 5 * (o_orderkey % 13) AS BIGINT) AS y

@@ -928,6 +928,47 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("elastic net: alpha = 1 IS lasso exactly; alpha = 0 converges to ridge; 0.5 sits between") {
+    import spark.implicits._
+    // y = 2*x1 - x2 in MILLI units on a small-magnitude grid: the
+    // milli scale keeps linPredExpr's integer-rounded predictions from
+    // biasing the fixed point (predq rounds to y-units); the zero
+    // planted intercept matches the zero init so the weight directions
+    // converge at the feature rates (lr = 0.15 is stable on this grid)
+    val feats = (1L to 60L).map { i =>
+      val (x1, x2) = (i % 5, (i * 3) % 7 - 3)
+      (i, x1, x2, 1000L * (2 * x1 - x2))
+    }.toDF("o_orderkey", "x1", "x2", "y").select("x1", "x2", "y")
+    // alpha = 1: bit-identical to lassoFit2 (the step expr degenerates
+    // to the bare soft-threshold, not a rounded division by 1.0)
+    val l = Learn.lassoFit2(feats, iters = 8, lr = 0.01, lambda = 10.0).head()
+    val e1 = Learn.elasticNetFit2(feats, iters = 8, lr = 0.01, lambda = 10.0,
+      alpha = 1.0).head()
+    assert(e1 === l)
+    // alpha = 0: the ISTA fixed point solves (X'X + n*lambda*I)b = X'y —
+    // ridgeFit2's closed form at the SAME lambda
+    val e0 = Learn.elasticNetFit2(feats, iters = 120, lr = 0.15, lambda = 0.05,
+      alpha = 0.0).head()
+    val r = Learn.ridgeFit2(feats, lambda = 0.05).head()
+    assert(math.abs(e0.getLong(1) / 65536.0 - r.getDouble(1)) < 10.0,
+      s"w1 ${e0.getLong(1) / 65536.0} vs ridge ${r.getDouble(1)}") // milli scale: 10 = 0.01
+    assert(math.abs(e0.getLong(2) / 65536.0 - r.getDouble(2)) < 10.0,
+      s"w2 ${e0.getLong(2) / 65536.0} vs ridge ${r.getDouble(2)}")
+    // heavy penalty: lasso kills the weak weight exactly, ridge keeps
+    // it, the mix shrinks it monotonically in between
+    val noisy = (1L to 300L).map { i =>
+      val x2 = i % 20
+      ((i % 2) * 2 - 1, x2, 7L * x2)
+    }.toDF("x1", "x2", "y")
+    def w1(alpha: Double) = math.abs(Learn.elasticNetFit2(noisy, iters = 12,
+      lr = 0.01, lambda = 30.0, alpha = alpha).head().getLong(1))
+    val (wl, wm, wr) = (w1(1.0), w1(0.5), w1(0.0))
+    assert(wl === 0L, "alpha = 1 zeroes the noise weight exactly")
+    assert(wl <= wm && wm <= wr, s"shrinkage monotone in alpha: $wl $wm $wr")
+    intercept[IllegalArgumentException](
+      Learn.elasticNetFit2(noisy, alpha = 1.5))
+  }
+
   test("maxBins binning changes the chosen split: thresholds are sample quantiles, not raw values") {
     import spark.implicits._
     // x1 = 1..100, y = 1 iff x1 <= 37; x2 constant (never splittable).
