@@ -371,6 +371,39 @@ object Streams {
         .orderBy("event_type", "b")
     },
 
+    // The DStream windowed-count tail (reference STRM/dstream/DStream
+    // .scala:858 countByValueAndWindow / :876 countByWindow / :813
+    // reduceByWindow): a VALUE stream (events bucketed to a ~20-value
+    // domain) through the v15 invertible per-(value, slice) state —
+    // per-value 3-slice window counts (countByValueAndWindow), plus the
+    // global per-slice row count (countByWindow) and value sum
+    // (reduceByWindow) under the v = -1 sentinel, all from ONE additive
+    // state table. File slices deliver real micro-batches; the oracle
+    // re-reduces every window from scratch, gating the inverse form.
+    "v18_count_by_value_window" -> { (s, dir) =>
+      import graft.streaming.{Streaming => St}
+      val path = s"/tmp/graft_io/v18_cbv_${Dedup.dirKey(dir)}_${ProcessHandle.current().pid()}"
+      Tables.events(s, dir)
+        .selectExpr("CAST(CAST(round(value * 1000) AS BIGINT) DIV 25000 AS BIGINT) AS v",
+          "CAST(round(value * 1000) AS BIGINT) AS vmilli",
+          "CAST(minute(ts) % 6 AS BIGINT) AS b")
+        .repartition(col("b"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("b").parquet(path)
+      val sch = s.read.parquet(path).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      var state = St.zeroValueState(s).localCheckpoint()
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          state = St.addValueState(state, St.valuePartials(batch)).localCheckpoint()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      St.valueWindowTrio(state, buckets = 6, w = 3)
+        .orderBy("v", "b")
+    },
+
     // Socket streaming source (reference STRM/StreamingContext.scala:327
     // socketTextStream — the reference's first-listed streaming source;
     // the one in-sandbox-testable network source, unlike Kafka). A
@@ -637,6 +670,35 @@ object Streams {
         |WINDOW w3 AS (PARTITION BY event_type ORDER BY b
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, b""".stripMargin,
+
+    // Mirror of valueWindowTrio: per-value partials re-reduced from
+    // scratch over the dense value x slice grid, plus the sentinel
+    // global row — the from-scratch re-reduce gates the inverse form.
+    "v18_count_by_value_window" ->
+      """WITH ev AS MATERIALIZED (SELECT
+        |    CAST(CAST(round(value * 1000) AS BIGINT) // 25000 AS BIGINT) AS v,
+        |    CAST(round(value * 1000) AS BIGINT) AS vmilli,
+        |    CAST(minute(ts) % 6 AS BIGINT) AS b
+        |  FROM events),
+        |pb AS (SELECT v, b, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(vmilli) AS BIGINT) AS vmilli
+        |  FROM ev GROUP BY 1, 2),
+        |gl AS (SELECT CAST(-1 AS BIGINT) AS v, b, CAST(sum(cnt) AS BIGINT) AS cnt,
+        |    CAST(sum(vmilli) AS BIGINT) AS vmilli
+        |  FROM pb GROUP BY 2),
+        |st AS (SELECT * FROM pb UNION ALL SELECT * FROM gl),
+        |grid AS (SELECT t.v, g.b,
+        |    COALESCE(p.cnt, 0) AS cnt, COALESCE(p.vmilli, 0) AS vmilli
+        |  FROM (SELECT DISTINCT v FROM st) t
+        |  CROSS JOIN (SELECT CAST(range AS BIGINT) AS b FROM range(0, 6)) g
+        |  LEFT JOIN st p ON p.v = t.v AND p.b = g.b)
+        |SELECT v, b,
+        |  CAST(sum(cnt) OVER w3 AS BIGINT) AS w_cnt,
+        |  CAST(sum(vmilli) OVER w3 AS BIGINT) AS w_vmilli
+        |FROM grid
+        |WINDOW w3 AS (PARTITION BY v ORDER BY b
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY v, b""".stripMargin,
 
     "v14_streaming_ttest" -> {
       val stats = graft.ext.Learn.welchExprs

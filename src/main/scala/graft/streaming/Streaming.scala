@@ -87,20 +87,61 @@ object Streaming {
     * slice grid 0..`buckets`−1 (absent slices are zero partials, so a
     * key quiet in some slice still windows correctly). The state table
     * is (keys × slices) rows — broadcast-small by construction. */
-  def inverseWindow(state: DataFrame, buckets: Int, w: Int): DataFrame = {
+  def inverseWindow(state: DataFrame, buckets: Int, w: Int,
+                    keyCol: String = "event_type"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grid = state.select("event_type").distinct()
+    val grid = state.select(keyCol).distinct()
       .crossJoin(state.sparkSession.range(0, buckets).select(col("id").as("b")))
-      .join(state, Seq("event_type", "b"), "left")
+      .join(state, Seq(keyCol, "b"), "left")
       .na.fill(0L, Seq("cnt", "vmilli"))
-    val cum = Window.partitionBy("event_type").orderBy("b")
+    val cum = Window.partitionBy(keyCol).orderBy("b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ord = Window.partitionBy("event_type").orderBy("b")
-    grid.select(col("event_type"), col("b"),
+    val ord = Window.partitionBy(keyCol).orderBy("b")
+    grid.select(col(keyCol), col("b"),
         sum("cnt").over(cum).as("ccnt"), sum("vmilli").over(cum).as("cvm"))
-      .select(col("event_type"), col("b"),
+      .select(col(keyCol), col("b"),
         (col("ccnt") - coalesce(lag("ccnt", w).over(ord), lit(0L))).as("w_cnt"),
         (col("cvm") - coalesce(lag("cvm", w).over(ord), lit(0L))).as("w_vmilli"))
+  }
+
+  // ---- the DStream windowed-count tail (reference STRM/dstream/
+  // DStream.scala:858 countByValueAndWindow — map(v → (v, 1)) +
+  // reduceByKeyAndWindow with +/− ; :876 countByWindow — map(_ → 1) +
+  // reduceByWindow(+, −); :813 reduceByWindow — the single-key
+  // degeneration of the same recurrence. All three ride the v15
+  // per-(key, slice) invertible partial state; the VALUE itself is the
+  // key for countByValue, and a single global key serves the other two,
+  // so one state table answers the whole trio. --------------------------
+
+  /** Empty per-(value, slice) partial state for a VALUE stream. */
+  def zeroValueState(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long, Long)].toDF("v", "b", "cnt", "vmilli")
+  }
+
+  /** One micro-batch's reduced partials per (value, slice): the count is
+    * countByValue's map-to-(v, 1) side, the vmilli sum feeds
+    * reduceByWindow's global reduce. */
+  def valuePartials(batch: DataFrame): DataFrame =
+    batch.groupBy(col("v").cast("long").as("v"), col("b").cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"), sum("vmilli").as("vmilli"))
+
+  /** Additive merge — commutative, so batch arrival order is free. */
+  def addValueState(state: DataFrame, add: DataFrame): DataFrame =
+    state.unionByName(add).groupBy("v", "b")
+      .agg(sum("cnt").as("cnt"), sum("vmilli").as("vmilli"))
+
+  /** The windowed trio from one value-keyed state table:
+    * countByValueAndWindow rows per (v, b) plus the global
+    * countByWindow / reduceByWindow row per b under the sentinel
+    * v = −1 (the value domain is non-negative by contract). */
+  def valueWindowTrio(state: DataFrame, buckets: Int, w: Int): DataFrame = {
+    val perValue = inverseWindow(state, buckets, w, keyCol = "v")
+    val global = inverseWindow(
+      state.groupBy("b").agg(sum("cnt").as("cnt"), sum("vmilli").as("vmilli"))
+        .withColumn("v", lit(-1L)),
+      buckets, w, keyCol = "v")
+    perValue.unionByName(global)
   }
 
   /** Core sessionization step shared by the batch and streaming paths:

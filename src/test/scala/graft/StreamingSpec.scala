@@ -814,6 +814,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("countByValueAndWindow trio: scripted batches match the DStream recurrences") {
+    import spark.implicits._
+    import graft.streaming.{Streaming => St}
+    // a VALUE stream scripted over 3 micro-batches: (v, vmilli, slice);
+    // value 7 vanishes after slice 1 (its window must decay to zero via
+    // the inverse subtract), value 3 runs hot throughout
+    val b0 = Seq((3L, 300L, 0L), (3L, 310L, 0L), (7L, 700L, 0L))
+    val b1 = Seq((3L, 320L, 1L), (7L, 710L, 1L), (3L, 330L, 2L))
+    val b2 = Seq((3L, 340L, 3L), (3L, 350L, 4L), (3L, 360L, 2L))
+    val ms = MemoryStream[(Long, Long, Long)](spark)
+    var state = St.zeroValueState(spark).localCheckpoint()
+    val q = ms.toDF().toDF("v", "vmilli", "b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        state = St.addValueState(state, St.valuePartials(batch)).localCheckpoint()
+      }
+      .start()
+    try {
+      ms.addData(b0); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = St.valueWindowTrio(state, buckets = 5, w = 3)
+      .orderBy("v", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val all = b0 ++ b1 ++ b2
+    // countByValueAndWindow: per-value window counts from scratch
+    for (v <- Seq(3L, 7L); b <- 0L to 4L) {
+      val in = all.filter(e => e._1 == v && e._3 >= b - 2 && e._3 <= b)
+      assert(got((v, b))._1 === in.size.toLong, s"countByValue($v, $b)")
+    }
+    // value 7's window decays to exactly zero once its slices expire
+    assert(got((7L, 4L))._1 === 0L)
+    // countByWindow (sentinel -1): the global row count per window
+    // equals the sum of the per-value counts (DStream.scala:876's
+    // map-to-one identity)
+    for (b <- 0L to 4L) {
+      val in = all.filter(e => e._3 >= b - 2 && e._3 <= b)
+      assert(got((-1L, b))._1 === in.size.toLong, s"countByWindow($b)")
+      assert(got((-1L, b))._1 === Seq(3L, 7L).map(v => got((v, b))._1).sum)
+      // reduceByWindow with + over vmilli (DStream.scala:813)
+      assert(got((-1L, b))._2 === in.map(_._2).sum, s"reduceByWindow($b)")
+    }
+  }
+
   test("streaming listener: per-batch progress events account for every input row") {
     // reference STRM/scheduler/StreamingListener.scala:31 — the
     // onBatchCompleted callback stream carrying per-batch numRecords /
