@@ -717,6 +717,32 @@ object Ml {
     // PREFIXES (membership sets), not value-order cuts. The label is a
     // per-status keyed coin (O ≈ 0.1, F ≈ 0.9, P ≈ 0.8 positive rate),
     // so the centroid order is O < P < F while the codepoint order is
+    // The s74 binning chain gated at DEPTH 3 (reference mllib/tree/
+    // DecisionTree.scala trains level-synchronously to arbitrary
+    // maxDepth; every other gated tree row runs maxDepth = 2, so the
+    // level loop's third generation — grandchild nodes splitting the
+    // depth-2 leaves — was spec-only until this row). Same continuous
+    // x1/x2 binning, one more level: up to 8 leaves, each still carrying
+    // its parent split, so the third-generation argmax and routing are
+    // on the gated path. LearnSpec pins a fixture whose depth-3 leaf
+    // set provably differs from depth 2.
+    "s99_binned_tree_depth3" -> { (s, dir) =>
+      val rows = Tables.orders(s, dir).select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("x1"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("x2"),
+        expr("CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)").as("y"))
+      val binned = Learn.binnedFeatures(rows, Seq("x1", "x2"), "o_orderkey",
+        maxBins = 8, sampleMod = 4)
+      val (leaves, splits) = Learn.decisionTree2(binned, maxDepth = 3)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "n_pos", "pred",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // F < O < P: the optimal root split {O} | {F, P} is NOT contiguous
     // in value order — an ordered-integer tree cannot express it
     // (LearnSpec pins the divergence on a fixture). x2 = o_orderkey % 7
@@ -2708,6 +2734,62 @@ object Ml {
          |  UNION ALL
          |  SELECT b.node, b.feat, b.thr, s.score FROM zb2 b
          |    JOIN zs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin,
+
+    // The s74 oracle with a THIRD unrolled level: same binning CTEs,
+    // leaves off zr3, parent splits unioned over all three generations.
+    "s99_binned_tree_depth3" ->
+      s"""WITH rows0 AS MATERIALIZED (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x1,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x2,
+         |    CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM orders),
+         |lfall AS MATERIALIZED (
+         |  SELECT o_orderkey, 1::BIGINT AS feat, x1 AS val FROM rows0
+         |  UNION ALL SELECT o_orderkey, 2::BIGINT, x2 FROM rows0),
+         |samp AS (SELECT * FROM lfall
+         |  WHERE CAST('0x' || substr(md5('bin:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0),
+         |cnts AS (SELECT feat, CAST(count(*) AS BIGINT) AS cnt FROM samp GROUP BY 1),
+         |pos AS (SELECT DISTINCT feat, CAST((cnt * b) // 8 AS BIGINT) AS rnk
+         |  FROM cnts CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) bb(b)
+         |  WHERE (cnt * b) // 8 >= 1),
+         |rankt AS (SELECT feat, val,
+         |    CAST(row_number() OVER (PARTITION BY feat ORDER BY val, o_orderkey) AS BIGINT) AS rnk
+         |  FROM samp),
+         |tht AS MATERIALIZED (SELECT DISTINCT r.feat, r.val AS thr
+         |  FROM rankt r JOIN pos p ON p.feat = r.feat AND p.rnk = r.rnk),
+         |bx AS MATERIALIZED (SELECT l.o_orderkey, l.feat,
+         |    coalesce(min(CASE WHEN t.thr >= l.val THEN t.thr END),
+         |             4611686018427387904) AS bval
+         |  FROM lfall l LEFT JOIN tht t ON t.feat = l.feat
+         |  GROUP BY l.o_orderkey, l.feat, l.val),
+         |zr0 AS MATERIALIZED (
+         |  SELECT r.o_orderkey, bxa.bval AS x1, bxb.bval AS x2, r.y, 1::BIGINT AS node
+         |  FROM rows0 r
+         |  JOIN bx bxa ON bxa.o_orderkey = r.o_orderkey AND bxa.feat = 1
+         |  JOIN bx bxb ON bxb.o_orderkey = r.o_orderkey AND bxb.feat = 2),
+         |${dtLevelCte("z", 1)},
+         |${dtLevelCte("z", 2)},
+         |${dtLevelCte("z", 3)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM zr3 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb1 b
+         |    JOIN zs1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb2 b
+         |    JOIN zs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb3 b
+         |    JOIN zs3 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
          |SELECT leaf, n, n_pos, pred,
          |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
          |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,

@@ -928,6 +928,48 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("depth 3 provably differs from depth 2: the third level purifies the striped band") {
+    import spark.implicits._
+    // y = 1 iff x1 in (10,20] or (30,40] over x1 = 1..50: four cuts
+    // (10/20/30/40) are needed; a depth-2 tree (3 splits) must leave at
+    // least one impure leaf, depth 3 (up to 7 splits) separates exactly.
+    // x2 is constant noise no argmax may pick.
+    val rows = (1L to 200L).map { i =>
+      val x1 = i % 50 + 1
+      (x1, 0L, if ((x1 > 10 && x1 <= 20) || (x1 > 30 && x1 <= 40)) 1L else 0L)
+    }.toDF("x1", "x2", "y")
+    def leaves(depth: Int) =
+      Learn.decisionTree2(rows, maxDepth = depth)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val l2 = leaves(2)
+    val l3 = leaves(3)
+    assert(l2.map(_._1).toSet !== l3.map(_._1).toSet,
+      s"leaf sets must differ: ${l2.toSeq} vs ${l3.toSeq}")
+    // level-synchronous refinement: depth 3's first two generations ARE
+    // depth 2's, so its split set strictly extends depth 2's with
+    // third-generation nodes (ids >= 4)
+    def splits(depth: Int) = Learn.decisionTree2(rows, maxDepth = depth)._2
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (s2, s3) = (splits(2), splits(3))
+    assert(s2.subsetOf(s3) && s3.size > s2.size, s"$s2 vs $s3")
+    assert((s3 -- s2).forall(_._1 >= 4L), "new splits are third-generation nodes")
+    assert(s3.forall(_._2 === 1L), "constant x2 never wins an argmax")
+    // the extra generation strictly reduces the weighted gini impurity —
+    // the tree's own objective (four cuts are needed, so three splits
+    // cannot reach zero and the third level keeps gaining)
+    def gini(ls: Seq[(Long, Long, Long)]) =
+      ls.map { case (_, n, np) => np.toDouble * (n - np) / n }.sum
+    assert(gini(l3.toSeq) < gini(l2.toSeq) - 1e-9,
+      s"depth 3 must be strictly purer: ${gini(l3.toSeq)} vs ${gini(l2.toSeq)}")
+    assert(gini(l3.toSeq) > 0, "even depth 3 cannot purify a 4-cut band with 3 levels of this shape")
+    // the third generation reaches at least one remaining TRUE stripe
+    // edge (pure nodes may also take zero-gain splits at the default
+    // minGainMilli = 0 — the gated s74 convention — so not every
+    // threshold is an edge)
+    assert((s3 -- s2).map(_._3).intersect(Set(10L, 20L, 30L, 40L)).nonEmpty,
+      s"new splits $s3 -- $s2 must include a stripe edge")
+  }
+
   test("elastic net: alpha = 1 IS lasso exactly; alpha = 0 converges to ridge; 0.5 sits between") {
     import spark.implicits._
     // y = 2*x1 - x2 in MILLI units on a small-magnitude grid: the
