@@ -147,6 +147,65 @@ object Pca {
       .reduce(_ union _)
   }
 
+  /** One projected-row expression per output component r: the rank-r
+    * sign-fixed eigencolumn dotted with the CENTERED feature row in real
+    * units — the reference's RowMatrix.multiply(pc) consumer step
+    * (principal-component scores). Means come off the same moment
+    * columns (s_i / n), so the projection layer needs the moments CTE
+    * alongside the solved state. */
+  def projectExpr(d: Int, r: Int): String = {
+    val terms = (1 to d).map { i =>
+      val pick = "(CASE " + (1 to d).map(j =>
+        s"WHEN rank_$j = $r THEN (v_${i}_$j * sgn_$j)").mkString(" ") + " END)"
+      s"((CAST(x$i AS DOUBLE) - (CAST(s_$i AS DOUBLE) / CAST(n AS DOUBLE))) * $pick)"
+    }.reduce((a, b) => s"($a + $b)")
+    s"CAST(round($terms * 1000.0) AS BIGINT) AS score${r}_milli"
+  }
+
+  /** Principal-component scores for each row of `feats` (columns
+    * idCol, x1..xd): the solved-and-ranked 1-row state broadcasts onto
+    * one corpus scan — the projection costs a single narrow pass, the
+    * 100 TB shape of the reference's multiply. Note the eigencolumns
+    * are UNIT vectors of the scaled matrix, so scores are in centered
+    * feature units (milli out). */
+  def pcaProject(feats: DataFrame, d: Int, k: Int, idCol: String,
+                 sweeps: Int = 6): DataFrame = {
+    require(d >= 2 && d <= 8, s"pcaProject: d = $d outside [2, 8]")
+    require(k >= 1 && k <= d, s"pcaProject: k = $k outside [1, $d]")
+    val aggs = (1 to d).map(i => sum(col(s"x$i")).as(s"s_$i")) ++
+      (for { i <- 1 to d; j <- i to d }
+        yield sum(expr(s"CAST(x$i * x$j AS DECIMAL(38,0))")).as(s"s_${i}_$j"))
+    val moments = feats.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint()
+    var st = moments.selectExpr(initExprs(d): _*).localCheckpoint()
+    val rotsPerSweep = d * (d - 1) / 2
+    schedule(d, sweeps).zipWithIndex.foreach { case ((p, q), idx) =>
+      rotationLayers(d, p, q).foreach(l => st = st.selectExpr(l: _*))
+      if ((idx + 1) % rotsPerSweep == 0) st = st.localCheckpoint()
+    }
+    val fin = st.selectExpr(rankSignExprs(d): _*)
+      .crossJoin(moments.selectExpr("n" +: (1 to d).map(i => s"s_$i"): _*))
+      .localCheckpoint()
+    feats.crossJoin(broadcast(fin))
+      .selectExpr(idCol +: (1 to k).map(r => projectExpr(d, r)): _*)
+  }
+
+  /** The DuckDB mirror of [[pcaProject]]: the [[oracleSql]] CTE chain
+    * plus one projection SELECT over feats × the final state × moments. */
+  def projectOracleSql(d: Int, k: Int, idCol: String, featsCte: String,
+                       sweeps: Int = 6, cohortWhere: String = ""): String = {
+    val base = oracleSql(d, k, featsCte, sweeps)
+    // strip the generated output UNION + ORDER BY; keep the CTE chain
+    val cut = base.indexOf("SELECT CAST(1 AS BIGINT) AS pc")
+    val ctes = base.substring(0, cut).stripSuffix("\n")
+    val nLayers = 2 + schedule(d, sweeps).length * 4 // init + rotations + rank layer
+    val last = s"t${nLayers - 1}"
+    val where = if (cohortWhere.isEmpty) "" else s"\nWHERE $cohortWhere"
+    s"""$ctes
+       |SELECT $idCol, ${(1 to k).map(r => projectExpr(d, r)).mkString(",\n  ")}
+       |FROM feats CROSS JOIN $last CROSS JOIN moments$where
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** The DuckDB mirror: the SAME generated layer strings as materialized
     * 1-row CTEs (plain CTEs inline per reference — the p09 exponential
     * re-evaluation lesson), over a caller-supplied feats CTE body. */

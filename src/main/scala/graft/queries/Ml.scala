@@ -1104,6 +1104,21 @@ object Ml {
         .orderBy("pc", "dim")
     },
 
+    // Principal-component SCORES (reference RowMatrix.scala:385 fit +
+    // the multiply(pc) consumer step — project every row onto the
+    // fitted components): the s97 eigensolve's state broadcast onto one
+    // centered corpus scan, cohort-limited output. Gates the projection
+    // arithmetic (centering means off the same moment columns, rank-r
+    // column pick, sign fix) on top of the same Jacobi chain.
+    "s100_pca_project" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .selectExpr("CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid" +:
+          pcaFeatsSql: _*)
+      graft.ext.Pca.pcaProject(feats, d = 4, k = 2, idCol = "rid")
+        .filter(col("rid") <= 40000)
+        .orderBy("rid")
+    },
+
     // Ridge regression (reference mllib/regression/RidgeRegression.scala
     // — SGD + SquaredL2Updater there; the penalized normal equations stay
     // closed-form at 2 features): the s14 problem with lambda = 0.1 on the
@@ -3012,6 +3027,13 @@ object Ml {
     // expression text throughout.
     "s97_pca_k" -> graft.ext.Pca.oracleSql(d = 4, k = 2,
       featsCte = s"SELECT ${pcaFeatsSql.mkString(", ")} FROM lineitem"),
+
+    // The s97 CTE chain plus the centered projection scan.
+    "s100_pca_project" -> graft.ext.Pca.projectOracleSql(d = 4, k = 2,
+      idCol = "rid",
+      featsCte = "SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid, " +
+        s"${pcaFeatsSql.mkString(", ")} FROM lineitem",
+      cohortWhere = "rid <= 40000"),
 
     // The s14 oracle with the ridge-penalized Cramer matrix — the same
     // shared formula strings, lambda literal included.

@@ -65,6 +65,31 @@ class PcaSpec extends SparkSpec {
     assert(got(1L)._2 > 990000L, "pc1 carries ~ all variance")
   }
 
+  test("pcaProject: scores equal the centered dot with the fitted loadings") {
+    import spark.implicits._
+    val df = (1L to 240L).map { i =>
+      val t = (i % 25) - 12L
+      (i, t * 30 + (i % 3), t * -40 + ((i * 7) % 3), (i * 13) % 3)
+    }.toDF("rid", "x1", "x2", "x3")
+    val load = Pca.pcaK(df.select("x1", "x2", "x3"), d = 3, k = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(2) / 1e6).toMap
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (m1, m2, m3) = (rows.map(_._2).sum / 240.0, rows.map(_._3).sum / 240.0,
+      rows.map(_._4).sum / 240.0)
+    val got = Pca.pcaProject(df, d = 3, k = 1, idCol = "rid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, x1, x2, x3) =>
+      val want = ((x1 - m1) * load(1L) + (x2 - m2) * load(2L) + (x3 - m3) * load(3L)) * 1000
+      // the spec recomputes with the MICRO-rounded loadings; centered
+      // coordinates are ~1e3, so the drift bound is ~d*1e3*0.5e-6*1e3
+      assert(math.abs(got(id) - want) <= 3000, s"row $id: ${got(id)} vs $want")
+    }
+    // layout determinism
+    val again = Pca.pcaProject(df.repartition(7, col("x3")), d = 3, k = 1, idCol = "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("pcaK is deterministic across partitionings and guards its bounds") {
     val a = Pca.pcaK(fixture.repartition(1), 4, 2).orderBy("pc", "dim").collect()
     val b = Pca.pcaK(fixture.repartition(13, col("x3")), 4, 2)
