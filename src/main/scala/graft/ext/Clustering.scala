@@ -846,6 +846,146 @@ object Clustering {
     out
   }
 
+  // ---- THREE-component, per-component-variance 1-D Gaussian mixture
+  // (reference mllib/clustering/GaussianMixture.scala:161 run — the
+  // reference takes arbitrary k and fits a variance per component;
+  // [[gmmFit1d]] is the k = 2 pooled-variance thin slice, this member
+  // closes BOTH of its declared deviations at k = 3: responsibilities
+  // are a max-shifted 3-way softmax of the component log-densities
+  // (each with its OWN variance), the third component's statistics are
+  // exact complements, and every parameter re-quantizes per step so the
+  // state stays engine-portable. Deterministic init: the mean split's
+  // two HALF-MEANS cut the line into three regions (low / middle /
+  // high), each seeding its own (weight, mean, variance) — the same
+  // data-derived-over-random-sampling convention as gmmSplitExpr,
+  // declared. Variances are milli-quantized and floored at 1. ---------
+
+  /** Constant totals carried through the k-3 EM state: n, Σx exact
+    * BIGINTs, Σx² DECIMAL(38,0)/HUGEINT. */
+  val gmm3ConstCols = Seq("n", "sx", "sxx")
+
+  private def g3l(k: Int) = {
+    val w = if (k == 3) "CAST(1000000 - (w1u + w2u) AS DOUBLE)"
+            else s"CAST(w${k}u AS DOUBLE)"
+    s"((ln($w) - (0.5 * ln(CAST(v${k}m AS DOUBLE) / 1000.0))) - (((CAST(x AS DOUBLE) - (CAST(m${k}m AS DOUBLE) / 1000.0)) * (CAST(x AS DOUBLE) - (CAST(m${k}m AS DOUBLE) / 1000.0))) / (2.0 * (CAST(v${k}m AS DOUBLE) / 1000.0))))"
+  }
+
+  private val g3max = s"greatest(${g3l(1)}, ${g3l(2)}, ${g3l(3)})"
+  private val g3den =
+    s"((exp(${g3l(1)} - $g3max) + exp(${g3l(2)} - $g3max)) + exp(${g3l(3)} - $g3max))"
+
+  /** Component-k responsibility in micro units: the max-shifted softmax
+    * (the s15 softmax stabilization, so exp never overflows); w3u is
+    * the exact complement downstream, never re-rounded. */
+  def gmm3RespExpr(k: Int): String =
+    s"CAST(round((1000000.0 * exp(${g3l(k)} - $g3max)) / $g3den) AS BIGINT)"
+
+  private def g3meanD(sr: String, srx: String) =
+    s"(CAST($srx AS DOUBLE) / CAST($sr AS DOUBLE))"
+  private def g3varM(sr: String, srx: String, srxx: String) =
+    s"greatest(CAST(round(((CAST($srxx AS DOUBLE) / CAST($sr AS DOUBLE)) - (${g3meanD(sr, srx)} * ${g3meanD(sr, srx)})) * 1000.0) AS BIGINT), 1)"
+
+  /** M-step over (sr1, srx1, srxx1, sr2, srx2, srxx2) + the totals:
+    * component 3 is the exact complement on every axis. Weights are
+    * floored at 1 micro so ln(w) stays finite; a component whose
+    * responsibility mass truly collapses (sr = 0) fails loudly in the
+    * mean division — the input must keep all three components alive,
+    * the gmmRespExpr non-degeneracy contract. */
+  val gmm3UpdateExprs: Seq[(String, String)] = {
+    val sr3 = "((n * 1000000) - (sr1 + sr2))"
+    val srx3 = "((CAST(sx AS DOUBLE) * 1000000.0) - (CAST(srx1 AS DOUBLE) + CAST(srx2 AS DOUBLE)))"
+    val srxx3 = "((CAST(sxx AS DOUBLE) * 1000000.0) - (CAST(srxx1 AS DOUBLE) + CAST(srxx2 AS DOUBLE)))"
+    Seq(
+      "w1u" -> "greatest(CAST(sr1 DIV n AS BIGINT), 1)",
+      "w2u" -> "greatest(CAST(sr2 DIV n AS BIGINT), 1)",
+      "m1m" -> s"CAST(round(${g3meanD("sr1", "srx1")} * 1000.0) AS BIGINT)",
+      "m2m" -> s"CAST(round(${g3meanD("sr2", "srx2")} * 1000.0) AS BIGINT)",
+      "m3m" -> s"CAST(round(($srx3 / CAST($sr3 AS DOUBLE)) * 1000.0) AS BIGINT)",
+      "v1m" -> g3varM("sr1", "srx1", "srxx1"),
+      "v2m" -> g3varM("sr2", "srx2", "srxx2"),
+      "v3m" -> s"greatest(CAST(round((($srxx3 / CAST($sr3 AS DOUBLE)) - (($srx3 / CAST($sr3 AS DOUBLE)) * ($srx3 / CAST($sr3 AS DOUBLE)))) * 1000.0) AS BIGINT), 1)")
+  }
+
+  /** Init from the three half-mean regions (region stats nl/sl/ssl,
+    * nm/sm/ssm, nh2/sh2/ssh2 in scope). */
+  val gmm3InitExprs: Seq[(String, String)] = Seq(
+    "w1u" -> "greatest(CAST((nl * 1000000) DIV n AS BIGINT), 1)",
+    "w2u" -> "greatest(CAST((nm * 1000000) DIV n AS BIGINT), 1)",
+    "m1m" -> s"CAST(round(${g3meanD("nl", "sl")} * 1000.0) AS BIGINT)",
+    "m2m" -> s"CAST(round(${g3meanD("nm", "sm")} * 1000.0) AS BIGINT)",
+    "m3m" -> s"CAST(round(${g3meanD("nh2", "sh2")} * 1000.0) AS BIGINT)",
+    "v1m" -> g3varM("nl", "sl", "ssl"),
+    "v2m" -> g3varM("nm", "sm", "ssm"),
+    "v3m" -> g3varM("nh2", "sh2", "ssh2"))
+
+  /** EM fit of a 3-component heteroscedastic 1-D mixture over (x
+    * BIGINT): totals scan, half-means scan, region-stats scan, then
+    * `iters` iterations of ONE scan each (the gmmFit1d discipline).
+    * Output: 3 rows (comp, weight_micro, mean_milli, var_milli,
+    * n_hard) — hard assignment by argmax responsibility, ties to the
+    * lower component. */
+  def gmmFit1dK3(xs: DataFrame, iters: Int = 3): DataFrame = {
+    val f = xs.select(col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val tot = f.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+    // the two half-means of the global-mean split, as exact integer
+    // fractions (nlo, slo, nhi, shi) — region membership compares
+    // x·nlo < slo etc., never a rounded double
+    val halves = f.crossJoin(broadcast(tot))
+      .selectExpr("n", "sx", "sxx", "x",
+        s"CASE WHEN $gmmSplitExpr THEN 1 ELSE 0 END AS lo")
+      .groupBy("n", "sx", "sxx")
+      .agg(sum(expr("lo")).as("nlo"), sum(expr("x * lo")).as("slo"),
+        sum(expr("1 - lo")).as("nhi"), sum(expr("x * (1 - lo)")).as("shi"))
+    val regions = f.crossJoin(broadcast(halves))
+      .selectExpr("n", "sx", "sxx", "x",
+        "CASE WHEN (x * nlo) < slo THEN 1 WHEN (x * nhi) < shi THEN 2 ELSE 3 END AS reg")
+      .groupBy("n", "sx", "sxx")
+      .agg(
+        sum(expr("CASE WHEN reg = 1 THEN 1 ELSE 0 END")).as("nl"),
+        sum(expr("CASE WHEN reg = 1 THEN x ELSE 0 END")).as("sl"),
+        sum(expr("CAST(CASE WHEN reg = 1 THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as("ssl"),
+        sum(expr("CASE WHEN reg = 2 THEN 1 ELSE 0 END")).as("nm"),
+        sum(expr("CASE WHEN reg = 2 THEN x ELSE 0 END")).as("sm"),
+        sum(expr("CAST(CASE WHEN reg = 2 THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as("ssm"),
+        sum(expr("CASE WHEN reg = 3 THEN 1 ELSE 0 END")).as("nh2"),
+        sum(expr("CASE WHEN reg = 3 THEN x ELSE 0 END")).as("sh2"),
+        sum(expr("CAST(CASE WHEN reg = 3 THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as("ssh2"))
+    var state = regions.selectExpr(gmm3ConstCols ++
+        gmm3InitExprs.map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val sums = f.crossJoin(broadcast(state))
+        .selectExpr(s"${gmm3RespExpr(1)} AS r1", s"${gmm3RespExpr(2)} AS r2", "x")
+        .agg(sum("r1").as("sr1"),
+          sum(expr("CAST(r1 * x AS DECIMAL(38,0))")).as("srx1"),
+          sum(expr("CAST(r1 * x AS DECIMAL(38,0)) * x")).as("srxx1"),
+          sum("r2").as("sr2"),
+          sum(expr("CAST(r2 * x AS DECIMAL(38,0))")).as("srx2"),
+          sum(expr("CAST(r2 * x AS DECIMAL(38,0)) * x")).as("srxx2"))
+      state = sums.crossJoin(state)
+        .selectExpr(gmm3ConstCols ++
+          gmm3UpdateExprs.map { case (c, e) => s"$e AS $c" }: _*)
+        .localCheckpoint()
+    }
+    val hard = f.crossJoin(broadcast(state))
+      .selectExpr(s"${gmm3RespExpr(1)} AS r1", s"${gmm3RespExpr(2)} AS r2")
+      .selectExpr("CAST(CASE WHEN r1 >= r2 AND r1 >= 1000000 - (r1 + r2) THEN 1 " +
+        "WHEN r2 >= 1000000 - (r1 + r2) THEN 2 ELSE 3 END AS BIGINT) AS comp")
+      .groupBy("comp").agg(count(lit(1)).as("n_hard"))
+    val comps = state.selectExpr("CAST(1 AS BIGINT) AS comp",
+        "w1u AS weight_micro", "m1m AS mean_milli", "v1m AS var_milli")
+      .union(state.selectExpr("CAST(2 AS BIGINT)", "w2u", "m2m", "v2m"))
+      .union(state.selectExpr("CAST(3 AS BIGINT)",
+        "CAST(1000000 - (w1u + w2u) AS BIGINT)", "m3m", "v3m"))
+    val out = comps.join(hard, Seq("comp"), "left")
+      .na.fill(0L, Seq("n_hard"))
+    f.unpersist()
+    out
+  }
+
   // ---- 2-D FULL-covariance Gaussian mixture (reference mllib/
   // clustering/GaussianMixture.scala:161 run — the reference model is
   // d-dimensional with full Σ via MultivariateGaussian; this is the

@@ -271,6 +271,20 @@ object MlEval {
       graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
     },
 
+    // THREE-component heteroscedastic 1-D Gaussian mixture (reference
+    // GaussianMixture.scala:161 run with arbitrary k and a variance PER
+    // component — closes both of s35's declared thin-slice deviations,
+    // k = 2 and the pooled variance; softmax responsibilities
+    // max-shifted, third component by exact complement; init from the
+    // half-mean three-region split, conventions in gmmFit1dK3's scaladoc):
+    // three EM iterations over the same thousand-dollar order buckets
+    // as s35, so the two gated rows differ exactly by the model class.
+    "s101_gmm_k3" -> { (s, dir) =>
+      val xs = Tables.orders(s, dir)
+        .selectExpr("CAST(CAST(round(o_totalprice) AS BIGINT) DIV 1000 AS BIGINT) AS x")
+      graft.ext.Clustering.gmmFit1dK3(xs, iters = 3).orderBy("comp")
+    },
+
     // Chi-squared feature selection (reference mllib/feature/
     // ChiSqSelector.scala:181; model contract :44 requires ascending
     // selected indices — hence the final token sort): the 10 tokens whose
@@ -968,6 +982,76 @@ object MlEval {
          |comps AS (SELECT 1::BIGINT AS comp, w1u AS weight_micro, m1m AS mean_milli FROM g3
          |  UNION ALL SELECT 2::BIGINT, CAST(1000000 - w1u AS BIGINT), m2m FROM g3)
          |SELECT c.comp, c.weight_micro, c.mean_milli, COALESCE(h.n_hard, 0) AS n_hard
+         |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
+    },
+
+    // Mirror of Clustering.gmmFit1dK3: unrolled heteroscedastic 3-way
+    // EM sharing the softmax / update / init formula strings (DIV -> //
+    // on the non-negative operands; HUGEINT second moments).
+    "s101_gmm_k3" -> {
+      import graft.ext.Clustering
+      val cc = Clustering.gmm3ConstCols.mkString(", ")
+      val init = Clustering.gmm3InitExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n  ")
+      val upd = Clustering.gmm3UpdateExprs
+        .map { case (c, e) => s"${e.replace(" DIV ", " // ")} AS $c" }.mkString(",\n    ")
+      val iters = (1 to 3).map { k =>
+        s"""ga$k AS MATERIALIZED (
+           |  SELECT CAST(sum(r1) AS BIGINT) AS sr1,
+           |    sum(CAST(r1 * x AS HUGEINT)) AS srx1,
+           |    sum(CAST(r1 * x AS HUGEINT) * x) AS srxx1,
+           |    CAST(sum(r2) AS BIGINT) AS sr2,
+           |    sum(CAST(r2 * x AS HUGEINT)) AS srx2,
+           |    sum(CAST(r2 * x AS HUGEINT) * x) AS srxx2
+           |  FROM (SELECT ${Clustering.gmm3RespExpr(1)} AS r1,
+           |          ${Clustering.gmm3RespExpr(2)} AS r2, x
+           |        FROM xs CROSS JOIN g${k - 1})),
+           |g$k AS MATERIALIZED (SELECT $cc, $upd FROM ga$k CROSS JOIN g${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH xs AS MATERIALIZED (
+         |  SELECT CAST(CAST(round(o_totalprice) AS BIGINT) // 1000 AS BIGINT) AS x
+         |  FROM orders),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  sum(CAST(x * x AS HUGEINT)) AS sxx FROM xs),
+         |hv AS (SELECT n, sx, sxx,
+         |    CAST(sum(lo) AS BIGINT) AS nlo, CAST(sum(x * lo) AS BIGINT) AS slo,
+         |    CAST(sum(1 - lo) AS BIGINT) AS nhi, CAST(sum(x * (1 - lo)) AS BIGINT) AS shi
+         |  FROM (SELECT n, sx, sxx, x,
+         |          CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 0 END AS lo
+         |        FROM xs CROSS JOIN tot)
+         |  GROUP BY n, sx, sxx),
+         |g0 AS MATERIALIZED (SELECT $cc,
+         |  $init
+         |  FROM (
+         |  SELECT n, sx, sxx,
+         |    CAST(sum(CASE WHEN reg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN reg = 1 THEN x ELSE 0 END) AS BIGINT) AS sl,
+         |    sum(CAST(CASE WHEN reg = 1 THEN x * x ELSE 0 END AS HUGEINT)) AS ssl,
+         |    CAST(sum(CASE WHEN reg = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+         |    CAST(sum(CASE WHEN reg = 2 THEN x ELSE 0 END) AS BIGINT) AS sm,
+         |    sum(CAST(CASE WHEN reg = 2 THEN x * x ELSE 0 END AS HUGEINT)) AS ssm,
+         |    CAST(sum(CASE WHEN reg = 3 THEN 1 ELSE 0 END) AS BIGINT) AS nh2,
+         |    CAST(sum(CASE WHEN reg = 3 THEN x ELSE 0 END) AS BIGINT) AS sh2,
+         |    sum(CAST(CASE WHEN reg = 3 THEN x * x ELSE 0 END AS HUGEINT)) AS ssh2
+         |  FROM (SELECT n, sx, sxx, x,
+         |          CASE WHEN (x * nlo) < slo THEN 1
+         |               WHEN (x * nhi) < shi THEN 2 ELSE 3 END AS reg
+         |        FROM xs CROSS JOIN hv)
+         |  GROUP BY n, sx, sxx)),
+         |$iters,
+         |hard AS (SELECT CAST(CASE WHEN r1 >= r2 AND r1 >= 1000000 - (r1 + r2) THEN 1
+         |    WHEN r2 >= 1000000 - (r1 + r2) THEN 2 ELSE 3 END AS BIGINT) AS comp
+         |  FROM (SELECT ${Clustering.gmm3RespExpr(1)} AS r1,
+         |          ${Clustering.gmm3RespExpr(2)} AS r2
+         |        FROM xs CROSS JOIN g3)),
+         |hc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_hard FROM hard GROUP BY 1),
+         |comps AS (SELECT 1::BIGINT AS comp, w1u AS weight_micro,
+         |    m1m AS mean_milli, v1m AS var_milli FROM g3
+         |  UNION ALL SELECT 2::BIGINT, w2u, m2m, v2m FROM g3
+         |  UNION ALL SELECT 3::BIGINT, CAST(1000000 - (w1u + w2u) AS BIGINT),
+         |    m3m, v3m FROM g3)
+         |SELECT c.comp, c.weight_micro, c.mean_milli, c.var_milli,
+         |  COALESCE(h.n_hard, 0) AS n_hard
          |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
     },
 

@@ -116,6 +116,50 @@ class ClusteringSpec extends SparkSpec {
     assert((h1, h2) === ((20L, 10L)))
   }
 
+  test("gmm k=3 recovers three clusters with unequal variances; pooled variance would misassign") {
+    import spark.implicits._
+    // narrow cluster at 100 (±1), WIDE cluster at 140 (±20), far
+    // cluster at 300 (±3) — sizes 30/30/40
+    val xs = ((1 to 30).map(i => 100L + (i % 3) - 1) ++
+      (1 to 30).map(i => 140L + ((i * 7) % 41) - 20) ++
+      (1 to 40).map(i => 300L + (i % 7) - 3)).toDF("x")
+    val got = graft.ext.Clustering.gmmFit1dK3(xs, iters = 6)
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length === 3)
+    val Array((w1, m1, v1, h1), (w2, m2, v2, h2), (w3, m3, v3, h3)) = got
+    assert(w1 + w2 + w3 === 1000000L)
+    assert(math.abs(m1 - 100000L) < 2000, s"narrow mean $m1")
+    assert(math.abs(m2 - 140000L) < 6000, s"wide mean $m2")
+    assert(math.abs(m3 - 300000L) < 2000, s"far mean $m3")
+    // heteroscedasticity recovered: the wide component's variance is an
+    // order of magnitude above the narrow one's — the thing s35's
+    // POOLED model cannot express
+    assert(v2 > 20 * v1, s"wide var $v2 must dwarf narrow var $v1")
+    assert((h1, h2, h3) === ((30L, 30L, 40L)), s"hard counts ${(h1, h2, h3)}")
+    // probe x = 112: 12 units from the narrow mean (~12 sigma) but
+    // ~1.4 sigma into the wide cluster — per-component variance assigns
+    // comp 2; a pooled-sigma rule would take the Euclidean-closest mean
+    def ll(x: Double, w: Long, m: Long, v: Long) = {
+      val (mu, s2) = (m / 1000.0, v / 1000.0)
+      math.log(w.toDouble) - 0.5 * math.log(s2) - (x - mu) * (x - mu) / (2 * s2)
+    }
+    val lls = Seq(ll(112, w1, m1, v1), ll(112, w2, m2, v2), ll(112, w3, m3, v3))
+    assert(lls.indexOf(lls.max) === 1, s"x=112 must go to the wide component: $lls")
+    assert(math.abs(112.0 - m1 / 1000.0) < math.abs(112.0 - m2 / 1000.0),
+      "…although it is Euclidean-closer to the narrow mean")
+  }
+
+  test("gmm k=3 state is deterministic across partitionings") {
+    import spark.implicits._
+    val xs = (1L to 300L).map(i => (i * i) % 157).toDF("x")
+    val a = graft.ext.Clustering.gmmFit1dK3(xs.repartition(1), iters = 2)
+      .orderBy("comp").collect()
+    val b = graft.ext.Clustering.gmmFit1dK3(xs.repartition(17, col("x")), iters = 2)
+      .orderBy("comp").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("gmm2d recovers a planted anisotropic mixture a diagonal fit misassigns") {
     import spark.implicits._
     // Two equal-size ridge clusters: A centered (0,0) elongated along
