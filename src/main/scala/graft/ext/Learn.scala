@@ -832,14 +832,25 @@ object Learn {
     * (prices, scores) must pass through [[binnedFeatures]] first —
     * the reference's own maxBins design — which caps every window
     * below features·maxBins rows per node. */
+  /** The per-feature value pick `CASE WHEN feat = 1 THEN x1 … ELSE xn
+    * END` — generated so n = 2 reproduces the historical text exactly. */
+  private def featPickExpr(nFeats: Int): String =
+    "CASE " + (1 until nFeats).map(i => s"WHEN feat = $i THEN x$i").mkString(" ") +
+      s" ELSE x$nFeats END"
+
+  private def featStackExpr(nFeats: Int): String =
+    s"stack($nFeats, " + (1 to nFeats).map(i => s"${i}L, x$i").mkString(", ") +
+      ") AS (feat, val)"
+
   private def treeLevels(rows0: DataFrame, maxDepth: Int,
                          scoreExpr: String,
-                         candFilter: Option[String] = None): (DataFrame, DataFrame) = {
+                         candFilter: Option[String] = None,
+                         nFeats: Int = 2): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     var r = rows0.localCheckpoint()
     var allSplits: DataFrame = null
     for (_ <- 1 to maxDepth) {
-      val lf = r.selectExpr("node", "y", "stack(2, 1L, x1, 2L, x2) AS (feat, val)")
+      val lf = r.selectExpr("node", "y", featStackExpr(nFeats))
       val h = lf.groupBy("node", "feat", "val")
         .agg(count(lit(1)).as("n"), sum("y").as("np"))
       val wCum = Window.partitionBy("node", "feat").orderBy("val")
@@ -861,7 +872,7 @@ object Learn {
         .select(col("node"), col("feat"), col("val").as("thr"), col("score"))
         .localCheckpoint() // consumed by the route join AND the splits union
       allSplits = if (allSplits == null) best else allSplits.union(best)
-      r = routeOneLevel(r, best.drop("score")).localCheckpoint()
+      r = routeOneLevel(r, best.drop("score"), nFeats).localCheckpoint()
     }
     (r, allSplits)
   }
@@ -900,6 +911,32 @@ object Learn {
     val (r, allSplits) = treeLevels(
       rows.select(col("x1"), col("x2"), col("y"), lit(1L).as("node")),
       maxDepth, scoreExpr, candFilter)
+    val leaves = r.groupBy(col("node").as("leaf"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("pred",
+        expr("CAST(CASE WHEN 2 * n_pos > n THEN 1 ELSE 0 END AS BIGINT)"))
+    (leaves, allSplits)
+  }
+
+  /** The d-FEATURE gini tree — the same level-synchronous machinery as
+    * [[decisionTree2]] with the feature axis generalized (the reference
+    * trains on arbitrary-width vectors; every other gated tree row runs
+    * the historical 2-feature scaffolding, which this reproduces
+    * byte-identically at nFeats = 2). The per-level histogram stacks
+    * nFeats legs instead of two; every feature's thresholds compete in
+    * the SAME per-node argmax (feat index tiebreak, the
+    * findBestSplits convention). Input columns x1..x{nFeats}, y. */
+  def decisionTreeK(rows: DataFrame, nFeats: Int,
+                    maxDepth: Int = 2): (DataFrame, DataFrame) = {
+    require(nFeats >= 2 && nFeats <= 16,
+      s"decisionTreeK: nFeats $nFeats outside [2, 16]")
+    val scoreExpr =
+      "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) DIV nl" +
+        " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) DIV (tn - nl) AS BIGINT)"
+    val (r, allSplits) = treeLevels(
+      rows.select((1 to nFeats).map(i => col(s"x$i")) ++
+        Seq(col("y"), lit(1L).as("node")): _*),
+      maxDepth, scoreExpr, None, nFeats)
     val leaves = r.groupBy(col("node").as("leaf"))
       .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
       .withColumn("pred",
@@ -1139,11 +1176,12 @@ object Learn {
   /** One routing step: rows at `node` move to 2·node / 2·node+1 by their
     * node's split (broadcast — the split table is nodes-sized); nodes
     * without a split stay leaves. */
-  private def routeOneLevel(rows: DataFrame, splits: DataFrame): DataFrame =
+  private def routeOneLevel(rows: DataFrame, splits: DataFrame,
+                            nFeats: Int = 2): DataFrame =
     rows.join(broadcast(splits), Seq("node"), "left")
       .withColumn("node", expr(
         "CASE WHEN thr IS NULL THEN node" +
-          " WHEN (CASE WHEN feat = 1 THEN x1 ELSE x2 END) <= thr THEN node * 2" +
+          s" WHEN (${featPickExpr(nFeats)}) <= thr THEN node * 2" +
           " ELSE node * 2 + 1 END"))
       .drop("feat", "thr")
 

@@ -743,6 +743,32 @@ object Ml {
         .orderBy("leaf")
     },
 
+    // THREE-feature gini tree (reference DecisionTree.scala trains on
+    // arbitrary-width vectors; every other gated tree row runs the
+    // historical 2-feature scaffolding — decisionTreeK generalizes the
+    // feature axis, reproducing the 2-feature machinery byte-identically
+    // at nFeats = 2, LearnSpec-pinned). Per-order features: item count,
+    // qty decile, max line price in 20k buckets; all three compete in
+    // the same per-node argmax (feat-index tiebreak).
+    "s102_tree_3feat" -> { (s, dir) =>
+      val rows = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) DIV 10 AS BIGINT)").as("x2"),
+          expr("CAST(CAST(round(max(l_extendedprice)) AS BIGINT) DIV 20000 AS BIGINT)").as("x3"))
+        .join(Tables.orders(s, dir).selectExpr("o_orderkey",
+          "CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS y"),
+          "o_orderkey")
+      val (leaves, splits) = Learn.decisionTreeK(rows, nFeats = 3, maxDepth = 2)
+      leaves.join(splits.selectExpr("node AS leaf_parent", "feat", "thr", "score"),
+          expr("leaf DIV 2 = leaf_parent"), "left")
+        .selectExpr("leaf", "n", "n_pos", "pred",
+          "coalesce(feat, CAST(0 AS BIGINT)) AS parent_feat",
+          "coalesce(thr, CAST(-1 AS BIGINT)) AS parent_thr",
+          "coalesce(score, CAST(0 AS BIGINT)) AS parent_score")
+        .orderBy("leaf")
+    },
+
     // F < O < P: the optimal root split {O} | {F, P} is NOT contiguous
     // in value order — an ordered-integer tree cannot express it
     // (LearnSpec pins the divergence on a fixture). x2 = o_orderkey % 7
@@ -1548,10 +1574,16 @@ object Ml {
   private def dtLevelCte(p: String, k: Int, score: String =
       "CAST((((lp * lp) + ((nl - lp) * (nl - lp))) * 1000) // nl" +
         " + ((((tp - lp) * (tp - lp)) + (((tn - nl) - (tp - lp)) * ((tn - nl) - (tp - lp)))) * 1000) // (tn - nl) AS BIGINT)",
-      extraFilter: String = ""): String = {
+      extraFilter: String = "", nFeats: Int = 2): String = {
     val prev = s"${p}r${k - 1}"
+    val lfLegs = (2 to nFeats)
+      .map(i => s"  UNION ALL SELECT node, y, $i::BIGINT, x$i FROM $prev")
+      .mkString("\n|")
+    val xCols = (1 to nFeats).map(i => s"r.x$i").mkString(", ")
+    val pick = "CASE " + (1 until nFeats).map(i => s"WHEN b.feat = $i THEN r.x$i")
+      .mkString(" ") + s" ELSE r.x$nFeats END"
     s"""${p}lf$k AS (SELECT node, y, 1::BIGINT AS feat, x1 AS val FROM $prev
-       |  UNION ALL SELECT node, y, 2::BIGINT, x2 FROM $prev),
+       |$lfLegs),
        |${p}h$k AS (SELECT node, feat, val, CAST(count(*) AS BIGINT) AS n,
        |    CAST(sum(y) AS BIGINT) AS np
        |  FROM ${p}lf$k GROUP BY 1, 2, 3),
@@ -1569,9 +1601,9 @@ object Ml {
        |      row_number() OVER (PARTITION BY node ORDER BY score DESC, feat, val) AS rn
        |    FROM ${p}s$k${if (extraFilter.isEmpty) "" else s" WHERE $extraFilter"}) WHERE rn = 1),
        |${p}r$k AS MATERIALIZED (
-       |  SELECT r.o_orderkey, r.x1, r.x2, r.y,
+       |  SELECT r.o_orderkey, $xCols, r.y,
        |    CASE WHEN b.node IS NULL THEN r.node
-       |         WHEN (CASE WHEN b.feat = 1 THEN r.x1 ELSE r.x2 END) <= b.thr THEN r.node * 2
+       |         WHEN ($pick) <= b.thr THEN r.node * 2
        |         ELSE r.node * 2 + 1 END AS node
        |  FROM $prev r LEFT JOIN ${p}b$k b USING (node))""".stripMargin
   }
@@ -2739,6 +2771,38 @@ object Ml {
          |  JOIN bx bxb ON bxb.o_orderkey = r.o_orderkey AND bxb.feat = 2),
          |${dtLevelCte("z", 1)},
          |${dtLevelCte("z", 2)},
+         |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |  FROM zr2 GROUP BY 1),
+         |allsplits AS (
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb1 b
+         |    JOIN zs1 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr
+         |  UNION ALL
+         |  SELECT b.node, b.feat, b.thr, s.score FROM zb2 b
+         |    JOIN zs2 s ON s.node = b.node AND s.feat = b.feat AND s.val = b.thr)
+         |SELECT leaf, n, n_pos, pred,
+         |  CAST(coalesce(p.feat, 0) AS BIGINT) AS parent_feat,
+         |  CAST(coalesce(p.thr, -1) AS BIGINT) AS parent_thr,
+         |  CAST(coalesce(p.score, 0) AS BIGINT) AS parent_score
+         |FROM leaves LEFT JOIN allsplits p ON leaf // 2 = p.node
+         |ORDER BY leaf""".stripMargin,
+
+    // The dtLevelCte machinery at nFeats = 3: three stacked histogram
+    // legs per level, the route pick CASE over all three features.
+    "s102_tree_3feat" ->
+      s"""WITH feats AS MATERIALIZED (
+         |  SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1,
+         |    CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) // 10 AS BIGINT) AS x2,
+         |    CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 20000 AS BIGINT) AS x3
+         |  FROM lineitem GROUP BY 1),
+         |zr0 AS MATERIALIZED (
+         |  SELECT f.o_orderkey, f.x1, f.x2, f.x3,
+         |    CAST(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS y,
+         |    1::BIGINT AS node
+         |  FROM feats f JOIN orders o USING (o_orderkey)),
+         |${dtLevelCte("z", 1, nFeats = 3)},
+         |${dtLevelCte("z", 2, nFeats = 3)},
          |leaves AS (SELECT node AS leaf, CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(y) AS BIGINT) AS n_pos,
          |    CAST(CASE WHEN 2 * sum(y) > count(*) THEN 1 ELSE 0 END AS BIGINT) AS pred

@@ -928,6 +928,32 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("decisionTreeK: feature 3 wins the argmax; nFeats = 2 reproduces decisionTree2 exactly") {
+    import spark.implicits._
+    // y is a pure function of x3; x1/x2 carry weak noise correlations —
+    // the generalized argmax must pick the third feature's threshold
+    val rows = (1L to 200L).map { i =>
+      val x3 = i % 10
+      (i % 4, (i * 3) % 5, x3, if (x3 <= 4) 1L else 0L)
+    }.toDF("x1", "x2", "x3", "y")
+    val (leaves, splits) = Learn.decisionTreeK(rows, nFeats = 3, maxDepth = 1)
+    val root = splits.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(root._2 === 3L && root._3 === 4L, s"root must cut x3 at 4: $root")
+    val ls = leaves.orderBy("leaf").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ls.toSeq === Seq((2L, 100L, 100L), (3L, 100L, 0L)), s"pure leaves: ${ls.toSeq}")
+    // the generalization is conservative: at nFeats = 2 the generated
+    // stack/route text is byte-identical to the historical 2-feature
+    // machinery, so the fitted trees agree exactly
+    val two = (1L to 300L).map { i =>
+      (i % 7, (i * 5) % 11, if ((i % 7) * 2 + (i * 5) % 11 > 9) 1L else 0L)
+    }.toDF("x1", "x2", "y")
+    val (l2, s2) = Learn.decisionTree2(two, maxDepth = 2)
+    val (lk, sk) = Learn.decisionTreeK(two, nFeats = 2, maxDepth = 2)
+    assert(l2.orderBy("leaf").collect().toSeq === lk.orderBy("leaf").collect().toSeq)
+    assert(s2.orderBy("node").collect().toSeq === sk.orderBy("node").collect().toSeq)
+  }
+
   test("depth 3 provably differs from depth 2: the third level purifies the striped band") {
     import spark.implicits._
     // y = 1 iff x1 in (10,20] or (30,40] over x1 = 1..50: four cuts
