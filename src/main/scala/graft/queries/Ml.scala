@@ -1145,6 +1145,26 @@ object Ml {
         .orderBy("rid")
     },
 
+    // General d-feature OLS (reference ml/regression/LinearRegression
+    // fits arbitrary-width vectors; s14/s29's closed-form Cramer solve
+    // is the d = 2 slice — Solve.olsK eliminates the (d+1)x(d+1) SPD
+    // normal equations by generated pivoting-free Gaussian layers, the
+    // s97 shared-expression discipline, so the whole solve is
+    // oracle-gated): three per-order features against whole-dollar
+    // order totals, cohort-scored.
+    "s103_ols_k" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("x2"),
+          expr("CAST(CAST(round(max(l_extendedprice)) AS BIGINT) DIV 100 AS BIGINT)").as("x3"))
+        .join(Tables.orders(s, dir).selectExpr("o_orderkey",
+          "CAST(round(o_totalprice) AS BIGINT) AS y"), "o_orderkey")
+      graft.ext.Solve.olsK(feats, d = 3, idCol = "o_orderkey")
+        .filter(col("o_orderkey") <= 4000)
+        .orderBy("o_orderkey")
+    },
+
     // Ridge regression (reference mllib/regression/RidgeRegression.scala
     // — SGD + SquaredL2Updater there; the penalized normal equations stay
     // closed-form at 2 features): the s14 problem with lambda = 0.1 on the
@@ -3098,6 +3118,17 @@ object Ml {
       featsCte = "SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid, " +
         s"${pcaFeatsSql.mkString(", ")} FROM lineitem",
       cohortWhere = "rid <= 40000"),
+
+    // Mirror of Solve.olsK: the generated elimination/back-substitution
+    // layers as materialized 1-row CTEs.
+    "s103_ols_k" -> graft.ext.Solve.oracleSql(d = 3, idCol = "o_orderkey",
+      featsCte = "SELECT f.o_orderkey, f.x1, f.x2, f.x3, " +
+        "CAST(round(o.o_totalprice) AS BIGINT) AS y " +
+        "FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2, " +
+        "CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 100 AS BIGINT) AS x3 " +
+        "FROM lineitem GROUP BY 1) f JOIN orders o USING (o_orderkey)",
+      cohortWhere = "o_orderkey <= 4000"),
 
     // The s14 oracle with the ridge-penalized Cramer matrix — the same
     // shared formula strings, lambda literal included.

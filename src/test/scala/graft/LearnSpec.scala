@@ -928,6 +928,32 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("olsK: exact planted recovery at d = 3; d = 2 predictions equal the Cramer solve") {
+    import spark.implicits._
+    import graft.ext.Solve
+    // y = 7 + 3*x1 - 2*x2 + 5*x3 EXACTLY: any correct least-squares
+    // solve recovers the plant and the rounded predictions equal y
+    val feats = (1L to 120L).map { i =>
+      val (x1, x2, x3) = (i % 6, (i * 3) % 7, (i * 5) % 4)
+      (i, x1, x2, x3, 7L + 3 * x1 - 2 * x2 + 5 * x3)
+    }.toDF("o_orderkey", "x1", "x2", "x3", "y")
+    val got = Solve.olsK(feats, d = 3, idCol = "o_orderkey").collect()
+    assert(got.length === 120)
+    got.foreach(r => assert(r.getLong(2) === r.getLong(1), s"exact fit: $r"))
+    // d = 2 agreement with the historical closed-form Cramer path:
+    // elimination and Cramer differ in expression order (ulps in the
+    // betas), but the rounded integer predictions coincide
+    val two = (1L to 200L).map { i =>
+      (i, i % 9, (i * 7) % 13, 40L + 11 * (i % 9) - 3 * ((i * 7) % 13) + (i % 5))
+    }.toDF("o_orderkey", "x1", "x2", "y")
+    val a = Learn.olsPredict2(two, Learn.olsFit2(two), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Solve.olsK(two, d = 2, idCol = "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a === b)
+    intercept[IllegalArgumentException](Solve.olsK(feats, d = 9, idCol = "o_orderkey"))
+  }
+
   test("decisionTreeK: feature 3 wins the argmax; nFeats = 2 reproduces decisionTree2 exactly") {
     import spark.implicits._
     // y is a pure function of x3; x1/x2 carry weak noise correlations —
