@@ -28,14 +28,21 @@ object Solve {
 
   /** Augmented-system init from the moment columns (n, s_i, s_i_j with
     * i ≤ j, sy, s_iy): upper triangle only — the system is symmetric
-    * and elimination never reads below the diagonal of untouched rows. */
-  def initExprs(d: Int): Seq[String] = {
+    * and elimination never reads below the diagonal of untouched rows.
+    * `lambda` > 0 adds n·λ to the WEIGHT diagonal (never the
+    * intercept) — [[Learn.ridgeBetaExprs]]' convention generalized; at
+    * λ = 0 the generated text is unchanged. */
+  def initExprs(d: Int, lambda: Double = 0.0): Seq[String] = {
     def m(r: Int, c: Int): String =
       if (r == 0 && c == 0) "n"
       else if (r == 0) s"s_$c"
       else s"s_${r}_$c"
-    (for { r <- 0 to d; c <- r to d }
-      yield s"CAST(${m(r, c)} AS DOUBLE) AS a_${r}_$c") ++
+    (for { r <- 0 to d; c <- r to d } yield {
+      val base = s"CAST(${m(r, c)} AS DOUBLE)"
+      val cell = if (lambda != 0.0 && r == c && r >= 1)
+        s"($base + (CAST($lambda AS DOUBLE) * CAST(n AS DOUBLE)))" else base
+      s"$cell AS a_${r}_$c"
+    }) ++
       (0 to d).map(r =>
         s"CAST(${if (r == 0) "sy" else s"s_${r}y"} AS DOUBLE) AS bb_$r")
   }
@@ -74,15 +81,17 @@ object Solve {
   /** Fit y ~ 1 + x1 + … + xd over (idCol, x1..xd, y BIGINT) and score
     * every cohort row: one moment scan, ~2(d+1) 1-row projection
     * layers, one broadcast projection scan. */
-  def olsK(feats: DataFrame, d: Int, idCol: String): DataFrame = {
+  def olsK(feats: DataFrame, d: Int, idCol: String,
+           lambda: Double = 0.0): DataFrame = {
     require(d >= 1 && d <= 8, s"olsK: d = $d outside [1, 8] (driver-bounded state)")
+    require(lambda >= 0.0, s"olsK: lambda $lambda must be non-negative")
     val aggs = (1 to d).map(i => sum(col(s"x$i")).as(s"s_$i")) ++
       (for { i <- 1 to d; j <- i to d }
         yield sum(expr(s"CAST(x$i * x$j AS DECIMAL(38,0))")).as(s"s_${i}_$j")) ++
       Seq(sum(col("y")).as("sy")) ++
       (1 to d).map(i => sum(expr(s"CAST(x$i * y AS DECIMAL(38,0))")).as(s"s_${i}y"))
     var st = feats.agg(count(lit(1)).as("n"), aggs: _*)
-      .selectExpr(initExprs(d): _*)
+      .selectExpr(initExprs(d, lambda): _*)
     (0 until d).foreach(k => st = st.selectExpr(elimLayer(d, k): _*))
     (d to 0 by -1).foreach(r => st = st.selectExpr(backLayer(d, r): _*))
     val betas = st.selectExpr((0 to d).map(i => s"beta_$i"): _*).localCheckpoint()
@@ -93,7 +102,7 @@ object Solve {
   /** DuckDB mirror: the same generated layers as materialized 1-row
     * CTEs over a caller-supplied feats CTE, then the projection. */
   def oracleSql(d: Int, idCol: String, featsCte: String,
-                cohortWhere: String = ""): String = {
+                cohortWhere: String = "", lambda: Double = 0.0): String = {
     val moments =
       "SELECT CAST(count(*) AS BIGINT) AS n, " +
         (1 to d).map(i => s"CAST(sum(x$i) AS BIGINT) AS s_$i").mkString(", ") + ", " +
@@ -103,7 +112,7 @@ object Solve {
         (1 to d).map(i => s"sum(CAST(x$i * y AS HUGEINT)) AS s_${i}y").mkString(", ") +
         " FROM feats"
     val layers = scala.collection.mutable.ArrayBuffer[String]()
-    layers += s"SELECT ${initExprs(d).mkString(",\n    ")} FROM moments"
+    layers += s"SELECT ${initExprs(d, lambda).mkString(",\n    ")} FROM moments"
     (0 until d).foreach(k => layers += s"SELECT ${elimLayer(d, k).mkString(",\n    ")}")
     (d to 0 by -1).foreach(r => layers += s"SELECT ${backLayer(d, r).mkString(",\n    ")}")
     val ctes = layers.zipWithIndex.map { case (body, idx) =>

@@ -1165,6 +1165,24 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // General d-feature RIDGE (reference ml/regression/LinearRegression
+    // with regParam > 0, elasticNetParam = 0 — s23's penalized Cramer
+    // solve generalized: Solve.olsK's elimination with n*lambda on the
+    // weight diagonal, intercept unpenalized): the s103 problem at
+    // lambda = 0.1, so the two rows differ exactly by the penalty.
+    "s104_ridge_k" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("x1"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)").as("x2"),
+          expr("CAST(CAST(round(max(l_extendedprice)) AS BIGINT) DIV 100 AS BIGINT)").as("x3"))
+        .join(Tables.orders(s, dir).selectExpr("o_orderkey",
+          "CAST(round(o_totalprice) AS BIGINT) AS y"), "o_orderkey")
+      graft.ext.Solve.olsK(feats, d = 3, idCol = "o_orderkey", lambda = 0.1)
+        .filter(col("o_orderkey") <= 4000)
+        .orderBy("o_orderkey")
+    },
+
     // Ridge regression (reference mllib/regression/RidgeRegression.scala
     // — SGD + SquaredL2Updater there; the penalized normal equations stay
     // closed-form at 2 features): the s14 problem with lambda = 0.1 on the
@@ -3129,6 +3147,16 @@ object Ml {
         "CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 100 AS BIGINT) AS x3 " +
         "FROM lineitem GROUP BY 1) f JOIN orders o USING (o_orderkey)",
       cohortWhere = "o_orderkey <= 4000"),
+
+    // The s103 oracle with the n*lambda weight-diagonal term.
+    "s104_ridge_k" -> graft.ext.Solve.oracleSql(d = 3, idCol = "o_orderkey",
+      featsCte = "SELECT f.o_orderkey, f.x1, f.x2, f.x3, " +
+        "CAST(round(o.o_totalprice) AS BIGINT) AS y " +
+        "FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2, " +
+        "CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 100 AS BIGINT) AS x3 " +
+        "FROM lineitem GROUP BY 1) f JOIN orders o USING (o_orderkey)",
+      cohortWhere = "o_orderkey <= 4000", lambda = 0.1),
 
     // The s14 oracle with the ridge-penalized Cramer matrix — the same
     // shared formula strings, lambda literal included.

@@ -952,6 +952,14 @@ class LearnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a === b)
     intercept[IllegalArgumentException](Solve.olsK(feats, d = 9, idCol = "o_orderkey"))
+    // ridge leg: the n*lambda weight diagonal reproduces ridgeFit2's
+    // closed form at d = 2 (prediction equality, same convention:
+    // intercept unpenalized), and strictly shrinks a planted weight
+    val rr = Learn.olsPredict2(two, Learn.ridgeFit2(two, lambda = 2.0), "o_orderkey")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rk = Solve.olsK(two, d = 2, idCol = "o_orderkey", lambda = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rr === rk)
   }
 
   test("decisionTreeK: feature 3 wins the argmax; nFeats = 2 reproduces decisionTree2 exactly") {
