@@ -438,6 +438,54 @@ object Learn {
       .withColumn("pred",
         expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
 
+  /** The d-feature margin/probability — the fold reproduces
+    * [[lrProbExpr]]'s text byte-identically at d = 2. */
+  def lrProbExprK(d: Int): String = {
+    val margin = (1 to d).map(i => s"(w${i}q * x$i)")
+      .foldLeft("w0q")((a, t) => s"($a + $t)")
+    s"CAST(round(1000000.0 / (1.0 + exp(-(CAST($margin AS DOUBLE) / 65536.0)))) AS BIGINT)"
+  }
+
+  def logisticInitK(spark: org.apache.spark.sql.SparkSession, d: Int): DataFrame =
+    spark.range(1).selectExpr(
+      (0 to d).map(i => s"CAST(0 AS BIGINT) AS w${i}q"): _*)
+
+  /** d-FEATURE binary logistic regression (reference ml/classification/
+    * LogisticRegression fits arbitrary-width vectors; [[logisticFit2]]
+    * is the historical d = 2 scaffolding, reproduced byte-identically
+    * here at d = 2 — same probability text, same per-weight update
+    * string, one gradient sum per feature in the same single scan). */
+  def logisticFitK(feats: DataFrame, d: Int, iters: Int = 8,
+                   lr: Double = 1.0): DataFrame = {
+    require(d >= 1 && d <= 16, s"logisticFitK: d = $d outside [1, 16]")
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = logisticInitK(f.sparkSession, d).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val g = f.crossJoin(broadcast(w))
+        .selectExpr(Seq(s"${lrProbExprK(d)} AS pq", "yq") ++
+          (1 to d).map(i => s"x$i"): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("yq") - col("pq")).as("g0") +:
+            (1 to d).map(i => sum((col("yq") - col("pq")) * col(s"x$i")).as(s"g$i")): _*)
+      w = g.crossJoin(w).selectExpr(
+          (0 to d).map(i => s"${lrUpdExpr(s"w${i}q", s"g$i", lr)} AS w${i}q"): _*)
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
+  /** Score (idCol, x1..xd, yq) under d-feature logistic weights — the
+    * [[logisticPredict2]] output contract. */
+  def logisticPredictK(feats: DataFrame, weights: DataFrame, d: Int,
+                       idCol: String): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(idCol, "CAST(yq DIV 1000000 AS BIGINT) AS label",
+        s"${lrProbExprK(d)} AS p_micro")
+      .withColumn("pred",
+        expr("CAST(CASE WHEN p_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT)"))
+
   // ---- MULTINOMIAL (softmax) logistic regression (reference
   // mllib/classification/LogisticRegression.scala:91: numClasses > 2
   // trains K−1 pivoted weight blocks — class 0 is the pivot — and

@@ -559,6 +559,21 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // THREE-feature binary logistic regression (reference
+    // ml/classification/LogisticRegression fits arbitrary-width
+    // vectors; s19 is the historical 2-feature scaffolding, which
+    // logisticFitK reproduces byte-identically at d = 2, spec-pinned):
+    // the s19 problem plus x3 = o_orderkey % 13 — the very term the
+    // label's threshold mixes in, so the third feature carries REAL
+    // signal the 2-feature model cannot see.
+    "s105_logistic_k" -> { (s, dir) =>
+      val feats = lrFeatures(s, dir, 10, 1000000)
+        .withColumn("x3", expr("CAST(o_orderkey % 13 AS BIGINT)"))
+      val w = Learn.logisticFitK(feats, d = 3, iters = 8, lr = 1.0)
+      Learn.logisticPredictK(feats.filter(col("o_orderkey") <= 4000), w, 3, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // MULTINOMIAL softmax regression (reference LogisticRegression
     // .scala:91 numClasses > 2 — K−1 pivoted weight blocks, class 0
     // the pivot; Gradient.scala:60's multinomial branch IS the shared
@@ -1604,6 +1619,27 @@ object Ml {
        |    ${Learn.lrUpdExpr("w2q", "g2", lr)} AS w2q
        |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
 
+  /** [[lrIterCte]] with the feature axis generalized (reads feats3,
+    * one gradient sum per feature). */
+  private def lrIterCteK(k: Int, d: Int, lr: Double): String = {
+    val gsums = (1 to d)
+      .map(i => s"    CAST(sum((yq - pq) * x$i) AS BIGINT) AS g$i").mkString(",\n|")
+    val xs = (1 to d).map(i => s"x$i").mkString(", ")
+    val upds = (0 to d)
+      .map(i => s"    ${Learn.lrUpdExpr(s"w${i}q", s"g$i", lr)} AS w${i}q")
+      .mkString(",\n|")
+    s"""g$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(yq - pq) AS BIGINT) AS g0,
+       |$gsums
+       |  FROM (SELECT yq, $xs, ${Learn.lrProbExprK(d)} AS pq
+       |        FROM feats3 CROSS JOIN w${k - 1})),
+       |w$k AS MATERIALIZED (
+       |  SELECT
+       |$upds
+       |  FROM g$k CROSS JOIN w${k - 1})""".stripMargin
+  }
+
   /** One unrolled decision-tree level: histogram -> prefix-sum candidate
     * table -> exact milli-unit Gini-complement argmax -> node routing
     * (graft.ext.Learn.decisionTree2's per-level shape verbatim). `p`
@@ -2452,6 +2488,25 @@ object Ml {
          |  ${Learn.lrProbExpr} AS p_micro,
          |  CAST(CASE WHEN ${Learn.lrProbExpr} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM feats CROSS JOIN w8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // The s19 oracle with the feature axis at d = 3 (lrIterCteK shares
+    // lrProbExprK/lrUpdExpr verbatim).
+    "s105_logistic_k" -> {
+      val iters = (1 to 8).map(lrIterCteK(_, 3, 1.0)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |${lrFeatsCte(10, 1000000L)},
+         |feats3 AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, x2, CAST(o_orderkey % 13 AS BIGINT) AS x3, yq
+         |  FROM feats),
+         |w0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q,
+         |  0::BIGINT AS w3q),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label,
+         |  ${Learn.lrProbExprK(3)} AS p_micro,
+         |  CAST(CASE WHEN ${Learn.lrProbExprK(3)} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM feats3 CROSS JOIN w8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
 

@@ -928,6 +928,32 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("logisticFitK: d = 2 is bit-identical to logisticFit2; the third feature separates") {
+    import spark.implicits._
+    // d = 2 equality: the generated probability/update text reproduces
+    // the historical machinery byte-identically, so the fitted weight
+    // STATES agree exactly, not just predictions
+    val two = (1L to 300L).map { i =>
+      (i % 9, (i * 7) % 13, if ((i % 9) + (i * 7) % 13 > 10) 1000000L else 0L)
+    }.toDF("x1", "x2", "yq")
+    val w2 = Learn.logisticFit2(two, iters = 5, lr = 1.0).head()
+    val wk = Learn.logisticFitK(two, d = 2, iters = 5, lr = 1.0).head()
+    assert(w2 === wk)
+    // a label that is a pure function of x3: the d = 3 fit must push
+    // weight onto x3 and classify ~perfectly where the 2-feature fit
+    // (blind to x3) cannot beat the base rate
+    val three = (1L to 400L).map { i =>
+      (i, i % 4, (i * 3) % 5, i % 10, if (i % 10 <= 4) 1000000L else 0L)
+    }.toDF("o_orderkey", "x1", "x2", "x3", "yq")
+    val centered = three.selectExpr("o_orderkey", "x1", "x2",
+      "CAST(x3 - 5 AS BIGINT) AS x3", "yq") // center so w0 need not chase the offset
+    val w3 = Learn.logisticFitK(centered, d = 3, iters = 12, lr = 1.0)
+    val preds = Learn.logisticPredictK(centered, w3, 3, "o_orderkey").collect()
+    val acc = preds.count(r => r.getLong(3) === r.getLong(1)).toDouble / preds.length
+    assert(acc > 0.95, s"3-feature fit must separate on x3: acc $acc")
+    assert(w3.head().getLong(3) < 0, "x3 weight carries the (negative) signal")
+  }
+
   test("olsK: exact planted recovery at d = 3; d = 2 predictions equal the Cramer solve") {
     import spark.implicits._
     import graft.ext.Solve
