@@ -1579,6 +1579,49 @@ object Learn {
     w
   }
 
+  /** The d-feature quantized margin — reproduces the historical text
+    * byte-identically at d = 2. */
+  def svmMarginK(d: Int): String =
+    (1 to d).map(i => s"(w${i}q * x$i)").foldLeft("w0q")((a, t) => s"($a + $t)")
+
+  def svmGradTermK(d: Int, mult: String): String =
+    s"CASE WHEN ys * ${svmMarginK(d)} < 65536 THEN ys$mult ELSE 0 END"
+
+  /** d-FEATURE linear SVM (reference SVMWithSGD fits arbitrary-width
+    * vectors; [[svmFit2]] is the 2-feature scaffolding, reproduced
+    * byte-identically at d = 2 — same integer violator test, same
+    * per-weight update string, one hinge gradient sum per feature in
+    * one scan). The centering caveat from svmFit2 applies per feature. */
+  def svmFitK(feats: DataFrame, d: Int, iters: Int = 8,
+              lr: Double = 0.5): DataFrame = {
+    require(d >= 1 && d <= 16, s"svmFitK: d = $d outside [1, 16]")
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = f.sparkSession.range(1)
+      .selectExpr((0 to d).map(i => s"CAST(0 AS BIGINT) AS w${i}q"): _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val g = f.crossJoin(broadcast(w))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(svmGradTermK(d, ""))).as("g0") +:
+            (1 to d).map(i => sum(expr(svmGradTermK(d, s" * x$i"))).as(s"g$i")): _*)
+      w = g.crossJoin(w).selectExpr(
+          (0 to d).map(i => s"${svmUpdExpr(s"w${i}q", s"g$i", lr)} AS w${i}q"): _*)
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
+  /** Score (idCol, x1..xd, ys) under d-feature SVM weights — the
+    * svmPredict2 output contract. */
+  def svmPredictK(feats: DataFrame, weights: DataFrame, d: Int,
+                  idCol: String): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(idCol, "CAST(ys AS BIGINT) AS label",
+        s"CAST(${svmMarginK(d)} AS BIGINT) AS score_q",
+        s"CAST(CASE WHEN ${svmMarginK(d)} >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred")
+
   /** [[svmUpdExpr]] under SquaredL2Updater (Updater.scala:93; the
     * reference's SVMWithSGD DEFAULTS to regParam 0.01 — SVM.scala:71 —
     * so the regularized path is its normal mode, closing s27's

@@ -892,6 +892,22 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // THREE-feature linear SVM (reference SVMWithSGD fits
+    // arbitrary-width vectors; svmFitK reproduces the 2-feature
+    // machinery byte-identically at d = 2, spec-pinned): the s27
+    // problem plus the CENTERED x3 = (o_orderkey % 13) - 6 — the
+    // label's own noise term, real margin signal the 2-feature
+    // violator set cannot use.
+    "s106_svm_k" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST((qty DIV 10) - 10 AS BIGINT)").as("x2"),
+        expr("CAST((o_orderkey % 13) - 6 AS BIGINT)").as("x3"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT)").as("ys"))
+      val w = Learn.svmFitK(feats, d = 3, iters = 8, lr = 0.5)
+      Learn.svmPredictK(feats.filter(col("o_orderkey") <= 4000), w, 3, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // The reference's DEFAULT SVM (SVM.scala:71 regParam 0.01 through
     // SquaredL2Updater — s27 runs the regParam = 0 setting): the same
     // hinge violator set with ridge-shrunk ascent steps, margins pulled
@@ -1947,7 +1963,45 @@ object Ml {
        |    ${Learn.svmUpdExpr("w2q", "g2", lr)} AS w2q
        |  FROM vg$k CROSS JOIN vw${k - 1})""".stripMargin
 
+  /** [[svmIterCte]] with the feature axis generalized. */
+  private def svmIterCteK(k: Int, d: Int, lr: Double): String = {
+    val gsums = (1 to d)
+      .map(i => s"    CAST(sum(${Learn.svmGradTermK(d, s" * x$i")}) AS BIGINT) AS g$i")
+      .mkString(",\n|")
+    val upds = (0 to d)
+      .map(i => s"    ${Learn.svmUpdExpr(s"w${i}q", s"g$i", lr)} AS w${i}q")
+      .mkString(",\n|")
+    s"""vg$k AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(${Learn.svmGradTermK(d, "")}) AS BIGINT) AS g0,
+       |$gsums
+       |  FROM feats CROSS JOIN vw${k - 1}),
+       |vw$k AS MATERIALIZED (
+       |  SELECT
+       |$upds
+       |  FROM vg$k CROSS JOIN vw${k - 1})""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // The s27 oracle with the feature axis at d = 3.
+    "s106_svm_k" -> {
+      val iters = (1 to 8).map(svmIterCteK(_, 3, 0.5)).mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST((qty // 10) - 10 AS BIGINT) AS x2,
+         |         CAST((o_orderkey % 13) - 6 AS BIGINT) AS x3,
+         |         CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1 ELSE -1 END AS BIGINT) AS ys
+         |  FROM base),
+         |vw0 AS (SELECT 0::BIGINT AS w0q, 0::BIGINT AS w1q, 0::BIGINT AS w2q,
+         |  0::BIGINT AS w3q),
+         |$iters
+         |SELECT o_orderkey, CAST(ys AS BIGINT) AS label,
+         |  CAST(${Learn.svmMarginK(3)} AS BIGINT) AS score_q,
+         |  CAST(CASE WHEN ${Learn.svmMarginK(3)} >= 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+         |FROM feats CROSS JOIN vw8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
     // The s27 chain under the L2-shrunk update strings.
     "s86_svm_l2" -> {
       val iters = (1 to 8).map(svmL2IterCte(_, 0.5, 0.01)).mkString(",\n")

@@ -928,6 +928,27 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("svmFitK: d = 2 is bit-identical to svmFit2; x3 margin signal separates") {
+    import spark.implicits._
+    val two = (1L to 300L).map { i =>
+      (i % 9 - 4, (i * 7) % 13 - 6, if ((i % 9) + (i * 7) % 13 > 10) 1L else -1L)
+    }.toDF("x1", "x2", "ys")
+    val w2 = Learn.svmFit2(two, iters = 5, lr = 0.5).head()
+    val wk = Learn.svmFitK(two, d = 2, iters = 5, lr = 0.5).head()
+    assert(w2 === wk)
+    // the label is a pure sign function of x3 (centered): the d = 3
+    // hinge must separate ~perfectly; x1/x2 are uncorrelated noise
+    val three = (1L to 400L).map { i =>
+      (i, i % 4 - 2, (i * 3) % 5 - 2, (i % 11) - 5,
+        if ((i % 11) - 5 >= 0) 1L else -1L)
+    }.toDF("o_orderkey", "x1", "x2", "x3", "ys")
+    val w3 = Learn.svmFitK(three, d = 3, iters = 10, lr = 0.5)
+    val preds = Learn.svmPredictK(three, w3, 3, "o_orderkey").collect()
+    val acc = preds.count(r => r.getLong(3) === r.getLong(1)).toDouble / preds.length
+    assert(acc > 0.95, s"3-feature hinge must separate on x3: acc $acc")
+    assert(w3.head().getLong(3) > 0, "x3 weight carries the positive signal")
+  }
+
   test("logisticFitK: d = 2 is bit-identical to logisticFit2; the third feature separates") {
     import spark.implicits._
     // d = 2 equality: the generated probability/update text reproduces
