@@ -559,6 +559,84 @@ object Learn {
         "CAST(CASE WHEN p0_micro >= p1_micro AND p0_micro >= p2_micro THEN 0" +
           " WHEN p1_micro >= p2_micro THEN 1 ELSE 2 END AS BIGINT) AS pred")
 
+  /** Class-k probability at K total classes — the generated denominator
+    * reproduces [[smProbExpr]]'s text byte-identically at K = 3. */
+  def smProbExprK(k: Int, kTot: Int): String = {
+    val den = (1 until kTot).map(j => s"exp(${smZ(j)})")
+      .reduce((a, b) => s"($a + $b)")
+    s"CAST(round((exp(${smZ(k)}) / (1.0 + $den)) * 1000000.0) AS BIGINT)"
+  }
+
+  def softmaxInitK(spark: org.apache.spark.sql.SparkSession,
+                   kTot: Int): DataFrame =
+    spark.range(1).selectExpr(
+      (for (k <- 1 until kTot; j <- 0 to 2) yield s"CAST(0 AS BIGINT) AS w$j${k}q"): _*)
+
+  /** K-CLASS softmax regression (reference LogisticRegression.scala:91
+    * trains K−1 pivoted blocks for ANY numClasses; [[softmaxFit2]] is
+    * the K = 3 scaffolding, reproduced byte-identically there — same
+    * shared exp/denominator string, same per-weight update, 3·(K−1)
+    * exact gradient sums in one scan). */
+  def softmaxFitK(feats: DataFrame, kTot: Int, iters: Int = 6,
+                  lr: Double = 1.0): DataFrame = {
+    require(kTot >= 2 && kTot <= 10, s"softmaxFitK: K = $kTot outside [2, 10]")
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = softmaxInitK(f.sparkSession, kTot).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val scored = f.crossJoin(broadcast(w))
+        .selectExpr(Seq("y", "x1", "x2") ++
+          (1 until kTot).map(k => s"${smProbExprK(k, kTot)} AS pm$k"): _*)
+        .selectExpr(Seq("x1", "x2") ++
+          (1 until kTot).map(k =>
+            s"CAST(CASE WHEN y = $k THEN 1000000 ELSE 0 END AS BIGINT) - pm$k AS e$k"): _*)
+      val aggsTail =
+        (for (k <- 1 until kTot; j <- 0 to 2) yield {
+          val e = if (j == 0) sum(col(s"e$k"))
+                  else sum(col(s"e$k") * col(s"x$j"))
+          e.as(s"g$j$k")
+        })
+      val g = scored.agg(count(lit(1)).as("n"), aggsTail: _*)
+      w = g.crossJoin(w).selectExpr(
+          (for (k <- 1 until kTot; j <- 0 to 2)
+            yield s"${lrUpdExpr(s"w$j${k}q", s"g$j$k", lr)} AS w$j${k}q"): _*)
+        .localCheckpoint()
+    }
+    f.unpersist()
+    w
+  }
+
+  /** p0 as the exact complement of the block probabilities. */
+  def smP0ExprK(kTot: Int): String =
+    "CAST(1000000 - " + (1 until kTot).map(k => s"p${k}_micro")
+      .reduce((a, b) => s"($a + $b)") + " AS BIGINT) AS p0_micro"
+
+  /** The argmax prediction with ties to the SMALLEST class: class k
+    * wins on ≥ against larger classes and needs strict > against
+    * smaller ones (which already had their chance). Shared with the
+    * oracle. */
+  def smArgmaxExprK(kTot: Int): String =
+    "CAST(CASE " + (0 until kTot).map { k =>
+      val beats = (0 until kTot).filter(_ != k).collect {
+        case j if j > k => s"p${k}_micro >= p${j}_micro"
+        case j if j < k => s"p${k}_micro > p${j}_micro"
+      }
+      if (k == kTot - 1) s"ELSE $k END AS BIGINT) AS pred"
+      else s"WHEN ${beats.mkString(" AND ")} THEN $k"
+    }.mkString(" ")
+
+  /** Score under K−1 fitted blocks: micro p1..p_{K−1}, p0 the exact
+    * complement, argmax prediction with ties to the SMALLEST class. */
+  def softmaxPredictK(feats: DataFrame, weights: DataFrame, kTot: Int,
+                      idCol: String): DataFrame = {
+    val probs = (1 until kTot).map(k => s"p${k}_micro")
+    feats.crossJoin(broadcast(weights))
+      .selectExpr(Seq(idCol, "CAST(y AS BIGINT) AS label") ++
+        (1 until kTot).map(k => s"${smProbExprK(k, kTot)} AS p${k}_micro"): _*)
+      .selectExpr(Seq(idCol, "label") ++ probs :+ smP0ExprK(kTot): _*)
+      .selectExpr(Seq(idCol, "label", "p0_micro") ++ probs :+ smArgmaxExprK(kTot): _*)
+  }
+
   // ---- L-BFGS (reference mllib/optimization/LBFGS.scala:40 — the
   // second registered optimizer next to GradientDescent; runLBFGS :169
   // delegates the direction to breeze's LBFGS over a CostFun computing

@@ -592,6 +592,23 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // FOUR-class softmax regression (reference LogisticRegression
+    // .scala:91 trains K-1 pivoted blocks for ANY numClasses; s87 is
+    // the K = 3 scaffolding, which softmaxFitK reproduces
+    // byte-identically — spec-pinned): four qty bands, twelve ascent
+    // steps, nine exact gradient sums per round, argmax with ties to
+    // the smallest class.
+    "s107_softmax_k4" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST((qty DIV 10) - 10 AS BIGINT)").as("x2"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 165 THEN 3" +
+          " WHEN qty + 5 * (o_orderkey % 13) > 135 THEN 2" +
+          " WHEN qty + 5 * (o_orderkey % 13) > 105 THEN 1 ELSE 0 END AS BIGINT)").as("y"))
+      val w = Learn.softmaxFitK(feats, kTot = 4, iters = 12, lr = 2.0)
+      Learn.softmaxPredictK(feats.filter(col("o_orderkey") <= 4000), w, 4, "o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
     // The √t step decay + SquaredL2Updater (reference
     // GradientDescent.scala:226 stepSize/sqrt(iter); Updater.scala:93
     // w(1 − step·λ) − step·∇ — the two GradientDescent knobs every
@@ -2561,6 +2578,52 @@ object Ml {
          |  ${Learn.lrProbExprK(3)} AS p_micro,
          |  CAST(CASE WHEN ${Learn.lrProbExprK(3)} >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM feats3 CROSS JOIN w8 WHERE o_orderkey <= 4000
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // The s87 oracle at K = 4: nine gradient sums per round, the same
+    // generated probability / complement / argmax strings.
+    "s107_softmax_k4" -> {
+      val K = 4
+      val iters = (1 to 12).map { k =>
+        val esels = (1 until K).map(kk =>
+          s"      CAST(CASE WHEN y = $kk THEN 1000000 ELSE 0 END AS BIGINT) - ${Learn.smProbExprK(kk, K)} AS e$kk")
+          .mkString(",\n|")
+        val gsums = (for (kk <- 1 until K; j <- 0 to 2) yield
+          if (j == 0) s"    CAST(sum(e$kk) AS BIGINT) AS g0$kk"
+          else s"    CAST(sum(e$kk * x$j) AS BIGINT) AS g$j$kk").mkString(",\n|")
+        val upds = (for (kk <- 1 until K; j <- 0 to 2)
+          yield s"    ${Learn.lrUpdExpr(s"w$j${kk}q", s"g$j$kk", 2.0)} AS w$j${kk}q")
+          .mkString(",\n|")
+        s"""mg$k AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |$gsums
+           |  FROM (SELECT x1, x2,
+           |$esels
+           |    FROM mfeats CROSS JOIN mw${k - 1})),
+           |mw$k AS MATERIALIZED (
+           |  SELECT
+           |$upds
+           |  FROM mg$k CROSS JOIN mw${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val probs = (1 until K).map(kk =>
+        s"${Learn.smProbExprK(kk, K)} AS p${kk}_micro").mkString(",\n|  ")
+      val pcols = (1 until K).map(kk => s"p${kk}_micro").mkString(", ")
+      s"""WITH $ordersBaseCte,
+         |mfeats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST((qty // 10) - 10 AS BIGINT) AS x2,
+         |    CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 165 THEN 3
+         |         WHEN qty + 5 * (o_orderkey % 13) > 135 THEN 2
+         |         WHEN qty + 5 * (o_orderkey % 13) > 105 THEN 1 ELSE 0 END AS BIGINT) AS y
+         |  FROM base),
+         |mw0 AS (SELECT ${(for (kk <- 1 until K; j <- 0 to 2)
+            yield s"0::BIGINT AS w$j${kk}q").mkString(", ")}),
+         |$iters,
+         |scored AS (SELECT o_orderkey, CAST(y AS BIGINT) AS label,
+         |  $probs
+         |  FROM mfeats CROSS JOIN mw12 WHERE o_orderkey <= 4000)
+         |SELECT o_orderkey, label, p0_micro, $pcols, ${Learn.smArgmaxExprK(K)}
+         |FROM (SELECT o_orderkey, label, $pcols, ${Learn.smP0ExprK(K)} FROM scored)
          |ORDER BY o_orderkey""".stripMargin
     },
 

@@ -928,6 +928,37 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("softmaxFitK: K = 3 is bit-identical to softmaxFit2; K = 4 predicts all four bands") {
+    import spark.implicits._
+    val three = (1L to 300L).map { i =>
+      val z = (i % 9) + (i * 7) % 13
+      (i, i % 9 - 4, (i * 7) % 13 - 6, if (z > 13) 2L else if (z > 8) 1L else 0L)
+    }.toDF("o_orderkey", "x1", "x2", "y")
+    val w3 = Learn.softmaxFit2(three.select("x1", "x2", "y"), iters = 5, lr = 1.0).head()
+    val wk = Learn.softmaxFitK(three.select("x1", "x2", "y"), kTot = 3,
+      iters = 5, lr = 1.0).head()
+    assert(w3 === wk)
+    // 4 bands of a separable score: every class must appear in the
+    // predictions and accuracy must clear the dominant-class rate
+    val four = (1L to 400L).map { i =>
+      val z = (i % 21) - 10
+      (i, z, (i * 3) % 5 - 2,
+        if (z > 5) 3L else if (z > 0) 2L else if (z > -5) 1L else 0L)
+    }.toDF("o_orderkey", "x1", "x2", "y")
+    val w4 = Learn.softmaxFitK(four.select("x1", "x2", "y"), kTot = 4,
+      iters = 20, lr = 1.0)
+    val preds = Learn.softmaxPredictK(four, w4, 4, "o_orderkey").collect()
+    val predCol = preds.head.length - 1
+    assert(preds.map(_.getLong(predCol)).toSet === Set(0L, 1L, 2L, 3L),
+      "all four classes predicted")
+    val acc = preds.count(r => r.getLong(predCol) === r.getLong(1)).toDouble / preds.length
+    assert(acc > 0.75, s"4-band accuracy $acc")
+    // probabilities are a micro partition of unity (p0 exact complement)
+    preds.foreach { r =>
+      assert((2 to 5).map(r.getLong).sum === 1000000L)
+    }
+  }
+
   test("svmFitK: d = 2 is bit-identical to svmFit2; x3 margin signal separates") {
     import spark.implicits._
     val two = (1L to 300L).map { i =>
