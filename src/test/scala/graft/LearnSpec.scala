@@ -928,6 +928,47 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("olsK randomized: predictions match a driver-side normal-equation solve across widths") {
+    import spark.implicits._
+    import graft.ext.Solve
+    for ((seed, d) <- Seq((7, 3), (13, 4), (29, 5))) {
+      val rows = (1L to 160L).map { i =>
+        val xs = (1 to d).map(j => ((i * (seed + 3 * j)) % 17) - 8L)
+        val y = 20L + xs.zipWithIndex.map { case (x, j) => (j + 2) * x }.sum +
+          ((i * 31) % 7) - 3
+        (i, xs, y)
+      }
+      val df = rows.map { case (i, xs, y) =>
+        (i, xs.padTo(5, 0L)(0), xs.padTo(5, 0L)(1), xs.padTo(5, 0L)(2),
+          xs.padTo(5, 0L)(3), xs.padTo(5, 0L)(4), y)
+      }.toDF("o_orderkey", "x1", "x2", "x3", "x4", "x5", "y")
+        .selectExpr(Seq("o_orderkey") ++ (1 to d).map(i => s"x$i") ++ Seq("y"): _*)
+      val got = Solve.olsK(df, d = d, idCol = "o_orderkey").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // plain-double driver solve of the same normal equations
+      val n = rows.length.toDouble
+      val aug = Array.tabulate(d + 1, d + 2) { (r, c) =>
+        def x(row: (Long, Seq[Long], Long), j: Int) =
+          if (j == 0) 1.0 else row._2(j - 1).toDouble
+        if (c <= d) rows.map(t => x(t, r) * x(t, c)).sum
+        else rows.map(t => x(t, r) * t._3).sum
+      }
+      for (k <- 0 to d; r2 <- k + 1 to d) {
+        val f = aug(r2)(k) / aug(k)(k)
+        for (c <- k to d + 1) aug(r2)(c) -= f * aug(k)(c)
+      }
+      val beta = Array.fill(d + 1)(0.0)
+      for (r2 <- d to 0 by -1)
+        beta(r2) = (aug(r2)(d + 1) -
+          (r2 + 1 to d).map(j => aug(r2)(j) * beta(j)).sum) / aug(r2)(r2)
+      rows.foreach { case (i, xs, _) =>
+        val want = beta(0) + xs.zipWithIndex.map { case (x, j) => beta(j + 1) * x }.sum
+        assert(math.abs(got(i) - math.round(want)) <= 1L,
+          s"seed $seed d $d row $i: ${got(i)} vs $want")
+      }
+    }
+  }
+
   test("softmaxFitK: K = 3 is bit-identical to softmaxFit2; K = 4 predicts all four bands") {
     import spark.implicits._
     val three = (1L to 300L).map { i =>

@@ -90,6 +90,50 @@ class PcaSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("Jacobi invariants hold on randomized moment sets (eigen residual, orthonormality, evr sum)") {
+    import spark.implicits._
+    for ((seed, d) <- Seq((11, 3), (23, 4), (47, 5))) {
+      val rows = (1L to 150L).map { i =>
+        Tuple1((1 to d).map(j => ((i * (seed + j * 7)) % 19) - 9L))
+      }.map(_._1)
+      val df = rows.map {
+        case s3 if d == 3 => (s3(0), s3(1), s3(2), 0L, 0L)
+        case s4 if d == 4 => (s4(0), s4(1), s4(2), s4(3), 0L)
+        case s5 => (s5(0), s5(1), s5(2), s5(3), s5(4))
+      }.toDF("x1", "x2", "x3", "x4", "x5")
+        .selectExpr((1 to d).map(i => s"x$i"): _*)
+      val out = Pca.pcaK(df, d = d, k = d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2) / 1e6, r.getLong(3) / 1e6))
+        .toMap
+      // rebuild the scaled scatter matrix M = n*S - s s' driver-side
+      val n = rows.length.toDouble
+      val s1 = (0 until d).map(j => rows.map(_(j)).sum.toDouble)
+      val m = Array.tabulate(d, d) { (a, b) =>
+        n * rows.map(r => r(a) * r(b)).sum - s1(a) * s1(b)
+      }
+      val trace = (0 until d).map(j => m(j)(j)).sum
+      val evrSum = (1 to d).map(r => out((r.toLong, 1L))._2).sum
+      assert(math.abs(evrSum - 1.0) < 1e-4, s"seed $seed evr sum $evrSum")
+      for (r <- 1 to d) {
+        val v = (0 until d).map(j => out((r.toLong, (j + 1).toLong))._1)
+        val lam = out((r.toLong, 1L))._2 * trace
+        // unit norm (micro-rounded loadings)
+        assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, s"seed $seed pc$r norm")
+        // eigen residual ||Mv - lam v|| small relative to ||Mv||
+        val mv = (0 until d).map(a => (0 until d).map(b => m(a)(b) * v(b)).sum)
+        val res = math.sqrt(mv.zip(v).map { case (x, y) => (x - lam * y) * (x - lam * y) }.sum)
+        val scale = math.sqrt(mv.map(x => x * x).sum) + 1e-12
+        assert(res / scale < 1e-3, s"seed $seed pc$r residual ${res / scale}")
+        // pairwise orthogonality
+        for (r2 <- r + 1 to d) {
+          val v2 = (0 until d).map(j => out((r2.toLong, (j + 1).toLong))._1)
+          assert(math.abs(v.zip(v2).map { case (a, b) => a * b }.sum) < 1e-3,
+            s"seed $seed pc$r . pc$r2")
+        }
+      }
+    }
+  }
+
   test("pcaK is deterministic across partitionings and guards its bounds") {
     val a = Pca.pcaK(fixture.repartition(1), 4, 2).orderBy("pc", "dim").collect()
     val b = Pca.pcaK(fixture.repartition(13, col("x3")), 4, 2)
