@@ -99,6 +99,63 @@ object Solve {
       .selectExpr(idCol, "y", predExpr(d))
   }
 
+  /** WEIGHTED least squares (reference ml/optim/WeightedLeastSquares
+    * .scala — the normal-equation solver LinearRegression's "normal"
+    * mode actually runs; weightCol per ml/PredictorParams): identical
+    * elimination over the w-weighted moments — n := Σw, s_i := Σw·x_i,
+    * etc. — so WLS with an integer weight w on a row equals OLS with
+    * that row repeated w times BIT-exactly (the spec's pin). Weights
+    * are non-negative BIGINTs; zero-weight rows drop out of the fit but
+    * still score. */
+  def wlsK(feats: DataFrame, d: Int, idCol: String, weightCol: String,
+           lambda: Double = 0.0): DataFrame = {
+    require(d >= 1 && d <= 8, s"wlsK: d = $d outside [1, 8]")
+    val w = weightCol
+    val aggs = (1 to d).map(i => sum(expr(s"$w * x$i")).as(s"s_$i")) ++
+      (for { i <- 1 to d; j <- i to d }
+        yield sum(expr(s"CAST(($w * x$i) AS DECIMAL(38,0)) * x$j")).as(s"s_${i}_$j")) ++
+      Seq(sum(expr(s"$w * y")).as("sy")) ++
+      (1 to d).map(i => sum(expr(s"CAST(($w * x$i) AS DECIMAL(38,0)) * y")).as(s"s_${i}y"))
+    var st = feats.agg(sum(col(w)).as("n"), aggs: _*)
+      .selectExpr(initExprs(d, lambda): _*)
+    (0 until d).foreach(k => st = st.selectExpr(elimLayer(d, k): _*))
+    (d to 0 by -1).foreach(r => st = st.selectExpr(backLayer(d, r): _*))
+    val betas = st.selectExpr((0 to d).map(i => s"beta_$i"): _*).localCheckpoint()
+    feats.crossJoin(broadcast(betas))
+      .selectExpr(idCol, "y", predExpr(d))
+  }
+
+  /** DuckDB mirror of [[wlsK]]: weighted moments, same layer chain. */
+  def wlsOracleSql(d: Int, idCol: String, weightCol: String,
+                   featsCte: String, cohortWhere: String = "",
+                   lambda: Double = 0.0): String = {
+    val w = weightCol
+    val moments =
+      s"SELECT CAST(sum($w) AS BIGINT) AS n, " +
+        (1 to d).map(i => s"CAST(sum($w * x$i) AS BIGINT) AS s_$i").mkString(", ") + ", " +
+        (for { i <- 1 to d; j <- i to d }
+          yield s"sum(CAST(($w * x$i) AS HUGEINT) * x$j) AS s_${i}_$j").mkString(", ") +
+        s", CAST(sum($w * y) AS BIGINT) AS sy, " +
+        (1 to d).map(i => s"sum(CAST(($w * x$i) AS HUGEINT) * y) AS s_${i}y").mkString(", ") +
+        " FROM feats"
+    val layers = scala.collection.mutable.ArrayBuffer[String]()
+    layers += s"SELECT ${initExprs(d, lambda).mkString(",\n    ")} FROM moments"
+    (0 until d).foreach(k => layers += s"SELECT ${elimLayer(d, k).mkString(",\n    ")}")
+    (d to 0 by -1).foreach(r => layers += s"SELECT ${backLayer(d, r).mkString(",\n    ")}")
+    val ctes = layers.zipWithIndex.map { case (body, idx) =>
+      val from = if (idx == 0) "" else s"\n  FROM t${idx - 1}"
+      s"t$idx AS MATERIALIZED ($body$from)"
+    }
+    val last = s"t${layers.length - 1}"
+    val where = if (cohortWhere.isEmpty) "" else s"\nWHERE $cohortWhere"
+    s"""WITH feats AS MATERIALIZED ($featsCte),
+       |moments AS MATERIALIZED ($moments),
+       |${ctes.mkString(",\n")}
+       |SELECT $idCol, y, ${predExpr(d)}
+       |FROM feats CROSS JOIN $last$where
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** DuckDB mirror: the same generated layers as materialized 1-row
     * CTEs over a caller-supplied feats CTE, then the projection. */
   def oracleSql(d: Int, idCol: String, featsCte: String,

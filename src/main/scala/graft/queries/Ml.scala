@@ -1213,6 +1213,25 @@ object Ml {
         .orderBy("o_orderkey")
     },
 
+    // WEIGHTED least squares (reference ml/optim/WeightedLeastSquares —
+    // the normal-equation solver LinearRegression's "normal" mode runs;
+    // weightCol per ml/PredictorParams): the s103 elimination over
+    // item-count-weighted per-order moments — big orders pull the fit
+    // harder, exactly as the reference's instance weights do. Spec pins
+    // the repeat-row identity (weight w == the row w times, bit-exact).
+    "s108_wls" -> { (s, dir) =>
+      val feats = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("w"),
+          expr("CAST(sum(CAST(round(l_quantity) AS BIGINT)) DIV count(*) AS BIGINT)").as("x1"),
+          expr("CAST(CAST(round(max(l_extendedprice)) AS BIGINT) DIV 100 AS BIGINT)").as("x2"))
+        .join(Tables.orders(s, dir).selectExpr("o_orderkey",
+          "CAST(round(o_totalprice) AS BIGINT) AS y"), "o_orderkey")
+      graft.ext.Solve.wlsK(feats, d = 2, idCol = "o_orderkey", weightCol = "w")
+        .filter(col("o_orderkey") <= 4000)
+        .orderBy("o_orderkey")
+    },
+
     // General d-feature RIDGE (reference ml/regression/LinearRegression
     // with regParam > 0, elasticNetParam = 0 — s23's penalized Cramer
     // solve generalized: Solve.olsK's elimination with n*lambda on the
@@ -3317,6 +3336,17 @@ object Ml {
         "FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS x1, " +
         "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2, " +
         "CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 100 AS BIGINT) AS x3 " +
+        "FROM lineitem GROUP BY 1) f JOIN orders o USING (o_orderkey)",
+      cohortWhere = "o_orderkey <= 4000"),
+
+    // Mirror of Solve.wlsK: item-count-weighted moments, same layers.
+    "s108_wls" -> graft.ext.Solve.wlsOracleSql(d = 2, idCol = "o_orderkey",
+      weightCol = "w",
+      featsCte = "SELECT f.o_orderkey, f.w, f.x1, f.x2, " +
+        "CAST(round(o.o_totalprice) AS BIGINT) AS y " +
+        "FROM (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS w, " +
+        "CAST(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) // count(*) AS BIGINT) AS x1, " +
+        "CAST(CAST(round(max(l_extendedprice)) AS BIGINT) // 100 AS BIGINT) AS x2 " +
         "FROM lineitem GROUP BY 1) f JOIN orders o USING (o_orderkey)",
       cohortWhere = "o_orderkey <= 4000"),
 

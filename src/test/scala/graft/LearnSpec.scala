@@ -928,6 +928,40 @@ class LearnSpec extends SparkSpec {
     assert(p.schema.fieldNames.toSeq === Seq("o_orderkey", "y", "predq"))
   }
 
+  test("wlsK: integer weight w equals the row repeated w times, bit-exactly") {
+    import spark.implicits._
+    import graft.ext.Solve
+    val base = (1L to 80L).map { i =>
+      (i, i % 7, (i * 3) % 11, 1L + (i % 4), 15L + 4 * (i % 7) - 2 * ((i * 3) % 11) + (i % 3))
+    }
+    val weighted = base.toDF("o_orderkey", "x1", "x2", "w", "y")
+    // expand: each row repeated w times, weight 1
+    val expanded = base.flatMap { case (i, x1, x2, w, y) =>
+      (1L to w).map(r => (i * 10 + r, x1, x2, 1L, y))
+    }.toDF("o_orderkey", "x1", "x2", "w", "y")
+    val wBeta = Solve.wlsK(weighted, d = 2, idCol = "o_orderkey", weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // score the ORIGINAL keyed rows under the expanded fit: moments are
+    // exactly equal integers, so the solved betas and predictions match
+    val eBetaPred = Solve.wlsK(expanded, d = 2, idCol = "o_orderkey", weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    base.foreach { case (i, _, _, w, _) =>
+      (1L to w).foreach(r => assert(eBetaPred(i * 10 + r) === wBeta(i),
+        s"row $i rep $r"))
+    }
+    // zero-weight rows drop from the fit but still score: zeroing one
+    // row's weight changes the fit exactly like deleting it
+    val zeroed = weighted.withColumn("w",
+      expr("CASE WHEN o_orderkey = 5 THEN CAST(0 AS BIGINT) ELSE w END"))
+    val deleted = weighted.filter(col("o_orderkey") =!= 5)
+    val pz = Solve.wlsK(zeroed, 2, "o_orderkey", "w")
+      .filter(col("o_orderkey") =!= 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pd = Solve.wlsK(deleted, 2, "o_orderkey", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pz === pd)
+  }
+
   test("olsK randomized: predictions match a driver-side normal-equation solve across widths") {
     import spark.implicits._
     import graft.ext.Solve
