@@ -1035,7 +1035,10 @@ object Clustering {
     * covariance entries are E[ab] − E[a]E[b] in micro units, diagonals
     * floored at 1. */
   val gmm2UpdateExprs: Seq[(String, String)] = Seq(
-    "w1u" -> "CAST(sr DIV n AS BIGINT)",
+    // weight floored at 1 micro and capped at 999999 (the gmm3 ln-safety
+    // convention): a collapsed component keeps a live ln() argument on
+    // BOTH sides of the 1e6 complement instead of dying silently
+    "w1u" -> "greatest(least(CAST(sr DIV n AS BIGINT), 999999), 1)",
     "m1x" -> s"CAST(round($m1xD) AS BIGINT)",
     "m1y" -> s"CAST(round($m1yD) AS BIGINT)",
     "m2x" -> s"CAST(round(${comp2D("sx", "srx")}) AS BIGINT)",

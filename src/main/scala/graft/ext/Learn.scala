@@ -606,10 +606,14 @@ object Learn {
     w
   }
 
-  /** p0 as the exact complement of the block probabilities. */
+  /** p0 as the exact complement of the block probabilities, floored at
+    * 0: per-class rounding can push the K−1 block sum past 1e6 by up to
+    * (K−1)/2 micro when the pivot class underflows, and the output
+    * contract is a micro-probability. Shared verbatim with the oracle,
+    * so the clamp is engine-identical. */
   def smP0ExprK(kTot: Int): String =
-    "CAST(1000000 - " + (1 until kTot).map(k => s"p${k}_micro")
-      .reduce((a, b) => s"($a + $b)") + " AS BIGINT) AS p0_micro"
+    "CAST(greatest(1000000 - " + (1 until kTot).map(k => s"p${k}_micro")
+      .reduce((a, b) => s"($a + $b)") + ", 0) AS BIGINT) AS p0_micro"
 
   /** The argmax prediction with ties to the SMALLEST class: class k
     * wins on ≥ against larger classes and needs strict > against

@@ -953,7 +953,10 @@ object Similarity {
     // per-column magnitude in the matrix's REAL units (the quantization
     // is an encoding, not a rescale of the DIMSUM probabilities)
     val cols = cells.groupBy("d")
-      .agg(sum(col("v") * col("v")).as("nrm2"))
+      // second-moment convention: DECIMAL(38,0) here / HUGEINT oracle-side
+      // — a plain BIGINT sum of 2^40-scale squares wraps silently at very
+      // large row counts while the oracle errors, a desync seam
+      .agg(sum(expr("CAST(v * v AS DECIMAL(38,0))")).as("nrm2"))
       .selectExpr("d",
         "sqrt(CAST(nrm2 AS DOUBLE)) / CAST(1048576.0 AS DOUBLE) AS mag")
       .selectExpr("d", s"least($sg, mag) AS qd",

@@ -106,10 +106,14 @@ object Solve {
     * etc. — so WLS with an integer weight w on a row equals OLS with
     * that row repeated w times BIT-exactly (the spec's pin). Weights
     * are non-negative BIGINTs; zero-weight rows drop out of the fit but
-    * still score. */
+    * still score. The non-negativity of the weight COLUMN is a caller
+    * contract, not checked here (a min(w) probe would cost a scan per
+    * fit); a negative weight breaks the SPD precondition the
+    * pivoting-free elimination relies on. */
   def wlsK(feats: DataFrame, d: Int, idCol: String, weightCol: String,
            lambda: Double = 0.0): DataFrame = {
     require(d >= 1 && d <= 8, s"wlsK: d = $d outside [1, 8]")
+    require(lambda >= 0.0, s"wlsK: lambda $lambda must be non-negative")
     val w = weightCol
     val aggs = (1 to d).map(i => sum(expr(s"$w * x$i")).as(s"s_$i")) ++
       (for { i <- 1 to d; j <- i to d }

@@ -466,7 +466,7 @@ object Similarity {
          |cols AS (
          |  SELECT d, least(${S.dimsumSgExpr(Dims, 7.0)}, mag) AS qd,
          |    CAST(floor((${S.dimsumSgExpr(Dims, 7.0)} / mag) * 1000000.0) AS BIGINT) AS keep_micro
-         |  FROM (SELECT d, sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE))
+         |  FROM (SELECT d, sqrt(CAST(sum(CAST(v * v AS HUGEINT)) AS DOUBLE))
          |          / CAST(1048576.0 AS DOUBLE) AS mag
          |        FROM cells GROUP BY 1)),
          |kept AS MATERIALIZED (

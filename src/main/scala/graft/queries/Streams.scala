@@ -384,7 +384,7 @@ object Streams {
       import graft.streaming.{Streaming => St}
       val path = s"/tmp/graft_io/v18_cbv_${Dedup.dirKey(dir)}_${ProcessHandle.current().pid()}"
       Tables.events(s, dir)
-        .selectExpr("CAST(CAST(round(value * 1000) AS BIGINT) DIV 25000 AS BIGINT) AS v",
+        .selectExpr("CAST(CAST(round(greatest(value, CAST(0 AS DOUBLE)) * 1000) AS BIGINT) DIV 25000 AS BIGINT) AS v",
           "CAST(round(value * 1000) AS BIGINT) AS vmilli",
           "CAST(minute(ts) % 6 AS BIGINT) AS b")
         .repartition(col("b"))
@@ -676,7 +676,7 @@ object Streams {
     // global row — the from-scratch re-reduce gates the inverse form.
     "v18_count_by_value_window" ->
       """WITH ev AS MATERIALIZED (SELECT
-        |    CAST(CAST(round(value * 1000) AS BIGINT) // 25000 AS BIGINT) AS v,
+        |    CAST(CAST(round(greatest(value, CAST(0 AS DOUBLE)) * 1000) AS BIGINT) // 25000 AS BIGINT) AS v,
         |    CAST(round(value * 1000) AS BIGINT) AS vmilli,
         |    CAST(minute(ts) % 6 AS BIGINT) AS b
         |  FROM events),
