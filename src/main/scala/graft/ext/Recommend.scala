@@ -70,6 +70,108 @@ object Recommend {
       (lit(QuantScale) + (col("i") % 7) * lit(QuantScale / 8)).as("f1q"),
       (((col("i") % 5) - 2) * lit(QuantScale / 4)).as("f2q"))
 
+  // ---- general rank-r ALS (reference mllib/recommendation/ALS.scala:59 —
+  // `rank` is the API's FIRST parameter, default 10; the fixed rank-2
+  // Cramer solve below is its r = 2 slice). The per-key (r×r) SPD normal
+  // equation (YᵀY/Q² + λI)x = Yᵀr/Q solves by the [[Solve]] module's
+  // pivoting-free Gaussian-elimination layers — but where olsK runs the
+  // layers over a 1-row moment state, here EVERY SOLVE KEY'S ROW IS ITS
+  // OWN SYSTEM: the generated layer text projects each row of the per-key
+  // sums table through init → elimination → back-substitution → quantize,
+  // one narrow whole-stage-codegen projection chain per half-step (no
+  // per-key LAPACK call, no driver loop — the reference's blocked
+  // Cholesky-per-key done as one relational projection). All layer text
+  // is shared verbatim with the oracle. r ≤ 4 bounds the collapsed
+  // expression tree Catalyst builds from the chained projections. --------
+
+  /** Deterministic rank-`rank` item-factor init: dimension 1 is the
+    * all-positive popularity direction (f1q ∈ [Q, 1.75Q] stepped by id),
+    * dimensions ≥ 2 are sign-diverse spreads on coprime moduli — the
+    * rank = 2 slice reproduces [[initItemFactors]] value-for-value
+    * (RecommendSpec pins it). Emitted as expression text so both engines
+    * evaluate the identical integer arithmetic. */
+  def initFactorExprsK(rank: Int, key: String): Seq[String] = {
+    require(rank >= 1 && rank <= 4, s"initFactorExprsK: rank $rank outside [1, 4]")
+    val mods = Vector(5, 3, 11) // k = 2, 3, 4; coprime to the f1 stepper 7
+    (s"CAST(${QuantScale} + (($key % 7) * ${QuantScale / 8}) AS BIGINT) AS f1q") +:
+      (2 to rank).map { k =>
+        val m = mods(k - 2)
+        s"CAST((($key % $m) - ${(m - 1) / 2}) * ${QuantScale / 4} AS BIGINT) AS f${k}q"
+      }
+  }
+
+  /** The generated half-step solve pipeline for rank `rank`: projection
+    * layers applied IN ORDER to the per-key sums row
+    * (a_i_j for i ≤ j, b_i — raw quantized-unit BIGINTs). Layer 0
+    * rescales to the double system A = a/Q² + λI, b = b/Q (λ on every
+    * diagonal — no intercept row, unlike [[Solve.initExprs]]); then
+    * [[Solve.elimLayer]]/[[Solve.backLayer]] with system index p ↔
+    * factor p+1; the last layer re-quantizes β to f1q..frq. Pure
+    * +,−,×,÷,round text — both engines evaluate it verbatim. */
+  def alsSolveLayersK(rank: Int, lambda: Double): Seq[Seq[String]] = {
+    require(rank >= 1 && rank <= 4, s"alsSolveLayersK: rank $rank outside [1, 4]")
+    require(lambda >= 0.0, s"alsSolveLayersK: lambda $lambda must be non-negative")
+    val d = rank - 1
+    val q2l = s"CAST(${Q2} AS DOUBLE)"
+    val ql = s"CAST(${Q} AS DOUBLE)"
+    val init =
+      (for { p <- 0 to d; c <- p to d } yield {
+        val base = s"(CAST(a_${p + 1}_${c + 1} AS DOUBLE) / $q2l)"
+        val cell = if (p == c) s"($base + CAST($lambda AS DOUBLE))" else base
+        s"$cell AS a_${p}_$c"
+      }) ++ (0 to d).map(p => s"(CAST(b_${p + 1} AS DOUBLE) / $ql) AS bb_$p")
+    val elim = (0 until d).map(k => Solve.elimLayer(d, k))
+    val back = (d to 0 by -1).map(r => Solve.backLayer(d, r))
+    val quant = (1 to rank).map(i =>
+      s"CAST(round(beta_${i - 1} * $ql) AS BIGINT) AS f${i}q")
+    (init +: (elim ++ back)) :+ quant
+  }
+
+  /** One general-rank half-step: per-key exact integer sums (the rank-2
+    * five-sum aggregate generalized to r(r+1)/2 + r), then the
+    * [[alsSolveLayersK]] projection chain. One shuffle on the solve key,
+    * map-side combined; the factor output is (key, r longs). */
+  private def solveSideK(ratings: DataFrame, other: DataFrame,
+                         solveKey: String, otherKey: String,
+                         rank: Int, lambda: Double): DataFrame = {
+    val aggs =
+      (for { i <- 1 to rank; j <- i to rank }
+        yield sum(col(s"f${i}q") * col(s"f${j}q")).as(s"a_${i}_$j")) ++
+        (1 to rank).map(i => sum(col("r") * col(s"f${i}q")).as(s"b_$i"))
+    var st = ratings.join(other, otherKey)
+      .groupBy(solveKey)
+      .agg(aggs.head, aggs.tail: _*)
+    alsSolveLayersK(rank, lambda).foreach { layer =>
+      st = st.selectExpr(solveKey +: layer: _*)
+    }
+    st
+  }
+
+  /** `iters` general-rank ALS rounds (reference ALS.scala:59 `rank`,
+    * default 10 — here r ≤ 4, the generated-layer guard): [[als]]'s
+    * alternation with every solve through [[solveSideK]]. At rank = 2
+    * the elimination solve and the closed Cramer form are the same SPD
+    * system in a different (IEEE-reassociated) op order; the 2^16
+    * quantization after every solve absorbs the ulp seam, so the
+    * quantized factor STATE matches [[als]] exactly (RecommendSpec pins
+    * it per half-step on the fixture and the gate data). */
+  def alsRank(ratings: DataFrame, rank: Int, iters: Int = 2,
+              lambda: Double = Lambda): (DataFrame, DataFrame) = {
+    require(rank >= 1 && rank <= 4, s"alsRank: rank $rank outside [1, 4]")
+    val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    var items = r.select("i").distinct()
+      .selectExpr("i" +: initFactorExprsK(rank, "i"): _*)
+      .localCheckpoint()
+    var users: DataFrame = null
+    for (_ <- 1 to iters) {
+      users = solveSideK(r, items, "u", "i", rank, lambda).localCheckpoint()
+      items = solveSideK(r, users, "i", "u", rank, lambda).localCheckpoint()
+    }
+    r.unpersist()
+    (users, items)
+  }
+
   /** One half-step: solve every `solveKey`'s rank-2 ridge normal equation
     * against the fixed `other`-side factors. Five exact integer sums per
     * key, then the closed-form Cramer solve in ONE double expression per

@@ -121,6 +121,26 @@ object Ml {
       items.select("i", "f1q", "f2q").orderBy("i")
     },
 
+    // General-rank ALS (reference mllib/recommendation/ALS.scala:59 —
+    // `rank` is the API's FIRST parameter, default 10; s12/s47/s89 fix
+    // rank = 2 for the closed Cramer form): rank 3 over the same
+    // purchase matrix, each per-key 3×3 SPD ridge solve run as
+    // Recommend.alsSolveLayersK's generated Gaussian-elimination
+    // projection layers (the Solve.scala machinery applied PER KEY —
+    // every row of the sums table is its own system; no per-key LAPACK,
+    // one codegen projection chain per half-step). RecommendSpec pins
+    // the rank-2 slice equal to s12's Cramer machinery half-step by
+    // half-step. Emits the item factor table, gating the full chain.
+    "s109_als_rank" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (_, items) = Recommend.alsRank(ratings, rank = 3, iters = 2)
+      items.select("i", "f1q", "f2q", "f3q").orderBy("i")
+    },
+
     // SVD++ (reference graphx/lib/SVDPlusPlus.scala — the last GraphX lib
     // algorithm without a counterpart): bias + implicit-feedback factors
     // trained by two full-batch gradient iterations over the same purchase
@@ -1402,6 +1422,26 @@ object Ml {
        |      CAST(sum(r.r * o.f2q) AS BIGINT) AS b2
        |    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey
        |    GROUP BY r.$solveKey))""".stripMargin
+  }
+
+  /** General-rank ALS half-step CTE: the per-key sums subquery wrapped
+    * by Recommend.alsSolveLayersK's projection layers — the SAME
+    * generated text the Spark side runs, nested as derived tables (each
+    * referenced once, so no DuckDB re-evaluation blowup). */
+  private def alsSolveCteK(out: String, other: String, solveKey: String,
+                           otherKey: String, rank: Int): String = {
+    val sums =
+      (for { i <- 1 to rank; j <- i to rank }
+        yield s"CAST(sum(o.f${i}q * o.f${j}q) AS BIGINT) AS a_${i}_$j") ++
+        (1 to rank).map(i => s"CAST(sum(r.r * o.f${i}q) AS BIGINT) AS b_$i")
+    var q = s"SELECT r.$solveKey AS $solveKey,\n      ${sums.mkString(",\n      ")}" +
+      s"\n    FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey" +
+      s"\n    GROUP BY r.$solveKey"
+    graft.ext.Recommend.alsSolveLayersK(rank, graft.ext.Recommend.Lambda)
+      .foreach { layer =>
+        q = s"SELECT $solveKey, ${layer.mkString(",\n      ")}\n    FROM ($q)"
+      }
+    s"$out AS MATERIALIZED (\n  $q)"
   }
 
   private def alsSolveCte(out: String, other: String,
@@ -3745,6 +3785,24 @@ object Ml {
          |${alsNonnegSolveCte("x2", "y1", "u", "i")},
          |${alsNonnegSolveCte("y2", "x2", "i", "u")}
          |SELECT i, f1q, f2q FROM y2 ORDER BY i""".stripMargin,
+
+    // Four unrolled rank-3 half-steps, each the shared generated
+    // init → elimination → back-substitution → quantize layer text
+    // evaluated per solve key.
+    "s109_als_rank" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |y0 AS MATERIALIZED (
+         |  SELECT i, ${graft.ext.Recommend.initFactorExprsK(3, "i").mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT i FROM ratings)),
+         |${alsSolveCteK("x1", "y0", "u", "i", 3)},
+         |${alsSolveCteK("y1", "x1", "i", "u", 3)},
+         |${alsSolveCteK("x2", "y1", "u", "i", 3)},
+         |${alsSolveCteK("y2", "x2", "i", "u", 3)}
+         |SELECT i, f1q, f2q, f3q FROM y2 ORDER BY i""".stripMargin,
 
     // Four unrolled implicit half-steps: per step a fresh 1-row YᵀY
     // Gramian over the other side plus the per-key confidence sums.

@@ -303,4 +303,39 @@ class RecommendSpec extends SparkSpec {
     assert(score(1L, 12L) > score(1L, 22L),
       s"in-block preference lost: ${score(1L, 12L)} vs ${score(1L, 22L)}")
   }
+
+  test("alsRank at rank 2 reproduces the Cramer machinery's quantized state") {
+    // Cramer and the generated elimination layers are the same SPD solve
+    // in reassociated IEEE order; the 2^16 quantization after EVERY solve
+    // absorbs the ulp seam, so the factor tables must match exactly —
+    // per half-step, across the full alternation.
+    val (uC, iC) = Recommend.als(ratings, iters = 4)
+    val (uK, iK) = Recommend.alsRank(ratings, rank = 2, iters = 4)
+    assert(uC.orderBy("u").collect().toSeq === uK.orderBy("u").collect().toSeq)
+    assert(iC.orderBy("i").collect().toSeq === iK.orderBy("i").collect().toSeq)
+  }
+
+  test("initFactorExprsK rank-2 slice equals initItemFactors value-for-value") {
+    val viaExprs = ratings.select("i").distinct()
+      .selectExpr("i" +: Recommend.initFactorExprsK(2, "i"): _*)
+      .orderBy("i").collect().toSeq
+    val legacy = Recommend.initItemFactors(ratings)
+      .orderBy("i").collect().toSeq
+    assert(viaExprs === legacy)
+  }
+
+  test("alsRank at rank 3 still completes held-out in-block items; guards reject bad args") {
+    val (users, items) = Recommend.alsRank(ratings, rank = 3, iters = 4)
+    assert(items.columns.toSeq === Seq("i", "f1q", "f2q", "f3q"))
+    val uf = users.collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fi = items.collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def score(u: Long, i: Long) = uf(u).zip(fi(i)).map { case (a, b) => a * b }.sum
+    // user 1's held-out in-block item must outscore the cross-block one
+    assert(score(1L, 12L) > score(1L, 22L))
+    // determinism across partitionings (the integer-sum argument at rank 3)
+    val (u7, _) = Recommend.alsRank(ratings.repartition(7, col("i")), rank = 3, iters = 4)
+    assert(users.orderBy("u").collect().toSeq === u7.orderBy("u").collect().toSeq)
+    intercept[IllegalArgumentException](Recommend.alsRank(ratings, rank = 5))
+    intercept[IllegalArgumentException](Recommend.alsSolveLayersK(3, -0.1))
+  }
 }
