@@ -1,0 +1,477 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Joint (d, K) Gaussian-mixture EM (reference mllib/clustering/
+  * GaussianMixture.scala:161 run — the reference model is d-dimensional
+  * with K components and a FULL covariance per component via
+  * MultivariateGaussian; the repo's earlier members each fixed one axis:
+  * [[Clustering.gmmFit1dK3]] = (d 1, K 3), [[Clustering.gmmFit2d]] =
+  * (d 2, K 2)). This module GENERATES the whole EM expression text for
+  * any (d ≤ 2, K ≤ 4) from per-dimension kernels (determinant /
+  * Mahalanobis / naming / unit-scale) composed with K-fold complement
+  * machinery, so the historical arities reproduce the legacy fitted
+  * STATE exactly — same parse trees, same IEEE doubles, same quantized
+  * integers (GmmKdSpec pins both slices output-for-output) — while the
+  * new joint points ((2, 3), (2, 4), (1, 4), (1, 2)-heteroscedastic)
+  * come from the same text.
+  *
+  * Conventions inherited from the legacy members (declared deviations
+  * from the reference, same rationale):
+  *   - d = 1 carries the gmm3 naming/scale (x raw units; means/vars
+  *     milli: m{k}m, v{k}m); d = 2 the gmm2 naming/scale (x, y milli;
+  *     means milli m{k}x/m{k}y, covariances micro c{k}11/c{k}12/c{k}22).
+  *   - component K is the exact complement on every statistic — K−1
+  *     responsibility columns per E-step scan, never a Kth.
+  *   - K = 2 uses the numerically-stable binary SIGMOID responsibility
+  *     (the historical gmm2 text — no max shift needed); K ≥ 3 the
+  *     max-shifted softmax (the historical gmm3 text).
+  *   - weights floored at 1 micro AND capped at 999999 (the r19
+  *     advisory ln-safety convention) — equal to the legacy texts on
+  *     any input where no component collapses.
+  *   - deterministic init from x-axis mean/half-mean region splits
+  *     (exact integer membership compares): K = 2 the mean split,
+  *     K = 3 the half-mean three regions, K = 4 all three boundaries.
+  *
+  * Scale shape (unchanged from the legacy members): init is 2–3 corpus
+  * scans; each EM iteration is ONE corpus scan against a broadcast
+  * 1-row state plus a 1-row update projection, localCheckpointed — at
+  * 1000 executors the per-iteration cost is the scan, and the state
+  * stays K·d² integers. */
+object GmmKd {
+
+  /** Axis names by dimension index 1..d. */
+  def axes(d: Int): Seq[String] = Seq("x", "y").take(d)
+
+  private def pairs(d: Int): Seq[(Int, Int)] =
+    for { i <- 1 to d; j <- i to d } yield (i, j)
+
+  private def ax(i: Int): String = Seq("x", "y")(i - 1)
+
+  /** Constant corpus totals carried through every state row: count,
+    * exact coordinate sums, DECIMAL(38,0)/HUGEINT second moments. */
+  def constCols(d: Int): Seq[String] =
+    "n" +: (axes(d).map(a => s"s$a") ++ pairs(d).map { case (i, j) => s"s${ax(i)}${ax(j)}" })
+
+  /** Sum-column suffix: the binary slice keeps gmm2's unindexed names
+    * (sr, srx, …); K ≥ 3 indexes per component (sr1, srx1, …). */
+  private def sfx(kTot: Int, k: Int): String = if (kTot == 2) "" else k.toString
+
+  // ---- per-dimension kernel: density pieces ---------------------------
+
+  /** ln-argument weight of component k (component K is the exact
+    * 1e6-complement of the stored K−1). */
+  private def wD(kTot: Int, k: Int): String =
+    if (k == kTot)
+      s"CAST(1000000 - ${(1 until kTot).map(j => s"w${j}u").reduce((a, b) => s"($a + $b)")} AS DOUBLE)"
+    else s"CAST(w${k}u AS DOUBLE)"
+
+  private def sig2(k: Int, i: Int, j: Int) = s"(CAST(c$k$i$j AS DOUBLE) / 1000000.0)"
+  private def dx2(k: Int, a: String) = s"(CAST($a - m$k$a AS DOUBLE) / 1000.0)"
+  private def dx1(k: Int) =
+    s"(CAST(x AS DOUBLE) - (CAST(m${k}m AS DOUBLE) / 1000.0))"
+
+  /** det Σ_k in real units (d = 1: the scalar variance). */
+  def detExpr(d: Int, k: Int): String = d match {
+    case 1 => s"(CAST(v${k}m AS DOUBLE) / 1000.0)"
+    case 2 => s"((${sig2(k, 1, 1)} * ${sig2(k, 2, 2)}) - (${sig2(k, 1, 2)} * ${sig2(k, 1, 2)}))"
+  }
+
+  /** Mahalanobis quadratic form dᵀΣ⁻¹d (d = 2 via the 2×2 adjugate —
+    * the gmm2 closed form). */
+  private def qExpr(d: Int, k: Int): String = d match {
+    case 1 => s"((${dx1(k)} * ${dx1(k)}) / ${detExpr(1, k)})"
+    case 2 =>
+      s"(((((${dx2(k, "x")} * ${dx2(k, "x")}) * ${sig2(k, 2, 2)}) - " +
+        s"(((2.0 * ${dx2(k, "x")}) * ${dx2(k, "y")}) * ${sig2(k, 1, 2)})) + " +
+        s"((${dx2(k, "y")} * ${dx2(k, "y")}) * ${sig2(k, 1, 1)})) / ${detExpr(2, k)})"
+  }
+
+  /** Half quadratic form, in the historical parenthesization per d
+    * (d = 1 divides the squared deviation by 2σ² — the gmm3 text;
+    * d = 2 halves the adjugate form). */
+  private def halfQ(d: Int, k: Int): String = d match {
+    case 1 => s"((${dx1(k)} * ${dx1(k)}) / (2.0 * ${detExpr(1, k)}))"
+    case 2 => s"(0.5 * ${qExpr(2, k)})"
+  }
+
+  /** Component-k log-density (2π normalizers cancel within a fixed d). */
+  private def logLik(d: Int, kTot: Int, k: Int): String =
+    s"((ln(${wD(kTot, k)}) - (0.5 * ln(${detExpr(d, k)}))) - ${halfQ(d, k)})"
+
+  /** Component-k responsibility in micro units: the binary sigmoid at
+    * K = 2 (k must be 1 — the gmm2 text generalized over d), else the
+    * max-shifted softmax (the gmm3 text generalized over d and K).
+    * exp overflow saturates identically to exactly 0 / 1e6 in both
+    * engines (the gmmRespExpr argument). */
+  def respExpr(d: Int, kTot: Int, k: Int): String =
+    if (kTot == 2) {
+      require(k == 1, "binary slice stores only component 1's responsibility")
+      s"CAST(round(1000000.0 / (1.0 + exp(ln((1000000.0 - w1u) / CAST(w1u AS DOUBLE)) + " +
+        s"((0.5 * ln(${detExpr(d, 1)} / ${detExpr(d, 2)})) + (0.5 * (${qExpr(d, 1)} - ${qExpr(d, 2)})))))) AS BIGINT)"
+    } else {
+      val ls = (1 to kTot).map(j => logLik(d, kTot, j))
+      val mx = s"greatest(${ls.mkString(", ")})"
+      val den = ls.map(l => s"exp($l - $mx)").reduce((a, b) => s"($a + $b)")
+      s"CAST(round((1000000.0 * exp(${ls(k - 1)} - $mx)) / $den) AS BIGINT)"
+    }
+
+  // ---- M-step / init expression generation ----------------------------
+
+  private def meanD(n: String, s: String) = s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+
+  /** Weight update/init body with the ln-safety floor + cap. */
+  private def wClamp(body: String) = s"greatest(least($body, 999999), 1)"
+
+  /** Ordered state parameter columns for (d, K). */
+  def paramCols(d: Int, kTot: Int): Seq[String] =
+    (1 until kTot).map(k => s"w${k}u") ++
+      (1 to kTot).flatMap(k => d match {
+        case 1 => Seq(s"m${k}m")
+        case 2 => Seq(s"m${k}x", s"m${k}y")
+      }) ++
+      (1 to kTot).flatMap(k => d match {
+        case 1 => Seq(s"v${k}m")
+        case 2 => Seq(s"c${k}11", s"c${k}12", s"c${k}22")
+      })
+
+  /** The M-step over the per-component responsibility sums plus the
+    * constant totals: component K's statistics are exact complements on
+    * every axis (the legacy texts, generalized by reduce over the K−1
+    * stored components). */
+  def updateExprs(d: Int, kTot: Int): Seq[(String, String)] = {
+    def parts(base: String) =
+      (1 until kTot).map(k => s"$base${sfx(kTot, k)}").reduce((a, b) => s"($a + $b)")
+    def dparts(base: String) =
+      (1 until kTot).map(k => s"CAST($base${sfx(kTot, k)} AS DOUBLE)").reduce((a, b) => s"($a + $b)")
+    val weights = (1 until kTot).map { k =>
+      s"w${k}u" -> wClamp(s"CAST(sr${sfx(kTot, k)} DIV n AS BIGINT)")
+    }
+    val stored = (1 until kTot).flatMap { k =>
+      val s = sfx(kTot, k)
+      d match {
+        case 1 =>
+          Seq(s"m${k}m" -> s"CAST(round(${meanD(s"sr$s", s"srx$s")} * 1000.0) AS BIGINT)")
+        case 2 =>
+          Seq(s"m${k}x" -> s"CAST(round(${meanD(s"sr$s", s"srx$s")}) AS BIGINT)",
+            s"m${k}y" -> s"CAST(round(${meanD(s"sr$s", s"sry$s")}) AS BIGINT)")
+      }
+    }
+    val lastMean = d match {
+      case 1 =>
+        val srK = s"((n * 1000000) - ${parts("sr")})"
+        val srxK = s"((CAST(sx AS DOUBLE) * 1000000.0) - ${dparts("srx")})"
+        Seq(s"m${kTot}m" -> s"CAST(round(($srxK / CAST($srK AS DOUBLE)) * 1000.0) AS BIGINT)")
+      case 2 =>
+        val srKD = s"((CAST(n AS DOUBLE) * 1000000.0) - ${dparts("sr")})"
+        def compD(tot: String, base: String) =
+          s"(((CAST($tot AS DOUBLE) * 1000000.0) - ${dparts(base)}) / $srKD)"
+        Seq(s"m${kTot}x" -> s"CAST(round(${compD("sx", "srx")}) AS BIGINT)",
+          s"m${kTot}y" -> s"CAST(round(${compD("sy", "sry")}) AS BIGINT)")
+    }
+    val storedCov = (1 until kTot).flatMap { k =>
+      val s = sfx(kTot, k)
+      d match {
+        case 1 =>
+          val m = meanD(s"sr$s", s"srx$s")
+          Seq(s"v${k}m" -> (s"greatest(CAST(round(((CAST(srxx$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - " +
+            s"($m * $m)) * 1000.0) AS BIGINT), 1)"))
+        case 2 =>
+          val mx = meanD(s"sr$s", s"srx$s")
+          val my = meanD(s"sr$s", s"sry$s")
+          Seq(
+            s"c${k}11" -> s"greatest(CAST(round((CAST(srxx$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($mx * $mx)) AS BIGINT), 1)",
+            s"c${k}12" -> s"CAST(round((CAST(srxy$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($mx * $my)) AS BIGINT)",
+            s"c${k}22" -> s"greatest(CAST(round((CAST(sryy$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($my * $my)) AS BIGINT), 1)")
+      }
+    }
+    val lastCov = d match {
+      case 1 =>
+        val srK = s"((n * 1000000) - ${parts("sr")})"
+        val srxK = s"((CAST(sx AS DOUBLE) * 1000000.0) - ${dparts("srx")})"
+        val srxxK = s"((CAST(sxx AS DOUBLE) * 1000000.0) - ${dparts("srxx")})"
+        Seq(s"v${kTot}m" -> (s"greatest(CAST(round((($srxxK / CAST($srK AS DOUBLE)) - " +
+          s"(($srxK / CAST($srK AS DOUBLE)) * ($srxK / CAST($srK AS DOUBLE)))) * 1000.0) AS BIGINT), 1)"))
+      case 2 =>
+        val srKD = s"((CAST(n AS DOUBLE) * 1000000.0) - ${dparts("sr")})"
+        def compD(tot: String, base: String) =
+          s"(((CAST($tot AS DOUBLE) * 1000000.0) - ${dparts(base)}) / $srKD)"
+        Seq(
+          s"c${kTot}11" -> s"greatest(CAST(round(${compD("sxx", "srxx")} - (${compD("sx", "srx")} * ${compD("sx", "srx")})) AS BIGINT), 1)",
+          s"c${kTot}12" -> s"CAST(round(${compD("sxy", "srxy")} - (${compD("sx", "srx")} * ${compD("sy", "sry")})) AS BIGINT)",
+          s"c${kTot}22" -> s"greatest(CAST(round(${compD("syy", "sryy")} - (${compD("sy", "sry")} * ${compD("sy", "sry")})) AS BIGINT), 1)")
+    }
+    weights ++ stored ++ lastMean ++ storedCov ++ lastCov
+  }
+
+  /** Region labels in x-ascending order (the legacy suffixes). */
+  def regionNames(kTot: Int): Seq[String] = kTot match {
+    case 2 => Seq("l", "h")
+    case 3 => Seq("l", "m", "h2")
+    case 4 => Seq("l", "m", "m2", "h2")
+  }
+
+  /** Per-region stat column names for region label `p`. */
+  def regionStatCols(d: Int, p: String): Seq[String] = d match {
+    case 1 => Seq(s"n$p", s"s$p", s"ss$p")
+    case 2 => Seq(s"n$p", s"s${p}x", s"s${p}y", s"s${p}xx", s"s${p}xy", s"s${p}yy")
+  }
+
+  /** Init from the K region stats: every component seeds from its own
+    * x-region (weight = region fraction, per-region means and full
+    * covariances, diagonals floored). */
+  def initExprs(d: Int, kTot: Int): Seq[(String, String)] = {
+    val regs = regionNames(kTot)
+    val weights = (1 until kTot).map { k =>
+      s"w${k}u" -> wClamp(s"CAST((n${regs(k - 1)} * 1000000) DIV n AS BIGINT)")
+    }
+    val means = (1 to kTot).flatMap { k =>
+      val p = regs(k - 1)
+      d match {
+        case 1 => Seq(s"m${k}m" -> s"CAST(round(${meanD(s"n$p", s"s$p")} * 1000.0) AS BIGINT)")
+        case 2 => Seq(s"m${k}x" -> s"CAST(round(${meanD(s"n$p", s"s${p}x")}) AS BIGINT)",
+          s"m${k}y" -> s"CAST(round(${meanD(s"n$p", s"s${p}y")}) AS BIGINT)")
+      }
+    }
+    val covs = (1 to kTot).flatMap { k =>
+      val p = regs(k - 1)
+      d match {
+        case 1 =>
+          val m = meanD(s"n$p", s"s$p")
+          Seq(s"v${k}m" -> (s"greatest(CAST(round(((CAST(ss$p AS DOUBLE) / CAST(n$p AS DOUBLE)) - " +
+            s"($m * $m)) * 1000.0) AS BIGINT), 1)"))
+        case 2 =>
+          val mx = meanD(s"n$p", s"s${p}x")
+          val my = meanD(s"n$p", s"s${p}y")
+          Seq(
+            s"c${k}11" -> s"greatest(CAST(round((CAST(s${p}xx AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($mx * $mx)) AS BIGINT), 1)",
+            s"c${k}12" -> s"CAST(round((CAST(s${p}xy AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($mx * $my)) AS BIGINT)",
+            s"c${k}22" -> s"greatest(CAST(round((CAST(s${p}yy AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($my * $my)) AS BIGINT), 1)")
+      }
+    }
+    weights ++ means ++ covs
+  }
+
+  /** Region membership CASE over x, from the exact integer boundary
+    * compares (global mean; half-means of the mean split). Expects the
+    * relevant boundary sums in scope: (n, sx) for K = 2;
+    * (nlo, slo, nhi, shi) for K = 3; all six for K = 4. */
+  def regionExpr(kTot: Int): String = kTot match {
+    case 2 => s"CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 2 END"
+    case 3 => "CASE WHEN (x * nlo) < slo THEN 1 WHEN (x * nhi) < shi THEN 2 ELSE 3 END"
+    case 4 => s"CASE WHEN (x * nlo) < slo THEN 1 WHEN ${Clustering.gmmSplitExpr} THEN 2 " +
+      "WHEN (x * nhi) < shi THEN 3 ELSE 4 END"
+  }
+
+  /** Hard-assignment CASE over the K−1 responsibility columns (ties to
+    * the lower component — the gmm3 cascade; K = 2 is the r ≥ ½ test). */
+  def hardExpr(kTot: Int): String =
+    if (kTot == 2) "CAST(CASE WHEN r >= 500000 THEN 1 ELSE 2 END AS BIGINT)"
+    else {
+      val rK = s"1000000 - ${(1 until kTot).map(k => s"r$k").reduce((a, b) => s"($a + $b)")}"
+      val arms = (1 until kTot).map { k =>
+        val beats = ((k + 1) until kTot).map(j => s"r$k >= r$j") :+ s"r$k >= $rK"
+        s"WHEN ${beats.mkString(" AND ")} THEN $k"
+      }
+      s"CAST(CASE ${arms.mkString(" ")} ELSE $kTot END AS BIGINT)"
+    }
+
+  /** Output weight of component k (K is the complement). */
+  def outWeightExpr(kTot: Int, k: Int): String =
+    if (k < kTot) s"w${k}u"
+    else s"CAST(1000000 - ${(1 until kTot).map(j => s"w${j}u").reduce((a, b) => s"($a + $b)")} AS BIGINT)"
+
+  // ---- the EM driver --------------------------------------------------
+
+  /** EM fit of a K-component, d-dimensional full-covariance mixture over
+    * a (x[, y] BIGINT) table (d = 1: raw units; d = 2: milli units —
+    * the legacy unit contracts). Output per component: d = 1
+    * (comp, weight_micro, mean_milli, var_milli, n_hard); d = 2
+    * (comp, weight_micro, mean_x_milli, mean_y_milli, var_x_micro,
+    * cov_xy_micro, var_y_micro, n_hard). */
+  def gmmFitKd(xs: DataFrame, d: Int, kTot: Int, iters: Int = 3): DataFrame = {
+    require(d >= 1 && d <= 2, s"gmmFitKd: d = $d outside [1, 2]")
+    require(kTot >= 2 && kTot <= 4, s"gmmFitKd: K = $kTot outside [2, 4]")
+    val cc = constCols(d)
+    val f = xs.select(axes(d).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    val totAggs = axes(d).map(a => sum(a).as(s"s$a")) ++
+      pairs(d).map { case (i, j) =>
+        sum(expr(s"CAST(${ax(i)} * ${ax(j)} AS DECIMAL(38,0))")).as(s"s${ax(i)}${ax(j)}")
+      }
+    val tot = f.agg(count(lit(1)).as("n"), totAggs: _*)
+    // K > 2 needs the half-mean boundaries of the mean split first
+    val bounds =
+      if (kTot == 2) tot
+      else f.crossJoin(broadcast(tot))
+        .selectExpr(cc ++ axes(d) :+
+          s"CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 0 END AS lo": _*)
+        .groupBy(cc.map(col): _*)
+        .agg(sum(expr("lo")).as("nlo"), sum(expr("x * lo")).as("slo"),
+          sum(expr("1 - lo")).as("nhi"), sum(expr("x * (1 - lo)")).as("shi"))
+    val regs = regionNames(kTot)
+    val regionAggs = regs.zipWithIndex.flatMap { case (p, idx) =>
+      val r = idx + 1
+      count_lit(s"reg = $r").as(s"n$p") +: (d match {
+        case 1 => Seq(sum(expr(s"CASE WHEN reg = $r THEN x ELSE 0 END")).as(s"s$p"),
+          sum(expr(s"CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as(s"ss$p"))
+        case 2 => Seq(
+          sum(expr(s"CASE WHEN reg = $r THEN x ELSE 0 END")).as(s"s${p}x"),
+          sum(expr(s"CASE WHEN reg = $r THEN y ELSE 0 END")).as(s"s${p}y"),
+          sum(expr(s"CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}xx"),
+          sum(expr(s"CAST(CASE WHEN reg = $r THEN x * y ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}xy"),
+          sum(expr(s"CAST(CASE WHEN reg = $r THEN y * y ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}yy"))
+      })
+    }
+    val regions = f.crossJoin(broadcast(bounds))
+      .selectExpr(bounds.columns.toSeq ++ axes(d) :+ s"${regionExpr(kTot)} AS reg": _*)
+      .groupBy(cc.map(col): _*)
+      .agg(regionAggs.head, regionAggs.tail: _*)
+    var state = regions.selectExpr(cc ++
+        initExprs(d, kTot).map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    val respCols = (1 until kTot).map { k =>
+      val n = if (kTot == 2) "r" else s"r$k"
+      s"${respExpr(d, kTot, k)} AS $n"
+    }
+    val sumAggs = (1 until kTot).flatMap { k =>
+      val s = sfx(kTot, k)
+      val rn = if (kTot == 2) "r" else s"r$k"
+      sum(rn).as(s"sr$s") +: (axes(d).map(a =>
+        sum(expr(s"CAST($rn * $a AS DECIMAL(38,0))")).as(s"sr$a$s")) ++
+        pairs(d).map { case (i, j) =>
+          sum(expr(s"CAST($rn * ${ax(i)} AS DECIMAL(38,0)) * ${ax(j)}")).as(s"sr${ax(i)}${ax(j)}$s")
+        })
+    }
+    for (_ <- 1 to iters) {
+      val sums = f.crossJoin(broadcast(state))
+        .selectExpr(respCols ++ axes(d): _*)
+        .agg(sumAggs.head, sumAggs.tail: _*)
+      state = sums.crossJoin(state)
+        .selectExpr(cc ++
+          updateExprs(d, kTot).map { case (c, e) => s"$e AS $c" }: _*)
+        .localCheckpoint()
+    }
+    val hard = f.crossJoin(broadcast(state))
+      .selectExpr(respCols: _*)
+      .selectExpr(s"${hardExpr(kTot)} AS comp")
+      .groupBy("comp").agg(count(lit(1)).as("n_hard"))
+    val outCols = d match {
+      case 1 => Seq("mean_milli", "var_milli")
+      case 2 => Seq("mean_x_milli", "mean_y_milli", "var_x_micro", "cov_xy_micro", "var_y_micro")
+    }
+    def compRow(k: Int): DataFrame = {
+      val params = d match {
+        case 1 => Seq(s"m${k}m", s"v${k}m")
+        case 2 => Seq(s"m${k}x", s"m${k}y", s"c${k}11", s"c${k}12", s"c${k}22")
+      }
+      val named = if (k == 1) params.zip(outCols).map { case (p, o) => s"$p AS $o" } else params
+      state.selectExpr((s"CAST($k AS BIGINT)${if (k == 1) " AS comp" else ""}" +:
+        s"${outWeightExpr(kTot, k)}${if (k == 1) " AS weight_micro" else ""}" +: named): _*)
+    }
+    val comps = (2 to kTot).map(compRow).foldLeft(compRow(1))(_ union _)
+    val out = comps.join(hard, Seq("comp"), "left")
+      .na.fill(0L, Seq("n_hard"))
+    f.unpersist()
+    out
+  }
+
+  private def count_lit(cond: String) = sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END"))
+
+  // ---- DuckDB mirror --------------------------------------------------
+
+  /** The full unrolled oracle SQL for [[gmmFitKd]]: same shared
+    * expression Seqs (DIV → //, DECIMAL second moments as HUGEINT),
+    * every chain CTE MATERIALIZED. `xsCte` must define `xs` with the
+    * axis columns. */
+  def oracleSql(d: Int, kTot: Int, iters: Int, xsCte: String): String = {
+    val cc = constCols(d).mkString(", ")
+    def fix(e: String) = e.replace(" DIV ", " // ")
+    val init = initExprs(d, kTot).map { case (c, e) => s"${fix(e)} AS $c" }.mkString(",\n  ")
+    val upd = updateExprs(d, kTot).map { case (c, e) => s"${fix(e)} AS $c" }.mkString(",\n    ")
+    val totSel = s"SELECT CAST(count(*) AS BIGINT) AS n, " +
+      axes(d).map(a => s"CAST(sum($a) AS BIGINT) AS s$a").mkString(", ") + ", " +
+      pairs(d).map { case (i, j) => s"sum(CAST(${ax(i)} * ${ax(j)} AS HUGEINT)) AS s${ax(i)}${ax(j)}" }
+        .mkString(", ") + " FROM xs"
+    val boundsCte =
+      if (kTot == 2) s"bounds AS (SELECT * FROM tot)"
+      else s"""bounds AS (SELECT $cc,
+         |    CAST(sum(lo) AS BIGINT) AS nlo, CAST(sum(x * lo) AS BIGINT) AS slo,
+         |    CAST(sum(1 - lo) AS BIGINT) AS nhi, CAST(sum(x * (1 - lo)) AS BIGINT) AS shi
+         |  FROM (SELECT $cc, ${axes(d).mkString(", ")},
+         |          CASE WHEN ${Clustering.gmmSplitExpr} THEN 1 ELSE 0 END AS lo
+         |        FROM xs CROSS JOIN tot)
+         |  GROUP BY $cc)""".stripMargin
+    val regs = regionNames(kTot)
+    val regionSel = regs.zipWithIndex.flatMap { case (p, idx) =>
+      val r = idx + 1
+      s"CAST(sum(CASE WHEN reg = $r THEN 1 ELSE 0 END) AS BIGINT) AS n$p" +: (d match {
+        case 1 => Seq(s"CAST(sum(CASE WHEN reg = $r THEN x ELSE 0 END) AS BIGINT) AS s$p",
+          s"sum(CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS HUGEINT)) AS ss$p")
+        case 2 => Seq(
+          s"CAST(sum(CASE WHEN reg = $r THEN x ELSE 0 END) AS BIGINT) AS s${p}x",
+          s"CAST(sum(CASE WHEN reg = $r THEN y ELSE 0 END) AS BIGINT) AS s${p}y",
+          s"sum(CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS HUGEINT)) AS s${p}xx",
+          s"sum(CAST(CASE WHEN reg = $r THEN x * y ELSE 0 END AS HUGEINT)) AS s${p}xy",
+          s"sum(CAST(CASE WHEN reg = $r THEN y * y ELSE 0 END AS HUGEINT)) AS s${p}yy")
+      })
+    }.mkString(",\n    ")
+    val respSel = (1 until kTot).map { k =>
+      val n = if (kTot == 2) "r" else s"r$k"
+      s"${fix(respExpr(d, kTot, k))} AS $n"
+    }.mkString(",\n          ")
+    val sumSel = (1 until kTot).flatMap { k =>
+      val s = sfx(kTot, k)
+      val rn = if (kTot == 2) "r" else s"r$k"
+      s"CAST(sum($rn) AS BIGINT) AS sr$s" +: (axes(d).map(a =>
+        s"sum(CAST($rn * $a AS HUGEINT)) AS sr$a$s") ++
+        pairs(d).map { case (i, j) =>
+          s"sum(CAST($rn * ${ax(i)} AS HUGEINT) * ${ax(j)}) AS sr${ax(i)}${ax(j)}$s"
+        })
+    }.mkString(",\n    ")
+    val iterCtes = (1 to iters).map { k =>
+      s"""ga$k AS MATERIALIZED (
+         |  SELECT $sumSel
+         |  FROM (SELECT $respSel, ${axes(d).mkString(", ")}
+         |        FROM xs CROSS JOIN g${k - 1})),
+         |g$k AS MATERIALIZED (SELECT $cc, $upd FROM ga$k CROSS JOIN g${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val outCols = d match {
+      case 1 => Seq("mean_milli", "var_milli")
+      case 2 => Seq("mean_x_milli", "mean_y_milli", "var_x_micro", "cov_xy_micro", "var_y_micro")
+    }
+    def compSel(k: Int): String = {
+      val params = d match {
+        case 1 => Seq(s"m${k}m", s"v${k}m")
+        case 2 => Seq(s"m${k}x", s"m${k}y", s"c${k}11", s"c${k}12", s"c${k}22")
+      }
+      val named = if (k == 1) params.zip(outCols).map { case (p, o) => s"$p AS $o" } else params
+      val head = if (k == 1) s"SELECT CAST($k AS BIGINT) AS comp, ${outWeightExpr(kTot, k)} AS weight_micro"
+      else s"SELECT CAST($k AS BIGINT), ${outWeightExpr(kTot, k)}"
+      s"$head, ${named.mkString(", ")} FROM g$iters"
+    }
+    s"""WITH $xsCte,
+       |tot AS ($totSel),
+       |$boundsCte,
+       |g0 AS MATERIALIZED (SELECT $cc,
+       |  $init
+       |  FROM (
+       |  SELECT $cc,
+       |    $regionSel
+       |  FROM (SELECT b.*, ${axes(d).map(a => s"p.$a").mkString(", ")},
+       |          ${fix(regionExpr(kTot))} AS reg
+       |        FROM xs p CROSS JOIN bounds b)
+       |  GROUP BY $cc)),
+       |$iterCtes,
+       |hard AS (SELECT ${fix(hardExpr(kTot))} AS comp
+       |  FROM (SELECT $respSel
+       |        FROM xs CROSS JOIN g$iters)),
+       |hc AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_hard FROM hard GROUP BY 1),
+       |comps AS (${(1 to kTot).map(compSel).mkString("\n  UNION ALL ")})
+       |SELECT c.comp, c.weight_micro, ${outCols.map(o => s"c.$o").mkString(", ")},
+       |  COALESCE(h.n_hard, 0) AS n_hard
+       |FROM comps c LEFT JOIN hc h USING (comp) ORDER BY comp""".stripMargin
+  }
+}

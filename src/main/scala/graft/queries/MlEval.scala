@@ -271,6 +271,22 @@ object MlEval {
       graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
     },
 
+    // Joint (d, K) Gaussian mixture — 2-D, THREE components, full
+    // covariance each (reference mllib/clustering/GaussianMixture
+    // .scala:161 run: the reference model is d-dimensional AND
+    // K-component at once; s96/s101 hold the axes separately and
+    // GmmKd.gmmFitKd generates both jointly — GmmKdSpec pins the
+    // (2, 2) and (1, 3) slices equal to the legacy fitted output).
+    // Three EM iterations over the same correlated (quantity,
+    // price) pair as s96, now with a middle component to absorb the
+    // mid-price mass; all three covariances carried in full.
+    "s110_gmm_kd" -> { (s, dir) =>
+      val xs = Tables.lineitem(s, dir).selectExpr(
+        "CAST(round(l_quantity * 1000.0) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y")
+      graft.ext.GmmKd.gmmFitKd(xs, d = 2, kTot = 3, iters = 3).orderBy("comp")
+    },
+
     // THREE-component heteroscedastic 1-D Gaussian mixture (reference
     // GaussianMixture.scala:161 run with arbitrary k and a variance PER
     // component — closes both of s35's declared thin-slice deviations,
@@ -988,6 +1004,15 @@ object MlEval {
     // Mirror of Clustering.gmmFit1dK3: unrolled heteroscedastic 3-way
     // EM sharing the softmax / update / init formula strings (DIV -> //
     // on the non-negative operands; HUGEINT second moments).
+    // Mirror of GmmKd.gmmFitKd(2, 3): the generalized generator's own
+    // oracle assembly — shared init/update/responsibility Seqs, three
+    // unrolled iterations, HUGEINT second moments.
+    "s110_gmm_kd" -> graft.ext.GmmKd.oracleSql(2, 3, 3,
+      """xs AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity * 1000.0) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem)""".stripMargin),
+
     "s101_gmm_k3" -> {
       import graft.ext.Clustering
       val cc = Clustering.gmm3ConstCols.mkString(", ")
