@@ -561,6 +561,126 @@ object Clustering {
       .select("topic", "rnk", "tok", "phi_micro")
   }
 
+  // ---- K-topic smoothed LDA EM (reference mllib/clustering/LDA.scala —
+  // `k` is the headline parameter, :131 setK; the K = 2 member above is
+  // its binary slice). The generalization follows the s107/GmmKd
+  // discipline: topic K is the exact complement of the stored K−1 on
+  // every count, the responsibility is a generated K-fold ratio whose
+  // K = 2 instantiation is value-identical to [[ldaRespExpr]] (same
+  // parse tree, same doubles — LdaKSpec pins the fitted output), and
+  // the reference's K-dependent prior α = 50/K + 1 is embedded as a
+  // shared double literal (η = 1.1 stays the reference's K-independent
+  // EM default). ---------------------------------------------------------
+
+  /** α−1 in micro units as a Double.toString round-trip literal —
+    * identical text, identical double in both engines. */
+  def ldaAlphaM1Micro(kTot: Int): String = ((50.0 / kTot) * 1e6).toString
+
+  private def ldaParts(base: String, kTot: Int): String =
+    (1 until kTot).map(j => s"$base$j").reduce((a, b) => s"($a + $b)")
+
+  /** Topic-k responsibility of one (doc, term) cell in micro units over
+    * the K−1 stored expected-count columns (nw1.., nj1.., n1..) and the
+    * constant totals; topic K's counts are exact 1e6-complements. */
+  def ldaRespExprK(kTot: Int, k: Int): String = {
+    val al = ldaAlphaM1Micro(kTot)
+    def g(nwk: String, njk: String, nk: String) =
+      s"((($nwk + 100000.0) * ($njk + $al)) / ($nk + (CAST(vn AS DOUBLE) * 100000.0)))"
+    val gs = (1 to kTot).map { j =>
+      if (j < kTot) g(s"CAST(nw$j AS DOUBLE)", s"CAST(nj$j AS DOUBLE)", s"CAST(n$j AS DOUBLE)")
+      else g(s"CAST((nw * 1000000) - ${ldaParts("nw", kTot)} AS DOUBLE)",
+        s"CAST((nj * 1000000) - ${ldaParts("nj", kTot)} AS DOUBLE)",
+        s"CAST((ntot * 1000000) - ${ldaParts("n", kTot)} AS DOUBLE)")
+    }
+    s"CAST(round((${gs(k - 1)} / ${gs.reduce((a, b) => s"($a + $b)")}) * 1000000.0) AS BIGINT)"
+  }
+
+  /** Parity-seeded doc-mixture fraction of topic k in micro units:
+    * doc `did` prefers topic K − (did % K); the preferred topic takes
+    * 1e6 − (K−1)·base, the rest base = 1e6 DIV 2K — the K = 2 values
+    * are the legacy 250000/750000 split. */
+  def ldaSeedFracExpr(kTot: Int, k: Int): String = {
+    val base = 1000000 / (2 * kTot)
+    val pref = 1000000 - (kTot - 1) * base
+    s"(CASE WHEN (did % $kTot) = ${kTot - k} THEN $pref ELSE $base END)"
+  }
+
+  /** K-topic smoothed LDA EM over (`idCol`, `textCol`) documents — the
+    * [[ldaTopics]] loop with K−1 stored topics: each iteration is still
+    * ONE counts ⋈ docState ⋈ termState join plus per-doc / per-term
+    * hash aggregates (now K−1 sum columns each); states localCheckpoint
+    * per iteration. Returns (topic, rnk, tok, phi_micro) for the
+    * top-`topK` terms of each of the K topics. Same corpus-token
+    * resolution bound as [[ldaTopics]]. */
+  def ldaTopicsK(docs: DataFrame, idCol: String, textCol: String,
+                 kTot: Int, iters: Int = 2, topK: Int = 8): DataFrame = {
+    require(kTot >= 2 && kTot <= 6, s"ldaTopicsK: K = $kTot outside [2, 6]")
+    import org.apache.spark.sql.expressions.Window
+    val ks = 1 until kTot
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val docTotals = counts.groupBy("did").agg(sum("c").as("nj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termTotals = counts.groupBy("tok").agg(sum("c").as("nw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = termTotals
+      .agg(sum("nw").as("ntot"), count(lit(1)).as("vn"))
+      .localCheckpoint()
+    val uni = 1000000 / kTot
+    var doc = docTotals
+      .selectExpr("did" +: "nj" +:
+        ks.map(k => s"CAST(nj * ${ldaSeedFracExpr(kTot, k)} AS BIGINT) AS nj$k"): _*)
+      .localCheckpoint()
+    var term = termTotals
+      .selectExpr("tok" +: "nw" +:
+        ks.map(k => s"CAST(nw * $uni AS BIGINT) AS nw$k"): _*)
+      .localCheckpoint()
+    var glob = totals
+      .selectExpr(ks.map(k => s"CAST(ntot * $uni AS BIGINT) AS n$k"): _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val scored = counts
+        .join(doc, "did").join(term, "tok")
+        .crossJoin(broadcast(glob)).crossJoin(broadcast(totals))
+        .selectExpr("did" +: "tok" +: "c" +:
+          ks.map(k => s"${ldaRespExprK(kTot, k)} AS r$k"): _*)
+        .selectExpr("did" +: "tok" +: ks.map(k => s"c * r$k AS s${k}c"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      doc = scored.groupBy("did")
+        .agg(sum(s"s1c").as("nj1"), ks.drop(1).map(k => sum(s"s${k}c").as(s"nj$k")): _*)
+        .join(docTotals, "did")
+        .select("did", "nj" +: ks.map(k => s"nj$k"): _*)
+        .localCheckpoint()
+      term = scored.groupBy("tok")
+        .agg(sum(s"s1c").as("nw1"), ks.drop(1).map(k => sum(s"s${k}c").as(s"nw$k")): _*)
+        .join(termTotals, "tok")
+        .select("tok", "nw" +: ks.map(k => s"nw$k"): _*)
+        .localCheckpoint()
+      glob = term
+        .agg(sum("nw1").as("n1"), ks.drop(1).map(k => sum(s"nw$k").as(s"n$k")): _*)
+        .localCheckpoint()
+      scored.unpersist()
+    }
+    counts.unpersist(); docTotals.unpersist()
+    val phi = term.crossJoin(broadcast(glob)).crossJoin(broadcast(totals))
+      .selectExpr("tok" +:
+        (ks.map(k => s"CAST((nw$k * 1000000) DIV n$k AS BIGINT) AS p$k") :+
+          (s"CAST((((nw * 1000000) - ${ldaParts("nw", kTot)}) * 1000000) DIV " +
+            s"((ntot * 1000000) - ${ldaParts("n", kTot)}) AS BIGINT) AS p$kTot")): _*)
+    termTotals.unpersist()
+    val topics = (2 to kTot).map(k =>
+        phi.select(lit(k.toLong), col("tok"), col(s"p$k")))
+      .foldLeft(phi.select(lit(1L).as("topic"), col("tok"), col("p1").as("phi_micro")))(_ union _)
+    topics.select(col("topic"), col("tok"), col("phi_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("phi_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "phi_micro")
+  }
+
   // ---- ONLINE variational LDA (reference mllib/clustering/
   // LDAOptimizer.scala:231 OnlineLDAOptimizer — the second registered
   // optimizer and the production-corpus path: instead of EM's full

@@ -271,6 +271,19 @@ object MlEval {
       graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
     },
 
+    // K-topic smoothed LDA EM (reference mllib/clustering/LDA.scala —
+    // `k` is the headline parameter, :131 setK; every earlier LDA row
+    // fixed K = 2): three topics over the documents corpus, topic 3
+    // the exact complement, responsibility the generated K-fold ratio
+    // with the reference's K-dependent prior α = 50/K + 1 as a shared
+    // double literal. LdaKSpec pins ldaTopicsK(2) equal to the legacy
+    // ldaTopics output; s46/s38/s75/s82 are untouched.
+    "s111_lda_k3" -> { (s, dir) =>
+      graft.ext.Clustering.ldaTopicsK(Tables.documents(s, dir),
+          "doc_id", "text", kTot = 3, iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // Joint (d, K) Gaussian mixture — 2-D, THREE components, full
     // covariance each (reference mllib/clustering/GaussianMixture
     // .scala:161 run: the reference model is d-dimensional AND
@@ -872,6 +885,57 @@ object MlEval {
     // Two unrolled smoothed-EM iterations sharing Clustering.ldaRespExpr
     // verbatim (pure double arithmetic + round — no DIV seam), the final
     // φ normalization on // over operands positive by construction.
+    // Mirror of Clustering.ldaTopicsK at K = 3: the s46 chain with K−1
+    // stored topic-count columns per state and the generated K-fold
+    // responsibility ratio (same shared text; topic 3 by complement).
+    "s111_lda_k3" -> {
+      import graft.ext.Clustering
+      val K = 3
+      val ks = 1 until K
+      val iters = (1 to 2).map { it =>
+        s"""sc$it AS MATERIALIZED (
+           |  SELECT did, tok, ${ks.map(k => s"c * r$k AS s${k}c").mkString(", ")} FROM (
+           |    SELECT cn.did, cn.tok, cn.c,
+           |      ${ks.map(k => s"${Clustering.ldaRespExprK(K, k)} AS r$k").mkString(",\n      ")}
+           |    FROM counts cn JOIN d${it - 1} USING (did) JOIN t${it - 1} USING (tok)
+           |    CROSS JOIN g${it - 1} CROSS JOIN tot)),
+           |d$it AS MATERIALIZED (
+           |  SELECT s.did, dt.nj, ${ks.map(k => s"CAST(sum(s${k}c) AS BIGINT) AS nj$k").mkString(", ")}
+           |  FROM sc$it s JOIN dt USING (did) GROUP BY 1, 2),
+           |t$it AS MATERIALIZED (
+           |  SELECT s.tok, tt.nw, ${ks.map(k => s"CAST(sum(s${k}c) AS BIGINT) AS nw$k").mkString(", ")}
+           |  FROM sc$it s JOIN tt USING (tok) GROUP BY 1, 2),
+           |g$it AS (SELECT ${ks.map(k => s"CAST(sum(nw$k) AS BIGINT) AS n$k").mkString(", ")} FROM t$it)""".stripMargin
+      }.mkString(",\n")
+      val uni = 1000000 / K
+      val parts = (b: String) => ks.map(k => s"$b$k").reduce((a, b2) => s"($a + $b2)")
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |dt AS MATERIALIZED (SELECT did, CAST(sum(c) AS BIGINT) AS nj FROM counts GROUP BY 1),
+         |tt AS MATERIALIZED (SELECT tok, CAST(sum(c) AS BIGINT) AS nw FROM counts GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nw) AS BIGINT) AS ntot, CAST(count(*) AS BIGINT) AS vn FROM tt),
+         |d0 AS MATERIALIZED (SELECT did, nj,
+         |  ${ks.map(k => s"CAST(nj * ${Clustering.ldaSeedFracExpr(K, k)} AS BIGINT) AS nj$k").mkString(",\n  ")}
+         |  FROM dt),
+         |t0 AS MATERIALIZED (SELECT tok, nw,
+         |  ${ks.map(k => s"CAST(nw * $uni AS BIGINT) AS nw$k").mkString(", ")} FROM tt),
+         |g0 AS (SELECT ${ks.map(k => s"CAST(ntot * $uni AS BIGINT) AS n$k").mkString(", ")} FROM tot),
+         |$iters,
+         |ph AS (SELECT tok,
+         |    ${ks.map(k => s"CAST((nw$k * 1000000) // n$k AS BIGINT) AS p$k").mkString(",\n    ")},
+         |    CAST((((nw * 1000000) - ${parts("nw")}) * 1000000) // ((ntot * 1000000) - ${parts("n")}) AS BIGINT) AS p$K
+         |  FROM t2 CROSS JOIN g2 CROSS JOIN tot)
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, phi_micro FROM (
+         |  SELECT topic, tok, phi_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
+         |  FROM (${(1 to K).map(k =>
+                 s"SELECT ${if (k == 1) s"$k::BIGINT AS topic, tok, p$k AS phi_micro"
+                 else s"$k::BIGINT, tok, p$k"} FROM ph").mkString("\n        UNION ALL ")}))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
+    },
+
     "s46_lda_topics" -> {
       val resp = graft.ext.Clustering.ldaRespExpr
       val iters = (1 to 2).map { k =>
