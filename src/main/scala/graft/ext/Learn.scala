@@ -841,6 +841,101 @@ object Learn {
     out
   }
 
+  // ---- general (d, h) multilayer perceptron (reference ml/ann/Layer
+  // .scala stacks ARBITRARY affine+sigmoid layers and
+  // MultilayerPerceptronClassifier takes layers: Array[Int]; the 2-2-1
+  // member above is its smallest slice). The d-feature input and h-unit
+  // hidden layer are GENERATED (the s105 featPickExpr pattern applied
+  // to both layers): weight/gradient names, the fold-left affine text,
+  // and the cyclic difference-detector init all extend the 2-2-1
+  // strings, whose (2, 2) instantiation is byte-identical (MlpDhSpec
+  // pins the fitted scoring output equal to mlpFitPredict). ------------
+
+  /** Hidden unit j's weight columns then output weights — the (2, 2)
+    * slice is [[mlpWeightCols]] order-for-order. */
+  def mlpWeightColsDh(d: Int, h: Int): Seq[String] =
+    (1 to h).flatMap(j => (0 to d).map(i => s"w$j${i}q")) ++
+      (0 to h).map(j => s"v${j}q")
+
+  /** Cyclic difference-detector init: unit j fires on
+    * x_{jm} − x_{jm+1} (jm = ((j−1) mod d) + 1), output sums all units
+    * — the (2, 2) values are the legacy fixed init exactly. */
+  def mlpInitValsDh(d: Int, h: Int): Seq[Long] =
+    (1 to h).flatMap { j =>
+      val jm = ((j - 1) % d) + 1
+      val neg = (jm % d) + 1
+      0L +: (1 to d).map(i =>
+        if (i == jm) 65536L else if (i == neg) -65536L else 0L)
+    } ++ (0L +: Seq.fill(h)(65536L))
+
+  /** [[mlpHiddenExpr]] generalized: fold-left affine over d inputs. */
+  def mlpHiddenExprDh(j: Int, d: Int): String = {
+    val aff = (1 to d).map(i => s"(w$j${i}q * x$i)")
+      .foldLeft(s"w${j}0q")((a, t) => s"($a + $t)")
+    s"CAST(round(1000000.0 / (1.0 + exp(-(CAST($aff AS DOUBLE) / 65536.0)))) AS BIGINT)"
+  }
+
+  /** [[mlpOutExpr]] generalized: reduce-left over h hidden terms. */
+  def mlpOutExprH(h: Int): String = {
+    val inner = (1 to h).map(j => s"(v${j}q * h$j)").reduce((a, b) => s"($a + $b)")
+    s"CAST(round(1000000.0 / (1.0 + exp(-(CAST(((v0q * 1000000) + $inner) AS DOUBLE) / 65536000000.0)))) AS BIGINT)"
+  }
+
+  def mlpInitDh(spark: org.apache.spark.sql.SparkSession, d: Int, h: Int): DataFrame =
+    spark.sql("SELECT " + mlpInitValsDh(d, h).zip(mlpWeightColsDh(d, h))
+      .map { case (v, c) => s"CAST($v AS BIGINT) AS $c" }.mkString(", "))
+
+  /** ONE full-batch backprop step at (d, h) — the [[mlpStep]] loop with
+    * generated per-unit/per-input columns: forward, quantized deltas,
+    * (h+1)(d+2) exact integer gradient sums, the same update strings. */
+  def mlpStepDh(feats: DataFrame, w: DataFrame, d: Int, h: Int,
+                lr: Double): DataFrame = {
+    val xs = (1 to d).map(i => s"x$i")
+    val hs = (1 to h).map(j => s"h$j")
+    val fwd = feats.crossJoin(broadcast(w))
+      .selectExpr(xs ++ Seq("yq") ++ mlpWeightColsDh(d, h) ++
+        (1 to h).map(j => s"${mlpHiddenExprDh(j, d)} AS h$j"): _*)
+      .selectExpr(xs ++ hs ++ (1 to h).map(j => s"v${j}q") :+
+        s"yq - ${mlpOutExprH(h)} AS dlt": _*)
+      .selectExpr(xs ++ hs ++ Seq("dlt") ++
+        (1 to h).map(j => s"${mlpHidDeltaExpr(s"v${j}q", s"h$j")} AS dh$j"): _*)
+    val aggs = sum("dlt").as("gv0") +:
+      ((1 to h).map(j => sum(col("dlt") * col(s"h$j")).as(s"gv$j")) ++
+        (1 to h).flatMap(j => sum(s"dh$j").as(s"g${j}0") +:
+          (1 to d).map(i => sum(col(s"dh$j") * col(s"x$i")).as(s"g$j$i"))))
+    val g = fwd.agg(count(lit(1)).as("n"), aggs: _*)
+    w.crossJoin(broadcast(g)).selectExpr(
+      ((1 to h).flatMap(j => (0 to d).map(i =>
+        s"${lrUpdExpr(s"w$j${i}q", s"g$j$i", lr)} AS w$j${i}q")) ++
+        (s"${lrUpdExpr("v0q", "gv0", lr)} AS v0q" +:
+          (1 to h).map(j => s"${mlpUpd12Expr(s"v${j}q", s"gv$j", lr)} AS v${j}q"))): _*)
+  }
+
+  /** Train `iters` steps at (d, h), then score the cohort: emits
+    * (id, label, h1..hh, o_micro, pred) — the [[mlpFitPredict]] shape
+    * with h hidden activations. */
+  def mlpFitPredictDh(feats: DataFrame, d: Int, h: Int, iters: Int,
+                      lr: Double, idCol: String, cohort: Long): DataFrame = {
+    require(d >= 2 && d <= 4 && h >= 2 && h <= 4,
+      s"mlpFitPredictDh: (d, h) = ($d, $h) outside [2, 4] x [2, 4]")
+    val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    f.count()
+    var w = mlpInitDh(f.sparkSession, d, h).localCheckpoint()
+    for (_ <- 1 to iters) w = mlpStepDh(f, w, d, h, lr).localCheckpoint()
+    val hs = (1 to h).map(j => s"h$j")
+    val out = f.filter(col(idCol) <= cohort)
+      .crossJoin(broadcast(w))
+      .selectExpr(Seq(idCol, "yq") ++ mlpWeightColsDh(d, h) ++
+        (1 to h).map(j => s"${mlpHiddenExprDh(j, d)} AS h$j"): _*)
+      .selectExpr(Seq(idCol, "CAST(yq DIV 1000000 AS BIGINT) AS label") ++ hs :+
+        s"${mlpOutExprH(h)} AS o_micro": _*)
+      .selectExpr(Seq(idCol, "label") ++ hs ++ Seq("o_micro",
+        "CAST(CASE WHEN o_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred"): _*)
+      .orderBy(idCol)
+    f.unpersist()
+    out
+  }
+
   // ---- one-vs-rest multiclass reduction (reference ml/classification/
   // OneVsRest.scala:165 fit — one binary classifier per class against
   // the rest (:178 label = when(cls === index, 1.0) otherwise 0.0);

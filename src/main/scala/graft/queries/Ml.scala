@@ -1109,6 +1109,24 @@ object Ml {
         lr = 1.0, "o_orderkey", 2000L)
     },
 
+    // General (d, h) multilayer perceptron (reference ml/ann/Layer.scala
+    // stacks ARBITRARY layers; MultilayerPerceptronClassifier takes
+    // layers: Array[Int] — s44 is the fixed 2-2-1 slice): a 3-3-1 net
+    // over the s19 base plus a third orderkey-residue feature, generated
+    // layer text whose (2, 2) instantiation is byte-identical to the
+    // legacy strings (MlpDhSpec pins text AND fitted output; the spec
+    // also shows 3-3-1 learning an x1 xor x3 parity the 2-2-1 net
+    // cannot see). Two backprop steps, cohort scoring with all three
+    // hidden activations gated.
+    "s112_mlp_dh" -> { (s, dir) =>
+      val feats = ordersBase(s, dir).select(col("o_orderkey"), col("x1"),
+        expr("CAST(qty DIV 10 AS BIGINT)").as("x2"),
+        expr("CAST(o_orderkey % 7 AS BIGINT)").as("x3"),
+        expr("CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1000000 ELSE 0 END AS BIGINT)").as("yq"))
+      Learn.mlpFitPredictDh(feats, d = 3, h = 3, iters = 2, lr = 1.0,
+        "o_orderkey", 2000L)
+    },
+
     // One-vs-rest multiclass reduction (reference ml/classification/
     // OneVsRest.scala:165 fit / :108 transform / :131 argmax — mechanics
     // and the quantized-tie deviation on Learn.oneVsRest): three
@@ -3247,6 +3265,56 @@ object Ml {
          |  CAST(CASE WHEN o_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM (SELECT o_orderkey, yq, h1, h2, ${Learn.mlpOutExpr} AS o_micro
          |      FROM (SELECT f.*, w.*, $h1 AS h1, $h2 AS h2
+         |            FROM (SELECT * FROM feats WHERE o_orderkey <= 2000) f
+         |            CROSS JOIN mw2 w))
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Mirror of the (3, 3) MLP: the s44 chain with generated per-unit /
+    // per-input columns — same forward/delta/update strings at (d, h).
+    "s112_mlp_dh" -> {
+      val (d, h) = (3, 3)
+      val hs = (1 to h).map(j => s"${Learn.mlpHiddenExprDh(j, d)} AS h$j").mkString(", ")
+      val xs = (1 to d).map(i => s"x$i").mkString(", ")
+      val initSel = Learn.mlpInitValsDh(d, h).zip(Learn.mlpWeightColsDh(d, h))
+        .map { case (v, c) => s"CAST($v AS BIGINT) AS $c" }.mkString(", ")
+      val iters = (1 to 2).map { k =>
+        val gsums = (s"CAST(sum(dlt) AS BIGINT) AS gv0" +:
+          ((1 to h).map(j => s"CAST(sum(dlt * h$j) AS BIGINT) AS gv$j") ++
+            (1 to h).flatMap(j => s"CAST(sum(dh$j) AS BIGINT) AS g${j}0" +:
+              (1 to d).map(i => s"CAST(sum(dh$j * x$i) AS BIGINT) AS g$j$i")))).mkString(",\n    ")
+        val upds = ((1 to h).flatMap(j => (0 to d).map(i =>
+          s"${Learn.lrUpdExpr(s"w$j${i}q", s"g$j$i", 1.0)} AS w$j${i}q")) ++
+          (s"${Learn.lrUpdExpr("v0q", "gv0", 1.0)} AS v0q" +:
+            (1 to h).map(j => s"${Learn.mlpUpd12Expr(s"v${j}q", s"gv$j", 1.0)} AS v${j}q")))
+          .mkString(",\n    ")
+        s"""mfwd$k AS MATERIALIZED (
+           |  SELECT $xs, ${(1 to h).map(j => s"h$j").mkString(", ")}, dlt,
+           |    ${(1 to h).map(j => s"${Learn.mlpHidDeltaExpr(s"v${j}q", s"h$j")} AS dh$j").mkString(",\n    ")}
+           |  FROM (SELECT $xs, ${(1 to h).map(j => s"h$j").mkString(", ")}, ${(1 to h).map(j => s"v${j}q").mkString(", ")},
+           |          yq - ${Learn.mlpOutExprH(h)} AS dlt
+           |        FROM (SELECT f.*, w.*, $hs
+           |              FROM feats f CROSS JOIN mw${k - 1} w))),
+           |mg$k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    $gsums
+           |  FROM mfwd$k),
+           |mw$k AS MATERIALIZED (SELECT
+           |    $upds
+           |  FROM mw${k - 1} CROSS JOIN mg$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ordersBaseCte,
+         |feats AS MATERIALIZED (
+         |  SELECT o_orderkey, x1, CAST(qty // 10 AS BIGINT) AS x2,
+         |         CAST(o_orderkey % 7 AS BIGINT) AS x3,
+         |         CAST(CASE WHEN qty + 5 * (o_orderkey % 13) > 130 THEN 1000000 ELSE 0 END AS BIGINT) AS yq
+         |  FROM base),
+         |mw0 AS (SELECT $initSel),
+         |$iters
+         |SELECT o_orderkey, CAST(yq // 1000000 AS BIGINT) AS label, ${(1 to h).map(j => s"h$j").mkString(", ")},
+         |  o_micro,
+         |  CAST(CASE WHEN o_micro >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM (SELECT o_orderkey, yq, ${(1 to h).map(j => s"h$j").mkString(", ")}, ${Learn.mlpOutExprH(h)} AS o_micro
+         |      FROM (SELECT f.*, w.*, $hs
          |            FROM (SELECT * FROM feats WHERE o_orderkey <= 2000) f
          |            CROSS JOIN mw2 w))
          |ORDER BY o_orderkey""".stripMargin
