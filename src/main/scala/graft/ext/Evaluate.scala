@@ -40,10 +40,14 @@ object Evaluate {
     * FPR in micro-units, and the tie-aware trapezoid AUC replicated onto
     * every row (auc_micro) so one result table gates curve AND area.
     *
-    * The sweep windows are unpartitioned but run over the score-GROUPED
-    * table — bounded by the number of distinct scores, which is only a
-    * real bound for bounded-domain scores (counts, quantized margins).
-    * For CONTINUOUS scores pass `numBins` > 0 — the reference's own
+    * The cumulative sweep runs PARTITION-PARALLEL ([[cumCurve]]): the
+    * curve table range-repartitions on descending threshold, one
+    * (Σn, Σnp) pair per partition comes to the driver (bounded by the
+    * partition count), exclusive offsets broadcast back, and each
+    * partition windows only its own slice — no stage sorts the world in
+    * one task at ANY distinct-score count, so there is no exact-path
+    * cap. For CONTINUOUS scores `numBins` > 0 still applies — the
+    * reference's own
     * curve-downsampling knob (BinaryClassificationMetrics.scala:157-165:
     * grouping = distinctScores / numBins; chunks of `grouping`
     * consecutive scores in descending order collapse to one curve point
@@ -63,31 +67,12 @@ object Evaluate {
     * statistic with the standard half-credit for ties. */
   /** The shared (thr, n, np) curve-point table behind [[binaryMetrics]]
     * and [[prMetrics]]: distinct-score counts, down-grouped when
-    * `numBins` > 0, count-guarded on the exact path. */
-  /** Ceiling on distinct scores the exact (numBins = 0) curve path will
-    * sweep in one window task. Callers with known-bounded domains
-    * slightly above this can raise it via `binaryMetrics`'
-    * `maxExactDistinct`; the intent is to refuse CONTINUOUS scores
-    * (≈ one distinct value per row), not quantized margins. */
-  val DefaultMaxExactDistinct = 2000000L
-
-  private def curvePoints(scored: DataFrame, numBins: Int,
-                          maxExactDistinct: Long = DefaultMaxExactDistinct)
-      : DataFrame = {
+    * `numBins` > 0. The exact (numBins = 0) path needs no cap —
+    * [[cumCurve]]'s sweep is partition-parallel. */
+  private def curvePoints(scored: DataFrame, numBins: Int): DataFrame = {
     val g0 = scored.groupBy(col("score").as("thr"))
       .agg(count(lit(1)).as("n"), sum("label").as("np"))
     if (numBins == 0) {
-      // enforce the bounded-domain contract instead of just documenting
-      // it: the exact path's sweep windows carry one row per DISTINCT
-      // score in a single task — fine for counts/quantized margins,
-      // catastrophic for continuous scores. The extra count is one
-      // narrow aggregate over the distinct-score table.
-      val cnt = g0.count()
-      require(cnt <= maxExactDistinct,
-        s"binaryMetrics: $cnt distinct scores on the exact (numBins = 0) " +
-          s"path (cap $maxExactDistinct) — the curve sweep would " +
-          "single-task a multi-million-row window; pass numBins > 0 " +
-          "(the reference's curve downsampling) or raise maxExactDistinct")
       g0
     } else {
       val cnt = g0.count() // one action over the distinct-score table
@@ -101,29 +86,64 @@ object Evaluate {
     }
   }
 
-  /** See [[DefaultMaxExactDistinct]] for the exact-path cap contract;
-    * `maxExactDistinct` lets bounded-domain callers above the default
-    * opt in instead of being refused. */
-  def binaryMetrics(scored: DataFrame, numBins: Int = 0,
-                    maxExactDistinct: Long = DefaultMaxExactDistinct)
-      : DataFrame = {
-    val g = curvePoints(scored, numBins, maxExactDistinct)
-    // unpartitioned windows are safe here: they run over g, the
-    // per-curve-point table — numBins+1 rows when binned, else the
-    // distinct scores (callers with continuous scores set numBins)
-    val wCum = Window.orderBy(col("thr").desc)
+  /** Partition-parallel cumulative confusion counts over the curve
+    * table (thr, n, np), in DESCENDING threshold order — the x05 /
+    * packByTokenBudget prefix-sum shape applied to two weights at once:
+    * range-repartition on −thr (global order across disjoint ranges),
+    * ONE (Σn, Σnp) row per partition to the driver (bounded by the
+    * partition count, auto-sized like stratumRank), exclusive offsets
+    * broadcast back as a literal map, then each partition windows only
+    * its own slice. No stage sorts the world in one task, so the exact
+    * path needs no distinct-score cap. The inclusive sums give the lag
+    * values for free: tp0 = tp − np, fp0 = fp − (n − np) — exactly the
+    * previous curve point's cumulative counts (0 at the global first
+    * row, the legacy lag default). Emits
+    * (thr, n, np, tp, fp, tp0, fp0, pos, neg), pos/neg as driver-exact
+    * literals. */
+  private[graft] def cumCurve(g: DataFrame,
+                              materialize: Boolean = true): DataFrame = {
+    val parts = math.min(math.max(32, g.rdd.getNumPartitions), 4096)
+    val ranged = g.repartitionByRange(parts, col("thr").desc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withPid = ranged.withColumn("__pid", spark_partition_id())
+    val pstats = withPid.groupBy("__pid")
+      .agg(sum("n").as("pn"), sum("np").as("pnp"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    var (accN, accNp) = (0L, 0L)
+    val offsets = (0 until parts).map { p =>
+      val o = p -> (accN, accNp)
+      val (pn, pnp) = pstats.getOrElse(p, (0L, 0L))
+      accN += pn; accNp += pnp
+      o
+    }
+    val (totN, totNp) = (accN, accNp)
+    val offNCol = element_at(
+      map(offsets.flatMap { case (p, (n, _)) => Seq(lit(p), lit(n)) }: _*), col("__pid"))
+    val offNpCol = element_at(
+      map(offsets.flatMap { case (p, (_, np)) => Seq(lit(p), lit(np)) }: _*), col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wLag = Window.orderBy(col("thr").desc)
-    val cum = g.select(col("thr"),
-        sum("np").over(wCum).as("tp"),
-        (sum("n").over(wCum) - sum("np").over(wCum)).as("fp"),
-        sum("np").over(wAll).as("pos"),
-        (sum("n").over(wAll) - sum("np").over(wAll)).as("neg"))
-      .select(col("thr"), col("tp"), col("fp"), col("pos"), col("neg"),
-        lag("tp", 1, 0L).over(wLag).as("tp0"),
-        lag("fp", 1, 0L).over(wLag).as("fp0"))
+    val out = withPid
+      .withColumn("tp", sum("np").over(w) + offNpCol)
+      .withColumn("fp", (sum("n").over(w) - sum("np").over(w)) + (offNCol - offNpCol))
+      .drop("__pid")
+      .selectExpr("thr", "n", "np", "tp", "fp",
+        "tp - np AS tp0", "fp - (n - np) AS fp0",
+        s"CAST($totNp AS BIGINT) AS pos", s"CAST(${totN - totNp} AS BIGINT) AS neg")
+    if (!materialize) {
+      // shape-assertion path (the globalRowIndex convention): release
+      // the persist now and treat the returned plan as inspect-only
+      ranged.unpersist()
+      out
+    } else {
+      val pinned = out.localCheckpoint()
+      ranged.unpersist()
+      pinned
+    }
+  }
+
+  def binaryMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+    val cum = cumCurve(curvePoints(scored, numBins))
     val curve = cum.selectExpr("thr", "tp", "fp",
       "CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) AS precision_micro",
       "CAST((tp * 1000000) DIV pos AS BIGINT) AS recall_micro",
@@ -163,22 +183,15 @@ object Evaluate {
     * per-point micro-rounded trapezoid sum ([[prTrapMicroExpr]]),
     * replicated onto every row. Returns (thr, tp, fp, precision_micro,
     * recall_micro, f1_micro, f2_micro, pr_auc_micro). */
-  def prMetrics(scored: DataFrame, numBins: Int = 0,
-                maxExactDistinct: Long = DefaultMaxExactDistinct)
-      : DataFrame = {
-    val g = curvePoints(scored, numBins, maxExactDistinct)
-    val wCum = Window.orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val wLag = Window.orderBy(col("thr").desc)
-    val cum = g.select(col("thr"),
-        sum("np").over(wCum).as("tp"),
-        (sum("n").over(wCum) - sum("np").over(wCum)).as("fp"),
-        sum("np").over(wAll).as("pos"))
-      .withColumn("tp0", lag("tp", 1, 0L).over(wLag))
+  def prMetrics(scored: DataFrame, numBins: Int = 0): DataFrame = {
+    // pprev re-derives the previous point's precision from (tp0, fp0)
+    // with the SAME formula over the same integers — bit-equal to the
+    // legacy lag(pcur), with the reference's prepended (recall 0,
+    // precision 1.0) point at the global first row (tp0 = fp0 = 0)
+    val cum = cumCurve(curvePoints(scored, numBins))
       .withColumn("pcur", expr(prPrecisionExpr))
-      .withColumn("pprev", lag(col("pcur"), 1, 1.0).over(wLag))
+      .withColumn("pprev", expr("CASE WHEN (tp0 + fp0) = 0 THEN CAST(1.0 AS DOUBLE) " +
+        "ELSE (CAST(tp0 AS DOUBLE) / CAST(tp0 + fp0 AS DOUBLE)) END"))
     val curve = cum.selectExpr("thr", "tp", "fp",
       "CAST((tp * 1000000) DIV (tp + fp) AS BIGINT) AS precision_micro",
       "CAST((tp * 1000000) DIV pos AS BIGINT) AS recall_micro",

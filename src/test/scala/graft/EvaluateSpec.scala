@@ -25,17 +25,26 @@ class EvaluateSpec extends SparkSpec {
     assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) === ((2L, 2L, 1000000L)))
   }
 
-  test("binaryMetrics exact-path cap is a named, caller-adjustable parameter") {
+  test("binaryMetrics exact path carries no single-partition Exchange or global Sort") {
     import spark.implicits._
-    val scored = (1L to 40L).map(i => (i % 9, i % 2)).toDF("score", "label")
-    val e = intercept[IllegalArgumentException] {
-      Evaluate.binaryMetrics(scored, maxExactDistinct = 5L).collect()
-    }
-    assert(e.getMessage.contains("maxExactDistinct"), e.getMessage)
-    // bounded-domain opt-in: raising the cap admits the same call
-    val ok = Evaluate.binaryMetrics(scored, maxExactDistinct = 9L).collect()
-    assert(ok.length === 9)
-    assert(Evaluate.DefaultMaxExactDistinct === 2000000L)
+    // the r19-verdict item: the cumulative sweep must be the x05
+    // range-repartition + broadcast-offset prefix sum, never a
+    // Window.orderBy over SinglePartition — assert on the live plan
+    val scored = (1L to 200L).map(i => (i % 41, i % 2)).toDF("score", "label")
+    // inspect the sweep stage itself (the final 1-row AUC aggregate
+    // legitimately single-partitions a handful of rows): the cumulative
+    // window must be partitioned by __pid over a range exchange, never
+    // an Exchange SinglePartition feeding a global Window sort
+    val g = scored.groupBy(col("score").as("thr"))
+      .agg(count(lit(1)).as("n"), sum("label").as("np"))
+    val plan = Evaluate.cumCurve(g, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"sweep must not collapse to one partition:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"sweep must range-repartition on the threshold:\n$plan")
+    // and the result is intact
+    assert(Evaluate.binaryMetrics(scored).collect().length === 41)
   }
 
   test("binary metrics are deterministic across partitionings") {
@@ -163,17 +172,15 @@ class EvaluateSpec extends SparkSpec {
       .getAs[Long]("pr_auc_micro") === 1000000L)
   }
 
-  test("binaryMetrics exact path enforces the bounded-domain contract") {
+  test("a continuous 2M-distinct-score table runs the exact path AND the binned path") {
     import spark.implicits._
-    // a continuous-score table past the guard must be refused on the
-    // numBins = 0 path (the sweep would single-task the whole curve)...
+    // the old exact-path cap is gone: 2M+ distinct scores flow through
+    // the partition-parallel sweep directly...
     val wide = spark.range(1, 2000002)
       .selectExpr("id AS score", "CAST(id % 2 AS BIGINT) AS label")
-    val e = intercept[IllegalArgumentException] {
-      graft.ext.Evaluate.binaryMetrics(wide, numBins = 0).collect()
-    }
-    assert(e.getMessage.contains("numBins"))
-    // ...while the same table passes once downsampling is requested
+    val exact = graft.ext.Evaluate.binaryMetrics(wide, numBins = 0)
+    assert(exact.count() === 2000001L)
+    // ...and the reference's numBins downsampling still works on top
     val ok = graft.ext.Evaluate.binaryMetrics(wide, numBins = 20)
       .orderBy(col("thr").desc).collect()
     assert(ok.length === 21)
