@@ -2332,7 +2332,10 @@ object Learn {
   // ONE full-batch step from a deterministic ascii-hash init (the
   // reference seeds per-word XORShift randoms, :291), every gradient
   // sum an exact micro×quant integer and the sigmoid/update each one
-  // shared fixed-parenthesization double expression. -------------------
+  // shared fixed-parenthesization double expression. Deviation (2)'s
+  // dim axis is CLOSED by [[word2vecD]] (s113 gates dims = 3; the
+  // dims = 2 slice reproduces this member byte-identically); deviation
+  // (1) remains declared with the rationale above. ---------------------
 
   /** Sigmoid of a quantized 2-d dot product in micro-units: `dot` is in
     * Q² = 2^32 units. Shared verbatim with the oracle. */
@@ -2448,6 +2451,114 @@ object Learn {
     val out = vin.join(vout.drop("r"), "tok")
       .filter(col("r") < topK)
       .selectExpr("tok", "r + 1 AS rnk", "u1q", "u2q", "v1q", "v2q")
+    scored.unpersist()
+    out
+  }
+
+  // ---- general-dimension word2vec (reference mllib/feature/Word2Vec
+  // .scala:41 — `vectorSize` is the model's headline parameter, default
+  // 100; the member above fixes 2 components). The dim axis is
+  // GENERATED (the s105/alsRank discipline): per-component init residue
+  // mixes, fold-left dot products, and per-component gradient sums whose
+  // dims = 2 instantiation reproduces [[word2vec]] byte-identically
+  // (LearnSpec pins the fitted vectors). The hierarchical-softmax
+  // deviation stays declared — a Huffman path is a per-word
+  // variable-length traversal neither engine can unroll generically —
+  // and this row shows the OTHER declared fixed axis is not
+  // load-bearing. -------------------------------------------------------
+
+  /** Per-component init residue mixes: component 1 of each side is the
+    * positive popularity direction, components ≥ 2 sign-diverse spreads
+    * on side-distinct coprime moduli — the dims = 2 slice is
+    * [[w2vInitExprs]] string-for-string. */
+  def w2vInitExprsD(dims: Int): Seq[(String, String)] = {
+    require(dims >= 2 && dims <= 4, s"w2vInitExprsD: dims $dims outside [2, 4]")
+    val uMods = Vector(7, 5, 3, 11)
+    val vMods = Vector(5, 7, 11, 3)
+    def side(prefix: String, mods: Vector[Int]): Seq[(String, String)] =
+      (1 to dims).map { i =>
+        if (i == 1) s"${prefix}1q" -> s"CAST(65536 + ((h % ${mods(0)}) * 8192) AS BIGINT)"
+        else {
+          val m = mods(i - 1)
+          s"$prefix${i}q" -> s"CAST(((h % $m) - ${(m - 1) / 2}) * 16384 AS BIGINT)"
+        }
+      }
+    side("u", uMods) ++ side("v", vMods)
+  }
+
+  private def w2vDot(a: Seq[String], b: Seq[String]): String =
+    a.zip(b).map { case (x, y) => s"($x * $y)" }.reduce((p, q) => s"$p + $q")
+
+  /** [[word2vec]] with `dims` vector components — identical vocabulary,
+    * pair extraction, negative-rank residue, objective and update
+    * machinery; only the component loops widen. Returns
+    * (tok, rnk, u1q..u{dims}q, v1q..v{dims}q). */
+  def word2vecD(docs: DataFrame, idCol: String, textCol: String,
+                vocabN: Int = 30, window: Int = 2, lr: Double = 0.025,
+                topK: Int = 20, dims: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = 1 to dims
+    val toks = docs.select(col(idCol).as("did"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabN)
+      .select(col("tok"), (row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))) - 1).cast("long").as("r"))
+      .localCheckpoint()
+    val vsize = vocab.count()
+    val wt = toks.join(broadcast(vocab), "tok")
+      .select(col("did"), col("tok"), col("r"),
+        row_number().over(Window.partitionBy("did").orderBy("pos"))
+          .cast("long").as("pos"))
+    val pairs = wt.as("a").join(wt.as("b"),
+        col("a.did") === col("b.did") &&
+          col("b.pos") >= col("a.pos") - window &&
+          col("b.pos") <= col("a.pos") + window &&
+          col("b.pos") =!= col("a.pos"))
+      .select(col("a.tok").as("cw"), col("a.r").as("rc"),
+        col("b.tok").as("ct"), col("b.r").as("rx"))
+      .withColumn("rn", (col("rc") + (col("rx") * 7) + 3) % vsize)
+    val init = vocab.selectExpr("tok", "r", s"$w2vHashExpr AS h")
+      .selectExpr(Seq("tok", "r") ++
+        w2vInitExprsD(dims).map { case (c, e) => s"$e AS $c" }: _*)
+      .localCheckpoint()
+    val us = ds.map(i => s"u${i}q")
+    val scored = pairs
+      .join(broadcast(init.select(col("tok").as("cw") +: ds.map(i => col(s"u${i}q")): _*)), "cw")
+      .join(broadcast(init.select(col("tok").as("ct") +:
+        ds.map(i => col(s"v${i}q").as(s"p${i}q")): _*)), "ct")
+      .join(broadcast(init.select(col("r").as("rn") +:
+        ds.map(i => col(s"v${i}q").as(s"n${i}q")): _*)), "rn")
+      .selectExpr(Seq("cw", "ct", "rn") ++ us ++ ds.map(i => s"p${i}q") ++
+        ds.map(i => s"n${i}q") ++ Seq(
+        s"${w2vSigmoidExpr(w2vDot(us, ds.map(i => s"p${i}q")))} AS sp",
+        s"${w2vSigmoidExpr(w2vDot(us, ds.map(i => s"n${i}q")))} AS sn"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val du = scored.groupBy("cw")
+      .agg(sum(((lit(1000000L) - col("sp")) * col("p1q")) - (col("sn") * col("n1q"))).as("g1"),
+        ds.drop(1).map(i =>
+          sum(((lit(1000000L) - col("sp")) * col(s"p${i}q")) - (col("sn") * col(s"n${i}q"))).as(s"g$i")): _*)
+    val dvPos = scored.groupBy(col("ct").as("tok"))
+      .agg(sum((lit(1000000L) - col("sp")) * col("u1q")).as("gp1"),
+        ds.drop(1).map(i =>
+          sum((lit(1000000L) - col("sp")) * col(s"u${i}q")).as(s"gp$i")): _*)
+    val dvNeg = scored.join(broadcast(init.select(col("r").as("rn"), col("tok"))), "rn")
+      .groupBy("tok")
+      .agg(sum(-(col("sn") * col("u1q"))).as("gn1"),
+        ds.drop(1).map(i => sum(-(col("sn") * col(s"u${i}q"))).as(s"gn$i")): _*)
+    val vin = init.join(du.withColumnRenamed("cw", "tok"), Seq("tok"), "left")
+      .na.fill(0L, ds.map(i => s"g$i"))
+      .selectExpr(Seq("tok", "r") ++
+        ds.map(i => s"${w2vUpdExpr(s"u${i}q", s"g$i", lr)} AS u${i}q"): _*)
+    val vout = init.join(dvPos, Seq("tok"), "left").join(dvNeg, Seq("tok"), "left")
+      .na.fill(0L, ds.flatMap(i => Seq(s"gp$i", s"gn$i")))
+      .selectExpr(Seq("tok", "r") ++
+        ds.map(i => s"${w2vUpdExpr(s"v${i}q", s"(gp$i + gn$i)", lr)} AS v${i}q"): _*)
+    val out = vin.join(vout.drop("r"), "tok")
+      .filter(col("r") < topK)
+      .selectExpr(Seq("tok", "r + 1 AS rnk") ++
+        ds.map(i => s"u${i}q") ++ ds.map(i => s"v${i}q"): _*)
     scored.unpersist()
     out
   }

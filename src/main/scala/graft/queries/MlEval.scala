@@ -243,6 +243,19 @@ object MlEval {
         .orderBy("rnk")
     },
 
+    // General-dimension word2vec (reference mllib/feature/Word2Vec
+    // .scala:41 — vectorSize is the model's headline parameter, default
+    // 100; s48 fixes 2): the same skip-gram negative-sampling chain at
+    // dims = 3, component loops generated, dims = 2 slice byte-identical
+    // to s48's machinery (LearnSpec pins the fitted vectors). The
+    // hierarchical-softmax deviation stays declared; this row closes
+    // the vector-dimension axis.
+    "s113_word2vec_dim" -> { (s, dir) =>
+      graft.ext.Learn.word2vecD(Tables.documents(s, dir), "doc_id", "text",
+          vocabN = 30, window = 2, lr = 0.025, topK = 20, dims = 3)
+        .orderBy("rnk")
+    },
+
     // Gaussian mixture EM (reference mllib/clustering/GaussianMixture
     // .scala:161 run / :198 ExpectationSum / :238 update; the 1-D
     // shared-variance thin-slice deviations are declared in
@@ -828,6 +841,62 @@ object MlEval {
     // Mirror of Learn.word2vec: positional pairs, rank-hash negative,
     // the shared sigmoid / init / update formula strings (ascii and
     // substring behave identically in both engines on these tokens).
+    // Mirror of Learn.word2vecD at dims = 3: the s48 chain with
+    // generated component loops (same init/sigmoid/update strings).
+    "s113_word2vec_dim" -> {
+      import graft.ext.Learn
+      val dims = 3
+      val ds = 1 to dims
+      val initCols = Learn.w2vInitExprsD(dims)
+        .map { case (c, e) => s"$e AS $c" }.mkString(", ")
+      def dot(a: Seq[String], b: Seq[String]) =
+        a.zip(b).map { case (x, y) => s"($x * $y)" }.reduce((p, q) => s"$p + $q")
+      val us = ds.map(i => s"u${i}q")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT did, i AS pos, toks[i] AS tok FROM (
+         |    SELECT doc_id AS did, string_split(text, ' ') AS toks FROM documents),
+         |    unnest(range(1, len(toks) + 1)) t(i)
+         |  WHERE len(toks[i]) > 0),
+         |vocab AS MATERIALIZED (SELECT tok, r FROM (
+         |  SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS r
+         |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1)) WHERE r < 30),
+         |wt AS MATERIALIZED (
+         |  SELECT t.did, row_number() OVER (PARTITION BY t.did ORDER BY t.pos) AS pos,
+         |    t.tok, v.r FROM toks t JOIN vocab v USING (tok)),
+         |init AS MATERIALIZED (SELECT tok, r, $initCols FROM (
+         |  SELECT tok, r, ${Learn.w2vHashExpr} AS h FROM vocab)),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.tok AS cw, b.tok AS ct,
+         |    (a.r + (b.r * 7) + 3) % (SELECT count(*) FROM vocab) AS rn
+         |  FROM wt a JOIN wt b ON a.did = b.did
+         |    AND b.pos >= a.pos - 2 AND b.pos <= a.pos + 2 AND b.pos <> a.pos),
+         |scored AS MATERIALIZED (
+         |  SELECT cw, ct, rn, ${(us ++ ds.map(i => s"p${i}q") ++ ds.map(i => s"n${i}q")).mkString(", ")},
+         |    ${Learn.w2vSigmoidExpr(dot(us, ds.map(i => s"p${i}q")))} AS sp,
+         |    ${Learn.w2vSigmoidExpr(dot(us, ds.map(i => s"n${i}q")))} AS sn
+         |  FROM pairs
+         |  JOIN (SELECT tok AS cw, ${us.mkString(", ")} FROM init) USING (cw)
+         |  JOIN (SELECT tok AS ct, ${ds.map(i => s"v${i}q AS p${i}q").mkString(", ")} FROM init) USING (ct)
+         |  JOIN (SELECT r AS rn, ${ds.map(i => s"v${i}q AS n${i}q").mkString(", ")} FROM init) USING (rn)),
+         |du AS (SELECT cw AS tok,
+         |    ${ds.map(i => s"CAST(sum(((1000000 - sp) * p${i}q) - (sn * n${i}q)) AS BIGINT) AS g$i").mkString(",\n    ")}
+         |  FROM scored GROUP BY 1),
+         |dvp AS (SELECT ct AS tok,
+         |    ${ds.map(i => s"CAST(sum((1000000 - sp) * u${i}q) AS BIGINT) AS gp$i").mkString(",\n    ")}
+         |  FROM scored GROUP BY 1),
+         |dvn AS (SELECT i.tok,
+         |    ${ds.map(i => s"CAST(sum(-(s.sn * s.u${i}q)) AS BIGINT) AS gn$i").mkString(",\n    ")}
+         |  FROM scored s JOIN init i ON i.r = s.rn GROUP BY 1),
+         |vin AS (SELECT i.tok, i.r,
+         |    ${ds.map(i => s"${Learn.w2vUpdExpr(s"u${i}q", s"COALESCE(g$i, 0)", 0.025)} AS u${i}q").mkString(",\n    ")}
+         |  FROM init i LEFT JOIN du USING (tok)),
+         |vout AS (SELECT i.tok,
+         |    ${ds.map(i => s"${Learn.w2vUpdExpr(s"v${i}q", s"(COALESCE(gp$i, 0) + COALESCE(gn$i, 0))", 0.025)} AS v${i}q").mkString(",\n    ")}
+         |  FROM init i LEFT JOIN dvp USING (tok) LEFT JOIN dvn USING (tok))
+         |SELECT vin.tok, CAST(vin.r + 1 AS BIGINT) AS rnk, ${(us ++ ds.map(i => s"v${i}q")).mkString(", ")}
+         |FROM vin JOIN vout USING (tok) WHERE vin.r < 20 ORDER BY rnk""".stripMargin
+    },
+
     "s48_word2vec" -> {
       import graft.ext.Learn
       val initCols = Learn.w2vInitExprs
@@ -882,9 +951,6 @@ object MlEval {
          |FROM vin JOIN vout USING (tok) WHERE vin.r < 20 ORDER BY rnk""".stripMargin
     },
 
-    // Two unrolled smoothed-EM iterations sharing Clustering.ldaRespExpr
-    // verbatim (pure double arithmetic + round — no DIV seam), the final
-    // φ normalization on // over operands positive by construction.
     // Mirror of Clustering.ldaTopicsK at K = 3: the s46 chain with K−1
     // stored topic-count columns per state and the generated K-fold
     // responsibility ratio (same shared text; topic 3 by complement).
@@ -936,6 +1002,9 @@ object MlEval {
          |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
     },
 
+    // Two unrolled smoothed-EM iterations sharing Clustering.ldaRespExpr
+    // verbatim (pure double arithmetic + round — no DIV seam), the final
+    // φ normalization on // over operands positive by construction.
     "s46_lda_topics" -> {
       val resp = graft.ext.Clustering.ldaRespExpr
       val iters = (1 to 2).map { k =>
