@@ -550,7 +550,66 @@ object Plans {
         "globalRowIndex's range-repartition + per-partition window + " +
         "broadcast offsets (no single-task sort), and the cumulative " +
         "sweep windows run over <= numBins+1 binned points instead of " +
-        "every distinct score."))
+        "every distinct score."),
+    "s28_binary_metrics" ->
+      ("Exact-path curve sweep, now partition-parallel (r20 — the cap " +
+        "is gone): the curve table range-repartitions on descending " +
+        "threshold, ONE (n, np) sum pair per partition reaches the " +
+        "driver, exclusive offsets broadcast back as a literal map, and " +
+        "the cumulative window is partitionBy(__pid) over each range " +
+        "slice — no SinglePartition exchange, no global Sort, at any " +
+        "distinct-score count. Lags are free off the inclusive sums " +
+        "(tp0 = tp - np), so the whole sweep is one narrow window " +
+        "stage."),
+    "s95_dimsum_similarities" ->
+      ("Thresholded DIMSUM: the per-column (magnitude, keep " +
+        "probability) table is dimension-bounded and broadcasts; the " +
+        "deterministic md5 coin FILTERS cells BEFORE the per-row pair " +
+        "self-join, so pair emission is over surviving cells only — " +
+        "the reference's O(n log n / gamma) shuffle bound, not brute " +
+        "force. Gramian magnitudes come off exact DECIMAL(38,0) " +
+        "second moments (one aggregate)."),
+    "s96_gmm_2d" ->
+      ("2-D full-covariance EM: the corpus persists once; every " +
+        "iteration is ONE aggregate scan (six exact DECIMAL sums) " +
+        "against a broadcast 1-row state, then a 1-row update " +
+        "projection localCheckpointed — plan depth constant across " +
+        "iterations, per-iteration cost the scan. The same shape " +
+        "drives s110's joint (d, K) generalization at K = 3."),
+    "s97_pca_k" ->
+      ("Generated Jacobi eigensolve: the corpus pays ONE exact-integer " +
+        "moment aggregate; every sweep after that is a selectExpr " +
+        "layer chain over a 1-ROW state frame (localCheckpoint per " +
+        "sweep bounds the collapsed expression tree), so the driver " +
+        "never holds more than 2 d^2 doubles and no row data re-scans."),
+    "s103_ols_k" ->
+      ("d-feature OLS: one moment scan collects the (d+1)(d+2)/2 " +
+        "exact-integer normal-equation sums; the pivoting-free " +
+        "elimination runs as ~2(d+1) projection layers on the 1-row " +
+        "state; scoring is a broadcast of the beta row over the cohort " +
+        "scan — two row-linear passes total, everything else 1-row."),
+    "v18_count_by_value_window" ->
+      ("Invertible windowed counts: each micro-batch folds ONE " +
+        "additive partials row-set into the standing state table " +
+        "(add the new slice, retire the expired one — the " +
+        "reduceByKeyAndWindow inverse form); per-value rows and the " +
+        "v = -1 global sentinel are served from the SAME state, so " +
+        "the trio costs one state join regardless of window span."),
+    "s109_als_rank" ->
+      ("Rank-r ALS: each half-step is one shuffle on the solve key " +
+        "into a map-side-combined r(r+3)/2-sum aggregate, then the " +
+        "generated elimination layers run as a PER-ROW projection " +
+        "chain (every key's row is its own r x r system — whole-stage " +
+        "codegen, no per-key LAPACK call, no driver loop); factor " +
+        "tables stay (key, r longs) and broadcast when a side is a " +
+        "bounded catalog."),
+    "s110_gmm_kd" ->
+      ("Joint (d, K) GMM at (2, 3): the s96 EM scan shape with K - 1 " +
+        "responsibility columns in the SAME single scan — per " +
+        "iteration one aggregate over the persisted corpus against a " +
+        "broadcast 1-row state carrying all K components' parameters; " +
+        "component K is complement algebra in the update projection, " +
+        "so K never adds a second pass."))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4)
