@@ -359,12 +359,6 @@ object Plans {
         "compare inside whole-stage codegen, the gradient three " +
         "map-side-combined integer sums; iteration count, not data " +
         "volume, sets the cost floor."),
-    "s28_binary_metrics" ->
-      ("Threshold-sweep binary metrics: scores collapse to one row per " +
-        "DISTINCT score before any window work, the cumulative confusion " +
-        "matrix is a single range-partitioned window pass, and the " +
-        "trapezoid AUC is one map-side-combined sum — never a per-" +
-        "threshold self-join."),
     "s34_chisq_selector" ->
       ("Chi-squared selection: one explode -> (token, label) hash " +
         "aggregate builds every contingency table at once; marginals " +
