@@ -172,6 +172,60 @@ object Recommend {
     (users, items)
   }
 
+  /** One general-rank IMPLICIT half-step (Hu/Koren/Volinsky — the
+    * reference's implicitPrefs path composed with its rank parameter):
+    * the 1-row YᵀY Gramian over the other side (r(r+1)/2 sums,
+    * broadcast — the paper's trick keeping per-key work proportional to
+    * observed ratings), per-key confidence-weighted correction sums,
+    * then a pre-layer projection a_ij := g_ij + s_ij feeding the SAME
+    * [[alsSolveLayersK]] elimination chain as the explicit solve. */
+  private def solveSideImplicitK(ratings: DataFrame, other: DataFrame,
+                                 solveKey: String, otherKey: String,
+                                 rank: Int, lambda: Double,
+                                 alpha: Long): DataFrame = {
+    val ij = for { i <- 1 to rank; j <- i to rank } yield (i, j)
+    val gAggs = ij.map { case (i, j) =>
+      sum(col(s"f${i}q") * col(s"f${j}q")).as(s"g_${i}_$j") }
+    val g = other.agg(gAggs.head, gAggs.tail: _*)
+    val sAggs = ij.map { case (i, j) =>
+      sum(lit(alpha) * col("r") * col(s"f${i}q") * col(s"f${j}q")).as(s"s_${i}_$j") } ++
+      (1 to rank).map(i =>
+        sum((lit(1L) + (lit(alpha) * col("r"))) * col(s"f${i}q")).as(s"b_$i"))
+    var st = ratings.join(other, otherKey)
+      .groupBy(solveKey)
+      .agg(sAggs.head, sAggs.tail: _*)
+      .crossJoin(broadcast(g))
+      .selectExpr(solveKey +:
+        (ij.map { case (i, j) => s"(g_${i}_$j + s_${i}_$j) AS a_${i}_$j" } ++
+          (1 to rank).map(i => s"b_$i")): _*)
+    alsSolveLayersK(rank, lambda).foreach { layer =>
+      st = st.selectExpr(solveKey +: layer: _*)
+    }
+    st
+  }
+
+  /** `iters` general-rank implicit-feedback ALS rounds — [[alsImplicit]]
+    * with every solve through [[solveSideImplicitK]]; at rank = 2 the
+    * quantized factor state matches [[alsImplicit]] exactly (the
+    * [[alsRank]] ulp-absorption argument, RecommendSpec-pinned). */
+  def alsImplicitRank(ratings: DataFrame, rank: Int, iters: Int = 2,
+                      alpha: Long = 40L,
+                      lambda: Double = Lambda): (DataFrame, DataFrame) = {
+    require(rank >= 1 && rank <= 4, s"alsImplicitRank: rank $rank outside [1, 4]")
+    val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count()
+    var items = r.select("i").distinct()
+      .selectExpr("i" +: initFactorExprsK(rank, "i"): _*)
+      .localCheckpoint()
+    var users: DataFrame = null
+    for (_ <- 1 to iters) {
+      users = solveSideImplicitK(r, items, "u", "i", rank, lambda, alpha).localCheckpoint()
+      items = solveSideImplicitK(r, users, "i", "u", rank, lambda, alpha).localCheckpoint()
+    }
+    r.unpersist()
+    (users, items)
+  }
+
   /** One half-step: solve every `solveKey`'s rank-2 ridge normal equation
     * against the fixed `other`-side factors. Five exact integer sums per
     * key, then the closed-form Cramer solve in ONE double expression per

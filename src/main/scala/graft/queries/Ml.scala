@@ -141,6 +141,23 @@ object Ml {
       items.select("i", "f1q", "f2q", "f3q").orderBy("i")
     },
 
+    // General-rank IMPLICIT ALS (reference ALS.scala composes
+    // implicitPrefs WITH rank — a real user's call passes both; s47
+    // fixes rank = 2, s109 generalizes the explicit mode only): rank 3
+    // over the same confidence matrix, the 1-row Gramian + per-key
+    // confidence sums feeding the SAME generated elimination layers as
+    // s109 through an a = g + s pre-layer. RecommendSpec pins the
+    // rank-2 slice equal to alsImplicit's quantized state.
+    "s114_als_implicit_rank" -> { (s, dir) =>
+      val ratings = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_suppkey").as("i"))
+        .agg(least(lit(5L), count(lit(1))).as("r"))
+      val (_, items) = Recommend.alsImplicitRank(ratings, rank = 3, iters = 2)
+      items.select("i", "f1q", "f2q", "f3q").orderBy("i")
+    },
+
     // SVD++ (reference graphx/lib/SVDPlusPlus.scala — the last GraphX lib
     // algorithm without a counterpart): bias + implicit-feedback factors
     // trained by two full-batch gradient iterations over the same purchase
@@ -1460,6 +1477,32 @@ object Ml {
         q = s"SELECT $solveKey, ${layer.mkString(",\n      ")}\n    FROM ($q)"
       }
     s"$out AS MATERIALIZED (\n  $q)"
+  }
+
+  /** General-rank IMPLICIT half-step CTE: the 1-row Gramian over the
+    * other side, per-key confidence sums, the a = g + s pre-layer, then
+    * Recommend.alsSolveLayersK's shared projection layers. */
+  private def alsImplicitSolveCteK(out: String, other: String,
+                                   solveKey: String, otherKey: String,
+                                   rank: Int, alpha: Long): String = {
+    val ij = for { i <- 1 to rank; j <- i to rank } yield (i, j)
+    val gSel = ij.map { case (i, j) =>
+      s"CAST(sum(f${i}q * f${j}q) AS BIGINT) AS g_${i}_$j" }.mkString(", ")
+    val sSel = (ij.map { case (i, j) =>
+      s"CAST(sum($alpha * r.r * o.f${i}q * o.f${j}q) AS BIGINT) AS s_${i}_$j" } ++
+      (1 to rank).map(i =>
+        s"CAST(sum((1 + ($alpha * r.r)) * o.f${i}q) AS BIGINT) AS b_$i")).mkString(",\n      ")
+    var q = s"SELECT $solveKey, " +
+      (ij.map { case (i, j) => s"(g_${i}_$j + s_${i}_$j) AS a_${i}_$j" } ++
+        (1 to rank).map(i => s"b_$i")).mkString(", ") +
+      s"\n    FROM (SELECT r.$solveKey AS $solveKey,\n      $sSel" +
+      s"\n      FROM ratings r JOIN $other o ON o.$otherKey = r.$otherKey" +
+      s"\n      GROUP BY r.$solveKey) CROSS JOIN g_$out"
+    graft.ext.Recommend.alsSolveLayersK(rank, graft.ext.Recommend.Lambda)
+      .foreach { layer =>
+        q = s"SELECT $solveKey, ${layer.mkString(",\n      ")}\n    FROM ($q)"
+      }
+    s"g_$out AS (SELECT $gSel FROM $other),\n$out AS MATERIALIZED (\n  $q)"
   }
 
   private def alsSolveCte(out: String, other: String,
@@ -3853,6 +3896,23 @@ object Ml {
          |${alsNonnegSolveCte("x2", "y1", "u", "i")},
          |${alsNonnegSolveCte("y2", "x2", "i", "u")}
          |SELECT i, f1q, f2q FROM y2 ORDER BY i""".stripMargin,
+
+    // Four unrolled rank-3 IMPLICIT half-steps: per step a fresh 1-row
+    // Gramian, the confidence sums, and the shared layer text.
+    "s114_als_implicit_rank" ->
+      s"""WITH ratings AS MATERIALIZED (
+         |  SELECT o.o_custkey AS u, l.l_suppkey AS i,
+         |         least(5, count(*))::BIGINT AS r
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |y0 AS MATERIALIZED (
+         |  SELECT i, ${graft.ext.Recommend.initFactorExprsK(3, "i").mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT i FROM ratings)),
+         |${alsImplicitSolveCteK("x1", "y0", "u", "i", 3, 40L)},
+         |${alsImplicitSolveCteK("y1", "x1", "i", "u", 3, 40L)},
+         |${alsImplicitSolveCteK("x2", "y1", "u", "i", 3, 40L)},
+         |${alsImplicitSolveCteK("y2", "x2", "i", "u", 3, 40L)}
+         |SELECT i, f1q, f2q, f3q FROM y2 ORDER BY i""".stripMargin,
 
     // Four unrolled rank-3 half-steps, each the shared generated
     // init → elimination → back-substitution → quantize layer text

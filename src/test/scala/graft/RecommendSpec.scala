@@ -338,4 +338,17 @@ class RecommendSpec extends SparkSpec {
     intercept[IllegalArgumentException](Recommend.alsRank(ratings, rank = 5))
     intercept[IllegalArgumentException](Recommend.alsSolveLayersK(3, -0.1))
   }
+
+  test("alsImplicitRank at rank 2 reproduces alsImplicit's quantized state; rank 3 scores in-block") {
+    val (uC, iC) = Recommend.alsImplicit(ratings, iters = 2)
+    val (uK, iK) = Recommend.alsImplicitRank(ratings, rank = 2, iters = 2)
+    assert(uC.orderBy("u").collect().toSeq === uK.orderBy("u").collect().toSeq)
+    assert(iC.orderBy("i").collect().toSeq === iK.orderBy("i").collect().toSeq)
+    val (u3, i3) = Recommend.alsImplicitRank(ratings, rank = 3, iters = 2)
+    val uf = u3.collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fi = i3.collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def score(u: Long, i: Long) = uf(u).zip(fi(i)).map { case (a, b) => a * b }.sum
+    // user 1 must keep preferring its held-out in-block item at rank 3
+    assert(score(1L, 12L) > score(1L, 22L))
+  }
 }
