@@ -460,6 +460,87 @@ object Clustering {
       .select("topic", "rnk", "tok", "phi_micro")
   }
 
+  // ---- K-topic PLSA EM (the α = η → 1 limit of the smoothed EM below,
+  // s38's declared model class, generalized over the topic axis with the
+  // [[ldaTopicsK]] discipline: K−1 stored mixtures/responsibilities,
+  // complement columns keep every sum exact, integer-only E-step). ------
+
+  /** Topic-k PLSA responsibility in micro units over the K−1 stored doc
+    * mixtures (th1..) and the K emissions (p1..pK) — pure integer
+    * arithmetic; a word with zero mass in EVERY topic falls back to the
+    * uniform 1e6 DIV K (the legacy ½ at K = 2). */
+  def plsaRespExprK(kTot: Int, k: Int): String = {
+    val thK = s"(1000000 - ${(1 until kTot).map(j => s"th$j").reduce((a, b) => s"($a + $b)")})"
+    def term(j: Int) = if (j < kTot) s"(th$j * p$j)" else s"($thK * p$kTot)"
+    val den = (1 to kTot).map(term).reduce((a, b) => s"($a + $b)")
+    s"CAST(CASE WHEN $den = 0 THEN ${1000000 / kTot} " +
+      s"ELSE (${term(k)} * 1000000) DIV $den END AS BIGINT)"
+  }
+
+  /** K-topic PLSA over (`idCol`, `textCol`) documents — the
+    * [[plsaTopics]] loop with K−1 stored topics: each iteration ONE
+    * counts ⋈ theta ⋈ phi join plus a per-doc and a per-word hash
+    * aggregate (K−1 and K sum columns respectively); states
+    * localCheckpoint per iteration. Doc mixtures seed by the
+    * [[ldaSeedFracExpr]] K-residue parity (the legacy 250000/750000
+    * values at K = 2). Returns the top-`topK` words per topic. */
+  def plsaTopicsK(docs: DataFrame, idCol: String, textCol: String,
+                  kTot: Int, iters: Int = 2, topK: Int = 8): DataFrame = {
+    require(kTot >= 2 && kTot <= 6, s"plsaTopicsK: K = $kTot outside [2, 6]")
+    import org.apache.spark.sql.expressions.Window
+    val ks = 1 until kTot
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val vocabN = counts.agg(count_distinct(col("tok")).as("vn"))
+    val uni = 1000000 / kTot
+    var theta = counts.select("did").distinct()
+      .selectExpr("did" +:
+        ks.map(k => s"CAST(${ldaSeedFracExpr(kTot, k)} AS BIGINT) AS th$k"): _*)
+      .localCheckpoint()
+    var phi = counts.select("tok").distinct()
+      .crossJoin(broadcast(vocabN))
+      .selectExpr("tok" +:
+        (1 to kTot).map(k => s"CAST(1000000 DIV vn AS BIGINT) AS p$k"): _*)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val rK = s"(1000000 - ${ks.map(k => s"r$k").reduce((a, b) => s"($a + $b)")})"
+      val scored = counts.join(theta, "did").join(phi, "tok")
+        .selectExpr(Seq("did", "tok", "c") ++
+          ks.map(k => s"${plsaRespExprK(kTot, k)} AS r$k"): _*)
+        .selectExpr(Seq("did", "c", "tok") ++
+          ks.map(k => s"r$k * c AS s${k}c") :+ s"$rK * c AS s${kTot}c": _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      theta = scored.groupBy("did")
+        .agg(sum("s1c").as("sc1"),
+          (ks.drop(1).map(k => sum(s"s${k}c").as(s"sc$k")) :+ sum("c").as("sc")): _*)
+        .selectExpr("did" +:
+          ks.map(k => s"CAST(sc$k DIV sc AS BIGINT) AS th$k"): _*)
+        .localCheckpoint()
+      val pa = scored.groupBy("tok")
+        .agg(sum("s1c").as("w1"),
+          (2 to kTot).map(k => sum(s"s${k}c").as(s"w$k")): _*)
+      val tot = pa.agg(sum("w1").as("t1"),
+        (2 to kTot).map(k => sum(s"w$k").as(s"t$k")): _*)
+      phi = pa.crossJoin(broadcast(tot))
+        .selectExpr("tok" +:
+          (1 to kTot).map(k => s"CAST((w$k * 1000000) DIV t$k AS BIGINT) AS p$k"): _*)
+        .localCheckpoint()
+      scored.unpersist()
+    }
+    counts.unpersist()
+    val topics = (2 to kTot).map(k =>
+        phi.select(lit(k.toLong), col("tok"), col(s"p$k")))
+      .foldLeft(phi.select(lit(1L).as("topic"), col("tok"), col("p1").as("phi_micro")))(_ union _)
+    topics.select(col("topic"), col("tok"), col("phi_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("phi_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "phi_micro")
+  }
+
   // ---- smoothed LDA EM (reference mllib/clustering/LDA.scala:418
   // computePTopic — γ_wjk ∝ (N_wk + η−1)(N_jk + α−1)/(N_k + W(η−1)) —
   // driven by LDAOptimizer.scala:150 next(): E-step scales γ by the

@@ -284,6 +284,18 @@ object MlEval {
       graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
     },
 
+    // K-topic PLSA EM (reference LDA.scala's k parameter applied to
+    // s38's declared PLSA model class — the alpha = eta -> 1 limit;
+    // K-1 stored mixtures, complement sum columns, integer-only
+    // E-step whose K = 2 instantiation is value-identical to
+    // plsaRespExpr). LdaKSpec pins plsaTopicsK(2) equal to the legacy
+    // plsaTopics output; s38 untouched.
+    "s115_plsa_k3" -> { (s, dir) =>
+      graft.ext.Clustering.plsaTopicsK(Tables.documents(s, dir),
+          "doc_id", "text", kTot = 3, iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // K-topic smoothed LDA EM (reference mllib/clustering/LDA.scala —
     // `k` is the headline parameter, :131 setK; every earlier LDA row
     // fixed K = 2): three topics over the documents corpus, topic 3
@@ -795,6 +807,51 @@ object MlEval {
          |SELECT o_orderkey, y, ${graft.ext.Learn.linPredExpr} AS predq
          |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
+    },
+
+    // Mirror of Clustering.plsaTopicsK at K = 3: the s38 chain with
+    // K−1 stored mixture columns and the generated K-fold integer
+    // responsibility (complement sum columns keep every total exact).
+    "s115_plsa_k3" -> {
+      import graft.ext.Clustering
+      val K = 3
+      val ks = 1 until K
+      val rK = s"(1000000 - ${ks.map(k => s"r$k").reduce((a, b) => s"($a + $b)")})"
+      val iters = (1 to 2).map { it =>
+        s"""sc$it AS MATERIALIZED (
+           |  SELECT did, c, tok, ${ks.map(k => s"r$k * c AS s${k}c").mkString(", ")}, $rK * c AS s${K}c FROM (
+           |    SELECT cn.did, cn.tok, cn.c,
+           |      ${ks.map(k => s"${Clustering.plsaRespExprK(K, k).replace(" DIV ", " // ")} AS r$k").mkString(",\n      ")}
+           |    FROM counts cn JOIN th${it - 1} USING (did) JOIN ph${it - 1} USING (tok))),
+           |th$it AS MATERIALIZED (
+           |  SELECT did, ${ks.map(k => s"CAST(CAST(sum(s${k}c) AS BIGINT) // CAST(sum(c) AS BIGINT) AS BIGINT) AS th$k").mkString(", ")}
+           |  FROM sc$it GROUP BY 1),
+           |pa$it AS (SELECT tok, ${(1 to K).map(k => s"CAST(sum(s${k}c) AS BIGINT) AS w$k").mkString(", ")}
+           |  FROM sc$it GROUP BY 1),
+           |tt$it AS (SELECT ${(1 to K).map(k => s"CAST(sum(w$k) AS BIGINT) AS t$k").mkString(", ")} FROM pa$it),
+           |ph$it AS MATERIALIZED (
+           |  SELECT tok, ${(1 to K).map(k => s"CAST((w$k * 1000000) // t$k AS BIGINT) AS p$k").mkString(",\n         ")}
+           |  FROM pa$it CROSS JOIN tt$it)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH counts AS MATERIALIZED (
+         |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vn FROM counts),
+         |th0 AS MATERIALIZED (
+         |  SELECT did, ${ks.map(k => s"CAST(${Clustering.ldaSeedFracExpr(K, k)} AS BIGINT) AS th$k").mkString(", ")}
+         |  FROM (SELECT DISTINCT did FROM counts)),
+         |ph0 AS MATERIALIZED (
+         |  SELECT tok, ${(1 to K).map(k => s"CAST(1000000 // vn AS BIGINT) AS p$k").mkString(", ")}
+         |  FROM (SELECT DISTINCT tok FROM counts) CROSS JOIN v),
+         |$iters
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, phi_micro FROM (
+         |  SELECT topic, tok, phi_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY phi_micro DESC, tok) AS rn
+         |  FROM (${(1 to K).map(k =>
+               s"SELECT ${if (k == 1) s"$k::BIGINT AS topic, tok, p$k AS phi_micro"
+               else s"$k::BIGINT, tok, p$k"} FROM ph2").mkString("\n        UNION ALL ")}))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin
     },
 
     // Two unrolled PLSA-EM iterations sharing Clustering.plsaRespExpr

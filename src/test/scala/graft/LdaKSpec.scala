@@ -58,4 +58,26 @@ class LdaKSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Clustering.ldaTopicsK(docs, "doc_id", "text", kTot = 7))
   }
+
+  test("plsaTopicsK at K = 2 reproduces the legacy plsaTopics output exactly") {
+    val legacy = Clustering.plsaTopics(docs, "doc_id", "text", iters = 2, topK = 8)
+      .orderBy("topic", "rnk").collect().toSeq
+    val k2 = Clustering.plsaTopicsK(docs, "doc_id", "text", kTot = 2, iters = 2, topK = 8)
+      .orderBy("topic", "rnk").collect().toSeq
+    assert(k2 === legacy)
+  }
+
+  test("plsaTopicsK at K = 3 separates three planted vocabularies") {
+    val out = Clustering.plsaTopicsK(docs, "doc_id", "text", kTot = 3, iters = 4, topK = 4)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val vocabs = Seq(Set("ale", "bock", "stout", "porter"),
+      Set("cider", "perry", "mead", "braggot"),
+      Set("kvass", "sima", "boza", "chicha"))
+    val byTopic = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSet)
+    val owners = (1L to 3L).map { t =>
+      vocabs.zipWithIndex.maxBy { case (v, _) => (v & byTopic(t)).size }._2
+    }
+    assert(owners.toSet.size === 3, s"each topic must own a distinct vocabulary: $owners")
+  }
 }
