@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * MultivariateGaussian; the repo's earlier members each fixed one axis:
   * [[Clustering.gmmFit1dK3]] = (d 1, K 3), [[Clustering.gmmFit2d]] =
   * (d 2, K 2)). This module GENERATES the whole EM expression text for
-  * any (d ≤ 2, K ≤ 4) from per-dimension kernels (determinant /
+  * any (d ≤ 3, K ≤ 4) from per-dimension kernels (determinant /
   * Mahalanobis / naming / unit-scale) composed with K-fold complement
   * machinery, so the historical arities reproduce the legacy fitted
   * STATE exactly — same parse trees, same IEEE doubles, same quantized
   * integers (GmmKdSpec pins both slices output-for-output) — while the
-  * new joint points ((2, 3), (2, 4), (1, 4), (1, 2)-heteroscedastic)
+  * new joint points ((2, 3), (3, 2), (2, 4), (1, 4), (1, 2)-heteroscedastic)
   * come from the same text.
   *
   * Conventions inherited from the legacy members (declared deviations
@@ -42,12 +42,12 @@ import org.apache.spark.sql.functions._
 object GmmKd {
 
   /** Axis names by dimension index 1..d. */
-  def axes(d: Int): Seq[String] = Seq("x", "y").take(d)
+  def axes(d: Int): Seq[String] = Seq("x", "y", "z").take(d)
 
   private def pairs(d: Int): Seq[(Int, Int)] =
     for { i <- 1 to d; j <- i to d } yield (i, j)
 
-  private def ax(i: Int): String = Seq("x", "y")(i - 1)
+  private def ax(i: Int): String = Seq("x", "y", "z")(i - 1)
 
   /** Constant corpus totals carried through every state row: count,
     * exact coordinate sums, DECIMAL(38,0)/HUGEINT second moments. */
@@ -72,20 +72,44 @@ object GmmKd {
   private def dx1(k: Int) =
     s"(CAST(x AS DOUBLE) - (CAST(m${k}m AS DOUBLE) / 1000.0))"
 
-  /** det Σ_k in real units (d = 1: the scalar variance). */
+  /** Σ entry text with canonical (row ≤ col) index order. */
+  private def sigE(k: Int, i: Int, j: Int): String =
+    if (i <= j) sig2(k, i, j) else sig2(k, j, i)
+
+  /** Cofactor C_ij of the 3×3 Σ_k (symmetric, so adj = cofactor
+    * matrix): minor with sign, built from the canonical entries. */
+  private def cof3(k: Int, i: Int, j: Int): String = {
+    val (r1, r2) = (Seq(1, 2, 3).filter(_ != i)(0), Seq(1, 2, 3).filter(_ != i)(1))
+    val (c1, c2) = (Seq(1, 2, 3).filter(_ != j)(0), Seq(1, 2, 3).filter(_ != j)(1))
+    val minor = s"((${sigE(k, r1, c1)} * ${sigE(k, r2, c2)}) - (${sigE(k, r1, c2)} * ${sigE(k, r2, c1)}))"
+    if ((i + j) % 2 == 0) minor else s"(0.0 - $minor)"
+  }
+
+  /** det Σ_k in real units (d = 1: the scalar variance; d = 3: the
+    * first-row cofactor expansion). */
   def detExpr(d: Int, k: Int): String = d match {
     case 1 => s"(CAST(v${k}m AS DOUBLE) / 1000.0)"
     case 2 => s"((${sig2(k, 1, 1)} * ${sig2(k, 2, 2)}) - (${sig2(k, 1, 2)} * ${sig2(k, 1, 2)}))"
+    case 3 => s"(((${sig2(k, 1, 1)} * ${cof3(k, 1, 1)}) + (${sig2(k, 1, 2)} * ${cof3(k, 1, 2)})) + " +
+      s"(${sig2(k, 1, 3)} * ${cof3(k, 1, 3)}))"
   }
 
   /** Mahalanobis quadratic form dᵀΣ⁻¹d (d = 2 via the 2×2 adjugate —
-    * the gmm2 closed form). */
+    * the gmm2 closed form; d = 3 via the symmetric cofactor matrix:
+    * Σ diag terms + 2× each off-diagonal). */
   private def qExpr(d: Int, k: Int): String = d match {
     case 1 => s"((${dx1(k)} * ${dx1(k)}) / ${detExpr(1, k)})"
     case 2 =>
       s"(((((${dx2(k, "x")} * ${dx2(k, "x")}) * ${sig2(k, 2, 2)}) - " +
         s"(((2.0 * ${dx2(k, "x")}) * ${dx2(k, "y")}) * ${sig2(k, 1, 2)})) + " +
         s"((${dx2(k, "y")} * ${dx2(k, "y")}) * ${sig2(k, 1, 1)})) / ${detExpr(2, k)})"
+    case 3 =>
+      val terms =
+        (1 to 3).map(i =>
+          s"((${dx2(k, ax(i))} * ${dx2(k, ax(i))}) * ${cof3(k, i, i)})") ++
+          (for { i <- 1 to 3; j <- i + 1 to 3 } yield
+            s"(((2.0 * ${dx2(k, ax(i))}) * ${dx2(k, ax(j))}) * ${cof3(k, i, j)})")
+      s"((${terms.reduce((a, b) => s"($a + $b)")}) / ${detExpr(3, k)})"
   }
 
   /** Half quadratic form, in the historical parenthesization per d
@@ -93,7 +117,7 @@ object GmmKd {
     * d = 2 halves the adjugate form). */
   private def halfQ(d: Int, k: Int): String = d match {
     case 1 => s"((${dx1(k)} * ${dx1(k)}) / (2.0 * ${detExpr(1, k)}))"
-    case 2 => s"(0.5 * ${qExpr(2, k)})"
+    case _ => s"(0.5 * ${qExpr(d, k)})"
   }
 
   /** Component-k log-density (2π normalizers cancel within a fixed d). */
@@ -129,11 +153,11 @@ object GmmKd {
     (1 until kTot).map(k => s"w${k}u") ++
       (1 to kTot).flatMap(k => d match {
         case 1 => Seq(s"m${k}m")
-        case 2 => Seq(s"m${k}x", s"m${k}y")
+        case _ => axes(d).map(a => s"m$k$a")
       }) ++
       (1 to kTot).flatMap(k => d match {
         case 1 => Seq(s"v${k}m")
-        case 2 => Seq(s"c${k}11", s"c${k}12", s"c${k}22")
+        case _ => pairs(d).map { case (i, j) => s"c$k$i$j" }
       })
 
   /** The M-step over the per-component responsibility sums plus the
@@ -153,9 +177,9 @@ object GmmKd {
       d match {
         case 1 =>
           Seq(s"m${k}m" -> s"CAST(round(${meanD(s"sr$s", s"srx$s")} * 1000.0) AS BIGINT)")
-        case 2 =>
-          Seq(s"m${k}x" -> s"CAST(round(${meanD(s"sr$s", s"srx$s")}) AS BIGINT)",
-            s"m${k}y" -> s"CAST(round(${meanD(s"sr$s", s"sry$s")}) AS BIGINT)")
+        case _ =>
+          axes(d).map(a =>
+            s"m$k$a" -> s"CAST(round(${meanD(s"sr$s", s"sr$a$s")}) AS BIGINT)")
       }
     }
     val lastMean = d match {
@@ -163,12 +187,12 @@ object GmmKd {
         val srK = s"((n * 1000000) - ${parts("sr")})"
         val srxK = s"((CAST(sx AS DOUBLE) * 1000000.0) - ${dparts("srx")})"
         Seq(s"m${kTot}m" -> s"CAST(round(($srxK / CAST($srK AS DOUBLE)) * 1000.0) AS BIGINT)")
-      case 2 =>
+      case _ =>
         val srKD = s"((CAST(n AS DOUBLE) * 1000000.0) - ${dparts("sr")})"
         def compD(tot: String, base: String) =
           s"(((CAST($tot AS DOUBLE) * 1000000.0) - ${dparts(base)}) / $srKD)"
-        Seq(s"m${kTot}x" -> s"CAST(round(${compD("sx", "srx")}) AS BIGINT)",
-          s"m${kTot}y" -> s"CAST(round(${compD("sy", "sry")}) AS BIGINT)")
+        axes(d).map(a =>
+          s"m$kTot$a" -> s"CAST(round(${compD(s"s$a", s"sr$a")}) AS BIGINT)")
     }
     val storedCov = (1 until kTot).flatMap { k =>
       val s = sfx(kTot, k)
@@ -177,13 +201,13 @@ object GmmKd {
           val m = meanD(s"sr$s", s"srx$s")
           Seq(s"v${k}m" -> (s"greatest(CAST(round(((CAST(srxx$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - " +
             s"($m * $m)) * 1000.0) AS BIGINT), 1)"))
-        case 2 =>
-          val mx = meanD(s"sr$s", s"srx$s")
-          val my = meanD(s"sr$s", s"sry$s")
-          Seq(
-            s"c${k}11" -> s"greatest(CAST(round((CAST(srxx$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($mx * $mx)) AS BIGINT), 1)",
-            s"c${k}12" -> s"CAST(round((CAST(srxy$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($mx * $my)) AS BIGINT)",
-            s"c${k}22" -> s"greatest(CAST(round((CAST(sryy$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($my * $my)) AS BIGINT), 1)")
+        case _ =>
+          pairs(d).map { case (i, j) =>
+            val (ai, aj) = (ax(i), ax(j))
+            val (mi, mj) = (meanD(s"sr$s", s"sr$ai$s"), meanD(s"sr$s", s"sr$aj$s"))
+            val body = s"CAST(round((CAST(sr$ai$aj$s AS DOUBLE) / CAST(sr$s AS DOUBLE)) - ($mi * $mj)) AS BIGINT)"
+            s"c$k$i$j" -> (if (i == j) s"greatest($body, 1)" else body)
+          }
       }
     }
     val lastCov = d match {
@@ -193,14 +217,16 @@ object GmmKd {
         val srxxK = s"((CAST(sxx AS DOUBLE) * 1000000.0) - ${dparts("srxx")})"
         Seq(s"v${kTot}m" -> (s"greatest(CAST(round((($srxxK / CAST($srK AS DOUBLE)) - " +
           s"(($srxK / CAST($srK AS DOUBLE)) * ($srxK / CAST($srK AS DOUBLE)))) * 1000.0) AS BIGINT), 1)"))
-      case 2 =>
+      case _ =>
         val srKD = s"((CAST(n AS DOUBLE) * 1000000.0) - ${dparts("sr")})"
         def compD(tot: String, base: String) =
           s"(((CAST($tot AS DOUBLE) * 1000000.0) - ${dparts(base)}) / $srKD)"
-        Seq(
-          s"c${kTot}11" -> s"greatest(CAST(round(${compD("sxx", "srxx")} - (${compD("sx", "srx")} * ${compD("sx", "srx")})) AS BIGINT), 1)",
-          s"c${kTot}12" -> s"CAST(round(${compD("sxy", "srxy")} - (${compD("sx", "srx")} * ${compD("sy", "sry")})) AS BIGINT)",
-          s"c${kTot}22" -> s"greatest(CAST(round(${compD("syy", "sryy")} - (${compD("sy", "sry")} * ${compD("sy", "sry")})) AS BIGINT), 1)")
+        pairs(d).map { case (i, j) =>
+          val (ai, aj) = (ax(i), ax(j))
+          val body = s"CAST(round(${compD(s"s$ai$aj", s"sr$ai$aj")} - " +
+            s"(${compD(s"s$ai", s"sr$ai")} * ${compD(s"s$aj", s"sr$aj")})) AS BIGINT)"
+          s"c$kTot$i$j" -> (if (i == j) s"greatest($body, 1)" else body)
+        }
     }
     weights ++ stored ++ lastMean ++ storedCov ++ lastCov
   }
@@ -215,7 +241,8 @@ object GmmKd {
   /** Per-region stat column names for region label `p`. */
   def regionStatCols(d: Int, p: String): Seq[String] = d match {
     case 1 => Seq(s"n$p", s"s$p", s"ss$p")
-    case 2 => Seq(s"n$p", s"s${p}x", s"s${p}y", s"s${p}xx", s"s${p}xy", s"s${p}yy")
+    case _ => s"n$p" +: (axes(d).map(a => s"s$p$a") ++
+      pairs(d).map { case (i, j) => s"s$p${ax(i)}${ax(j)}" })
   }
 
   /** Init from the K region stats: every component seeds from its own
@@ -230,8 +257,8 @@ object GmmKd {
       val p = regs(k - 1)
       d match {
         case 1 => Seq(s"m${k}m" -> s"CAST(round(${meanD(s"n$p", s"s$p")} * 1000.0) AS BIGINT)")
-        case 2 => Seq(s"m${k}x" -> s"CAST(round(${meanD(s"n$p", s"s${p}x")}) AS BIGINT)",
-          s"m${k}y" -> s"CAST(round(${meanD(s"n$p", s"s${p}y")}) AS BIGINT)")
+        case _ => axes(d).map(a =>
+          s"m$k$a" -> s"CAST(round(${meanD(s"n$p", s"s$p$a")}) AS BIGINT)")
       }
     }
     val covs = (1 to kTot).flatMap { k =>
@@ -241,13 +268,13 @@ object GmmKd {
           val m = meanD(s"n$p", s"s$p")
           Seq(s"v${k}m" -> (s"greatest(CAST(round(((CAST(ss$p AS DOUBLE) / CAST(n$p AS DOUBLE)) - " +
             s"($m * $m)) * 1000.0) AS BIGINT), 1)"))
-        case 2 =>
-          val mx = meanD(s"n$p", s"s${p}x")
-          val my = meanD(s"n$p", s"s${p}y")
-          Seq(
-            s"c${k}11" -> s"greatest(CAST(round((CAST(s${p}xx AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($mx * $mx)) AS BIGINT), 1)",
-            s"c${k}12" -> s"CAST(round((CAST(s${p}xy AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($mx * $my)) AS BIGINT)",
-            s"c${k}22" -> s"greatest(CAST(round((CAST(s${p}yy AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($my * $my)) AS BIGINT), 1)")
+        case _ =>
+          pairs(d).map { case (i, j) =>
+            val (ai, aj) = (ax(i), ax(j))
+            val (mi, mj) = (meanD(s"n$p", s"s$p$ai"), meanD(s"n$p", s"s$p$aj"))
+            val body = s"CAST(round((CAST(s$p$ai$aj AS DOUBLE) / CAST(n$p AS DOUBLE)) - ($mi * $mj)) AS BIGINT)"
+            s"c$k$i$j" -> (if (i == j) s"greatest($body, 1)" else body)
+          }
       }
     }
     weights ++ means ++ covs
@@ -291,7 +318,7 @@ object GmmKd {
     * (comp, weight_micro, mean_x_milli, mean_y_milli, var_x_micro,
     * cov_xy_micro, var_y_micro, n_hard). */
   def gmmFitKd(xs: DataFrame, d: Int, kTot: Int, iters: Int = 3): DataFrame = {
-    require(d >= 1 && d <= 2, s"gmmFitKd: d = $d outside [1, 2]")
+    require(d >= 1 && d <= 3, s"gmmFitKd: d = $d outside [1, 3]")
     require(kTot >= 2 && kTot <= 4, s"gmmFitKd: K = $kTot outside [2, 4]")
     val cc = constCols(d)
     val f = xs.select(axes(d).map(col): _*)
@@ -317,12 +344,13 @@ object GmmKd {
       count_lit(s"reg = $r").as(s"n$p") +: (d match {
         case 1 => Seq(sum(expr(s"CASE WHEN reg = $r THEN x ELSE 0 END")).as(s"s$p"),
           sum(expr(s"CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as(s"ss$p"))
-        case 2 => Seq(
-          sum(expr(s"CASE WHEN reg = $r THEN x ELSE 0 END")).as(s"s${p}x"),
-          sum(expr(s"CASE WHEN reg = $r THEN y ELSE 0 END")).as(s"s${p}y"),
-          sum(expr(s"CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}xx"),
-          sum(expr(s"CAST(CASE WHEN reg = $r THEN x * y ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}xy"),
-          sum(expr(s"CAST(CASE WHEN reg = $r THEN y * y ELSE 0 END AS DECIMAL(38,0))")).as(s"s${p}yy"))
+        case _ =>
+          axes(d).map(a =>
+            sum(expr(s"CASE WHEN reg = $r THEN $a ELSE 0 END")).as(s"s$p$a")) ++
+            pairs(d).map { case (i, j) =>
+              sum(expr(s"CAST(CASE WHEN reg = $r THEN ${ax(i)} * ${ax(j)} ELSE 0 END AS DECIMAL(38,0))"))
+                .as(s"s$p${ax(i)}${ax(j)}")
+            }
       })
     }
     val regions = f.crossJoin(broadcast(bounds))
@@ -358,15 +386,9 @@ object GmmKd {
       .selectExpr(respCols: _*)
       .selectExpr(s"${hardExpr(kTot)} AS comp")
       .groupBy("comp").agg(count(lit(1)).as("n_hard"))
-    val outCols = d match {
-      case 1 => Seq("mean_milli", "var_milli")
-      case 2 => Seq("mean_x_milli", "mean_y_milli", "var_x_micro", "cov_xy_micro", "var_y_micro")
-    }
+    val outCols = outColNames(d)
     def compRow(k: Int): DataFrame = {
-      val params = d match {
-        case 1 => Seq(s"m${k}m", s"v${k}m")
-        case 2 => Seq(s"m${k}x", s"m${k}y", s"c${k}11", s"c${k}12", s"c${k}22")
-      }
+      val params = compParams(d, k)
       val named = if (k == 1) params.zip(outCols).map { case (p, o) => s"$p AS $o" } else params
       state.selectExpr((s"CAST($k AS BIGINT)${if (k == 1) " AS comp" else ""}" +:
         s"${outWeightExpr(kTot, k)}${if (k == 1) " AS weight_micro" else ""}" +: named): _*)
@@ -379,6 +401,22 @@ object GmmKd {
   }
 
   private def count_lit(cond: String) = sum(expr(s"CASE WHEN $cond THEN 1 ELSE 0 END"))
+
+  /** Output column names: per-axis milli means, then the covariance
+    * upper triangle in micro (var_ on the diagonal, cov_ off it). */
+  private def outColNames(d: Int): Seq[String] = d match {
+    case 1 => Seq("mean_milli", "var_milli")
+    case _ => axes(d).map(a => s"mean_${a}_milli") ++
+      pairs(d).map { case (i, j) =>
+        if (i == j) s"var_${ax(i)}_micro" else s"cov_${ax(i)}${ax(j)}_micro"
+      }
+  }
+
+  private def compParams(d: Int, k: Int): Seq[String] = d match {
+    case 1 => Seq(s"m${k}m", s"v${k}m")
+    case _ => axes(d).map(a => s"m$k$a") ++
+      pairs(d).map { case (i, j) => s"c$k$i$j" }
+  }
 
   // ---- DuckDB mirror --------------------------------------------------
 
@@ -410,12 +448,12 @@ object GmmKd {
       s"CAST(sum(CASE WHEN reg = $r THEN 1 ELSE 0 END) AS BIGINT) AS n$p" +: (d match {
         case 1 => Seq(s"CAST(sum(CASE WHEN reg = $r THEN x ELSE 0 END) AS BIGINT) AS s$p",
           s"sum(CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS HUGEINT)) AS ss$p")
-        case 2 => Seq(
-          s"CAST(sum(CASE WHEN reg = $r THEN x ELSE 0 END) AS BIGINT) AS s${p}x",
-          s"CAST(sum(CASE WHEN reg = $r THEN y ELSE 0 END) AS BIGINT) AS s${p}y",
-          s"sum(CAST(CASE WHEN reg = $r THEN x * x ELSE 0 END AS HUGEINT)) AS s${p}xx",
-          s"sum(CAST(CASE WHEN reg = $r THEN x * y ELSE 0 END AS HUGEINT)) AS s${p}xy",
-          s"sum(CAST(CASE WHEN reg = $r THEN y * y ELSE 0 END AS HUGEINT)) AS s${p}yy")
+        case _ =>
+          axes(d).map(a =>
+            s"CAST(sum(CASE WHEN reg = $r THEN $a ELSE 0 END) AS BIGINT) AS s$p$a") ++
+            pairs(d).map { case (i, j) =>
+              s"sum(CAST(CASE WHEN reg = $r THEN ${ax(i)} * ${ax(j)} ELSE 0 END AS HUGEINT)) AS s$p${ax(i)}${ax(j)}"
+            }
       })
     }.mkString(",\n    ")
     val respSel = (1 until kTot).map { k =>
@@ -438,15 +476,9 @@ object GmmKd {
          |        FROM xs CROSS JOIN g${k - 1})),
          |g$k AS MATERIALIZED (SELECT $cc, $upd FROM ga$k CROSS JOIN g${k - 1})""".stripMargin
     }.mkString(",\n")
-    val outCols = d match {
-      case 1 => Seq("mean_milli", "var_milli")
-      case 2 => Seq("mean_x_milli", "mean_y_milli", "var_x_micro", "cov_xy_micro", "var_y_micro")
-    }
+    val outCols = outColNames(d)
     def compSel(k: Int): String = {
-      val params = d match {
-        case 1 => Seq(s"m${k}m", s"v${k}m")
-        case 2 => Seq(s"m${k}x", s"m${k}y", s"c${k}11", s"c${k}12", s"c${k}22")
-      }
+      val params = compParams(d, k)
       val named = if (k == 1) params.zip(outCols).map { case (p, o) => s"$p AS $o" } else params
       val head = if (k == 1) s"SELECT CAST($k AS BIGINT) AS comp, ${outWeightExpr(kTot, k)} AS weight_micro"
       else s"SELECT CAST($k AS BIGINT), ${outWeightExpr(kTot, k)}"

@@ -309,6 +309,20 @@ object MlEval {
         .orderBy("topic", "rnk")
     },
 
+    // 3-D full-covariance Gaussian mixture (the d axis of GmmKd pushed
+    // past the closed 2×2: det/Mahalanobis via the generated symmetric
+    // 3×3 cofactor algebra): two components over (quantity, price,
+    // discount), all six covariance entries carried and gated.
+    // GmmKdSpec separates planted anisotropic 3-D clusters with exact
+    // hard counts and checks the fitted Σ is positive-definite.
+    "s116_gmm_3d" -> { (s, dir) =>
+      val xs = Tables.lineitem(s, dir).selectExpr(
+        "CAST(round(l_quantity * 1000.0) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y",
+        "CAST(round(l_discount * 100000.0) AS BIGINT) AS z")
+      graft.ext.GmmKd.gmmFitKd(xs, d = 3, kTot = 2, iters = 3).orderBy("comp")
+    },
+
     // Joint (d, K) Gaussian mixture — 2-D, THREE components, full
     // covariance each (reference mllib/clustering/GaussianMixture
     // .scala:161 run: the reference model is d-dimensional AND
@@ -1194,6 +1208,15 @@ object MlEval {
     // Mirror of Clustering.gmmFit1dK3: unrolled heteroscedastic 3-way
     // EM sharing the softmax / update / init formula strings (DIV -> //
     // on the non-negative operands; HUGEINT second moments).
+    // Mirror of GmmKd.gmmFitKd(3, 2): same generator-assembled oracle,
+    // 3-D kernel (cofactor det/Mahalanobis), HUGEINT second moments.
+    "s116_gmm_3d" -> graft.ext.GmmKd.oracleSql(3, 2, 3,
+      """xs AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity * 1000.0) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |         CAST(round(l_discount * 100000.0) AS BIGINT) AS z
+        |  FROM lineitem)""".stripMargin),
+
     // Mirror of GmmKd.gmmFitKd(2, 3): the generalized generator's own
     // oracle assembly — shared init/update/responsibility Seqs, three
     // unrolled iterations, HUGEINT second moments.

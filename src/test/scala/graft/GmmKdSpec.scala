@@ -88,8 +88,47 @@ class GmmKdSpec extends SparkSpec {
     // means ascend with the planted centers
     val means = out.map(_.getLong(2))
     assert(means.sameElements(means.sorted), s"means not ascending: ${means.toSeq}")
-    intercept[IllegalArgumentException](GmmKd.gmmFitKd(four, d = 3, kTot = 2))
+    intercept[IllegalArgumentException](GmmKd.gmmFitKd(four, d = 4, kTot = 2))
     intercept[IllegalArgumentException](GmmKd.gmmFitKd(four, d = 1, kTot = 5))
+  }
+
+  test("(3, 2) separates two planted anisotropic 3-D clusters") {
+    import spark.implicits._
+    // two 3-D lattice clouds (milli units), each with three independent
+    // indices so no covariance is singular; separated on every axis
+    val a = (1 to 160).map { i =>
+      (9000L + (i % 7) * 700L, 25000L + (i % 5) * 900L + (i % 3) * 400L,
+        40000L - (i % 11) * 500L + (i % 4) * 300L)
+    }
+    val b = (1 to 90).map { i =>
+      (61000L + (i % 9) * 600L, 70000L - (i % 7) * 800L + (i % 4) * 500L,
+        12000L + (i % 5) * 1100L + (i % 3) * 700L)
+    }
+    val xs = (a ++ b).toDF("x", "y", "z")
+    val out = GmmKd.gmmFitKd(xs, d = 3, kTot = 2, iters = 3).orderBy("comp").collect()
+    assert(out.length === 2)
+    assert(out.head.schema.fieldNames.toSeq === Seq("comp", "weight_micro",
+      "mean_x_milli", "mean_y_milli", "mean_z_milli", "var_x_micro",
+      "cov_xy_micro", "cov_xz_micro", "var_y_micro", "cov_yz_micro",
+      "var_z_micro", "n_hard"))
+    // hard counts recover the planted sizes exactly; weights complement
+    assert(out.map(_.getLong(11)).toSeq === Seq(160L, 90L))
+    assert(out.map(_.getLong(1)).sum === 1000000L)
+    // means land near the planted centers on every axis (milli)
+    val m1 = (out(0).getLong(2), out(0).getLong(3), out(0).getLong(4))
+    val m2 = (out(1).getLong(2), out(1).getLong(3), out(1).getLong(4))
+    assert(math.abs(m1._1 - 11100) < 2000 && math.abs(m1._2 - 27200) < 2000 &&
+      math.abs(m1._3 - 38000) < 2500, s"comp1 means $m1")
+    assert(math.abs(m2._1 - 63400) < 2000 && math.abs(m2._2 - 68000) < 2500 &&
+      math.abs(m2._3 - 15000) < 2500, s"comp2 means $m2")
+    // diagonals positive, determinant of comp-1's fitted Sigma positive
+    // (the generated 3x3 cofactor algebra is a real inverse)
+    val (v1, c12, c13, v2, c23, v3) = (out(0).getLong(5), out(0).getLong(6),
+      out(0).getLong(7), out(0).getLong(8), out(0).getLong(9), out(0).getLong(10))
+    val det = v1.toDouble * (v2.toDouble * v3 - c23.toDouble * c23) -
+      c12.toDouble * (c12.toDouble * v3 - c23.toDouble * c13) +
+      c13.toDouble * (c12.toDouble * c23 - v2.toDouble * c13)
+    assert(det > 0, s"fitted 3x3 covariance must be positive-definite: det $det")
   }
 
   test("binary responsibility text is byte-identical to gmm2RespExpr at d = 2") {
