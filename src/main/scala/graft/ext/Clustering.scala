@@ -958,6 +958,120 @@ object Clustering {
       .select("topic", "rnk", "tok", "lambda_micro")
   }
 
+  // ---- K-topic ONLINE variational LDA (LDAOptimizer.scala:231 takes k
+  // from the enclosing LDA; the chain above fixes K = 2 — the last
+  // online-path topic-axis scaffolding). No complement trick here: the
+  // reference's λ stores ALL K topic rows, and so does this state — the
+  // generalization is per-topic column loops over the SAME ratio /
+  // fraction / blend formula strings. The binary slice keeps the
+  // historical parity seeds verbatim (spec-pinned); K ≥ 3 rotates a
+  // +½/−½ γ perturbation by doc residue and favors topic K − residue
+  // in the λ seed — the K = 2 values of both schemes coincide with the
+  // legacy text. -------------------------------------------------------
+
+  /** γ seed expressions for K topics (the declared Gamma(100, 0.01)
+    * stand-in): K = 2 the historical parity text; K ≥ 3 docs with
+    * residue r perturb topic r+1 by +½ and its successor by −½ around
+    * the 1.25 base (every doc asymmetric, every topic reachable). */
+  def oldaGammaInitExprsK(kTot: Int): Seq[String] =
+    if (kTot == 2)
+      Seq("CAST(750000 + (did % 2) * 500000 AS BIGINT) AS g1",
+        "CAST(1750000 - (did % 2) * 500000 AS BIGINT) AS g2")
+    else (1 to kTot).map { k =>
+      s"CAST(1250000 + (CASE WHEN (did % $kTot) = ${k - 1} THEN 500000 " +
+        s"WHEN (did % $kTot) = ${k % kTot} THEN -500000 ELSE 0 END) AS BIGINT) AS g$k"
+    }
+
+  /** λ seed for K topics over the token-hash residue `par` (in scope):
+    * topic K − par takes the +½ boost — the K = 2 values are the
+    * historical l1/l2 parity seeds. */
+  def oldaLambdaInitExprK(kTot: Int, k: Int, parExpr: String): String =
+    s"CAST(1000000 + (CASE WHEN ($parExpr) = ${kTot - k} THEN 500000 ELSE 0 END) AS BIGINT) AS l$k"
+
+  /** The K-topic responsibility stage: θ ratios over the γ sum, exact
+    * integer φ, per-topic fractions — the legacy 2-column projection
+    * loop-generalized. */
+  private def oldaScoreK(cells: DataFrame, g: DataFrame, eb: DataFrame,
+                         kTot: Int): DataFrame = {
+    val ks = 1 to kTot
+    val gsum = ks.map(k => s"g$k").reduce((a, b) => s"($a + $b)")
+    val pn = ks.map(k => s"(et$k * eb$k)").reduce((a, b) => s"$a + $b")
+    cells.join(g, "did").join(eb, "tok")
+      .selectExpr(Seq("did", "tok", "c") ++
+        ks.map(k => s"${oldaRatioExpr(s"g$k", gsum, "DIV")} AS et$k") ++
+        ks.map(k => s"eb$k"): _*)
+      .selectExpr(Seq("did", "tok", "c") ++ ks.map(k => s"et$k") ++
+        ks.map(k => s"eb$k") :+ s"$pn AS pn": _*)
+      .selectExpr(Seq("did", "tok", "c", "pn") ++
+        ks.map(k => s"${oldaFracExpr(s"et$k", s"eb$k", "pn", "DIV")} AS f$k"): _*)
+  }
+
+  /** The K-topic online fitting loop ([[onlineLdaState]] with per-topic
+    * column loops): returns (counts — still persisted — and the final
+    * K-column λ). */
+  private def onlineLdaStateK(docs: DataFrame, idCol: String,
+                              textCol: String, kTot: Int,
+                              iters: Int): (DataFrame, DataFrame) = {
+    val ks = 1 to kTot
+    val counts = docs.select(col(idCol).as("did"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("did", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val dTot = counts.select("did").distinct()
+      .agg(count(lit(1)).as("dd")).localCheckpoint()
+    val tokPar = s"(${Dedup.portableHash("tok", "'olda'")} % $kTot)"
+    var lambda = counts.select("tok").distinct()
+      .selectExpr("tok" +:
+        ks.map(k => oldaLambdaInitExprK(kTot, k, tokPar)): _*)
+      .localCheckpoint()
+    for (t <- 1 to iters) {
+      val lsum = lambda.agg(sum("l1").as("ls1"),
+        ks.drop(1).map(k => sum(s"l$k").as(s"ls$k")): _*)
+      val eb = lambda.crossJoin(broadcast(lsum))
+        .selectExpr("tok" +:
+          ks.map(k => s"${oldaRatioExpr(s"l$k", s"ls$k", "DIV")} AS eb$k"): _*)
+      val bc = counts.filter(expr(
+        s"pmod(${Dedup.portableHash("cast(did as string)", "'oldab'")}, 4) = ${(t - 1) % 4}"))
+      val gz = bc.select("did").distinct()
+        .selectExpr("did" +: oldaGammaInitExprsK(kTot): _*)
+      val g1 = oldaScoreK(bc, gz, eb, kTot).groupBy("did")
+        .agg(sum(expr("c * f1")).as("s1"),
+          ks.drop(1).map(k => sum(expr(s"c * f$k")).as(s"s$k")): _*)
+        .selectExpr("did" +:
+          ks.map(k => s"CAST(500000 + s$k AS BIGINT) AS g$k"): _*)
+      val br = oldaScoreK(bc, g1, eb, kTot).groupBy("tok")
+        .agg(sum(expr("c * f1")).as("br1"),
+          ks.drop(1).map(k => sum(expr(s"c * f$k")).as(s"br$k")): _*)
+      val bs = bc.select("did").distinct().agg(count(lit(1)).as("ss"))
+      lambda = lambda.join(br, Seq("tok"), "left")
+        .na.fill(0L, ks.map(k => s"br$k"))
+        .crossJoin(broadcast(dTot)).crossJoin(broadcast(bs))
+        .selectExpr("tok" +:
+          ks.map(k => s"${oldaLambdaUpdExpr(s"l$k", s"br$k", oldaRho(t))} AS l$k"): _*)
+        .localCheckpoint()
+    }
+    (counts, lambda)
+  }
+
+  /** K-topic online LDA topics: the [[onlineLdaTopics]] output shape
+    * over the K-column λ state. */
+  def onlineLdaTopicsK(docs: DataFrame, idCol: String, textCol: String,
+                       kTot: Int, iters: Int = 2, topK: Int = 8): DataFrame = {
+    require(kTot >= 2 && kTot <= 6, s"onlineLdaTopicsK: K = $kTot outside [2, 6]")
+    import org.apache.spark.sql.expressions.Window
+    val (counts, lambda) = onlineLdaStateK(docs, idCol, textCol, kTot, iters)
+    counts.unpersist()
+    val topics = (2 to kTot).map(k =>
+        lambda.select(lit(k.toLong), col("tok"), col(s"l$k")))
+      .foldLeft(lambda.select(lit(1L).as("topic"), col("tok"), col("l1").as("lambda_micro")))(_ union _)
+    topics.select(col("topic"), col("tok"), col("lambda_micro"),
+        row_number().over(Window.partitionBy("topic")
+          .orderBy(col("lambda_micro").desc, col("tok"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= topK)
+      .select("topic", "rnk", "tok", "lambda_micro")
+  }
+
   /** The six split sufficient statistics carried (constant) through every
     * EM state row: per mean-split side, exact (count, Σx, Σx²). */
   private val gmmStatCols = Seq("nl", "sl", "ssl", "nh", "sh", "ssh")

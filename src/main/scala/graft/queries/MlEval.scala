@@ -284,6 +284,18 @@ object MlEval {
       graft.ext.Clustering.gmmFit2d(xs, iters = 3).orderBy("comp")
     },
 
+    // K-topic ONLINE variational LDA (LDAOptimizer.scala:231 takes k
+    // from the enclosing LDA; s75/s82 fix K = 2 — the last online-path
+    // topic scaffolding): three topics, per-topic column loops over the
+    // same ratio/fraction/blend strings (no complement — the
+    // reference's λ stores all K rows, and so does this state).
+    // LdaKSpec pins the K = 2 slice equal to onlineLdaTopics.
+    "s117_online_lda_k3" -> { (s, dir) =>
+      graft.ext.Clustering.onlineLdaTopicsK(Tables.documents(s, dir),
+          "doc_id", "text", kTot = 3, iters = 2, topK = 8)
+        .orderBy("topic", "rnk")
+    },
+
     // K-topic PLSA EM (reference LDA.scala's k parameter applied to
     // s38's declared PLSA model class — the alpha = eta -> 1 limit;
     // K-1 stored mixtures, complement sum columns, integer-only
@@ -433,6 +445,65 @@ object MlEval {
   /** The s75 online-LDA fitting chain: corpus counts, parity λ seed,
     * two unrolled minibatch iterations ending at `lam2`. Shared by the
     * s75 and s82 oracles. */
+  /** [[oldaScoreCte]] at K topics — same ratio/fraction strings, loop
+    * columns. */
+  private def oldaScoreCteK(name: String, cellsTab: String, gTab: String,
+                            ebTab: String, kTot: Int): String = {
+    import graft.ext.Clustering
+    val ks = 1 to kTot
+    val gsum = ks.map(k => s"g$k").reduce((a, b) => s"($a + $b)")
+    val pn = ks.map(k => s"(et$k * eb$k)").reduce((a, b) => s"$a + $b")
+    s"""$name AS (SELECT did, tok, c, pn,
+       |    ${ks.map(k => s"${Clustering.oldaFracExpr(s"et$k", s"eb$k", "pn", "//")} AS f$k").mkString(",\n    ")}
+       |  FROM (SELECT did, tok, c, ${ks.map(k => s"et$k").mkString(", ")}, ${ks.map(k => s"eb$k").mkString(", ")},
+       |      $pn AS pn
+       |    FROM (SELECT b.did, b.tok, b.c,
+       |        ${ks.map(k => s"${Clustering.oldaRatioExpr(s"g$k", gsum, "//")} AS et$k").mkString(",\n        ")},
+       |        ${ks.map(k => s"e.eb$k").mkString(", ")}
+       |      FROM $cellsTab b JOIN $gTab USING (did) JOIN $ebTab e USING (tok))))""".stripMargin
+  }
+
+  /** The s117 K-topic online chain: [[oldaChainCtes]] with per-topic
+    * column loops over the same seed/ratio/blend strings. */
+  private def oldaChainCtesK(kTot: Int): String = {
+    import graft.ext.Clustering
+    val ks = 1 to kTot
+    val tokHash = "CAST('0x' || substr(md5('olda:' || tok), 1, 15) AS BIGINT)"
+    val didHash = "CAST('0x' || substr(md5('oldab:' || CAST(did AS VARCHAR)), 1, 15) AS BIGINT)"
+    val iters = (1 to 2).map { t =>
+      s"""ls$t AS (SELECT ${ks.map(k => s"CAST(sum(l$k) AS BIGINT) AS ls$k").mkString(", ")}
+         |  FROM lam${t - 1}),
+         |eb$t AS MATERIALIZED (SELECT tok,
+         |    ${ks.map(k => s"${Clustering.oldaRatioExpr(s"l$k", s"ls$k", "//")} AS eb$k").mkString(",\n    ")}
+         |  FROM lam${t - 1} CROSS JOIN ls$t),
+         |bc$t AS MATERIALIZED (SELECT * FROM counts WHERE $didHash % 4 = ${(t - 1) % 4}),
+         |gz$t AS (SELECT did, ${Clustering.oldaGammaInitExprsK(kTot).mkString(",\n    ")}
+         |  FROM (SELECT DISTINCT did FROM bc$t)),
+         |${oldaScoreCteK(s"sa$t", s"bc$t", s"gz$t", s"eb$t", kTot)},
+         |gu$t AS MATERIALIZED (SELECT did,
+         |    ${ks.map(k => s"CAST(500000 + sum(c * f$k) AS BIGINT) AS g$k").mkString(",\n    ")}
+         |  FROM sa$t GROUP BY 1),
+         |${oldaScoreCteK(s"sb$t", s"bc$t", s"gu$t", s"eb$t", kTot)},
+         |br$t AS MATERIALIZED (SELECT tok, ${ks.map(k => s"CAST(sum(c * f$k) AS BIGINT) AS br$k").mkString(", ")}
+         |  FROM sb$t GROUP BY 1),
+         |bs$t AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS ss FROM bc$t),
+         |lam$t AS MATERIALIZED (SELECT tok,
+         |    ${ks.map(k => s"${Clustering.oldaLambdaUpdExpr(s"l$k", s"br$k", Clustering.oldaRho(t))} AS l$k").mkString(",\n    ")}
+         |  FROM (SELECT l.tok, ${ks.map(k => s"l.l$k").mkString(", ")}, ${ks.map(k => s"coalesce(b.br$k, 0) AS br$k").mkString(", ")}
+         |    FROM lam${t - 1} l LEFT JOIN br$t b USING (tok))
+         |  CROSS JOIN dtot CROSS JOIN bs$t)""".stripMargin
+    }.mkString(",\n")
+    s"""counts AS MATERIALIZED (
+       |  SELECT did, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id AS did, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |dtot AS (SELECT CAST(count(DISTINCT did) AS BIGINT) AS dd FROM counts),
+       |lam0 AS MATERIALIZED (SELECT tok,
+       |    ${ks.map(k => s"CAST(1000000 + (CASE WHEN ($tokHash % $kTot) = ${kTot - k} THEN 500000 ELSE 0 END) AS BIGINT) AS l$k").mkString(",\n    ")}
+       |  FROM (SELECT DISTINCT tok FROM counts)),
+       |$iters""".stripMargin
+  }
+
   private def oldaChainCtes: String = {
     import graft.ext.Clustering
     val tokHash = "CAST('0x' || substr(md5('olda:' || tok), 1, 15) AS BIGINT)"
@@ -822,6 +893,18 @@ object MlEval {
          |FROM feats CROSS JOIN lw8 WHERE o_orderkey <= 4000
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // Mirror of Clustering.onlineLdaTopicsK at K = 3: the s75 chain
+    // with per-topic column loops (same seed/ratio/blend strings).
+    "s117_online_lda_k3" ->
+      s"""WITH ${oldaChainCtesK(3)}
+         |SELECT topic, CAST(rn AS BIGINT) AS rnk, tok, lambda_micro FROM (
+         |  SELECT topic, tok, lambda_micro,
+         |    row_number() OVER (PARTITION BY topic ORDER BY lambda_micro DESC, tok) AS rn
+         |  FROM (SELECT 1::BIGINT AS topic, tok, l1 AS lambda_micro FROM lam2
+         |        UNION ALL SELECT 2::BIGINT, tok, l2 FROM lam2
+         |        UNION ALL SELECT 3::BIGINT, tok, l3 FROM lam2))
+         |WHERE rn <= 8 ORDER BY topic, rnk""".stripMargin,
 
     // Mirror of Clustering.plsaTopicsK at K = 3: the s38 chain with
     // K−1 stored mixture columns and the generated K-fold integer

@@ -67,6 +67,26 @@ class LdaKSpec extends SparkSpec {
     assert(k2 === legacy)
   }
 
+  test("onlineLdaTopicsK at K = 2 reproduces the legacy onlineLdaTopics output exactly") {
+    val legacy = Clustering.onlineLdaTopics(docs, "doc_id", "text", iters = 2, topK = 8)
+      .orderBy("topic", "rnk").collect().toSeq
+    val k2 = Clustering.onlineLdaTopicsK(docs, "doc_id", "text", kTot = 2, iters = 2, topK = 8)
+      .orderBy("topic", "rnk").collect().toSeq
+    assert(k2 === legacy)
+  }
+
+  test("onlineLdaTopicsK at K = 3: three topics, lambda moved off every seed, deterministic") {
+    val out = Clustering.onlineLdaTopicsK(docs, "doc_id", "text", kTot = 3, iters = 2, topK = 8)
+      .orderBy("topic", "rnk").collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // the blend moved lambda off the two seed levels (1e6 / 1.5e6)
+    assert(out.exists(r => r.getLong(3) != 1000000L && r.getLong(3) != 1500000L))
+    assert(out.forall(_.getLong(3) > 0L))
+    val again = Clustering.onlineLdaTopicsK(docs.repartition(7), "doc_id", "text",
+      kTot = 3, iters = 2, topK = 8).orderBy("topic", "rnk").collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("plsaTopicsK at K = 3 separates three planted vocabularies") {
     val out = Clustering.plsaTopicsK(docs, "doc_id", "text", kTot = 3, iters = 4, topK = 4)
       .collect()
