@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Ad-hoc profiling hook (measurement only — e.g. event-log capture via
+// -Dspark.eventLog.enabled=true): space-separated extra JVM flags.
+javaOptions ++= sys.env.get("SPARK_GRAFT_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

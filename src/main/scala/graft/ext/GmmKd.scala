@@ -309,6 +309,105 @@ object GmmKd {
     if (k < kTot) s"w${k}u"
     else s"CAST(1000000 - ${(1 until kTot).map(j => s"w${j}u").reduce((a, b) => s"($a + $b)")} AS BIGINT)"
 
+  // ---- layered Spark-side scorer ---------------------------------------
+  //
+  // [[respExpr]] is ONE self-contained text per responsibility column —
+  // the form the DuckDB oracle ingests verbatim. Evaluated as-is on the
+  // Spark side it duplicates the determinant/cofactor/log-likelihood
+  // subtrees many times over (the d = 2, K = 3 column pair is 2 x 11.6 KB
+  // of text), and the per-row cost of the E-step scan blows up with the
+  // arity. The scorer below binds each shared piece to a NAMED COLUMN in
+  // a chain of projections instead — the same parse trees, the same IEEE
+  // op order, just evaluated once per row each (substitution of a named
+  // subexpression is value-identical; GmmKdSpec pins the legacy slices
+  // and the oracle gates every output). Catalyst keeps the layers apart:
+  // CollapseProject refuses to inline a non-cheap alias referenced more
+  // than once, which every bound piece here is.
+
+  /** dx column name for component k, axis a (d >= 2) / the 1-D deviation. */
+  private def dxc(k: Int, a: String) = s"gkd_dx_${k}_$a"
+
+  /** The layered per-row score chain: each element is one projection's
+    * expression list (aliased), assuming the previous layers' columns are
+    * in scope along with the state columns and axes. The final layer
+    * emits the responsibility columns named exactly as [[respExpr]]'s
+    * consumers expect (`r` at K = 2, `r1..r{K-1}` otherwise). */
+  private def scoreLayers(d: Int, kTot: Int): Seq[Seq[String]] = {
+    val ks = 1 to kTot
+    // deviations (d >= 2; the 1-D dx1 text stays inline — it is tiny)
+    val dxL: Seq[String] = if (d == 1) Nil
+    else ks.flatMap(k => axes(d).map(a => s"${dx2(k, a)} AS ${dxc(k, a)}"))
+    def dxr(k: Int, a: String): String = if (d == 1) dx1(k) else dxc(k, a)
+    // cofactors (d = 3 only)
+    val cfL: Seq[String] = if (d != 3) Nil
+    else ks.flatMap(k => for { i <- 1 to 3; j <- i to 3 }
+      yield s"${cof3(k, i, j)} AS gkd_cf_${k}_${i}_$j")
+    def cfr(k: Int, i: Int, j: Int): String =
+      if (i <= j) s"gkd_cf_${k}_${i}_$j" else s"gkd_cf_${k}_${j}_$i"
+    // determinants, via cofactor refs at d = 3 (same parenthesization)
+    val detL: Seq[String] = ks.map { k =>
+      val t = d match {
+        case 3 => s"(((${sig2(k, 1, 1)} * ${cfr(k, 1, 1)}) + (${sig2(k, 1, 2)} * ${cfr(k, 1, 2)})) + " +
+          s"(${sig2(k, 1, 3)} * ${cfr(k, 1, 3)}))"
+        case _ => detExpr(d, k)
+      }
+      s"$t AS gkd_det_$k"
+    }
+    // quadratic forms via dx/cofactor/det refs (identical term order)
+    def qRef(k: Int): String = d match {
+      case 1 => s"((${dxr(k, "x")} * ${dxr(k, "x")}) / gkd_det_$k)"
+      case 2 =>
+        s"(((((${dxr(k, "x")} * ${dxr(k, "x")}) * ${sig2(k, 2, 2)}) - " +
+          s"(((2.0 * ${dxr(k, "x")}) * ${dxr(k, "y")}) * ${sig2(k, 1, 2)})) + " +
+          s"((${dxr(k, "y")} * ${dxr(k, "y")}) * ${sig2(k, 1, 1)})) / gkd_det_$k)"
+      case 3 =>
+        val terms =
+          (1 to 3).map(i =>
+            s"((${dxr(k, ax(i))} * ${dxr(k, ax(i))}) * ${cfr(k, i, i)})") ++
+            (for { i <- 1 to 3; j <- i + 1 to 3 } yield
+              s"(((2.0 * ${dxr(k, ax(i))}) * ${dxr(k, ax(j))}) * ${cfr(k, i, j)})")
+        s"((${terms.reduce((a, b) => s"($a + $b)")}) / gkd_det_$k)"
+    }
+    if (kTot == 2) {
+      val qL = ks.map(k => s"${qRef(k)} AS gkd_q_$k")
+      val resp = s"CAST(round(1000000.0 / (1.0 + exp(ln((1000000.0 - w1u) / CAST(w1u AS DOUBLE)) + " +
+        s"((0.5 * ln(gkd_det_1 / gkd_det_2)) + (0.5 * (gkd_q_1 - gkd_q_2)))))) AS BIGINT) AS r"
+      Seq(dxL, cfL, detL, qL, Seq(resp)).filter(_.nonEmpty)
+    } else {
+      // half quadratic form per the historical parenthesization per d
+      def halfQRef(k: Int): String = d match {
+        case 1 => s"((${dxr(k, "x")} * ${dxr(k, "x")}) / (2.0 * gkd_det_$k))"
+        case _ => s"(0.5 * ${qRef(k)})"
+      }
+      val llL = ks.map(k =>
+        s"((ln(${wD(kTot, k)}) - (0.5 * ln(gkd_det_$k))) - ${halfQRef(k)}) AS gkd_ll_$k")
+      val mxL = Seq(s"greatest(${ks.map(k => s"gkd_ll_$k").mkString(", ")}) AS gkd_mx")
+      val denL = Seq(ks.map(k => s"exp(gkd_ll_$k - gkd_mx)")
+        .reduce((a, b) => s"($a + $b)") + " AS gkd_den")
+      val resp = (1 until kTot).map(k =>
+        s"CAST(round((1000000.0 * exp(gkd_ll_$k - gkd_mx)) / gkd_den) AS BIGINT) AS r$k")
+      Seq(dxL, cfL, detL, llL, mxL, denL, resp).filter(_.nonEmpty)
+    }
+  }
+
+  /** Per-row responsibilities of `f` against the broadcast 1-row
+    * `state`, through the layered chain; emits the responsibility
+    * columns plus `keep` passthroughs. */
+  private def scored(f: DataFrame, state: DataFrame, d: Int, kTot: Int,
+                     keep: Seq[String]): DataFrame = {
+    var cur = f.crossJoin(broadcast(state))
+    val layers = scoreLayers(d, kTot)
+    val respNames =
+      if (kTot == 2) Seq("r") else (1 until kTot).map(k => s"r$k")
+    layers.zipWithIndex.foreach { case (layer, i) =>
+      val carry =
+        if (i == layers.size - 1) keep // final: resp cols + passthrough only
+        else cur.columns.toSeq
+      cur = cur.selectExpr(carry ++ layer: _*)
+    }
+    cur.selectExpr(respNames ++ keep: _*)
+  }
+
   // ---- the EM driver --------------------------------------------------
 
   /** EM fit of a K-component, d-dimensional full-covariance mixture over
@@ -321,7 +420,12 @@ object GmmKd {
     require(d >= 1 && d <= 3, s"gmmFitKd: d = $d outside [1, 3]")
     require(kTot >= 2 && kTot <= 4, s"gmmFitKd: K = $kTot outside [2, 4]")
     val cc = constCols(d)
-    val f = xs.select(axes(d).map(col): _*)
+    // spread across the session's cores before persisting: the chain
+    // re-scans f with the expression-heavy E-step 3+ times, and a small
+    // parquet source yields too few splits to feed them (no-op at real
+    // scale / on tiny frames — Scale.spreadForScans scaladoc)
+    val base = xs.select(axes(d).map(col): _*)
+    val f = Scale.spreadForScans(base, base.count())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     f.count()
     val totAggs = axes(d).map(a => sum(a).as(s"s$a")) ++
@@ -360,10 +464,6 @@ object GmmKd {
     var state = regions.selectExpr(cc ++
         initExprs(d, kTot).map { case (c, e) => s"$e AS $c" }: _*)
       .localCheckpoint()
-    val respCols = (1 until kTot).map { k =>
-      val n = if (kTot == 2) "r" else s"r$k"
-      s"${respExpr(d, kTot, k)} AS $n"
-    }
     val sumAggs = (1 until kTot).flatMap { k =>
       val s = sfx(kTot, k)
       val rn = if (kTot == 2) "r" else s"r$k"
@@ -374,16 +474,14 @@ object GmmKd {
         })
     }
     for (_ <- 1 to iters) {
-      val sums = f.crossJoin(broadcast(state))
-        .selectExpr(respCols ++ axes(d): _*)
+      val sums = scored(f, state, d, kTot, axes(d))
         .agg(sumAggs.head, sumAggs.tail: _*)
       state = sums.crossJoin(state)
         .selectExpr(cc ++
           updateExprs(d, kTot).map { case (c, e) => s"$e AS $c" }: _*)
         .localCheckpoint()
     }
-    val hard = f.crossJoin(broadcast(state))
-      .selectExpr(respCols: _*)
+    val hard = scored(f, state, d, kTot, Nil)
       .selectExpr(s"${hardExpr(kTot)} AS comp")
       .groupBy("comp").agg(count(lit(1)).as("n_hard"))
     val outCols = outColNames(d)

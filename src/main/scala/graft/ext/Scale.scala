@@ -41,6 +41,37 @@ class TopKByKey(k: Int) extends Aggregator[TopKElem, Seq[TopKElem], Seq[TopKElem
   */
 object Scale {
 
+  /** Minimum rows a task must amortize before a scan-spread repartition
+    * pays for itself (below it, task-launch overhead eats the win). */
+  val SpreadMinRowsPerSlot: Long = 4096L
+
+  /** Spread a corpus frame across the session's parallelism BEFORE an
+    * iterative chain persists it for repeated expression-heavy scans
+    * (EM / gradient fits: 3-10 full passes against a broadcast 1-row
+    * state). A small parquet table yields only a handful of input
+    * splits, so every per-iteration scan would run on that many cores
+    * no matter how wide the session is (s116 measured 2.3x on the
+    * E-step scan alone at local[32]: 3 splits -> 32). Scale-adaptive,
+    * not a local-mode constant (optimization guide s2.2/s2.5):
+    *   - no-op when the source already has >= the session parallelism
+    *     in partitions — the 100 TB case, where the input layout
+    *     provides the splits and this must NOT add a corpus shuffle;
+    *   - no-op when the frame is too small to amortize the extra tasks
+    *     (rows-hint below [[SpreadMinRowsPerSlot]] per slot), so tiny
+    *     1-partition feature frames keep their cheap single-task scans.
+    * Row-count hint comes from the CALLER (these chains count() right
+    * after persist anyway, or know the source cardinality); the
+    * round-robin shuffle moves the narrow projected columns once.
+    * Value-safe ONLY for partition-order-independent chains — exact
+    * integer/DECIMAL sums, per-row projections — which is the house
+    * quantization discipline for every EM/gradient operator. */
+  def spreadForScans(df: DataFrame, rowsHint: Long): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= slots || rowsHint < slots.toLong * SpreadMinRowsPerSlot) df
+    else df.repartition(slots)
+  }
+
   /** Per-key top-k through [[TopKByKey]]: group by `keyCol`, aggregate
     * (`vCol`, `idCol`) pairs into the k-bounded buffer, posexplode back
     * to one row per kept element with a 1-based `rk` in (v, id)
