@@ -52,6 +52,22 @@ object Bench {
     // JVM/codegen warmup outside the timed loop so the first measured
     // query isn't charged for classloading and compiler ramp-up
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // r20 measurement hygiene: the single relational warmup left the
+    // first few timed rows paying suite-global JIT for whole operator
+    // classes (a query benched first read 1.3-2x its own solo-warm time;
+    // min-of-2 does not recover compiler ramp-up that spans iterations).
+    // One untimed noop pass each over a window query, a decimal-sum EM
+    // fit and a dedup digest at sf0.001 warms those paths too — still
+    // strictly OUTSIDE the timed loop, the timed methodology (noop sink,
+    // min-of-2, block sweep) is unchanged.
+    for (code <- Seq("w01", "s35", "d01")) {
+      SparkEntry.queries.find(_._1.startsWith(code)).foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    GraftSession.sweepBlocks(spark)
 
     // SPARK_GRAFT_ONLY=q01,s0 — prefix-filtered subset (local iteration /
     // the sf1 headline run; the driver sets no filter and gets everything)

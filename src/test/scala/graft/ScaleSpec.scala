@@ -637,4 +637,22 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again === got.values.flatten.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
+
+  test("spreadForScans: spreads starved big frames, no-ops on small or already-wide ones") {
+    import spark.implicits._
+    val slots = spark.sparkContext.defaultParallelism
+    // big + starved: 1 partition, rows far above the per-slot floor -> spread
+    val big = spark.range(0, slots * Scale.SpreadMinRowsPerSlot + 1, 1, 1).toDF("x")
+    val spread = Scale.spreadForScans(big, slots * Scale.SpreadMinRowsPerSlot + 1)
+    assert(spread.rdd.getNumPartitions === slots)
+    // rows identical (round-robin repartition moves, never drops/duplicates)
+    assert(spread.agg(sum("x"), count(lit(1))).head() ===
+      big.agg(sum("x"), count(lit(1))).head())
+    // small frame: repartition would cost more than it buys -> untouched plan
+    val small = spark.range(0, 100, 1, 1).toDF("x")
+    assert(Scale.spreadForScans(small, 100).rdd.getNumPartitions === 1)
+    // already wide enough (the 100 TB case: source supplies the splits) -> no-op
+    val wide = spark.range(0, 1000000, 1, slots).toDF("x")
+    assert(Scale.spreadForScans(wide, 1000000L).rdd.getNumPartitions === slots)
+  }
 }
