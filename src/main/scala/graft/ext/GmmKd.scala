@@ -427,7 +427,8 @@ object GmmKd {
     val base = xs.select(axes(d).map(col): _*)
     val f = Scale.spreadForScans(base, base.count())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    f.count()
+    // no eager count: the first consumer (the `tot` aggregate below)
+    // populates the cache during its own scan — same work, one fewer job
     val totAggs = axes(d).map(a => sum(a).as(s"s$a")) ++
       pairs(d).map { case (i, j) =>
         sum(expr(s"CAST(${ax(i)} * ${ax(j)} AS DECIMAL(38,0))")).as(s"s${ax(i)}${ax(j)}")
