@@ -350,7 +350,7 @@ object Learn {
 
   def logisticFit2(feats: DataFrame, iters: Int = 8, lr: Double = 1.0): DataFrame = {
     val f = feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    f.count() // materialize once; every iteration re-reads it
+    // no eager count: iteration 1's gradient scan populates the cache
     var w = logisticInit(f.sparkSession).localCheckpoint()
     for (_ <- 1 to iters)
       w = logisticStep(f, w, lr).localCheckpoint()

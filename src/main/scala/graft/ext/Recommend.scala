@@ -382,7 +382,7 @@ object Recommend {
     * rounds (the pregel discipline). */
   def als(ratings: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
     val r = ratings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    r.count() // materialize once; four half-steps re-read it
+    // no eager count: the init distinct populates the cache on first read
     var items = initItemFactors(r).localCheckpoint()
     var users: DataFrame = null
     for (_ <- 1 to iters) {
